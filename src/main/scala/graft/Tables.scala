@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parquet table loader for the driver-generated TPC-H-ish star schema
+  * (TESTDATA.md). All engine queries resolve base tables through here.
+  *
+  * The reference keys many operations on SQLite's implicit `_rowid_`
+  * (reference: src/schema.py:34-40, src/core.py:447-455). Spark has no
+  * stable implicit rowid — `monotonically_increasing_id` changes with
+  * partitioning — so `withRowid` materializes an explicit, deterministic
+  * `rowid` column from a total order on the table's natural key.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Natural ordering key per table — gives a deterministic rowid. */
+  private val naturalKey: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey"),
+    "nation"     -> Seq("n_nationkey"),
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_linenumber"),
+    "events"     -> Seq("event_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
+      // rejects; read nanos as long and convert (micro truncation is
+      // exact for this data — generator emits ms-granularity stamps).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Load with a 1-based deterministic `rowid` column (SQLite semantics:
+    * rowids start at 1). Window over the natural key — a full sort, only
+    * used by model/row operators that genuinely need row identity. At
+    * cluster scale, prefer ingesting rowid once and persisting it.
+    */
+  def loadWithRowid(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val key = naturalKey.getOrElse(name, Seq(df.columns.head))
+    val w = Window.orderBy(key.map(col): _*)
+    df.withColumn("rowid", row_number().over(w).cast("long"))
+  }
+
+  /** Register all tables of a scale-factor dir as temp views. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared query returns rows and a well-formed schema") {
+    operators.Relational.queries.foreach { case (name, q) =>
+      val df = q(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.columns.distinct.length == df.columns.length,
+        s"$name has duplicate column names: ${df.columns.mkString(",")}")
+    }
+  }
+
+  test("every query has either an oracle or is explicitly rows-only") {
+    val missing = operators.Relational.queries.keySet -- operators.Relational.oracles.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("q01 aggregates match direct computation") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Relational.q01Agg(spark, sf)
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val expectTotal = li.count()
+    val gotTotal = df.agg(sum("count_order")).head.getLong(0)
+    assert(gotTotal == expectTotal)
+  }
+
+  test("q03 top-k is ordered by revenue desc") {
+    val rev = operators.Relational.q03JoinTopK(spark, sf)
+      .select("revenue").collect().map(_.getDouble(0))
+    assert(rev.length <= 10)
+    assert(rev.sameElements(rev.sortBy(-_: Double)))
+  }
+
+  test("q08 respects limit+offset") {
+    val rows = operators.Relational.q08OrderLimitOffset(spark, sf).collect()
+    assert(rows.length == 20)
+  }
+
+  test("rowid is stable and 1-based") {
+    val df = Tables.loadWithRowid(spark, sf, "nation")
+    val ids = df.select("rowid").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 1L && ids.length == ids.distinct.length)
+    // deterministic across loads
+    val ids2 = Tables.loadWithRowid(spark, sf, "nation")
+      .select("rowid", "n_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val ids1 = df.select("rowid", "n_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(ids1.sameElements(ids2))
+  }
+}
