@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import graft.catalog.Guess
+import graft.functions.Correlation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The CORRELATION / CORRELATION PVALUE estimator family (SURVEY §2.4,
+  * §2.7) + GUESS SCHEMA, exposed as driver-checkable queries. The
+  * p-value queries have no DuckDB-expressible oracle (they need
+  * incomplete gamma/beta) → rows-only checks; values are instead pinned
+  * by SpecialMathSpec's closed-form identities.
+  */
+object StatsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def oneRow(spark: SparkSession, name: String, value: Double): DataFrame = {
+    import spark.implicits._
+    Seq(value).toDF(name)
+  }
+
+  /** CORRELATION numerical×numerical = Pearson r² — fully declarative
+    * single-agg plan (distributed co-moments, whole-stage codegen). */
+  val s01CorrPearson: Q = (spark, dir) => {
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      .agg(round(pow(corr(col("l_quantity"), col("l_extendedprice")), 2), 6)
+        .as("corr_r2"))
+  }
+
+  val s01Sql: String =
+    """SELECT round(pow(corr(l_quantity, l_extendedprice), 2), 6) AS corr_r2
+      |FROM lineitem
+      |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL""".stripMargin
+
+  /** CORRELATION nominal×nominal = Cramér's φ. The contingency table,
+    * its zero cells, and the χ² reduction are all computed distributedly;
+    * only the scalar reaches the driver. */
+  val s02CramerPhi: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+    oneRow(spark, "cramer_phi",
+      round6(Correlation.cramerPhi(li, "l_returnflag", "l_linestatus")))
+  }
+
+  val s02Sql: String =
+    """WITH pair AS (
+      |  SELECT l_returnflag AS x0, l_linestatus AS x1 FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL),
+      |cells AS (SELECT x0, x1, count(*)::DOUBLE AS obs FROM pair GROUP BY x0, x1),
+      |m0 AS (SELECT x0, count(*)::DOUBLE AS rt FROM pair GROUP BY x0),
+      |m1 AS (SELECT x1, count(*)::DOUBLE AS ct FROM pair GROUP BY x1),
+      |tot AS (SELECT count(*)::DOUBLE AS n FROM pair),
+      |grid AS (
+      |  SELECT m0.x0, m1.x1, coalesce(cells.obs, 0) AS obs,
+      |         m0.rt * m1.ct / tot.n AS expected
+      |  FROM m0 CROSS JOIN m1 CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.x0 = m0.x0 AND cells.x1 = m1.x1),
+      |chi AS (
+      |  SELECT sum(pow(obs - expected, 2) / expected) AS chi2,
+      |         (SELECT count(DISTINCT x0) FROM pair) AS n0,
+      |         (SELECT count(DISTINCT x1) FROM pair) AS n1,
+      |         (SELECT n FROM tot) AS n
+      |  FROM grid)
+      |SELECT round(sqrt(chi2 / (n * (least(n0, n1) - 1))), 6) AS cramer_phi
+      |FROM chi""".stripMargin
+
+  /** CORRELATION nominal×numerical = one-way ANOVA R². */
+  val s03AnovaR2: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+    oneRow(spark, "anova_r2",
+      round6(Correlation.anovaR2(li, "l_returnflag", "l_extendedprice")))
+  }
+
+  val s03Sql: String =
+    """WITH pair AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS y FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |grp AS (
+      |  SELECT g, count(*)::DOUBLE AS n_g, avg(y) AS mean_g,
+      |         var_pop(y) * count(*) AS m2_g
+      |  FROM pair GROUP BY g),
+      |ov AS (
+      |  SELECT sum(n_g) AS n, count(*)::DOUBLE AS k,
+      |         sum(n_g * mean_g) / sum(n_g) AS gmean
+      |  FROM grp),
+      |st AS (
+      |  SELECT sum(n_g * pow(mean_g - ov.gmean, 2)) / (ov.k - 1) AS bgv,
+      |         sum(m2_g) / (ov.n - ov.k) AS wgv,
+      |         ov.n AS n, ov.k AS k
+      |  FROM grp CROSS JOIN ov GROUP BY ov.n, ov.k, ov.gmean)
+      |SELECT round(1 - 1 / (1 + (bgv / wgv) * ((k - 1) / (n - k))), 6) AS anova_r2
+      |FROM st""".stripMargin
+
+  /** CORRELATION PVALUE numerical×numerical (two-sided t-test) —
+    * special functions, rows-only driver check. */
+  val s04PearsonPValue: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+    oneRow(spark, "corr_pvalue",
+      Correlation.pearsonPValue(li, "l_quantity", "l_extendedprice"))
+  }
+
+  /** CORRELATION PVALUE nominal×nominal (χ² independence test). */
+  val s05CramerPValue: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+    oneRow(spark, "cramer_pvalue",
+      Correlation.cramerPhiPValue(li, "l_returnflag", "l_linestatus"))
+  }
+
+  /** CORRELATION PVALUE nominal×numerical (F-test). */
+  val s06AnovaPValue: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+    oneRow(spark, "anova_pvalue",
+      Correlation.anovaPValue(li, "l_returnflag", "l_extendedprice"))
+  }
+
+  /** GUESS SCHEMA FOR customer (reference: src/bql.py:220-252) — one
+    * distributed pass; reasons omitted from the dump for stability. */
+  val s07GuessSchema: Q = (spark, dir) => {
+    Guess.guessSchema(Tables.load(spark, dir, "customer"))
+      .select("column", "stattype", "num_distinct")
+      .orderBy("column")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_corr_pearson" -> s01CorrPearson,
+    "s02_cramer_phi" -> s02CramerPhi,
+    "s03_anova_r2" -> s03AnovaR2,
+    "s04_pearson_pvalue" -> s04PearsonPValue,
+    "s05_cramer_pvalue" -> s05CramerPValue,
+    "s06_anova_pvalue" -> s06AnovaPValue,
+    "s07_guess_schema" -> s07GuessSchema)
+
+  val oracles: Map[String, String] = Map(
+    "s01_corr_pearson" -> s01Sql,
+    "s02_cramer_phi" -> s02Sql,
+    "s03_anova_r2" -> s03Sql)
+}
