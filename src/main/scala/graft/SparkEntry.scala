@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-    operators.StatsQueries.queries
+    operators.StatsQueries.queries ++
+    operators.ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
-    operators.StatsQueries.oracles
+    operators.StatsQueries.oracles ++
+    operators.ModelQueries.oracles
 }

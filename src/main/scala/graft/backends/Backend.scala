@@ -1,0 +1,93 @@
+package graft.backends
+
+import org.apache.spark.sql.DataFrame
+
+/** One posterior sample of all latent parameters — an ensemble member
+  * (reference: doc/bql.rst:269-279). Concrete shape is backend-specific;
+  * must be serializable so the ensemble can be broadcast to executors. */
+trait ModelState extends Serializable
+
+/** Serializable per-generator model container: suff stats + ensemble.
+  * Broadcast to executors for per-row estimator evaluation; tiny next to
+  * the data (O(columns × models)). */
+trait GeneratorState extends Serializable {
+  def modelNumbers: Seq[Int]
+}
+
+/** The generative-model backend interface (reference: src/backend.py:86-297).
+  *
+  * Differences from the reference, forced by the distributed setting:
+  *  - state is an explicit immutable value (no SQLite side tables); every
+  *    mutation returns a new state — rollback = keeping the old reference.
+  *  - sampling methods take a DetRng so draws are pure functions of
+  *    (seed, rowid, modelno, callsite) and survive Spark task retries.
+  *  - fitting (`createGenerator`) receives the base DataFrame and must
+  *    reduce it distributedly (suff stats via one agg, never collect()).
+  *
+  * Values are Doubles in v1: the shipped numeric backends (nig_normal,
+  * std_normal, troll_rng) model numerical variables only; categorical
+  * values enter with the CrossCat backend via per-generator category
+  * codes (reference: src/backends/cgpm_backend.py:61-68).
+  */
+trait Backend extends Serializable {
+
+  /** BQL name, e.g. "nig_normal" (casefolded). */
+  def name: String
+
+  /** Fit per-column sufficient statistics over the base table — one
+    * distributed aggregation. `columns` maps colno -> column name. */
+  def createGenerator(df: DataFrame, columns: Map[Int, String]): GeneratorState
+
+  /** Draw initial ensemble members for the given model numbers. */
+  def initializeModels(state: GeneratorState, modelnos: Seq[Int], rng: DetRng): GeneratorState
+
+  /** Posterior inference. For conjugate backends one step reaches the
+    * posterior; MCMC backends iterate. Per-model work is independent —
+    * the CrossCat implementation fans models out via parallelize. */
+  def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
+      iterations: Int, rng: DetRng): GeneratorState
+
+  /** Log joint density of `targets` = (colno, value) given `constraints`,
+    * averaged over the ensemble in log space (logmeanexp). */
+  def logpdfJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
+      targets: Seq[(Int, Double)], constraints: Seq[(Int, Double)]): Double
+
+  /** Draw `numSamples` joint rows of the target columns. Model chosen
+    * uniformly (constraint-likelihood weighting happens in the engine
+    * layer, reference: src/bqlfn.py:555-572). */
+  def simulateJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
+      targets: Seq[Int], constraints: Seq[(Int, Double)],
+      numSamples: Int, rng: DetRng): Seq[Seq[Double]]
+
+  /** Impute a value + confidence for one cell (reference:
+    * src/backend.py:233-245). */
+  def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
+      colno: Int, numSamples: Int, rng: DetRng): (Double, Double)
+
+  /** Per-model dependence indicator between two columns (reference:
+    * src/backend.py:204-207). */
+  def columnDependenceProbability(state: GeneratorState,
+      modelnos: Option[Seq[Int]], colno0: Int, colno1: Int): Seq[Double]
+
+  /** Per-model Monte-Carlo mutual information estimate (reference:
+    * src/backend.py:209-212). */
+  def columnMutualInformation(state: GeneratorState, modelnos: Option[Seq[Int]],
+      colnos0: Seq[Int], colnos1: Seq[Int], numSamples: Int, rng: DetRng): Seq[Double]
+
+  /** Per-model row-pair similarity in the context of given columns
+    * (reference: src/backend.py:214-217). */
+  def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
+      rowValues0: Map[Int, Double], rowValues1: Map[Int, Double],
+      colnos: Seq[Int]): Seq[Double]
+}
+
+object Backends {
+  /** Registry by casefolded name (reference: src/__init__.py:94-96 —
+    * cgpm is the reference default; ours arrives with the CrossCat port). */
+  def byName(name: String): Backend = name.toLowerCase match {
+    case "nig_normal" => new NigNormalBackend()
+    case "std_normal" => new StdNormalBackend()
+    case "troll_rng"  => new TrollBackend()
+    case other => throw new IllegalArgumentException(s"Unknown backend: $other")
+  }
+}

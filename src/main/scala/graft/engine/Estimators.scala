@@ -1,0 +1,203 @@
+package graft.engine
+
+import graft.backends.{Backend, DetRng, GeneratorState}
+import graft.catalog.Population
+import graft.functions.SpecialMath.{logAvgExpWeighted, logMeanExp}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One generator fitted to a population: backend + immutable model state.
+  * Small (O(cols × models)) and serializable — broadcast with the closure
+  * of every per-row estimator UDF. */
+final case class FittedGenerator(
+    name: String,
+    backend: Backend,
+    state: GeneratorState) extends Serializable
+
+/** A population with its generator ensemble, the unit all BQL model
+  * estimators run against (reference: estimators average over generators,
+  * then models — src/bqlfn.py:284-294, 459-486). */
+final case class PopulationModel(
+    population: Population,
+    generators: Seq[FittedGenerator],
+    seed: Long) extends Serializable {
+  require(generators.nonEmpty, "PopulationModel needs at least one generator")
+  def colno(varName: String): Int =
+    population.variable(varName).getOrElse(
+      throw new NoSuchElementException(s"No such variable: $varName")).colno
+}
+
+/** The BQL model-estimator operators (SURVEY §2.7), Spark-first:
+  * per-row estimators are UDFs closing over the (broadcast) ensemble;
+  * per-query constants are computed once on the driver; SIMULATE
+  * materializes driver-sampled rows into a DataFrame (the reference's
+  * temp-table winders disappear, src/compiler.py:711-722).
+  */
+object Estimators {
+
+  /** `ESTIMATE PREDICTIVE PROBABILITY OF t [GIVEN (cs)] FROM p`
+    * (reference: src/bqlfn.py:459-486). Appends a column: for each row,
+    * exp(logmeanexp over generators of logpdf(observed target values |
+    * observed constraint values)); NULL when every target is NULL.
+    */
+  def predictiveProbability(
+      df: DataFrame, pm: PopulationModel,
+      targets: Seq[String], constraints: Seq[String] = Nil,
+      outCol: String = "predictive_probability"): DataFrame = {
+    val tCols = targets.map(v => v -> pm.colno(v))
+    val cCols = constraints.map(v => v -> pm.colno(v))
+    val gens = pm.generators
+    val fn = udf { (tVals: Seq[java.lang.Double], cVals: Seq[java.lang.Double]) =>
+      val t = tCols.map(_._2).zip(tVals).collect { case (c, v) if v != null => (c, v.doubleValue) }
+      if (t.isEmpty) null
+      else {
+        val c = cCols.map(_._2).zip(cVals).collect { case (cn, v) if v != null => (cn, v.doubleValue) }
+        val perGen = gens.map(g => g.backend.logpdfJoint(g.state, None, t, c)).toArray
+        java.lang.Double.valueOf(math.exp(logMeanExp(perGen)))
+      }
+    }
+    df.withColumn(outCol,
+      fn(array(targets.map(c => col(c).cast("double")): _*),
+         array(constraints.map(c => col(c).cast("double")): _*)))
+  }
+
+  /** `PROBABILITY DENSITY OF c = v [GIVEN (c'=v', ...)]` for literal
+    * values — a per-query constant: likelihood-weighted generator
+    * averaging (reference: src/bqlfn.py:378-408). */
+  def probabilityDensity(
+      pm: PopulationModel,
+      targets: Seq[(String, Double)],
+      constraints: Seq[(String, Double)] = Nil): Double = {
+    val t = targets.map { case (v, x) => (pm.colno(v), x) }
+    val c = constraints.map { case (v, x) => (pm.colno(v), x) }
+    val logliks = pm.generators.map { g =>
+      if (c.isEmpty) 0.0 else g.backend.logpdfJoint(g.state, None, c, Nil)
+    }.toArray
+    val logpdfs = pm.generators.map(g => g.backend.logpdfJoint(g.state, None, t, c)).toArray
+    math.exp(logAvgExpWeighted(logliks, logpdfs))
+  }
+
+  /** `SIMULATE cols FROM p [GIVEN ...] LIMIT n` (reference:
+    * src/bqlfn.py:525-576): generators chosen multinomially by constraint
+    * likelihood, rows sampled on the driver and materialized as a
+    * DataFrame. Sampling cost is O(n × cols), independent of table size.
+    */
+  def simulate(
+      spark: SparkSession, pm: PopulationModel,
+      targets: Seq[String], constraints: Seq[(String, Double)],
+      numPredictions: Int): DataFrame = {
+    val tColnos = targets.map(pm.colno)
+    val c = constraints.map { case (v, x) => (pm.colno(v), x) }
+    val rng = DetRng(pm.seed, 0x51ed1a7eL, numPredictions.toLong)
+    val gens = pm.generators
+    val counts: Seq[Int] =
+      if (gens.length == 1) Seq(numPredictions)
+      else {
+        val logliks = gens.map { g =>
+          if (c.isEmpty) 0.0 else g.backend.logpdfJoint(g.state, None, c, Nil)
+        }
+        if (logliks.forall(_ == Double.NegativeInfinity))
+          throw new IllegalArgumentException(s"Impossible constraints: $constraints")
+        // multinomial via n independent log-categorical draws
+        val tallies = Array.fill(gens.length)(0)
+        (0 until numPredictions).foreach { _ =>
+          tallies(rng.logCategorical(logliks.toIndexedSeq)) += 1
+        }
+        tallies.toSeq
+      }
+    val rows = gens.zip(counts).flatMap { case (g, n) =>
+      if (n == 0) Nil
+      else g.backend.simulateJoint(g.state, None, tColnos, c, n, rng)
+    }
+    val schema = StructType(targets.map(t => StructField(t, DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq(_)), 1), schema)
+  }
+
+  /** `INFER c WITH CONFIDENCE conf FROM p` — macro semantics
+    * IFNULL(c, PREDICT c CONFIDENCE conf) (reference:
+    * src/compiler.py:424-458): fill NULLs with the imputed value when its
+    * confidence clears the threshold. Generator choice is a deterministic
+    * per-row function of (seed, rowid) — Spark-retry-safe where the
+    * reference used a process PRNG. */
+  def inferWithConfidence(
+      df: DataFrame, pm: PopulationModel, targetCol: String,
+      minConfidence: Double, numSamples: Int = 2,
+      rowidCol: String = "rowid"): DataFrame = {
+    val colno = pm.colno(targetCol)
+    val gens = pm.generators
+    val seed = pm.seed
+    val fn = udf { (rowid: Long) =>
+      val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
+      val g = gens(rng.nextInt(gens.length))
+      val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+      if (confidence >= minConfidence) java.lang.Double.valueOf(value) else null
+    }
+    df.withColumn(targetCol,
+      coalesce(col(targetCol).cast("double"), fn(col(rowidCol))))
+  }
+
+  /** `PREDICT c CONFIDENCE` as an explicit struct column (the reference
+    * smuggles {value, confidence} through JSON text, src/bqlfn.py:519-523;
+    * a struct column is the Spark-native shape). */
+  def predictExplicit(
+      df: DataFrame, pm: PopulationModel, targetCol: String,
+      numSamples: Int = 2, rowidCol: String = "rowid",
+      outCol: String = "prediction"): DataFrame = {
+    val colno = pm.colno(targetCol)
+    val gens = pm.generators
+    val seed = pm.seed
+    val fn = udf { (rowid: Long) =>
+      val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
+      val g = gens(rng.nextInt(gens.length))
+      val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+      (value, confidence)
+    }
+    df.withColumn(outCol, fn(col(rowidCol)).cast("struct<value:double,confidence:double>"))
+  }
+
+  /** `DEPENDENCE PROBABILITY OF c0 WITH c1` — mean over generators of the
+    * per-model dependence indicators (reference: src/bqlfn.py:284-294).
+    * DEPENDENCE(c, c) = 1 by definition. */
+  def dependenceProbability(pm: PopulationModel, var0: String, var1: String): Double = {
+    val c0 = pm.colno(var0)
+    val c1 = pm.colno(var1)
+    if (c0 == c1) return 1.0
+    val perGen = pm.generators.map { g =>
+      val ds = g.backend.columnDependenceProbability(g.state, None, c0, c1)
+      ds.sum / ds.length
+    }
+    perGen.sum / perGen.length
+  }
+
+  /** `MUTUAL INFORMATION OF (cs0) WITH (cs1) USING n SAMPLES` — mean of
+    * per-generator mean-of-models CMI (reference: src/bqlfn.py:297-326,
+    * an acknowledged approximation). */
+  def mutualInformation(pm: PopulationModel, vars0: Seq[String], vars1: Seq[String],
+      numSamples: Int = 1000): Double = {
+    val c0 = vars0.map(pm.colno)
+    val c1 = vars1.map(pm.colno)
+    val rng = DetRng(pm.seed, 0x313370L, c0.hashCode.toLong, c1.hashCode.toLong)
+    val perGen = pm.generators.map { g =>
+      val ms = g.backend.columnMutualInformation(g.state, None, c0, c1, numSamples, rng)
+      ms.sum / ms.length
+    }
+    perGen.sum / perGen.length
+  }
+
+  /** `ESTIMATE ... FROM PAIRWISE VARIABLES OF p` support: the variables
+    * cross product with a per-pair estimator value (reference:
+    * src/compiler.py:921-1004). The variable list is tiny — computed on
+    * the driver, returned as a DataFrame. */
+  def pairwiseVariables(
+      spark: SparkSession, pm: PopulationModel,
+      estimator: (String, String) => Double,
+      valueName: String = "value"): DataFrame = {
+    import spark.implicits._
+    val vars = pm.population.modeledVariables.map(_.name)
+    val rows = for (v0 <- vars; v1 <- vars)
+      yield (pm.population.name, v0, v1, estimator(v0, v1))
+    rows.toDF("population", "name0", "name1", valueName)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import graft.backends.{Backends, DetRng}
+import graft.catalog.{Population, StatType, Variable}
+import graft.engine.{Estimators, FittedGenerator, PopulationModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The BQL model-estimator surface (SURVEY §2.7) as driver-checkable
+  * queries over a nig_normal ensemble fitted to the customer table.
+  * Model estimators are not ANSI-SQL-expressible → rows-only driver
+  * checks; exact semantics are pinned by NigNormalSpec/EstimatorsSpec
+  * instead. Everything is deterministic under SessionSeed via DetRng.
+  */
+object ModelQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val SessionSeed: Long = 42L
+  val NumModels: Int = 8
+
+  /** The modeled variables: numerical columns of customer. */
+  private val custVars = Seq(
+    Variable("c_acctbal", 0, StatType.Numerical),
+    Variable("c_nationkey", 1, StatType.Numerical))
+  private val custColumns: Map[Int, String] =
+    custVars.map(v => v.colno -> v.name).toMap
+
+  // fitted ensembles cached per scale-factor dir (fit = one agg over the
+  // base table; refitting per query would repeat the scan)
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, PopulationModel]
+
+  def customerModel(spark: SparkSession, sfDir: String): PopulationModel =
+    cache.getOrElseUpdate(sfDir, {
+      val df = Tables.load(spark, sfDir, "customer")
+      val backend = Backends.byName("nig_normal")
+      val rng = DetRng(SessionSeed, 0xf17L)
+      val fitted = backend.createGenerator(df, custColumns)
+      val init = backend.initializeModels(fitted, 0 until NumModels, rng)
+      val analyzed = backend.analyzeModels(init, None, 1, rng)
+      PopulationModel(
+        Population(1, "customer_pop", "customer", custVars),
+        Seq(FittedGenerator("customer_nig", backend, analyzed)),
+        SessionSeed)
+    })
+
+  /** m01: ESTIMATE PREDICTIVE PROBABILITY OF c_acctbal GIVEN (c_nationkey)
+    * FROM customer_pop — per-row UDF over the broadcast ensemble. */
+  val m01PredictiveProbability: Q = (spark, dir) => {
+    val pm = customerModel(spark, dir)
+    val df = Tables.load(spark, dir, "customer")
+    Estimators.predictiveProbability(df, pm, Seq("c_acctbal"), Seq("c_nationkey"))
+      .select(col("c_custkey"), round(col("predictive_probability"), 9).as("predprob"))
+      .orderBy("c_custkey")
+  }
+
+  /** m02: SIMULATE c_acctbal, c_nationkey FROM customer_pop GIVEN
+    * c_nationkey = 3 LIMIT 100. */
+  val m02Simulate: Q = (spark, dir) => {
+    val pm = customerModel(spark, dir)
+    Estimators.simulate(spark, pm, Seq("c_acctbal", "c_nationkey"),
+      Seq("c_nationkey" -> 3.0), 100)
+  }
+
+  /** m03: INFER c_acctbal WITH CONFIDENCE 0.5 — NULLs injected
+    * deterministically, then imputed (IFNULL(c, PREDICT ...) semantics). */
+  val m03Infer: Q = (spark, dir) => {
+    val pm = customerModel(spark, dir)
+    val df = Tables.load(spark, dir, "customer")
+      .withColumn("rowid", col("c_custkey"))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")))
+    Estimators.inferWithConfidence(df, pm, "c_acctbal", 0.5)
+      .select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** m04: PROBABILITY DENSITY OF c_acctbal = 5000 GIVEN (c_nationkey = 3)
+    * BY customer_pop — a per-query constant (ESTIMATE ... BY shape). */
+  val m04ProbabilityDensity: Q = (spark, dir) => {
+    import spark.implicits._
+    val pm = customerModel(spark, dir)
+    val d = Estimators.probabilityDensity(pm,
+      Seq("c_acctbal" -> 5000.0), Seq("c_nationkey" -> 3.0))
+    Seq(d).toDF("density")
+  }
+
+  /** m05: ESTIMATE DEPENDENCE PROBABILITY FROM PAIRWISE VARIABLES OF
+    * customer_pop (nig_normal: 0 off-diagonal, 1 on the diagonal). */
+  val m05DependencePairwise: Q = (spark, dir) => {
+    val pm = customerModel(spark, dir)
+    Estimators.pairwiseVariables(spark, pm,
+      (v0, v1) => Estimators.dependenceProbability(pm, v0, v1), "depprob")
+      .orderBy("name0", "name1")
+  }
+
+  /** m06: MUTUAL INFORMATION OF c_acctbal WITH c_nationkey USING 100
+    * SAMPLES (nig_normal models columns independently → 0). */
+  val m06MutualInformation: Q = (spark, dir) => {
+    import spark.implicits._
+    val pm = customerModel(spark, dir)
+    Seq(Estimators.mutualInformation(pm, Seq("c_acctbal"), Seq("c_nationkey"), 100))
+      .toDF("mutinf")
+  }
+
+  /** m07: PREDICT c_acctbal CONFIDENCE as an explicit struct column
+    * (INFER EXPLICIT shape) — flattened for the parquet dump. */
+  val m07PredictExplicit: Q = (spark, dir) => {
+    val pm = customerModel(spark, dir)
+    val df = Tables.load(spark, dir, "customer")
+      .withColumn("rowid", col("c_custkey"))
+      .limit(500)
+    Estimators.predictExplicit(df, pm, "c_acctbal")
+      .select(col("c_custkey"),
+        round(col("prediction.value"), 6).as("pred_value"),
+        col("prediction.confidence").as("pred_confidence"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m01_predictive_probability" -> m01PredictiveProbability,
+    "m02_simulate" -> m02Simulate,
+    "m03_infer" -> m03Infer,
+    "m04_probability_density" -> m04ProbabilityDensity,
+    "m05_dependence_pairwise" -> m05DependencePairwise,
+    "m06_mutual_information" -> m06MutualInformation,
+    "m07_predict_explicit" -> m07PredictExplicit)
+
+  /** Model estimators have no SQL oracle — rows-only checks. */
+  val oracles: Map[String, String] = Map.empty
+}
