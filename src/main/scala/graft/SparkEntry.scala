@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
     operators.StatsQueries.queries ++
-    operators.ModelQueries.queries
+    operators.ModelQueries.queries ++
+    operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
     operators.StatsQueries.oracles ++
-    operators.ModelQueries.oracles
+    operators.ModelQueries.oracles ++
+    operators.PipelineQueries.oracles
 }

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.backends.DetRng
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines —
+  * engine extensions beyond the reference surface (BASELINE.json north
+  * star). All four families are designed shuffle-light for the 100 TB
+  * case:
+  *
+  *  - exact:   group by 256-bit content hash, never by the text itself —
+  *             the shuffle moves 32 bytes + key per row, not documents.
+  *  - MinHash: signatures are computed row-local (one UDF pass, no
+  *             shuffle); only (band, bandHash, id) tuples — O(bands) small
+  *             rows per doc — shuffle into LSH buckets; candidate pairs
+  *             are verified by signature agreement. Oversized buckets
+  *             (degenerate content) are capped to keep the pair join
+  *             quadratic only locally.
+  *  - SimHash: one 64-bit fingerprint per doc; near-dup = Hamming ≤ k,
+  *             bucketed by the pigeonhole principle (k+1 chunks — a pair
+  *             within distance k must agree on some chunk).
+  *  - n-gram Jaccard: exact verification on LSH candidates via native
+  *             array_intersect/array_union (codegen, no UDF).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups: one row per distinct content with the
+    * keeper id (min), duplicate count. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("content_hash", sha2(col(textCol).cast("binary"), 256))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Deduplicated view: keeps exactly the keeper row per content group. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keepers = exactGroups(df, textCol, idCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** Word n-gram shingles as a native column (codegen). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val tokens = split(trim(lower(textCol)), "\\s+")
+    // sliding n-grams: transform over the index range, join words with 
+    val count = greatest(size(tokens) - (n - 1), lit(0))
+    transform(sequence(lit(0), count - 1),
+      i => concat_ws("", slice(tokens, i + 1, n)))
+  }
+
+  /** MinHash signature of a shingle array: sig[i] = min over shingles of
+    * mix64(xxhash64(shingle) ^ seed_i). Row-local, no shuffle. */
+  private def minHashSignature(numHashes: Int, seed: Long) =
+    udf { (shingles: Seq[String]) =>
+      if (shingles == null || shingles.isEmpty) null
+      else {
+        val base = shingles.distinct.map(s =>
+          DetRngHash.xx(s.getBytes("UTF-8"))).toArray
+        val sig = new Array[Long](numHashes)
+        var i = 0
+        while (i < numHashes) {
+          val hseed = DetRngHash.mix(seed + i)
+          var best = Long.MaxValue
+          var j = 0
+          while (j < base.length) {
+            val h = DetRngHash.mix(base(j) ^ hseed)
+            if (h < best) best = h
+            j += 1
+          }
+          sig(i) = best
+          i += 1
+        }
+        sig
+      }
+    }
+
+  /** Candidate near-duplicate pairs by MinHash+LSH with signature-level
+    * similarity estimate. Returns (id0, id1, est_jaccard), id0 < id1. */
+  def minHashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val signed = df.select(
+        col(idCol).as("id"),
+        minHashSignature(numHashes, seed)(shingles(col(textCol), shingleSize)).as("sig"))
+      .filter(col("sig").isNotNull)
+
+    // band hashes: one 64-bit hash per band over its signature slice
+    val banded = signed.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b)))
+        .as(Seq("band", "band_hash")))
+
+    // bucket join: pairs sharing any (band, band_hash); cap degenerate
+    // buckets so one pathological bucket can't go quadratic globally
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucketSize)
+
+    val l = bucketed.select(col("band"), col("band_hash"),
+      col("id").as("id0"), col("sig").as("sig0"))
+    val r = bucketed.select(col("band"), col("band_hash"),
+      col("id").as("id1"), col("sig").as("sig1"))
+    val pairs = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id0") < col("id1"))
+      .select("id0", "id1", "sig0", "sig1")
+      .dropDuplicates("id0", "id1")
+
+    // estimated Jaccard = fraction of agreeing signature positions (native
+    // zip_with + aggregate → codegen)
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig0"), col("sig1"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id0", "id1", "est_jaccard")
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Exact n-gram Jaccard over candidate pairs: joins shingle sets back
+    * and computes |∩|/|∪| natively. `candidates` must have id0/id1. */
+  def ngramJaccard(
+      df: DataFrame, candidates: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    candidates
+      .join(sets.select(col("id").as("id0"), col("sh").as("sh0")), "id0")
+      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh0"), col("sh1"))).cast("double") /
+          size(array_union(col("sh0"), col("sh1"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id0", "id1", "jaccard")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token stream (row-local UDF). */
+  def simHash(seed: Long = 42L) = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val tokens = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tokens.isEmpty) null
+      else {
+        val acc = new Array[Int](64)
+        tokens.foreach { t =>
+          val h = DetRngHash.mix(DetRngHash.xx(t.getBytes("UTF-8")) ^ seed)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+        java.lang.Long.valueOf(out)
+      }
+    }
+  }
+
+  /** Near-duplicate pairs by SimHash: Hamming(sig0, sig1) <= maxHamming.
+    * Bucketed on (maxHamming+1) disjoint chunks of the fingerprint —
+    * pigeonhole guarantees recall 1.0 wrt the fingerprint. */
+  def simHashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val signed = df.select(col(idCol).as("id"),
+        simHash(seed)(col(textCol)).as("sim"))
+      .filter(col("sim").isNotNull)
+    val chunked = signed.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+        shiftrightunsigned(col("sim"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)))).as(Seq("chunk", "chunk_val")))
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id0"), col("sim").as("sim0"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col("id").as("id1"), col("sim").as("sim1"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id0") < col("id1"))
+      .dropDuplicates("id0", "id1")
+      .withColumn("hamming", bit_count(col("sim0").bitwiseXOR(col("sim1"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id0", "id1", "hamming")
+  }
+}
+
+/** Shared row-local hash primitives (SplitMix64 finalizer + a simple
+  * 64-bit byte hash). Kept UDF-friendly: static, allocation-free. */
+object DetRngHash extends Serializable {
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over bytes, finalized with mix — deterministic across
+    * JVMs (unlike String.hashCode on exotic encodings). */
+  def xx(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix(h)
+  }
+}

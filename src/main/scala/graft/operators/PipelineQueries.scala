@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup / similarity search /
+  * text analysis / multimodal) exposed as driver-checkable queries over
+  * the documents and embeddings tables. SQL-expressible ops carry DuckDB
+  * oracles; the LSH/UDF-based ops are rows-only with semantics pinned by
+  * PipelineSpec. */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** p01: exact dedup — duplicate groups by 256-bit content hash. */
+  val p01DedupExact: Q = (spark, dir) => {
+    Dedup.exactGroups(Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .select(col("content_hash"), col("keeper_id"), col("n_copies"))
+      .orderBy("keeper_id")
+  }
+
+  val p01Sql: String =
+    """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
+      |       count(*) AS n_copies
+      |FROM documents
+      |GROUP BY sha256(text)
+      |ORDER BY keeper_id""".stripMargin
+
+  /** p02: MinHash+LSH near-dup candidate pairs (rows-only: the candidate
+    * set is algorithm-defined, pinned by PipelineSpec recall tests). */
+  val p02MinHashLsh: Q = (spark, dir) => {
+    Dedup.minHashCandidates(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", minEstJaccard = 0.2)
+      .select(col("id0"), col("id1"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("id0", "id1")
+  }
+
+  /** p03: SimHash near-dup pairs within Hamming distance 6. */
+  val p03SimHash: Q = (spark, dir) => {
+    Dedup.simHashPairs(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", maxHamming = 6)
+      .orderBy("id0", "id1")
+  }
+
+  /** p04: exact n-gram Jaccard verification over LSH candidates. */
+  val p04NgramJaccard: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val cands = Dedup.minHashCandidates(docs, "text", "doc_id", minEstJaccard = 0.1)
+    Dedup.ngramJaccard(docs, cands, "text", "doc_id", minJaccard = 0.2)
+      .select(col("id0"), col("id1"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id0", "id1")
+  }
+
+  /** p05: embedding-cosine near-dup pairs via hyperplane LSH buckets. */
+  val p05CosineNearDup: Q = (spark, dir) => {
+    SimilaritySearch.cosineNearDupPairs(
+      Tables.load(spark, dir, "embeddings"), "embedding", "vec_id",
+      minCosine = 0.55)
+      .select(col("id0"), col("id1"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id0", "id1")
+  }
+
+  /** p06: brute-force cosine top-k neighbors of vec_id 0 — exact ANN
+    * baseline, DuckDB-oracled. */
+  val p06AnnTopK: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    SimilaritySearch.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  val p06Sql: String =
+    """SELECT e.vec_id AS neighbor_id,
+      |       round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine
+      |FROM embeddings e,
+      |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, neighbor_id ASC
+      |LIMIT 10""".stripMargin
+
+  /** p07: IVF-style pruned ANN (scale path; rows-only — prune set is
+    * algorithm-defined). */
+  val p07AnnIvf: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    SimilaritySearch.ivfTopK(emb, "embedding", "vec_id", q, 10)
+      .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** p08: token counting (whitespace + subword), DuckDB-oracled. */
+  val p08TokenCount: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val p08Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** p09: quality metrics, DuckDB-oracled end to end (including the
+    * composite score formula). */
+  val p09Quality: Q = (spark, dir) => {
+    TextAnalysis.qualityMetrics(Tables.load(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val p09Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> list_contains(['the','a','an','and','or','of','to','in','is','are',
+      |                          'was','were','it','that','this','with','for','on','as','at'], x)))
+      |      AS n_stop,
+      |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_wordchars
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_chars_m, n_tokens,
+      |    CASE WHEN n_chars_m = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars_m END AS punct_ratio_raw,
+      |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop::DOUBLE / n_tokens END AS stopword_ratio_raw,
+      |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_wordchars::DOUBLE / n_tokens END AS mean_word_len_raw
+      |  FROM m)
+      |SELECT doc_id, n_chars_m, n_tokens,
+      |  round(punct_ratio_raw, 6) AS punct_ratio,
+      |  round(stopword_ratio_raw, 6) AS stopword_ratio,
+      |  round(mean_word_len_raw, 6) AS mean_word_len,
+      |  round(greatest(0.0, least(1.0,
+      |    0.5 + 0.5 * least(stopword_ratio_raw * 2.5, 1.0)
+      |        - 0.5 * punct_ratio_raw
+      |        - CASE WHEN mean_word_len_raw < 2.0 OR mean_word_len_raw > 12.0
+      |               THEN 0.25 ELSE 0.0 END)), 6) AS quality_score
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
+  /** p10: language-ID heuristic vs the labeled lang column — confusion
+    * counts (rows-only; the heuristic is ours, labels are synthetic). */
+  val p10LangId: Q = (spark, dir) => {
+    Tables.load(spark, dir, "documents")
+      .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** p11: winnowing document fingerprints (rows-only, deterministic). */
+  val p11Fingerprint: Q = (spark, dir) => {
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint()(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** p12: multimodal decode/feature plumbing over synthetic binary
+    * payloads (decode kernel stubbed; plumbing real). */
+  val p12MultimodalFeatures: Q = (spark, dir) => {
+    val media = Multimodal.syntheticMedia(Tables.load(spark, dir, "documents"))
+    Multimodal.extractFeatures(media, "doc_id", "media").toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        round(col("mean_byte"), 6).as("mean_byte"))
+      .orderBy("doc_id")
+  }
+
+  /** p13: frame sampling (1-in-4 fixed-size frames) over binary payloads. */
+  val p13MultimodalFrames: Q = (spark, dir) => {
+    val media = Multimodal.syntheticMedia(Tables.load(spark, dir, "documents"))
+    Multimodal.sampleFrames(media, "doc_id", "media").toDF()
+      .orderBy("doc_id", "frame_no")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "p01_dedup_exact" -> p01DedupExact,
+    "p02_minhash_lsh" -> p02MinHashLsh,
+    "p03_simhash" -> p03SimHash,
+    "p04_ngram_jaccard" -> p04NgramJaccard,
+    "p05_cosine_near_dup" -> p05CosineNearDup,
+    "p06_ann_topk" -> p06AnnTopK,
+    "p07_ann_ivf" -> p07AnnIvf,
+    "p08_token_count" -> p08TokenCount,
+    "p09_quality" -> p09Quality,
+    "p10_lang_id" -> p10LangId,
+    "p11_fingerprint" -> p11Fingerprint,
+    "p12_multimodal_features" -> p12MultimodalFeatures,
+    "p13_multimodal_frames" -> p13MultimodalFrames)
+
+  val oracles: Map[String, String] = Map(
+    "p01_dedup_exact" -> p01Sql,
+    "p06_ann_topk" -> p06Sql,
+    "p08_token_count" -> p08Sql,
+    "p09_quality" -> p09Sql)
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (engine
+  * extensions; BASELINE.json north star): token counting, quality
+  * scoring, language identification, document fingerprinting.
+  *
+  * Everything except the fingerprint/lang-id UDFs is pure native
+  * expressions — whole-stage codegen, filters/projections push to the
+  * scan, no shuffle at all (row-local transforms).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for empty/blank. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word-boundary pieces + digits + punctuation
+    * as separate tokens (a cheap, deterministic stand-in for a real BPE
+    * vocabulary; same plan shape). */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0))
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "it", "that", "this", "with", "for", "on", "as", "at")
+
+  /** Quality metrics: length, tokens, punctuation ratio, stopword ratio,
+    * mean word length, and a composite [0,1] score (monotone in
+    * stopword presence and sane word lengths — the standard cheap
+    * heuristics, cf. Gopher/C4-style quality rules). */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tokens = split(trim(lower(t)), "\\s+")
+    val nTokens = tokenCount(t)
+    val nChars = length(t)
+    val punct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val stop = size(filter(tokens, w => w.isin(Stopwords: _*)))
+    df
+      .withColumn("n_chars_m", nChars.cast("long"))
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("punct_ratio",
+        when(nChars === 0, 0.0).otherwise(punct.cast("double") / nChars))
+      .withColumn("stopword_ratio",
+        when(nTokens === 0, 0.0).otherwise(stop.cast("double") / nTokens))
+      .withColumn("mean_word_len",
+        when(nTokens === 0, 0.0)
+          .otherwise((length(regexp_replace(trim(t), "\\s+", "")).cast("double")) / nTokens))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(0.5)
+            + lit(0.5) * least(col("stopword_ratio") * 2.5, lit(1.0))
+            - lit(0.5) * col("punct_ratio")
+            - when(col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0, 0.25)
+              .otherwise(0.0))), 6))
+  }
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec", "que", "une"),
+    "es" -> Seq("el", "los", "las", "es", "con", "que", "una", "para"),
+    "zh" -> Seq("de", "shi", "zai", "le", "he", "you", "wo", "ta"))
+
+  /** Language ID: score = fraction of tokens hitting each language's
+    * marker set (+ tiny char-class prior for CJK); argmax wins, 'und'
+    * when nothing matches. Pure native expressions. */
+  def languageId(text: Column): Column = {
+    val tokens = split(trim(lower(text)), "\\s+")
+    val n = greatest(size(tokens), lit(1)).cast("double")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val hits = size(filter(tokens, w => w.isin(markers: _*))).cast("double") / n
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    // CJK characters are decisive for zh
+    val cjk = length(regexp_replace(text, "[^\\p{IsHan}]", "")) > 0
+    val best = array_max(array(scores: _*))
+    when(cjk, lit("zh"))
+      .when(best.getField("score") > 0.0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** 64-bit content fingerprint by winnowing (Schleimer et al., MOSS):
+    * rolling Rabin–Karp hashes of char k-grams, minimum per window,
+    * fingerprint = combined distinct window minima. Row-local UDF. */
+  def fingerprint(k: Int = 8, window: Int = 16) = udf { (text: String) =>
+    if (text == null || text.length < k) null
+    else {
+      val s = text.toLowerCase
+      val B = 257L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= B; i += 1 }
+      val n = s.length - k + 1
+      val hashes = new Array[Long](n)
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + s.charAt(i); i += 1 }
+      hashes(0) = DetRngHash.mix(h)
+      i = 1
+      while (i < n) {
+        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+        hashes(i) = DetRngHash.mix(h)
+        i += 1
+      }
+      // winnow: combine the minimum of each window of `window` k-gram hashes
+      var out = 0L
+      var w = 0
+      while (w < n) {
+        var m = Long.MaxValue
+        var j = w
+        val end = math.min(w + window, n)
+        while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        out ^= DetRngHash.mix(m + w)
+        w += window
+      }
+      java.lang.Long.valueOf(out)
+    }
+  }
+}
