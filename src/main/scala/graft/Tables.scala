@@ -32,14 +32,34 @@ object Tables {
     "documents"  -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
+  // events needs a session conf flipped during its (lazy) execution; cache
+  // the materialized frame once per dir so the flag never leaks into other
+  // reads and repeated loads don't re-materialize.
+  private val eventsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read nanos as long and convert (micro truncation is
-      // exact for this data — generator emits ms-granularity stamps).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      eventsCache.getOrElseUpdate(sfDir, {
+        // events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
+        // rejects; read nanos as long and convert (micro truncation is
+        // exact for this data — generator emits ms-granularity stamps).
+        // nanosAsLong is session-wide, so force materialization while it is
+        // set, then restore the previous value.
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try {
+          val df = spark.read.parquet(s"$sfDir/$name.parquet")
+            .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+            .cache()
+          df.count()  // force the read while the conf is active
+          df
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      })
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Load with a 1-based deterministic `rowid` column (SQLite semantics:

@@ -49,7 +49,7 @@ object Dedup {
     // sliding n-grams: transform over the index range, join words with 
     val count = greatest(size(tokens) - (n - 1), lit(0))
     transform(sequence(lit(0), count - 1),
-      i => concat_ws("", slice(tokens, i + 1, n)))
+      i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
   }
 
   /** MinHash signature of a shingle array: sig[i] = min over shingles of
@@ -96,8 +96,8 @@ object Dedup {
     // band hashes: one 64-bit hash per band over its signature slice
     val banded = signed.select(
       col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b)))
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(b))): _*))
         .as(Seq("band", "band_hash")))
 
     // bucket join: pairs sharing any (band, band_hash); cap degenerate
@@ -184,9 +184,9 @@ object Dedup {
         simHash(seed)(col(textCol)).as("sim"))
       .filter(col("sim").isNotNull)
     val chunked = signed.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+      posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sim"), c * bits)
-          .bitwiseAND(lit((1L << bits) - 1)))).as(Seq("chunk", "chunk_val")))
+          .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
     val l = chunked.select(col("chunk"), col("chunk_val"),
       col("id").as("id0"), col("sim").as("sim0"))
     val r = chunked.select(col("chunk"), col("chunk_val"),

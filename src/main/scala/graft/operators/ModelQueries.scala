@@ -108,9 +108,11 @@ object ModelQueries {
     * (INFER EXPLICIT shape) — flattened for the parquet dump. */
   val m07PredictExplicit: Q = (spark, dir) => {
     val pm = customerModel(spark, dir)
+    // deterministic subset (limit on an unordered frame is partitioning-
+    // dependent; a key predicate dumps the same rows every run)
     val df = Tables.load(spark, dir, "customer")
       .withColumn("rowid", col("c_custkey"))
-      .limit(500)
+      .filter(col("c_custkey") <= 500)
     Estimators.predictExplicit(df, pm, "c_acctbal")
       .select(col("c_custkey"),
         round(col("prediction.value"), 6).as("pred_value"),

@@ -73,10 +73,11 @@ object PipelineQueries {
 
   val p06Sql: String =
     """SELECT e.vec_id AS neighbor_id,
-      |       round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine
+      |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
       |FROM embeddings e,
       |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-      |ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, neighbor_id ASC
+      |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+      |         neighbor_id ASC
       |LIMIT 10""".stripMargin
 
   /** p07: IVF-style pruned ANN (scale path; rows-only — prune set is
@@ -100,7 +101,8 @@ object PipelineQueries {
 
   val p08Sql: String =
     """SELECT doc_id,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  CAST(CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -120,7 +122,8 @@ object PipelineQueries {
     """WITH m AS (
       |  SELECT doc_id,
       |    CAST(length(text) AS BIGINT) AS n_chars_m,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
       |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
       |      x -> list_contains(['the','a','an','and','or','of','to','in','is','are',

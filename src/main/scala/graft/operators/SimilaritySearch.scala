@@ -78,9 +78,9 @@ object SimilaritySearch {
         hyperplaneSignature(seed)(col(vecCol)).as("sig"))
       .filter(col("sig").isNotNull)
     val chunked = signed.select(col("id"), col("v"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+      posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sig"), c * bits)
-          .bitwiseAND(lit((1L << bits) - 1)))).as(Seq("chunk", "chunk_val")))
+          .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
     val l = chunked.select(col("chunk"), col("chunk_val"),
       col("id").as("id0"), col("v").as("v0"))
     val r = chunked.select(col("chunk"), col("chunk_val"),
