@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.StatsQueries.queries ++
     operators.ModelQueries.queries ++
-    operators.PipelineQueries.queries
+    operators.PipelineQueries.queries ++
+    operators.BqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -28,5 +29,6 @@ object SparkEntry {
     operators.Relational.oracles ++
     operators.StatsQueries.oracles ++
     operators.ModelQueries.oracles ++
-    operators.PipelineQueries.oracles
+    operators.PipelineQueries.oracles ++
+    operators.BqlQueries.oracles
 }

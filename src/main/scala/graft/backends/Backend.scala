@@ -74,11 +74,21 @@ trait Backend extends Serializable {
   def columnMutualInformation(state: GeneratorState, modelnos: Option[Seq[Int]],
       colnos0: Seq[Int], colnos1: Seq[Int], numSamples: Int, rng: DetRng): Seq[Double]
 
-  /** Per-model row-pair similarity in the context of given columns
-    * (reference: src/backend.py:214-217). */
+  /** Per-model row-pair similarity in the context of given columns,
+    * keyed by rowid like the cgpm engine (reference: src/backend.py:214-217,
+    * src/backends/cgpm_backend.py:740-762). */
   def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
-      rowValues0: Map[Int, Double], rowValues1: Map[Int, Double],
-      colnos: Seq[Int]): Seq[Double]
+      rowid0: Long, rowid1: Long, colnos: Seq[Int]): Seq[Double]
+
+  /** Per-model predictive relevance of a target row to a set of existing
+    * rows and/or hypothetical rows (reference: src/backend.py:219-230,
+    * cgpm_backend.py:764-838). Backends without latent row structure may
+    * not implement it (reference raises NotImplementedError). */
+  def predictiveRelevance(state: GeneratorState, modelnos: Option[Seq[Int]],
+      rowidTarget: Long, rowidQuery: Seq[Long],
+      hypotheticals: Seq[Seq[(Int, Double)]], colno: Int): Seq[Double] =
+    throw new UnsupportedOperationException(
+      s"Backend $name does not implement PREDICTIVE RELEVANCE")
 }
 
 object Backends {

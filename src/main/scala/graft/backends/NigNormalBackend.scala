@@ -155,8 +155,13 @@ class NigNormalBackend(
       numSamples: Int, rng: DetRng): Seq[Double] = Seq(0.0)
 
   override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
-      rowValues0: Map[Int, Double], rowValues1: Map[Int, Double],
-      colnos: Seq[Int]): Seq[Double] = Seq(0.0)
+      rowid0: Long, rowid1: Long, colnos: Seq[Int]): Seq[Double] = Seq(0.0)
+
+  // No latent row structure: relevance is degenerate like row_similarity
+  // (reference nig_normal.py:376-379 returns [0] — "XXX Fix me").
+  override def predictiveRelevance(state: GeneratorState, modelnos: Option[Seq[Int]],
+      rowidTarget: Long, rowidQuery: Seq[Long],
+      hypotheticals: Seq[Seq[(Int, Double)]], colno: Int): Seq[Double] = Seq(0.0)
 }
 
 /** IID standard Gaussian toy backend (reference: src/backends/iid_gaussian.py). */
@@ -200,8 +205,7 @@ class StdNormalBackend extends Backend {
       numSamples: Int, rng: DetRng): Seq[Double] = Seq(0.0)
 
   override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
-      rowValues0: Map[Int, Double], rowValues1: Map[Int, Double],
-      colnos: Seq[Int]): Seq[Double] = Seq(0.0)
+      rowid0: Long, rowid1: Long, colnos: Seq[Int]): Seq[Double] = Seq(0.0)
 }
 
 /** Constant-9 troll backend (reference: src/backends/troll_rng.py):
@@ -248,6 +252,5 @@ class TrollBackend extends Backend {
       numSamples: Int, rng: DetRng): Seq[Double] = Seq(0.0)
 
   override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
-      rowValues0: Map[Int, Double], rowValues1: Map[Int, Double],
-      colnos: Seq[Int]): Seq[Double] = Seq(0.0)
+      rowid0: Long, rowid1: Long, colnos: Seq[Int]): Seq[Double] = Seq(0.0)
 }

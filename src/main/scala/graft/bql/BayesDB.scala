@@ -1,0 +1,342 @@
+package graft.bql
+
+import graft.backends.{Backends, DetRng, GeneratorState}
+import graft.catalog.{Catalog, Guess, Names, StatType, Variable}
+import graft.engine.{Estimators, FittedGenerator, PopulationModel}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+import scala.collection.concurrent.TrieMap
+
+/** The engine facade — the analogue of the reference's `BayesDB` handle
+  * (src/bayesdb.py): holds the session, the metadata catalog, the table
+  * registry, and the fitted model states; `execute` parses one BQL phrase
+  * and either runs it as a command or plans it as a DataFrame.
+  *
+  * Divergences from the reference, by design:
+  *  - tables are immutable DataFrames in a registry (no SQLite file);
+  *    BEGIN/COMMIT/ROLLBACK are accepted and ignored (documented).
+  *  - rowid is a materialized column (zipWithIndex at ingest) because
+  *    Spark has no stable implicit rowid (SURVEY §1.1).
+  *  - the default backend is nig_normal until the CrossCat port lands
+  *    (reference defaults to cgpm, src/__init__.py:94-96).
+  */
+final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
+
+  val catalog = new Catalog
+  private val tables = TrieMap.empty[String, DataFrame]
+  private val states = TrieMap.empty[String, GeneratorState]
+
+  SqlFunctions.register(spark)
+
+  def defaultBackend: String = "nig_normal"
+
+  // ------------------------------------------------------------- tables
+
+  /** Register a table; materializes a stable 1-based `rowid` column if
+    * absent (SQLite rowids are 1-based insertion order; zipWithIndex
+    * preserves file/frame order). At cluster scale, ingest rowid once
+    * and persist — this is the ingest. */
+  def registerTable(name: String, df: DataFrame): Unit =
+    tables(Names.casefold(name)) = ensureRowid(df)
+
+  private def ensureRowid(df: DataFrame): DataFrame =
+    if (df.columns.exists(c => Names.casefold(c) == "rowid")) df
+    else {
+      val schema = StructType(df.schema.fields :+ StructField("rowid", LongType, nullable = false))
+      val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+      spark.createDataFrame(rdd, schema)
+    }
+
+  def hasTable(name: String): Boolean = tables.contains(Names.casefold(name))
+
+  def table(name: String): DataFrame =
+    tables.getOrElse(Names.casefold(name),
+      throw new NoSuchElementException(s"No such table: $name"))
+
+  // ------------------------------------------------------------- models
+
+  /** Assemble the PopulationModel for query planning: the population's
+    * fitted generator ensemble (optionally one named generator). */
+  def populationModel(populationName: String, generatorName: Option[String]): PopulationModel = {
+    val pop = catalog.population(populationName).getOrElse(
+      throw new NoSuchElementException(s"No such population: $populationName"))
+    val gens = generatorName match {
+      case Some(g) =>
+        val gen = catalog.generator(g).getOrElse(
+          throw new NoSuchElementException(s"No such generator: $g"))
+        require(gen.populationId == pop.id, s"Generator $g is not for population $populationName")
+        Seq(gen)
+      case None => catalog.generatorsOf(populationName)
+    }
+    require(gens.nonEmpty, s"Population $populationName has no generators")
+    val fitted = gens.flatMap { g =>
+      states.get(Names.casefold(g.name)).map(st =>
+        FittedGenerator(g.name, Backends.byName(g.backend), st))
+    }
+    require(fitted.nonEmpty,
+      s"Population $populationName has no initialized models (INITIALIZE ... MODELS FOR ...)")
+    PopulationModel(pop, fitted, seed)
+  }
+
+  // ------------------------------------------------------------- execute
+
+  /** Execute one BQL phrase. Queries and result-bearing commands return
+    * their DataFrame; side-effecting commands return an empty frame. */
+  def execute(bql: String, bindings: Seq[Any] = Nil): DataFrame = {
+    val parsed = Parser.parseOne(bql)
+    require(bindings.length >= parsed.nNumpar,
+      s"Query needs ${parsed.nNumpar} parameters, got ${bindings.length}")
+    parsed.phrase match {
+      case q: Ast.Query => Planner.plan(this, q, bindings)
+      case c: Ast.Command => runCommand(c, bindings)
+    }
+  }
+
+  /** Execute with named parameters (`:name`/`@name`/`$name`). */
+  def executeNamed(bql: String, bindings: Map[String, Any]): DataFrame = {
+    val parsed = Parser.parseOne(bql)
+    val binds = (1 to parsed.nNumpar).map { n =>
+      parsed.namparMap.find(_._2 == n) match {
+        case Some((nm, _)) => bindings.getOrElse(nm,
+          throw new IllegalArgumentException(s"Missing parameter: $nm"))
+        case None => throw new IllegalArgumentException(s"Missing parameter ?$n")
+      }
+    }
+    parsed.phrase match {
+      case q: Ast.Query => Planner.plan(this, q, binds)
+      case c: Ast.Command => runCommand(c, binds)
+    }
+  }
+
+  private def emptyResult: DataFrame = spark.emptyDataFrame
+
+  private def runCommand(c: Ast.Command, binds: Seq[Any]): DataFrame = c match {
+    // Transactions: no Spark equivalent — accepted, ignored (SURVEY §1.1).
+    case Ast.Begin | Ast.Commit | Ast.Rollback => emptyResult
+
+    case Ast.CreateTabAs(_, ifNotExists, name, query) =>
+      if (hasTable(name)) {
+        if (!ifNotExists) throw new IllegalArgumentException(s"Table already exists: $name")
+      } else registerTable(name, Planner.plan(this, query, binds))
+      emptyResult
+
+    case Ast.CreateTabCsv(_, ifNotExists, name, csv) =>
+      if (hasTable(name)) {
+        if (!ifNotExists) throw new IllegalArgumentException(s"Table already exists: $name")
+      } else {
+        // reference: header required, utf-8, strict arity (read_csv.py:24-121);
+        // schema inference replaces SQLite's manifest typing (divergence:
+        // values get a column type, not per-value types)
+        val df = spark.read.option("header", "true").option("inferSchema", "true").csv(csv)
+        registerTable(name, df)
+      }
+      emptyResult
+
+    case Ast.DropTab(ifExists, name) =>
+      if (!hasTable(name)) {
+        if (!ifExists) throw new NoSuchElementException(s"No such table: $name")
+      } else {
+        val key = Names.casefold(name)
+        val referencing = catalog.populationNames.filter(p =>
+          catalog.population(p).exists(pp => Names.casefold(pp.table) == key))
+        require(referencing.isEmpty,
+          s"Table $name is in use by populations: ${referencing.mkString(", ")}")
+        tables.remove(key)
+      }
+      emptyResult
+
+    case Ast.AlterTab(tableName, commands) =>
+      commands.foldLeft(()) { (_, cmd) =>
+        cmd match {
+          case Ast.AlterTabRenameTab(nw) =>
+            val df = table(tableName)
+            require(!hasTable(nw), s"Table already exists: $nw")
+            tables.remove(Names.casefold(tableName))
+            tables(Names.casefold(nw)) = df
+          case Ast.AlterTabRenameCol(old, nw) =>
+            val key = Names.casefold(tableName)
+            tables(key) = table(tableName).withColumnRenamed(old, nw)
+        }
+      }
+      emptyResult
+
+    case Ast.GuessSchema(tableName) =>
+      Guess.guessSchema(table(tableName).drop("rowid"))
+
+    case Ast.CreatePop(ifNotExists, name, tableName, schema) =>
+      if (catalog.population(name).isDefined) {
+        if (!ifNotExists) throw new IllegalArgumentException(s"Population already exists: $name")
+        emptyResult
+      } else {
+        val df = table(tableName)
+        val baseCols = df.columns.filterNot(c => Names.casefold(c) == "rowid").toSeq
+        val colIndex = baseCols.zipWithIndex.map { case (c, i) => Names.casefold(c) -> i }.toMap
+        def colno(c: String): Int = colIndex.getOrElse(Names.casefold(c),
+          throw new NoSuchElementException(s"No such column in $tableName: $c"))
+        val explicit = scala.collection.mutable.LinkedHashMap.empty[String, StatType]
+        val ignored = scala.collection.mutable.Set.empty[String]
+        var guessCols = Seq.empty[String]
+        schema.foreach {
+          case Ast.PopModelVars(names, st) =>
+            val stattype = StatType.parse(st).getOrElse(
+              throw new IllegalArgumentException(s"Unknown stattype: $st"))
+            names.foreach(n => explicit(Names.casefold(n)) = stattype)
+          case Ast.PopIgnoreVars(names) => names.foreach(n => ignored += Names.casefold(n))
+          case Ast.PopGuessVars(Nil) => guessCols = baseCols
+          case Ast.PopGuessVars(names) => guessCols = guessCols ++ names
+        }
+        val guessed: Map[String, StatType] =
+          if (guessCols.isEmpty) Map.empty
+          else Guess.guessStattypes(df.select(baseCols.map(col): _*))
+            .map(g => Names.casefold(g.column) -> g.stattype).toMap
+        val vars = baseCols.flatMap { c =>
+          val key = Names.casefold(c)
+          if (ignored(key)) None
+          else explicit.get(key)
+            .orElse(if (guessCols.exists(g => Names.casefold(g) == key)) guessed.get(key) else None)
+            .filter(st => StatType.isModeled(st))
+            .map(st => Variable(c, colno(c), st))
+        }
+        catalog.createPopulation(name, tableName, vars)
+        emptyResult
+      }
+
+    case Ast.DropPop(ifExists, name) =>
+      if (catalog.population(name).isEmpty) {
+        if (!ifExists) throw new NoSuchElementException(s"No such population: $name")
+      } else catalog.dropPopulation(name)
+      emptyResult
+
+    case Ast.AlterPop(popName, commands) =>
+      val pop = catalog.population(popName).getOrElse(
+        throw new NoSuchElementException(s"No such population: $popName"))
+      commands.foreach {
+        case Ast.AlterPopRenamePop(_) | Ast.AlterPopAddVar(_, _) | Ast.AlterPopStatType(_, _) =>
+          throw new UnsupportedOperationException(
+            "ALTER POPULATION: not supported yet (populations are immutable in v1)")
+      }
+      emptyResult
+
+    case Ast.CreateGen(nameOpt, ifNotExists, popName, backendOpt, _) =>
+      val pop = catalog.population(popName).getOrElse(
+        throw new NoSuchElementException(s"No such population: $popName"))
+      val name = nameOpt.getOrElse(popName)  // implicit generator named after pop
+      if (catalog.generator(name).isDefined) {
+        if (!ifNotExists) throw new IllegalArgumentException(s"Generator already exists: $name")
+      } else catalog.createGenerator(name, popName, backendOpt.getOrElse(defaultBackend))
+      emptyResult
+
+    case Ast.DropGen(ifExists, name) =>
+      if (catalog.generator(name).isEmpty) {
+        if (!ifExists) throw new NoSuchElementException(s"No such generator: $name")
+      } else {
+        states.remove(Names.casefold(name))
+        catalog.dropGenerator(name)
+      }
+      emptyResult
+
+    case Ast.InitModels(_, genName, n) =>
+      val gen = catalog.generator(genName).getOrElse(
+        throw new NoSuchElementException(s"No such generator: $genName"))
+      val pop = catalog.populationNames.flatMap(catalog.population)
+        .find(_.id == gen.populationId).get
+      val backend = Backends.byName(gen.backend)
+      val df = table(pop.table)
+      val columns = pop.modeledVariables.map(v => v.colno -> v.name).toMap
+      val modelnos = catalog.initializeModels(genName, n)
+      val rng = DetRng(seed, 0xf17L, gen.id.toLong)
+      val st0 = backend.createGenerator(df, columns)
+      states(Names.casefold(genName)) = backend.initializeModels(st0, modelnos, rng)
+      emptyResult
+
+    case Ast.AnalyzeModels(genName, modelnos, iterations, seconds, _, _, _) =>
+      val gen = catalog.generator(genName).getOrElse(
+        throw new NoSuchElementException(s"No such generator: $genName"))
+      val st = states.getOrElse(Names.casefold(genName),
+        throw new IllegalStateException(s"Generator $genName has no initialized models"))
+      val backend = Backends.byName(gen.backend)
+      // duration in seconds → at least one sweep (conjugate backends
+      // converge in one; MCMC backends iterate)
+      val iters = iterations.getOrElse(if (seconds.isDefined) 1 else 1)
+      val rng = DetRng(seed, 0xa11a1e2eL, gen.id.toLong)
+      states(Names.casefold(genName)) = backend.analyzeModels(st, modelnos, iters, rng)
+      emptyResult
+
+    case Ast.DropModels(genName, which) =>
+      which match {
+        case None =>
+          states.remove(Names.casefold(genName))
+          catalog.dropModels(genName, None)
+        case Some(_) =>
+          throw new UnsupportedOperationException(
+            "DROP MODELS (subset): not supported yet; drop all models")
+      }
+      emptyResult
+
+    case Ast.AlterGen(_, _, _) =>
+      throw new UnsupportedOperationException(
+        "ALTER GENERATOR: backend schema sub-language arrives with the CrossCat port")
+
+    case r: Ast.Regress => regress(r, binds)
+  }
+
+  /** `REGRESS target GIVEN (givens) [USING n SAMPLES] BY p` — simulate
+    * the joint, then ordinary least squares via normal equations
+    * (reference: src/bql.py:695-787 + src/regress.py:21-48; the
+    * reference uses sklearn LinearRegression — normal equations give the
+    * same coefficients exactly). Output: (variable, coefficient). */
+  private def regress(r: Ast.Regress, binds: Seq[Any]): DataFrame = {
+    val pm = populationModel(r.population, r.generator)
+    val givens = r.givens.map {
+      case Ast.SelColExp(Ast.ExpCol(_, c), _) => c
+      case other => throw new IllegalArgumentException(
+        s"REGRESS givens must be population variables: $other")
+    }
+    val n = r.nsamples.map(e => Planner.evalConstInt(this, e, binds)).getOrElse(100)
+    val cols = r.target +: givens
+    val sampled = Estimators.simulate(spark, pm, cols, Nil, n)
+      .collect().map(row => cols.indices.map(row.getDouble).toArray)
+    // X = [1 | givens], y = target; beta = (X'X)^-1 X'y via Gaussian elim
+    val k = givens.length + 1
+    val xtx = Array.ofDim[Double](k, k)
+    val xty = new Array[Double](k)
+    sampled.foreach { row =>
+      val x = 1.0 +: row.drop(1).toSeq
+      val y = row(0)
+      for (i <- 0 until k; j <- 0 until k) xtx(i)(j) += x(i) * x(j)
+      for (i <- 0 until k) xty(i) += x(i) * y
+    }
+    val beta = solveLinear(xtx, xty)
+    val rows = ("intercept", beta(0)) +: givens.zipWithIndex.map { case (g, i) => (g, beta(i + 1)) }
+    import spark.implicits._
+    rows.toDF("variable", "coefficient")
+  }
+
+  /** Solve A x = b by Gaussian elimination with partial pivoting (A is
+    * k×k, k small — the givens count). */
+  private def solveLinear(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val k = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    for (col <- 0 until k) {
+      val piv = (col until k).maxBy(r => math.abs(a(r)(col)))
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      val tb = b(col); b(col) = b(piv); b(piv) = tb
+      require(math.abs(a(col)(col)) > 1e-12, "Singular design matrix in REGRESS")
+      for (r <- col + 1 until k) {
+        val f = a(r)(col) / a(col)(col)
+        for (c <- col until k) a(r)(c) -= f * a(col)(c)
+        b(r) -= f * b(col)
+      }
+    }
+    val x = new Array[Double](k)
+    for (r <- (k - 1) to 0 by -1) {
+      var s = b(r)
+      for (c <- r + 1 until k) s -= a(r)(c) * x(c)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+}

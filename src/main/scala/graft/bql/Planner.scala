@@ -1,0 +1,911 @@
+package graft.bql
+
+import graft.catalog.Names
+import graft.engine.{Estimators, PopulationModel}
+import graft.functions.Correlation
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Ast._
+
+/** BQL query planner: AST → DataFrame (reference: src/compiler.py compiles
+  * AST → SQLite SQL text; we build the Catalyst logical plan directly with
+  * the DataFrame/Column API and let Catalyst choose the physical plan).
+  *
+  * Model-estimator compilation contexts mirror the reference's
+  * BQLCompiler_None/Const/1Row/1Row_Infer/2Row/1Col/2Col classes
+  * (src/compiler.py:1059-1473): each query shape provides the implied
+  * row/column expressions its estimators need.
+  *
+  * Subquery policy (scale note): uncorrelated scalar/IN/EXISTS subqueries
+  * are evaluated at plan time and inlined as literals — in BQL these are
+  * metadata-sized by construction (column lists, rowid probes). Correlated
+  * subqueries are not supported (the reference's SQLite accepts them; we
+  * document the divergence — big-data joins should be written as joins).
+  */
+object Planner {
+
+  // --------------------------------------------------------- BQL contexts
+
+  sealed trait BqlCtx
+  /** Plain SELECT: estimators forbidden (reference BQLCompiler_None). */
+  case object NoModelCtx extends BqlCtx
+  /** ESTIMATE ... BY p: constants only. */
+  final case class ConstCtx(pm: PopulationModel) extends BqlCtx
+  /** ESTIMATE ... FROM p: row functions over `rowid`. */
+  final case class RowCtx(pm: PopulationModel) extends BqlCtx
+  /** INFER: row context that additionally admits PREDICT. */
+  final case class InferCtx(pm: PopulationModel) extends BqlCtx
+  /** ESTIMATE ... FROM VARIABLES OF p: 1-column functions over `name`. */
+  final case class ColCtx(pm: PopulationModel) extends BqlCtx
+  /** ESTIMATE ... FROM PAIRWISE VARIABLES OF p: 2-column functions. */
+  final case class PairColCtx(pm: PopulationModel) extends BqlCtx
+  /** ESTIMATE ... FROM PAIRWISE p: 2-row functions over rowid0/rowid1. */
+  final case class PairRowCtx(pm: PopulationModel) extends BqlCtx
+
+  private def pmOf(ctx: BqlCtx): PopulationModel = ctx match {
+    case ConstCtx(pm) => pm
+    case RowCtx(pm) => pm
+    case InferCtx(pm) => pm
+    case ColCtx(pm) => pm
+    case PairColCtx(pm) => pm
+    case PairRowCtx(pm) => pm
+    case NoModelCtx => throw new IllegalArgumentException(
+      "Model estimators are forbidden in plain SELECT; use ESTIMATE")
+  }
+
+  final case class Ctx(bdb: BayesDB, bql: BqlCtx, binds: Seq[Any], agg: Boolean) {
+    def withAgg(a: Boolean): Ctx = copy(agg = a)
+  }
+
+  // --------------------------------------------------------------- entry
+
+  def plan(bdb: BayesDB, q: Query, binds: Seq[Any]): DataFrame = q match {
+    case s: Select => planSelect(bdb, s, binds)
+    case e: Estimate => planEstimate(bdb, e, binds)
+    case e: EstBy => planEstBy(bdb, e, binds)
+    case e: EstCols => planEstCols(bdb, e, binds)
+    case e: EstPairCols => planEstPairCols(bdb, e, binds)
+    case e: EstPairRow => planEstPairRow(bdb, e, binds)
+    case i: InferAuto => planInferAuto(bdb, i, binds)
+    case i: InferExplicit => planInferExplicit(bdb, i, binds)
+    case s: Simulate => planSimulate(bdb, s, binds)
+    case _: SimulateModels | _: SimulateModelsExp =>
+      throw new UnsupportedOperationException(
+        "SIMULATE ... FROM MODELS OF: not yet implemented")
+  }
+
+  // -------------------------------------------------------------- SELECT
+
+  private def planSelect(bdb: BayesDB, s: Select, binds: Seq[Any]): DataFrame = {
+    val base =
+      if (s.tables.isEmpty) bdb.spark.range(1).toDF("__dummy__")
+      else s.tables.map { st =>
+        val df = st.table match {
+          case Right(name) => bdb.table(name)
+          case Left(sub) => plan(bdb, sub, binds)
+        }
+        val alias = st.name.getOrElse(st.table match {
+          case Right(name) => name
+          case Left(_) => "__sub__"
+        })
+        df.as(alias)
+      }.reduceLeft(_ crossJoin _)
+    val ctx = Ctx(bdb, NoModelCtx, binds, agg = false)
+    assemble(base, Nil, s.columns, s.quantifier, s.condition, s.grouping,
+      s.order, s.limit, ctx,
+      starColumns = starCols(s.tables, bdb, binds))
+  }
+
+  /** Column names `*` expands to: all FROM-table columns minus the
+    * materialized rowid (SQLite's implicit _rowid_ is likewise hidden
+    * from SELECT *). */
+  private def starCols(tables: Seq[SelTab], bdb: BayesDB, binds: Seq[Any]): Seq[String] =
+    tables.flatMap { st =>
+      val cols = st.table match {
+        case Right(name) => bdb.table(name).columns.toSeq
+        case Left(sub) => plan(bdb, sub, binds).columns.toSeq
+      }
+      cols.filterNot(c => Names.casefold(c) == "rowid")
+    }
+
+  // ------------------------------------------------------------ ESTIMATE
+
+  private def planEstimate(bdb: BayesDB, e: Estimate, binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(e.population, e.generator)
+    val base = bdb.table(pm.population.table)
+    val ctx = Ctx(bdb, RowCtx(pm), binds, agg = false)
+    assemble(base, Nil, e.columns, e.quantifier, e.condition, e.grouping,
+      e.order, e.limit, ctx,
+      starColumns = base.columns.toSeq.filterNot(c => Names.casefold(c) == "rowid"))
+  }
+
+  private def planEstBy(bdb: BayesDB, e: EstBy, binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(e.population, e.generator)
+    val base = bdb.spark.range(1).toDF("__dummy__")
+    val ctx = Ctx(bdb, ConstCtx(pm), binds, agg = false)
+    assemble(base, Nil, e.columns, e.quantifier, None, None, Nil, None, ctx,
+      starColumns = Nil)
+  }
+
+  /** Variables-of-population frame (reference compiles to a scan of
+    * bayesdb_variable, src/compiler.py:844-919). */
+  private def variablesDf(bdb: BayesDB, pm: PopulationModel): DataFrame = {
+    val spark = bdb.spark
+    import spark.implicits._
+    pm.population.modeledVariables
+      .map(v => (v.name, v.colno, v.stattype.name))
+      .toDF("name", "colno", "stattype")
+  }
+
+  private def planEstCols(bdb: BayesDB, e: EstCols, binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(e.population, e.generator)
+    val base = variablesDf(bdb, pm)
+    val ctx = Ctx(bdb, ColCtx(pm), binds, agg = false)
+    // `*` means just the variable name column (reference: 'v.name AS name')
+    val columns = e.columns.map {
+      case SelColAll(_) => SelColExp(ExpCol(None, "name"), Some("name"))
+      case c => c
+    }
+    assemble(base, Nil, columns, SelQuantAll, e.condition, None, e.order,
+      e.limit, ctx, starColumns = Seq("name"))
+  }
+
+  private def planEstPairCols(bdb: BayesDB, e: EstPairCols, binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(e.population, e.generator)
+    val vars = variablesDf(bdb, pm)
+    val base = vars.select(col("name").as("name0"), col("colno").as("colno0"))
+      .crossJoin(vars.select(col("name").as("name1"), col("colno").as("colno1")))
+    val filtered = e.subcolumns match {
+      case None => base
+      case Some(lists) =>
+        val names = lists.flatMap(resolveColList(bdb, pm, _, binds)).map(Names.casefold)
+        base.filter(lower(col("name0")).isin(names: _*) &&
+          lower(col("name1")).isin(names: _*))
+    }
+    val ctx = Ctx(bdb, PairColCtx(pm), binds, agg = false)
+    // output prefix (population_id, name0, name1); single unnamed
+    // expression is named `value` (reference: src/compiler.py:941-953)
+    val prefix = Seq(
+      "population_id" -> lit(pm.population.id),
+      "name0" -> col("name0"),
+      "name1" -> col("name1"))
+    val columns = e.columns match {
+      case Seq(SelColExp(exp, None)) => Seq(SelColExp(exp, Some("value")))
+      case cs => cs
+    }
+    assemble(filtered, prefix, columns, SelQuantAll, e.condition, None,
+      e.order, e.limit, ctx, starColumns = Nil)
+  }
+
+  private def planEstPairRow(bdb: BayesDB, e: EstPairRow, binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(e.population, e.generator)
+    val t = bdb.table(pm.population.table)
+    // self cross join on rowid pairs (reference: FROM t AS r0, t AS r1).
+    // Scale note: this is inherently O(n²) — reference semantics; callers
+    // bound it with WHERE/LIMIT.
+    val base = t.as("r0").crossJoin(t.as("r1"))
+      .withColumn("rowid0", col("r0.rowid"))
+      .withColumn("rowid1", col("r1.rowid"))
+    val ctx = Ctx(bdb, PairRowCtx(pm), binds, agg = false)
+    val prefix = Seq("rowid0" -> col("rowid0"), "rowid1" -> col("rowid1"))
+    val columns = e.columns match {
+      case Seq(SelColExp(exp, None)) => Seq(SelColExp(exp, Some("value")))
+      case cs => cs
+    }
+    assemble(base, prefix, columns, SelQuantAll, e.condition, None,
+      e.order, e.limit, ctx, starColumns = Nil)
+  }
+
+  // --------------------------------------------------------------- INFER
+
+  private def planInferAuto(bdb: BayesDB, i: InferAuto, binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(i.population, i.generator)
+    val base = bdb.table(pm.population.table)
+    val conf = i.confidence.getOrElse(ExpLit(LitInt(0)))
+    // rewrite to INFER EXPLICIT: modeled columns become
+    // IFNULL(col, PREDICT col conf) (reference: src/compiler.py:424-458)
+    def mapColumn(colName: String, outName: Option[String]): SelCol = {
+      val exp0 = ExpCol(None, colName)
+      val exp =
+        if (pm.population.variable(colName).isDefined)
+          ExpApp(distinct = false, "IFNULL",
+            Seq(exp0, ExpBQLPredict(colName, conf, i.nsamples)))
+        else exp0
+      SelColExp(exp, Some(outName.getOrElse(colName)))
+    }
+    val columns = i.columns.flatMap {
+      case InfColAll =>
+        base.columns.toSeq.filterNot(c => Names.casefold(c) == "rowid")
+          .map(c => mapColumn(c, None))
+      case InfColOne(c, nm) => Seq(mapColumn(c, nm))
+    }
+    planInferExplicit(bdb,
+      InferExplicit(columns, i.population, i.generator, i.modelnos,
+        i.condition, i.grouping, i.order, i.limit), binds)
+  }
+
+  private def planInferExplicit(bdb: BayesDB, i: InferExplicit, binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(i.population, i.generator)
+    val base = bdb.table(pm.population.table)
+    val ctx = Ctx(bdb, InferCtx(pm), binds, agg = false)
+    // PredCol expands to value [+ confidence] columns from the predict
+    // struct (the reference smuggles these through JSON, bql_json_get;
+    // a struct column is the Spark-native shape). The struct is attached
+    // as a hidden column so both fields evaluate the UDF once.
+    var base2 = base
+    val columns = i.columns.zipWithIndex.flatMap {
+      case (PredCol(c, nm, confName, nsamp), idx) =>
+        val colno = pm.colno(c)
+        val n = nsamp.map(e => evalConstInt(bdb, e, binds)).getOrElse(2)
+        val hid = s"__pred_$idx"
+        base2 = base2.withColumn(hid, Estimators.predictStructCol(pm, colno, n, col("rowid")))
+        val valueCol = SelColExp(ExpCol(Some(hid), "value"), Some(nm.getOrElse(c)))
+        confName match {
+          case Some(cn) => Seq(valueCol, SelColExp(ExpCol(Some(hid), "confidence"), Some(cn)))
+          case None => Seq(valueCol)
+        }
+      case (c, _) => Seq(c)
+    }
+    assemble(base2, Nil, columns, SelQuantAll, i.condition, i.grouping,
+      i.order, i.limit, ctx,
+      starColumns = base.columns.toSeq.filterNot(c => Names.casefold(c) == "rowid"))
+  }
+
+  // ------------------------------------------------------------ SIMULATE
+
+  private def planSimulate(bdb: BayesDB, s: Simulate, binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(s.population, s.generator)
+    val targets = s.columns.map {
+      case SelColExp(ExpCol(_, c), _) => c
+      case other => throw new IllegalArgumentException(
+        s"SIMULATE only accepts population variables: $other")
+    }
+    val constraints = s.constraints.map { case (c, e) =>
+      c -> evalConstDouble(bdb, e, binds)
+    }
+    val n = s.nsamples.map(e => evalConstInt(bdb, e, binds)).getOrElse(0)
+    // ACCURACY is a cgpm likelihood-weighting knob (reference:
+    // src/bqlfn.py:585-600); exact conjugate backends ignore it.
+    Estimators.simulate(bdb.spark, pm, targets, constraints, n)
+  }
+
+  // ----------------------------------------------------------- assembly
+
+  /** Shared relational assembly: WHERE → (GROUP BY [+HAVING] | aggregate
+    * | project) → DISTINCT → ORDER BY → LIMIT/OFFSET. `prefix` columns
+    * (rowid0/…) are prepended to the projection. */
+  private def assemble(
+      base: DataFrame,
+      prefix: Seq[(String, Column)],
+      columns: Seq[SelCol],
+      quant: SelQuant,
+      condition: Option[Exp],
+      grouping: Option[Grouping],
+      order: Seq[Ord],
+      limit: Option[Lim],
+      ctx: Ctx,
+      starColumns: Seq[String]): DataFrame = {
+
+    val filtered = condition match {
+      case Some(cond) => base.filter(compile(cond, ctx))
+      case None => base
+    }
+
+    // expand select items to (outputName, Exp)
+    var autoIdx = -1
+    val items: Seq[(String, Exp)] = columns.flatMap {
+      case SelColAll(None) => starColumns.map(c => c -> (ExpCol(None, c): Exp))
+      case SelColAll(Some(t)) => starColumns.map(c => c -> (ExpCol(Some(t), c): Exp))
+      case SelColSub(_, sub) =>
+        // subquery-determined column list: run it, take its first column's
+        // values as names (reference: expand_select_columns executes the
+        // subquery at compile time, src/compiler.py:551-617)
+        val names = plan(ctx.bdb, sub, ctx.binds).collect().map(_.get(0).toString).toSeq
+        names.map(c => c -> (ExpCol(None, c): Exp))
+      case SelColExp(e, nm) =>
+        val name = nm.getOrElse(e match {
+          case ExpCol(_, c) => c
+          case _ => autoIdx += 1; s"c$autoIdx"
+        })
+        Seq(name -> e)
+      case p: PredCol => throw new IllegalArgumentException(
+        s"PREDICT column is only valid in INFER EXPLICIT: $p")
+    }
+
+    // positional group/order keys (SQLite: GROUP BY 1 / ORDER BY 2)
+    def positional(e: Exp): Exp = e match {
+      case ExpLit(LitInt(k)) if k >= 1 && k <= items.length => items(k.toInt - 1)._2
+      case _ => e
+    }
+
+    val grouped = grouping.isDefined
+    val hasAgg = items.exists(it => containsAggregate(it._2)) ||
+      grouping.exists(_.condition.exists(containsAggregate))
+
+    val projected: DataFrame =
+      if (grouped) {
+        val keys = grouping.get.keys.map(positional).map(compile(_, ctx))
+        val aggCtx = ctx.withAgg(true)
+        // unique internal aliases: groupBy().agg() auto-prepends the
+        // grouping columns, whose names may collide with select items
+        val selCols = prefix.zipWithIndex.map { case ((_, c), k) => first(c).as(s"__pre_$k") } ++
+          items.zipWithIndex.map { case ((_, e), k) => compile(e, aggCtx).as(s"__sel_$k") }
+        val havingCol = grouping.get.condition.map(c =>
+          compile(c, aggCtx).as("__having__"))
+        // ORDER BY may reference select aliases (SQL scoping) — resolve
+        // alias / positional references to the item's expression
+        val ordCols = order.map(_.expression).map(positional).map {
+          case ExpCol(None, c) if items.exists(it => Names.casefold(it._1) == Names.casefold(c)) =>
+            items.find(it => Names.casefold(it._1) == Names.casefold(c)).get._2
+          case e => e
+        }.zipWithIndex.map { case (e, k) => compile(e, aggCtx).as(s"__ord_$k") }
+        val allAggs = selCols ++ havingCol.toSeq ++ ordCols
+        val g = filtered.groupBy(keys: _*).agg(allAggs.head, allAggs.tail: _*)
+        val h = if (havingCol.isDefined) g.filter(col("__having__")) else g
+        val o = if (order.nonEmpty) {
+          h.orderBy(order.zipWithIndex.map { case (ord, k) =>
+            if (ord.asc) col(s"__ord_$k").asc else col(s"__ord_$k").desc
+          }: _*)
+        } else h
+        o.select(prefix.zipWithIndex.map { case ((n, _), k) => col(s"__pre_$k").as(n) } ++
+          items.zipWithIndex.map { case ((n, _), k) => col(s"__sel_$k").as(n) }: _*)
+      } else if (hasAgg) {
+        // global aggregate (no GROUP BY): one row
+        val aggCtx = ctx.withAgg(true)
+        val selCols = items.map { case (n, e) => compile(e, aggCtx).as(n) }
+        filtered.groupBy().agg(selCols.head, selCols.tail: _*)
+      } else {
+        val selCols = prefix.map { case (n, c) => c.as(n) } ++
+          items.map { case (n, e) => compile(e, ctx).as(n) }
+        val outNames = prefix.map(_._1) ++ items.map(_._1)
+        // pre-compute order keys as hidden columns so arbitrary
+        // expressions over base columns can sort the projection
+        val distinctQ = quant == SelQuantDistinct
+        val ordExprs = order.map(_.expression).map(positional)
+        val ordResolved: Seq[Either[String, Exp]] = ordExprs.map {
+          case ExpCol(None, c) if outNames.exists(n => Names.casefold(n) == Names.casefold(c)) =>
+            Left(outNames.find(n => Names.casefold(n) == Names.casefold(c)).get)
+          case e =>
+            items.find(_._2 == e) match {
+              case Some((n, _)) => Left(n)
+              case None => Right(e)
+            }
+        }
+        val hidden = ordResolved.zipWithIndex.collect {
+          case (Right(e), k) => s"__ord_$k" -> compile(e, ctx)
+        }
+        if (distinctQ && hidden.nonEmpty)
+          throw new IllegalArgumentException(
+            "ORDER BY expression must appear in the select list under DISTINCT")
+        val proj0 = filtered.select(selCols ++ hidden.map { case (n, c) => c.as(n) }: _*)
+        val proj1 = if (distinctQ) proj0.distinct() else proj0
+        val sorted =
+          if (order.isEmpty) proj1
+          else proj1.orderBy(ordResolved.zipWithIndex.map { case (r, k) =>
+            val c = r match { case Left(n) => col(n); case Right(_) => col(s"__ord_$k") }
+            if (order(k).asc) c.asc else c.desc
+          }: _*)
+        if (hidden.nonEmpty) sorted.drop(hidden.map(_._1): _*) else sorted
+      }
+
+    val distincted =
+      if (quant == SelQuantDistinct && (grouped || hasAgg)) projected.distinct()
+      else projected
+
+    limit match {
+      case None => distincted
+      case Some(Lim(l, off)) =>
+        val n = evalConstInt(ctx.bdb, bindParams(l, ctx.binds), ctx.binds)
+        val withOff = off match {
+          case Some(o) => distincted.offset(evalConstInt(ctx.bdb, bindParams(o, ctx.binds), ctx.binds))
+          case None => distincted
+        }
+        withOff.limit(n)
+    }
+  }
+
+  // -------------------------------------------------- expression compile
+
+  def compile(e: Exp, ctx: Ctx): Column = e match {
+    case ExpLit(LitNull) => lit(null)
+    case ExpLit(LitInt(v)) => lit(v)
+    case ExpLit(LitFloat(v)) => lit(v)
+    case ExpLit(LitString(v)) => lit(v)
+    case ExpNumpar(n) => lit(bindValue(ctx.binds, n))
+    case ExpNampar(n, _) => lit(bindValue(ctx.binds, n))
+    case ExpCol(None, c) => col(c)
+    case ExpCol(Some(t), c) => col(s"$t.$c")
+    case ExpCollate(x, _) => compile(x, ctx)  // collation handled at comparison sites
+    case ExpCast(x, t) => compile(x, ctx).cast(castType(t))
+    case ExpCase(key, whens, otherwise) =>
+      val branches = key match {
+        case Some(k) =>
+          val kc = compile(k, ctx)
+          whens.map { case (w, t) => (kc === compile(w, ctx), compile(t, ctx)) }
+        case None =>
+          whens.map { case (w, t) => (compile(w, ctx), compile(t, ctx)) }
+      }
+      val start = when(branches.head._1, branches.head._2)
+      val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
+      otherwise match {
+        case Some(o) => chained.otherwise(compile(o, ctx))
+        case None => chained
+      }
+    case ExpApp(distinct, fn, args) =>
+      if (SqlFunctions.isAggregate(fn, args.length)) {
+        if (!ctx.agg) throw new IllegalArgumentException(
+          s"Aggregate ${fn.toUpperCase} outside aggregate context")
+        SqlFunctions.aggregate(fn, distinct, args.map(compile(_, ctx.withAgg(false))))
+      } else SqlFunctions.scalar(fn, args.map(compile(_, ctx)))
+    case ExpAppStar(fn) =>
+      if (Names.casefold(fn) != "count") throw new IllegalArgumentException(
+        s"Only COUNT(*) is supported, not ${fn.toUpperCase}(*)")
+      if (!ctx.agg) throw new IllegalArgumentException(
+        "Aggregate COUNT(*) outside aggregate context")
+      count(lit(1))
+    case ExpSub(q) => lit(scalarSubquery(ctx, q))
+    case ExpExists(q) => lit(plan(ctx.bdb, q, ctx.binds).limit(1).count() > 0)
+    case ExpInQuery(x, positive, q) =>
+      val values = plan(ctx.bdb, q, ctx.binds).collect().map(_.get(0)).toSeq
+      val in = compile(x, ctx).isin(values: _*)
+      if (positive) in else !in
+    case ExpInExp(x, positive, es) =>
+      val in =
+        if (es.isEmpty) lit(false)
+        else compile(x, ctx).isInCollection(es.map(e => constOrNull(ctx, e)))
+      if (positive) in else !in
+    case ExpOp(op, operands) => compileOp(op, operands, ctx)
+    case bqlExp if isBql(bqlExp) => compileBql(bqlExp, ctx)
+    case other => throw new IllegalArgumentException(s"Cannot compile: $other")
+  }
+
+  /** IN-list operands are usually literals; fall back to compiled Columns
+    * only if needed. */
+  private def constOrNull(ctx: Ctx, e: Exp): Any = e match {
+    case ExpLit(LitInt(v)) => v
+    case ExpLit(LitFloat(v)) => v
+    case ExpLit(LitString(v)) => v
+    case ExpLit(LitNull) => null
+    case ExpNumpar(n) => bindValue(ctx.binds, n)
+    case ExpNampar(n, _) => bindValue(ctx.binds, n)
+    case ExpOp(Op.Negate, Seq(ExpLit(LitInt(v)))) => -v
+    case ExpOp(Op.Negate, Seq(ExpLit(LitFloat(v)))) => -v
+    case other => throw new IllegalArgumentException(
+      s"IN-list element must be a literal: $other")
+  }
+
+  /** NOCASE collation wrapping at comparison sites (reference: SQLite
+    * COLLATE; src/compiler.py:1816-1820). */
+  private def collated(e: Exp, ctx: Ctx): Column = e match {
+    case ExpCollate(x, coll) => Names.casefold(coll) match {
+      case "nocase" => lower(compile(x, ctx))
+      case "binary" => compile(x, ctx)
+      case "rtrim" => rtrim(compile(x, ctx))
+      case other => throw new IllegalArgumentException(s"Unknown collation: $other")
+    }
+    case _ => compile(e, ctx)
+  }
+
+  private def comparisonSides(l: Exp, r: Exp, ctx: Ctx): (Column, Column) = {
+    val nocase = Seq(l, r).exists {
+      case ExpCollate(_, c) => Names.casefold(c) == "nocase"
+      case _ => false
+    }
+    if (nocase) (lower(compile(stripCollate(l), ctx)), lower(compile(stripCollate(r), ctx)))
+    else (collated(l, ctx), collated(r, ctx))
+  }
+
+  private def stripCollate(e: Exp): Exp = e match {
+    case ExpCollate(x, _) => x
+    case _ => e
+  }
+
+  private def compileOp(op: Op, os: Seq[Exp], ctx: Ctx): Column = {
+    def c(i: Int) = compile(os(i), ctx)
+    op match {
+      case Op.BoolOr => c(0) || c(1)
+      case Op.BoolAnd => c(0) && c(1)
+      case Op.BoolNot => !c(0)
+      case Op.Is =>  // SQLite IS: null-safe equality
+        val (l, r) = comparisonSides(os(0), os(1), ctx); l <=> r
+      case Op.IsNot =>
+        val (l, r) = comparisonSides(os(0), os(1), ctx); !(l <=> r)
+      case Op.Eq => val (l, r) = comparisonSides(os(0), os(1), ctx); l === r
+      case Op.Neq => val (l, r) = comparisonSides(os(0), os(1), ctx); l =!= r
+      case Op.Lt => val (l, r) = comparisonSides(os(0), os(1), ctx); l < r
+      case Op.Leq => val (l, r) = comparisonSides(os(0), os(1), ctx); l <= r
+      case Op.Geq => val (l, r) = comparisonSides(os(0), os(1), ctx); l >= r
+      case Op.Gt => val (l, r) = comparisonSides(os(0), os(1), ctx); l > r
+      case Op.Between => c(0).between(c(1), c(2))
+      case Op.NotBetween => !c(0).between(c(1), c(2))
+      case Op.IsNull => c(0).isNull
+      case Op.NotNull => c(0).isNotNull
+      case Op.Like => likeCol(c(0), os(1), ctx, negate = false, None)
+      case Op.NotLike => likeCol(c(0), os(1), ctx, negate = true, None)
+      case Op.LikeEsc => likeCol(c(0), os(1), ctx, negate = false, Some(os(2)))
+      case Op.NotLikeEsc => likeCol(c(0), os(1), ctx, negate = true, Some(os(2)))
+      case Op.Glob => globCol(c(0), os(1), ctx, negate = false)
+      case Op.NotGlob => globCol(c(0), os(1), ctx, negate = true)
+      case Op.Regexp => c(0).rlike(stringLiteral(os(1), ctx))
+      case Op.NotRegexp => !c(0).rlike(stringLiteral(os(1), ctx))
+      case Op.GlobEsc | Op.NotGlobEsc | Op.RegexpEsc | Op.NotRegexpEsc |
+           Op.Match | Op.NotMatch | Op.MatchEsc | Op.NotMatchEsc =>
+        throw new UnsupportedOperationException(
+          s"$op is not supported (SQLite MATCH / escaped GLOB-REGEXP have no Spark equivalent)")
+      case Op.BitAnd => c(0).bitwiseAND(c(1))
+      case Op.BitIor => c(0).bitwiseOR(c(1))
+      case Op.LShift => shiftleft(c(0), intLiteral(os(1), ctx))
+      case Op.RShift => shiftright(c(0), intLiteral(os(1), ctx))
+      case Op.Add => c(0) + c(1)
+      case Op.Sub => c(0) - c(1)
+      // `/` follows Spark/DuckDB float division (SQLite truncates ints —
+      // documented divergence; the driver oracle is DuckDB)
+      case Op.Mul => c(0) * c(1)
+      case Op.Div => c(0) / c(1)
+      case Op.Rem => c(0) % c(1)
+      case Op.Concat => concat(c(0).cast("string"), c(1).cast("string"))
+      case Op.BitNot => bitwise_not(c(0))
+      case Op.Negate => -c(0)
+      case Op.PlusId => c(0)
+    }
+  }
+
+  /** SQLite LIKE is ASCII-case-insensitive and supports ESCAPE; compile
+    * the pattern to an anchored case-insensitive regex. */
+  private def likeCol(l: Column, pat: Exp, ctx: Ctx, negate: Boolean,
+      esc: Option[Exp]): Column = {
+    val p = stringLiteral(pat, ctx)
+    val escChar = esc.map(e => stringLiteral(e, ctx).head)
+    val sb = new StringBuilder("(?i)(?s)^")
+    var i = 0
+    while (i < p.length) {
+      val ch = p.charAt(i)
+      if (escChar.contains(ch) && i + 1 < p.length) {
+        sb.append(java.util.regex.Pattern.quote(p.charAt(i + 1).toString))
+        i += 1
+      } else ch match {
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
+    }
+    sb.append('$')
+    val base = l.rlike(sb.toString)
+    if (negate) !base else base
+  }
+
+  private def globCol(l: Column, pat: Exp, ctx: Ctx, negate: Boolean): Column = {
+    val p = stringLiteral(pat, ctx)
+    // glob → anchored regex: * → .*, ? → ., [...] passes through
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = p.indexOf(']', i + 1)
+          if (close < 0) sb.append("\\[")
+          else { sb.append(p.substring(i, close + 1)); i = close }
+        case ch if "\\.^$+{}()|".indexOf(ch) >= 0 => sb.append('\\').append(ch)
+        case ch => sb.append(ch)
+      }
+      i += 1
+    }
+    sb.append('$')
+    val re = l.rlike(sb.toString)
+    if (negate) !re else re
+  }
+
+  private def stringLiteral(e: Exp, ctx: Ctx): String = e match {
+    case ExpLit(LitString(s)) => s
+    case ExpNumpar(n) => String.valueOf(bindValue(ctx.binds, n))
+    case ExpNampar(n, _) => String.valueOf(bindValue(ctx.binds, n))
+    case other => throw new IllegalArgumentException(
+      s"Pattern must be a literal string: $other")
+  }
+
+  private def intLiteral(e: Exp, ctx: Ctx): Int = e match {
+    case ExpLit(LitInt(v)) => v.toInt
+    case ExpNumpar(n) => bindValue(ctx.binds, n).asInstanceOf[Number].intValue
+    case other => throw new IllegalArgumentException(s"Shift amount must be literal: $other")
+  }
+
+  private def castType(t: TypeSpec): String =
+    Names.casefold(t.names.mkString(" ")) match {
+      case "int" | "integer" | "bigint" | "smallint" | "tinyint" | "mediumint" => "long"
+      case "real" | "float" | "double" | "double precision" => "double"
+      case "text" | "char" | "varchar" | "clob" | "string" | "character" => "string"
+      // SQLite NUMERIC prefers numeric representation; Spark needs one
+      // static type — double (documented divergence)
+      case "numeric" | "decimal" | "num" => "double"
+      case "blob" | "binary" => "binary"
+      case "boolean" | "bool" => "boolean"
+      case other => other  // let Spark resolve (date, timestamp, …)
+    }
+
+  // --------------------------------------------------- subquery helpers
+
+  private def scalarSubquery(ctx: Ctx, q: Query): Any = {
+    val rows = plan(ctx.bdb, q, ctx.binds).limit(1).collect()
+    if (rows.isEmpty) null else rows.head.get(0)
+  }
+
+  private def bindParams(e: Exp, binds: Seq[Any]): Exp = e  // params resolved in evalConst
+
+  def bindValue(binds: Seq[Any], n: Int): Any = {
+    require(n >= 1 && n <= binds.length, s"Missing parameter ?$n")
+    binds(n - 1)
+  }
+
+  /** Plan-time constant evaluation (limits, simulate constraints,
+    * nsamples — the reference likewise evaluates these at compile time,
+    * src/compiler.py:641-722). */
+  def evalConst(bdb: BayesDB, e: Exp, binds: Seq[Any]): Any = e match {
+    case ExpLit(LitNull) => null
+    case ExpLit(LitInt(v)) => v
+    case ExpLit(LitFloat(v)) => v
+    case ExpLit(LitString(v)) => v
+    case ExpNumpar(n) => bindValue(binds, n)
+    case ExpNampar(n, _) => bindValue(binds, n)
+    case ExpOp(Op.Negate, Seq(x)) => evalConst(bdb, x, binds) match {
+      case l: Long => -l
+      case d: Double => -d
+      case i: Int => -i
+      case other => throw new IllegalArgumentException(s"Cannot negate $other")
+    }
+    case ExpOp(Op.PlusId, Seq(x)) => evalConst(bdb, x, binds)
+    case ExpOp(op @ (Op.Add | Op.Sub | Op.Mul | Op.Div), Seq(a, b)) =>
+      val x = numeric(evalConst(bdb, a, binds))
+      val y = numeric(evalConst(bdb, b, binds))
+      op match {
+        case Op.Add => x + y; case Op.Sub => x - y
+        case Op.Mul => x * y; case _ => x / y
+      }
+    case ExpSub(q) =>
+      val rows = plan(bdb, q, binds).limit(1).collect()
+      if (rows.isEmpty) null else rows.head.get(0)
+    case other => throw new IllegalArgumentException(
+      s"Expected a constant expression: $other")
+  }
+
+  private def numeric(a: Any): Double = a match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case i: Int => i.toDouble
+    case f: Float => f.toDouble
+    case s: Short => s.toDouble
+    case other => throw new IllegalArgumentException(s"Not a number: $other")
+  }
+
+  def evalConstInt(bdb: BayesDB, e: Exp, binds: Seq[Any]): Int =
+    numeric(evalConst(bdb, e, binds)).toInt
+
+  def evalConstDouble(bdb: BayesDB, e: Exp, binds: Seq[Any]): Double =
+    numeric(evalConst(bdb, e, binds))
+
+  private def containsAggregate(e: Exp): Boolean = e match {
+    case ExpApp(_, fn, args) =>
+      SqlFunctions.isAggregate(fn, args.length) || args.exists(containsAggregate)
+    case ExpAppStar(fn) => Names.casefold(fn) == "count"
+    case ExpOp(_, os) => os.exists(containsAggregate)
+    case ExpCase(k, ws, o) =>
+      k.exists(containsAggregate) ||
+        ws.exists(w => containsAggregate(w._1) || containsAggregate(w._2)) ||
+        o.exists(containsAggregate)
+    case ExpCast(x, _) => containsAggregate(x)
+    case ExpCollate(x, _) => containsAggregate(x)
+    case _ => false
+  }
+
+  // ------------------------------------------------- BQL fn compilation
+
+  /** Resolve a column list to variable names (subquery lists execute at
+    * plan time, reference: compile_column_lists src/compiler.py:1668-1720). */
+  def resolveColList(bdb: BayesDB, pm: PopulationModel, cl: ColList,
+      binds: Seq[Any]): Seq[String] = cl match {
+    case ColListAll => pm.population.modeledVariables.map(_.name)
+    case ColListLit(cols) => cols
+    case ColListSub(q) =>
+      plan(bdb, q, binds).collect().map(_.get(0).toString).toSeq
+  }
+
+  /** Resolve the single context column of SIMILARITY / PREDICTIVE
+    * RELEVANCE. */
+  private def contextColno(pm: PopulationModel, cl: ColList, ctx: Ctx): Int = {
+    val names = resolveColList(ctx.bdb, pm, cl, ctx.binds)
+    require(names.length == 1,
+      s"IN THE CONTEXT OF requires exactly one column, got: $names")
+    pm.colno(names.head)
+  }
+
+  /** Resolve a row-designating condition to its rowid: plan-time
+    * `SELECT rowid FROM t WHERE cond LIMIT 1` (the reference embeds the
+    * same scalar subquery in SQL, src/compiler.py:1565-1587). */
+  private def resolveRowid(pm: PopulationModel, cond: Exp, ctx: Ctx): Long = {
+    val t = ctx.bdb.table(pm.population.table)
+    val rows = t.filter(compile(cond, ctx.copy(bql = NoModelCtx)))
+      .select(col("rowid")).limit(1).collect()
+    require(rows.nonEmpty, s"No row matches: $cond")
+    rows.head.getLong(0)
+  }
+
+  private def compileBql(e: Exp, ctx: Ctx): Column = {
+    val pm = pmOf(ctx.bql)
+    def isRowCtx = ctx.bql.isInstanceOf[RowCtx] || ctx.bql.isInstanceOf[InferCtx]
+
+    e match {
+      // ---------------- row functions (1-row context)
+      case ExpBQLPredProb(targets, constraints) =>
+        require(isRowCtx, "PREDICTIVE PROBABILITY requires a row context (ESTIMATE FROM)")
+        val tNames = targets.flatMap(resolveColList(ctx.bdb, pm, _, ctx.binds)).distinct
+        val cNames0 = constraints.flatMap {
+          case ColListAll =>
+            pm.population.modeledVariables.map(_.name)
+              .filterNot(v => tNames.exists(t => Names.casefold(t) == Names.casefold(v)))
+          case cl => resolveColList(ctx.bdb, pm, cl, ctx.binds)
+        }.distinct
+        Estimators.predictiveProbabilityCol(pm, tNames, cNames0)
+
+      case ExpBQLSim(ofCond, toCond, contextCl) =>
+        val colno = contextColno(pm, contextCl, ctx)
+        (ofCond, toCond, ctx.bql) match {
+          case (Some(of), Some(to), _) =>  // const form
+            val r0 = resolveRowid(pm, of, ctx)
+            val r1 = resolveRowid(pm, to, ctx)
+            lit(Estimators.similarityValue(pm, r0, r1, colno))
+          case (None, Some(to), _) if isRowCtx =>
+            val r1 = resolveRowid(pm, to, ctx)
+            Estimators.similarityCol(pm, r1, colno, col("rowid"))
+          case (None, None, PairRowCtx(_)) =>
+            Estimators.pairSimilarityCol(pm, colno, col("rowid0"), col("rowid1"))
+          case _ => throw new IllegalArgumentException(
+            "SIMILARITY form does not match its context")
+        }
+
+      case ExpBQLPredRel(ofCond, toCond, hypotheticals, contextCl) =>
+        val colno = contextColno(pm, contextCl, ctx)
+        val queryRowids = toCond match {
+          case Some(cond) =>
+            val t = ctx.bdb.table(pm.population.table)
+            t.filter(compile(cond, ctx.copy(bql = NoModelCtx)))
+              .select(col("rowid")).collect().map(_.getLong(0)).toSeq
+          case None => Nil
+        }
+        val hyp = hypotheticals.map(_.map { case (c, v) =>
+          pm.colno(c) -> evalConstDouble(ctx.bdb, v, ctx.binds)
+        })
+        require(queryRowids.nonEmpty || hyp.nonEmpty,
+          "No matching rows for PREDICTIVE RELEVANCE")
+        ofCond match {
+          case Some(of) =>  // const form
+            val r0 = resolveRowid(pm, of, ctx)
+            lit(Estimators.predictiveRelevanceValue(pm, r0, queryRowids, hyp, colno))
+          case None =>
+            require(isRowCtx, "PREDICTIVE RELEVANCE requires a row context or OF (<row>)")
+            Estimators.predictiveRelevanceCol(pm, queryRowids, hyp, colno, col("rowid"))
+        }
+
+      case ExpBQLPredict(c, conf, nsamp) =>
+        require(isRowCtx, "PREDICT requires a row context (INFER)")
+        val threshold = evalConstDouble(ctx.bdb, conf, ctx.binds)
+        val n = nsamp.map(e => evalConstInt(ctx.bdb, e, ctx.binds)).getOrElse(2)
+        Estimators.predictValueCol(pm, pm.colno(c), threshold, n, col("rowid"))
+
+      case ExpBQLPredictConf(c, nsamp) =>
+        require(isRowCtx, "PREDICT CONFIDENCE requires a row context")
+        val n = nsamp.map(e => evalConstInt(ctx.bdb, e, ctx.binds)).getOrElse(2)
+        Estimators.predictStructCol(pm, pm.colno(c), n, col("rowid"))
+
+      // ---------------- column functions (const / 1-col / 2-col)
+      case ExpBQLDepProb(c0, c1) =>
+        colFn2("DEPENDENCE PROBABILITY", c0, c1, ctx, pm)(
+          (a, b) => Estimators.dependenceProbability(pm, a, b))
+
+      case ExpBQLCorrel(c0, c1) =>
+        colFn2("CORRELATION", c0, c1, ctx, pm)(correlationValue(ctx, pm))
+
+      case ExpBQLCorrelPval(c0, c1) =>
+        colFn2("CORRELATION PVALUE", c0, c1, ctx, pm)(correlationPValue(ctx, pm))
+
+      case ExpBQLMutInf(cols0, cols1, constraints, nsamp) =>
+        require(constraints.isEmpty,
+          "MUTUAL INFORMATION GIVEN (...) is not supported yet")
+        val n = nsamp.map(e => evalConstInt(ctx.bdb, e, ctx.binds)).getOrElse(1000)
+        (cols0, cols1, ctx.bql) match {
+          case (c0, c1, _) if c0.nonEmpty && c1.nonEmpty =>  // const
+            lit(Estimators.mutualInformation(pm, c0, c1, n))
+          case (Seq(), c1, ColCtx(_)) if c1.nonEmpty =>  // 1-col
+            varValueCol(pm, v => Estimators.mutualInformation(pm, Seq(v), c1, n))
+          case (Seq(), Seq(), PairColCtx(_)) =>  // 2-col
+            pairValueCol(pm, (a, b) => Estimators.mutualInformation(pm, Seq(a), Seq(b), n))
+          case _ => throw new IllegalArgumentException(
+            "MUTUAL INFORMATION form does not match its context")
+        }
+
+      case ExpBQLProbDensity(targets, constraints) =>
+        val t = targets.map { case (c, v) => c -> evalConstDouble(ctx.bdb, v, ctx.binds) }
+        val cs = constraints.map { case (c, v) => c -> evalConstDouble(ctx.bdb, v, ctx.binds) }
+        lit(Estimators.probabilityDensity(pm, t, cs))
+
+      case ExpBQLProbDensityFn(value, constraints) =>
+        ctx.bql match {
+          case ColCtx(_) =>
+            val v = evalConstDouble(ctx.bdb, value, ctx.binds)
+            val cs = constraints.map { case (c, x) =>
+              pm.colno(c) -> evalConstDouble(ctx.bdb, x, ctx.binds) }
+            varValueCol(pm, name => {
+              val colno = pm.colno(name)
+              val logs = pm.generators.map(g =>
+                g.backend.logpdfJoint(g.state, None, Seq(colno -> v), cs)).toArray
+              math.exp(graft.functions.SpecialMath.logMeanExp(logs))
+            })
+          case _ => throw new IllegalArgumentException(
+            "PROBABILITY DENSITY OF VALUE requires a column context (ESTIMATE FROM VARIABLES OF)")
+        }
+
+      case ExpBQLProbEst(_) =>
+        throw new UnsupportedOperationException(
+          "PROBABILITY OF (<expr>) requires SIMULATE FROM MODELS OF — not yet implemented")
+
+      case other => throw new IllegalArgumentException(s"Unexpected BQL expression: $other")
+    }
+  }
+
+  /** Dispatch a 2-column estimator family over its three forms:
+    * OF a WITH b (const), WITH b (1-col), bare (2-col). */
+  private def colFn2(what: String, c0: Option[String], c1: Option[String],
+      ctx: Ctx, pm: PopulationModel)(f: (String, String) => Double): Column =
+    (c0, c1, ctx.bql) match {
+      case (Some(a), Some(b), _) => lit(f(a, b))
+      case (None, Some(b), ColCtx(_)) => varValueCol(pm, v => f(v, b))
+      case (None, None, PairColCtx(_)) => pairValueCol(pm, f)
+      case _ => throw new IllegalArgumentException(
+        s"$what form does not match its context" +
+          " (const needs OF..WITH, 1-col needs VARIABLES OF, 2-col needs PAIRWISE VARIABLES OF)")
+    }
+
+  /** 1-col estimator: per-variable driver values → a when-chain on the
+    * variables frame's `name` column (the variable list is metadata-
+    * sized). */
+  private def varValueCol(pm: PopulationModel, f: String => Double): Column = {
+    val entries = pm.population.modeledVariables.map(v => v.name -> f(v.name))
+    entries.foldLeft(lit(null).cast("double")) { case (acc, (n, v)) =>
+      when(lower(col("name")) === Names.casefold(n), lit(v)).otherwise(acc)
+    }
+  }
+
+  /** 2-col estimator: per-pair driver values → nested when-chain on
+    * (name0, name1). O(vars²) driver calls — vars are metadata-sized;
+    * the backends vectorize per-model work internally. */
+  private def pairValueCol(pm: PopulationModel, f: (String, String) => Double): Column = {
+    val vars = pm.population.modeledVariables.map(_.name)
+    val entries = for (a <- vars; b <- vars) yield (a, b, f(a, b))
+    entries.foldLeft(lit(null).cast("double")) { case (acc, (a, b, v)) =>
+      when(lower(col("name0")) === Names.casefold(a) &&
+        lower(col("name1")) === Names.casefold(b), lit(v)).otherwise(acc)
+    }
+  }
+
+  private def correlationValue(ctx: Ctx, pm: PopulationModel)(a: String, b: String): Double = {
+    val df = ctx.bdb.table(pm.population.table)
+    val va = pm.population.variable(a).getOrElse(
+      throw new NoSuchElementException(s"No such variable: $a"))
+    val vb = pm.population.variable(b).getOrElse(
+      throw new NoSuchElementException(s"No such variable: $b"))
+    if (Names.casefold(a) == Names.casefold(b)) 1.0
+    else Correlation.correlation(df, va.name, va.stattype, vb.name, vb.stattype)
+  }
+
+  private def correlationPValue(ctx: Ctx, pm: PopulationModel)(a: String, b: String): Double = {
+    val df = ctx.bdb.table(pm.population.table)
+    val va = pm.population.variable(a).getOrElse(
+      throw new NoSuchElementException(s"No such variable: $a"))
+    val vb = pm.population.variable(b).getOrElse(
+      throw new NoSuchElementException(s"No such variable: $b"))
+    if (Names.casefold(a) == Names.casefold(b)) 0.0
+    else Correlation.correlationPValue(df, va.name, va.stattype, vb.name, vb.stattype)
+  }
+}

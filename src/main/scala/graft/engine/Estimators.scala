@@ -186,6 +186,132 @@ object Estimators {
     perGen.sum / perGen.length
   }
 
+  // ------------------------------------------------------ Column variants
+  // (used by the BQL planner: estimators appear inside arbitrary select
+  // expressions, so they must compose as Columns, not whole-DF rewrites)
+
+  /** PREDICTIVE PROBABILITY as a composable Column (same math as
+    * predictiveProbability above). */
+  def predictiveProbabilityCol(pm: PopulationModel,
+      targets: Seq[String], constraints: Seq[String]): Column = {
+    val tColnos = targets.map(pm.colno)
+    val cColnos = constraints.map(pm.colno)
+    val gens = pm.generators
+    val fn = udf { (tVals: Seq[java.lang.Double], cVals: Seq[java.lang.Double]) =>
+      val t = tColnos.zip(tVals).collect { case (c, v) if v != null => (c, v.doubleValue) }
+      if (t.isEmpty) null
+      else {
+        val c = cColnos.zip(cVals).collect { case (cn, v) if v != null => (cn, v.doubleValue) }
+        val perGen = gens.map(g => g.backend.logpdfJoint(g.state, None, t, c)).toArray
+        java.lang.Double.valueOf(math.exp(logMeanExp(perGen)))
+      }
+    }
+    fn(array(targets.map(c => col(c).cast("double")): _*),
+       array(constraints.map(c => col(c).cast("double")): _*))
+  }
+
+  /** Ensemble row similarity: mean over generators of the per-model mean
+    * (reference: src/bqlfn.py:413-426). */
+  def similarityValue(pm: PopulationModel, rowid0: Long, rowid1: Long,
+      colno: Int): Double = {
+    val perGen = pm.generators.map { g =>
+      val ss = g.backend.rowSimilarity(g.state, None, rowid0, rowid1, Seq(colno))
+      ss.sum / ss.length
+    }
+    perGen.sum / perGen.length
+  }
+
+  /** `SIMILARITY TO (<target>) IN THE CONTEXT OF c` as a per-row Column
+    * over the rowid column (1-row form). */
+  def similarityCol(pm: PopulationModel, targetRowid: Long, colno: Int,
+      rowidCol: Column): Column = {
+    val gens = pm.generators
+    val fn = udf { (rowid: Long) =>
+      val perGen = gens.map { g =>
+        val ss = g.backend.rowSimilarity(g.state, None, rowid, targetRowid, Seq(colno))
+        ss.sum / ss.length
+      }
+      perGen.sum / perGen.length
+    }
+    fn(rowidCol)
+  }
+
+  /** 2-row `SIMILARITY IN THE CONTEXT OF c` over (rowid0, rowid1) columns
+    * (ESTIMATE ... FROM PAIRWISE p). */
+  def pairSimilarityCol(pm: PopulationModel, colno: Int,
+      rowid0Col: Column, rowid1Col: Column): Column = {
+    val gens = pm.generators
+    val fn = udf { (r0: Long, r1: Long) =>
+      val perGen = gens.map { g =>
+        val ss = g.backend.rowSimilarity(g.state, None, r0, r1, Seq(colno))
+        ss.sum / ss.length
+      }
+      perGen.sum / perGen.length
+    }
+    fn(rowid0Col, rowid1Col)
+  }
+
+  /** Ensemble predictive relevance (reference: src/bqlfn.py:430-456 —
+    * mean over generators of per-model mean). */
+  def predictiveRelevanceValue(pm: PopulationModel, rowidTarget: Long,
+      rowidQuery: Seq[Long], hypotheticals: Seq[Seq[(Int, Double)]],
+      colno: Int): Double = {
+    val perGen = pm.generators.map { g =>
+      val ss = g.backend.predictiveRelevance(
+        g.state, None, rowidTarget, rowidQuery, hypotheticals, colno)
+      ss.sum / ss.length
+    }
+    perGen.sum / perGen.length
+  }
+
+  /** PREDICTIVE RELEVANCE as a per-row Column: the current row is the
+    * target, the query set + hypotheticals are fixed. */
+  def predictiveRelevanceCol(pm: PopulationModel, rowidQuery: Seq[Long],
+      hypotheticals: Seq[Seq[(Int, Double)]], colno: Int,
+      rowidCol: Column): Column = {
+    val gens = pm.generators
+    val fn = udf { (rowid: Long) =>
+      val perGen = gens.map { g =>
+        val ss = g.backend.predictiveRelevance(
+          g.state, None, rowid, rowidQuery, hypotheticals, colno)
+        ss.sum / ss.length
+      }
+      perGen.sum / perGen.length
+    }
+    fn(rowidCol)
+  }
+
+  /** `PREDICT c WITH CONFIDENCE conf` — imputed value when confidence
+    * clears the threshold, else NULL (reference: src/bqlfn.py:490-503;
+    * generator choice is a deterministic function of (seed, rowid, colno)
+    * where the reference used the process PRNG). */
+  def predictValueCol(pm: PopulationModel, colno: Int, threshold: Double,
+      numSamples: Int, rowidCol: Column): Column = {
+    val gens = pm.generators
+    val seed = pm.seed
+    val fn = udf { (rowid: Long) =>
+      val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
+      val g = gens(rng.nextInt(gens.length))
+      val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+      if (confidence >= threshold) java.lang.Double.valueOf(value) else null
+    }
+    fn(rowidCol)
+  }
+
+  /** `PREDICT c AS v CONFIDENCE cv` struct column for INFER EXPLICIT. */
+  def predictStructCol(pm: PopulationModel, colno: Int, numSamples: Int,
+      rowidCol: Column): Column = {
+    val gens = pm.generators
+    val seed = pm.seed
+    val fn = udf { (rowid: Long) =>
+      val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
+      val g = gens(rng.nextInt(gens.length))
+      val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+      (value, confidence)
+    }
+    fn(rowidCol).cast("struct<value:double,confidence:double>")
+  }
+
   /** `ESTIMATE ... FROM PAIRWISE VARIABLES OF p` support: the variables
     * cross product with a per-pair estimator value (reference:
     * src/compiler.py:921-1004). The variable list is tiny — computed on

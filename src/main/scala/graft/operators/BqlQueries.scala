@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.Tables
+import graft.bql.BayesDB
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.concurrent.TrieMap
+
+/** The BQL text surface, driver-checkable: each query is a BQL string
+  * executed through the parser + planner (graft.bql), over the same
+  * parquet tables the rest of the inventory uses. SQL-expressible
+  * queries carry DuckDB oracles — proving the BQL front end produces
+  * the same results as the hand-built DataFrame plans; model phrases
+  * are rows-only with semantics pinned by BqlExecSpec.
+  */
+object BqlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One engine per scale-factor dir: tables registered once (rowid
+    * materialization scans each table once), model lifecycle run once. */
+  private val cache = TrieMap.empty[String, BayesDB]
+
+  def bdb(spark: SparkSession, dir: String): BayesDB =
+    cache.getOrElseUpdate(dir, {
+      val b = new BayesDB(spark, seed = 42L)
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents").foreach { t =>
+        b.registerTable(t, Tables.load(spark, dir, t))
+      }
+      // model lifecycle over customer, mirroring ModelQueries' ensemble
+      b.execute("create population cpop for customer (" +
+        "guess stattypes of (*); " +
+        "set stattypes of c_acctbal, c_nationkey to numerical; " +
+        "ignore c_name, c_address, c_phone, c_comment, c_mktsegment, c_custkey)")
+      b.execute("create generator cgen for cpop using nig_normal")
+      b.execute("initialize 8 models for cgen")
+      b.execute("analyze cgen for 1 iteration")
+      b
+    })
+
+  /** b01: BQL SELECT with filter + group + having + order (the pricing
+    * summary shape through the parser/planner path). */
+  val b01Select: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS n,
+      |       sum(l_quantity) AS sum_qty,
+      |       avg(l_extendedprice) AS avg_price
+      |FROM lineitem
+      |WHERE l_quantity < 30
+      |GROUP BY l_returnflag, l_linestatus
+      |HAVING count(*) > 10
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val b01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       sum(l_quantity) AS sum_qty,
+      |       avg(l_extendedprice) AS avg_price
+      |FROM lineitem
+      |WHERE l_quantity < 30
+      |GROUP BY l_returnflag, l_linestatus
+      |HAVING count(*) > 10
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** b02: comma cross join + WHERE equality (BQL's only join form;
+    * Catalyst rewrites to an equi-join). */
+  val b02Join: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT n.n_name, count(*) AS n_customers
+      |FROM customer AS c, nation AS n
+      |WHERE c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY n_customers DESC, n.n_name
+      |LIMIT 10""".stripMargin)
+
+  val b02Sql: String =
+    """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer c, nation n
+      |WHERE c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY n_customers DESC, n.n_name
+      |LIMIT 10""".stripMargin
+
+  /** b03: IN-subquery + scalar subquery through the planner's plan-time
+    * evaluation. */
+  val b03Subquery: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT c_custkey, c_acctbal
+      |FROM customer
+      |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |ORDER BY c_acctbal DESC, c_custkey
+      |LIMIT 20""".stripMargin)
+
+  val b03Sql: String =
+    """SELECT c_custkey, c_acctbal
+      |FROM customer
+      |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |ORDER BY c_acctbal DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** b04: CASE / CAST / LIKE / IS NULL family. SQLite LIKE is
+    * case-insensitive → DuckDB oracle uses ILIKE. */
+  val b04Expressions: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT p_partkey,
+      |       CASE WHEN p_size < 10 THEN 'small'
+      |            WHEN p_size < 30 THEN 'medium'
+      |            ELSE 'large' END AS size_class,
+      |       CAST(p_retailprice AS int) AS price_int
+      |FROM part
+      |WHERE p_type LIKE '%BRASS%' AND p_name IS NOT NULL
+      |ORDER BY p_partkey
+      |LIMIT 50""".stripMargin)
+
+  val b04Sql: String =
+    """SELECT p_partkey,
+      |       CASE WHEN p_size < 10 THEN 'small'
+      |            WHEN p_size < 30 THEN 'medium'
+      |            ELSE 'large' END AS size_class,
+      |       CAST(floor(p_retailprice) AS BIGINT) AS price_int
+      |FROM part
+      |WHERE p_type ILIKE '%BRASS%' AND p_name IS NOT NULL
+      |ORDER BY p_partkey
+      |LIMIT 50""".stripMargin
+
+  /** b05: GUESS SCHEMA FOR through the command path (rows-only —
+    * heuristic output pinned by GuessSpec). */
+  val b05GuessSchema: Q = (spark, dir) =>
+    bdb(spark, dir).execute("GUESS SCHEMA FOR documents")
+
+  /** b06: ESTIMATE with a model estimator column (rows-only). */
+  val b06Estimate: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE c_custkey, PREDICTIVE PROBABILITY OF c_acctbal AS pp
+      |FROM cpop
+      |WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** b07: INFER with deterministic missingness (rows-only). */
+  val b07Infer: Q = (spark, dir) => {
+    val b = bdb(spark, dir)
+    if (!b.hasTable("customer_holes")) {
+      import org.apache.spark.sql.functions._
+      val holes = Tables.load(spark, dir, "customer")
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")))
+      b.registerTable("customer_holes", holes)
+      b.execute("create population hpop for customer_holes (" +
+        "set stattypes of c_acctbal, c_nationkey to numerical; " +
+        "ignore c_name, c_address, c_phone, c_comment, c_mktsegment, c_custkey)")
+      b.execute("create generator hgen for hpop using nig_normal")
+      b.execute("initialize 4 models for hgen")
+      b.execute("analyze hgen for 1 iteration")
+    }
+    b.execute(
+      """INFER EXPLICIT c_custkey, PREDICT c_acctbal AS bal_hat CONFIDENCE bal_conf
+        |FROM hpop
+        |WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** b08: SIMULATE materialization (rows-only; deterministic seed). */
+  val b08Simulate: Q = (spark, dir) => bdb(spark, dir).execute(
+    "SIMULATE c_acctbal, c_nationkey FROM cpop GIVEN c_nationkey = 3 LIMIT 100")
+
+  /** b09: ESTIMATE ... FROM PAIRWISE VARIABLES OF (2-col context). */
+  val b09PairwiseVars: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE DEPENDENCE PROBABILITY
+      |FROM PAIRWISE VARIABLES OF cpop
+      |ORDER BY name0, name1""".stripMargin)
+
+  /** b10: REGRESS through simulate + OLS (rows-only). */
+  val b10Regress: Q = (spark, dir) => bdb(spark, dir).execute(
+    "REGRESS c_acctbal GIVEN (c_nationkey) USING 200 SAMPLES BY cpop")
+
+  /** b11: 2-row SIMILARITY over a bounded pairwise self-join. */
+  val b11SimilarityPairwise: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE SIMILARITY IN THE CONTEXT OF c_acctbal
+      |FROM PAIRWISE cpop
+      |WHERE r0.rowid <= 20 AND r1.rowid <= 20
+      |ORDER BY rowid0, rowid1""".stripMargin)
+
+  /** b12: PREDICTIVE RELEVANCE const form (rows-only; nig_normal
+    * degenerate until CrossCat). */
+  val b12PredictiveRelevance: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE PREDICTIVE RELEVANCE OF (rowid = 1)
+      |TO EXISTING ROWS (rowid <= 10)
+      |AND HYPOTHETICAL ROWS WITH VALUES ((c_acctbal = 5000))
+      |IN THE CONTEXT OF c_acctbal
+      |BY cpop""".stripMargin)
+
+  /** b13: ESTIMATE ... FROM VARIABLES OF (1-col context). */
+  val b13Variables: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE *, CORRELATION WITH c_acctbal AS corr
+      |FROM VARIABLES OF cpop
+      |ORDER BY name""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "b01_bql_select" -> b01Select,
+    "b02_bql_join" -> b02Join,
+    "b03_bql_subquery" -> b03Subquery,
+    "b04_bql_expressions" -> b04Expressions,
+    "b05_bql_guess_schema" -> b05GuessSchema,
+    "b06_bql_estimate" -> b06Estimate,
+    "b07_bql_infer" -> b07Infer,
+    "b08_bql_simulate" -> b08Simulate,
+    "b09_bql_pairwise_vars" -> b09PairwiseVars,
+    "b10_bql_regress" -> b10Regress,
+    "b11_bql_similarity_pairwise" -> b11SimilarityPairwise,
+    "b12_bql_predictive_relevance" -> b12PredictiveRelevance,
+    "b13_bql_variables" -> b13Variables)
+
+  val oracles: Map[String, String] = Map(
+    "b01_bql_select" -> b01Sql,
+    "b02_bql_join" -> b02Sql,
+    "b03_bql_subquery" -> b03Sql,
+    "b04_bql_expressions" -> b04Sql)
+}

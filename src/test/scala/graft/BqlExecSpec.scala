@@ -1,0 +1,253 @@
+package graft
+
+import graft.bql.BayesDB
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end BQL execution over a t1-style fixture (reference:
+  * tests/test_core.py:222-266 exercises the same lifecycle against
+  * SQLite + nig_normal; here the engine is Spark + the planner). */
+class BqlExecSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val bdb: BayesDB = {
+    val b = new BayesDB(spark, seed = 7L)
+    import spark.implicits._
+    val t1 = Seq(
+      (1L, "foo", 24.0, 130.0),
+      (2L, "bar", 33.0, 180.0),
+      (3L, "foo", 41.0, 210.0),
+      (4L, "baz", 57.0, 140.0),
+      (5L, "bar", 12.0, 100.0),
+      (6L, "foo", 30.0, 160.0),
+      (7L, "baz", 45.0, 175.0),
+      (8L, "bar", 52.0, 195.0)
+    ).toDF("id", "label", "age", "weight")
+    b.registerTable("t1", t1)
+    b.execute("create population p1 for t1 (id ignore; label ignore;" +
+      " age numerical; weight numerical)")
+    b.execute("create generator g1 for p1 using nig_normal")
+    b.execute("initialize 4 models for g1")
+    b.execute("analyze g1 for 1 iteration")
+    b
+  }
+
+  private def rows(sql: String, binds: Seq[Any] = Nil): Seq[Seq[Any]] =
+    bdb.execute(sql, binds).collect().toSeq.map(_.toSeq)
+
+  private def one(sql: String): Any = rows(sql).head.head
+
+  // ------------------------------------------------------------- SELECT
+
+  test("select literals and arithmetic without FROM") {
+    assert(one("select 1 + 2 * 3") == 7L)
+    assert(one("select 'a' || 'b'") == "ab")
+    assert(one("select 7 & 3") == 3L)
+    assert(one("select 1 << 4") == 16L)
+    assert(one("select -(2 + 3)") == -5L)
+    assert(one("select cast(3.7 as int)") == 3L)
+    assert(one("select case when 1 < 2 then 'y' else 'n' end") == "y")
+    assert(one("select ifnull(null, 9)") == 9L)
+  }
+
+  test("select star hides rowid, projects table columns") {
+    val df = bdb.execute("select * from t1")
+    assert(df.columns.toSeq == Seq("id", "label", "age", "weight"))
+    assert(df.count() == 8)
+  }
+
+  test("where / order / limit / offset / distinct") {
+    assert(rows("select id from t1 where age > 40 order by id").flatten ==
+      Seq(3L, 4L, 7L, 8L))
+    assert(rows("select id from t1 order by age desc limit 2").flatten ==
+      Seq(4L, 8L))
+    assert(rows("select id from t1 order by id limit 2 offset 3").flatten ==
+      Seq(4L, 5L))
+    assert(rows("select distinct label from t1 order by label").flatten ==
+      Seq("bar", "baz", "foo"))
+  }
+
+  test("aggregates, group by, having, positional keys") {
+    assert(one("select count(*) from t1") == 8L)
+    assert(one("select count(distinct label) from t1") == 3L)
+    val grouped = rows(
+      "select label, count(*) as n, max(weight) as w from t1" +
+        " group by label having count(*) >= 3 order by label")
+    assert(grouped == Seq(Seq("bar", 3L, 195.0), Seq("foo", 3L, 210.0)))
+    assert(rows("select label, avg(age) as a from t1 group by 1 order by 2 desc limit 1")
+      .head.head == "baz")
+  }
+
+  test("like, in-list, in-subquery, between, scalar subquery, exists") {
+    assert(rows("select id from t1 where label like 'BA%' order by id").flatten ==
+      Seq(2L, 4L, 5L, 7L, 8L))  // SQLite LIKE is case-insensitive
+    assert(rows("select id from t1 where label in ('foo') order by id").flatten ==
+      Seq(1L, 3L, 6L))
+    assert(rows("select id from t1 where id in (select id from t1 where age > 50)" +
+      " order by id").flatten == Seq(4L, 8L))
+    assert(rows("select id from t1 where age between 30 and 45 order by id").flatten ==
+      Seq(2L, 3L, 6L, 7L))  // BETWEEN is inclusive on both ends
+    assert(one("select (select max(age) from t1)") == 57.0)
+    assert(one("select exists (select 1 from t1 where age > 100)") == false)
+  }
+
+  test("parameters bind by number and name") {
+    assert(rows("select id from t1 where age > ? order by id", Seq(40)).flatten ==
+      Seq(3L, 4L, 7L, 8L))
+    assert(bdb.executeNamed("select id from t1 where label = :lab order by id",
+      Map("lab" -> "baz")).collect().map(_.getLong(0)).toSeq == Seq(4L, 7L))
+  }
+
+  test("comma cross join with where becomes an equi-join") {
+    val n = one("select count(*) from t1 as a, t1 as b where a.id = b.id")
+    assert(n == 8L)
+  }
+
+  test("registered math UDFs work in BQL and raw spark.sql") {
+    assert(math.abs(one("select erf(0.5)").asInstanceOf[Double] - 0.5204998778) < 1e-9)
+    assert(math.abs(spark.sql("select lgamma(5.0)").head.getDouble(0) -
+      math.log(24.0)) < 1e-12)
+  }
+
+  // ----------------------------------------------------------- commands
+
+  test("guess schema returns one row per column") {
+    val g = bdb.execute("guess schema for t1")
+    assert(g.columns.toSeq == Seq("column", "stattype", "num_distinct", "reason"))
+    assert(g.count() == 4)
+  }
+
+  test("create table as + drop table") {
+    bdb.execute("create table heavy as select id, weight from t1 where weight > 150")
+    assert(bdb.execute("select count(*) from heavy").head.getLong(0) == 5L)
+    bdb.execute("drop table heavy")
+    assert(!bdb.hasTable("heavy"))
+  }
+
+  test("transactions are accepted no-ops") {
+    bdb.execute("begin")
+    bdb.execute("commit")
+    bdb.execute("rollback")
+  }
+
+  // --------------------------------------------------------- estimators
+
+  test("estimate predictive probability per row") {
+    val df = bdb.execute(
+      "estimate id, predictive probability of weight as pp from p1 order by id")
+    val vals = df.collect().map(_.getDouble(1))
+    assert(vals.length == 8)
+    assert(vals.forall(v => v > 0 && v < 1))
+    // deterministic under the session seed
+    val again = bdb.execute(
+      "estimate id, predictive probability of weight as pp from p1 order by id")
+      .collect().map(_.getDouble(1))
+    assert(vals.toSeq == again.toSeq)
+  }
+
+  test("predictive probability given constraints differs from marginal") {
+    val marginal = bdb.execute(
+      "estimate predictive probability of weight as pp from p1 where id = 1")
+      .head.getDouble(0)
+    val conditional = bdb.execute(
+      "estimate predictive probability of weight given (age) as pp from p1 where id = 1")
+      .head.getDouble(0)
+    assert(marginal > 0 && conditional > 0)
+  }
+
+  test("estimate by: probability density and dependence constants") {
+    val d = one("estimate probability density of weight = 160 by p1")
+    assert(d.asInstanceOf[Double] > 0)
+    assert(one("estimate dependence probability of age with weight by p1") == 0.0)
+    assert(one("estimate dependence probability of age with age by p1") == 1.0)
+    val r2 = one("estimate correlation of age with weight by p1").asInstanceOf[Double]
+    assert(r2 >= 0 && r2 <= 1)
+    val pv = one("estimate correlation pvalue of age with weight by p1").asInstanceOf[Double]
+    assert(pv >= 0 && pv <= 1)
+  }
+
+  test("estimate from variables of: 1-col functions") {
+    val df = bdb.execute(
+      "estimate *, dependence probability with age as dp," +
+        " correlation with age as corr from variables of p1 order by name")
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("age", 1.0), ("weight", 0.0)))
+  }
+
+  test("estimate from pairwise variables of: 2-col functions") {
+    val df = bdb.execute(
+      "estimate dependence probability from pairwise variables of p1" +
+        " order by name0, name1")
+    assert(df.columns.toSeq == Seq("population_id", "name0", "name1", "value"))
+    val got = df.collect().map(r => (r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("age", "age", 1.0), ("age", "weight", 0.0),
+      ("weight", "age", 0.0), ("weight", "weight", 1.0)))
+  }
+
+  test("estimate from pairwise: 2-row similarity (nig_normal: degenerate 0)") {
+    val df = bdb.execute(
+      "estimate similarity in the context of weight from pairwise p1" +
+        " where r0.rowid <= 2 and r1.rowid <= 2 order by rowid0, rowid1")
+    assert(df.columns.toSeq == Seq("rowid0", "rowid1", "value"))
+    assert(df.count() == 4)
+    assert(df.collect().forall(_.getDouble(2) == 0.0))
+  }
+
+  test("similarity to a designated row in row context") {
+    val df = bdb.execute(
+      "estimate id, similarity to (rowid = 1) in the context of weight as s" +
+        " from p1 order by id")
+    assert(df.count() == 8)
+  }
+
+  test("predictive relevance plumbing (nig_normal: degenerate 0)") {
+    val v = one("estimate predictive relevance of (rowid = 1)" +
+      " to existing rows (rowid > 5)" +
+      " and hypothetical rows with values ((weight = 150), (weight = 160, age = 30))" +
+      " in the context of weight by p1")
+    assert(v == 0.0)
+  }
+
+  test("infer fills nulls above the confidence threshold") {
+    import spark.implicits._
+    val t2 = Seq(
+      (1L, Some(130.0), 24.0), (2L, None: Option[Double], 33.0),
+      (3L, Some(210.0), 41.0), (4L, None: Option[Double], 57.0)
+    ).toDF("id", "weight", "age")
+    bdb.registerTable("t2", t2)
+    bdb.execute("create population p2 for t2 (id ignore; weight numerical; age numerical)")
+    bdb.execute("create generator g2 for p2 using nig_normal")
+    bdb.execute("initialize 2 models for g2")
+    bdb.execute("analyze g2 for 1 iteration")
+    val inferred = bdb.execute("infer weight from p2 order by id")
+    assert(inferred.columns.toSeq == Seq("weight"))
+    assert(inferred.collect().forall(!_.isNullAt(0)))
+    // explicit form with confidence column
+    val exp = bdb.execute(
+      "infer explicit id, predict weight as wh confidence wc from p2 order by id")
+    assert(exp.columns.toSeq == Seq("id", "wh", "wc"))
+    assert(exp.collect().forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+  }
+
+  test("simulate honors limit and given constraints deterministically") {
+    val df = bdb.execute("simulate age, weight from p1 given age = 30 limit 25")
+    assert(df.columns.toSeq == Seq("age", "weight"))
+    assert(df.count() == 25)
+    val a = bdb.execute("simulate weight from p1 limit 10").collect().map(_.getDouble(0))
+    val b = bdb.execute("simulate weight from p1 limit 10").collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq, "simulate must be deterministic under the session seed")
+  }
+
+  test("regress returns intercept + coefficient rows") {
+    val df = bdb.execute("regress weight given (age) using 200 samples by p1")
+    assert(df.columns.toSeq == Seq("variable", "coefficient"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("intercept", "age"))
+  }
+
+  test("select rejects model estimators (reference: BQLCompiler_None)") {
+    intercept[Exception] {
+      bdb.execute("select predictive probability of weight from t1").collect()
+    }
+  }
+}
