@@ -95,6 +95,7 @@ object Backends {
   /** Registry by casefolded name (reference: src/__init__.py:94-96 —
     * cgpm is the reference default; ours arrives with the CrossCat port). */
   def byName(name: String): Backend = name.toLowerCase match {
+    case "cgpm" | "crosscat" => new CrossCatBackend()
     case "nig_normal" => new NigNormalBackend()
     case "std_normal" => new StdNormalBackend()
     case "troll_rng"  => new TrollBackend()

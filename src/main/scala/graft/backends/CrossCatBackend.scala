@@ -1,0 +1,613 @@
+package graft.backends
+
+import graft.functions.SpecialMath.{lgamma, logMeanExp, logSumExp}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CrossCat — the reference's default model (registered as the `cgpm`
+  * backend, reference: src/__init__.py:94-96, src/backends/cgpm_backend.py;
+  * the underlying engine lives in the external public `cgpm` package).
+  * Written fresh in Scala from the published model family:
+  *
+  *   - CRP partition of COLUMNS into views (concentration `alpha`);
+  *   - per view, CRP partition of ROWS into clusters (`viewAlpha`);
+  *   - per (column, cluster), a conjugate Normal–Inverse-Gamma component
+  *     with per-column hypers (m, r, s, nu) — the standard NIG conjugacy
+  *     (posterior + predictive student-t in closed form).
+  *
+  * ANALYZE runs the reference's five Gibbs subproblems (names from
+  * cgpm_backend.py:1425-1446): column_hypers (grid Gibbs), columns
+  * (view reassignment, Neal algorithm-8 with one auxiliary view), alpha,
+  * rows (per-view cluster reassignment), view_alphas. Models are
+  * independent → ANALYZE fans the ensemble out with `parallelize(models)`
+  * (the Spark analogue of the reference's multiprocessing pool,
+  * cgpm_backend.py:103-145).
+  *
+  * Scale design: MCMC state is fit on a bounded row subsample collected
+  * to the driver (the reference's `SUBSAMPLE` clause does the same,
+  * cgpm_backend.py:189-205); all per-row query estimators run as UDFs
+  * over the broadcast fitted state, so query cost is independent of the
+  * subsample and distributed over the full table.
+  *
+  * v1 models numerical variables (NIG components); categorical
+  * (Dirichlet-categorical) components arrive with category-code support.
+  */
+class CrossCatBackend(
+    val subsampleRows: Int = 500,
+    val gridSize: Int = 15) extends Backend {
+
+  import CrossCat._
+
+  override def name: String = "cgpm"
+
+  override def createGenerator(df: DataFrame, columns: Map[Int, String]): GeneratorState = {
+    val colnos = columns.keys.toIndexedSeq.sorted
+    val names = colnos.map(columns)
+    val hasRowid = df.columns.exists(_.equalsIgnoreCase("rowid"))
+    // bounded subsample for MCMC (deterministic: first rows by rowid)
+    val sel = if (hasRowid) df.select((("rowid" +: names).map(c => col(c).cast("double"))): _*)
+                .orderBy(col("rowid"))
+              else df.select((lit(-1.0) +: names.map(c => col(c).cast("double"))): _*)
+    val rows = sel.limit(subsampleRows).collect()
+    val n = rows.length
+    require(n > 0, "CrossCat needs at least one row")
+    val rowids = Array.tabulate(n)(i =>
+      if (hasRowid) rows(i).getDouble(0).toLong else (i + 1).toLong)
+    val data = Array.ofDim[Double](colnos.length, n)
+    for (i <- 0 until n; j <- colnos.indices) {
+      val v = rows(i).get(j + 1)
+      data(j)(i) = if (v == null) Double.NaN else v.asInstanceOf[Double]
+    }
+    // per-column moments for hyper grids, over the FULL table (one
+    // distributed aggregation — the only full scan in the fit)
+    val aggs = names.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(avg(d), variance(d), min(d), max(d))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val moments = colnos.indices.map { j =>
+      def g(k: Int): Double = {
+        val v = stats.get(j * 4 + k)
+        if (v == null) 0.0 else v.asInstanceOf[Double]
+      }
+      ColMoments(g(0), math.max(g(1), 1e-6), g(2), g(3))
+    }
+    CrossCatState(columns, colnos, data, rowids, moments, IndexedSeq.empty)
+  }
+
+  override def initializeModels(state: GeneratorState, modelnos: Seq[Int],
+      rng: DetRng): GeneratorState = {
+    val st = state.asInstanceOf[CrossCatState]
+    val fresh = modelnos.filterNot(m => st.models.exists(_.modelno == m)).map { m =>
+      initModel(st, m, DetRng(rng.nextLong(), m.toLong))
+    }
+    st.copy(models = (st.models ++ fresh).sortBy(_.modelno))
+  }
+
+  override def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
+      iterations: Int, rng: DetRng): GeneratorState = {
+    val st = state.asInstanceOf[CrossCatState]
+    val which = modelnos.getOrElse(st.models.map(_.modelno))
+    val seedBase = rng.nextLong()
+    def transitionOne(m: CrossCatModel): CrossCatModel =
+      if (!which.contains(m.modelno)) m
+      else {
+        var cur = m
+        val mrng = DetRng(seedBase, m.modelno.toLong)
+        for (sweep <- 0 until iterations)
+          cur = transition(st, cur, DetRng(seedBase, m.modelno.toLong, sweep.toLong))
+        cur
+      }
+    // per-model parallel ANALYZE: models are independent posterior chains
+    val models: IndexedSeq[CrossCatModel] =
+      if (st.models.length >= 4 && SparkSession.getActiveSession.isDefined) {
+        val sc = SparkSession.active.sparkContext
+        sc.parallelize(st.models, st.models.length).map(transitionOne).collect().toIndexedSeq
+      } else st.models.map(transitionOne)
+    st.copy(models = models)
+  }
+
+  override def logpdfJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
+      targets: Seq[(Int, Double)], constraints: Seq[(Int, Double)]): Double = {
+    val st = state.asInstanceOf[CrossCatState]
+    val ms = select(st, modelnos)
+    logMeanExp(ms.map(m => modelLogpdf(st, m, targets, constraints)).toArray)
+  }
+
+  override def simulateJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
+      targets: Seq[Int], constraints: Seq[(Int, Double)],
+      numSamples: Int, rng: DetRng): Seq[Seq[Double]] = {
+    val st = state.asInstanceOf[CrossCatState]
+    val ms = select(st, modelnos)
+    (0 until numSamples).map { i =>
+      val m = ms(rng.nextInt(ms.length))
+      simulateOne(st, m, targets, constraints, rng)
+    }
+  }
+
+  override def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
+      colno: Int, numSamples: Int, rng: DetRng): (Double, Double) = {
+    // numerical imputation: mean of samples, confidence 0 ("XXX Punt",
+    // reference cgpm_backend.py:850-853)
+    val samples = simulateJoint(state, modelnos, Seq(colno), Nil, numSamples, rng)
+    (samples.map(_.head).sum / samples.length, 0.0)
+  }
+
+  override def columnDependenceProbability(state: GeneratorState,
+      modelnos: Option[Seq[Int]], colno0: Int, colno1: Int): Seq[Double] = {
+    val st = state.asInstanceOf[CrossCatState]
+    if (colno0 == colno1) return Seq(1.0)  // self-dependence shortcut
+    val j0 = st.colIdx(colno0)
+    val j1 = st.colIdx(colno1)
+    select(st, modelnos).map(m => if (m.viewOf(j0) == m.viewOf(j1)) 1.0 else 0.0)
+  }
+
+  override def columnMutualInformation(state: GeneratorState, modelnos: Option[Seq[Int]],
+      colnos0: Seq[Int], colnos1: Seq[Int], numSamples: Int, rng: DetRng): Seq[Double] = {
+    val st = state.asInstanceOf[CrossCatState]
+    select(st, modelnos).map { m =>
+      val views0 = colnos0.map(c => m.viewOf(st.colIdx(c))).toSet
+      val views1 = colnos1.map(c => m.viewOf(st.colIdx(c))).toSet
+      if ((views0 & views1).isEmpty) 0.0  // different views ⇒ independent
+      else {
+        // Monte-Carlo: E[log p(x,y) - log p(x) - log p(y)] under the model
+        val vals = (0 until numSamples).map { _ =>
+          val xy = simulateOne(st, m, colnos0 ++ colnos1, Nil, rng)
+          val x = colnos0.zip(xy.take(colnos0.length))
+          val y = colnos1.zip(xy.drop(colnos0.length))
+          modelLogpdf(st, m, x ++ y, Nil) -
+            modelLogpdf(st, m, x, Nil) - modelLogpdf(st, m, y, Nil)
+        }
+        math.max(vals.sum / numSamples, 0.0)
+      }
+    }
+  }
+
+  override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
+      rowid0: Long, rowid1: Long, colnos: Seq[Int]): Seq[Double] = {
+    val st = state.asInstanceOf[CrossCatState]
+    val i0 = st.rowIdx(rowid0)
+    val i1 = st.rowIdx(rowid1)
+    if (i0 < 0 || i1 < 0) return Seq(Double.NaN)  // not incorporated
+    val j = st.colIdx(colnos.head)
+    select(st, modelnos).map { m =>
+      val v = m.viewOf(j)
+      if (m.rowAssign(v)(i0) == m.rowAssign(v)(i1)) 1.0 else 0.0
+    }
+  }
+
+  override def predictiveRelevance(state: GeneratorState, modelnos: Option[Seq[Int]],
+      rowidTarget: Long, rowidQuery: Seq[Long],
+      hypotheticals: Seq[Seq[(Int, Double)]], colno: Int): Seq[Double] = {
+    val st = state.asInstanceOf[CrossCatState]
+    val it = st.rowIdx(rowidTarget)
+    if (it < 0) return Seq(Double.NaN)
+    val j = st.colIdx(colno)
+    val queryIdx = rowidQuery.map(st.rowIdx).filter(_ >= 0)
+    select(st, modelnos).map { m =>
+      val v = m.viewOf(j)
+      val zt = m.rowAssign(v)(it)
+      val w = workspace(st, m, v)
+      // existing rows: cluster indicator; hypothetical rows: posterior
+      // cluster membership probability of the target's cluster
+      val existing = queryIdx.map(i => if (m.rowAssign(v)(i) == zt) 1.0 else 0.0)
+      val hypo = hypotheticals.map { row =>
+        val inView = row.filter { case (c, _) => m.viewOf(st.colIdx(c)) == v }
+        val logw = clusterLogWeights(st, m, v, w, inView.map { case (c, x) => (st.colIdx(c), x) })
+        val mx = logSumExp(logw.toArray)
+        math.exp(logw(zt) - mx)
+      }
+      val all = existing ++ hypo
+      if (all.isEmpty) Double.NaN else all.sum / all.length
+    }
+  }
+
+  // ------------------------------------------------------------ internals
+
+  private def select(st: CrossCatState, modelnos: Option[Seq[Int]]): IndexedSeq[CrossCatModel] = {
+    require(st.models.nonEmpty, "No models initialized")
+    modelnos match {
+      case None => st.models
+      case Some(ns) => st.models.filter(m => ns.contains(m.modelno))
+    }
+  }
+
+  private def initModel(st: CrossCatState, modelno: Int, rng: DetRng): CrossCatModel = {
+    val d = st.colnos.length
+    val n = st.data.head.length
+    val alpha = rng.nextGamma(1.0, 1.0) max 1e-3
+    // CRP draw over columns
+    val viewOf = new Array[Int](d)
+    var nViews = 0
+    val viewCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (j <- 0 until d) {
+      val weights = viewCounts.map(_.toDouble).toIndexedSeq :+ alpha
+      val k = rng.logCategorical(weights.map(math.log))
+      if (k == nViews) { viewCounts += 1; nViews += 1 } else viewCounts(k) += 1
+      viewOf(j) = k
+    }
+    val viewAlpha = IndexedSeq.fill(nViews)(rng.nextGamma(1.0, 1.0) max 1e-3)
+    val rowAssign = (0 until nViews).map(v => crpPartition(n, viewAlpha(v), rng))
+    val hypers = st.moments.map(defaultHypers)
+    CrossCatModel(modelno, alpha, viewOf.toIndexedSeq, viewAlpha, rowAssign, hypers)
+  }
+
+  private def crpPartition(n: Int, alpha: Double, rng: DetRng): IndexedSeq[Int] = {
+    val out = new Array[Int](n)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- 0 until n) {
+      val weights = counts.map(_.toDouble).toIndexedSeq :+ alpha
+      val k = rng.logCategorical(weights.map(math.log))
+      if (k == counts.length) counts += 1 else counts(k) += 1
+      out(i) = k
+    }
+    out.toIndexedSeq
+  }
+
+  private def defaultHypers(mom: ColMoments): NigHypers =
+    NigHypers(m = mom.mean, r = 1.0, s = mom.variance, nu = 1.0)
+
+  /** One full Gibbs sweep: rows per view → column views → hypers →
+    * concentrations (the reference's five subproblems). */
+  private def transition(st: CrossCatState, m0: CrossCatModel, rng: DetRng): CrossCatModel = {
+    var m = m0
+    m = transitionRows(st, m, rng)
+    m = transitionColumns(st, m, rng)
+    m = transitionHypers(st, m, rng)
+    m = transitionAlphas(st, m, rng)
+    m
+  }
+
+  /** Per-view suff stats workspace: cluster → (count, sum, sumsq) per
+    * column in the view. */
+  private[backends] def workspace(st: CrossCatState, m: CrossCatModel, v: Int): ViewSuff = {
+    val cols = st.colnos.indices.filter(j => m.viewOf(j) == v)
+    val assign = m.rowAssign(v)
+    val k = if (assign.isEmpty) 0 else assign.max + 1
+    val counts = new Array[Int](k)
+    val cnt = Array.ofDim[Double](cols.length, k)
+    val sum = Array.ofDim[Double](cols.length, k)
+    val ssq = Array.ofDim[Double](cols.length, k)
+    for (i <- assign.indices) {
+      val z = assign(i)
+      counts(z) += 1
+      for ((j, jj) <- cols.zipWithIndex) {
+        val x = st.data(j)(i)
+        if (!x.isNaN) { cnt(jj)(z) += 1; sum(jj)(z) += x; ssq(jj)(z) += x * x }
+      }
+    }
+    ViewSuff(cols.toIndexedSeq, counts, cnt, sum, ssq)
+  }
+
+  /** Cluster log-weights (CRP prior × likelihood of the given in-view
+    * (colIdx, value) evidence), including one fresh cluster at the end. */
+  private[backends] def clusterLogWeights(st: CrossCatState, m: CrossCatModel, v: Int,
+      w: ViewSuff, evidence: Seq[(Int, Double)]): IndexedSeq[Double] = {
+    val k = w.counts.length
+    val alpha = m.viewAlpha(v)
+    (0 to k).map { z =>
+      val prior = if (z < k) math.log(w.counts(z).toDouble) else math.log(alpha)
+      val like = evidence.map { case (j, x) =>
+        val jj = w.cols.indexOf(j)
+        val h = m.hypers(j)
+        if (jj < 0) 0.0
+        else if (z < k) predictiveLogp(x, w.cnt(jj)(z), w.sum(jj)(z), w.ssq(jj)(z), h)
+        else predictiveLogp(x, 0.0, 0.0, 0.0, h)
+      }.sum
+      prior + like
+    }
+  }
+
+  private def transitionRows(st: CrossCatState, m: CrossCatModel, rng: DetRng): CrossCatModel = {
+    val n = st.data.head.length
+    val newAssign = m.rowAssign.zipWithIndex.map { case (assign0, v) =>
+      val cols = st.colnos.indices.filter(j => m.viewOf(j) == v)
+      val assign = assign0.toArray
+      // mutable suff stats
+      var k = if (assign.isEmpty) 0 else assign.max + 1
+      val counts = scala.collection.mutable.ArrayBuffer.fill(k)(0)
+      val cnt = cols.map(_ => scala.collection.mutable.ArrayBuffer.fill(k)(0.0))
+      val sum = cols.map(_ => scala.collection.mutable.ArrayBuffer.fill(k)(0.0))
+      val ssq = cols.map(_ => scala.collection.mutable.ArrayBuffer.fill(k)(0.0))
+      for (i <- 0 until n) {
+        val z = assign(i)
+        counts(z) += 1
+        for ((j, jj) <- cols.zipWithIndex) {
+          val x = st.data(j)(i)
+          if (!x.isNaN) { cnt(jj)(z) += 1; sum(jj)(z) += x; ssq(jj)(z) += x * x }
+        }
+      }
+      def remove(i: Int): Unit = {
+        val z = assign(i)
+        counts(z) -= 1
+        for ((j, jj) <- cols.zipWithIndex) {
+          val x = st.data(j)(i)
+          if (!x.isNaN) { cnt(jj)(z) -= 1; sum(jj)(z) -= x; ssq(jj)(z) -= x * x }
+        }
+      }
+      def insert(i: Int, z: Int): Unit = {
+        if (z == counts.length) {
+          counts += 0; cnt.foreach(_ += 0.0); sum.foreach(_ += 0.0); ssq.foreach(_ += 0.0)
+        }
+        counts(z) += 1
+        for ((j, jj) <- cols.zipWithIndex) {
+          val x = st.data(j)(i)
+          if (!x.isNaN) { cnt(jj)(z) += 1; sum(jj)(z) += x; ssq(jj)(z) += x * x }
+        }
+        assign(i) = z
+      }
+      val alpha = m.viewAlpha(v)
+      for (i <- 0 until n) {
+        remove(i)
+        val logw = (0 to counts.length).flatMap { z =>
+          if (z < counts.length && counts(z) == 0) Some(Double.NegativeInfinity)
+          else {
+            val prior =
+              if (z < counts.length) math.log(math.max(counts(z).toDouble, 1e-300))
+              else math.log(alpha)
+            val like = cols.zipWithIndex.map { case (j, jj) =>
+              val x = st.data(j)(i)
+              if (x.isNaN) 0.0
+              else if (z < counts.length)
+                predictiveLogp(x, cnt(jj)(z), sum(jj)(z), ssq(jj)(z), m.hypers(j))
+              else predictiveLogp(x, 0.0, 0.0, 0.0, m.hypers(j))
+            }.sum
+            Some(prior + like)
+          }
+        }
+        insert(i, rng.logCategorical(logw.toIndexedSeq))
+      }
+      // compact empty clusters
+      val live = counts.zipWithIndex.filter(_._1 > 0).map(_._2)
+      val remap = live.zipWithIndex.toMap
+      assign.map(remap).toIndexedSeq
+    }
+    m.copy(rowAssign = newAssign)
+  }
+
+  private def transitionColumns(st: CrossCatState, m0: CrossCatModel, rng: DetRng): CrossCatModel = {
+    var m = m0
+    val n = st.data.head.length
+    for (j <- st.colnos.indices) {
+      val vOld = m.viewOf(j)
+      val colsInOld = st.colnos.indices.count(jj => m.viewOf(jj) == vOld)
+      // column marginal under each existing view's row partition
+      def colMarginal(assign: IndexedSeq[Int]): Double = {
+        val k = if (assign.isEmpty) 0 else assign.max + 1
+        val cnt = new Array[Double](k)
+        val sum = new Array[Double](k)
+        val ssq = new Array[Double](k)
+        for (i <- 0 until n) {
+          val x = st.data(j)(i)
+          if (!x.isNaN) { val z = assign(i); cnt(z) += 1; sum(z) += x; ssq(z) += x * x }
+        }
+        (0 until k).map(z => marginalLogp(cnt(z), sum(z), ssq(z), m.hypers(j))).sum
+      }
+      val nViews = m.rowAssign.length
+      // auxiliary view: fresh CRP partition (Neal algorithm 8, m=1)
+      val auxAlpha = rng.nextGamma(1.0, 1.0) max 1e-3
+      val auxAssign = crpPartition(n, auxAlpha, rng)
+      val logw = (0 until nViews).map { v =>
+        val size = st.colnos.indices.count(jj => m.viewOf(jj) == v) -
+          (if (v == vOld) 1 else 0)
+        if (size == 0) Double.NegativeInfinity  // emptied old view: handled by aux
+        else math.log(size.toDouble) + colMarginal(m.rowAssign(v))
+      } :+ (math.log(m.alpha) + colMarginal(auxAssign))
+      val pick = rng.logCategorical(logw)
+      if (pick != vOld) {
+        val viewOf = m.viewOf.updated(j, if (pick < nViews) pick else nViews)
+        var rowAssign = m.rowAssign
+        var viewAlpha = m.viewAlpha
+        if (pick == nViews) { rowAssign = rowAssign :+ auxAssign; viewAlpha = viewAlpha :+ auxAlpha }
+        // drop emptied views and renumber
+        val liveViews = rowAssign.indices.filter(v => viewOf.contains(v))
+        val remap = liveViews.zipWithIndex.toMap
+        m = m.copy(
+          viewOf = viewOf.map(remap),
+          viewAlpha = liveViews.map(viewAlpha),
+          rowAssign = liveViews.map(rowAssign))
+      }
+    }
+    m
+  }
+
+  private def transitionHypers(st: CrossCatState, m: CrossCatModel, rng: DetRng): CrossCatModel = {
+    val hypers = st.colnos.indices.map { j =>
+      val v = m.viewOf(j)
+      val assign = m.rowAssign(v)
+      val k = if (assign.isEmpty) 0 else assign.max + 1
+      val cnt = new Array[Double](k)
+      val sum = new Array[Double](k)
+      val ssq = new Array[Double](k)
+      for (i <- assign.indices) {
+        val x = st.data(j)(i)
+        if (!x.isNaN) { val z = assign(i); cnt(z) += 1; sum(z) += x; ssq(z) += x * x }
+      }
+      def score(h: NigHypers): Double =
+        (0 until k).map(z => marginalLogp(cnt(z), sum(z), ssq(z), h)).sum
+      val mom = st.moments(j)
+      var h = m.hypers(j)
+      // grid Gibbs, one dimension at a time (reference: column_hypers)
+      val mGrid = linGrid(mom.min, mom.max, gridSize)
+      h = h.copy(m = gridPick(mGrid, (x: Double) => score(h.copy(m = x)), rng))
+      val rGrid = logGrid(1.0 / st.data.head.length, 10.0, gridSize)
+      h = h.copy(r = gridPick(rGrid, (x: Double) => score(h.copy(r = x)), rng))
+      val sGrid = logGrid(mom.variance / 100.0 + 1e-9, mom.variance * 100.0 + 1e-6, gridSize)
+      h = h.copy(s = gridPick(sGrid, (x: Double) => score(h.copy(s = x)), rng))
+      val nuGrid = logGrid(0.5, st.data.head.length.toDouble max 2.0, gridSize)
+      h = h.copy(nu = gridPick(nuGrid, (x: Double) => score(h.copy(nu = x)), rng))
+      h
+    }
+    m.copy(hypers = hypers)
+  }
+
+  private def transitionAlphas(st: CrossCatState, m: CrossCatModel, rng: DetRng): CrossCatModel = {
+    val d = st.colnos.length
+    val nViews = m.rowAssign.length
+    val viewSizes = (0 until nViews).map(v => st.colnos.indices.count(j => m.viewOf(j) == v))
+    val aGrid = logGrid(1.0 / d, d.toDouble, gridSize)
+    val alpha = gridPick(aGrid, (a: Double) => crpLogpdf(viewSizes, d, a), rng)
+    val viewAlpha = (0 until nViews).map { v =>
+      val assign = m.rowAssign(v)
+      val k = if (assign.isEmpty) 0 else assign.max + 1
+      val sizes = (0 until k).map(z => assign.count(_ == z))
+      val n = assign.length
+      val g = logGrid(1.0 / math.max(n, 2), n.toDouble max 2.0, gridSize)
+      gridPick(g, (a: Double) => crpLogpdf(sizes, n, a), rng)
+    }
+    m.copy(alpha = alpha, viewAlpha = viewAlpha)
+  }
+
+  // --------------------------------------------------- query primitives
+
+  /** log p(targets | constraints, model): per view, cluster weights are
+    * CRP prior × constraint likelihood; targets integrate over clusters. */
+  private[backends] def modelLogpdf(st: CrossCatState, m: CrossCatModel,
+      targets: Seq[(Int, Double)], constraints: Seq[(Int, Double)]): Double = {
+    val tByView = targets.groupBy { case (c, _) => m.viewOf(st.colIdx(c)) }
+    val cByView = constraints.groupBy { case (c, _) => m.viewOf(st.colIdx(c)) }
+    tByView.map { case (v, ts) =>
+      val w = workspace(st, m, v)
+      val cs = cByView.getOrElse(v, Nil).map { case (c, x) => (st.colIdx(c), x) }
+      val logwC = clusterLogWeights(st, m, v, w, cs)
+      val norm = logSumExp(logwC.toArray)
+      val k = w.counts.length
+      val terms = (0 to k).map { z =>
+        val tLike = ts.map { case (c, x) =>
+          val j = st.colIdx(c)
+          val jj = w.cols.indexOf(j)
+          if (z < k) predictiveLogp(x, w.cnt(jj)(z), w.sum(jj)(z), w.ssq(jj)(z), m.hypers(j))
+          else predictiveLogp(x, 0.0, 0.0, 0.0, m.hypers(j))
+        }.sum
+        (logwC(z) - norm) + tLike
+      }
+      logSumExp(terms.toArray)
+    }.sum
+  }
+
+  private[backends] def simulateOne(st: CrossCatState, m: CrossCatModel,
+      targets: Seq[Int], constraints: Seq[(Int, Double)], rng: DetRng): Seq[Double] = {
+    val byView = targets.groupBy(c => m.viewOf(st.colIdx(c)))
+    val cByView = constraints.groupBy { case (c, _) => m.viewOf(st.colIdx(c)) }
+    val drawn = byView.flatMap { case (v, ts) =>
+      val w = workspace(st, m, v)
+      val cs = cByView.getOrElse(v, Nil).map { case (c, x) => (st.colIdx(c), x) }
+      val logw = clusterLogWeights(st, m, v, w, cs)
+      val z = rng.logCategorical(logw)
+      val k = w.counts.length
+      ts.map { c =>
+        val j = st.colIdx(c)
+        val jj = w.cols.indexOf(j)
+        val (cn, s1, s2) =
+          if (z < k) (w.cnt(jj)(z), w.sum(jj)(z), w.ssq(jj)(z)) else (0.0, 0.0, 0.0)
+        c -> samplePredictive(cn, s1, s2, m.hypers(j), rng)
+      }
+    }
+    targets.map(drawn)
+  }
+}
+
+/** CrossCat state containers + NIG-Normal conjugate math. */
+object CrossCat {
+
+  final case class ColMoments(mean: Double, variance: Double, min: Double, max: Double)
+
+  final case class NigHypers(m: Double, r: Double, s: Double, nu: Double)
+
+  final case class CrossCatModel(
+      modelno: Int,
+      alpha: Double,
+      viewOf: IndexedSeq[Int],
+      viewAlpha: IndexedSeq[Double],
+      rowAssign: IndexedSeq[IndexedSeq[Int]],
+      hypers: IndexedSeq[NigHypers]) extends ModelState
+
+  final case class CrossCatState(
+      columns: Map[Int, String],
+      colnos: IndexedSeq[Int],
+      data: Array[Array[Double]],     // column-major subsample, NaN = missing
+      rowids: Array[Long],
+      moments: IndexedSeq[ColMoments],
+      models: IndexedSeq[CrossCatModel]) extends GeneratorState {
+    override def modelNumbers: Seq[Int] = models.map(_.modelno)
+    def colIdx(colno: Int): Int = {
+      val j = colnos.indexOf(colno)
+      require(j >= 0, s"Unknown colno: $colno")
+      j
+    }
+    def rowIdx(rowid: Long): Int = rowids.indexOf(rowid)
+  }
+
+  final case class ViewSuff(
+      cols: IndexedSeq[Int],
+      counts: Array[Int],
+      cnt: Array[Array[Double]],
+      sum: Array[Array[Double]],
+      ssq: Array[Array[Double]])
+
+  private val HalfLog2Pi = 0.5 * math.log(2 * math.Pi)
+  private val Log2 = math.log(2.0)
+
+  /** Posterior NIG hypers given suff stats (standard conjugacy; same
+    * update the reference's nig_normal port uses). */
+  def posteriorHypers(n: Double, sumX: Double, sumXsq: Double,
+      h: NigHypers): NigHypers = {
+    val rn = h.r + n
+    val nun = h.nu + n
+    val mn = (h.r * h.m + sumX) / rn
+    val sn0 = h.s + sumXsq + h.r * h.m * h.m - rn * mn * mn
+    val sn = if (sn0 <= 0) h.s else sn0
+    NigHypers(mn, rn, sn, nun)
+  }
+
+  def logZ(r: Double, s: Double, nu: Double): Double =
+    ((nu + 1.0) / 2.0) * Log2 + HalfLog2Pi - 0.5 * math.log(r) -
+      (nu / 2.0) * math.log(s) + lgamma(nu / 2.0)
+
+  /** Posterior predictive log-density of x given cluster suff stats. */
+  def predictiveLogp(x: Double, n: Double, sumX: Double, sumXsq: Double,
+      h: NigHypers): Double = {
+    val hn = posteriorHypers(n, sumX, sumXsq, h)
+    val hm = posteriorHypers(n + 1, sumX + x, sumXsq + x * x, h)
+    -HalfLog2Pi + logZ(hm.r, hm.s, hm.nu) - logZ(hn.r, hn.s, hn.nu)
+  }
+
+  /** Marginal log-likelihood of a cluster's data. */
+  def marginalLogp(n: Double, sumX: Double, sumXsq: Double, h: NigHypers): Double = {
+    if (n == 0) return 0.0
+    val hn = posteriorHypers(n, sumX, sumXsq, h)
+    -(n / 2.0) * (2.0 * HalfLog2Pi) + logZ(hn.r, hn.s, hn.nu) - logZ(h.r, h.s, h.nu)
+  }
+
+  /** Sample from the cluster's posterior predictive: draw (μ, ρ) from the
+    * posterior NIG, then x ~ N(μ, 1/ρ). */
+  def samplePredictive(n: Double, sumX: Double, sumXsq: Double,
+      h: NigHypers, rng: DetRng): Double = {
+    val hn = posteriorHypers(n, sumX, sumXsq, h)
+    val rho = rng.nextGamma(hn.nu / 2.0, 2.0 / hn.s)
+    val mu = rng.gauss(hn.m, 1.0 / math.sqrt(rho * hn.r))
+    rng.gauss(mu, 1.0 / math.sqrt(rho))
+  }
+
+  /** CRP log-probability of a partition with the given block sizes. */
+  def crpLogpdf(sizes: Seq[Int], n: Int, alpha: Double): Double = {
+    val k = sizes.count(_ > 0)
+    k * math.log(alpha) + lgamma(alpha) - lgamma(alpha + n) +
+      sizes.filter(_ > 0).map(sz => lgamma(sz.toDouble)).sum
+  }
+
+  def linGrid(lo: Double, hi: Double, k: Int): IndexedSeq[Double] = {
+    val l = if (hi > lo) lo else lo - 0.5
+    val h = if (hi > lo) hi else lo + 0.5
+    (0 until k).map(i => l + (h - l) * i / (k - 1).toDouble)
+  }
+
+  def logGrid(lo: Double, hi: Double, k: Int): IndexedSeq[Double] = {
+    val l = math.log(math.max(lo, 1e-12))
+    val h = math.log(math.max(hi, lo * 10))
+    (0 until k).map(i => math.exp(l + (h - l) * i / (k - 1).toDouble))
+  }
+
+  def gridPick(grid: IndexedSeq[Double], score: Double => Double, rng: DetRng): Double =
+    grid(rng.logCategorical(grid.map(score)))
+}

@@ -19,8 +19,8 @@ import scala.collection.concurrent.TrieMap
   *    BEGIN/COMMIT/ROLLBACK are accepted and ignored (documented).
   *  - rowid is a materialized column (zipWithIndex at ingest) because
   *    Spark has no stable implicit rowid (SURVEY §1.1).
-  *  - the default backend is nig_normal until the CrossCat port lands
-  *    (reference defaults to cgpm, src/__init__.py:94-96).
+  *  - the default backend is cgpm (the Scala CrossCat port), matching
+  *    the reference (src/__init__.py:94-96).
   */
 final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
 
@@ -30,7 +30,9 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
 
   SqlFunctions.register(spark)
 
-  def defaultBackend: String = "nig_normal"
+  /** The reference registers cgpm (CrossCat) as the default backend
+    * (src/__init__.py:94-96). */
+  def defaultBackend: String = "cgpm"
 
   // ------------------------------------------------------------- tables
 

@@ -36,6 +36,16 @@ object BqlQueries {
       b.execute("create generator cgen for cpop using nig_normal")
       b.execute("initialize 8 models for cgen")
       b.execute("analyze cgen for 1 iteration")
+      // CrossCat ensemble over lineitem's correlated numeric columns
+      // (l_extendedprice scales with l_quantity — dependence must light up)
+      b.execute("create population lpop for lineitem (" +
+        "set stattypes of l_quantity, l_extendedprice, l_discount to numerical; " +
+        "ignore l_orderkey, l_partkey, l_suppkey, l_linenumber, l_tax, " +
+        "l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, " +
+        "l_shipinstruct, l_shipmode, l_comment)")
+      b.execute("create generator lgen for lpop using cgpm")
+      b.execute("initialize 4 models for lgen")
+      b.execute("analyze lgen for 10 iterations")
       b
     })
 
@@ -194,7 +204,28 @@ object BqlQueries {
       |FROM VARIABLES OF cpop
       |ORDER BY name""".stripMargin)
 
+  /** b14: CrossCat DEPENDENCE PROBABILITY — non-degenerate (unlike
+    * nig_normal's constant 0) over lineitem's correlated columns. */
+  val b14CrosscatDependence: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE DEPENDENCE PROBABILITY
+      |FROM PAIRWISE VARIABLES OF lpop
+      |ORDER BY name0, name1""".stripMargin)
+
+  /** b15: CrossCat 2-row similarity over a bounded pairwise join. */
+  val b15CrosscatSimilarity: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE SIMILARITY IN THE CONTEXT OF l_quantity
+      |FROM PAIRWISE lpop
+      |WHERE r0.rowid <= 12 AND r1.rowid <= 12
+      |ORDER BY rowid0, rowid1""".stripMargin)
+
+  /** b16: CrossCat conditional simulate (mixture posterior predictive). */
+  val b16CrosscatSimulate: Q = (spark, dir) => bdb(spark, dir).execute(
+    "SIMULATE l_extendedprice FROM lpop GIVEN l_quantity = 40 LIMIT 50")
+
   val queries: Map[String, Q] = Map(
+    "b14_crosscat_dependence" -> b14CrosscatDependence,
+    "b15_crosscat_similarity" -> b15CrosscatSimilarity,
+    "b16_crosscat_simulate" -> b16CrosscatSimulate,
     "b01_bql_select" -> b01Select,
     "b02_bql_join" -> b02Join,
     "b03_bql_subquery" -> b03Subquery,

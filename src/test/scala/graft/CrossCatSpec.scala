@@ -1,0 +1,133 @@
+package graft
+
+import graft.backends.{Backends, CrossCatBackend, DetRng}
+import graft.backends.CrossCat.CrossCatState
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CrossCat backend statistical-correctness tests (reference analogues:
+  * tests/test_cgpm.py dependence/similarity behaviors, tests/test_kl.py
+  * style moment checks). Synthetic table: x ~ N(0,1), y = x + ε (strongly
+  * dependent), z ~ N(5, 4) independent of both. A correct column-CRP
+  * sampler must put x,y in one view and (usually) z elsewhere. */
+class CrossCatSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val ColX = 0
+  private val ColY = 1
+  private val ColZ = 2
+
+  private lazy val fitted: CrossCatState = {
+    import spark.implicits._
+    val rng = DetRng(1234L)
+    val rows = (1 to 250).map { i =>
+      val x = rng.nextGaussian()
+      val y = x + 0.1 * rng.nextGaussian()
+      val z = 5.0 + 2.0 * rng.nextGaussian()
+      (i.toLong, x, y, z)
+    }
+    val df = rows.toDF("rowid", "x", "y", "z")
+    val backend = new CrossCatBackend()
+    val st0 = backend.createGenerator(df, Map(ColX -> "x", ColY -> "y", ColZ -> "z"))
+    val st1 = backend.initializeModels(st0, 0 until 8, DetRng(99L))
+    backend.analyzeModels(st1, None, 15, DetRng(7L)).asInstanceOf[CrossCatState]
+  }
+
+  private lazy val backend = new CrossCatBackend()
+
+  test("registry resolves cgpm/crosscat") {
+    assert(Backends.byName("cgpm").name == "cgpm")
+    assert(Backends.byName("crosscat").name == "cgpm")
+  }
+
+  test("dependence probability separates dependent from independent pairs") {
+    val dxy = backend.columnDependenceProbability(fitted, None, ColX, ColY)
+    val dxz = backend.columnDependenceProbability(fitted, None, ColX, ColZ)
+    val pxy = dxy.sum / dxy.length
+    val pxz = dxz.sum / dxz.length
+    assert(pxy >= 0.7, s"dependent pair got dependence $pxy")
+    assert(pxz <= pxy, s"independent pair $pxz should not exceed dependent pair $pxy")
+    // self-dependence shortcut
+    assert(backend.columnDependenceProbability(fitted, None, ColX, ColX) == Seq(1.0))
+  }
+
+  test("mutual information is positive for dependent, ~0 for independent pairs") {
+    val rng = DetRng(55L)
+    val mixy = backend.columnMutualInformation(fitted, None, Seq(ColX), Seq(ColY), 200, rng)
+    val mixz = backend.columnMutualInformation(fitted, None, Seq(ColX), Seq(ColZ), 200, rng)
+    val mXY = mixy.sum / mixy.length
+    val mXZ = mixz.sum / mixz.length
+    assert(mXY > 0.3, s"MI(x,y) should be clearly positive, got $mXY")
+    assert(mXZ < mXY / 2, s"MI(x,z)=$mXZ should be well below MI(x,y)=$mXY")
+  }
+
+  test("logpdf is higher near the data than far away") {
+    val near = backend.logpdfJoint(fitted, None, Seq(ColX -> 0.0), Nil)
+    val far = backend.logpdfJoint(fitted, None, Seq(ColX -> 50.0), Nil)
+    assert(near > far + 10)
+    // conditioning on the dependent column shifts the density
+    val cond = backend.logpdfJoint(fitted, None, Seq(ColY -> 2.0), Seq(ColX -> 2.0))
+    val marg = backend.logpdfJoint(fitted, None, Seq(ColY -> 2.0), Nil)
+    assert(cond > marg, "p(y=2 | x=2) should exceed p(y=2) for y ≈ x data")
+  }
+
+  test("simulate reproduces the marginal moments") {
+    val samples = backend.simulateJoint(fitted, None, Seq(ColZ), Nil, 400, DetRng(31L))
+      .map(_.head)
+    val mean = samples.sum / samples.length
+    val sd = math.sqrt(samples.map(v => (v - mean) * (v - mean)).sum / samples.length)
+    assert(math.abs(mean - 5.0) < 0.8, s"z mean $mean should be near 5")
+    assert(sd > 1.0 && sd < 4.0, s"z sd $sd should be near 2")
+  }
+
+  test("conditional simulation tracks the regression line") {
+    val at2 = backend.simulateJoint(fitted, None, Seq(ColY), Seq(ColX -> 2.0), 200, DetRng(41L))
+      .map(_.head)
+    val atm2 = backend.simulateJoint(fitted, None, Seq(ColY), Seq(ColX -> -2.0), 200, DetRng(42L))
+      .map(_.head)
+    val m2 = at2.sum / at2.length
+    val mm2 = atm2.sum / atm2.length
+    assert(m2 > mm2 + 1.0, s"E[y|x=2]=$m2 should clearly exceed E[y|x=-2]=$mm2")
+  }
+
+  test("row similarity reflects cluster co-membership in the context view") {
+    // rows 1 and 2 were both drawn near their x's; find two rows with very
+    // close (x,y) and two far apart
+    val st = fitted
+    val xs = st.data(st.colIdx(ColX))
+    val near = (0 until xs.length).sortBy(xs).toSeq
+    val (iLo, iLo2) = (near.head, near(1))
+    val iHi = near.last
+    val simClose = backend.rowSimilarity(st, None,
+      st.rowids(iLo), st.rowids(iLo2), Seq(ColX))
+    val simFar = backend.rowSimilarity(st, None,
+      st.rowids(iLo), st.rowids(iHi), Seq(ColX))
+    assert(simClose.sum / simClose.length >= simFar.sum / simFar.length)
+    // unincorporated rowid → NaN (reference returns nan)
+    assert(backend.rowSimilarity(st, None, 999999L, st.rowids(0), Seq(ColX)).head.isNaN)
+  }
+
+  test("predictive relevance is non-degenerate and in [0,1]") {
+    val st = fitted
+    val vals = backend.predictiveRelevance(st, None, st.rowids(0),
+      Seq(st.rowids(1), st.rowids(2)), Seq(Seq(ColX -> 0.0)), ColX)
+    assert(vals.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("analyze is deterministic under the seed") {
+    val backend2 = new CrossCatBackend()
+    import spark.implicits._
+    val rng = DetRng(1234L)
+    val rows = (1 to 250).map { i =>
+      val x = rng.nextGaussian()
+      val y = x + 0.1 * rng.nextGaussian()
+      val z = 5.0 + 2.0 * rng.nextGaussian()
+      (i.toLong, x, y, z)
+    }
+    val df = rows.toDF("rowid", "x", "y", "z")
+    val st0 = backend2.createGenerator(df, Map(ColX -> "x", ColY -> "y", ColZ -> "z"))
+    val st1 = backend2.initializeModels(st0, 0 until 8, DetRng(99L))
+    val refit = backend2.analyzeModels(st1, None, 15, DetRng(7L)).asInstanceOf[CrossCatState]
+    assert(refit.models.map(_.viewOf) == fitted.models.map(_.viewOf))
+    assert(refit.models.map(_.alpha) == fitted.models.map(_.alpha))
+  }
+}
