@@ -82,7 +82,10 @@ object Dedup {
     * similarity estimate. Returns (id0, id1, est_jaccard), id0 < id1. */
   def minHashCandidates(
       df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 3,
+      // 32 bands × 4 rows: the LSH S-curve threshold (1/b)^(1/r) ≈ 0.42,
+      // matched to the default minEstJaccard — 16×8 would sit at ≈0.77
+      // and miss mid-similarity near-dups
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       minEstJaccard: Double = 0.5, seed: Long = 42L,
       maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

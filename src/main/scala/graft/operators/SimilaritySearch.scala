@@ -69,7 +69,12 @@ object SimilaritySearch {
   /** Embedding near-duplicate pairs: hyperplane-LSH buckets → exact
     * cosine on candidates only. Returns (id0, id1, cosine) with
     * cosine >= minCosine. Chunks give recall on pairs whose signatures
-    * differ in <= chunks-1 bits (small angles ⇒ few differing bits). */
+    * differ in <= chunks-1 bits (small angles ⇒ few differing bits).
+    *
+    * Scale shape: the bucket self-join shuffles only (id, 64-bit
+    * signature chunk) tuples; the full vectors are joined back onto the
+    * surviving candidate pairs only — at 100 TB the wide rows never
+    * enter the O(candidates) shuffle. */
   def cosineNearDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, chunks: Int = 4, seed: Long = 42L): DataFrame = {
@@ -77,61 +82,63 @@ object SimilaritySearch {
     val signed = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
         hyperplaneSignature(seed)(col(vecCol)).as("sig"))
       .filter(col("sig").isNotNull)
-    val chunked = signed.select(col("id"), col("v"),
+    // narrow relation for the bucket join: ids + chunk values only
+    val chunked = signed.select(col("id"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sig"), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
-    val l = chunked.select(col("chunk"), col("chunk_val"),
-      col("id").as("id0"), col("v").as("v0"))
-    val r = chunked.select(col("chunk"), col("chunk_val"),
-      col("id").as("id1"), col("v").as("v1"))
-    l.join(r, Seq("chunk", "chunk_val"))
+    val l = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id0"))
+    val r = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id1"))
+    val candidates = l.join(r, Seq("chunk", "chunk_val"))
       .filter(col("id0") < col("id1"))
+      .select("id0", "id1")
       .dropDuplicates("id0", "id1")
+    // vectors rejoin per candidate pair only
+    val vecs = signed.select(col("id"), col("v"))
+    candidates
+      .join(vecs.select(col("id").as("id0"), col("v").as("v0")), "id0")
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
       .withColumn("cosine", cosine(col("v0"), col("v1")))
       .filter(col("cosine") >= minCosine)
       .select("id0", "id1", "cosine")
   }
 
-  /** IVF-style two-stage search: coarse quantization by nearest of
-    * `nCentroids` centroids (sampled deterministically from the data —
-    * at scale replace with a proper k-means fit), then exact search only
-    * in the query's `nProbe` nearest cells. The scan prunes to
-    * nProbe/nCentroids of the data. */
-  def ivfTopK(
+  /** A fitted IVF coarse quantizer: k-means centroids + the cell-assigned
+    * data. Build once, reuse across queries — at scale the `cells` frame
+    * is written partitioned by `cell` so a probe reads only its cells. */
+  final case class IvfIndex(centroids: Array[(Int, Array[Double])], cells: DataFrame)
+
+  /** Fit the IVF index: MLlib k-means (k-means|| init) over the
+    * embeddings, then assign every vector to its nearest centroid. */
+  def ivfIndex(
       df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Double], k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
     val data = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
-    // deterministic centroid sample: first nCentroids ids — a stand-in
-    // coarse quantizer with the same plan shape as a trained one
-    val centroids = data.orderBy("id").limit(nCentroids)
-      .collect().zipWithIndex
-      .map { case (row, i) => (i, row.getSeq[Double](1)) }
-    val bc = data.sparkSession.sparkContext.broadcast(centroids)
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val feats = data.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(20)
+      .fit(feats)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    val cells = model.transform(feats)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+    IvfIndex(centroids, cells)
+  }
 
-    val assign = udf { (v: Seq[Double]) =>
-      var best = -1
-      var bestSim = Double.MinValue
-      for ((cid, c) <- bc.value) {
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var j = 0
-        while (j < v.length) { dot += v(j) * c(j); na += v(j) * v(j); nb += c(j) * c(j); j += 1 }
-        val sim = if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
-        if (sim > bestSim) { bestSim = sim; best = cid }
-      }
-      best
-    }
-
-    // query's nProbe nearest cells
+  /** IVF two-stage search: rank the query against the (broadcast-sized)
+    * centroid table, then exact cosine only inside the `nProbe` nearest
+    * cells — the scan prunes to ~nProbe/nCentroids of the data, and the
+    * cell filter pushes down to the (cell-partitioned) index at scale. */
+  def ivfTopK(index: IvfIndex, query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val probeCells = centroids.map { case (cid, c) =>
+    val probeCells = index.centroids.map { case (cid, c) =>
       val dot = c.zip(query).map { case (a, b) => a * b }.sum
       val cn = math.sqrt(c.map(x => x * x).sum)
       (cid, if (cn == 0 || qn == 0) -2.0 else dot / (cn * qn))
     }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
-
-    data.withColumn("cell", assign(col("v")))
+    index.cells
       .filter(col("cell").isin(probeCells: _*))
       .select(col("id").as("neighbor_id"), cosine(col("v"), typedLit(query)).as("cosine"))
       .filter(col("cosine").isNotNull)

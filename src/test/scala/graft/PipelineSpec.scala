@@ -1,0 +1,110 @@
+package graft
+
+import graft.backends.DetRng
+import graft.operators.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-operator correctness: recall of the LSH families against
+  * planted near-duplicates, and IVF recall against brute-force top-k. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // --------------------------- planted near-duplicate document corpus
+
+  /** 40 base documents of 60 random words; for each of the first 10, a
+    * near-duplicate with 3 words changed (jaccard >> 0.8) is planted as
+    * id+1000. Unrelated docs share essentially no 3-gram shingles. */
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val rng = DetRng(2024L)
+    def word(): String = {
+      val len = 3 + rng.nextInt(6)
+      (0 until len).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    }
+    val bases = (0 until 40).map(i => (i.toLong, (0 until 60).map(_ => word())))
+    val nearDups = bases.take(10).map { case (id, words) =>
+      val mutated = words.updated(5, word()).updated(25, word()).updated(45, word())
+      (id + 1000L, mutated)
+    }
+    (bases ++ nearDups).map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  private val plantedPairs: Set[(Long, Long)] =
+    (0 until 10).map(i => (i.toLong, i + 1000L)).toSet
+
+  test("minhash LSH finds every planted near-dup pair with no random-pair noise") {
+    val cands = Dedup.minHashCandidates(docs, "text", "doc_id", minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = plantedPairs.intersect(cands)
+    assert(found.size >= 9, s"minhash recall ${found.size}/10 on planted near-dups")
+    val spurious = cands -- plantedPairs
+    assert(spurious.isEmpty, s"unrelated docs surfaced as candidates: $spurious")
+  }
+
+  test("ngram jaccard verification keeps planted pairs above threshold") {
+    val cands = Dedup.minHashCandidates(docs, "text", "doc_id", minEstJaccard = 0.3)
+    val verified = Dedup.ngramJaccard(docs, cands, "text", "doc_id", minJaccard = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedPairs.intersect(verified).size >= 9)
+  }
+
+  test("simhash pigeonhole bucketing finds low-hamming pairs") {
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3-of-60 word mutations flip few simhash bits; most planted pairs
+    // must land within hamming 12 while random pairs concentrate near 32
+    assert(plantedPairs.intersect(pairs).size >= 7,
+      s"simhash found only ${plantedPairs.intersect(pairs).size}/10 planted pairs")
+  }
+
+  test("exact dedup groups identical content only") {
+    import spark.implicits._
+    val withCopies = docs.union(
+      docs.filter(col("doc_id") < 5).withColumn("doc_id", col("doc_id") + 5000L))
+    val groups = Dedup.exactGroups(withCopies, "text", "doc_id")
+    assert(groups.filter(col("n_copies") === 2).count() == 5)
+    val deduped = Dedup.dedupExact(withCopies, "text", "doc_id")
+    assert(deduped.count() == 50)
+    assert(deduped.filter(col("doc_id") >= 5000).count() == 0, "keeper is min id")
+  }
+
+  // --------------------------------------------- embeddings: IVF + LSH
+
+  private lazy val embeddings: DataFrame = {
+    import spark.implicits._
+    val rng = DetRng(77L)
+    val dim = 16
+    // 8 well-separated cluster centers, 50 points each
+    val centers = (0 until 8).map(_ => Array.fill(dim)(rng.nextGaussian() * 5))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 50
+    } yield ((c * 50 + i).toLong,
+      centers(c).map(x => (x + 0.3 * rng.nextGaussian()).toFloat).toSeq)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("IVF top-k recall >= 0.9 vs brute force") {
+    val q = embeddings.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val exact = SimilaritySearch.bruteForceTopK(embeddings, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val index = SimilaritySearch.ivfIndex(embeddings, "embedding", "vec_id", nCentroids = 8)
+    val approx = SimilaritySearch.ivfTopK(index, q, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9")
+  }
+
+  test("hyperplane LSH near-dup pairs find same-cluster vectors only") {
+    val pairs = SimilaritySearch.cosineNearDupPairs(
+      embeddings, "embedding", "vec_id", minCosine = 0.98, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "tight clusters must yield near-dup pairs")
+    assert(pairs.forall { case (a, b) => a / 50 == b / 50 },
+      "cross-cluster vectors must not pass the cosine threshold")
+  }
+}
