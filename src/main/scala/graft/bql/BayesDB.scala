@@ -53,6 +53,16 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
 
   def hasTable(name: String): Boolean = tables.contains(Names.casefold(name))
 
+  /** `bayesdb_nullify`: map a sentinel value to NULL in one column
+    * (reference: src/nullify.py:20-30 — UPDATE t SET c=NULL WHERE c=v;
+    * here a lazy columnwise rewrite, no data copy until an action). */
+  def nullify(tableName: String, column: String, value: Any): Unit = {
+    val df = table(tableName)
+    val key = Names.casefold(tableName)
+    tables(key) = df.withColumn(column,
+      when(col(column) === lit(value), lit(null)).otherwise(col(column)))
+  }
+
   def table(name: String): DataFrame =
     tables.getOrElse(Names.casefold(name),
       throw new NoSuchElementException(s"No such table: $name"))

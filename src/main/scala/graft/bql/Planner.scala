@@ -70,10 +70,98 @@ object Planner {
     case i: InferAuto => planInferAuto(bdb, i, binds)
     case i: InferExplicit => planInferExplicit(bdb, i, binds)
     case s: Simulate => planSimulate(bdb, s, binds)
-    case _: SimulateModels | _: SimulateModelsExp =>
-      throw new UnsupportedOperationException(
-        "SIMULATE ... FROM MODELS OF: not yet implemented")
+    case s: SimulateModels => planSimulateModels(bdb, s.columns, s.population, s.generator, binds)
+    case s: SimulateModelsExp => planSimulateModels(bdb, s.columns, s.population, s.generator, binds)
   }
+
+  /** `SIMULATE <exprs> FROM MODELS OF p`: one row per ensemble member,
+    * each expression evaluated against that single model (reference:
+    * src/compiler.py:724-835 + the bql_mutinf virtual table
+    * src/bqlvtab.py:33-209 + macro expansion src/macro.py:37-111 — here
+    * the per-model values are computed directly and materialized as a
+    * DataFrame; no vtab or rowid-equijoin needed). */
+  private def planSimulateModels(bdb: BayesDB, columns: Seq[SelCol],
+      population: String, generator: Option[String], binds: Seq[Any]): DataFrame = {
+    val pm = bdb.populationModel(population, generator)
+    require(pm.generators.length == 1 || generator.isDefined,
+      "SIMULATE FROM MODELS OF with multiple generators: name one with MODELED BY")
+    val gen = pm.generators.head
+    val modelnos = gen.state.modelNumbers
+    var autoIdx = -1
+    val items = columns.map {
+      case SelColExp(e, nm) =>
+        val name = nm.getOrElse(e match {
+          case ExpCol(_, c) => c
+          case _ => autoIdx += 1; s"c$autoIdx"
+        })
+        name -> e
+      case other => throw new IllegalArgumentException(
+        s"SIMULATE FROM MODELS OF needs expressions: $other")
+    }
+    val rows = modelnos.map { m =>
+      org.apache.spark.sql.Row.fromSeq(items.map { case (_, e) =>
+        evalModelExp(bdb, pm, m, e, binds) })
+    }
+    val schema = org.apache.spark.sql.types.StructType(items.map { case (n, _) =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType) })
+    bdb.spark.createDataFrame(
+      bdb.spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Evaluate an expression against ONE ensemble member: BQL constant
+    * functions dispatch with modelnos=[m]; arithmetic composes
+    * (the reference's macro expansion over per-model columns). */
+  private def evalModelExp(bdb: BayesDB, pm: PopulationModel, m: Int,
+      e: Exp, binds: Seq[Any]): Double = {
+    def ev(x: Exp): Double = evalModelExp(bdb, pm, m, x, binds)
+    val gen = pm.generators.head
+    val one = Some(Seq(m))
+    e match {
+      case ExpLit(LitInt(v)) => v.toDouble
+      case ExpLit(LitFloat(v)) => v
+      case ExpNumpar(n) => bindValue(binds, n).asInstanceOf[Number].doubleValue
+      case ExpNampar(n, _) => bindValue(binds, n).asInstanceOf[Number].doubleValue
+      case ExpOp(Op.Add, Seq(a, b)) => ev(a) + ev(b)
+      case ExpOp(Op.Sub, Seq(a, b)) => ev(a) - ev(b)
+      case ExpOp(Op.Mul, Seq(a, b)) => ev(a) * ev(b)
+      case ExpOp(Op.Div, Seq(a, b)) => ev(a) / ev(b)
+      case ExpOp(Op.Negate, Seq(a)) => -ev(a)
+      case ExpOp(Op.PlusId, Seq(a)) => ev(a)
+      case ExpBQLMutInf(cols0, cols1, constraints, nsamp) =>
+        require(constraints.isEmpty, "MI GIVEN (...) not supported yet")
+        require(cols0.nonEmpty && cols1.nonEmpty,
+          "MUTUAL INFORMATION in MODELS OF needs OF ... WITH ...")
+        val n = nsamp.map(x => evalConstInt(bdb, x, binds)).getOrElse(1000)
+        val rng = DetRngFor(pm, m)
+        val ms = gen.backend.columnMutualInformation(gen.state, one,
+          cols0.map(pm.colno), cols1.map(pm.colno), n, rng)
+        ms.sum / ms.length
+      case ExpBQLDepProb(Some(c0), Some(c1)) =>
+        val ds = gen.backend.columnDependenceProbability(gen.state, one,
+          pm.colno(c0), pm.colno(c1))
+        ds.sum / ds.length
+      case ExpBQLProbDensity(targets, constraints) =>
+        val t = targets.map { case (c, v) => pm.colno(c) -> evalConstDouble(bdb, v, binds) }
+        val cs = constraints.map { case (c, v) => pm.colno(c) -> evalConstDouble(bdb, v, binds) }
+        math.exp(gen.backend.logpdfJoint(gen.state, one, t, cs))
+      case ExpBQLSim(Some(of), Some(to), cl) =>
+        val colno = contextColno(pm, cl, Ctx(bdb, ConstCtx(pm), binds, agg = false))
+        val ctx = Ctx(bdb, NoModelCtx, binds, agg = false)
+        val t = bdb.table(pm.population.table)
+        def rid(cond: Exp): Long = {
+          val rows = t.filter(compile(cond, ctx)).select(col("rowid")).limit(1).collect()
+          require(rows.nonEmpty, s"No row matches: $cond")
+          rows.head.getLong(0)
+        }
+        val ss = gen.backend.rowSimilarity(gen.state, one, rid(of), rid(to), Seq(colno))
+        ss.sum / ss.length
+      case other => throw new IllegalArgumentException(
+        s"Cannot evaluate per-model: $other")
+    }
+  }
+
+  private def DetRngFor(pm: PopulationModel, m: Int): graft.backends.DetRng =
+    graft.backends.DetRng(pm.seed, 0x5100de1L, m.toLong)
 
   // -------------------------------------------------------------- SELECT
 
@@ -846,9 +934,14 @@ object Planner {
             "PROBABILITY DENSITY OF VALUE requires a column context (ESTIMATE FROM VARIABLES OF)")
         }
 
-      case ExpBQLProbEst(_) =>
-        throw new UnsupportedOperationException(
-          "PROBABILITY OF (<expr>) requires SIMULATE FROM MODELS OF — not yet implemented")
+      case ExpBQLProbEst(inner) =>
+        // macro: AVG over SIMULATE (expr) FROM MODELS OF p (reference:
+        // src/macro.py:26-34) — evaluated directly over the ensemble
+        val gen = pm.generators.head
+        val ms = gen.state.modelNumbers
+        require(ms.nonEmpty, "PROBABILITY OF needs initialized models")
+        val vals = ms.map(m => evalModelExp(ctx.bdb, pm, m, inner, ctx.binds))
+        lit(vals.sum / vals.length)
 
       case other => throw new IllegalArgumentException(s"Unexpected BQL expression: $other")
     }

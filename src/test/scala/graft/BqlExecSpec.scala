@@ -124,6 +124,28 @@ class BqlExecSpec extends AnyFunSuite {
     assert(!bdb.hasTable("heavy"))
   }
 
+  test("create table from csv + nullify") {
+    val f = java.io.File.createTempFile("graft_csv", ".csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("name,score")
+    w.println("alice,10")
+    w.println("bob,-1")
+    w.println("carol,30")
+    w.close()
+    bdb.execute(s"create table csvt from '${f.getAbsolutePath}'")
+    assert(bdb.execute("select count(*) from csvt").head.getLong(0) == 3L)
+    bdb.nullify("csvt", "score", -1)
+    assert(bdb.execute("select count(*) from csvt where score is null")
+      .head.getLong(0) == 1L)
+    bdb.execute("drop table csvt")
+    f.delete()
+  }
+
+  test("infer * expands to all table columns with predict-wrapping") {
+    val df = bdb.execute("infer * from p1 limit 3")
+    assert(df.columns.toSeq == Seq("id", "label", "age", "weight"))
+  }
+
   test("transactions are accepted no-ops") {
     bdb.execute("begin")
     bdb.execute("commit")
@@ -237,6 +259,24 @@ class BqlExecSpec extends AnyFunSuite {
     val a = bdb.execute("simulate weight from p1 limit 10").collect().map(_.getDouble(0))
     val b = bdb.execute("simulate weight from p1 limit 10").collect().map(_.getDouble(0))
     assert(a.toSeq == b.toSeq, "simulate must be deterministic under the session seed")
+  }
+
+  test("simulate from models of: one row per ensemble member") {
+    val df = bdb.execute(
+      "simulate dependence probability of age with weight as dp," +
+        " mutual information of age with weight using 10 samples as mi" +
+        " from models of p1")
+    assert(df.columns.toSeq == Seq("dp", "mi"))
+    assert(df.count() == 4)  // 4 models initialized for g1
+    // compound arithmetic over per-model values (macro expansion)
+    val df2 = bdb.execute(
+      "simulate 2 * dependence probability of age with weight as x from models of p1")
+    assert(df2.collect().forall(r => r.getDouble(0) == 0.0))  // nig: dep = 0
+  }
+
+  test("probability of (expr) averages over the ensemble") {
+    val v = one("estimate probability of (dependence probability of age with weight) by p1")
+    assert(v == 0.0)
   }
 
   test("regress returns intercept + coefficient rows") {
