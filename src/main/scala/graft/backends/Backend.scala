@@ -12,6 +12,12 @@ trait ModelState extends Serializable
   * the data (O(columns × models)). */
 trait GeneratorState extends Serializable {
   def modelNumbers: Seq[Int]
+
+  /** For categorical columns: colno → ordered category labels; the code
+    * of a label is its index (reference: bayesdb_cgpm_category dictionary
+    * encoding, src/backends/cgpm_backend.py:61-68,1263-1310). Numeric-only
+    * backends leave it empty. */
+  def categoryCodes: Map[Int, IndexedSeq[String]] = Map.empty
 }
 
 /** The generative-model backend interface (reference: src/backend.py:86-297).
@@ -37,6 +43,11 @@ trait Backend extends Serializable {
   /** Fit per-column sufficient statistics over the base table — one
     * distributed aggregation. `columns` maps colno -> column name. */
   def createGenerator(df: DataFrame, columns: Map[Int, String]): GeneratorState
+
+  /** Stattype-aware fit: `nominalCols` lists the colnos to model as
+    * categorical (dictionary-encoded). Numeric-only backends ignore it. */
+  def createGenerator(df: DataFrame, columns: Map[Int, String],
+      nominalCols: Set[Int]): GeneratorState = createGenerator(df, columns)
 
   /** Draw initial ensemble members for the given model numbers. */
   def initializeModels(state: GeneratorState, modelnos: Seq[Int], rng: DetRng): GeneratorState

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   *   - CRP partition of COLUMNS into views (concentration `alpha`);
   *   - per view, CRP partition of ROWS into clusters (`viewAlpha`);
-  *   - per (column, cluster), a conjugate Normal–Inverse-Gamma component
-  *     with per-column hypers (m, r, s, nu) — the standard NIG conjugacy
-  *     (posterior + predictive student-t in closed form).
+  *   - per (column, cluster), a conjugate component model:
+  *     Normal–Inverse-Gamma for numerical columns (posterior predictive
+  *     student-t in closed form), symmetric-Dirichlet categorical for
+  *     nominal columns (dictionary-encoded category codes, reference:
+  *     bayesdb_cgpm_category) — `_DEFAULT_DIST` in the reference
+  *     (cgpm_backend.py:1905-1912) makes the same two choices.
   *
   * ANALYZE runs the reference's five Gibbs subproblems (names from
   * cgpm_backend.py:1425-1446): column_hypers (grid Gibbs), columns
@@ -28,26 +31,49 @@ import org.apache.spark.sql.functions._
   * cgpm_backend.py:189-205); all per-row query estimators run as UDFs
   * over the broadcast fitted state, so query cost is independent of the
   * subsample and distributed over the full table.
-  *
-  * v1 models numerical variables (NIG components); categorical
-  * (Dirichlet-categorical) components arrive with category-code support.
   */
 class CrossCatBackend(
     val subsampleRows: Int = 500,
-    val gridSize: Int = 15) extends Backend {
+    val gridSize: Int = 15,
+    val maxCategories: Int = 256) extends Backend {
 
   import CrossCat._
 
   override def name: String = "cgpm"
 
-  override def createGenerator(df: DataFrame, columns: Map[Int, String]): GeneratorState = {
+  override def createGenerator(df: DataFrame, columns: Map[Int, String]): GeneratorState =
+    createGenerator(df, columns, Set.empty)
+
+  override def createGenerator(df: DataFrame, columns: Map[Int, String],
+      nominalCols: Set[Int]): GeneratorState = {
     val colnos = columns.keys.toIndexedSeq.sorted
     val names = colnos.map(columns)
+    // dictionary-encode nominal columns: distinct values by frequency
+    // (deterministic tie-break on the value) — one distributed agg per
+    // nominal column over the full table
+    val cats: Map[Int, IndexedSeq[String]] = colnos.filter(nominalCols).map { c =>
+      val values = df.groupBy(col(columns(c)).cast("string").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("v").isNotNull)
+        .orderBy(col("n").desc, col("v").asc)
+        .limit(maxCategories)
+        .collect().map(_.getString(0)).toIndexedSeq
+      c -> values
+    }.toMap
+    val colTypes: IndexedSeq[ColType] = colnos.map { c =>
+      if (nominalCols(c)) CategoricalCol(math.max(cats(c).length, 1))
+      else NumericalCol
+    }
     val hasRowid = df.columns.exists(_.equalsIgnoreCase("rowid"))
-    // bounded subsample for MCMC (deterministic: first rows by rowid)
-    val sel = if (hasRowid) df.select((("rowid" +: names).map(c => col(c).cast("double"))): _*)
+    // bounded subsample for MCMC (deterministic: first rows by rowid);
+    // nominal columns travel as strings and are encoded on the driver
+    val selCols = names.zip(colTypes).map {
+      case (n, NumericalCol) => col(n).cast("double").cast("string")
+      case (n, _) => col(n).cast("string")
+    }
+    val sel = if (hasRowid) df.select((col("rowid").cast("double") +: selCols): _*)
                 .orderBy(col("rowid"))
-              else df.select((lit(-1.0) +: names.map(c => col(c).cast("double"))): _*)
+              else df.select((lit(-1.0) +: selCols): _*)
     val rows = sel.limit(subsampleRows).collect()
     val n = rows.length
     require(n > 0, "CrossCat needs at least one row")
@@ -55,24 +81,43 @@ class CrossCatBackend(
       if (hasRowid) rows(i).getDouble(0).toLong else (i + 1).toLong)
     val data = Array.ofDim[Double](colnos.length, n)
     for (i <- 0 until n; j <- colnos.indices) {
-      val v = rows(i).get(j + 1)
-      data(j)(i) = if (v == null) Double.NaN else v.asInstanceOf[Double]
-    }
-    // per-column moments for hyper grids, over the FULL table (one
-    // distributed aggregation — the only full scan in the fit)
-    val aggs = names.flatMap { c =>
-      val d = col(c).cast("double")
-      Seq(avg(d), variance(d), min(d), max(d))
-    }
-    val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    val moments = colnos.indices.map { j =>
-      def g(k: Int): Double = {
-        val v = stats.get(j * 4 + k)
-        if (v == null) 0.0 else v.asInstanceOf[Double]
+      val raw = rows(i).getString(j + 1)
+      data(j)(i) = colTypes(j) match {
+        case NumericalCol =>
+          if (raw == null) Double.NaN else raw.toDouble
+        case CategoricalCol(_) =>
+          if (raw == null) Double.NaN
+          else {
+            val code = cats(colnos(j)).indexOf(raw)
+            if (code < 0) Double.NaN else code.toDouble
+          }
       }
-      ColMoments(g(0), math.max(g(1), 1e-6), g(2), g(3))
     }
-    CrossCatState(columns, colnos, data, rowids, moments, IndexedSeq.empty)
+    // numerical column moments for hyper grids, over the FULL table
+    val numNames = names.zip(colTypes).collect { case (nm, NumericalCol) => nm }
+    val moments: IndexedSeq[ColMoments] =
+      if (numNames.isEmpty) colnos.map(_ => ColMoments(0, 1, 0, 1))
+      else {
+        val aggs = numNames.flatMap { c =>
+          val d = col(c).cast("double")
+          Seq(avg(d), variance(d), min(d), max(d))
+        }
+        val stats = df.agg(aggs.head, aggs.tail: _*).head()
+        var k = -1
+        colnos.indices.map { j =>
+          colTypes(j) match {
+            case NumericalCol =>
+              k += 1
+              def g(p: Int): Double = {
+                val v = stats.get(k * 4 + p)
+                if (v == null) 0.0 else v.asInstanceOf[Double]
+              }
+              ColMoments(g(0), math.max(g(1), 1e-6), g(2), g(3))
+            case _ => ColMoments(0, 1, 0, 1)
+          }
+        }
+      }
+    CrossCatState(columns, colnos, colTypes, cats, data, rowids, moments, IndexedSeq.empty)
   }
 
   override def initializeModels(state: GeneratorState, modelnos: Seq[Int],
@@ -93,7 +138,6 @@ class CrossCatBackend(
       if (!which.contains(m.modelno)) m
       else {
         var cur = m
-        val mrng = DetRng(seedBase, m.modelno.toLong)
         for (sweep <- 0 until iterations)
           cur = transition(st, cur, DetRng(seedBase, m.modelno.toLong, sweep.toLong))
         cur
@@ -119,7 +163,7 @@ class CrossCatBackend(
       numSamples: Int, rng: DetRng): Seq[Seq[Double]] = {
     val st = state.asInstanceOf[CrossCatState]
     val ms = select(st, modelnos)
-    (0 until numSamples).map { i =>
+    (0 until numSamples).map { _ =>
       val m = ms(rng.nextInt(ms.length))
       simulateOne(st, m, targets, constraints, rng)
     }
@@ -127,10 +171,19 @@ class CrossCatBackend(
 
   override def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
       colno: Int, numSamples: Int, rng: DetRng): (Double, Double) = {
-    // numerical imputation: mean of samples, confidence 0 ("XXX Punt",
-    // reference cgpm_backend.py:850-853)
+    val st = state.asInstanceOf[CrossCatState]
     val samples = simulateJoint(state, modelnos, Seq(colno), Nil, numSamples, rng)
-    (samples.map(_.head).sum / samples.length, 0.0)
+      .map(_.head)
+    st.colTypes(st.colIdx(colno)) match {
+      case CategoricalCol(_) =>
+        // nominal: mode + mode share (reference cgpm_backend.py:842-847)
+        val counts = samples.groupBy(identity).view.mapValues(_.length)
+        val (mode, cnt) = counts.maxBy { case (v, c) => (c, -v) }
+        (mode, cnt.toDouble / numSamples)
+      case NumericalCol =>
+        // numerical: mean, confidence 0 ("XXX Punt", cgpm_backend.py:850-853)
+        (samples.sum / samples.length, 0.0)
+    }
   }
 
   override def columnDependenceProbability(state: GeneratorState,
@@ -228,7 +281,12 @@ class CrossCatBackend(
     }
     val viewAlpha = IndexedSeq.fill(nViews)(rng.nextGamma(1.0, 1.0) max 1e-3)
     val rowAssign = (0 until nViews).map(v => crpPartition(n, viewAlpha(v), rng))
-    val hypers = st.moments.map(defaultHypers)
+    val hypers: IndexedSeq[ColHyper] = st.colnos.indices.map { j =>
+      st.colTypes(j) match {
+        case NumericalCol => NigH(defaultHypers(st.moments(j)))
+        case CategoricalCol(_) => CatH(1.0)
+      }
+    }
     CrossCatModel(modelno, alpha, viewOf.toIndexedSeq, viewAlpha, rowAssign, hypers)
   }
 
@@ -258,25 +316,23 @@ class CrossCatBackend(
     m
   }
 
-  /** Per-view suff stats workspace: cluster → (count, sum, sumsq) per
-    * column in the view. */
+  /** Per-view suff stats: per column in the view, per cluster — numeric
+    * (n, Σx, Σx²) and categorical per-category counts. */
   private[backends] def workspace(st: CrossCatState, m: CrossCatModel, v: Int): ViewSuff = {
-    val cols = st.colnos.indices.filter(j => m.viewOf(j) == v)
+    val cols = st.colnos.indices.filter(j => m.viewOf(j) == v).toIndexedSeq
     val assign = m.rowAssign(v)
     val k = if (assign.isEmpty) 0 else assign.max + 1
     val counts = new Array[Int](k)
-    val cnt = Array.ofDim[Double](cols.length, k)
-    val sum = Array.ofDim[Double](cols.length, k)
-    val ssq = Array.ofDim[Double](cols.length, k)
+    val suff = cols.map(j => ColSuff.empty(st.colTypes(j), k)).toArray
     for (i <- assign.indices) {
       val z = assign(i)
       counts(z) += 1
-      for ((j, jj) <- cols.zipWithIndex) {
-        val x = st.data(j)(i)
-        if (!x.isNaN) { cnt(jj)(z) += 1; sum(jj)(z) += x; ssq(jj)(z) += x * x }
+      for (jj <- cols.indices) {
+        val x = st.data(cols(jj))(i)
+        if (!x.isNaN) suff(jj).add(z, x)
       }
     }
-    ViewSuff(cols.toIndexedSeq, counts, cnt, sum, ssq)
+    ViewSuff(cols, counts, suff)
   }
 
   /** Cluster log-weights (CRP prior × likelihood of the given in-view
@@ -289,10 +345,9 @@ class CrossCatBackend(
       val prior = if (z < k) math.log(w.counts(z).toDouble) else math.log(alpha)
       val like = evidence.map { case (j, x) =>
         val jj = w.cols.indexOf(j)
-        val h = m.hypers(j)
         if (jj < 0) 0.0
-        else if (z < k) predictiveLogp(x, w.cnt(jj)(z), w.sum(jj)(z), w.ssq(jj)(z), h)
-        else predictiveLogp(x, 0.0, 0.0, 0.0, h)
+        else if (z < k) w.suff(jj).predictive(z, x, m.hypers(j))
+        else ColSuff.freshPredictive(st.colTypes(j), x, m.hypers(j))
       }.sum
       prior + like
     }
@@ -301,61 +356,51 @@ class CrossCatBackend(
   private def transitionRows(st: CrossCatState, m: CrossCatModel, rng: DetRng): CrossCatModel = {
     val n = st.data.head.length
     val newAssign = m.rowAssign.zipWithIndex.map { case (assign0, v) =>
-      val cols = st.colnos.indices.filter(j => m.viewOf(j) == v)
+      val cols = st.colnos.indices.filter(j => m.viewOf(j) == v).toIndexedSeq
       val assign = assign0.toArray
-      // mutable suff stats
       var k = if (assign.isEmpty) 0 else assign.max + 1
       val counts = scala.collection.mutable.ArrayBuffer.fill(k)(0)
-      val cnt = cols.map(_ => scala.collection.mutable.ArrayBuffer.fill(k)(0.0))
-      val sum = cols.map(_ => scala.collection.mutable.ArrayBuffer.fill(k)(0.0))
-      val ssq = cols.map(_ => scala.collection.mutable.ArrayBuffer.fill(k)(0.0))
+      val suff = cols.map(j => ColSuff.growable(st.colTypes(j), k)).toArray
       for (i <- 0 until n) {
         val z = assign(i)
         counts(z) += 1
-        for ((j, jj) <- cols.zipWithIndex) {
-          val x = st.data(j)(i)
-          if (!x.isNaN) { cnt(jj)(z) += 1; sum(jj)(z) += x; ssq(jj)(z) += x * x }
+        for (jj <- cols.indices) {
+          val x = st.data(cols(jj))(i)
+          if (!x.isNaN) suff(jj).add(z, x)
         }
-      }
-      def remove(i: Int): Unit = {
-        val z = assign(i)
-        counts(z) -= 1
-        for ((j, jj) <- cols.zipWithIndex) {
-          val x = st.data(j)(i)
-          if (!x.isNaN) { cnt(jj)(z) -= 1; sum(jj)(z) -= x; ssq(jj)(z) -= x * x }
-        }
-      }
-      def insert(i: Int, z: Int): Unit = {
-        if (z == counts.length) {
-          counts += 0; cnt.foreach(_ += 0.0); sum.foreach(_ += 0.0); ssq.foreach(_ += 0.0)
-        }
-        counts(z) += 1
-        for ((j, jj) <- cols.zipWithIndex) {
-          val x = st.data(j)(i)
-          if (!x.isNaN) { cnt(jj)(z) += 1; sum(jj)(z) += x; ssq(jj)(z) += x * x }
-        }
-        assign(i) = z
       }
       val alpha = m.viewAlpha(v)
       for (i <- 0 until n) {
-        remove(i)
-        val logw = (0 to counts.length).flatMap { z =>
-          if (z < counts.length && counts(z) == 0) Some(Double.NegativeInfinity)
+        // remove row i
+        val zi = assign(i)
+        counts(zi) -= 1
+        for (jj <- cols.indices) {
+          val x = st.data(cols(jj))(i)
+          if (!x.isNaN) suff(jj).remove(zi, x)
+        }
+        val logw = (0 to counts.length).map { z =>
+          if (z < counts.length && counts(z) == 0) Double.NegativeInfinity
           else {
             val prior =
-              if (z < counts.length) math.log(math.max(counts(z).toDouble, 1e-300))
+              if (z < counts.length) math.log(counts(z).toDouble)
               else math.log(alpha)
-            val like = cols.zipWithIndex.map { case (j, jj) =>
-              val x = st.data(j)(i)
+            val like = cols.indices.map { jj =>
+              val x = st.data(cols(jj))(i)
               if (x.isNaN) 0.0
-              else if (z < counts.length)
-                predictiveLogp(x, cnt(jj)(z), sum(jj)(z), ssq(jj)(z), m.hypers(j))
-              else predictiveLogp(x, 0.0, 0.0, 0.0, m.hypers(j))
+              else if (z < counts.length) suff(jj).predictive(z, x, m.hypers(cols(jj)))
+              else ColSuff.freshPredictive(st.colTypes(cols(jj)), x, m.hypers(cols(jj)))
             }.sum
-            Some(prior + like)
+            prior + like
           }
         }
-        insert(i, rng.logCategorical(logw.toIndexedSeq))
+        val zNew = rng.logCategorical(logw.toIndexedSeq)
+        if (zNew == counts.length) { counts += 0; suff.foreach(_.grow()) }
+        counts(zNew) += 1
+        for (jj <- cols.indices) {
+          val x = st.data(cols(jj))(i)
+          if (!x.isNaN) suff(jj).add(zNew, x)
+        }
+        assign(i) = zNew
       }
       // compact empty clusters
       val live = counts.zipWithIndex.filter(_._1 > 0).map(_._2)
@@ -370,18 +415,15 @@ class CrossCatBackend(
     val n = st.data.head.length
     for (j <- st.colnos.indices) {
       val vOld = m.viewOf(j)
-      val colsInOld = st.colnos.indices.count(jj => m.viewOf(jj) == vOld)
-      // column marginal under each existing view's row partition
+      // column marginal under each view's row partition
       def colMarginal(assign: IndexedSeq[Int]): Double = {
         val k = if (assign.isEmpty) 0 else assign.max + 1
-        val cnt = new Array[Double](k)
-        val sum = new Array[Double](k)
-        val ssq = new Array[Double](k)
+        val s = ColSuff.empty(st.colTypes(j), k)
         for (i <- 0 until n) {
           val x = st.data(j)(i)
-          if (!x.isNaN) { val z = assign(i); cnt(z) += 1; sum(z) += x; ssq(z) += x * x }
+          if (!x.isNaN) s.add(assign(i), x)
         }
-        (0 until k).map(z => marginalLogp(cnt(z), sum(z), ssq(z), m.hypers(j))).sum
+        (0 until k).map(z => s.marginal(z, m.hypers(j))).sum
       }
       val nViews = m.rowAssign.length
       // auxiliary view: fresh CRP partition (Neal algorithm 8, m=1)
@@ -390,7 +432,7 @@ class CrossCatBackend(
       val logw = (0 until nViews).map { v =>
         val size = st.colnos.indices.count(jj => m.viewOf(jj) == v) -
           (if (v == vOld) 1 else 0)
-        if (size == 0) Double.NegativeInfinity  // emptied old view: handled by aux
+        if (size == 0) Double.NegativeInfinity
         else math.log(size.toDouble) + colMarginal(m.rowAssign(v))
       } :+ (math.log(m.alpha) + colMarginal(auxAssign))
       val pick = rng.logCategorical(logw)
@@ -399,7 +441,6 @@ class CrossCatBackend(
         var rowAssign = m.rowAssign
         var viewAlpha = m.viewAlpha
         if (pick == nViews) { rowAssign = rowAssign :+ auxAssign; viewAlpha = viewAlpha :+ auxAlpha }
-        // drop emptied views and renumber
         val liveViews = rowAssign.indices.filter(v => viewOf.contains(v))
         val remap = liveViews.zipWithIndex.toMap
         m = m.copy(
@@ -412,31 +453,36 @@ class CrossCatBackend(
   }
 
   private def transitionHypers(st: CrossCatState, m: CrossCatModel, rng: DetRng): CrossCatModel = {
-    val hypers = st.colnos.indices.map { j =>
+    val n = st.data.head.length
+    val hypers: IndexedSeq[ColHyper] = st.colnos.indices.map { j =>
       val v = m.viewOf(j)
       val assign = m.rowAssign(v)
       val k = if (assign.isEmpty) 0 else assign.max + 1
-      val cnt = new Array[Double](k)
-      val sum = new Array[Double](k)
-      val ssq = new Array[Double](k)
+      val s = ColSuff.empty(st.colTypes(j), k)
       for (i <- assign.indices) {
         val x = st.data(j)(i)
-        if (!x.isNaN) { val z = assign(i); cnt(z) += 1; sum(z) += x; ssq(z) += x * x }
+        if (!x.isNaN) s.add(assign(i), x)
       }
-      def score(h: NigHypers): Double =
-        (0 until k).map(z => marginalLogp(cnt(z), sum(z), ssq(z), h)).sum
-      val mom = st.moments(j)
-      var h = m.hypers(j)
-      // grid Gibbs, one dimension at a time (reference: column_hypers)
-      val mGrid = linGrid(mom.min, mom.max, gridSize)
-      h = h.copy(m = gridPick(mGrid, (x: Double) => score(h.copy(m = x)), rng))
-      val rGrid = logGrid(1.0 / st.data.head.length, 10.0, gridSize)
-      h = h.copy(r = gridPick(rGrid, (x: Double) => score(h.copy(r = x)), rng))
-      val sGrid = logGrid(mom.variance / 100.0 + 1e-9, mom.variance * 100.0 + 1e-6, gridSize)
-      h = h.copy(s = gridPick(sGrid, (x: Double) => score(h.copy(s = x)), rng))
-      val nuGrid = logGrid(0.5, st.data.head.length.toDouble max 2.0, gridSize)
-      h = h.copy(nu = gridPick(nuGrid, (x: Double) => score(h.copy(nu = x)), rng))
-      h
+      m.hypers(j) match {
+        case NigH(h0) =>
+          def score(h: NigHypers): Double =
+            (0 until k).map(z => s.marginal(z, NigH(h))).sum
+          val mom = st.moments(j)
+          var h = h0
+          val mGrid = linGrid(mom.min, mom.max, gridSize)
+          h = h.copy(m = gridPick(mGrid, (x: Double) => score(h.copy(m = x)), rng))
+          val rGrid = logGrid(1.0 / n, 10.0, gridSize)
+          h = h.copy(r = gridPick(rGrid, (x: Double) => score(h.copy(r = x)), rng))
+          val sGrid = logGrid(mom.variance / 100.0 + 1e-9, mom.variance * 100.0 + 1e-6, gridSize)
+          h = h.copy(s = gridPick(sGrid, (x: Double) => score(h.copy(s = x)), rng))
+          val nuGrid = logGrid(0.5, n.toDouble max 2.0, gridSize)
+          h = h.copy(nu = gridPick(nuGrid, (x: Double) => score(h.copy(nu = x)), rng))
+          NigH(h)
+        case CatH(_) =>
+          val grid = logGrid(1.0 / math.max(n, 2), n.toDouble max 2.0, gridSize)
+          CatH(gridPick(grid, (a: Double) =>
+            (0 until k).map(z => s.marginal(z, CatH(a))).sum, rng))
+      }
     }
     m.copy(hypers = hypers)
   }
@@ -476,8 +522,8 @@ class CrossCatBackend(
         val tLike = ts.map { case (c, x) =>
           val j = st.colIdx(c)
           val jj = w.cols.indexOf(j)
-          if (z < k) predictiveLogp(x, w.cnt(jj)(z), w.sum(jj)(z), w.ssq(jj)(z), m.hypers(j))
-          else predictiveLogp(x, 0.0, 0.0, 0.0, m.hypers(j))
+          if (z < k) w.suff(jj).predictive(z, x, m.hypers(j))
+          else ColSuff.freshPredictive(st.colTypes(j), x, m.hypers(j))
         }.sum
         (logwC(z) - norm) + tLike
       }
@@ -498,21 +544,29 @@ class CrossCatBackend(
       ts.map { c =>
         val j = st.colIdx(c)
         val jj = w.cols.indexOf(j)
-        val (cn, s1, s2) =
-          if (z < k) (w.cnt(jj)(z), w.sum(jj)(z), w.ssq(jj)(z)) else (0.0, 0.0, 0.0)
-        c -> samplePredictive(cn, s1, s2, m.hypers(j), rng)
+        c -> (if (z < k) w.suff(jj).sample(z, m.hypers(j), rng)
+              else ColSuff.freshSample(st.colTypes(j), m.hypers(j), rng))
       }
     }
     targets.map(drawn)
   }
 }
 
-/** CrossCat state containers + NIG-Normal conjugate math. */
+/** CrossCat state containers + conjugate component math (NIG-Normal and
+  * symmetric-Dirichlet categorical). */
 object CrossCat {
 
   final case class ColMoments(mean: Double, variance: Double, min: Double, max: Double)
 
+  sealed trait ColType extends Serializable
+  case object NumericalCol extends ColType
+  final case class CategoricalCol(k: Int) extends ColType
+
   final case class NigHypers(m: Double, r: Double, s: Double, nu: Double)
+
+  sealed trait ColHyper extends Serializable
+  final case class NigH(h: NigHypers) extends ColHyper
+  final case class CatH(alpha: Double) extends ColHyper
 
   final case class CrossCatModel(
       modelno: Int,
@@ -520,16 +574,19 @@ object CrossCat {
       viewOf: IndexedSeq[Int],
       viewAlpha: IndexedSeq[Double],
       rowAssign: IndexedSeq[IndexedSeq[Int]],
-      hypers: IndexedSeq[NigHypers]) extends ModelState
+      hypers: IndexedSeq[ColHyper]) extends ModelState
 
   final case class CrossCatState(
       columns: Map[Int, String],
       colnos: IndexedSeq[Int],
+      colTypes: IndexedSeq[ColType],
+      cats: Map[Int, IndexedSeq[String]],
       data: Array[Array[Double]],     // column-major subsample, NaN = missing
       rowids: Array[Long],
       moments: IndexedSeq[ColMoments],
       models: IndexedSeq[CrossCatModel]) extends GeneratorState {
     override def modelNumbers: Seq[Int] = models.map(_.modelno)
+    override def categoryCodes: Map[Int, IndexedSeq[String]] = cats
     def colIdx(colno: Int): Int = {
       val j = colnos.indexOf(colno)
       require(j >= 0, s"Unknown colno: $colno")
@@ -538,12 +595,75 @@ object CrossCat {
     def rowIdx(rowid: Long): Int = rowids.indexOf(rowid)
   }
 
+  /** Mutable per-column suff stats over clusters: numeric (n, Σx, Σx²) or
+    * per-category counts. */
+  final class ColSuff(val tpe: ColType,
+      var n: Array[Double], var sum: Array[Double], var ssq: Array[Double],
+      var cat: Array[Array[Double]]) extends Serializable {
+    def add(z: Int, x: Double): Unit = tpe match {
+      case NumericalCol => n(z) += 1; sum(z) += x; ssq(z) += x * x
+      case CategoricalCol(_) => n(z) += 1; cat(z)(x.toInt) += 1
+    }
+    def remove(z: Int, x: Double): Unit = tpe match {
+      case NumericalCol => n(z) -= 1; sum(z) -= x; ssq(z) -= x * x
+      case CategoricalCol(_) => n(z) -= 1; cat(z)(x.toInt) -= 1
+    }
+    def grow(): Unit = {
+      n = n :+ 0.0; sum = sum :+ 0.0; ssq = ssq :+ 0.0
+      tpe match {
+        case CategoricalCol(k) => cat = cat :+ new Array[Double](k)
+        case _ => ()
+      }
+    }
+    def predictive(z: Int, x: Double, h: ColHyper): Double = (tpe, h) match {
+      case (NumericalCol, NigH(hh)) => predictiveLogp(x, n(z), sum(z), ssq(z), hh)
+      case (CategoricalCol(k), CatH(a)) =>
+        math.log((cat(z)(x.toInt) + a) / (n(z) + k * a))
+      case _ => throw new IllegalStateException("suff/hyper type mismatch")
+    }
+    def marginal(z: Int, h: ColHyper): Double = (tpe, h) match {
+      case (NumericalCol, NigH(hh)) => marginalLogp(n(z), sum(z), ssq(z), hh)
+      case (CategoricalCol(k), CatH(a)) =>
+        // Dirichlet-multinomial marginal
+        if (n(z) == 0) 0.0
+        else lgamma(k * a) - lgamma(k * a + n(z)) +
+          cat(z).map(c => lgamma(a + c) - lgamma(a)).sum
+      case _ => throw new IllegalStateException("suff/hyper type mismatch")
+    }
+    def sample(z: Int, h: ColHyper, rng: DetRng): Double = (tpe, h) match {
+      case (NumericalCol, NigH(hh)) => samplePredictive(n(z), sum(z), ssq(z), hh, rng)
+      case (CategoricalCol(k), CatH(a)) =>
+        val w = (0 until k).map(c => math.log(cat(z)(c) + a))
+        rng.logCategorical(w).toDouble
+      case _ => throw new IllegalStateException("suff/hyper type mismatch")
+    }
+  }
+
+  object ColSuff {
+    def empty(tpe: ColType, k: Int): ColSuff = tpe match {
+      case NumericalCol =>
+        new ColSuff(tpe, new Array[Double](k), new Array[Double](k), new Array[Double](k), Array.empty)
+      case CategoricalCol(kk) =>
+        new ColSuff(tpe, new Array[Double](k), Array.empty, Array.empty,
+          Array.fill(k)(new Array[Double](kk)))
+    }
+    def growable(tpe: ColType, k: Int): ColSuff = empty(tpe, k)
+    def freshPredictive(tpe: ColType, x: Double, h: ColHyper): Double = (tpe, h) match {
+      case (NumericalCol, NigH(hh)) => predictiveLogp(x, 0.0, 0.0, 0.0, hh)
+      case (CategoricalCol(k), CatH(a)) => math.log(1.0 / k)
+      case _ => throw new IllegalStateException("suff/hyper type mismatch")
+    }
+    def freshSample(tpe: ColType, h: ColHyper, rng: DetRng): Double = (tpe, h) match {
+      case (NumericalCol, NigH(hh)) => samplePredictive(0.0, 0.0, 0.0, hh, rng)
+      case (CategoricalCol(k), CatH(_)) => rng.nextInt(k).toDouble
+      case _ => throw new IllegalStateException("suff/hyper type mismatch")
+    }
+  }
+
   final case class ViewSuff(
       cols: IndexedSeq[Int],
       counts: Array[Int],
-      cnt: Array[Array[Double]],
-      sum: Array[Array[Double]],
-      ssq: Array[Array[Double]])
+      suff: Array[ColSuff])
 
   private val HalfLog2Pi = 0.5 * math.log(2 * math.Pi)
   private val Log2 = math.log(2.0)

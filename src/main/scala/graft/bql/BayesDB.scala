@@ -257,9 +257,11 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
       val backend = Backends.byName(gen.backend)
       val df = table(pop.table)
       val columns = pop.modeledVariables.map(v => v.colno -> v.name).toMap
+      val nominal = pop.modeledVariables.filter(v => StatType.isNominal(v.stattype))
+        .map(_.colno).toSet
       val modelnos = catalog.initializeModels(genName, n)
       val rng = DetRng(seed, 0xf17L, gen.id.toLong)
-      val st0 = backend.createGenerator(df, columns)
+      val st0 = backend.createGenerator(df, columns, nominal)
       states(Names.casefold(genName)) = backend.initializeModels(st0, modelnos, rng)
       emptyResult
 

@@ -141,8 +141,10 @@ object Planner {
           pm.colno(c0), pm.colno(c1))
         ds.sum / ds.length
       case ExpBQLProbDensity(targets, constraints) =>
-        val t = targets.map { case (c, v) => pm.colno(c) -> evalConstDouble(bdb, v, binds) }
-        val cs = constraints.map { case (c, v) => pm.colno(c) -> evalConstDouble(bdb, v, binds) }
+        val t = targets.map { case (c, v) =>
+          pm.colno(c) -> Estimators.encodeValue(pm, c, evalConst(bdb, v, binds)) }
+        val cs = constraints.map { case (c, v) =>
+          pm.colno(c) -> Estimators.encodeValue(pm, c, evalConst(bdb, v, binds)) }
         math.exp(gen.backend.logpdfJoint(gen.state, one, t, cs))
       case ExpBQLSim(Some(of), Some(to), cl) =>
         val colno = contextColno(pm, cl, Ctx(bdb, ConstCtx(pm), binds, agg = false))
@@ -350,7 +352,7 @@ object Planner {
         s"SIMULATE only accepts population variables: $other")
     }
     val constraints = s.constraints.map { case (c, e) =>
-      c -> evalConstDouble(bdb, e, binds)
+      c -> Estimators.encodeValue(pm, c, evalConst(bdb, e, binds))
     }
     val n = s.nsamples.map(e => evalConstInt(bdb, e, binds)).getOrElse(0)
     // ACCURACY is a cgpm likelihood-weighting knob (reference:
@@ -800,6 +802,11 @@ object Planner {
       plan(bdb, q, binds).collect().map(_.get(0).toString).toSeq
   }
 
+  /** Encode a plan-time constant for a variable: nominal labels map to
+    * category codes via the fitted generator's dictionary. */
+  private def encodeConst(ctx: Ctx, pm: PopulationModel, varName: String, e: Exp): Double =
+    Estimators.encodeValue(pm, varName, evalConst(ctx.bdb, e, ctx.binds))
+
   /** Resolve the single context column of SIMILARITY / PREDICTIVE
     * RELEVANCE. */
   private def contextColno(pm: PopulationModel, cl: ColList, ctx: Ctx): Int = {
@@ -863,7 +870,7 @@ object Planner {
           case None => Nil
         }
         val hyp = hypotheticals.map(_.map { case (c, v) =>
-          pm.colno(c) -> evalConstDouble(ctx.bdb, v, ctx.binds)
+          pm.colno(c) -> encodeConst(ctx, pm, c, v)
         })
         require(queryRowids.nonEmpty || hyp.nonEmpty,
           "No matching rows for PREDICTIVE RELEVANCE")
@@ -914,8 +921,8 @@ object Planner {
         }
 
       case ExpBQLProbDensity(targets, constraints) =>
-        val t = targets.map { case (c, v) => c -> evalConstDouble(ctx.bdb, v, ctx.binds) }
-        val cs = constraints.map { case (c, v) => c -> evalConstDouble(ctx.bdb, v, ctx.binds) }
+        val t = targets.map { case (c, v) => c -> encodeConst(ctx, pm, c, v) }
+        val cs = constraints.map { case (c, v) => c -> encodeConst(ctx, pm, c, v) }
         lit(Estimators.probabilityDensity(pm, t, cs))
 
       case ExpBQLProbDensityFn(value, constraints) =>

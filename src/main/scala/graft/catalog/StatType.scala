@@ -44,4 +44,11 @@ object StatType {
 
   /** Variables a generative model actually models (not key/ignore). */
   def isModeled(st: StatType): Boolean = st != Key && st != Ignore
+
+  /** Stattypes modeled with categorical (dictionary-coded) components
+    * (reference `_is_nominal`, cgpm default dists :1905-1912). */
+  def isNominal(st: StatType): Boolean = st match {
+    case Nominal | UnboundedNominal | Boolean => true
+    case _ => false
+  }
 }

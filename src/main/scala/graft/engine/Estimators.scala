@@ -36,6 +36,56 @@ final case class PopulationModel(
   */
 object Estimators {
 
+  // -------------------------------------------------- category encoding
+  // Nominal variables travel through the Double-valued backend interface
+  // as dictionary codes (reference: bayesdb_cgpm_category). The first
+  // generator exposing codes for a colno wins (codes are per-generator in
+  // the reference; one generator per population is the common case).
+
+  /** colno → ordered labels (code = index), if any generator models the
+    * column categorically. */
+  def codesFor(pm: PopulationModel, colno: Int): Option[IndexedSeq[String]] =
+    pm.generators.iterator.flatMap(_.state.categoryCodes.get(colno)).nextOption()
+
+  /** Column expression producing the UDF-ready Double for a variable:
+    * categorical → code lookup (null for unseen), numerical → cast. */
+  def valueCol(pm: PopulationModel, varName: String): Column = {
+    val colno = pm.colno(varName)
+    codesFor(pm, colno) match {
+      case Some(labels) =>
+        val m = labels.zipWithIndex.map { case (l, i) => l -> i.toDouble }.toMap
+        element_at(typedLit(m), col(varName).cast("string"))
+      case None => col(varName).cast("double")
+    }
+  }
+
+  /** Encode one constant (string label or number) for a variable. */
+  def encodeValue(pm: PopulationModel, varName: String, value: Any): Double = {
+    val colno = pm.colno(varName)
+    (codesFor(pm, colno), value) match {
+      case (Some(labels), s: String) =>
+        val code = labels.indexOf(s)
+        require(code >= 0, s"Unknown category for $varName: $s")
+        code.toDouble
+      case (_, n: Number) => n.doubleValue
+      case (None, s: String) => s.toDouble
+      case (_, other) => throw new IllegalArgumentException(
+        s"Cannot encode $other for $varName")
+    }
+  }
+
+  /** Decode a backend Double to the user-facing value. */
+  def decodeValue(pm: PopulationModel, varName: String, code: Double): Any =
+    codesFor(pm, pm.colno(varName)) match {
+      case Some(labels) =>
+        val i = code.toInt
+        if (i >= 0 && i < labels.length) labels(i) else null
+      case None => code
+    }
+
+  private def isCategorical(pm: PopulationModel, varName: String): Boolean =
+    codesFor(pm, pm.colno(varName)).isDefined
+
   /** `ESTIMATE PREDICTIVE PROBABILITY OF t [GIVEN (cs)] FROM p`
     * (reference: src/bqlfn.py:459-486). Appends a column: for each row,
     * exp(logmeanexp over generators of logpdf(observed target values |
@@ -58,8 +108,8 @@ object Estimators {
       }
     }
     df.withColumn(outCol,
-      fn(array(targets.map(c => col(c).cast("double")): _*),
-         array(constraints.map(c => col(c).cast("double")): _*)))
+      fn(array(targets.map(c => valueCol(pm, c)): _*),
+         array(constraints.map(c => valueCol(pm, c)): _*)))
   }
 
   /** `PROBABILITY DENSITY OF c = v [GIVEN (c'=v', ...)]` for literal
@@ -110,9 +160,14 @@ object Estimators {
       if (n == 0) Nil
       else g.backend.simulateJoint(g.state, None, tColnos, c, n, rng)
     }
-    val schema = StructType(targets.map(t => StructField(t, DoubleType, nullable = false)))
+    // nominal targets decode from category codes to labels
+    val schema = StructType(targets.map(t => StructField(t,
+      if (isCategorical(pm, t)) StringType else DoubleType, nullable = true)))
+    val decoded = rows.map(r => Row.fromSeq(targets.zip(r).map {
+      case (t, v) => decodeValue(pm, t, v)
+    }))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map(Row.fromSeq(_)), 1), schema)
+      spark.sparkContext.parallelize(decoded, 1), schema)
   }
 
   /** `INFER c WITH CONFIDENCE conf FROM p` — macro semantics
@@ -128,14 +183,29 @@ object Estimators {
     val colno = pm.colno(targetCol)
     val gens = pm.generators
     val seed = pm.seed
-    val fn = udf { (rowid: Long) =>
-      val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
-      val g = gens(rng.nextInt(gens.length))
-      val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
-      if (confidence >= minConfidence) java.lang.Double.valueOf(value) else null
+    val labels = codesFor(pm, colno)
+    if (labels.isDefined) {
+      val lab = labels.get
+      val fn = udf { (rowid: Long) =>
+        val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
+        val g = gens(rng.nextInt(gens.length))
+        val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+        if (confidence >= minConfidence && value.toInt >= 0 && value.toInt < lab.length)
+          lab(value.toInt)
+        else null
+      }
+      df.withColumn(targetCol,
+        coalesce(col(targetCol).cast("string"), fn(col(rowidCol))))
+    } else {
+      val fn = udf { (rowid: Long) =>
+        val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
+        val g = gens(rng.nextInt(gens.length))
+        val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+        if (confidence >= minConfidence) java.lang.Double.valueOf(value) else null
+      }
+      df.withColumn(targetCol,
+        coalesce(col(targetCol).cast("double"), fn(col(rowidCol))))
     }
-    df.withColumn(targetCol,
-      coalesce(col(targetCol).cast("double"), fn(col(rowidCol))))
   }
 
   /** `PREDICT c CONFIDENCE` as an explicit struct column (the reference
@@ -206,8 +276,8 @@ object Estimators {
         java.lang.Double.valueOf(math.exp(logMeanExp(perGen)))
       }
     }
-    fn(array(targets.map(c => col(c).cast("double")): _*),
-       array(constraints.map(c => col(c).cast("double")): _*))
+    fn(array(targets.map(c => valueCol(pm, c)): _*),
+       array(constraints.map(c => valueCol(pm, c)): _*))
   }
 
   /** Ensemble row similarity: mean over generators of the per-model mean
@@ -289,13 +359,26 @@ object Estimators {
       numSamples: Int, rowidCol: Column): Column = {
     val gens = pm.generators
     val seed = pm.seed
-    val fn = udf { (rowid: Long) =>
-      val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
-      val g = gens(rng.nextInt(gens.length))
-      val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
-      if (confidence >= threshold) java.lang.Double.valueOf(value) else null
+    codesFor(pm, colno) match {
+      case Some(lab) =>
+        val fn = udf { (rowid: Long) =>
+          val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
+          val g = gens(rng.nextInt(gens.length))
+          val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+          if (confidence >= threshold && value.toInt >= 0 && value.toInt < lab.length)
+            lab(value.toInt)
+          else null
+        }
+        fn(rowidCol)
+      case None =>
+        val fn = udf { (rowid: Long) =>
+          val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
+          val g = gens(rng.nextInt(gens.length))
+          val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+          if (confidence >= threshold) java.lang.Double.valueOf(value) else null
+        }
+        fn(rowidCol)
     }
-    fn(rowidCol)
   }
 
   /** `PREDICT c AS v CONFIDENCE cv` struct column for INFER EXPLICIT. */
@@ -303,13 +386,25 @@ object Estimators {
       rowidCol: Column): Column = {
     val gens = pm.generators
     val seed = pm.seed
-    val fn = udf { (rowid: Long) =>
-      val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
-      val g = gens(rng.nextInt(gens.length))
-      val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
-      (value, confidence)
+    codesFor(pm, colno) match {
+      case Some(lab) =>
+        val fn = udf { (rowid: Long) =>
+          val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
+          val g = gens(rng.nextInt(gens.length))
+          val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+          val label = if (value.toInt >= 0 && value.toInt < lab.length) lab(value.toInt) else null
+          (label, confidence)
+        }
+        fn(rowidCol).cast("struct<value:string,confidence:double>")
+      case None =>
+        val fn = udf { (rowid: Long) =>
+          val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
+          val g = gens(rng.nextInt(gens.length))
+          val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+          (value, confidence)
+        }
+        fn(rowidCol).cast("struct<value:double,confidence:double>")
     }
-    fn(rowidCol).cast("struct<value:double,confidence:double>")
   }
 
   /** `ESTIMATE ... FROM PAIRWISE VARIABLES OF p` support: the variables

@@ -285,6 +285,44 @@ class BqlExecSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("intercept", "age"))
   }
 
+  test("nominal variables end-to-end: infer, simulate, density with labels") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 200).map { i =>
+      val cluster = i % 2
+      val x = (if (cluster == 0) -5.0 else 5.0) + rng.nextGaussian()
+      val label = if (i % 11 == 0) null else (if (cluster == 0) "neg" else "pos")
+      (i.toLong, x, label)
+    }
+    bdb.registerTable("t3", rows.toDF("id", "x", "label"))
+    bdb.execute("create population p3 for t3 (id ignore; x numerical; label nominal)")
+    bdb.execute("create generator g3 for p3 using cgpm")
+    bdb.execute("initialize 4 models for g3")
+    bdb.execute("analyze g3 for 12 iterations")
+
+    // SIMULATE returns labels, not codes
+    val sim = bdb.execute("simulate label from p3 given x = 5 limit 40")
+    assert(sim.schema("label").dataType.typeName == "string")
+    val labs = sim.collect().map(_.getString(0))
+    assert(labs.count(_ == "pos").toDouble / labs.length >= 0.8)
+
+    // INFER fills the held-out labels with strings
+    val inferred = bdb.execute("infer label with confidence 0.5 from p3 order by rowid")
+    assert(inferred.collect().forall(!_.isNullAt(0)))
+
+    // PROBABILITY DENSITY accepts label literals
+    val pPos = one("estimate probability density of label = 'pos' given (x = 5) by p3")
+      .asInstanceOf[Double]
+    val pNeg = one("estimate probability density of label = 'neg' given (x = 5) by p3")
+      .asInstanceOf[Double]
+    assert(pPos > pNeg)
+
+    // INFER EXPLICIT carries string value + confidence
+    val exp = bdb.execute(
+      "infer explicit rowid, predict label as lhat confidence lconf from p3 limit 5")
+    assert(exp.schema("lhat").dataType.typeName == "string")
+  }
+
   test("select rejects model estimators (reference: BQLCompiler_None)") {
     intercept[Exception] {
       bdb.execute("select predictive probability of weight from t1").collect()

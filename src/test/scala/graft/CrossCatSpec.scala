@@ -113,6 +113,48 @@ class CrossCatSpec extends AnyFunSuite {
     assert(vals.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("categorical components: dependence, predict mode+confidence, simulate") {
+    import spark.implicits._
+    val rng = DetRng(4321L)
+    // bimodal numeric with an aligned label; w independent noise
+    val rows = (1 to 240).map { i =>
+      val cluster = i % 2
+      val x = (if (cluster == 0) -5.0 else 5.0) + rng.nextGaussian()
+      val label = if (cluster == 0) "neg" else "pos"
+      val w = rng.nextGaussian()
+      (i.toLong, x, label, w)
+    }
+    val df = rows.toDF("rowid", "x", "label", "w")
+    val b = new CrossCatBackend()
+    val st0 = b.createGenerator(df, Map(0 -> "x", 1 -> "label", 2 -> "w"), nominalCols = Set(1))
+    val st1 = b.initializeModels(st0, 0 until 6, DetRng(3L))
+    val st = b.analyzeModels(st1, None, 15, DetRng(4L)).asInstanceOf[CrossCatState]
+
+    // codes exposed for the nominal column
+    assert(st.categoryCodes(1).toSet == Set("neg", "pos"))
+
+    val dXL = b.columnDependenceProbability(st, None, 0, 1)
+    assert(dXL.sum / dXL.length >= 0.7,
+      s"label tracks x's clusters; got dependence ${dXL.sum / dXL.length}")
+
+    // conditional simulate: x = +5 ⇒ label overwhelmingly "pos" (code)
+    val posCode = st.categoryCodes(1).indexOf("pos").toDouble
+    val sims = b.simulateJoint(st, None, Seq(1), Seq(0 -> 5.0), 100, DetRng(8L)).map(_.head)
+    val share = sims.count(_ == posCode).toDouble / sims.length
+    assert(share >= 0.8, s"P(label=pos | x=5) ≈ $share should be high")
+
+    // predict: mode + mode-share confidence (reference nominal imputation)
+    val (value, conf) = b.predictConfidence(st, None, 1, 20, DetRng(9L))
+    assert(value == 0.0 || value == 1.0)
+    assert(conf > 0.0 && conf <= 1.0)
+
+    // categorical logpdf: a seen label has much higher density than the
+    // conditional-mismatched one
+    val pPos = b.logpdfJoint(st, None, Seq(1 -> posCode), Seq(0 -> 5.0))
+    val pNeg = b.logpdfJoint(st, None, Seq(1 -> (1.0 - posCode)), Seq(0 -> 5.0))
+    assert(pPos > pNeg + 1.0)
+  }
+
   test("analyze is deterministic under the seed") {
     val backend2 = new CrossCatBackend()
     import spark.implicits._
