@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the training-data pipeline operators —
+  * an engine extension (the reference is a batch library; SURVEY §2.6
+  * notes no streaming surface exists there). The same column expressions
+  * that power the batch operators (TextAnalysis, content hashing) run
+  * unchanged inside streaming micro-batches; this module adds the
+  * streaming-only concerns: watermarks bounding dedup state and
+  * event-time windowed aggregation.
+  *
+  * Scale notes: streaming dedup state is keyed by the 32-byte content
+  * hash (never the document text) and expired by the watermark; the
+  * windowed rollup is a standard partial-aggregate shuffle on
+  * (window, lang).
+  */
+object StreamPipeline {
+
+  /** Exact streaming dedup: keep the first document per content hash.
+    * State is bounded by the event-time watermark — late duplicates past
+    * `watermark` may reappear (the standard trade-off). Input needs
+    * (tsCol: timestamp, textCol: string). */
+  def dedupExact(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("content_hash", sha2(col(textCol).cast("binary"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming quality gate: score each document with the batch quality
+    * expressions and keep rows above `minScore`. Stateless — pure
+    * row-local projection + filter. */
+  def qualityFilter(stream: DataFrame, textCol: String,
+      minScore: Double = 0.5): DataFrame =
+    TextAnalysis.qualityMetrics(stream, textCol)
+      .filter(col("quality_score") >= minScore)
+
+  /** Event-time windowed corpus statistics: per (window, language),
+    * document count + mean quality score. */
+  def windowedLangStats(stream: DataFrame, textCol: String, tsCol: String,
+      windowLength: String = "1 minute",
+      watermark: String = "5 minutes"): DataFrame =
+    TextAnalysis.qualityMetrics(stream, textCol)
+      .withColumn("lang", TextAnalysis.languageId(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("quality_score")).as("mean_quality"))
+      .select(col("window.start").as("window_start"), col("lang"),
+        col("n_docs"), col("mean_quality"))
+}

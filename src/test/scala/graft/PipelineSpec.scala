@@ -87,6 +87,26 @@ class PipelineSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("multimodal decode is a real PNG codec round-trip") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMedia(docs.limit(5))
+    val feats = Multimodal.extractFeatures(media, "doc_id", "media").collect()
+    assert(feats.length == 5)
+    assert(feats.forall(_.decoded), "PNG payloads must decode through the real codec")
+    // decoded dimensions match the encoder's formula, not byte heuristics
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    docs.limit(5).collect().foreach { r =>
+      val id = r.getLong(0)
+      val len = r.getString(1).length
+      assert(byId(id).width == 8 + (id % 24).toInt)
+      assert(byId(id).height == 8 + (len % 24))
+      assert(byId(id).mean_byte >= 0 && byId(id).mean_byte <= 255)
+    }
+    // non-image payloads fall back to byte statistics
+    val raw = Multimodal.decodeKernel(1L, Array[Byte](1, 2, 3, 4))
+    assert(!raw.decoded && raw.n_bytes == 4 && raw.mean_byte == 2.5)
+  }
+
   test("IVF top-k recall >= 0.9 vs brute force") {
     val q = embeddings.filter(col("vec_id") === 0)
       .head().getSeq[Float](1).map(_.toDouble)

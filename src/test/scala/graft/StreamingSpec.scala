@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured Streaming pipeline operators driven through MemoryStream
+  * micro-batches (engine extension — no reference analogue). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val goodText =
+    "the quick brown fox jumps over the lazy dog and that is fine with this"
+  private val junkText = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) $$$$"
+
+  test("streaming exact dedup keeps first occurrence per content hash") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamPipeline.dedupExact(
+      input.toDF.toDF("ts", "doc_id", "text"), "text", "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "alpha"), (ts(1), 2L, "alpha"), (ts(1), 3L, "beta"))
+      q.processAllAvailable()
+      input.addData((ts(2), 4L, "beta"), (ts(2), 5L, "gamma"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(1L, 3L, 5L), s"got $out")
+    } finally q.stop()
+  }
+
+  test("streaming quality filter drops junk rows statelessly") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val filtered = StreamPipeline.qualityFilter(
+      input.toDF.toDF("ts", "doc_id", "text"), "text", minScore = 0.5)
+    val q = filtered.writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, goodText), (ts(0), 2L, junkText), (ts(1), 3L, goodText))
+      q.processAllAvailable()
+      val out = spark.table("quality_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("windowed language stats aggregate with event-time windows") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stats = StreamPipeline.windowedLangStats(
+      input.toDF.toDF("ts", "doc_id", "text"), "text", "ts")
+    val q = stats.writeStream.format("memory").queryName("lang_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(0), 1L, goodText), (ts(0), 2L, goodText),
+        (ts(5), 3L, "der hund und die katze ist mit ein nicht und der das"))
+      q.processAllAvailable()
+      val rows = spark.table("lang_out")
+        .select("window_start", "lang", "n_docs").collect()
+      val en = rows.filter(_.getString(1) == "en")
+      val de = rows.filter(_.getString(1) == "de")
+      assert(en.map(_.getLong(2)).sum == 2)
+      assert(de.map(_.getLong(2)).sum == 1)
+      // the two languages landed in different event-time windows
+      assert(rows.map(_.get(0)).distinct.length == 2)
+    } finally q.stop()
+  }
+}
