@@ -91,33 +91,41 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // signatures are read by the banding pass and the two candidate
+    // rejoins — cache so the O(shingles × hashes) UDF runs once per row
+    // (at cluster scale: persist the signature table)
     val signed = df.select(
         col(idCol).as("id"),
         minHashSignature(numHashes, seed)(shingles(col(textCol), shingleSize)).as("sig"))
       .filter(col("sig").isNotNull)
+      .cache()
 
-    // band hashes: one 64-bit hash per band over its signature slice
+    // band hashes: one 64-bit hash per band over its signature slice.
+    // Only (id, band, band_hash) enters the bucket machinery — the
+    // 128-long signature (1 KB/row) stays out of the ×bands explode,
+    // the bucket-size window, and the self-join shuffles; it rejoins on
+    // the surviving candidate pairs only.
     val banded = signed.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(b))): _*))
         .as(Seq("band", "band_hash")))
 
-    // bucket join: pairs sharing any (band, band_hash); cap degenerate
-    // buckets so one pathological bucket can't go quadratic globally
+    // cap degenerate buckets so one pathological bucket can't go
+    // quadratic globally
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
       .filter(col("bucket_n") <= maxBucketSize)
 
-    val l = bucketed.select(col("band"), col("band_hash"),
-      col("id").as("id0"), col("sig").as("sig0"))
-    val r = bucketed.select(col("band"), col("band_hash"),
-      col("id").as("id1"), col("sig").as("sig1"))
+    val l = bucketed.select(col("band"), col("band_hash"), col("id").as("id0"))
+    val r = bucketed.select(col("band"), col("band_hash"), col("id").as("id1"))
     val pairs = l.join(r, Seq("band", "band_hash"))
       .filter(col("id0") < col("id1"))
-      .select("id0", "id1", "sig0", "sig1")
+      .select("id0", "id1")
       .dropDuplicates("id0", "id1")
+      .join(signed.select(col("id").as("id0"), col("sig").as("sig0")), "id0")
+      .join(signed.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
 
     // estimated Jaccard = fraction of agreeing signature positions (native
     // zip_with + aggregate → codegen)
