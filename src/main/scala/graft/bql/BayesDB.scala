@@ -1,6 +1,6 @@
 package graft.bql
 
-import graft.backends.{Backends, DetRng, GeneratorState}
+import graft.backends.{Backends, CrossCatBackend, DetRng, GeneratorState}
 import graft.catalog.{Catalog, Guess, Names, StatType, Variable}
 import graft.engine.{Estimators, FittedGenerator, PopulationModel}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -222,22 +222,56 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
       emptyResult
 
     case Ast.AlterPop(popName, commands) =>
-      val pop = catalog.population(popName).getOrElse(
-        throw new NoSuchElementException(s"No such population: $popName"))
+      var current = popName
       commands.foreach {
-        case Ast.AlterPopRenamePop(_) | Ast.AlterPopAddVar(_, _) | Ast.AlterPopStatType(_, _) =>
-          throw new UnsupportedOperationException(
-            "ALTER POPULATION: not supported yet (populations are immutable in v1)")
+        case Ast.AlterPopRenamePop(nw) =>
+          catalog.renamePopulation(current, nw)
+          current = nw
+        case Ast.AlterPopAddVar(varName, stattypeOpt) =>
+          val pop = catalog.population(current).get
+          require(pop.variable(varName).isEmpty, s"Variable already modeled: $varName")
+          val df = table(pop.table)
+          val baseCols = df.columns.filterNot(c => Names.casefold(c) == "rowid").toSeq
+          val colno = baseCols.indexWhere(c => Names.casefold(c) == Names.casefold(varName))
+          require(colno >= 0, s"No such column in ${pop.table}: $varName")
+          val st = stattypeOpt match {
+            case Some(s) => StatType.parse(s).getOrElse(
+              throw new IllegalArgumentException(s"Unknown stattype: $s"))
+            case None =>  // guess the single column (reference: bql.py addvar)
+              Guess.guessStattypes(df.select(baseCols(colno))).head.stattype
+          }
+          require(StatType.isModeled(st), s"Cannot add $varName as ${st.name}")
+          catalog.updateVariables(current,
+            pop.variables :+ Variable(baseCols(colno), colno, st))
+        case Ast.AlterPopStatType(names, stName) =>
+          val pop = catalog.population(current).get
+          val st = StatType.parse(stName).getOrElse(
+            throw new IllegalArgumentException(s"Unknown stattype: $stName"))
+          val keys = names.map(Names.casefold).toSet
+          names.foreach(n => require(pop.variable(n).isDefined, s"No such variable: $n"))
+          catalog.updateVariables(current, pop.variables.map(v =>
+            if (keys(Names.casefold(v.name))) v.copy(stattype = st) else v))
       }
       emptyResult
 
-    case Ast.CreateGen(nameOpt, ifNotExists, popName, backendOpt, _) =>
+    case Ast.CreateGen(nameOpt, ifNotExists, popName, backendOpt, schema) =>
       val pop = catalog.population(popName).getOrElse(
         throw new NoSuchElementException(s"No such population: $popName"))
       val name = nameOpt.getOrElse(popName)  // implicit generator named after pop
       if (catalog.generator(name).isDefined) {
         if (!ifNotExists) throw new IllegalArgumentException(s"Generator already exists: $name")
-      } else catalog.createGenerator(name, popName, backendOpt.getOrElse(defaultBackend))
+      } else {
+        // parse + validate the generator-schema body now so errors
+        // surface at CREATE time (reference re-parses with cgpm_schema)
+        val parsed = GenSchema.parse(schema)
+        GenSchema.validateDists(parsed, v =>
+          pop.variable(v).exists(vv => StatType.isNominal(vv.stattype)))
+        parsed.basics.foreach { case (v, _) =>
+          require(pop.variable(v).isDefined, s"No such variable in $popName: $v")
+        }
+        catalog.createGenerator(name, popName, backendOpt.getOrElse(defaultBackend),
+          schema.map(_.mkString(" ")))
+      }
       emptyResult
 
     case Ast.DropGen(ifExists, name) =>
@@ -254,7 +288,12 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
         throw new NoSuchElementException(s"No such generator: $genName"))
       val pop = catalog.populationNames.flatMap(catalog.population)
         .find(_.id == gen.populationId).get
-      val backend = Backends.byName(gen.backend)
+      // generator schema options (SUBSAMPLE) parameterize the backend
+      val parsed = GenSchema.parse(gen.schemaAst.map(_.split(" ").toSeq))
+      val backend = (gen.backend, parsed.subsample) match {
+        case ("cgpm" | "crosscat", Some(n0)) => new CrossCatBackend(subsampleRows = n0)
+        case _ => Backends.byName(gen.backend)
+      }
       val df = table(pop.table)
       val columns = pop.modeledVariables.map(v => v.colno -> v.name).toMap
       val nominal = pop.modeledVariables.filter(v => StatType.isNominal(v.stattype))

@@ -135,4 +135,32 @@ final class Catalog {
 
   def populationNames: Seq[String] = populations.values.map(_.name).toSeq.sorted
   def generatorNames: Seq[String] = generators.values.map(_.name).toSeq.sorted
+
+  /** ALTER POPULATION ... RENAME TO (reference: src/bql.py:929-947). */
+  def renamePopulation(oldName: String, newName: String): Unit = {
+    val oldKey = Names.casefold(oldName)
+    val newKey = Names.casefold(newName)
+    val pop = populations.getOrElse(oldKey,
+      throw new NoSuchElementException(s"No such population: $oldName"))
+    require(!populations.contains(newKey), s"Population already exists: $newName")
+    populations.remove(oldKey)
+    populations(newKey) = pop.copy(name = newName)
+    ()
+  }
+
+  /** Replace a population's variable list in place (ALTER POPULATION
+    * ADD VARIABLE / SET STATTYPE). Refuses while generators are attached
+    * — fitted states would silently diverge from the metadata. */
+  def updateVariables(popName: String, vars: Seq[Variable]): Population = {
+    val key = Names.casefold(popName)
+    val pop = populations.getOrElse(key,
+      throw new NoSuchElementException(s"No such population: $popName"))
+    val attached = generators.values.filter(_.populationId == pop.id)
+    require(attached.isEmpty,
+      s"Cannot alter population $popName with generators attached: " +
+        attached.map(_.name).mkString(", "))
+    val updated = pop.copy(variables = vars)
+    populations(key) = updated
+    updated
+  }
 }

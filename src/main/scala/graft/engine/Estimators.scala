@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.backends.{Backend, DetRng, GeneratorState}
 import graft.catalog.Population
-import graft.functions.SpecialMath.{logAvgExpWeighted, logMeanExp}
+import graft.functions.SpecialMath.{arithmeticMean, logAvgExpWeighted, logMeanExp}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -236,9 +236,9 @@ object Estimators {
     if (c0 == c1) return 1.0
     val perGen = pm.generators.map { g =>
       val ds = g.backend.columnDependenceProbability(g.state, None, c0, c1)
-      ds.sum / ds.length
+      arithmeticMean(ds)
     }
-    perGen.sum / perGen.length
+    arithmeticMean(perGen)
   }
 
   /** `MUTUAL INFORMATION OF (cs0) WITH (cs1) USING n SAMPLES` — mean of
@@ -251,9 +251,9 @@ object Estimators {
     val rng = DetRng(pm.seed, 0x313370L, c0.hashCode.toLong, c1.hashCode.toLong)
     val perGen = pm.generators.map { g =>
       val ms = g.backend.columnMutualInformation(g.state, None, c0, c1, numSamples, rng)
-      ms.sum / ms.length
+      arithmeticMean(ms)
     }
-    perGen.sum / perGen.length
+    arithmeticMean(perGen)
   }
 
   // ------------------------------------------------------ Column variants
@@ -286,9 +286,9 @@ object Estimators {
       colno: Int): Double = {
     val perGen = pm.generators.map { g =>
       val ss = g.backend.rowSimilarity(g.state, None, rowid0, rowid1, Seq(colno))
-      ss.sum / ss.length
+      arithmeticMean(ss)
     }
-    perGen.sum / perGen.length
+    arithmeticMean(perGen)
   }
 
   /** `SIMILARITY TO (<target>) IN THE CONTEXT OF c` as a per-row Column
@@ -299,9 +299,9 @@ object Estimators {
     val fn = udf { (rowid: Long) =>
       val perGen = gens.map { g =>
         val ss = g.backend.rowSimilarity(g.state, None, rowid, targetRowid, Seq(colno))
-        ss.sum / ss.length
+        arithmeticMean(ss)
       }
-      perGen.sum / perGen.length
+      arithmeticMean(perGen)
     }
     fn(rowidCol)
   }
@@ -314,9 +314,9 @@ object Estimators {
     val fn = udf { (r0: Long, r1: Long) =>
       val perGen = gens.map { g =>
         val ss = g.backend.rowSimilarity(g.state, None, r0, r1, Seq(colno))
-        ss.sum / ss.length
+        arithmeticMean(ss)
       }
-      perGen.sum / perGen.length
+      arithmeticMean(perGen)
     }
     fn(rowid0Col, rowid1Col)
   }
@@ -329,9 +329,9 @@ object Estimators {
     val perGen = pm.generators.map { g =>
       val ss = g.backend.predictiveRelevance(
         g.state, None, rowidTarget, rowidQuery, hypotheticals, colno)
-      ss.sum / ss.length
+      arithmeticMean(ss)
     }
-    perGen.sum / perGen.length
+    arithmeticMean(perGen)
   }
 
   /** PREDICTIVE RELEVANCE as a per-row Column: the current row is the
@@ -344,9 +344,9 @@ object Estimators {
       val perGen = gens.map { g =>
         val ss = g.backend.predictiveRelevance(
           g.state, None, rowid, rowidQuery, hypotheticals, colno)
-        ss.sum / ss.length
+        arithmeticMean(ss)
       }
-      perGen.sum / perGen.length
+      arithmeticMean(perGen)
     }
     fn(rowidCol)
   }

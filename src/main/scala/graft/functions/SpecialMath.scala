@@ -187,6 +187,23 @@ object SpecialMath {
 
   /** log Σ exp(a_i); -inf on empty input; +inf-dominant and NaN-propagating
     * exactly as the reference. */
+  /** Kahan-Babuška compensated summation (reference: src/util.py:60-75
+    * `float_sum`; used by stats.arithmetic_mean for ensemble averaging). */
+  def kahanSum(xs: Iterable[Double]): Double = {
+    var total = 0.0
+    var comp = 0.0
+    xs.foreach { x =>
+      val t = total + x
+      comp += (if (math.abs(total) >= math.abs(x)) (total - t) + x else (x - t) + total)
+      total = t
+    }
+    total + comp
+  }
+
+  /** Compensated arithmetic mean (reference: src/stats.py:25-27). */
+  def arithmeticMean(xs: Iterable[Double]): Double =
+    if (xs.isEmpty) Double.NaN else kahanSum(xs) / xs.size
+
   def logSumExp(xs: Array[Double]): Double = {
     if (xs.isEmpty) Double.NegativeInfinity
     else {

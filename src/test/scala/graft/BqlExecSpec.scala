@@ -146,6 +146,38 @@ class BqlExecSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("id", "label", "age", "weight"))
   }
 
+  test("generator schema: SUBSAMPLE + basic dist clauses; alter population") {
+    import spark.implicits._
+    val t4 = (1 to 50).map(i => (i.toLong, i.toDouble, i * 2.0))
+      .toDF("id", "a", "b")
+    bdb.registerTable("t4", t4)
+    bdb.execute("create population p4 for t4 (id ignore; a numerical; b numerical)")
+    // schema body: subsample + validated basic clauses
+    bdb.execute("create generator g4 for p4 using cgpm (subsample 20, a normal)")
+    intercept[Exception] {
+      bdb.execute("create generator g4bad for p4 using cgpm (a lognormal)")
+    }
+    bdb.execute("initialize 2 models for g4")
+    bdb.execute("analyze g4 for 2 iterations")
+    assert(bdb.execute("simulate a from p4 limit 5").count() == 5)
+    // alter population: stattype change refused with generators attached
+    intercept[Exception] {
+      bdb.execute("alter population p4 set stattype of a to nominal")
+    }
+    // rename population works regardless
+    bdb.execute("alter population p4 rename to p4x")
+    assert(bdb.catalog.population("p4x").isDefined)
+    bdb.execute("alter population p4x rename to p4")
+    // add variable on a generator-free population
+    bdb.registerTable("t5", t4)
+    bdb.execute("create population p5 for t5 (id ignore; a numerical)")
+    bdb.execute("alter population p5 add variable b numerical")
+    assert(bdb.catalog.population("p5").get.variable("b").isDefined)
+    bdb.execute("alter population p5 set stattype of b to nominal")
+    assert(bdb.catalog.population("p5").get.variable("b").get.stattype ==
+      graft.catalog.StatType.Nominal)
+  }
+
   test("transactions are accepted no-ops") {
     bdb.execute("begin")
     bdb.execute("commit")
