@@ -80,10 +80,21 @@ trait Backend extends Serializable {
   def columnDependenceProbability(state: GeneratorState,
       modelnos: Option[Seq[Int]], colno0: Int, colno1: Int): Seq[Double]
 
-  /** Per-model Monte-Carlo mutual information estimate (reference:
-    * src/backend.py:209-212). */
+  /** Per-model Monte-Carlo mutual information estimate, optionally
+    * conditional: `constraints` pairs are (colno, Some(value)) for
+    * equality conditioning and (colno, None) for marginalized conditions
+    * — `GIVEN (c)` without a value (reference: src/backend.py:209-212,
+    * marginal encoding src/parse.py:661-664). */
   def columnMutualInformation(state: GeneratorState, modelnos: Option[Seq[Int]],
-      colnos0: Seq[Int], colnos1: Seq[Int], numSamples: Int, rng: DetRng): Seq[Double]
+      colnos0: Seq[Int], colnos1: Seq[Int],
+      constraints: Seq[(Int, Option[Double])],
+      numSamples: Int, rng: DetRng): Seq[Double]
+
+  /** Drop a subset of ensemble members (reference: src/backend.py
+    * drop_models). Backends without per-model state may not support it. */
+  def dropModels(state: GeneratorState, modelnos: Seq[Int]): GeneratorState =
+    throw new UnsupportedOperationException(
+      s"Backend $name does not support dropping model subsets")
 
   /** Per-model row-pair similarity in the context of given columns,
     * keyed by rowid like the cgpm engine (reference: src/backend.py:214-217,

@@ -196,24 +196,40 @@ class CrossCatBackend(
   }
 
   override def columnMutualInformation(state: GeneratorState, modelnos: Option[Seq[Int]],
-      colnos0: Seq[Int], colnos1: Seq[Int], numSamples: Int, rng: DetRng): Seq[Double] = {
+      colnos0: Seq[Int], colnos1: Seq[Int],
+      constraints: Seq[(Int, Option[Double])],
+      numSamples: Int, rng: DetRng): Seq[Double] = {
     val st = state.asInstanceOf[CrossCatState]
+    val equality = constraints.collect { case (c, Some(v)) => (c, v) }
+    val marginal = constraints.collect { case (c, None) => c }
     select(st, modelnos).map { m =>
       val views0 = colnos0.map(c => m.viewOf(st.colIdx(c))).toSet
       val views1 = colnos1.map(c => m.viewOf(st.colIdx(c))).toSet
-      if ((views0 & views1).isEmpty) 0.0  // different views ⇒ independent
+      if ((views0 & views1).isEmpty && marginal.isEmpty) 0.0  // independent
       else {
-        // Monte-Carlo: E[log p(x,y) - log p(x) - log p(y)] under the model
+        // Monte-Carlo CMI: E[log p(x,y|c) - log p(x|c) - log p(y|c)];
+        // marginalized conditions (GIVEN (c) without a value) are drawn
+        // from the model per sample and conditioned on (reference:
+        // src/bqlfn.py:297-326 semantics)
         val vals = (0 until numSamples).map { _ =>
-          val xy = simulateOne(st, m, colnos0 ++ colnos1, Nil, rng)
+          val margVals =
+            if (marginal.isEmpty) Nil
+            else marginal.zip(simulateOne(st, m, marginal, equality, rng))
+          val cs = equality ++ margVals
+          val xy = simulateOne(st, m, colnos0 ++ colnos1, cs, rng)
           val x = colnos0.zip(xy.take(colnos0.length))
           val y = colnos1.zip(xy.drop(colnos0.length))
-          modelLogpdf(st, m, x ++ y, Nil) -
-            modelLogpdf(st, m, x, Nil) - modelLogpdf(st, m, y, Nil)
+          modelLogpdf(st, m, x ++ y, cs) -
+            modelLogpdf(st, m, x, cs) - modelLogpdf(st, m, y, cs)
         }
         math.max(vals.sum / numSamples, 0.0)
       }
     }
+  }
+
+  override def dropModels(state: GeneratorState, modelnos: Seq[Int]): GeneratorState = {
+    val st = state.asInstanceOf[CrossCatState]
+    st.copy(models = st.models.filterNot(m => modelnos.contains(m.modelno)))
   }
 
   override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],

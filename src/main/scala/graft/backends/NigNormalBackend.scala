@@ -152,7 +152,13 @@ class NigNormalBackend(
 
   override def columnMutualInformation(state: GeneratorState,
       modelnos: Option[Seq[Int]], colnos0: Seq[Int], colnos1: Seq[Int],
+      constraints: Seq[(Int, Option[Double])],
       numSamples: Int, rng: DetRng): Seq[Double] = Seq(0.0)
+
+  override def dropModels(state: GeneratorState, modelnos: Seq[Int]): GeneratorState = {
+    val s = state.asInstanceOf[State]
+    s.copy(models = s.models -- modelnos)
+  }
 
   override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
       rowid0: Long, rowid1: Long, colnos: Seq[Int]): Seq[Double] = Seq(0.0)
@@ -202,6 +208,7 @@ class StdNormalBackend extends Backend {
 
   override def columnMutualInformation(state: GeneratorState,
       modelnos: Option[Seq[Int]], colnos0: Seq[Int], colnos1: Seq[Int],
+      constraints: Seq[(Int, Option[Double])],
       numSamples: Int, rng: DetRng): Seq[Double] = Seq(0.0)
 
   override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
@@ -249,6 +256,7 @@ class TrollBackend extends Backend {
 
   override def columnMutualInformation(state: GeneratorState,
       modelnos: Option[Seq[Int]], colnos0: Seq[Int], colnos1: Seq[Int],
+      constraints: Seq[(Int, Option[Double])],
       numSamples: Int, rng: DetRng): Seq[Double] = Seq(0.0)
 
   override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],

@@ -322,9 +322,12 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
         case None =>
           states.remove(Names.casefold(genName))
           catalog.dropModels(genName, None)
-        case Some(_) =>
-          throw new UnsupportedOperationException(
-            "DROP MODELS (subset): not supported yet; drop all models")
+        case Some(ns) =>
+          val gen = catalog.generator(genName).getOrElse(
+            throw new NoSuchElementException(s"No such generator: $genName"))
+          states.updateWith(Names.casefold(genName))(_.map(st =>
+            Backends.byName(gen.backend).dropModels(st, ns)))
+          catalog.dropModels(genName, Some(ns))
       }
       emptyResult
 

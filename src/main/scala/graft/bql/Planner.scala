@@ -128,13 +128,17 @@ object Planner {
       case ExpOp(Op.Negate, Seq(a)) => -ev(a)
       case ExpOp(Op.PlusId, Seq(a)) => ev(a)
       case ExpBQLMutInf(cols0, cols1, constraints, nsamp) =>
-        require(constraints.isEmpty, "MI GIVEN (...) not supported yet")
         require(cols0.nonEmpty && cols1.nonEmpty,
           "MUTUAL INFORMATION in MODELS OF needs OF ... WITH ...")
         val n = nsamp.map(x => evalConstInt(bdb, x, binds)).getOrElse(1000)
+        val cs = constraints.map {
+          case MiEquality(c, v) =>
+            pm.colno(c) -> Some(Estimators.encodeValue(pm, c, evalConst(bdb, v, binds)))
+          case MiMarginal(c) => pm.colno(c) -> None
+        }
         val rng = DetRngFor(pm, m)
         val ms = gen.backend.columnMutualInformation(gen.state, one,
-          cols0.map(pm.colno), cols1.map(pm.colno), n, rng)
+          cols0.map(pm.colno), cols1.map(pm.colno), cs, n, rng)
         ms.sum / ms.length
       case ExpBQLDepProb(Some(c0), Some(c1)) =>
         val ds = gen.backend.columnDependenceProbability(gen.state, one,
@@ -906,16 +910,18 @@ object Planner {
         colFn2("CORRELATION PVALUE", c0, c1, ctx, pm)(correlationPValue(ctx, pm))
 
       case ExpBQLMutInf(cols0, cols1, constraints, nsamp) =>
-        require(constraints.isEmpty,
-          "MUTUAL INFORMATION GIVEN (...) is not supported yet")
         val n = nsamp.map(e => evalConstInt(ctx.bdb, e, ctx.binds)).getOrElse(1000)
+        val cs = constraints.map {
+          case MiEquality(c, v) => c -> Some(encodeConst(ctx, pm, c, v))
+          case MiMarginal(c) => c -> None
+        }
         (cols0, cols1, ctx.bql) match {
           case (c0, c1, _) if c0.nonEmpty && c1.nonEmpty =>  // const
-            lit(Estimators.mutualInformation(pm, c0, c1, n))
+            lit(Estimators.mutualInformation(pm, c0, c1, n, cs))
           case (Seq(), c1, ColCtx(_)) if c1.nonEmpty =>  // 1-col
-            varValueCol(pm, v => Estimators.mutualInformation(pm, Seq(v), c1, n))
+            varValueCol(pm, v => Estimators.mutualInformation(pm, Seq(v), c1, n, cs))
           case (Seq(), Seq(), PairColCtx(_)) =>  // 2-col
-            pairValueCol(pm, (a, b) => Estimators.mutualInformation(pm, Seq(a), Seq(b), n))
+            pairValueCol(pm, (a, b) => Estimators.mutualInformation(pm, Seq(a), Seq(b), n, cs))
           case _ => throw new IllegalArgumentException(
             "MUTUAL INFORMATION form does not match its context")
         }

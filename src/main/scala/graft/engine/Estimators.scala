@@ -245,12 +245,14 @@ object Estimators {
     * per-generator mean-of-models CMI (reference: src/bqlfn.py:297-326,
     * an acknowledged approximation). */
   def mutualInformation(pm: PopulationModel, vars0: Seq[String], vars1: Seq[String],
-      numSamples: Int = 1000): Double = {
+      numSamples: Int = 1000,
+      constraints: Seq[(String, Option[Double])] = Nil): Double = {
     val c0 = vars0.map(pm.colno)
     val c1 = vars1.map(pm.colno)
+    val cs = constraints.map { case (v, x) => (pm.colno(v), x) }
     val rng = DetRng(pm.seed, 0x313370L, c0.hashCode.toLong, c1.hashCode.toLong)
     val perGen = pm.generators.map { g =>
-      val ms = g.backend.columnMutualInformation(g.state, None, c0, c1, numSamples, rng)
+      val ms = g.backend.columnMutualInformation(g.state, None, c0, c1, cs, numSamples, rng)
       arithmeticMean(ms)
     }
     arithmeticMean(perGen)

@@ -306,6 +306,26 @@ class BqlExecSpec extends AnyFunSuite {
     assert(df2.collect().forall(r => r.getDouble(0) == 0.0))  // nig: dep = 0
   }
 
+  test("conditional mutual information and drop models subset") {
+    // MI GIVEN with equality + marginalized conditions executes
+    val v = one("estimate mutual information of age with weight" +
+      " given (age = 30) using 20 samples by p1")
+    assert(v.asInstanceOf[Double] >= 0.0)
+    val v2 = one("estimate mutual information of age with weight" +
+      " given (weight) using 20 samples by p1")
+    assert(v2.asInstanceOf[Double] >= 0.0)
+    // drop a model subset: remaining ensemble still answers queries
+    import spark.implicits._
+    bdb.registerTable("t6", (1 to 30).map(i => (i.toLong, i.toDouble)).toDF("id", "a"))
+    bdb.execute("create population p6 for t6 (id ignore; a numerical)")
+    bdb.execute("create generator g6 for p6 using cgpm")
+    bdb.execute("initialize 4 models for g6")
+    bdb.execute("analyze g6 for 2 iterations")
+    bdb.execute("drop models 0-1 from g6")
+    assert(bdb.catalog.modelNumbers("g6") == Seq(2, 3))
+    assert(bdb.execute("simulate a from p6 limit 3").count() == 3)
+  }
+
   test("probability of (expr) averages over the ensemble") {
     val v = one("estimate probability of (dependence probability of age with weight) by p1")
     assert(v == 0.0)

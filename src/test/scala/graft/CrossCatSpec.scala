@@ -52,8 +52,8 @@ class CrossCatSpec extends AnyFunSuite {
 
   test("mutual information is positive for dependent, ~0 for independent pairs") {
     val rng = DetRng(55L)
-    val mixy = backend.columnMutualInformation(fitted, None, Seq(ColX), Seq(ColY), 200, rng)
-    val mixz = backend.columnMutualInformation(fitted, None, Seq(ColX), Seq(ColZ), 200, rng)
+    val mixy = backend.columnMutualInformation(fitted, None, Seq(ColX), Seq(ColY), Nil, 200, rng)
+    val mixz = backend.columnMutualInformation(fitted, None, Seq(ColX), Seq(ColZ), Nil, 200, rng)
     val mXY = mixy.sum / mixy.length
     val mXZ = mixz.sum / mixz.length
     assert(mXY > 0.3, s"MI(x,y) should be clearly positive, got $mXY")
