@@ -38,8 +38,14 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
 
   /** Register a table; materializes a stable 1-based `rowid` column if
     * absent (SQLite rowids are 1-based insertion order; zipWithIndex
-    * preserves file/frame order). At cluster scale, ingest rowid once
-    * and persist — this is the ingest. */
+    * preserves file/frame order).
+    *
+    * The zipWithIndex pass leaves an RDD-backed scan with no size
+    * statistics and no column pruning — a scale-killer (joins can never
+    * broadcast, every query deserializes full rows). The rowid'd frame
+    * is therefore cached columnar (accurate stats → broadcast joins;
+    * in-memory column pruning). At cluster scale the equivalent ingest
+    * step is writing the rowid'd table back to parquet once. */
   def registerTable(name: String, df: DataFrame): Unit =
     tables(Names.casefold(name)) = ensureRowid(df)
 
@@ -48,7 +54,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     else {
       val schema = StructType(df.schema.fields :+ StructField("rowid", LongType, nullable = false))
       val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-      spark.createDataFrame(rdd, schema)
+      spark.createDataFrame(rdd, schema).cache()
     }
 
   def hasTable(name: String): Boolean = tables.contains(Names.casefold(name))
