@@ -58,6 +58,15 @@ trait Backend extends Serializable {
   def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
       iterations: Int, rng: DetRng): GeneratorState
 
+  /** Variable-targeted analysis (the reference's `ANALYZE ... (VARIABLES
+    * x, y)` / `(SKIP z)` program, cgpm_backend.py:1797-1888): restrict
+    * transitions to the given colnos. Default ignores the restriction
+    * (conjugate backends transition all columns in one step anyway). */
+  def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
+      iterations: Int, rng: DetRng,
+      variables: Option[Seq[Int]]): GeneratorState =
+    analyzeModels(state, modelnos, iterations, rng)
+
   /** Log joint density of `targets` = (colno, value) given `constraints`,
     * averaged over the ensemble in log space (logmeanexp). */
   def logpdfJoint(state: GeneratorState, modelnos: Option[Seq[Int]],

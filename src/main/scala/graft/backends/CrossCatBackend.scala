@@ -130,16 +130,23 @@ class CrossCatBackend(
   }
 
   override def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
-      iterations: Int, rng: DetRng): GeneratorState = {
+      iterations: Int, rng: DetRng): GeneratorState =
+    analyzeModels(state, modelnos, iterations, rng, None)
+
+  override def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
+      iterations: Int, rng: DetRng,
+      variables: Option[Seq[Int]]): GeneratorState = {
     val st = state.asInstanceOf[CrossCatState]
     val which = modelnos.getOrElse(st.models.map(_.modelno))
+    // VARIABLES restriction: colIdx set whose kernels transition
+    val restrict = variables.map(_.map(st.colIdx).toSet)
     val seedBase = rng.nextLong()
     def transitionOne(m: CrossCatModel): CrossCatModel =
       if (!which.contains(m.modelno)) m
       else {
         var cur = m
         for (sweep <- 0 until iterations)
-          cur = transition(st, cur, DetRng(seedBase, m.modelno.toLong, sweep.toLong))
+          cur = transition(st, cur, DetRng(seedBase, m.modelno.toLong, sweep.toLong), restrict)
         cur
       }
     // per-model parallel ANALYZE: models are independent posterior chains
@@ -322,12 +329,15 @@ class CrossCatBackend(
     NigHypers(m = mom.mean, r = 1.0, s = mom.variance, nu = 1.0)
 
   /** One full Gibbs sweep: rows per view → column views → hypers →
-    * concentrations (the reference's five subproblems). */
-  private def transition(st: CrossCatState, m0: CrossCatModel, rng: DetRng): CrossCatModel = {
+    * concentrations (the reference's five subproblems). `restrict`
+    * limits the column-targeted kernels to those colIdxs (rows sweep
+    * only their views; alphas always run). */
+  private def transition(st: CrossCatState, m0: CrossCatModel, rng: DetRng,
+      restrict: Option[Set[Int]] = None): CrossCatModel = {
     var m = m0
-    m = transitionRows(st, m, rng)
-    m = transitionColumns(st, m, rng)
-    m = transitionHypers(st, m, rng)
+    m = transitionRows(st, m, rng, restrict)
+    m = transitionColumns(st, m, rng, restrict)
+    m = transitionHypers(st, m, rng, restrict)
     m = transitionAlphas(st, m, rng)
     m
   }
@@ -369,10 +379,15 @@ class CrossCatBackend(
     }
   }
 
-  private def transitionRows(st: CrossCatState, m: CrossCatModel, rng: DetRng): CrossCatModel = {
+  private def transitionRows(st: CrossCatState, m: CrossCatModel, rng: DetRng,
+      restrict: Option[Set[Int]] = None): CrossCatModel = {
     val n = st.data.head.length
     val newAssign = m.rowAssign.zipWithIndex.map { case (assign0, v) =>
       val cols = st.colnos.indices.filter(j => m.viewOf(j) == v).toIndexedSeq
+      if (restrict.exists(r => !cols.exists(r))) {
+        // view holds no targeted variables: leave its partition alone
+        assign0
+      } else {
       val assign = assign0.toArray
       var k = if (assign.isEmpty) 0 else assign.max + 1
       val counts = scala.collection.mutable.ArrayBuffer.fill(k)(0)
@@ -422,14 +437,16 @@ class CrossCatBackend(
       val live = counts.zipWithIndex.filter(_._1 > 0).map(_._2)
       val remap = live.zipWithIndex.toMap
       assign.map(remap).toIndexedSeq
+      }
     }
     m.copy(rowAssign = newAssign)
   }
 
-  private def transitionColumns(st: CrossCatState, m0: CrossCatModel, rng: DetRng): CrossCatModel = {
+  private def transitionColumns(st: CrossCatState, m0: CrossCatModel, rng: DetRng,
+      restrict: Option[Set[Int]] = None): CrossCatModel = {
     var m = m0
     val n = st.data.head.length
-    for (j <- st.colnos.indices) {
+    for (j <- st.colnos.indices if restrict.forall(_.contains(j))) {
       val vOld = m.viewOf(j)
       // column marginal under each view's row partition
       def colMarginal(assign: IndexedSeq[Int]): Double = {
@@ -468,9 +485,11 @@ class CrossCatBackend(
     m
   }
 
-  private def transitionHypers(st: CrossCatState, m: CrossCatModel, rng: DetRng): CrossCatModel = {
+  private def transitionHypers(st: CrossCatState, m: CrossCatModel, rng: DetRng,
+      restrict: Option[Set[Int]] = None): CrossCatModel = {
     val n = st.data.head.length
     val hypers: IndexedSeq[ColHyper] = st.colnos.indices.map { j =>
+      if (restrict.exists(r => !r.contains(j))) m.hypers(j) else {
       val v = m.viewOf(j)
       val assign = m.rowAssign(v)
       val k = if (assign.isEmpty) 0 else assign.max + 1
@@ -498,6 +517,7 @@ class CrossCatBackend(
           val grid = logGrid(1.0 / math.max(n, 2), n.toDouble max 2.0, gridSize)
           CatH(gridPick(grid, (a: Double) =>
             (0 until k).map(z => s.marginal(z, CatH(a))).sum, rng))
+      }
       }
     }
     m.copy(hypers = hypers)

@@ -310,17 +310,24 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
       states(Names.casefold(genName)) = backend.initializeModels(st0, modelnos, rng)
       emptyResult
 
-    case Ast.AnalyzeModels(genName, modelnos, iterations, seconds, _, _, _) =>
+    case Ast.AnalyzeModels(genName, modelnos, iterations, seconds, _, _, program) =>
       val gen = catalog.generator(genName).getOrElse(
         throw new NoSuchElementException(s"No such generator: $genName"))
       val st = states.getOrElse(Names.casefold(genName),
         throw new IllegalStateException(s"Generator $genName has no initialized models"))
+      val pop = catalog.populationNames.flatMap(catalog.population)
+        .find(_.id == gen.populationId).get
       val backend = Backends.byName(gen.backend)
+      // analysis program (reference: cgpm_analyze.parse,
+      // cgpm_backend.py:1797-1888): VARIABLES/SKIP target column kernels;
+      // OPTIMIZED/QUIET are accepted hints; ROWS/SUBPROBLEMS unsupported
+      val variables = parseAnalyzeProgram(program, pop)
       // duration in seconds → at least one sweep (conjugate backends
       // converge in one; MCMC backends iterate)
       val iters = iterations.getOrElse(if (seconds.isDefined) 1 else 1)
       val rng = DetRng(seed, 0xa11a1e2eL, gen.id.toLong)
-      states(Names.casefold(genName)) = backend.analyzeModels(st, modelnos, iters, rng)
+      states(Names.casefold(genName)) =
+        backend.analyzeModels(st, modelnos, iters, rng, variables)
       emptyResult
 
     case Ast.DropModels(genName, which) =>
@@ -342,6 +349,40 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
         "ALTER GENERATOR: backend schema sub-language arrives with the CrossCat port")
 
     case r: Ast.Regress => regress(r, binds)
+  }
+
+  /** Parse an ANALYZE program's tokens into a variable restriction:
+    * `VARIABLES a, b` → those colnos; `SKIP a` → all-but; hints
+    * (OPTIMIZED/QUIET) ignored; ROWS/SUBPROBLEMS rejected. */
+  private def parseAnalyzeProgram(program: Seq[String],
+      pop: graft.catalog.Population): Option[Seq[Int]] = {
+    if (program.isEmpty) return None
+    val toks = program.filterNot(t => t == "," || t == "(" || t == ")")
+      .map(Names.casefold)
+    def colnoOf(v: String): Int = pop.variable(v).getOrElse(
+      throw new NoSuchElementException(s"No such variable: $v")).colno
+    var i = 0
+    var result: Option[Seq[Int]] = None
+    val keywords = Set("variables", "skip", "rows", "subproblems", "optimized", "quiet")
+    def names(): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      while (i < toks.length && !keywords(toks(i))) { out += toks(i); i += 1 }
+      out.result()
+    }
+    while (i < toks.length) {
+      toks(i) match {
+        case "variables" => i += 1; result = Some(names().map(colnoOf))
+        case "skip" =>
+          i += 1
+          val skipped = names().map(Names.casefold).toSet
+          result = Some(pop.modeledVariables
+            .filterNot(v => skipped(Names.casefold(v.name))).map(_.colno))
+        case "optimized" | "quiet" => i += 1  // accepted hints
+        case other => throw new UnsupportedOperationException(
+          s"ANALYZE program clause not supported: $other")
+      }
+    }
+    result
   }
 
   /** `REGRESS target GIVEN (givens) [USING n SAMPLES] BY p` — simulate

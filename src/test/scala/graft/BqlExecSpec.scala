@@ -306,6 +306,20 @@ class BqlExecSpec extends AnyFunSuite {
     assert(df2.collect().forall(r => r.getDouble(0) == 0.0))  // nig: dep = 0
   }
 
+  test("analyze program: VARIABLES / SKIP restriction, hints accepted") {
+    import spark.implicits._
+    bdb.registerTable("t7", (1 to 40).map(i => (i.toLong, i.toDouble, -i.toDouble))
+      .toDF("id", "a", "b"))
+    bdb.execute("create population p7 for t7 (id ignore; a numerical; b numerical)")
+    bdb.execute("create generator g7 for p7 using cgpm")
+    bdb.execute("initialize 2 models for g7")
+    bdb.execute("analyze g7 for 2 iterations (variables a)")
+    bdb.execute("analyze g7 for 1 iteration (skip b, quiet)")
+    bdb.execute("analyze g7 for 1 iteration (optimized)")
+    intercept[Exception] { bdb.execute("analyze g7 for 1 iteration (rows 1)") }
+    assert(bdb.execute("simulate a, b from p7 limit 4").count() == 4)
+  }
+
   test("conditional mutual information and drop models subset") {
     // MI GIVEN with equality + marginalized conditions executes
     val v = one("estimate mutual information of age with weight" +
