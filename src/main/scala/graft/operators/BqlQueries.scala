@@ -222,7 +222,85 @@ object BqlQueries {
   val b16CrosscatSimulate: Q = (spark, dir) => bdb(spark, dir).execute(
     "SIMULATE l_extendedprice FROM lpop GIVEN l_quantity = 40 LIMIT 50")
 
+  /** b17: EXISTS + NOT IN + BETWEEN through plan-time subquery eval. */
+  val b17Exists: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = 0)
+      |  AND s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      |  AND s_suppkey BETWEEN 10 AND 50
+      |ORDER BY s_suppkey""".stripMargin)
+
+  val b17Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = 0)
+      |  AND s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      |  AND s_suppkey BETWEEN 10 AND 50
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** b18: GLOB (anchored, case-sensitive) + COLLATE NOCASE comparison. */
+  val b18GlobCollate: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT n_nationkey, n_name
+      |FROM nation
+      |WHERE n_name GLOB 'A*' OR n_name = 'france' COLLATE NOCASE
+      |ORDER BY n_nationkey""".stripMargin)
+
+  val b18Sql: String =
+    """SELECT n_nationkey, n_name
+      |FROM nation
+      |WHERE n_name GLOB 'A*' OR lower(n_name) = lower('france')
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** b19: positional GROUP BY / ORDER BY + LIMIT k,n (SQLite comma
+    * form) + scalar function surface. */
+  val b19Positional: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT o_orderpriority, count(*) AS n,
+      |       round(avg(o_totalprice), 2) AS avg_price,
+      |       min(substr(o_orderpriority, 1, 1)) AS pfx
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 2 DESC, 1
+      |LIMIT 1, 3""".stripMargin)
+
+  val b19Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(o_totalprice), 2) AS avg_price,
+      |       min(substr(o_orderpriority, 1, 1)) AS pfx
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 2 DESC, 1
+      |LIMIT 3 OFFSET 1""".stripMargin
+
+  /** b20: expression surface — IS/IS NOT null-safe equality, CASE keyed,
+    * nullif/coalesce, math builtins, string ops. */
+  val b20Expressions: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT r_regionkey,
+      |       upper(r_name) AS uname,
+      |       CASE r_regionkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'many' END AS k,
+      |       coalesce(nullif(r_regionkey, 0), -1) AS nz,
+      |       round(sqrt(r_regionkey + 1), 6) AS rt,
+      |       length(r_name) AS len
+      |FROM region
+      |WHERE r_name IS NOT NULL AND NOT (r_regionkey IS 99)
+      |ORDER BY r_regionkey""".stripMargin)
+
+  val b20Sql: String =
+    """SELECT r_regionkey,
+      |       upper(r_name) AS uname,
+      |       CASE r_regionkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'many' END AS k,
+      |       CAST(coalesce(nullif(r_regionkey, 0), -1) AS BIGINT) AS nz,
+      |       round(sqrt(r_regionkey + 1), 6) AS rt,
+      |       CAST(length(r_name) AS BIGINT) AS len
+      |FROM region
+      |WHERE r_name IS NOT NULL AND NOT (r_regionkey IS NOT DISTINCT FROM 99)
+      |ORDER BY r_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "b17_bql_exists" -> b17Exists,
+    "b18_bql_glob_collate" -> b18GlobCollate,
+    "b19_bql_positional" -> b19Positional,
+    "b20_bql_expressions" -> b20Expressions,
     "b14_crosscat_dependence" -> b14CrosscatDependence,
     "b15_crosscat_similarity" -> b15CrosscatSimilarity,
     "b16_crosscat_simulate" -> b16CrosscatSimulate,
@@ -244,5 +322,9 @@ object BqlQueries {
     "b01_bql_select" -> b01Sql,
     "b02_bql_join" -> b02Sql,
     "b03_bql_subquery" -> b03Sql,
-    "b04_bql_expressions" -> b04Sql)
+    "b04_bql_expressions" -> b04Sql,
+    "b17_bql_exists" -> b17Sql,
+    "b18_bql_glob_collate" -> b18Sql,
+    "b19_bql_positional" -> b19Sql,
+    "b20_bql_expressions" -> b20Sql)
 }
