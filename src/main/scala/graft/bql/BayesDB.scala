@@ -275,8 +275,24 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
         parsed.basics.foreach { case (v, _) =>
           require(pop.variable(v).isDefined, s"No such variable in $popName: $v")
         }
-        catalog.createGenerator(name, popName, backendOpt.getOrElse(defaultBackend),
+        val backendName = backendOpt.getOrElse(defaultBackend)
+        parsed.deviations.foreach { case (dev, obs) =>
+          require(Names.casefold(backendName) == "nig_normal",
+            "DEVIATION latent variables are a nig_normal schema clause")
+          require(pop.variable(obs).isDefined, s"No such variable in $popName: $obs")
+          require(pop.variable(dev).isEmpty, s"Variable already exists: $dev")
+        }
+        val gen = catalog.createGenerator(name, popName, backendName,
           schema.map(_.mkString(" ")))
+        if (parsed.deviations.nonEmpty) {
+          // register latent deviation variables: colno < 0, owned by this
+          // generator (reference: nig_normal.py:145-177 + core.py:398-414)
+          val existingLatents = pop.variables.count(_.isLatent)
+          val latents = parsed.deviations.zipWithIndex.map { case ((dev, _), i) =>
+            Variable(dev, -(existingLatents + i + 1), StatType.Numerical, Some(gen.id))
+          }
+          catalog.addLatentVariables(popName, latents)
+        }
       }
       emptyResult
 
@@ -294,19 +310,29 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
         throw new NoSuchElementException(s"No such generator: $genName"))
       val pop = catalog.populationNames.flatMap(catalog.population)
         .find(_.id == gen.populationId).get
-      // generator schema options (SUBSAMPLE) parameterize the backend
+      // generator schema options (SUBSAMPLE, DEVIATION) parameterize the
+      // backend; latent variables are excluded from the suff-stats fit
       val parsed = GenSchema.parse(gen.schemaAst.map(_.split(" ").toSeq))
       val backend = (gen.backend, parsed.subsample) match {
         case ("cgpm" | "crosscat", Some(n0)) => new CrossCatBackend(subsampleRows = n0)
         case _ => Backends.byName(gen.backend)
       }
       val df = table(pop.table)
-      val columns = pop.modeledVariables.map(v => v.colno -> v.name).toMap
-      val nominal = pop.modeledVariables.filter(v => StatType.isNominal(v.stattype))
+      val manifest = pop.modeledVariables.filterNot(_.isLatent)
+      val columns = manifest.map(v => v.colno -> v.name).toMap
+      val nominal = manifest.filter(v => StatType.isNominal(v.stattype))
         .map(_.colno).toSet
+      val deviations = parsed.deviations.map { case (dev, obs) =>
+        pop.variable(dev).get.colno -> pop.variable(obs).get.colno
+      }.toMap
       val modelnos = catalog.initializeModels(genName, n)
       val rng = DetRng(seed, 0xf17L, gen.id.toLong)
-      val st0 = backend.createGenerator(df, columns, nominal)
+      val st0raw = backend.createGenerator(df, columns, nominal)
+      val st0 = (st0raw, backend) match {
+        case (ns: graft.backends.NigNormalBackend.State, _) if deviations.nonEmpty =>
+          ns.copy(deviations = deviations)
+        case _ => st0raw
+      }
       states(Names.casefold(genName)) = backend.initializeModels(st0, modelnos, rng)
       emptyResult
 

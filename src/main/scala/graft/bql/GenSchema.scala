@@ -21,11 +21,13 @@ object GenSchema {
 
   final case class Parsed(
       subsample: Option[Int],
-      basics: Seq[(String, String)])  // (variable, dist)
+      basics: Seq[(String, String)],        // (variable, dist)
+      deviations: Seq[(String, String)])    // (latent name, observed var)
 
   def parse(schemata: Seq[Seq[String]]): Parsed = {
     var subsample: Option[Int] = None
     val basics = Seq.newBuilder[(String, String)]
+    val deviations = Seq.newBuilder[(String, String)]
     schemata.map(_.filter(_.nonEmpty)).filter(_.nonEmpty).foreach { toks =>
       val words = toks.filterNot(t => t == "(" || t == ")" || t == ",")
       words.map(Names.casefold) match {
@@ -38,6 +40,10 @@ object GenSchema {
         case head +: _ if head == "override" =>
           throw new UnsupportedOperationException(
             "OVERRIDE GENERATIVE MODEL (foreign CGPM composition): not supported")
+        case Seq(dev, "deviation", obs) =>
+          // nig_normal latent deviation variable (reference:
+          // nig_normal.py:145-177 — `dev DEVIATION (obs)`)
+          deviations += ((words.head, words(2)))
         case Seq(v, dist) =>
           basics += ((words.head, dist))
         case Seq(v, dist, rest @ _*) =>
@@ -49,7 +55,7 @@ object GenSchema {
             s"Unrecognized generator schema clause: ${toks.mkString(" ")}")
       }
     }
-    Parsed(subsample, basics.result())
+    Parsed(subsample, basics.result(), deviations.result())
   }
 
   /** Validate basic clauses against the default dist per stattype. */

@@ -136,6 +136,21 @@ final class Catalog {
   def populationNames: Seq[String] = populations.values.map(_.name).toSeq.sorted
   def generatorNames: Seq[String] = generators.values.map(_.name).toSeq.sorted
 
+  /** Attach latent variables (colno < 0) to a population on behalf of a
+    * generator (reference: bayesdb_add_latent, src/core.py:398-414). No
+    * attached-generator guard: latents are created BY generators. */
+  def addLatentVariables(popName: String, vars: Seq[Variable]): Population = {
+    val key = Names.casefold(popName)
+    val pop = populations.getOrElse(key,
+      throw new NoSuchElementException(s"No such population: $popName"))
+    require(vars.forall(_.isLatent), "addLatentVariables takes latent (colno<0) vars")
+    vars.foreach(v => require(pop.variable(v.name).isEmpty,
+      s"Variable already exists: ${v.name}"))
+    val updated = pop.copy(variables = pop.variables ++ vars)
+    populations(key) = updated
+    updated
+  }
+
   /** ALTER POPULATION ... RENAME TO (reference: src/bql.py:929-947). */
   def renamePopulation(oldName: String, newName: String): Unit = {
     val oldKey = Names.casefold(oldName)

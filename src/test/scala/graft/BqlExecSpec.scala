@@ -306,6 +306,30 @@ class BqlExecSpec extends AnyFunSuite {
     assert(df2.collect().forall(r => r.getDouble(0) == 0.0))  // nig: dep = 0
   }
 
+  test("nig_normal latent deviation variables (DEVIATION clause)") {
+    import spark.implicits._
+    bdb.registerTable("t8", (1 to 60).map(i => (i.toLong, 10.0 + (i % 5)))
+      .toDF("id", "x"))
+    bdb.execute("create population p8 for t8 (id ignore; x numerical)")
+    bdb.execute("create generator g8 for p8 using nig_normal (xe deviation (x))")
+    bdb.execute("initialize 4 models for g8")
+    bdb.execute("analyze g8 for 1 iteration")
+    // the latent variable is registered with a negative colno
+    val xe = bdb.catalog.population("p8").get.variable("xe").get
+    assert(xe.isLatent && xe.colno < 0)
+    // deviations simulate as N(0, sigma_x): centered near zero, unlike x
+    val devs = bdb.execute("simulate xe from p8 limit 200")
+      .collect().map(_.getDouble(0))
+    val xs = bdb.execute("simulate x from p8 limit 200")
+      .collect().map(_.getDouble(0))
+    assert(math.abs(devs.sum / devs.length) < 2.0, "deviation mean ≈ 0")
+    assert(xs.sum / xs.length > 8.0, "x mean ≈ 12")
+    // density of the deviation at 0 beats density far away
+    val d0 = one("estimate probability density of xe = 0 by p8").asInstanceOf[Double]
+    val d9 = one("estimate probability density of xe = 50 by p8").asInstanceOf[Double]
+    assert(d0 > d9)
+  }
+
   test("analyze program: VARIABLES / SKIP restriction, hints accepted") {
     import spark.implicits._
     bdb.registerTable("t7", (1 to 40).map(i => (i.toLong, i.toDouble, -i.toDouble))
