@@ -239,6 +239,67 @@ class CrossCatBackend(
     st.copy(models = st.models.filterNot(m => modelnos.contains(m.modelno)))
   }
 
+  // ---------------------------------------------- ALTER GENERATOR moves
+  // (reference: cgpm_alter sub-language, cgpm_backend.py:396-556)
+
+  /** ENSURE VARIABLES * DEPENDENT: collapse every model to one view. */
+  def ensureAllDependent(state: GeneratorState): GeneratorState =
+    mapModels(state) { (st, m) =>
+      val keep = m.viewOf(0)
+      m.copy(viewOf = m.viewOf.map(_ => 0),
+        viewAlpha = IndexedSeq(m.viewAlpha(keep)),
+        rowAssign = IndexedSeq(m.rowAssign(keep)))
+    }
+
+  /** ENSURE VARIABLES * INDEPENDENT: one singleton view per column,
+    * each seeded with the column's current view partition. */
+  def ensureAllIndependent(state: GeneratorState): GeneratorState =
+    mapModels(state) { (st, m) =>
+      m.copy(
+        viewOf = st.colnos.indices,
+        viewAlpha = st.colnos.indices.map(j => m.viewAlpha(m.viewOf(j))),
+        rowAssign = st.colnos.indices.map(j => m.rowAssign(m.viewOf(j))))
+    }
+
+  /** ENSURE VARIABLES cols IN VIEW OF anchor. */
+  def ensureInViewOf(state: GeneratorState, colnos: Seq[Int], anchor: Int): GeneratorState =
+    mapModels(state) { (st, m) =>
+      val target = m.viewOf(st.colIdx(anchor))
+      val moved = colnos.map(st.colIdx).toSet
+      compactViews(m.copy(viewOf = m.viewOf.zipWithIndex.map {
+        case (v, j) => if (moved(j)) target else v
+      }))
+    }
+
+  /** ENSURE VARIABLES cols IN SINGLETON VIEW: each listed column moves
+    * to its own fresh view seeded with its current partition. */
+  def ensureSingleton(state: GeneratorState, colnos: Seq[Int]): GeneratorState =
+    mapModels(state) { (st, m0) =>
+      var m = m0
+      colnos.map(st.colIdx).foreach { j =>
+        val src = m.viewOf(j)
+        m = compactViews(m.copy(
+          viewOf = m.viewOf.updated(j, m.rowAssign.length),
+          viewAlpha = m.viewAlpha :+ m.viewAlpha(src),
+          rowAssign = m.rowAssign :+ m.rowAssign(src)))
+      }
+      m
+    }
+
+  private def mapModels(state: GeneratorState)(
+      f: (CrossCatState, CrossCatModel) => CrossCatModel): GeneratorState = {
+    val st = state.asInstanceOf[CrossCatState]
+    st.copy(models = st.models.map(m => f(st, m)))
+  }
+
+  private def compactViews(m: CrossCatModel): CrossCatModel = {
+    val live = m.rowAssign.indices.filter(v => m.viewOf.contains(v))
+    val remap = live.zipWithIndex.toMap
+    m.copy(viewOf = m.viewOf.map(remap),
+      viewAlpha = live.map(m.viewAlpha),
+      rowAssign = live.map(m.rowAssign))
+  }
+
   override def rowSimilarity(state: GeneratorState, modelnos: Option[Seq[Int]],
       rowid0: Long, rowid1: Long, colnos: Seq[Int]): Seq[Double] = {
     val st = state.asInstanceOf[CrossCatState]

@@ -370,11 +370,54 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
       }
       emptyResult
 
-    case Ast.AlterGen(_, _, _) =>
-      throw new UnsupportedOperationException(
-        "ALTER GENERATOR: backend schema sub-language arrives with the CrossCat port")
+    case Ast.AlterGen(genName, _, commands) =>
+      val gen = catalog.generator(genName).getOrElse(
+        throw new NoSuchElementException(s"No such generator: $genName"))
+      val pop = catalog.populationNames.flatMap(catalog.population)
+        .find(_.id == gen.populationId).get
+      commands.foreach {
+        case Ast.AlterGenRenameGen(_) =>
+          throw new UnsupportedOperationException("ALTER GENERATOR RENAME: not supported yet")
+        case Ast.AlterGenGeneric(tokens) =>
+          runAlterGenClause(genName, gen.backend, pop, tokens)
+      }
+      emptyResult
 
     case r: Ast.Regress => regress(r, binds)
+  }
+
+  /** One ALTER GENERATOR clause over the cgpm_alter sub-language
+    * (reference: cgpm_backend.py:396-556): ENSURE VARIABLES [* | cols]
+    * DEPENDENT / INDEPENDENT / IN VIEW OF c / IN SINGLETON VIEW. */
+  private def runAlterGenClause(genName: String, backendName: String,
+      pop: graft.catalog.Population, tokens: Seq[String]): Unit = {
+    val backend = Backends.byName(backendName)
+    val cc = backend match {
+      case b: CrossCatBackend => b
+      case _ => throw new UnsupportedOperationException(
+        s"ALTER GENERATOR clauses require the cgpm backend, not $backendName")
+    }
+    val st = states.getOrElse(Names.casefold(genName),
+      throw new IllegalStateException(s"Generator $genName has no initialized models"))
+    val toks = tokens.filterNot(t => t == "," || t == "(" || t == ")")
+      .map(Names.casefold)
+    def colno(v: String): Int = pop.variable(v).getOrElse(
+      throw new NoSuchElementException(s"No such variable: $v")).colno
+    val updated = toks match {
+      case Seq("ensure", "variables", "*", "dependent") =>
+        cc.ensureAllDependent(st)
+      case Seq("ensure", "variables", "*", "independent") =>
+        cc.ensureAllIndependent(st)
+      case "ensure" +: "variables" +: rest if rest.takeRight(3) == Seq("in", "singleton", "view") =>
+        cc.ensureSingleton(st, rest.dropRight(3).map(colno))
+      case "ensure" +: "variables" +: rest if rest.length >= 4 &&
+          rest(rest.length - 4) == "in" && rest(rest.length - 3) == "view" &&
+          rest(rest.length - 2) == "of" =>
+        cc.ensureInViewOf(st, rest.dropRight(4).map(colno), colno(rest.last))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER GENERATOR clause not supported: ${other.mkString(" ")}")
+    }
+    states(Names.casefold(genName)) = updated
   }
 
   /** Parse an ANALYZE program's tokens into a variable restriction:

@@ -306,6 +306,30 @@ class BqlExecSpec extends AnyFunSuite {
     assert(df2.collect().forall(r => r.getDouble(0) == 0.0))  // nig: dep = 0
   }
 
+  test("alter generator: ensure variables dependent/independent/view moves") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    bdb.registerTable("t9", (1 to 60).map(i =>
+      (i.toLong, rng.nextGaussian(), rng.nextGaussian(), rng.nextGaussian()))
+      .toDF("id", "a", "b", "c"))
+    bdb.execute("create population p9 for t9 (id ignore;" +
+      " a numerical; b numerical; c numerical)")
+    bdb.execute("create generator g9 for p9 using cgpm")
+    bdb.execute("initialize 3 models for g9")
+    bdb.execute("analyze g9 for 2 iterations")
+    def dep(x: String, y: String): Double =
+      one(s"estimate dependence probability of $x with $y by p9")
+        .asInstanceOf[Double]
+    bdb.execute("alter generator g9 ensure variables * dependent")
+    assert(dep("a", "b") == 1.0 && dep("b", "c") == 1.0)
+    bdb.execute("alter generator g9 ensure variables * independent")
+    assert(dep("a", "b") == 0.0 && dep("a", "c") == 0.0)
+    bdb.execute("alter generator g9 ensure variables b in view of a")
+    assert(dep("a", "b") == 1.0 && dep("a", "c") == 0.0)
+    bdb.execute("alter generator g9 ensure variables b in singleton view")
+    assert(dep("a", "b") == 0.0)
+  }
+
   test("nig_normal latent deviation variables (DEVIATION clause)") {
     import spark.implicits._
     bdb.registerTable("t8", (1 to 60).map(i => (i.toLong, 10.0 + (i % 5)))
