@@ -10,9 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: BQL text through the parser + planner + Catalyst — the
+    * product's front door. Driver smoke-checks rows>0 at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q01Agg(spark, "/root/testdata/sf0.001")
+    operators.BqlQueries.b01Select(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -128,6 +128,17 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     }
   }
 
+  /** Execute a semicolon-separated BQL script (the `.bql` file / shell
+    * surface, reference: shell/src/main.py:48-92); returns the last
+    * phrase's result. */
+  def executeScript(script: String, bindings: Seq[Any] = Nil): DataFrame =
+    Parser.parseAll(script).foldLeft(emptyResult) { (_, parsed) =>
+      parsed.phrase match {
+        case q: Ast.Query => Planner.plan(this, q, bindings)
+        case c: Ast.Command => runCommand(c, bindings)
+      }
+    }
+
   private def emptyResult: DataFrame = spark.emptyDataFrame
 
   private def runCommand(c: Ast.Command, binds: Seq[Any]): DataFrame = c match {

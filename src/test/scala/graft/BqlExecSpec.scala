@@ -437,6 +437,18 @@ class BqlExecSpec extends AnyFunSuite {
     assert(exp.schema("lhat").dataType.typeName == "string")
   }
 
+  test("executeScript runs a multi-phrase .bql program end to end") {
+    import spark.implicits._
+    bdb.registerTable("ts1", (1 to 20).map(i => (i.toLong, i * 1.5)).toDF("id", "v"))
+    val last = bdb.executeScript(
+      """create population ps1 for ts1 (id ignore; v numerical);
+        |create generator gs1 for ps1 using nig_normal;
+        |initialize 2 models for gs1;
+        |analyze gs1 for 1 iteration;
+        |simulate v from ps1 limit 7""".stripMargin)
+    assert(last.count() == 7)
+  }
+
   test("select rejects model estimators (reference: BQLCompiler_None)") {
     intercept[Exception] {
       bdb.execute("select predictive probability of weight from t1").collect()
