@@ -22,11 +22,41 @@ import scala.collection.concurrent.TrieMap
   *  - the default backend is cgpm (the Scala CrossCat port), matching
   *    the reference (src/__init__.py:94-96).
   */
+object BayesDB {
+  /** Reopen a persisted engine (see [[BayesDB.save]]): restores catalog,
+    * fitted model states, and all tables from their parquet snapshots
+    * (rowid already materialized — no re-indexing pass). */
+  def open(spark: SparkSession, dir: String): BayesDB = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.FileInputStream(s"$dir/metadata.bin"))
+    val (cat, sts, tableNames, seed) =
+      try {
+        val c = in.readObject().asInstanceOf[Catalog]
+        val st = in.readObject().asInstanceOf[Map[String, GeneratorState]]
+        val tn = in.readObject().asInstanceOf[Seq[String]]
+        (c, st, tn, in.readLong())
+      } finally in.close()
+    val bdb = new BayesDB(spark, seed)
+    bdb.restore(cat, sts)
+    tableNames.foreach { n =>
+      bdb.registerTable(n, spark.read.parquet(s"$dir/tables/$n.parquet"))
+    }
+    bdb
+  }
+}
+
 final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
 
-  val catalog = new Catalog
+  private var catalog0 = new Catalog
+  def catalog: Catalog = catalog0
   private val tables = TrieMap.empty[String, DataFrame]
   private val states = TrieMap.empty[String, GeneratorState]
+
+  private[bql] def restore(cat: Catalog, sts: Map[String, GeneratorState]): Unit = {
+    catalog0 = cat
+    states.clear()
+    states ++= sts
+  }
 
   SqlFunctions.register(spark)
 
@@ -126,6 +156,29 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
       case q: Ast.Query => Planner.plan(this, q, binds)
       case c: Ast.Command => runCommand(c, binds)
     }
+  }
+
+  // ---------------------------------------------------------- persistence
+
+  /** Persist the engine to a directory — the analogue of the reference's
+    * on-disk .bdb file (reference: bayesdb_open(pathname),
+    * src/bayesdb.py:50-88): every registered table as parquet (rowid
+    * included), the metadata catalog + fitted model states as a Java-
+    * serialized snapshot. */
+  def save(dir: String): Unit = {
+    val base = new java.io.File(dir)
+    base.mkdirs()
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/tables/$name.parquet")
+    }
+    val out = new java.io.ObjectOutputStream(
+      new java.io.FileOutputStream(s"$dir/metadata.bin"))
+    try {
+      out.writeObject(catalog)
+      out.writeObject(states.toMap)
+      out.writeObject(tables.keys.toSeq)
+      out.writeLong(seed)
+    } finally out.close()
   }
 
   /** Execute a semicolon-separated BQL script (the `.bql` file / shell

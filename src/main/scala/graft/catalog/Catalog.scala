@@ -53,7 +53,7 @@ object Names {
   * Spark equivalent: data tables are immutable DataFrames, so rollback
   * semantics reduce to dropping references — a documented divergence.
   */
-final class Catalog {
+final class Catalog extends Serializable {
   private val populations = TrieMap.empty[String, Population]
   private val generators = TrieMap.empty[String, Generator]
   // generator id -> model numbers initialized

@@ -437,6 +437,27 @@ class BqlExecSpec extends AnyFunSuite {
     assert(exp.schema("lhat").dataType.typeName == "string")
   }
 
+  test("save/open round-trips tables, catalog, and fitted models") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bdb").toString
+    val b1 = new bql.BayesDB(spark, seed = 21L)
+    b1.registerTable("tp", (1 to 30).map(i => (i.toLong, i * 2.0)).toDF("id", "v"))
+    b1.executeScript(
+      """create population pp for tp (id ignore; v numerical);
+        |create generator gp for pp using nig_normal;
+        |initialize 3 models for gp;
+        |analyze gp for 1 iteration""".stripMargin)
+    val before = b1.execute("simulate v from pp limit 5").collect().map(_.getDouble(0))
+    b1.save(dir)
+    val b2 = bql.BayesDB.open(spark, dir)
+    assert(b2.catalog.population("pp").isDefined)
+    assert(b2.catalog.modelNumbers("gp") == Seq(0, 1, 2))
+    assert(b2.execute("select count(*) from tp").head.getLong(0) == 30L)
+    val after = b2.execute("simulate v from pp limit 5").collect().map(_.getDouble(0))
+    assert(before.toSeq == after.toSeq,
+      "reopened engine must reproduce the same seeded draws")
+  }
+
   test("executeScript runs a multi-phrase .bql program end to end") {
     import spark.implicits._
     bdb.registerTable("ts1", (1 to 20).map(i => (i.toLong, i * 1.5)).toDF("id", "v"))
