@@ -286,6 +286,26 @@ class CrossCatBackend(
       m
     }
 
+  /** ENSURE ROWS rows IN CLUSTER OF ROW anchor WITHIN VIEW OF col:
+    * reassign the listed (incorporated) rows to the anchor row's cluster
+    * in the view containing `colno`. */
+  def ensureRowsInCluster(state: GeneratorState, rowids: Seq[Long],
+      anchorRowid: Long, colno: Int): GeneratorState =
+    mapModels(state) { (st, m) =>
+      val v = m.viewOf(st.colIdx(colno))
+      val anchorIdx = st.rowIdx(anchorRowid)
+      require(anchorIdx >= 0, s"Anchor rowid $anchorRowid is not incorporated")
+      val target = m.rowAssign(v)(anchorIdx)
+      val moved = rowids.map(st.rowIdx).filter(_ >= 0).toSet
+      val assign = m.rowAssign(v).zipWithIndex.map {
+        case (z, i) => if (moved(i)) target else z
+      }
+      // compact cluster ids emptied by the move
+      val live = assign.distinct.sorted
+      val remap = live.zipWithIndex.toMap
+      m.copy(rowAssign = m.rowAssign.updated(v, assign.map(remap)))
+    }
+
   private def mapModels(state: GeneratorState)(
       f: (CrossCatState, CrossCatModel) => CrossCatModel): GeneratorState = {
     val st = state.asInstanceOf[CrossCatState]

@@ -478,6 +478,16 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
           rest(rest.length - 4) == "in" && rest(rest.length - 3) == "view" &&
           rest(rest.length - 2) == "of" =>
         cc.ensureInViewOf(st, rest.dropRight(4).map(colno), colno(rest.last))
+      case "ensure" +: ("row" | "rows") +: rest if rest.length >= 9 &&
+          rest.containsSlice(Seq("in", "cluster", "of", "row")) &&
+          rest(rest.length - 4) == "within" && rest(rest.length - 3) == "view" &&
+          rest(rest.length - 2) == "of" =>
+        // ENSURE ROWS r… IN CLUSTER OF ROW a WITHIN VIEW OF c — the
+        // "of" of WITHIN VIEW OF is consumed as part of the tail
+        val splitAt = rest.indexOfSlice(Seq("in", "cluster", "of", "row"))
+        val rows = rest.take(splitAt).map(_.toLong)
+        val anchor = rest(splitAt + 4).toLong
+        cc.ensureRowsInCluster(st, rows, anchor, colno(rest.last))
       case other => throw new UnsupportedOperationException(
         s"ALTER GENERATOR clause not supported: ${other.mkString(" ")}")
     }

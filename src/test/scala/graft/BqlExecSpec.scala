@@ -328,6 +328,12 @@ class BqlExecSpec extends AnyFunSuite {
     assert(dep("a", "b") == 1.0 && dep("a", "c") == 0.0)
     bdb.execute("alter generator g9 ensure variables b in singleton view")
     assert(dep("a", "b") == 0.0)
+    // row-cluster move: rows 1,2 join row 3's cluster in a's view
+    bdb.execute("alter generator g9 ensure rows (1, 2) in cluster of row 3" +
+      " within view of a")
+    val sim = one("estimate similarity of (rowid = 1) to (rowid = 3)" +
+      " in the context of a by p9")
+    assert(sim == 1.0, s"rows forced into one cluster must have similarity 1, got $sim")
   }
 
   test("nig_normal latent deviation variables (DEVIATION clause)") {
