@@ -257,6 +257,13 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
         val colIndex = baseCols.zipWithIndex.map { case (c, i) => Names.casefold(c) -> i }.toMap
         def colno(c: String): Int = colIndex.getOrElse(Names.casefold(c),
           throw new NoSuchElementException(s"No such column in $tableName: $c"))
+        // every named column must exist (reference raises on unknown
+        // schema columns, tests/test_error_bql.py)
+        def checkExists(n: String): String = {
+          require(colIndex.contains(Names.casefold(n)),
+            s"No such column in $tableName: $n")
+          n
+        }
         val explicit = scala.collection.mutable.LinkedHashMap.empty[String, StatType]
         val ignored = scala.collection.mutable.Set.empty[String]
         var guessCols = Seq.empty[String]
@@ -264,10 +271,11 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
           case Ast.PopModelVars(names, st) =>
             val stattype = StatType.parse(st).getOrElse(
               throw new IllegalArgumentException(s"Unknown stattype: $st"))
-            names.foreach(n => explicit(Names.casefold(n)) = stattype)
-          case Ast.PopIgnoreVars(names) => names.foreach(n => ignored += Names.casefold(n))
+            names.foreach(n => explicit(Names.casefold(checkExists(n))) = stattype)
+          case Ast.PopIgnoreVars(names) =>
+            names.foreach(n => ignored += Names.casefold(checkExists(n)))
           case Ast.PopGuessVars(Nil) => guessCols = baseCols
-          case Ast.PopGuessVars(names) => guessCols = guessCols ++ names
+          case Ast.PopGuessVars(names) => guessCols = guessCols ++ names.map(checkExists)
         }
         val guessed: Map[String, StatType] =
           if (guessCols.isEmpty) Map.empty

@@ -30,9 +30,8 @@ object BqlQueries {
       }
       // model lifecycle over customer, mirroring ModelQueries' ensemble
       b.execute("create population cpop for customer (" +
-        "guess stattypes of (*); " +
         "set stattypes of c_acctbal, c_nationkey to numerical; " +
-        "ignore c_name, c_address, c_phone, c_comment, c_mktsegment, c_custkey)")
+        "ignore c_name, c_mktsegment, c_custkey)")
       b.execute("create generator cgen for cpop using nig_normal")
       b.execute("initialize 8 models for cgen")
       b.execute("analyze cgen for 1 iteration")
@@ -41,8 +40,7 @@ object BqlQueries {
       b.execute("create population lpop for lineitem (" +
         "set stattypes of l_quantity, l_extendedprice, l_discount to numerical; " +
         "ignore l_orderkey, l_partkey, l_suppkey, l_linenumber, l_tax, " +
-        "l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate, " +
-        "l_shipinstruct, l_shipmode, l_comment)")
+        "l_returnflag, l_linestatus, l_shipdate)")
       b.execute("create generator lgen for lpop using cgpm")
       b.execute("initialize 4 models for lgen")
       b.execute("analyze lgen for 10 iterations")
@@ -156,7 +154,7 @@ object BqlQueries {
       b.registerTable("customer_holes", holes)
       b.execute("create population hpop for customer_holes (" +
         "set stattypes of c_acctbal, c_nationkey to numerical; " +
-        "ignore c_name, c_address, c_phone, c_comment, c_mktsegment, c_custkey)")
+        "ignore c_name, c_mktsegment, c_custkey)")
       b.execute("create generator hgen for hpop using nig_normal")
       b.execute("initialize 4 models for hgen")
       b.execute("analyze hgen for 1 iteration")

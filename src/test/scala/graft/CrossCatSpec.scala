@@ -155,6 +155,34 @@ class CrossCatSpec extends AnyFunSuite {
     assert(pPos > pNeg + 1.0)
   }
 
+  test("KL check: CrossCat posterior predictive tracks the conjugate NIG analytic") {
+    // reference: tests/test_kl.py / test_nig_normal.py — on unimodal
+    // Gaussian data the DP-mixture posterior predictive must be close to
+    // the plain conjugate NIG posterior predictive
+    import spark.implicits._
+    val rng = DetRng(2718L)
+    val rows = (1 to 300).map(i => (i.toLong, 10.0 + 2.0 * rng.nextGaussian()))
+    val df = rows.toDF("rowid", "x")
+    val cc = new CrossCatBackend()
+    val ccSt = cc.analyzeModels(
+      cc.initializeModels(cc.createGenerator(df, Map(0 -> "x")), 0 until 4, DetRng(1L)),
+      None, 10, DetRng(2L))
+    val nig = new graft.backends.NigNormalBackend()
+    val nigSt = nig.analyzeModels(
+      nig.initializeModels(nig.createGenerator(df, Map(0 -> "x")), 0 until 8, DetRng(3L)),
+      None, 1, DetRng(4L))
+    // KL(cc || nig) ≈ E_cc[log p_cc(x) - log p_nig(x)] by Monte Carlo
+    val samples = cc.simulateJoint(ccSt, None, Seq(0), Nil, 400, DetRng(5L)).map(_.head)
+    val kl = samples.map { x =>
+      cc.logpdfJoint(ccSt, None, Seq(0 -> x), Nil) -
+        nig.logpdfJoint(nigSt, None, Seq(0 -> x), Nil)
+    }.sum / samples.length
+    assert(kl.abs < 0.15, s"KL(crosscat || nig) = $kl should be near 0 on unimodal data")
+    // and both place the predictive mean near 10
+    val mean = samples.sum / samples.length
+    assert(math.abs(mean - 10.0) < 0.6, s"predictive mean $mean")
+  }
+
   test("analyze is deterministic under the seed") {
     val backend2 = new CrossCatBackend()
     import spark.implicits._

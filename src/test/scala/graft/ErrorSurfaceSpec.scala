@@ -1,0 +1,67 @@
+package graft
+
+import graft.bql.{BayesDB, Parser}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-surface checks (reference: tests/test_error_bql.py): common
+  * user mistakes must fail fast with messages naming the offender. */
+class ErrorSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val bdb: BayesDB = {
+    val b = new BayesDB(spark)
+    import spark.implicits._
+    b.registerTable("et", Seq((1L, 2.0), (2L, 3.0)).toDF("id", "x"))
+    b
+  }
+
+  private def messageOf(body: => Any): String =
+    intercept[Exception](body).getMessage
+
+  test("unknown objects are named in the error") {
+    assert(messageOf(bdb.execute("select * from nosuch")).contains("nosuch"))
+    assert(messageOf(bdb.execute("estimate x from nopop")).contains("nopop"))
+    assert(messageOf(bdb.execute("initialize 2 models for nogen")).contains("nogen"))
+    assert(messageOf(bdb.execute("drop table nosuch")).contains("nosuch"))
+    assert(messageOf(bdb.execute(
+      "create population ep for et (y numerical)")).contains("y"))
+  }
+
+  test("lifecycle ordering errors") {
+    bdb.execute("create population ep2 for et (id ignore; x numerical)")
+    // query before any generator
+    assert(messageOf(bdb.execute("simulate x from ep2 limit 2"))
+      .toLowerCase.contains("generator"))
+    bdb.execute("create generator eg2 for ep2 using nig_normal")
+    // query before INITIALIZE
+    assert(messageOf(bdb.execute("simulate x from ep2 limit 2"))
+      .toLowerCase.contains("initialize"))
+    // ANALYZE before INITIALIZE
+    assert(messageOf(bdb.execute("analyze eg2 for 1 iteration"))
+      .toLowerCase.contains("initialized"))
+  }
+
+  test("phrase-level misuse") {
+    // estimators outside a model context
+    assert(messageOf(bdb.execute("select predictive probability of x from et"))
+      .toLowerCase.contains("estimate"))
+    // SIMULATE without LIMIT is a parse error (reference: parse.py:327)
+    intercept[Parser.ParseError] { bdb.execute("simulate x from ep2") }
+    // more than one phrase per execute
+    intercept[Parser.ParseError] { bdb.execute("select 1; select 2") }
+    // unknown backend
+    assert(messageOf(bdb.execute(
+      "create generator bad for ep2 using nosuchbackend") match {
+        case _ => bdb.execute("initialize 1 model for bad")
+      }).contains("nosuchbackend"))
+  }
+
+  test("duplicate creation guarded; IF NOT EXISTS tolerated") {
+    bdb.execute("create table dup as select 1 as a")
+    assert(messageOf(bdb.execute("create table dup as select 2 as a"))
+      .contains("dup"))
+    bdb.execute("create table if not exists dup as select 3 as a")
+    assert(bdb.execute("select a from dup").head.getLong(0) == 1L)
+    bdb.execute("drop table dup")
+  }
+}
