@@ -107,7 +107,8 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
 
   /** Assemble the PopulationModel for query planning: the population's
     * fitted generator ensemble (optionally one named generator). */
-  def populationModel(populationName: String, generatorName: Option[String]): PopulationModel = {
+  def populationModel(populationName: String, generatorName: Option[String],
+      modelnos: Option[Seq[Int]] = None): PopulationModel = {
     val pop = catalog.population(populationName).getOrElse(
       throw new NoSuchElementException(s"No such population: $populationName"))
     val gens = generatorName match {
@@ -125,7 +126,12 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     }
     require(fitted.nonEmpty,
       s"Population $populationName has no initialized models (INITIALIZE ... MODELS FOR ...)")
-    PopulationModel(pop, fitted, seed)
+    modelnos.foreach { ns =>
+      val known = fitted.flatMap(_.state.modelNumbers).toSet
+      val missing = ns.filterNot(known)
+      require(missing.isEmpty, s"No such models: ${missing.mkString(", ")}")
+    }
+    PopulationModel(pop, fitted, seed, modelnos)
   }
 
   // ------------------------------------------------------------- execute

@@ -206,7 +206,7 @@ object Planner {
   // ------------------------------------------------------------ ESTIMATE
 
   private def planEstimate(bdb: BayesDB, e: Estimate, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(e.population, e.generator)
+    val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
     val base = bdb.table(pm.population.table)
     val ctx = Ctx(bdb, RowCtx(pm), binds, agg = false)
     assemble(base, Nil, e.columns, e.quantifier, e.condition, e.grouping,
@@ -215,7 +215,7 @@ object Planner {
   }
 
   private def planEstBy(bdb: BayesDB, e: EstBy, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(e.population, e.generator)
+    val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
     val base = bdb.spark.range(1).toDF("__dummy__")
     val ctx = Ctx(bdb, ConstCtx(pm), binds, agg = false)
     assemble(base, Nil, e.columns, e.quantifier, None, None, Nil, None, ctx,
@@ -233,7 +233,7 @@ object Planner {
   }
 
   private def planEstCols(bdb: BayesDB, e: EstCols, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(e.population, e.generator)
+    val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
     val base = variablesDf(bdb, pm)
     val ctx = Ctx(bdb, ColCtx(pm), binds, agg = false)
     // `*` means just the variable name column (reference: 'v.name AS name')
@@ -246,7 +246,7 @@ object Planner {
   }
 
   private def planEstPairCols(bdb: BayesDB, e: EstPairCols, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(e.population, e.generator)
+    val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
     val vars = variablesDf(bdb, pm)
     val base = vars.select(col("name").as("name0"), col("colno").as("colno0"))
       .crossJoin(vars.select(col("name").as("name1"), col("colno").as("colno1")))
@@ -273,7 +273,7 @@ object Planner {
   }
 
   private def planEstPairRow(bdb: BayesDB, e: EstPairRow, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(e.population, e.generator)
+    val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
     val t = bdb.table(pm.population.table)
     // self cross join on rowid pairs (reference: FROM t AS r0, t AS r1).
     // Scale note: this is inherently O(n²) — reference semantics; callers
@@ -294,7 +294,7 @@ object Planner {
   // --------------------------------------------------------------- INFER
 
   private def planInferAuto(bdb: BayesDB, i: InferAuto, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(i.population, i.generator)
+    val pm = bdb.populationModel(i.population, i.generator, i.modelnos)
     val base = bdb.table(pm.population.table)
     val conf = i.confidence.getOrElse(ExpLit(LitInt(0)))
     // rewrite to INFER EXPLICIT: modeled columns become
@@ -320,7 +320,7 @@ object Planner {
   }
 
   private def planInferExplicit(bdb: BayesDB, i: InferExplicit, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(i.population, i.generator)
+    val pm = bdb.populationModel(i.population, i.generator, i.modelnos)
     val base = bdb.table(pm.population.table)
     val ctx = Ctx(bdb, InferCtx(pm), binds, agg = false)
     // PredCol expands to value [+ confidence] columns from the predict
@@ -349,7 +349,7 @@ object Planner {
   // ------------------------------------------------------------ SIMULATE
 
   private def planSimulate(bdb: BayesDB, s: Simulate, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(s.population, s.generator)
+    val pm = bdb.populationModel(s.population, s.generator, s.modelnos)
     val targets = s.columns.map {
       case SelColExp(ExpCol(_, c), _) => c
       case other => throw new IllegalArgumentException(

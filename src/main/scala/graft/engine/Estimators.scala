@@ -21,7 +21,8 @@ final case class FittedGenerator(
 final case class PopulationModel(
     population: Population,
     generators: Seq[FittedGenerator],
-    seed: Long) extends Serializable {
+    seed: Long,
+    modelnos: Option[Seq[Int]] = None) extends Serializable {
   require(generators.nonEmpty, "PopulationModel needs at least one generator")
   def colno(varName: String): Int =
     population.variable(varName).getOrElse(
@@ -98,12 +99,13 @@ object Estimators {
     val tCols = targets.map(v => v -> pm.colno(v))
     val cCols = constraints.map(v => v -> pm.colno(v))
     val gens = pm.generators
+    val mnos = pm.modelnos
     val fn = udf { (tVals: Seq[java.lang.Double], cVals: Seq[java.lang.Double]) =>
       val t = tCols.map(_._2).zip(tVals).collect { case (c, v) if v != null => (c, v.doubleValue) }
       if (t.isEmpty) null
       else {
         val c = cCols.map(_._2).zip(cVals).collect { case (cn, v) if v != null => (cn, v.doubleValue) }
-        val perGen = gens.map(g => g.backend.logpdfJoint(g.state, None, t, c)).toArray
+        val perGen = gens.map(g => g.backend.logpdfJoint(g.state, mnos, t, c)).toArray
         java.lang.Double.valueOf(math.exp(logMeanExp(perGen)))
       }
     }
@@ -119,12 +121,13 @@ object Estimators {
       pm: PopulationModel,
       targets: Seq[(String, Double)],
       constraints: Seq[(String, Double)] = Nil): Double = {
+    val mnos = pm.modelnos
     val t = targets.map { case (v, x) => (pm.colno(v), x) }
     val c = constraints.map { case (v, x) => (pm.colno(v), x) }
     val logliks = pm.generators.map { g =>
-      if (c.isEmpty) 0.0 else g.backend.logpdfJoint(g.state, None, c, Nil)
+      if (c.isEmpty) 0.0 else g.backend.logpdfJoint(g.state, mnos, c, Nil)
     }.toArray
-    val logpdfs = pm.generators.map(g => g.backend.logpdfJoint(g.state, None, t, c)).toArray
+    val logpdfs = pm.generators.map(g => g.backend.logpdfJoint(g.state, mnos, t, c)).toArray
     math.exp(logAvgExpWeighted(logliks, logpdfs))
   }
 
@@ -141,11 +144,12 @@ object Estimators {
     val c = constraints.map { case (v, x) => (pm.colno(v), x) }
     val rng = DetRng(pm.seed, 0x51ed1a7eL, numPredictions.toLong)
     val gens = pm.generators
+    val mnos = pm.modelnos
     val counts: Seq[Int] =
       if (gens.length == 1) Seq(numPredictions)
       else {
         val logliks = gens.map { g =>
-          if (c.isEmpty) 0.0 else g.backend.logpdfJoint(g.state, None, c, Nil)
+          if (c.isEmpty) 0.0 else g.backend.logpdfJoint(g.state, mnos, c, Nil)
         }
         if (logliks.forall(_ == Double.NegativeInfinity))
           throw new IllegalArgumentException(s"Impossible constraints: $constraints")
@@ -158,7 +162,7 @@ object Estimators {
       }
     val rows = gens.zip(counts).flatMap { case (g, n) =>
       if (n == 0) Nil
-      else g.backend.simulateJoint(g.state, None, tColnos, c, n, rng)
+      else g.backend.simulateJoint(g.state, mnos, tColnos, c, n, rng)
     }
     // nominal targets decode from category codes to labels
     val schema = StructType(targets.map(t => StructField(t,
@@ -182,6 +186,7 @@ object Estimators {
       rowidCol: String = "rowid"): DataFrame = {
     val colno = pm.colno(targetCol)
     val gens = pm.generators
+    val mnos = pm.modelnos
     val seed = pm.seed
     val labels = codesFor(pm, colno)
     if (labels.isDefined) {
@@ -189,7 +194,7 @@ object Estimators {
       val fn = udf { (rowid: Long) =>
         val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
         val g = gens(rng.nextInt(gens.length))
-        val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+        val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
         if (confidence >= minConfidence && value.toInt >= 0 && value.toInt < lab.length)
           lab(value.toInt)
         else null
@@ -200,7 +205,7 @@ object Estimators {
       val fn = udf { (rowid: Long) =>
         val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
         val g = gens(rng.nextInt(gens.length))
-        val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+        val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
         if (confidence >= minConfidence) java.lang.Double.valueOf(value) else null
       }
       df.withColumn(targetCol,
@@ -217,11 +222,12 @@ object Estimators {
       outCol: String = "prediction"): DataFrame = {
     val colno = pm.colno(targetCol)
     val gens = pm.generators
+    val mnos = pm.modelnos
     val seed = pm.seed
     val fn = udf { (rowid: Long) =>
       val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
       val g = gens(rng.nextInt(gens.length))
-      val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+      val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
       (value, confidence)
     }
     df.withColumn(outCol, fn(col(rowidCol)).cast("struct<value:double,confidence:double>"))
@@ -231,11 +237,12 @@ object Estimators {
     * per-model dependence indicators (reference: src/bqlfn.py:284-294).
     * DEPENDENCE(c, c) = 1 by definition. */
   def dependenceProbability(pm: PopulationModel, var0: String, var1: String): Double = {
+    val mnos = pm.modelnos
     val c0 = pm.colno(var0)
     val c1 = pm.colno(var1)
     if (c0 == c1) return 1.0
     val perGen = pm.generators.map { g =>
-      val ds = g.backend.columnDependenceProbability(g.state, None, c0, c1)
+      val ds = g.backend.columnDependenceProbability(g.state, mnos, c0, c1)
       arithmeticMean(ds)
     }
     arithmeticMean(perGen)
@@ -247,12 +254,13 @@ object Estimators {
   def mutualInformation(pm: PopulationModel, vars0: Seq[String], vars1: Seq[String],
       numSamples: Int = 1000,
       constraints: Seq[(String, Option[Double])] = Nil): Double = {
+    val mnos = pm.modelnos
     val c0 = vars0.map(pm.colno)
     val c1 = vars1.map(pm.colno)
     val cs = constraints.map { case (v, x) => (pm.colno(v), x) }
     val rng = DetRng(pm.seed, 0x313370L, c0.hashCode.toLong, c1.hashCode.toLong)
     val perGen = pm.generators.map { g =>
-      val ms = g.backend.columnMutualInformation(g.state, None, c0, c1, cs, numSamples, rng)
+      val ms = g.backend.columnMutualInformation(g.state, mnos, c0, c1, cs, numSamples, rng)
       arithmeticMean(ms)
     }
     arithmeticMean(perGen)
@@ -269,12 +277,13 @@ object Estimators {
     val tColnos = targets.map(pm.colno)
     val cColnos = constraints.map(pm.colno)
     val gens = pm.generators
+    val mnos = pm.modelnos
     val fn = udf { (tVals: Seq[java.lang.Double], cVals: Seq[java.lang.Double]) =>
       val t = tColnos.zip(tVals).collect { case (c, v) if v != null => (c, v.doubleValue) }
       if (t.isEmpty) null
       else {
         val c = cColnos.zip(cVals).collect { case (cn, v) if v != null => (cn, v.doubleValue) }
-        val perGen = gens.map(g => g.backend.logpdfJoint(g.state, None, t, c)).toArray
+        val perGen = gens.map(g => g.backend.logpdfJoint(g.state, mnos, t, c)).toArray
         java.lang.Double.valueOf(math.exp(logMeanExp(perGen)))
       }
     }
@@ -286,8 +295,9 @@ object Estimators {
     * (reference: src/bqlfn.py:413-426). */
   def similarityValue(pm: PopulationModel, rowid0: Long, rowid1: Long,
       colno: Int): Double = {
+    val mnos = pm.modelnos
     val perGen = pm.generators.map { g =>
-      val ss = g.backend.rowSimilarity(g.state, None, rowid0, rowid1, Seq(colno))
+      val ss = g.backend.rowSimilarity(g.state, mnos, rowid0, rowid1, Seq(colno))
       arithmeticMean(ss)
     }
     arithmeticMean(perGen)
@@ -298,9 +308,10 @@ object Estimators {
   def similarityCol(pm: PopulationModel, targetRowid: Long, colno: Int,
       rowidCol: Column): Column = {
     val gens = pm.generators
+    val mnos = pm.modelnos
     val fn = udf { (rowid: Long) =>
       val perGen = gens.map { g =>
-        val ss = g.backend.rowSimilarity(g.state, None, rowid, targetRowid, Seq(colno))
+        val ss = g.backend.rowSimilarity(g.state, mnos, rowid, targetRowid, Seq(colno))
         arithmeticMean(ss)
       }
       arithmeticMean(perGen)
@@ -313,9 +324,10 @@ object Estimators {
   def pairSimilarityCol(pm: PopulationModel, colno: Int,
       rowid0Col: Column, rowid1Col: Column): Column = {
     val gens = pm.generators
+    val mnos = pm.modelnos
     val fn = udf { (r0: Long, r1: Long) =>
       val perGen = gens.map { g =>
-        val ss = g.backend.rowSimilarity(g.state, None, r0, r1, Seq(colno))
+        val ss = g.backend.rowSimilarity(g.state, mnos, r0, r1, Seq(colno))
         arithmeticMean(ss)
       }
       arithmeticMean(perGen)
@@ -328,9 +340,10 @@ object Estimators {
   def predictiveRelevanceValue(pm: PopulationModel, rowidTarget: Long,
       rowidQuery: Seq[Long], hypotheticals: Seq[Seq[(Int, Double)]],
       colno: Int): Double = {
+    val mnos = pm.modelnos
     val perGen = pm.generators.map { g =>
       val ss = g.backend.predictiveRelevance(
-        g.state, None, rowidTarget, rowidQuery, hypotheticals, colno)
+        g.state, mnos, rowidTarget, rowidQuery, hypotheticals, colno)
       arithmeticMean(ss)
     }
     arithmeticMean(perGen)
@@ -342,6 +355,7 @@ object Estimators {
       hypotheticals: Seq[Seq[(Int, Double)]], colno: Int,
       rowidCol: Column): Column = {
     val gens = pm.generators
+    val mnos = pm.modelnos
     val fn = udf { (rowid: Long) =>
       val perGen = gens.map { g =>
         val ss = g.backend.predictiveRelevance(
@@ -360,13 +374,14 @@ object Estimators {
   def predictValueCol(pm: PopulationModel, colno: Int, threshold: Double,
       numSamples: Int, rowidCol: Column): Column = {
     val gens = pm.generators
+    val mnos = pm.modelnos
     val seed = pm.seed
     codesFor(pm, colno) match {
       case Some(lab) =>
         val fn = udf { (rowid: Long) =>
           val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
           val g = gens(rng.nextInt(gens.length))
-          val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+          val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
           if (confidence >= threshold && value.toInt >= 0 && value.toInt < lab.length)
             lab(value.toInt)
           else null
@@ -376,7 +391,7 @@ object Estimators {
         val fn = udf { (rowid: Long) =>
           val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
           val g = gens(rng.nextInt(gens.length))
-          val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+          val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
           if (confidence >= threshold) java.lang.Double.valueOf(value) else null
         }
         fn(rowidCol)
@@ -387,13 +402,14 @@ object Estimators {
   def predictStructCol(pm: PopulationModel, colno: Int, numSamples: Int,
       rowidCol: Column): Column = {
     val gens = pm.generators
+    val mnos = pm.modelnos
     val seed = pm.seed
     codesFor(pm, colno) match {
       case Some(lab) =>
         val fn = udf { (rowid: Long) =>
           val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
           val g = gens(rng.nextInt(gens.length))
-          val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+          val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
           val label = if (value.toInt >= 0 && value.toInt < lab.length) lab(value.toInt) else null
           (label, confidence)
         }
@@ -402,7 +418,7 @@ object Estimators {
         val fn = udf { (rowid: Long) =>
           val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
           val g = gens(rng.nextInt(gens.length))
-          val (value, confidence) = g.backend.predictConfidence(g.state, None, colno, numSamples, rng)
+          val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
           (value, confidence)
         }
         fn(rowidCol).cast("struct<value:double,confidence:double>")

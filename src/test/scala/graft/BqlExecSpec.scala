@@ -374,6 +374,24 @@ class BqlExecSpec extends AnyFunSuite {
     assert(bdb.execute("simulate a, b from p7 limit 4").count() == 4)
   }
 
+  test("USING MODELS restricts estimators to the named ensemble members") {
+    val m0 = bdb.execute("simulate weight from p1 using model 0 limit 10")
+      .collect().map(_.getDouble(0)).toSeq
+    val m1 = bdb.execute("simulate weight from p1 using model 1 limit 10")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(m0 != m1, "different posterior samples must draw differently")
+    // density restricted to one model differs from the ensemble average
+    val dAll = one("estimate probability density of weight = 160 by p1")
+      .asInstanceOf[Double]
+    val d0 = one("estimate probability density of weight = 160 by p1 using model 0")
+      .asInstanceOf[Double]
+    assert(dAll > 0 && d0 > 0 && dAll != d0)
+    // unknown model numbers are rejected by name
+    assert(intercept[Exception] {
+      bdb.execute("simulate weight from p1 using models 17 limit 3")
+    }.getMessage.contains("17"))
+  }
+
   test("conditional mutual information and drop models subset") {
     // MI GIVEN with equality + marginalized conditions executes
     val v = one("estimate mutual information of age with weight" +
