@@ -372,6 +372,49 @@ class ParserSpec extends AnyFunSuite {
       == ExpCol(None, "estimate"))
   }
 
+  test("modeled by / using models variants (test_using_model)") {
+    assert(one("estimate x by p modeled by g;") ==
+      EstBy(SelQuantAll, Seq(SelColExp(ExpCol(None, "x"), None)), "p", Some("g"), None))
+    assert(one("estimate x by p using model 7;") ==
+      EstBy(SelQuantAll, Seq(SelColExp(ExpCol(None, "x"), None)), "p", None, Some(Seq(7))))
+    assert(one("simulate x from p modeled by g using models 0, 2-3 limit 5;") ==
+      Simulate(Seq(SelColExp(ExpCol(None, "x"), None)), "p", Some("g"),
+        Some(Seq(0, 2, 3)), Nil, Some(ExpLit(LitInt(5))), None))
+    assert(one("infer explicit predict y as yh confidence yc using 9 samples from p;") ==
+      InferExplicit(Seq(PredCol("y", Some("yh"), Some("yc"), Some(ExpLit(LitInt(9))))),
+        "p", None, None, None, None, Nil, None))
+  }
+
+  test("joint/conditional probability forms") {
+    assert(firstExp("select probability density of (a = 1, b = 2) from t;") ==
+      ExpBQLProbDensity(Seq(("a", ExpLit(LitInt(1))), ("b", ExpLit(LitInt(2)))), Nil))
+    assert(firstExp("select probability density of value 4 given (c = 1) from t;") ==
+      ExpBQLProbDensityFn(ExpLit(LitInt(4)), Seq(("c", ExpLit(LitInt(1))))))
+    assert(firstExp("select probability of (x > 1) from t;") ==
+      ExpBQLProbEst(ExpOp(Op.Gt, Seq(ExpCol(None, "x"), ExpLit(LitInt(1))))))
+    // predictive probability with AND-separated column lists
+    assert(firstExp("select predictive probability of (a and b) from t;") ==
+      ExpBQLPredProb(Seq(ColListLit(Seq("a")), ColListLit(Seq("b"))), Nil))
+  }
+
+  test("nested subqueries and table subqueries") {
+    val q = one("select x from (select y from t) as s where x in (select z from u);")
+      .asInstanceOf[Select]
+    assert(q.tables.head.table.isLeft && q.tables.head.name.contains("s"))
+    assert(q.condition.exists(_.isInstanceOf[ExpInQuery]))
+    // scalar subquery nested inside arithmetic
+    assert(firstExp("select 1 + (select max(x) from t);") ==
+      ExpOp(Op.Add, Seq(ExpLit(LitInt(1)),
+        ExpSub(Select(SelQuantAll, Seq(SelColExp(
+          ExpApp(distinct = false, "max", Seq(ExpCol(None, "x"))), None)),
+          T, None, None, Nil, None)))))
+  }
+
+  test("quoted identifiers preserve case and keywords") {
+    assert(firstExp("select \"SELECT\" from t;") == ExpCol(None, "SELECT"))
+    assert(firstExp("select \"Mixed Case\" from t;") == ExpCol(None, "Mixed Case"))
+  }
+
   test("lexer errors") {
     intercept[Lexer.LexError] { Parser.parseAll("select 1x;") }
     intercept[Lexer.LexError] { Parser.parseAll("select 'abc") }
