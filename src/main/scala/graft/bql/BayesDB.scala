@@ -546,7 +546,11 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     * the joint, then ordinary least squares via normal equations
     * (reference: src/bql.py:695-787 + src/regress.py:21-48; the
     * reference uses sklearn LinearRegression — normal equations give the
-    * same coefficients exactly). Output: (variable, coefficient). */
+    * same coefficients exactly). Nominal givens are K-1 dummy-coded
+    * (regress.py:29-37: pandas get_dummies appends `<var>_dum_<cat>`
+    * columns after the numeric givens, categories sorted; the first
+    * category is dropped and reported with coefficient 0). Output:
+    * (variable, coefficient). */
   private def regress(r: Ast.Regress, binds: Seq[Any]): DataFrame = {
     val pm = populationModel(r.population, r.generator)
     val givens = r.givens.map {
@@ -554,22 +558,52 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
       case other => throw new IllegalArgumentException(
         s"REGRESS givens must be population variables: $other")
     }
+    def isNominalVar(v: String): Boolean =
+      pm.population.variable(v).exists(x => StatType.isNominal(x.stattype))
+    if (isNominalVar(r.target)) throw new IllegalArgumentException(
+      s"REGRESS target must be numerical: ${r.target}")
     val n = r.nsamples.map(e => Planner.evalConstInt(this, e, binds)).getOrElse(100)
     val cols = r.target +: givens
-    val sampled = Estimators.simulate(spark, pm, cols, Nil, n)
-      .collect().map(row => cols.indices.map(row.getDouble).toArray)
-    // X = [1 | givens], y = target; beta = (X'X)^-1 X'y via Gaussian elim
-    val k = givens.length + 1
+    val sampled = Estimators.simulate(spark, pm, cols, Nil, n).collect()
+    val numericGivens = givens.filterNot(isNominalVar)
+    val nominalGivens = givens.filter(isNominalVar)
+    // Categories present in the sample, sorted (pandas get_dummies order);
+    // the first is the dropped reference level.
+    val giOf = givens.zipWithIndex.toMap
+    val categories: Map[String, Seq[String]] = nominalGivens.map { v =>
+      val gi = giOf(v) + 1
+      v -> sampled.iterator.map(_.getString(gi)).filter(_ != null).toSeq.distinct.sorted
+    }.toMap
+    val keptNames = numericGivens ++ nominalGivens.flatMap { v =>
+      categories(v).drop(1).map(c => s"${v}_dum_$c")
+    }
+    val droppedNames = nominalGivens.flatMap { v =>
+      categories(v).take(1).map(c => s"${v}_dum_$c")
+    }
+    if (keptNames.isEmpty || sampled.isEmpty)
+      throw new IllegalArgumentException("Not enough data for regression")
+    // X = [1 | numeric givens | K-1 dummies], y = target;
+    // beta = (X'X)^-1 X'y via Gaussian elim
+    val k = keptNames.length + 1
     val xtx = Array.ofDim[Double](k, k)
     val xty = new Array[Double](k)
     sampled.foreach { row =>
-      val x = 1.0 +: row.drop(1).toSeq
-      val y = row(0)
+      val x = new Array[Double](k)
+      x(0) = 1.0
+      var p = 1
+      numericGivens.foreach { v => x(p) = row.getDouble(giOf(v) + 1); p += 1 }
+      nominalGivens.foreach { v =>
+        val obs = row.getString(giOf(v) + 1)
+        categories(v).drop(1).foreach { c => x(p) = if (obs == c) 1.0 else 0.0; p += 1 }
+      }
+      val y = row.getDouble(0)
       for (i <- 0 until k; j <- 0 until k) xtx(i)(j) += x(i) * x(j)
       for (i <- 0 until k) xty(i) += x(i) * y
     }
     val beta = solveLinear(xtx, xty)
-    val rows = ("intercept", beta(0)) +: givens.zipWithIndex.map { case (g, i) => (g, beta(i + 1)) }
+    val rows = ("intercept", beta(0)) +:
+      (keptNames.zipWithIndex.map { case (g, i) => (g, beta(i + 1)) } ++
+        droppedNames.map(d => (d, 0.0)))
     import spark.implicits._
     rows.toDF("variable", "coefficient")
   }

@@ -359,7 +359,7 @@ object Estimators {
     val fn = udf { (rowid: Long) =>
       val perGen = gens.map { g =>
         val ss = g.backend.predictiveRelevance(
-          g.state, None, rowid, rowidQuery, hypotheticals, colno)
+          g.state, mnos, rowid, rowidQuery, hypotheticals, colno)
         arithmeticMean(ss)
       }
       arithmeticMean(perGen)

@@ -423,6 +423,62 @@ class BqlExecSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("intercept", "age"))
   }
 
+  test("regress K-1 dummy-codes nominal givens (regress.py:21-48)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 120).map { i =>
+      val lab = Seq("a", "b", "c")(i % 3)
+      val x = i.toDouble / 10.0
+      val y = 2.0 * x + (i % 3) * 5.0 + rng.nextGaussian()
+      (i.toLong, lab, x, y)
+    }
+    bdb.registerTable("treg", rows.toDF("id", "lab", "x", "y"))
+    bdb.execute("create population preg for treg" +
+      " (id ignore; lab nominal; x numerical; y numerical)")
+    bdb.execute("create generator greg for preg using cgpm")
+    bdb.execute("initialize 2 models for greg")
+    bdb.execute("analyze greg for 4 iterations")
+    val df = bdb.execute("regress y given (x, lab) using 150 samples by preg")
+    val out = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val names = out.map(_._1)
+    // numeric given first, then K-1 kept dummies, then the dropped level at 0
+    assert(names.head == "intercept")
+    assert(names.contains("x"))
+    assert(names.count(_.startsWith("lab_dum_")) == 3)
+    val dropped = out.toMap.apply("lab_dum_a")
+    assert(dropped == 0.0, "first sorted category is the dropped reference level")
+    // nominal target is rejected, not a ClassCastException
+    val e = intercept[IllegalArgumentException] {
+      bdb.execute("regress lab given (x) using 20 samples by preg")
+    }
+    assert(e.getMessage.contains("numerical"))
+  }
+
+  test("predictive relevance honors USING MODELS in row context") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 60).map { i =>
+      val x = (if (i % 2 == 0) -8.0 else 8.0) + rng.nextGaussian()
+      (i.toLong, x)
+    }
+    bdb.registerTable("trel", rows.toDF("id", "x"))
+    bdb.execute("create population prel for trel (id ignore; x numerical)")
+    bdb.execute("create generator grel for prel using cgpm")
+    bdb.execute("initialize 4 models for grel")
+    bdb.execute("analyze grel for 5 iterations")
+    def relevances(usingModels: String): Seq[Double] = bdb.execute(
+      "estimate rowid, predictive relevance to existing rows (rowid < 10)" +
+        " in the context of x as r" +
+        s" from prel modeled by grel$usingModels order by rowid limit 20")
+      .collect().map(_.getDouble(1)).toSeq
+    val full = relevances("")
+    val restricted = relevances(" using models 0")
+    assert(full.length == 20 && restricted.length == 20)
+    assert((full ++ restricted).forall(v => v >= 0.0 && v <= 1.0))
+    assert(full != restricted,
+      "USING MODELS subset must change the per-row relevance ensemble")
+  }
+
   test("nominal variables end-to-end: infer, simulate, density with labels") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
