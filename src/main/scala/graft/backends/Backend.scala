@@ -67,6 +67,13 @@ trait Backend extends Serializable {
       variables: Option[Seq[Int]]): GeneratorState =
     analyzeModels(state, modelnos, iterations, rng)
 
+  /** Full analysis program (VARIABLES/SKIP + ROWS + SUBPROBLEMS,
+    * reference cgpm_backend.py:1797-1888 → engine.transition kernels).
+    * Default honors only the variable restriction. */
+  def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
+      iterations: Int, rng: DetRng, program: AnalyzeProgram): GeneratorState =
+    analyzeModels(state, modelnos, iterations, rng, program.variables)
+
   /** Log joint density of `targets` = (colno, value) given `constraints`,
     * averaged over the ensemble in log space (logmeanexp). */
   def logpdfJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
@@ -120,6 +127,22 @@ trait Backend extends Serializable {
       hypotheticals: Seq[Seq[(Int, Double)]], colno: Int): Seq[Double] =
     throw new UnsupportedOperationException(
       s"Backend $name does not implement PREDICTIVE RELEVANCE")
+}
+
+/** Parsed `ANALYZE (...)` program (reference: cgpm_analyze grammar —
+  * VARIABLES/SKIP resolve to colnos upstream; ROWS are table rowids;
+  * SUBPROBLEMS use the reference's canonical names,
+  * cgpm_backend.py:1420-1464). */
+final case class AnalyzeProgram(
+    variables: Option[Seq[Int]] = None,
+    rows: Option[Seq[Long]] = None,
+    subproblems: Option[Seq[String]] = None)
+
+object AnalyzeProgram {
+  val Subproblems: Set[String] = Set(
+    "variable_hyperparameters", "variable_clustering",
+    "variable_clustering_concentration", "row_clustering",
+    "row_clustering_concentration")
 }
 
 object Backends {

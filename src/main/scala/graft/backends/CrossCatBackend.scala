@@ -135,18 +135,31 @@ class CrossCatBackend(
 
   override def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
       iterations: Int, rng: DetRng,
-      variables: Option[Seq[Int]]): GeneratorState = {
+      variables: Option[Seq[Int]]): GeneratorState =
+    analyzeModels(state, modelnos, iterations, rng, AnalyzeProgram(variables = variables))
+
+  override def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
+      iterations: Int, rng: DetRng, program: AnalyzeProgram): GeneratorState = {
     val st = state.asInstanceOf[CrossCatState]
     val which = modelnos.getOrElse(st.models.map(_.modelno))
     // VARIABLES restriction: colIdx set whose kernels transition
-    val restrict = variables.map(_.map(st.colIdx).toSet)
+    val restrict = program.variables.map(_.map(st.colIdx).toSet)
+    // ROWS restriction: subsample indices (rowids outside the MCMC
+    // subsample are not incorporated — reference ignores them likewise)
+    val rowRestrict = program.rows.map(_.map(st.rowIdx).filter(_ >= 0).toSet)
+    val kernels = program.subproblems.map { names =>
+      val bad = names.filterNot(AnalyzeProgram.Subproblems)
+      require(bad.isEmpty, s"Invalid subproblems: ${bad.mkString(", ")}")
+      names.toSet
+    }
     val seedBase = rng.nextLong()
     def transitionOne(m: CrossCatModel): CrossCatModel =
       if (!which.contains(m.modelno)) m
       else {
         var cur = m
         for (sweep <- 0 until iterations)
-          cur = transition(st, cur, DetRng(seedBase, m.modelno.toLong, sweep.toLong), restrict)
+          cur = transition(st, cur, DetRng(seedBase, m.modelno.toLong, sweep.toLong),
+            restrict, rowRestrict, kernels)
         cur
       }
     // per-model parallel ANALYZE: models are independent posterior chains
@@ -412,20 +425,31 @@ class CrossCatBackend(
   /** One full Gibbs sweep: rows per view → column views → hypers →
     * concentrations (the reference's five subproblems). `restrict`
     * limits the column-targeted kernels to those colIdxs (rows sweep
-    * only their views; alphas always run). */
+    * only their views); `rowRestrict` limits the row kernel to those
+    * subsample indices; `kernels` selects which of the five subproblems
+    * run (reference conversion table cgpm_backend.py:1420-1464). */
   private def transition(st: CrossCatState, m0: CrossCatModel, rng: DetRng,
-      restrict: Option[Set[Int]] = None): CrossCatModel = {
+      restrict: Option[Set[Int]] = None,
+      rowRestrict: Option[Set[Int]] = None,
+      kernels: Option[Set[String]] = None): CrossCatModel = {
+    def run(k: String) = kernels.forall(_.contains(k))
     var m = m0
-    m = transitionRows(st, m, rng, restrict)
-    m = transitionColumns(st, m, rng, restrict)
-    m = transitionHypers(st, m, rng, restrict)
-    m = transitionAlphas(st, m, rng)
+    if (run("row_clustering")) m = transitionRows(st, m, rng, restrict, rowRestrict)
+    if (run("variable_clustering")) m = transitionColumns(st, m, rng, restrict)
+    if (run("variable_hyperparameters")) m = transitionHypers(st, m, rng, restrict)
+    m = transitionAlphas(st, m, rng,
+      viewCrp = run("variable_clustering_concentration"),
+      rowCrp = run("row_clustering_concentration"))
     m
   }
 
   /** Per-view suff stats: per column in the view, per cluster — numeric
-    * (n, Σx, Σx²) and categorical per-category counts. */
-  private[backends] def workspace(st: CrossCatState, m: CrossCatModel, v: Int): ViewSuff = {
+    * (n, Σx, Σx²) and categorical per-category counts. Memoized per
+    * (modelno, view) on the immutable state. */
+  private[backends] def workspace(st: CrossCatState, m: CrossCatModel, v: Int): ViewSuff =
+    st.wsMemo.computeIfAbsent((m.modelno, v), _ => buildWorkspace(st, m, v))
+
+  private def buildWorkspace(st: CrossCatState, m: CrossCatModel, v: Int): ViewSuff = {
     val cols = st.colnos.indices.filter(j => m.viewOf(j) == v).toIndexedSeq
     val assign = m.rowAssign(v)
     val k = if (assign.isEmpty) 0 else assign.max + 1
@@ -461,7 +485,8 @@ class CrossCatBackend(
   }
 
   private def transitionRows(st: CrossCatState, m: CrossCatModel, rng: DetRng,
-      restrict: Option[Set[Int]] = None): CrossCatModel = {
+      restrict: Option[Set[Int]] = None,
+      rowRestrict: Option[Set[Int]] = None): CrossCatModel = {
     val n = st.data.head.length
     val newAssign = m.rowAssign.zipWithIndex.map { case (assign0, v) =>
       val cols = st.colnos.indices.filter(j => m.viewOf(j) == v).toIndexedSeq
@@ -482,7 +507,7 @@ class CrossCatBackend(
         }
       }
       val alpha = m.viewAlpha(v)
-      for (i <- 0 until n) {
+      for (i <- 0 until n if rowRestrict.forall(_.contains(i))) {
         // remove row i
         val zi = assign(i)
         counts(zi) -= 1
@@ -604,20 +629,25 @@ class CrossCatBackend(
     m.copy(hypers = hypers)
   }
 
-  private def transitionAlphas(st: CrossCatState, m: CrossCatModel, rng: DetRng): CrossCatModel = {
+  private def transitionAlphas(st: CrossCatState, m: CrossCatModel, rng: DetRng,
+      viewCrp: Boolean = true, rowCrp: Boolean = true): CrossCatModel = {
     val d = st.colnos.length
     val nViews = m.rowAssign.length
     val viewSizes = (0 until nViews).map(v => st.colnos.indices.count(j => m.viewOf(j) == v))
     val aGrid = logGrid(1.0 / d, d.toDouble, gridSize)
-    val alpha = gridPick(aGrid, (a: Double) => crpLogpdf(viewSizes, d, a), rng)
-    val viewAlpha = (0 until nViews).map { v =>
-      val assign = m.rowAssign(v)
-      val k = if (assign.isEmpty) 0 else assign.max + 1
-      val sizes = (0 until k).map(z => assign.count(_ == z))
-      val n = assign.length
-      val g = logGrid(1.0 / math.max(n, 2), n.toDouble max 2.0, gridSize)
-      gridPick(g, (a: Double) => crpLogpdf(sizes, n, a), rng)
-    }
+    val alpha =
+      if (viewCrp) gridPick(aGrid, (a: Double) => crpLogpdf(viewSizes, d, a), rng)
+      else m.alpha
+    val viewAlpha =
+      if (!rowCrp) m.viewAlpha
+      else (0 until nViews).map { v =>
+        val assign = m.rowAssign(v)
+        val k = if (assign.isEmpty) 0 else assign.max + 1
+        val sizes = (0 until k).map(z => assign.count(_ == z))
+        val n = assign.length
+        val g = logGrid(1.0 / math.max(n, 2), n.toDouble max 2.0, gridSize)
+        gridPick(g, (a: Double) => crpLogpdf(sizes, n, a), rng)
+      }
     m.copy(alpha = alpha, viewAlpha = viewAlpha)
   }
 
@@ -709,7 +739,21 @@ object CrossCat {
       require(j >= 0, s"Unknown colno: $colno")
       j
     }
-    def rowIdx(rowid: Long): Int = rowids.indexOf(rowid)
+    /** rowid → subsample index; O(1) — the SIMILARITY / PREDICTIVE
+      * RELEVANCE UDF paths call this per row of a pairwise join.
+      * (@transient lazy: rebuilt once per executor after broadcast.) */
+    @transient private lazy val rowIndex: Map[Long, Int] =
+      rowids.iterator.zipWithIndex.toMap
+    def rowIdx(rowid: Long): Int = rowIndex.getOrElse(rowid, -1)
+
+    /** Per-(modelno, view) suff-stat workspace memo: the query-path
+      * estimators (PREDICTIVE RELEVANCE hypotheticals, densities) rebuild
+      * identical O(subsample × cols) workspaces per evaluated row
+      * otherwise. Transient: dropped on serialization, rebuilt lazily on
+      * each executor; the state itself is immutable so entries never
+      * go stale (any model move produces a new CrossCatState). */
+    @transient lazy val wsMemo =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), ViewSuff]()
   }
 
   /** Mutable per-column suff stats over clusters: numeric (n, Σx, Σx²) or

@@ -423,15 +423,16 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
         .find(_.id == gen.populationId).get
       val backend = Backends.byName(gen.backend)
       // analysis program (reference: cgpm_analyze.parse,
-      // cgpm_backend.py:1797-1888): VARIABLES/SKIP target column kernels;
-      // OPTIMIZED/QUIET are accepted hints; ROWS/SUBPROBLEMS unsupported
-      val variables = parseAnalyzeProgram(program, pop)
+      // cgpm_backend.py:1797-1888): VARIABLES/SKIP target column kernels,
+      // ROWS targets row transitions, SUBPROBLEMS selects Gibbs kernels;
+      // OPTIMIZED/QUIET are accepted hints
+      val prog = parseAnalyzeProgram(program, pop)
       // duration in seconds → at least one sweep (conjugate backends
       // converge in one; MCMC backends iterate)
       val iters = iterations.getOrElse(if (seconds.isDefined) 1 else 1)
       val rng = DetRng(seed, 0xa11a1e2eL, gen.id.toLong)
       states(Names.casefold(genName)) =
-        backend.analyzeModels(st, modelnos, iters, rng, variables)
+        backend.analyzeModels(st, modelnos, iters, rng, prog)
       emptyResult
 
     case Ast.DropModels(genName, which) =>
@@ -508,19 +509,26 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     states(Names.casefold(genName)) = updated
   }
 
-  /** Parse an ANALYZE program's tokens into a variable restriction:
-    * `VARIABLES a, b` → those colnos; `SKIP a` → all-but; hints
-    * (OPTIMIZED/QUIET) ignored; ROWS/SUBPROBLEMS rejected. */
+  /** Parse an ANALYZE program's tokens (reference grammar:
+    * src/backends/cgpm_analyze/grammar.y): `VARIABLES a, b` → those
+    * colnos; `SKIP a` → all-but; `ROWS 1, 2` → row targets;
+    * `SUBPROBLEM[S] [(]variable|row clustering [concentration] |
+    * variable hyperparameters[)]` → kernel selection; hints
+    * (OPTIMIZED/QUIET) ignored. */
   private def parseAnalyzeProgram(program: Seq[String],
-      pop: graft.catalog.Population): Option[Seq[Int]] = {
-    if (program.isEmpty) return None
-    val toks = program.filterNot(t => t == "," || t == "(" || t == ")")
+      pop: graft.catalog.Population): graft.backends.AnalyzeProgram = {
+    import graft.backends.AnalyzeProgram
+    if (program.isEmpty) return AnalyzeProgram()
+    val toks = program.filterNot(t => t == "," || t == "(" || t == ")" || t == ";")
       .map(Names.casefold)
     def colnoOf(v: String): Int = pop.variable(v).getOrElse(
       throw new NoSuchElementException(s"No such variable: $v")).colno
     var i = 0
-    var result: Option[Seq[Int]] = None
-    val keywords = Set("variables", "skip", "rows", "subproblems", "optimized", "quiet")
+    var variables: Option[Seq[Int]] = None
+    var rows: Option[Seq[Long]] = None
+    var subproblems: Option[Seq[String]] = None
+    val keywords = Set("variables", "skip", "rows", "subproblem", "subproblems",
+      "optimized", "quiet", "loom")
     def names(): Seq[String] = {
       val out = Seq.newBuilder[String]
       while (i < toks.length && !keywords(toks(i))) { out += toks(i); i += 1 }
@@ -528,18 +536,42 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     }
     while (i < toks.length) {
       toks(i) match {
-        case "variables" => i += 1; result = Some(names().map(colnoOf))
+        case "variables" => i += 1; variables = Some(names().map(colnoOf))
         case "skip" =>
           i += 1
           val skipped = names().map(Names.casefold).toSet
-          result = Some(pop.modeledVariables
+          variables = Some(pop.modeledVariables
             .filterNot(v => skipped(Names.casefold(v.name))).map(_.colno))
-        case "optimized" | "quiet" => i += 1  // accepted hints
+        case "rows" =>
+          i += 1
+          rows = Some(rows.getOrElse(Nil) ++ names().map(_.toLong))
+        case "subproblem" | "subproblems" =>
+          i += 1
+          // multi-word kernel names: variable|row clustering
+          // [concentration] | variable hyperparameters
+          val out = Seq.newBuilder[String]
+          while (i < toks.length && (toks(i) == "variable" || toks(i) == "row")) {
+            val head = toks(i); i += 1
+            require(i < toks.length, s"Incomplete subproblem after '$head'")
+            toks(i) match {
+              case "hyperparameters" if head == "variable" =>
+                i += 1; out += "variable_hyperparameters"
+              case "clustering" =>
+                i += 1
+                if (i < toks.length && toks(i) == "concentration") {
+                  i += 1; out += s"${head}_clustering_concentration"
+                } else out += s"${head}_clustering"
+              case other => throw new IllegalArgumentException(
+                s"Invalid subproblem: $head $other")
+            }
+          }
+          subproblems = Some(subproblems.getOrElse(Nil) ++ out.result())
+        case "optimized" | "quiet" | "loom" => i += 1  // accepted hints
         case other => throw new UnsupportedOperationException(
           s"ANALYZE program clause not supported: $other")
       }
     }
-    result
+    AnalyzeProgram(variables, rows, subproblems)
   }
 
   /** `REGRESS target GIVEN (givens) [USING n SAMPLES] BY p` — simulate

@@ -39,7 +39,11 @@ object Planner {
   /** ESTIMATE ... FROM VARIABLES OF p: 1-column functions over `name`. */
   final case class ColCtx(pm: PopulationModel) extends BqlCtx
   /** ESTIMATE ... FROM PAIRWISE VARIABLES OF p: 2-column functions. */
-  final case class PairColCtx(pm: PopulationModel) extends BqlCtx
+  /** `subset`: the FOR-subcolumns restriction, so pair estimators compute
+    * driver values only for the restricted pairs (a 64-variable population
+    * with FOR over 2 columns needs 4, not 4096, estimator calls). */
+  final case class PairColCtx(pm: PopulationModel,
+      subset: Option[Seq[String]] = None) extends BqlCtx
   /** ESTIMATE ... FROM PAIRWISE p: 2-row functions over rowid0/rowid1. */
   final case class PairRowCtx(pm: PopulationModel) extends BqlCtx
 
@@ -48,7 +52,7 @@ object Planner {
     case RowCtx(pm) => pm
     case InferCtx(pm) => pm
     case ColCtx(pm) => pm
-    case PairColCtx(pm) => pm
+    case PairColCtx(pm, _) => pm
     case PairRowCtx(pm) => pm
     case NoModelCtx => throw new IllegalArgumentException(
       "Model estimators are forbidden in plain SELECT; use ESTIMATE")
@@ -250,14 +254,15 @@ object Planner {
     val vars = variablesDf(bdb, pm)
     val base = vars.select(col("name").as("name0"), col("colno").as("colno0"))
       .crossJoin(vars.select(col("name").as("name1"), col("colno").as("colno1")))
-    val filtered = e.subcolumns match {
+    val subNames = e.subcolumns.map(
+      _.flatMap(resolveColList(bdb, pm, _, binds)).map(Names.casefold))
+    val filtered = subNames match {
       case None => base
-      case Some(lists) =>
-        val names = lists.flatMap(resolveColList(bdb, pm, _, binds)).map(Names.casefold)
+      case Some(names) =>
         base.filter(lower(col("name0")).isin(names: _*) &&
           lower(col("name1")).isin(names: _*))
     }
-    val ctx = Ctx(bdb, PairColCtx(pm), binds, agg = false)
+    val ctx = Ctx(bdb, PairColCtx(pm, subNames), binds, agg = false)
     // output prefix (population_id, name0, name1); single unnamed
     // expression is named `value` (reference: src/compiler.py:941-953)
     val prefix = Seq(
@@ -382,7 +387,38 @@ object Planner {
       starColumns: Seq[String]): DataFrame = {
 
     val filtered = condition match {
-      case Some(cond) => base.filter(compile(cond, ctx))
+      case Some(cond) =>
+        // Scale-safe membership: top-level AND-conjuncts of the form
+        // `x IN (subquery)` / `EXISTS (subquery)` become semi/anti joins so
+        // the subquery result never collects to the driver (the nested
+        // fallback in `compile` stays for metadata-sized positions).
+        val (joinable, residual) = conjuncts(cond).partition {
+          case ExpInQuery(_, _, _) => true
+          case ExpExists(_) => true
+          case _ => false
+        }
+        val joined = joinable.foldLeft(base) {
+          case (df, ExpInQuery(x, positive, q)) =>
+            val sub = plan(ctx.bdb, q, ctx.binds)
+            val v = s"__in_v_${subqueryTag.getAndIncrement()}"
+            val subv = sub.select(col(sub.columns.head).as(v)).distinct()
+            val key = compile(x, ctx)
+            if (positive) df.join(subv, key === col(v), "left_semi")
+            else
+              // null-aware NOT IN: a null key or any null element means the
+              // predicate is NULL (row filtered), an empty set keeps all rows
+              df.join(subv, (key <=> col(v)) || key.isNull || col(v).isNull,
+                "left_anti")
+          case (df, ExpExists(q)) =>
+            // uncorrelated EXISTS: keep all rows iff the subquery is
+            // non-empty — a one-row semi-join, no plan-time count()
+            df.join(plan(ctx.bdb, q, ctx.binds).limit(1), lit(true), "left_semi")
+          case (df, _) => df
+        }
+        residual.map(compile(_, ctx)) match {
+          case Nil => joined
+          case cs => joined.filter(cs.reduceLeft(_ && _))
+        }
       case None => base
     }
 
@@ -498,6 +534,15 @@ object Planner {
         withOff.limit(n)
     }
   }
+
+  /** Top-level AND-conjuncts of a condition. */
+  private def conjuncts(e: Exp): Seq[Exp] = e match {
+    case ExpOp(Op.BoolAnd, Seq(a, b)) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Unique suffix for internal join-key aliases (plans may nest). */
+  private val subqueryTag = new java.util.concurrent.atomic.AtomicInteger(0)
 
   // -------------------------------------------------- expression compile
 
@@ -920,8 +965,8 @@ object Planner {
             lit(Estimators.mutualInformation(pm, c0, c1, n, cs))
           case (Seq(), c1, ColCtx(_)) if c1.nonEmpty =>  // 1-col
             varValueCol(pm, v => Estimators.mutualInformation(pm, Seq(v), c1, n, cs))
-          case (Seq(), Seq(), PairColCtx(_)) =>  // 2-col
-            pairValueCol(pm, (a, b) => Estimators.mutualInformation(pm, Seq(a), Seq(b), n, cs))
+          case (Seq(), Seq(), PairColCtx(_, subset)) =>  // 2-col
+            pairValueCol(pm, subset, (a, b) => Estimators.mutualInformation(pm, Seq(a), Seq(b), n, cs))
           case _ => throw new IllegalArgumentException(
             "MUTUAL INFORMATION form does not match its context")
         }
@@ -967,32 +1012,44 @@ object Planner {
     (c0, c1, ctx.bql) match {
       case (Some(a), Some(b), _) => lit(f(a, b))
       case (None, Some(b), ColCtx(_)) => varValueCol(pm, v => f(v, b))
-      case (None, None, PairColCtx(_)) => pairValueCol(pm, f)
+      case (None, None, PairColCtx(_, subset)) => pairValueCol(pm, subset, f)
       case _ => throw new IllegalArgumentException(
         s"$what form does not match its context" +
           " (const needs OF..WITH, 1-col needs VARIABLES OF, 2-col needs PAIRWISE VARIABLES OF)")
     }
 
-  /** 1-col estimator: per-variable driver values → a when-chain on the
-    * variables frame's `name` column (the variable list is metadata-
-    * sized). */
+  /** 1-col estimator: per-variable driver values delivered as a broadcast
+    * map lookup (a closure-serialized Map, constant-time per row) rather
+    * than a nested when-chain — a 64-variable population would otherwise
+    * build a 64-deep Catalyst expression; the variable list itself is
+    * metadata-sized. */
   private def varValueCol(pm: PopulationModel, f: String => Double): Column = {
-    val entries = pm.population.modeledVariables.map(v => v.name -> f(v.name))
-    entries.foldLeft(lit(null).cast("double")) { case (acc, (n, v)) =>
-      when(lower(col("name")) === Names.casefold(n), lit(v)).otherwise(acc)
-    }
+    val entries: Map[String, Double] =
+      pm.population.modeledVariables.map(v => Names.casefold(v.name) -> f(v.name)).toMap
+    val look = udf((n: String) => entries.get(Names.casefold(n)))
+    look(col("name"))
   }
 
-  /** 2-col estimator: per-pair driver values → nested when-chain on
-    * (name0, name1). O(vars²) driver calls — vars are metadata-sized;
-    * the backends vectorize per-model work internally. */
-  private def pairValueCol(pm: PopulationModel, f: (String, String) => Double): Column = {
-    val vars = pm.population.modeledVariables.map(_.name)
-    val entries = for (a <- vars; b <- vars) yield (a, b, f(a, b))
-    entries.foldLeft(lit(null).cast("double")) { case (acc, (a, b, v)) =>
-      when(lower(col("name0")) === Names.casefold(a) &&
-        lower(col("name1")) === Names.casefold(b), lit(v)).otherwise(acc)
+  /** 2-col estimator: per-pair driver values → broadcast map lookup keyed
+    * by (name0, name1). A when-chain here is O(vars²)-deep — 4,096
+    * branches for a 64-column population, past Catalyst's comfortable
+    * analysis depth. Only the FOR-restricted subset (when present) is
+    * computed. */
+  private def pairValueCol(pm: PopulationModel, subset: Option[Seq[String]],
+      f: (String, String) => Double): Column = {
+    val all = pm.population.modeledVariables.map(_.name)
+    val vars = subset match {
+      case None => all
+      case Some(names) =>
+        val want = names.map(Names.casefold).toSet
+        all.filter(n => want(Names.casefold(n)))
     }
+    val entries: Map[(String, String), Double] =
+      (for (a <- vars; b <- vars)
+        yield (Names.casefold(a), Names.casefold(b)) -> f(a, b)).toMap
+    val look = udf((a: String, b: String) =>
+      entries.get((Names.casefold(a), Names.casefold(b))))
+    look(col("name0"), col("name1"))
   }
 
   private def correlationValue(ctx: Ctx, pm: PopulationModel)(a: String, b: String): Double = {

@@ -370,8 +370,23 @@ class BqlExecSpec extends AnyFunSuite {
     bdb.execute("analyze g7 for 2 iterations (variables a)")
     bdb.execute("analyze g7 for 1 iteration (skip b, quiet)")
     bdb.execute("analyze g7 for 1 iteration (optimized)")
-    intercept[Exception] { bdb.execute("analyze g7 for 1 iteration (rows 1)") }
     assert(bdb.execute("simulate a, b from p7 limit 4").count() == 4)
+  }
+
+  test("analyze program: ROWS and SUBPROBLEMS clauses execute") {
+    import spark.implicits._
+    bdb.registerTable("t10", (1 to 40).map(i => (i.toLong, i.toDouble, -i.toDouble))
+      .toDF("id", "a", "b"))
+    bdb.execute("create population p10 for t10 (id ignore; a numerical; b numerical)")
+    bdb.execute("create generator g10 for p10 using cgpm")
+    bdb.execute("initialize 2 models for g10")
+    bdb.execute("analyze g10 for 1 iteration (rows 1, 2, 3)")
+    bdb.execute("analyze g10 for 1 iteration (subproblem variable hyperparameters)")
+    bdb.execute("analyze g10 for 1 iteration " +
+      "(subproblems (row clustering, row clustering concentration))")
+    bdb.execute("analyze g10 for 1 iteration " +
+      "(variables a; subproblem variable clustering concentration; rows 4, 5)")
+    assert(bdb.execute("simulate a, b from p10 limit 4").count() == 4)
   }
 
   test("USING MODELS restricts estimators to the named ensemble members") {

@@ -200,4 +200,48 @@ class CrossCatSpec extends AnyFunSuite {
     assert(refit.models.map(_.viewOf) == fitted.models.map(_.viewOf))
     assert(refit.models.map(_.alpha) == fitted.models.map(_.alpha))
   }
+
+  test("ANALYZE ROWS: non-targeted rows keep their co-membership structure") {
+    import graft.backends.AnalyzeProgram
+    val targeted = Seq(1L, 2L, 3L)  // rowids
+    val after = backend.analyzeModels(fitted, None, 3, DetRng(41L),
+      AnalyzeProgram(rows = Some(targeted),
+        // freeze column moves so views line up before/after
+        subproblems = Some(Seq("row_clustering"))))
+      .asInstanceOf[CrossCatState]
+    val tIdx = targeted.map(fitted.rowIdx).toSet
+    val others = fitted.rowids.indices.filterNot(tIdx)
+    for ((m0, m1) <- fitted.models.zip(after.models); v <- m0.rowAssign.indices) {
+      // moving only the targeted rows preserves whether any two
+      // untargeted rows share a cluster (labels may be remapped)
+      val pairs = others.take(40).combinations(2)
+      for (Seq(i, j) <- pairs) {
+        val before = m0.rowAssign(v)(i) == m0.rowAssign(v)(j)
+        val afterEq = m1.rowAssign(v)(i) == m1.rowAssign(v)(j)
+        assert(before == afterEq, s"untargeted pair ($i,$j) changed in view $v")
+      }
+    }
+  }
+
+  test("ANALYZE SUBPROBLEMS: hyperparameter-only kernel moves nothing else") {
+    import graft.backends.AnalyzeProgram
+    val after = backend.analyzeModels(fitted, None, 2, DetRng(43L),
+      AnalyzeProgram(subproblems = Some(Seq("variable_hyperparameters"))))
+      .asInstanceOf[CrossCatState]
+    for ((m0, m1) <- fitted.models.zip(after.models)) {
+      assert(m1.viewOf == m0.viewOf, "view partition must not move")
+      assert(m1.rowAssign == m0.rowAssign, "row partitions must not move")
+      assert(m1.alpha == m0.alpha, "view-CRP concentration must not move")
+      assert(m1.viewAlpha == m0.viewAlpha, "row-CRP concentrations must not move")
+    }
+    assert(after.models.exists(m1 =>
+      m1.hypers != fitted.models.find(_.modelno == m1.modelno).get.hypers),
+      "hyperparameters should move under the hypers kernel")
+    // invalid subproblem name surfaces a named error
+    val e = intercept[IllegalArgumentException] {
+      backend.analyzeModels(fitted, None, 1, DetRng(44L),
+        AnalyzeProgram(subproblems = Some(Seq("bogus_kernel"))))
+    }
+    assert(e.getMessage.contains("Invalid subproblems"))
+  }
 }

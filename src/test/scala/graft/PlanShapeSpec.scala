@@ -1,0 +1,114 @@
+package graft
+
+import graft.bql.BayesDB
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape assertions on the plans the BQL planner emits:
+  * membership subqueries must become joins (never a driver-side
+  * collect-and-isin), and wide populations must not produce
+  * Catalyst-depth-busting expression chains
+  * (reference behavior: src/compiler.py compiles IN to SQLite subqueries;
+  * our distributed analogue is a semi/anti join). */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val bdb: BayesDB = {
+    val b = new BayesDB(spark, seed = 11L)
+    import spark.implicits._
+    val t1 = Seq(
+      (1L, "foo", 24.0), (2L, "bar", 33.0), (3L, "foo", 41.0),
+      (4L, "baz", 57.0), (5L, "bar", 12.0), (6L, "foo", 30.0)
+    ).toDF("id", "label", "age")
+    b.registerTable("t1", t1)
+    val refs = Seq((Some(1L), "a"), (Some(3L), "b"), (None, "c"))
+      .toDF("ref_id", "tag")
+    b.registerTable("refs", refs)
+    b
+  }
+
+  private def optimized(sql: String): String =
+    bdb.execute(sql).queryExecution.optimizedPlan.toString
+
+  test("IN (subquery) plans as a left-semi join, results unchanged") {
+    val sql = "select id from t1 where id in (select ref_id from refs where tag <> 'c')"
+    assert(optimized(sql).contains("LeftSemi"))
+    assert(bdb.execute(sql).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("NOT IN (subquery) plans as an anti join with null-aware semantics") {
+    // set {1, 3, null}: NOT IN over a set containing null selects nothing
+    val withNull = "select id from t1 where id not in (select ref_id from refs)"
+    assert(optimized(withNull).contains("LeftAnti"))
+    assert(bdb.execute(withNull).count() == 0)
+    // set {1, 3}: complement
+    val noNull =
+      "select id from t1 where id not in (select ref_id from refs where ref_id is not null)"
+    assert(bdb.execute(noNull).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 4L, 5L, 6L))
+    // empty set: NOT IN keeps every row
+    val empty =
+      "select id from t1 where id not in (select ref_id from refs where tag = 'zzz')"
+    assert(bdb.execute(empty).count() == 6)
+  }
+
+  test("uncorrelated EXISTS conjunct plans as a one-row semi join") {
+    val pos = "select id from t1 where exists (select 1 from refs where tag = 'a') and age > 30"
+    assert(optimized(pos).contains("LeftSemi"))
+    assert(bdb.execute(pos).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
+    val neg = "select id from t1 where exists (select 1 from refs where tag = 'zzz')"
+    assert(bdb.execute(neg).count() == 0)
+  }
+
+  test("IN nested under OR still evaluates correctly (fallback path)") {
+    val sql = "select id from t1 where age > 50 or id in (select ref_id from refs where tag = 'a')"
+    assert(bdb.execute(sql).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+  }
+}
+
+/** A dha-like wide population (reference fixture tests/dha.csv is 64
+  * columns): PAIRWISE VARIABLES over 32 variables is 1,024 pairs — a
+  * nested when-chain dispatch would build a 1,024-deep Catalyst
+  * expression; the map-lookup dispatch must handle it. */
+class WidePopulationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val nVars = 32
+
+  private lazy val bdb: BayesDB = {
+    val b = new BayesDB(spark, seed = 13L)
+    val names = (0 until nVars).map(j => s"v$j")
+    val rows = (0 until 40).map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        (0 until nVars).map(j => (i * (j + 3) % 17).toDouble + 0.25 * j))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      names.map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    b.registerTable("wide", df)
+    b.execute("create population pw for wide (" +
+      names.map(n => s"$n numerical").mkString(";") + ")")
+    b.execute("create generator gw for pw using crosscat")
+    b.execute("initialize 2 models for gw")
+    b.execute("analyze gw for 1 iteration")
+    b
+  }
+
+  test("pairwise dependence probability over 32 variables plans and runs") {
+    val df = bdb.execute(
+      "estimate dependence probability from pairwise variables of pw")
+    assert(df.count() == nVars.toLong * nVars)
+    val self = df.filter("name0 = 'v3' and name1 = 'v3'")
+      .collect().head.getAs[Double]("value")
+    assert(self == 1.0)
+  }
+
+  test("FOR-subcolumns restriction computes only the restricted pairs") {
+    val df = bdb.execute(
+      "estimate dependence probability from pairwise variables of pw for v1, v2")
+    val got = df.collect().map(r => (r.getAs[String]("name0"), r.getAs[String]("name1")))
+    assert(got.length == 4)
+    assert(got.toSet == Set(("v1", "v1"), ("v1", "v2"), ("v2", "v1"), ("v2", "v2")))
+  }
+}
