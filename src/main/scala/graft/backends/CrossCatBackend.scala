@@ -35,9 +35,30 @@ import org.apache.spark.sql.functions._
 class CrossCatBackend(
     val subsampleRows: Int = 500,
     val gridSize: Int = 15,
-    val maxCategories: Int = 256) extends Backend {
+    val maxCategories: Int = 256,
+    val foreigns: Seq[ForeignCgpm.ForeignSpec] = Nil) extends Backend {
 
   import CrossCat._
+  import ForeignCgpm.{ForeignSpec, ForeignPredictor}
+
+  /** Foreign specs in dependency order: a node reading another node's
+    * output comes after it (reference: cgpm builds the same DAG in its
+    * network module; cycles are a schema error). */
+  private val topoForeigns: IndexedSeq[ForeignSpec] = {
+    val remaining = scala.collection.mutable.ArrayBuffer(foreigns: _*)
+    val placed = scala.collection.mutable.ArrayBuffer.empty[ForeignSpec]
+    val producedBy = foreigns.flatMap(f => f.outputs.map(_ -> f)).toMap
+    while (remaining.nonEmpty) {
+      val next = remaining.find(f => f.inputs.forall(i =>
+        !producedBy.contains(i) || placed.exists(_.outputs.contains(i))))
+      next match {
+        case Some(f) => placed += f; remaining -= f
+        case None => throw new IllegalArgumentException(
+          "OVERRIDE MODEL clauses form a cycle")
+      }
+    }
+    placed.toIndexedSeq
+  }
 
   override def name: String = "cgpm"
 
@@ -117,16 +138,47 @@ class CrossCatBackend(
           }
         }
       }
-    CrossCatState(columns, colnos, colTypes, cats, data, rowids, moments, IndexedSeq.empty)
+    if (foreigns.isEmpty)
+      CrossCatState(columns, colnos, colTypes, cats, data, rowids, moments, IndexedSeq.empty)
+    else {
+      // foreign-output columns leave the baseline CrossCat structure
+      // (reference: _create_schema removes them from `variables`); their
+      // subsample data is kept aside for predictor fits
+      val fOut = foreigns.flatMap(_.outputs).toSet
+      val bIdx = colnos.indices.filterNot(j => fOut(colnos(j)))
+      val fIdx = colnos.indices.filter(j => fOut(colnos(j)))
+      require(bIdx.nonEmpty, "composition needs at least one baseline variable")
+      CrossCatState(columns, bIdx.map(colnos), bIdx.map(colTypes), cats,
+        bIdx.map(data).toArray, rowids, bIdx.map(moments), IndexedSeq.empty,
+        foreignSpecs = topoForeigns,
+        foreignData = fIdx.map(j => colnos(j) -> data(j)).toMap)
+    }
   }
 
   override def initializeModels(state: GeneratorState, modelnos: Seq[Int],
       rng: DetRng): GeneratorState = {
     val st = state.asInstanceOf[CrossCatState]
+    val base = rng.nextLong()
     val fresh = modelnos.filterNot(m => st.models.exists(_.modelno == m)).map { m =>
-      initModel(st, m, DetRng(rng.nextLong(), m.toLong))
+      val m0 = initModel(st, m, DetRng(base, m.toLong))
+      if (st.foreignSpecs.isEmpty) m0
+      else m0.copy(foreign = fitForeign(st, DetRng(base, 0xf04e16L, m.toLong)))
     }
     st.copy(models = (st.models ++ fresh).sortBy(_.modelno))
+  }
+
+  /** Fit every foreign predictor on the subsample (complete-case inside
+    * each predictor; latent colnos have no data column and fall back to
+    * the prior). The rng drives per-model posterior draws. */
+  private def fitForeign(st: CrossCatState, rng: DetRng): IndexedSeq[ForeignPredictor] = {
+    val data: Map[Int, Array[Double]] =
+      st.colnos.zipWithIndex.map { case (c, j) => c -> st.data(j) }.toMap ++ st.foreignData
+    val dims: Map[Int, Int] = st.colnos.zipWithIndex.map { case (c, j) =>
+      c -> (st.colTypes(j) match { case CategoricalCol(k) => k; case _ => 1 })
+    }.toMap
+    st.foreignSpecs.zipWithIndex.map { case (sp, i) =>
+      ForeignCgpm.fit(sp, data, dims, DetRng(rng.nextLong(), i.toLong))
+    }
   }
 
   override def analyzeModels(state: GeneratorState, modelnos: Option[Seq[Int]],
@@ -160,6 +212,11 @@ class CrossCatBackend(
         for (sweep <- 0 until iterations)
           cur = transition(st, cur, DetRng(seedBase, m.modelno.toLong, sweep.toLong),
             restrict, rowRestrict, kernels)
+        // foreign predictors re-draw from their posterior each ANALYZE
+        // (reference: composed CGPMs transition alongside the baseline)
+        if (st.foreignSpecs.nonEmpty)
+          cur = cur.copy(foreign =
+            fitForeign(st, DetRng(seedBase, 0xf04e16L, m.modelno.toLong)))
         cur
       }
     // per-model parallel ANALYZE: models are independent posterior chains
@@ -175,7 +232,12 @@ class CrossCatBackend(
       targets: Seq[(Int, Double)], constraints: Seq[(Int, Double)]): Double = {
     val st = state.asInstanceOf[CrossCatState]
     val ms = select(st, modelnos)
-    logMeanExp(ms.map(m => modelLogpdf(st, m, targets, constraints)).toArray)
+    val touchesForeign = (targets.map(_._1) ++ constraints.map(_._1))
+      .exists(st.foreignCols)
+    if (!touchesForeign)
+      logMeanExp(ms.map(m => modelLogpdf(st, m, targets, constraints)).toArray)
+    else
+      logMeanExp(ms.map(m => networkLogpdf(st, m, targets, constraints)).toArray)
   }
 
   override def simulateJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
@@ -183,9 +245,11 @@ class CrossCatBackend(
       numSamples: Int, rng: DetRng): Seq[Seq[Double]] = {
     val st = state.asInstanceOf[CrossCatState]
     val ms = select(st, modelnos)
+    val touchesForeign = (targets ++ constraints.map(_._1)).exists(st.foreignCols)
     (0 until numSamples).map { _ =>
       val m = ms(rng.nextInt(ms.length))
-      simulateOne(st, m, targets, constraints, rng)
+      if (!touchesForeign) simulateOne(st, m, targets, constraints, rng)
+      else networkSimulate(st, m, targets, constraints, rng)
     }
   }
 
@@ -194,7 +258,10 @@ class CrossCatBackend(
     val st = state.asInstanceOf[CrossCatState]
     val samples = simulateJoint(state, modelnos, Seq(colno), Nil, numSamples, rng)
       .map(_.head)
-    st.colTypes(st.colIdx(colno)) match {
+    val colType =
+      if (st.foreignCols(colno)) NumericalCol  // foreign outputs are numerical
+      else st.colTypes(st.colIdx(colno))
+    colType match {
       case CategoricalCol(_) =>
         // nominal: mode + mode share (reference cgpm_backend.py:842-847)
         val counts = samples.groupBy(identity).view.mapValues(_.length)
@@ -210,9 +277,14 @@ class CrossCatBackend(
       modelnos: Option[Seq[Int]], colno0: Int, colno1: Int): Seq[Double] = {
     val st = state.asInstanceOf[CrossCatState]
     if (colno0 == colno1) return Seq(1.0)  // self-dependence shortcut
-    val j0 = st.colIdx(colno0)
-    val j1 = st.colIdx(colno1)
-    select(st, modelnos).map(m => if (m.viewOf(j0) == m.viewOf(j1)) 1.0 else 0.0)
+    if (st.foreignCols(colno0) || st.foreignCols(colno1))
+      select(st, modelnos).map(m =>
+        if (networkDependent(st, m, colno0, colno1)) 1.0 else 0.0)
+    else {
+      val j0 = st.colIdx(colno0)
+      val j1 = st.colIdx(colno1)
+      select(st, modelnos).map(m => if (m.viewOf(j0) == m.viewOf(j1)) 1.0 else 0.0)
+    }
   }
 
   override def columnMutualInformation(state: GeneratorState, modelnos: Option[Seq[Int]],
@@ -222,10 +294,21 @@ class CrossCatBackend(
     val st = state.asInstanceOf[CrossCatState]
     val equality = constraints.collect { case (c, Some(v)) => (c, v) }
     val marginal = constraints.collect { case (c, None) => c }
+    val touchesForeign = (colnos0 ++ colnos1 ++ constraints.map(_._1))
+      .exists(st.foreignCols)
+    def sim(m: CrossCatModel, ts: Seq[Int], cs: Seq[(Int, Double)]): Seq[Double] =
+      if (touchesForeign) networkSimulate(st, m, ts, cs, rng)
+      else simulateOne(st, m, ts, cs, rng)
+    def lp(m: CrossCatModel, ts: Seq[(Int, Double)], cs: Seq[(Int, Double)]): Double =
+      if (touchesForeign) networkLogpdf(st, m, ts, cs)
+      else modelLogpdf(st, m, ts, cs)
     select(st, modelnos).map { m =>
-      val views0 = colnos0.map(c => m.viewOf(st.colIdx(c))).toSet
-      val views1 = colnos1.map(c => m.viewOf(st.colIdx(c))).toSet
-      if ((views0 & views1).isEmpty && marginal.isEmpty) 0.0  // independent
+      val independent = !touchesForeign && marginal.isEmpty && {
+        val views0 = colnos0.map(c => m.viewOf(st.colIdx(c))).toSet
+        val views1 = colnos1.map(c => m.viewOf(st.colIdx(c))).toSet
+        (views0 & views1).isEmpty
+      }
+      if (independent) 0.0
       else {
         // Monte-Carlo CMI: E[log p(x,y|c) - log p(x|c) - log p(y|c)];
         // marginalized conditions (GIVEN (c) without a value) are drawn
@@ -234,13 +317,12 @@ class CrossCatBackend(
         val vals = (0 until numSamples).map { _ =>
           val margVals =
             if (marginal.isEmpty) Nil
-            else marginal.zip(simulateOne(st, m, marginal, equality, rng))
+            else marginal.zip(sim(m, marginal, equality))
           val cs = equality ++ margVals
-          val xy = simulateOne(st, m, colnos0 ++ colnos1, cs, rng)
+          val xy = sim(m, colnos0 ++ colnos1, cs)
           val x = colnos0.zip(xy.take(colnos0.length))
           val y = colnos1.zip(xy.drop(colnos0.length))
-          modelLogpdf(st, m, x ++ y, cs) -
-            modelLogpdf(st, m, x, cs) - modelLogpdf(st, m, y, cs)
+          lp(m, x ++ y, cs) - lp(m, x, cs) - lp(m, y, cs)
         }
         math.max(vals.sum / numSamples, 0.0)
       }
@@ -697,6 +779,151 @@ class CrossCatBackend(
     }
     targets.map(drawn)
   }
+
+  // --------------------------------------- foreign-composition network
+  // (reference: the cgpm network modules route queries touching composed
+  //  CGPMs through importance-weighted forward sampling; the public
+  //  algorithm — likelihood weighting on a DAG whose root is the
+  //  baseline CrossCat — is re-implemented here from that description.)
+
+  /** Importance-sampling width for network queries. */
+  private val networkSamples = 16
+
+  /** The foreign nodes whose outputs we must realize to produce `need`,
+    * plus everything they transitively depend on. */
+  private def involvedSpecs(st: CrossCatState, need: Set[Int]): IndexedSeq[ForeignSpec] = {
+    val want = scala.collection.mutable.Set.empty[ForeignSpec]
+    var grow = need
+    var changed = true
+    while (changed) {
+      changed = false
+      st.foreignSpecs.foreach { f =>
+        if (!want(f) && f.outputs.exists(grow)) {
+          want += f; grow = grow ++ f.inputs; changed = true
+        }
+      }
+    }
+    st.foreignSpecs.filter(want)  // keep topo order
+  }
+
+  /** One forward pass: realize every colno in `need` (baseline draws via
+    * the view sampler, foreign outputs via their predictors in topo
+    * order), honoring `fixed` as evidence. `eval` lists node outputs to
+    * score instead of draw — their joint log-density given the realized
+    * inputs accumulates into the returned weight, and their fixed values
+    * feed nodes downstream. Returns (assignment, logWeight). */
+  private def networkForward(st: CrossCatState, m: CrossCatModel,
+      need: Set[Int], fixed: Map[Int, Double],
+      eval: Map[ForeignSpec, Seq[(Int, Double)]],
+      rng: DetRng): (Map[Int, Double], Double) = {
+    val nodes = involvedSpecs(st, need ++ eval.keys.flatMap(_.outputs))
+    val needBase = (need ++ nodes.flatMap(_.inputs))
+      .filterNot(st.foreignCols).filterNot(fixed.contains)
+    val baseConstraints = fixed.toSeq.filterNot { case (c, _) => st.foreignCols(c) }
+    val baseDraw =
+      if (needBase.isEmpty) Map.empty[Int, Double]
+      else needBase.toSeq.zip(
+        simulateOne(st, m, needBase.toSeq, baseConstraints, rng)).toMap
+    var acc: Map[Int, Double] = fixed ++ baseDraw
+    var logw = 0.0
+    nodes.foreach { f =>
+      val inputs = f.inputs.map(c => c -> acc.getOrElse(c,
+        throw new IllegalStateException(s"network input $c unrealized")))
+      val scored = eval.getOrElse(f, Nil)
+      val fixedOwn = f.outputs.flatMap(c => acc.get(c).map(c -> _))
+        .filterNot { case (c, _) => scored.exists(_._1 == c) }
+      val toDraw = f.outputs.filterNot(c =>
+        acc.contains(c) || scored.exists(_._1 == c))
+      val predictor = m.foreign(st.foreignSpecs.indexOf(f))
+      if (scored.nonEmpty) {
+        // joint density of the scored outputs given inputs and any
+        // upstream-fixed own outputs
+        logw += predictor.logpdf(scored, inputs ++ fixedOwn)
+        acc = acc ++ scored.map { case (c, v) => c -> v }
+      }
+      if (toDraw.nonEmpty) {
+        val drawn = predictor.simulate(toDraw, inputs ++ fixedOwn ++ scored, rng)
+        acc = acc ++ toDraw.zip(drawn)
+      }
+    }
+    (acc, logw)
+  }
+
+  /** Draw `targets` given `constraints` across the composed network.
+    * Constraints on foreign outputs are handled by likelihood weighting:
+    * forward samples are weighted by the constrained outputs' densities
+    * and one is resampled in proportion. */
+  private[backends] def networkSimulate(st: CrossCatState, m: CrossCatModel,
+      targets: Seq[Int], constraints: Seq[(Int, Double)], rng: DetRng): Seq[Double] = {
+    val (cFor, cBase) = constraints.partition { case (c, _) => st.foreignCols(c) }
+    if (cFor.isEmpty) {
+      val (acc, _) = networkForward(st, m, targets.toSet, cBase.toMap, Map.empty, rng)
+      targets.map(acc)
+    } else {
+      val evalByNode: Map[ForeignSpec, Seq[(Int, Double)]] =
+        cFor.groupBy { case (c, _) =>
+          st.foreignSpecs.find(_.outputs.contains(c)).getOrElse(
+            throw new IllegalArgumentException(s"No foreign node produces colno $c"))
+        }
+      val fixed = cBase.toMap
+      val draws = (0 until networkSamples).map { _ =>
+        networkForward(st, m, targets.toSet, fixed, evalByNode, rng)
+      }
+      val pick = rng.logCategorical(draws.map(_._2).toIndexedSeq)
+      targets.map(draws(pick)._1)
+    }
+  }
+
+  /** log p(targets | constraints) across the network by likelihood
+    * weighting: numerator conditions on the baseline targets and scores
+    * foreign targets+constraints; denominator scores the foreign
+    * constraints alone. */
+  private[backends] def networkLogpdf(st: CrossCatState, m: CrossCatModel,
+      targets: Seq[(Int, Double)], constraints: Seq[(Int, Double)]): Double = {
+    val rng = DetRng(m.modelno.toLong, 0x4e7109fdL,
+      (targets ++ constraints).hashCode.toLong)
+    val (tFor, tBase) = targets.partition { case (c, _) => st.foreignCols(c) }
+    val (cFor, cBase) = constraints.partition { case (c, _) => st.foreignCols(c) }
+    def nodeOf(c: Int): ForeignSpec =
+      st.foreignSpecs.find(_.outputs.contains(c)).getOrElse(
+        throw new IllegalArgumentException(s"No foreign node produces colno $c"))
+    val logBase =
+      if (tBase.isEmpty) 0.0 else modelLogpdf(st, m, tBase, cBase)
+    val numEval: Map[ForeignSpec, Seq[(Int, Double)]] =
+      (tFor ++ cFor).groupBy { case (c, _) => nodeOf(c) }
+    val logNum =
+      if (tFor.isEmpty && cFor.isEmpty) 0.0
+      else logMeanExp((0 until networkSamples).map { _ =>
+        networkForward(st, m, Set.empty,
+          (cBase ++ tBase).toMap, numEval, rng)._2
+      }.toArray)
+    val logDen =
+      if (cFor.isEmpty) 0.0
+      else {
+        val denEval = cFor.groupBy { case (c, _) => nodeOf(c) }
+        logMeanExp((0 until networkSamples).map { _ =>
+          networkForward(st, m, Set.empty, cBase.toMap, denEval, rng)._2
+        }.toArray)
+      }
+    logBase + logNum - logDen
+  }
+
+  /** Network dependence: outputs of one node are mutually dependent and
+    * inherit dependence through their inputs (reference: cgpm extends
+    * dependence over the composition DAG via ancestor sets). */
+  private def networkDependent(st: CrossCatState, m: CrossCatModel,
+      a: Int, b: Int): Boolean = {
+    if (a == b) return true
+    val fa = st.foreignSpecs.find(_.outputs.contains(a))
+    val fb = st.foreignSpecs.find(_.outputs.contains(b))
+    (fa, fb) match {
+      case (None, None) =>
+        m.viewOf(st.colIdx(a)) == m.viewOf(st.colIdx(b))
+      case (Some(f), Some(g)) if f == g => true
+      case (Some(f), _) => f.inputs.exists(i => networkDependent(st, m, i, b))
+      case (None, Some(g)) => g.inputs.exists(i => networkDependent(st, m, a, i))
+    }
+  }
 }
 
 /** CrossCat state containers + conjugate component math (NIG-Normal and
@@ -721,7 +948,9 @@ object CrossCat {
       viewOf: IndexedSeq[Int],
       viewAlpha: IndexedSeq[Double],
       rowAssign: IndexedSeq[IndexedSeq[Int]],
-      hypers: IndexedSeq[ColHyper]) extends ModelState
+      hypers: IndexedSeq[ColHyper],
+      foreign: IndexedSeq[ForeignCgpm.ForeignPredictor] = IndexedSeq.empty)
+    extends ModelState
 
   final case class CrossCatState(
       columns: Map[Int, String],
@@ -731,7 +960,12 @@ object CrossCat {
       data: Array[Array[Double]],     // column-major subsample, NaN = missing
       rowids: Array[Long],
       moments: IndexedSeq[ColMoments],
-      models: IndexedSeq[CrossCatModel]) extends GeneratorState {
+      models: IndexedSeq[CrossCatModel],
+      foreignSpecs: IndexedSeq[ForeignCgpm.ForeignSpec] = IndexedSeq.empty,
+      foreignData: Map[Int, Array[Double]] = Map.empty) extends GeneratorState {
+
+    /** colnos produced by foreign predictors (manifest + latent). */
+    @transient lazy val foreignCols: Set[Int] = foreignSpecs.flatMap(_.outputs).toSet
     override def modelNumbers: Seq[Int] = models.map(_.modelno)
     override def categoryCodes: Map[Int, IndexedSeq[String]] = cats
     def colIdx(colno: Int): Int = {

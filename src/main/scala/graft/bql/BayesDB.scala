@@ -131,7 +131,9 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
       val missing = ns.filterNot(known)
       require(missing.isEmpty, s"No such models: ${missing.mkString(", ")}")
     }
-    PopulationModel(pop, fitted, seed, modelnos)
+    val fittedIds = gens.filter(g =>
+      states.contains(Names.casefold(g.name))).map(_.id).toSet
+    PopulationModel(pop, fitted, seed, modelnos, Some(fittedIds))
   }
 
   // ------------------------------------------------------------- execute
@@ -360,14 +362,48 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
           require(pop.variable(obs).isDefined, s"No such variable in $popName: $obs")
           require(pop.variable(dev).isEmpty, s"Variable already exists: $dev")
         }
+        // LATENT clauses + EXPOSE'd foreign outputs become generator-
+        // scoped latent variables (reference: _create_schema converts
+        // Foreign.exposed to Latent clauses, cgpm_backend.py:1491-1508)
+        val allLatents: Seq[(String, String)] =
+          parsed.latents ++ parsed.foreigns.flatMap(_.exposed)
+        if (allLatents.nonEmpty || parsed.foreigns.nonEmpty) {
+          require(Set("cgpm", "crosscat")(Names.casefold(backendName)),
+            "LATENT / OVERRIDE MODEL clauses are cgpm schema clauses")
+          val dup = allLatents.groupBy(l => Names.casefold(l._1))
+            .collect { case (n, vs) if vs.length > 1 => n }
+          require(dup.isEmpty,
+            s"Duplicate latent variables: ${dup.toSeq.sorted.mkString(", ")}")
+          allLatents.foreach { case (v, st) =>
+            require(pop.variable(v).isEmpty, s"Variable already exists: $v")
+            require(StatType.parse(st).isDefined, s"Unknown stattype for latent $v: $st")
+          }
+          val latentNames = allLatents.map(l => Names.casefold(l._1)).toSet
+          val outSeen = scala.collection.mutable.Set.empty[String]
+          parsed.foreigns.foreach { f =>
+            (f.outputs ++ f.exposed.map(_._1)).foreach { o =>
+              val key = Names.casefold(o)
+              require(pop.variable(o).isDefined || latentNames(key),
+                s"Unknown model variable: $o")
+              require(outSeen.add(key), s"Duplicate model variable: $o")
+            }
+            f.inputs.foreach { in =>
+              require(pop.variable(in).isDefined || latentNames(Names.casefold(in)),
+                s"Unknown model variable: $in")
+            }
+          }
+        }
         val gen = catalog.createGenerator(name, popName, backendName,
           schema.map(_.mkString(" ")))
-        if (parsed.deviations.nonEmpty) {
-          // register latent deviation variables: colno < 0, owned by this
-          // generator (reference: nig_normal.py:145-177 + core.py:398-414)
+        val latentDefs: Seq[(String, StatType)] =
+          parsed.deviations.map { case (dev, _) => dev -> (StatType.Numerical: StatType) } ++
+            allLatents.map { case (v, st) => v -> StatType.parse(st).get }
+        if (latentDefs.nonEmpty) {
+          // register latent variables: colno < 0, owned by this generator
+          // (reference: core.py:398-414)
           val existingLatents = pop.variables.count(_.isLatent)
-          val latents = parsed.deviations.zipWithIndex.map { case ((dev, _), i) =>
-            Variable(dev, -(existingLatents + i + 1), StatType.Numerical, Some(gen.id))
+          val latents = latentDefs.zipWithIndex.map { case ((v, st), i) =>
+            Variable(v, -(existingLatents + i + 1), st, Some(gen.id))
           }
           catalog.addLatentVariables(popName, latents)
         }
@@ -388,11 +424,27 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
         throw new NoSuchElementException(s"No such generator: $genName"))
       val pop = catalog.populationNames.flatMap(catalog.population)
         .find(_.id == gen.populationId).get
-      // generator schema options (SUBSAMPLE, DEVIATION) parameterize the
-      // backend; latent variables are excluded from the suff-stats fit
+      // generator schema options (SUBSAMPLE, DEVIATION, LATENT, OVERRIDE)
+      // parameterize the backend; latent variables are excluded from the
+      // suff-stats fit
       val parsed = GenSchema.parse(gen.schemaAst.map(_.split(" ").toSeq))
-      val backend = (gen.backend, parsed.subsample) match {
-        case ("cgpm" | "crosscat", Some(n0)) => new CrossCatBackend(subsampleRows = n0)
+      // resolve OVERRIDE clauses to colno-level foreign specs (exposed
+      // variables append to the node's outputs, cgpm_backend.py:1497-1501)
+      def colnoOf(v: String): Int = pop.variable(v).getOrElse(
+        throw new NoSuchElementException(s"No such variable: $v")).colno
+      val foreignSpecs = parsed.foreigns.map { f =>
+        val outs = (f.outputs ++ f.exposed.map(_._1)).map(colnoOf)
+        val spec = graft.backends.ForeignCgpm.ForeignSpec(
+          f.predictor, outs, f.inputs.map(colnoOf),
+          outs.filter(_ < 0).toSet, f.params)
+        graft.backends.ForeignCgpm.validate(spec, c =>
+          pop.variables.find(_.colno == c)
+            .exists(v => StatType.isNominal(v.stattype)))
+        spec
+      }
+      val backend = (Names.casefold(gen.backend), parsed.subsample, foreignSpecs) match {
+        case ("cgpm" | "crosscat", sub, fs) if sub.isDefined || fs.nonEmpty =>
+          new CrossCatBackend(subsampleRows = sub.getOrElse(500), foreigns = fs)
         case _ => Backends.byName(gen.backend)
       }
       val df = table(pop.table)

@@ -252,10 +252,50 @@ private final class Parser(tokens: Vector[Token]) {
     val schemata = Seq.newBuilder[Seq[String]]
     var done = false
     while (!done) {
-      schemata += genSchemum(0)
-      if (!opSym(",")) done = true
+      cur match {
+        case TOp(")", _) | TOp("}", _) | _: TEof => done = true
+        case TOp(",", _) | TOp(";", _) => i += 1  // separator / empty clause
+        case t: TName if graft.catalog.Names.casefold(t.value) == "override" =>
+          // OVERRIDE [GENERATIVE] MODEL FOR a, b ... USING f[(...)]:
+          // internal commas belong to the clause (reference grammar.y
+          // vars(many)); the clause ends after the USING predictor
+          schemata += overrideSchemum()
+        case _ => schemata += genSchemum(0)
+      }
     }
     schemata.result()
+  }
+
+  /** One OVERRIDE clause: runs through `USING name [(params)]`. */
+  private def overrideSchemum(): Seq[String] = {
+    val toks = Seq.newBuilder[String]
+    var sawUsing = false
+    var done = false
+    while (!done) {
+      cur match {
+        case TOp("(", _) =>
+          i += 1; toks += "("; toks ++= genSchemum(1, stopAtComma = false); toks += ")"
+          expectOp(")")
+          if (sawUsing) done = true  // (params) after the predictor name
+        case TOp(")", _) | TOp("}", _) | TOp(";", _) | _: TEof => done = true
+        case t: TName =>
+          i += 1; toks += t.value
+          if (sawUsing) {
+            // predictor name; an optional (params) group may follow
+            cur match {
+              case TOp("(", _) => ()  // next loop turn consumes it
+              case _ => done = true
+            }
+          } else if (graft.catalog.Names.casefold(t.value) == "using") sawUsing = true
+        case TOp(",", _) => i += 1; toks += ","
+        case TInt(v, _) => i += 1; toks += v.toString
+        case TFloat(v, _) => i += 1; toks += v.toString
+        case TString(v, _) => i += 1; toks += v
+        case TOp(s, _) => i += 1; toks += s
+        case _ => fail("Bad generator schema token")
+      }
+    }
+    toks.result()
   }
 
   private def genSchemum(depth: Int, stopAtComma: Boolean = true): Seq[String] = {
@@ -268,6 +308,7 @@ private final class Parser(tokens: Vector[Token]) {
           expectOp(")")
         case TOp(")", _) | TOp("}", _) | _: TEof => done = true
         case TOp(",", _) if stopAtComma => done = true
+        case TOp(";", _) if stopAtComma => done = true
         case t: TName => i += 1; toks += t.value
         case TInt(v, _) => i += 1; toks += v.toString
         case TFloat(v, _) => i += 1; toks += v.toString

@@ -231,7 +231,7 @@ object Planner {
   private def variablesDf(bdb: BayesDB, pm: PopulationModel): DataFrame = {
     val spark = bdb.spark
     import spark.implicits._
-    pm.population.modeledVariables
+    pm.visibleVariables
       .map(v => (v.name, v.colno, v.stattype.name))
       .toDF("name", "colno", "stattype")
   }
@@ -845,7 +845,10 @@ object Planner {
     * plan time, reference: compile_column_lists src/compiler.py:1668-1720). */
   def resolveColList(bdb: BayesDB, pm: PopulationModel, cl: ColList,
       binds: Seq[Any]): Seq[String] = cl match {
-    case ColListAll => pm.population.modeledVariables.map(_.name)
+    // `(*)` expands to manifest variables only: latent variables have no
+    // observed column to read in a row context (reference: colno<0 cells
+    // are NULL, core.py:424-429)
+    case ColListAll => pm.population.modeledVariables.filterNot(_.isLatent).map(_.name)
     case ColListLit(cols) => cols
     case ColListSub(q) =>
       plan(bdb, q, binds).collect().map(_.get(0).toString).toSeq
@@ -1025,7 +1028,7 @@ object Planner {
     * metadata-sized. */
   private def varValueCol(pm: PopulationModel, f: String => Double): Column = {
     val entries: Map[String, Double] =
-      pm.population.modeledVariables.map(v => Names.casefold(v.name) -> f(v.name)).toMap
+      pm.visibleVariables.map(v => Names.casefold(v.name) -> f(v.name)).toMap
     val look = udf((n: String) => entries.get(Names.casefold(n)))
     look(col("name"))
   }
@@ -1037,7 +1040,7 @@ object Planner {
     * computed. */
   private def pairValueCol(pm: PopulationModel, subset: Option[Seq[String]],
       f: (String, String) => Double): Column = {
-    val all = pm.population.modeledVariables.map(_.name)
+    val all = pm.visibleVariables.map(_.name)
     val vars = subset match {
       case None => all
       case Some(names) =>

@@ -22,11 +22,20 @@ final case class PopulationModel(
     population: Population,
     generators: Seq[FittedGenerator],
     seed: Long,
-    modelnos: Option[Seq[Int]] = None) extends Serializable {
+    modelnos: Option[Seq[Int]] = None,
+    generatorIds: Option[Set[Int]] = None) extends Serializable {
   require(generators.nonEmpty, "PopulationModel needs at least one generator")
   def colno(varName: String): Int =
     population.variable(varName).getOrElse(
       throw new NoSuchElementException(s"No such variable: $varName")).colno
+
+  /** Modeled variables visible to this query: manifest variables plus
+    * latent variables owned by one of the generators in scope
+    * (reference: bayesdb_variable filters on generator_id,
+    * core.py:350-366 — a latent of another generator is invisible). */
+  def visibleVariables: Seq[graft.catalog.Variable] =
+    population.modeledVariables.filter(v =>
+      v.generatorId.forall(gid => generatorIds.forall(_.contains(gid))))
 }
 
 /** The BQL model-estimator operators (SURVEY §2.7), Spark-first:
@@ -434,7 +443,7 @@ object Estimators {
       estimator: (String, String) => Double,
       valueName: String = "value"): DataFrame = {
     import spark.implicits._
-    val vars = pm.population.modeledVariables.map(_.name)
+    val vars = pm.visibleVariables.map(_.name)
     val rows = for (v0 <- vars; v1 <- vars)
       yield (pm.population.name, v0, v1, estimator(v0, v1))
     rows.toDF("population", "name0", "name1", valueName)

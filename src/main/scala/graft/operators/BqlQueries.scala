@@ -44,6 +44,17 @@ object BqlQueries {
       b.execute("create generator lgen for lpop using cgpm")
       b.execute("initialize 4 models for lgen")
       b.execute("analyze lgen for 10 iterations")
+      // composed generator: a latent price factor over l_extendedprice
+      // (factor analysis) and a linreg node for l_discount given
+      // l_quantity — the cgpm LATENT / OVERRIDE MODEL surface (b21)
+      b.execute("""create generator lcomp for lpop using cgpm (
+        subsample 300;
+        latent pricefac numerical;
+        override model for l_extendedprice, pricefac using factor_analysis(l=1);
+        override model for l_discount given l_quantity using linreg
+      )""")
+      b.execute("initialize 2 models for lcomp")
+      b.execute("analyze lcomp for 2 iterations")
       b
     })
 
@@ -206,19 +217,27 @@ object BqlQueries {
     * nig_normal's constant 0) over lineitem's correlated columns. */
   val b14CrosscatDependence: Q = (spark, dir) => bdb(spark, dir).execute(
     """ESTIMATE DEPENDENCE PROBABILITY
-      |FROM PAIRWISE VARIABLES OF lpop
+      |FROM PAIRWISE VARIABLES OF lpop MODELED BY lgen
       |ORDER BY name0, name1""".stripMargin)
 
   /** b15: CrossCat 2-row similarity over a bounded pairwise join. */
   val b15CrosscatSimilarity: Q = (spark, dir) => bdb(spark, dir).execute(
     """ESTIMATE SIMILARITY IN THE CONTEXT OF l_quantity
-      |FROM PAIRWISE lpop
+      |FROM PAIRWISE lpop MODELED BY lgen
       |WHERE r0.rowid <= 12 AND r1.rowid <= 12
       |ORDER BY rowid0, rowid1""".stripMargin)
 
   /** b16: CrossCat conditional simulate (mixture posterior predictive). */
   val b16CrosscatSimulate: Q = (spark, dir) => bdb(spark, dir).execute(
-    "SIMULATE l_extendedprice FROM lpop GIVEN l_quantity = 40 LIMIT 50")
+    "SIMULATE l_extendedprice FROM lpop MODELED BY lgen GIVEN l_quantity = 40 LIMIT 50")
+
+  /** b21: cgpm composition — network dependence over a population whose
+    * generator carries a LATENT factor (factor_analysis) and a linreg
+    * OVERRIDE node; the latent appears as a first-class variable. */
+  val b21Composition: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE DEPENDENCE PROBABILITY
+      |FROM PAIRWISE VARIABLES OF lpop MODELED BY lcomp
+      |ORDER BY name0, name1""".stripMargin)
 
   /** b17: EXISTS + NOT IN + BETWEEN through plan-time subquery eval. */
   val b17Exists: Q = (spark, dir) => bdb(spark, dir).execute(
@@ -302,6 +321,7 @@ object BqlQueries {
     "b14_crosscat_dependence" -> b14CrosscatDependence,
     "b15_crosscat_similarity" -> b15CrosscatSimilarity,
     "b16_crosscat_simulate" -> b16CrosscatSimulate,
+    "b21_cgpm_composition" -> b21Composition,
     "b01_bql_select" -> b01Select,
     "b02_bql_join" -> b02Join,
     "b03_bql_subquery" -> b03Subquery,

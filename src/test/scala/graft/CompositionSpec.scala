@@ -1,0 +1,142 @@
+package graft
+
+import graft.bql.BayesDB
+import org.scalatest.funsuite.AnyFunSuite
+
+/** cgpm LATENT + OVERRIDE GENERATIVE MODEL composition (reference:
+  * tests/test_cgpm.py:180-310, 585-660; schema grammar
+  * src/backends/cgpm_schema/grammar.y). A linreg node models y given x
+  * on top of the baseline CrossCat; a factor-analysis node exposes its
+  * latent factor score as a queryable variable. */
+class CompositionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // y = 2x + 1 + noise; z independent of both; u, v share a factor
+  private lazy val bdb: BayesDB = {
+    val b = new BayesDB(spark, seed = 21L)
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 250).map { i =>
+      val x = rng.nextGaussian() * 3.0
+      val y = 2.0 * x + 1.0 + rng.nextGaussian() * 0.5
+      val z = 50.0 + rng.nextGaussian() * 2.0
+      val f = rng.nextGaussian()
+      val u = 3.0 * f + rng.nextGaussian() * 0.3
+      val v = -2.0 * f + 10.0 + rng.nextGaussian() * 0.3
+      (i.toLong, x, y, z, u, v)
+    }
+    b.registerTable("tc", rows.toDF("id", "x", "y", "z", "u", "v"))
+    b.execute("create population pc for tc (id ignore;" +
+      " x numerical; y numerical; z numerical; u numerical; v numerical)")
+    b.execute("""create generator gc for pc using cgpm (
+      override model for y given x using linreg;
+      latent fscore numerical;
+      override model for u, v, fscore using factor_analysis(l=1)
+    )""")
+    b.execute("initialize 2 models for gc")
+    b.execute("analyze gc for 3 iterations")
+    b
+  }
+
+  private def simMean(sql: String): Double = {
+    val vals = bdb.execute(sql).collect().map(_.getDouble(0))
+    vals.sum / vals.length
+  }
+
+  test("linreg node: conditional simulate tracks the regression line") {
+    val hi = simMean("simulate y from pc given x = 5 limit 80")
+    val lo = simMean("simulate y from pc given x = -5 limit 80")
+    assert(math.abs(hi - 11.0) < 2.5, s"E[y|x=5] should be ~11, got $hi")
+    assert(math.abs(lo - (-9.0)) < 2.5, s"E[y|x=-5] should be ~-9, got $lo")
+  }
+
+  test("linreg node: density peaks near the regression line") {
+    val near = bdb.execute(
+      "estimate probability density of y = 11 given (x = 5) by pc")
+      .collect().head.getDouble(0)
+    val far = bdb.execute(
+      "estimate probability density of y = -9 given (x = 5) by pc")
+      .collect().head.getDouble(0)
+    assert(near > far,
+      s"density near the line ($near) must beat far ($far)")
+  }
+
+  test("network dependence: foreign outputs inherit their inputs' structure") {
+    def dep(a: String, b: String): Double = bdb.execute(
+      s"estimate dependence probability of $a with $b by pc")
+      .collect().head.getDouble(0)
+    assert(dep("y", "x") == 1.0, "y is modeled given x: dependent")
+    assert(dep("u", "v") == 1.0, "u, v share a factor-analysis node")
+    assert(dep("fscore", "u") == 1.0, "latent factor is dependent with its node outputs")
+    // y's dependence on z equals x's (inherited through the input)
+    assert(dep("y", "z") == dep("x", "z"))
+  }
+
+  test("latent factor score simulates and separates the factor direction") {
+    // u = 3f + e: high u ⇒ high factor; v = -2f + 10 + e: high u pairs
+    // with low v. Condition on opposite u values and check fscore moves.
+    val hi = simMean("simulate fscore from pc given u = 6 limit 60")
+    val lo = simMean("simulate fscore from pc given u = -6 limit 60")
+    assert(hi != lo, "factor must respond to evidence on u")
+    assert(math.abs(hi - lo) > 0.5,
+      s"factor posterior barely moved: $hi vs $lo")
+    // conditioning on a foreign output (u) flows to its sibling (v)
+    val vHi = simMean("simulate v from pc given u = 6 limit 60")
+    val vLo = simMean("simulate v from pc given u = -6 limit 60")
+    assert(vHi < vLo, s"v anti-correlates with u: E[v|u=6]=$vHi, E[v|u=-6]=$vLo")
+  }
+
+  test("latents appear in ESTIMATE FROM VARIABLES OF, scoped to their generator") {
+    val names = bdb.execute("estimate * from variables of pc")
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("x", "y", "z", "u", "v", "fscore"))
+    // a second, plain generator on the same population does not see fscore
+    bdb.execute("create generator gplain for pc using cgpm (subsample 100)")
+    bdb.execute("initialize 1 models for gplain")
+    bdb.execute("analyze gplain for 1 iteration")
+    val plain = bdb.execute("estimate * from variables of pc modeled by gplain")
+      .collect().map(_.getString(0)).toSet
+    assert(plain == Set("x", "y", "z", "u", "v"))
+  }
+
+  test("pairwise dependence over a latent-bearing population runs") {
+    val df = bdb.execute(
+      "estimate dependence probability from pairwise variables of pc modeled by gc")
+    assert(df.count() == 36)  // 6 visible variables
+  }
+
+  test("mutual information through a foreign node is positive") {
+    val mi = bdb.execute(
+      "estimate mutual information of y with x using 80 samples by pc")
+      .collect().head.getDouble(0)
+    assert(mi > 0.2, s"MI(y, x) through linreg should be clearly positive: $mi")
+  }
+
+  test("schema errors: duplicate latent, unknown variable, cycle, nominal FA") {
+    val e1 = intercept[IllegalArgumentException] { bdb.execute(
+      """create generator gd for pc using cgpm (
+        latent pc2 numerical;
+        override model for u and expose pc2 numerical using factor_analysis(l=1)
+      )""") }
+    assert(e1.getMessage.toLowerCase.contains("duplicate latent"))
+    intercept[Exception] { bdb.execute(
+      "create generator ge for pc using cgpm (override model for nosuch using linreg)") }
+    // nominal latent rejected when the predictor is fit (INITIALIZE),
+    // matching the reference's ValueError timing
+    bdb.execute(
+      """create generator gn for pc using cgpm (
+        override model for u and expose pcn nominal using factor_analysis(l=1)
+      )""")
+    val e2 = intercept[IllegalArgumentException] {
+      bdb.execute("initialize 1 models for gn") }
+    assert(e2.getMessage.contains("numerical"))
+  }
+
+  test("infer and predict on a foreign output work end to end") {
+    val inferred = bdb.execute(
+      "infer explicit predict y confidence yc from pc limit 5")
+    assert(inferred.count() == 5)
+    val preds = bdb.execute("estimate predict y with confidence 0 from pc limit 3")
+    assert(preds.count() == 3)
+  }
+}
