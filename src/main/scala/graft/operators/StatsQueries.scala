@@ -119,6 +119,83 @@ object StatsQueries {
       Correlation.anovaPValue(li, "l_returnflag", "l_extendedprice"))
   }
 
+  // p-values at known degrees of freedom have closed forms DuckDB can
+  // compute — s08-s10 pin the special-function paths against hard
+  // oracles (the general-df keys s04-s06 stay rows-only):
+  //   t, df=2:  2·sf(|t|) = 1 − |t|/√(2+t²)
+  //   χ², df=2: sf(x) = e^(−x/2)
+  //   F,  d1=2: sf(x) = (1 + 2x/d2)^(−d2/2)
+
+  /** s08: Pearson PVALUE over exactly 4 rows → t-test with df=2. */
+  val s08TPValueDf2: Q = (spark, dir) => {
+    val four = Tables.load(spark, dir, "lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(4)
+    oneRow(spark, "corr_pvalue",
+      round6(Correlation.pearsonPValue(four, "l_quantity", "l_extendedprice")))
+  }
+
+  val s08Sql: String =
+    """WITH four AS (
+      |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+      |  ORDER BY l_orderkey, l_linenumber LIMIT 4),
+      |c AS (SELECT covar_pop(x, y) / (stddev_pop(x) * stddev_pop(y)) AS r FROM four),
+      |t AS (SELECT abs(r) * sqrt(2 / (1 - r * r)) AS tt FROM c)
+      |SELECT round(1 - tt / sqrt(2 + tt * tt), 6) AS corr_pvalue FROM t""".stripMargin
+
+  /** s09: χ² PVALUE over a 2×3 contingency (line-number parity ×
+    * returnflag) → df=2, sf = e^(−χ²/2). */
+  val s09Chi2PValueDf2: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("parity", (col("l_linenumber") % 2).cast("string"))
+    oneRow(spark, "cramer_pvalue",
+      round6(Correlation.cramerPhiPValue(li, "parity", "l_returnflag")))
+  }
+
+  val s09Sql: String =
+    """WITH pair AS (
+      |  SELECT (l_linenumber % 2)::VARCHAR AS x0, l_returnflag AS x1 FROM lineitem
+      |  WHERE l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL),
+      |cells AS (SELECT x0, x1, count(*)::DOUBLE AS obs FROM pair GROUP BY x0, x1),
+      |m0 AS (SELECT x0, count(*)::DOUBLE AS rt FROM pair GROUP BY x0),
+      |m1 AS (SELECT x1, count(*)::DOUBLE AS ct FROM pair GROUP BY x1),
+      |tot AS (SELECT count(*)::DOUBLE AS n FROM pair),
+      |grid AS (
+      |  SELECT m0.x0, m1.x1, coalesce(cells.obs, 0) AS obs,
+      |         m0.rt * m1.ct / tot.n AS expected
+      |  FROM m0 CROSS JOIN m1 CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.x0 = m0.x0 AND cells.x1 = m1.x1),
+      |chi AS (SELECT sum(pow(obs - expected, 2) / expected) AS chi2 FROM grid)
+      |SELECT round(exp(-chi2 / 2), 6) AS cramer_pvalue FROM chi""".stripMargin
+
+  /** s10: ANOVA F PVALUE with returnflag's 3 groups → d1=2, closed-form
+    * survival; y = l_partkey (independent of returnflag ⇒ p well away
+    * from 0 and 1). */
+  val s10FPValueD12: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+    oneRow(spark, "anova_pvalue",
+      round6(Correlation.anovaPValue(li, "l_returnflag", "l_partkey")))
+  }
+
+  val s10Sql: String =
+    """WITH pair AS (
+      |  SELECT l_returnflag AS g, l_partkey::DOUBLE AS y FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_partkey IS NOT NULL),
+      |grp AS (
+      |  SELECT g, count(*)::DOUBLE AS n_g, avg(y) AS mean_g,
+      |         var_pop(y) * count(*) AS m2_g
+      |  FROM pair GROUP BY g),
+      |ov AS (
+      |  SELECT sum(n_g) AS n, count(*)::DOUBLE AS k,
+      |         sum(n_g * mean_g) / sum(n_g) AS gmean
+      |  FROM grp),
+      |st AS (
+      |  SELECT sum(n_g * pow(mean_g - ov.gmean, 2)) / (ov.k - 1) AS bgv,
+      |         sum(m2_g) / (ov.n - ov.k) AS wgv,
+      |         ov.n AS n, ov.k AS k
+      |  FROM grp CROSS JOIN ov GROUP BY ov.n, ov.k, ov.gmean)
+      |SELECT round(pow(1 + 2 * (bgv / wgv) / (n - k), -(n - k) / 2), 6) AS anova_pvalue
+      |FROM st""".stripMargin
+
   /** GUESS SCHEMA FOR customer (reference: src/bql.py:220-252) — one
     * distributed pass; reasons omitted from the dump for stability. */
   val s07GuessSchema: Q = (spark, dir) => {
@@ -134,10 +211,16 @@ object StatsQueries {
     "s04_pearson_pvalue" -> s04PearsonPValue,
     "s05_cramer_pvalue" -> s05CramerPValue,
     "s06_anova_pvalue" -> s06AnovaPValue,
-    "s07_guess_schema" -> s07GuessSchema)
+    "s07_guess_schema" -> s07GuessSchema,
+    "s08_t_pvalue_df2" -> s08TPValueDf2,
+    "s09_chi2_pvalue_df2" -> s09Chi2PValueDf2,
+    "s10_f_pvalue_d1_2" -> s10FPValueD12)
 
   val oracles: Map[String, String] = Map(
     "s01_corr_pearson" -> s01Sql,
     "s02_cramer_phi" -> s02Sql,
-    "s03_anova_r2" -> s03Sql)
+    "s03_anova_r2" -> s03Sql,
+    "s08_t_pvalue_df2" -> s08Sql,
+    "s09_chi2_pvalue_df2" -> s09Sql,
+    "s10_f_pvalue_d1_2" -> s10Sql)
 }

@@ -90,6 +90,49 @@ class CorrelationSpec extends AnyFunSuite {
     val c2 = Correlation.correlation(num, "x", StatType.Numerical, "y", StatType.Numerical)
     assert(math.abs(c1 - c2) < 1e-12)
   }
+
+  test("survival functions match closed forms at known degrees of freedom") {
+    import graft.functions.SpecialMath
+    // t, df=2: 2·sf(t) = 1 − t/√(2+t²)
+    for (t <- Seq(0.3, 1.0, 1.7, 4.2))
+      assert(math.abs(2 * SpecialMath.tCdf(-t, 2.0) -
+        (1 - t / math.sqrt(2 + t * t))) < 1e-10, s"t=$t")
+    // χ², df=2: sf(x) = e^(−x/2)
+    for (x <- Seq(0.5, 3.7, 11.0))
+      assert(math.abs(SpecialMath.chi2Sf(x, 2.0) - math.exp(-x / 2)) < 1e-10, s"x=$x")
+    // F, d1=2: sf(x) = (1 + 2x/d2)^(−d2/2)
+    for ((x, d2) <- Seq((1.3, 40.0), (0.7, 7.0), (4.0, 100.0)))
+      assert(math.abs(SpecialMath.fSf(x, 2.0, d2) -
+        math.pow(1 + 2 * x / d2, -d2 / 2)) < 1e-10, s"x=$x d2=$d2")
+  }
+
+  test("survival functions match the reference's pinned values") {
+    import graft.functions.SpecialMath
+    def relerr(exp: Double, got: Double) = math.abs((got - exp) / exp)
+    // reference tests/test_stats.py:100-154 (scipy-checked constants)
+    assert(relerr(0.5173903, SpecialMath.fSf(1, 12, 8)) < 1e-4)
+    assert(relerr(0.2618860, SpecialMath.fSf(1.9, 1, 3)) < 1e-4)
+    assert(relerr(0.1111111, SpecialMath.fSf(8, 2, 2)) < 1e-4)
+    assert(relerr(0.0434186, SpecialMath.fSf(10, 5, 3)) < 1e-4)
+    assert(relerr(0.92318422834700042, SpecialMath.tCdf(1.9, 3)) < 1e-6)
+    assert(relerr(0.076815771652999562, SpecialMath.tCdf(-1.9, 3)) < 1e-6)
+    assert(relerr(0.30899158341328747, SpecialMath.tCdf(-0.5, 121)) < 1e-6)
+    assert(relerr(0.346437e-4, SpecialMath.chi2Sf(193, 121)) < 1e-3)
+  }
+
+  test("4-point Pearson p-value equals the df=2 closed form exactly") {
+    val df4 = Seq((0.0, 0.1), (1.0, 0.9), (2.0, 2.3), (3.0, 2.8)).toDF("x", "y")
+    val p = Correlation.pearsonPValue(df4, "x", "y")
+    // closed form from the same 4 points
+    val xs = Seq(0.0, 1.0, 2.0, 3.0); val ys = Seq(0.1, 0.9, 2.3, 2.8)
+    val mx = xs.sum / 4; val my = ys.sum / 4
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum / 4
+    val sx = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum / 4)
+    val sy = math.sqrt(ys.map(b => (b - my) * (b - my)).sum / 4)
+    val r = cov / (sx * sy)
+    val t = math.abs(r) * math.sqrt(2 / (1 - r * r))
+    assert(math.abs(p - (1 - t / math.sqrt(2 + t * t))) < 1e-9, s"p=$p")
+  }
 }
 
 class GuessSpec extends AnyFunSuite {
