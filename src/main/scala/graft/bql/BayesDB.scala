@@ -194,11 +194,18 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     * phrase's result. */
   def executeScript(script: String, bindings: Seq[Any] = Nil): DataFrame =
     Parser.parseAll(script).foldLeft(emptyResult) { (_, parsed) =>
-      parsed.phrase match {
-        case q: Ast.Query => Planner.plan(this, q, bindings)
-        case c: Ast.Command => runCommand(c, bindings)
-      }
+      executeParsed(parsed, bindings)
     }
+
+  /** Execute one already-parsed phrase (the shell's per-phrase loop). */
+  def executeParsed(parsed: Ast.Parametrized, bindings: Seq[Any]): DataFrame =
+    parsed.phrase match {
+      case q: Ast.Query => Planner.plan(this, q, bindings)
+      case c: Ast.Command => runCommand(c, bindings)
+    }
+
+  /** Registered table names (casefolded). */
+  def tableNames: Seq[String] = tables.keys.toSeq
 
   private def emptyResult: DataFrame = spark.emptyDataFrame
 
@@ -218,8 +225,15 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
       } else {
         // reference: header required, utf-8, strict arity (read_csv.py:24-121);
         // schema inference replaces SQLite's manifest typing (divergence:
-        // values get a column type, not per-value types)
-        val df = spark.read.option("header", "true").option("inferSchema", "true").csv(csv)
+        // values get a column type, not per-value types). Spark-native
+        // extension: .parquet/.json paths read their own format.
+        val lower = csv.toLowerCase
+        val df =
+          if (lower.endsWith(".parquet")) spark.read.parquet(csv)
+          else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
+            spark.read.json(csv)
+          else spark.read.option("header", "true")
+            .option("inferSchema", "true").csv(csv)
         registerTable(name, df)
       }
       emptyResult

@@ -664,14 +664,19 @@ object Planner {
       case Op.NotLike => likeCol(c(0), os(1), ctx, negate = true, None)
       case Op.LikeEsc => likeCol(c(0), os(1), ctx, negate = false, Some(os(2)))
       case Op.NotLikeEsc => likeCol(c(0), os(1), ctx, negate = true, Some(os(2)))
-      case Op.Glob => globCol(c(0), os(1), ctx, negate = false)
-      case Op.NotGlob => globCol(c(0), os(1), ctx, negate = true)
+      case Op.Glob => globCol(c(0), os(1), ctx, negate = false, None)
+      case Op.NotGlob => globCol(c(0), os(1), ctx, negate = true, None)
+      case Op.GlobEsc => globCol(c(0), os(1), ctx, negate = false, Some(os(2)))
+      case Op.NotGlobEsc => globCol(c(0), os(1), ctx, negate = true, Some(os(2)))
       case Op.Regexp => c(0).rlike(stringLiteral(os(1), ctx))
       case Op.NotRegexp => !c(0).rlike(stringLiteral(os(1), ctx))
-      case Op.GlobEsc | Op.NotGlobEsc | Op.RegexpEsc | Op.NotRegexpEsc |
-           Op.Match | Op.NotMatch | Op.MatchEsc | Op.NotMatchEsc =>
+      case Op.RegexpEsc => c(0).rlike(regexpEscaped(os(1), os(2), ctx))
+      case Op.NotRegexpEsc => !c(0).rlike(regexpEscaped(os(1), os(2), ctx))
+      case Op.Match | Op.NotMatch | Op.MatchEsc | Op.NotMatchEsc =>
+        // README divergence D1: SQLite MATCH needs an FTS virtual table —
+        // no analogue here (SQLite itself errors without one)
         throw new UnsupportedOperationException(
-          s"$op is not supported (SQLite MATCH / escaped GLOB-REGEXP have no Spark equivalent)")
+          s"$op is not supported (SQLite MATCH requires an FTS table; divergence D1)")
       case Op.BitAnd => c(0).bitwiseAND(c(1))
       case Op.BitIor => c(0).bitwiseOR(c(1))
       case Op.LShift => shiftleft(c(0), intLiteral(os(1), ctx))
@@ -715,27 +720,52 @@ object Planner {
     if (negate) !base else base
   }
 
-  private def globCol(l: Column, pat: Exp, ctx: Ctx, negate: Boolean): Column = {
+  private def globCol(l: Column, pat: Exp, ctx: Ctx, negate: Boolean,
+      esc: Option[Exp]): Column = {
     val p = stringLiteral(pat, ctx)
-    // glob → anchored regex: * → .*, ? → ., [...] passes through
+    val escChar = esc.map(e => stringLiteral(e, ctx).head)
+    // glob → anchored regex: * → .*, ? → ., [...] passes through;
+    // an ESCAPE char makes the following character literal
     val sb = new StringBuilder("^")
     var i = 0
     while (i < p.length) {
-      p.charAt(i) match {
+      val ch = p.charAt(i)
+      if (escChar.contains(ch) && i + 1 < p.length) {
+        sb.append(java.util.regex.Pattern.quote(p.charAt(i + 1).toString))
+        i += 1
+      } else ch match {
         case '*' => sb.append(".*")
         case '?' => sb.append('.')
         case '[' =>
           val close = p.indexOf(']', i + 1)
           if (close < 0) sb.append("\\[")
           else { sb.append(p.substring(i, close + 1)); i = close }
-        case ch if "\\.^$+{}()|".indexOf(ch) >= 0 => sb.append('\\').append(ch)
-        case ch => sb.append(ch)
+        case c if "\\.^$+{}()|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
       }
       i += 1
     }
     sb.append('$')
     val re = l.rlike(sb.toString)
     if (negate) !re else re
+  }
+
+  /** REGEXP ... ESCAPE e: the escape character makes the next character
+    * a literal; everything else passes through as regex syntax. */
+  private def regexpEscaped(pat: Exp, esc: Exp, ctx: Ctx): String = {
+    val p = stringLiteral(pat, ctx)
+    val escChar = stringLiteral(esc, ctx).head
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val ch = p.charAt(i)
+      if (ch == escChar && i + 1 < p.length) {
+        sb.append(java.util.regex.Pattern.quote(p.charAt(i + 1).toString))
+        i += 1
+      } else sb.append(ch)
+      i += 1
+    }
+    sb.toString
   }
 
   private def stringLiteral(e: Exp, ctx: Ctx): String = e match {

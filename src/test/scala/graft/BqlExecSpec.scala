@@ -91,6 +91,20 @@ class BqlExecSpec extends AnyFunSuite {
     assert(one("select exists (select 1 from t1 where age > 100)") == false)
   }
 
+  test("escaped GLOB / REGEXP; MATCH rejected as divergence D1") {
+    // ESCAPE makes the next pattern character literal
+    assert(one("select 'a*b' glob 'a!*b' escape '!'") == true)
+    assert(one("select 'axb' glob 'a!*b' escape '!'") == false)
+    assert(one("select 'axb' glob 'a?b'") == true)
+    assert(one("select 'a.b' regexp 'a!.b' escape '!'") == true)
+    assert(one("select 'axb' regexp 'a!.b' escape '!'") == false)
+    assert(one("select 'axb' regexp 'a.b'") == true)
+    val e = intercept[UnsupportedOperationException] {
+      bdb.execute("select 'a' match 'a'").collect()
+    }
+    assert(e.getMessage.contains("D1"))
+  }
+
   test("parameters bind by number and name") {
     assert(rows("select id from t1 where age > ? order by id", Seq(40)).flatten ==
       Seq(3L, 4L, 7L, 8L))
