@@ -399,7 +399,7 @@ object Planner {
         }
         val joined = joinable.foldLeft(base) {
           case (df, ExpInQuery(x, positive, q)) =>
-            val sub = plan(ctx.bdb, q, ctx.binds)
+            val sub = planSubquery(ctx, q)
             val v = s"__in_v_${subqueryTag.getAndIncrement()}"
             val subv = sub.select(col(sub.columns.head).as(v)).distinct()
             val key = compile(x, ctx)
@@ -412,7 +412,7 @@ object Planner {
           case (df, ExpExists(q)) =>
             // uncorrelated EXISTS: keep all rows iff the subquery is
             // non-empty — a one-row semi-join, no plan-time count()
-            df.join(plan(ctx.bdb, q, ctx.binds).limit(1), lit(true), "left_semi")
+            df.join(planSubquery(ctx, q).limit(1), lit(true), "left_semi")
           case (df, _) => df
         }
         residual.map(compile(_, ctx)) match {
@@ -431,7 +431,7 @@ object Planner {
         // subquery-determined column list: run it, take its first column's
         // values as names (reference: expand_select_columns executes the
         // subquery at compile time, src/compiler.py:551-617)
-        val names = plan(ctx.bdb, sub, ctx.binds).collect().map(_.get(0).toString).toSeq
+        val names = planSubquery(ctx, sub).collect().map(_.get(0).toString).toSeq
         names.map(c => c -> (ExpCol(None, c): Exp))
       case SelColExp(e, nm) =>
         val name = nm.getOrElse(e match {
@@ -541,6 +541,22 @@ object Planner {
     case other => Seq(other)
   }
 
+  /** Plan a subquery, naming the correlated case: a reference to an
+    * outer column surfaces as Spark's unresolved-column error — rethrow
+    * as the documented divergence (D3; the reference inherits correlated
+    * subqueries from SQLite, src/compiler.py:1795-1797). */
+  private def planSubquery(ctx: Ctx, q: Query): DataFrame =
+    try plan(ctx.bdb, q, ctx.binds)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNRESOLVED_COLUMN") ||
+            e.getMessage.contains("cannot be resolved") =>
+        throw new UnsupportedOperationException(
+          "Correlated subqueries are not supported (divergence D3); " +
+            "the subquery must reference only its own FROM tables. " +
+            s"Spark analysis: ${e.getMessage.linesIterator.next()}")
+    }
+
   /** Unique suffix for internal join-key aliases (plans may nest). */
   private val subqueryTag = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -584,9 +600,9 @@ object Planner {
         "Aggregate COUNT(*) outside aggregate context")
       count(lit(1))
     case ExpSub(q) => lit(scalarSubquery(ctx, q))
-    case ExpExists(q) => lit(plan(ctx.bdb, q, ctx.binds).limit(1).count() > 0)
+    case ExpExists(q) => lit(planSubquery(ctx, q).limit(1).count() > 0)
     case ExpInQuery(x, positive, q) =>
-      val values = plan(ctx.bdb, q, ctx.binds).collect().map(_.get(0)).toSeq
+      val values = planSubquery(ctx, q).collect().map(_.get(0)).toSeq
       val in = compile(x, ctx).isin(values: _*)
       if (positive) in else !in
     case ExpInExp(x, positive, es) =>
@@ -798,7 +814,7 @@ object Planner {
   // --------------------------------------------------- subquery helpers
 
   private def scalarSubquery(ctx: Ctx, q: Query): Any = {
-    val rows = plan(ctx.bdb, q, ctx.binds).limit(1).collect()
+    val rows = planSubquery(ctx, q).limit(1).collect()
     if (rows.isEmpty) null else rows.head.get(0)
   }
 

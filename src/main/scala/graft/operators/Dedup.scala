@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Ensure per-row heavy stages have cluster-width parallelism: a
+    * single-file parquet scan is ONE partition, which would serialize
+    * the signature/fingerprint UDF on one core. Only widens — an input
+    * that is already wider (the 100 TB case) passes through untouched,
+    * no extra shuffle. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups: one row per distinct content with the
@@ -52,29 +62,52 @@ object Dedup {
       i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
   }
 
-  /** MinHash signature of a shingle array: sig[i] = min over shingles of
-    * mix64(xxhash64(shingle) ^ seed_i). Row-local, no shuffle. */
+  /** MinHash signature by one-permutation hashing (Li/Owen/Zhang: hash
+    * each shingle ONCE, bin it by its hash, keep the per-bin minimum —
+    * O(shingles) instead of O(shingles × numHashes)) with rotational
+    * densification for empty bins (Shrivastava: an empty bin copies the
+    * next non-empty bin circularly, preserving the collision property —
+    * two docs that borrow from the same bin agree iff that bin agrees).
+    * Row-local, no shuffle. */
   private def minHashSignature(numHashes: Int, seed: Long) =
     udf { (shingles: Seq[String]) =>
       if (shingles == null || shingles.isEmpty) null
       else {
-        val base = shingles.distinct.map(s =>
-          DetRngHash.xx(s.getBytes("UTF-8"))).toArray
-        val sig = new Array[Long](numHashes)
-        var i = 0
-        while (i < numHashes) {
-          val hseed = DetRngHash.mix(seed + i)
-          var best = Long.MaxValue
-          var j = 0
-          while (j < base.length) {
-            val h = DetRngHash.mix(base(j) ^ hseed)
-            if (h < best) best = h
-            j += 1
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        val mixedSeed = DetRngHash.mix(seed)
+        val seen = new java.util.HashSet[Long]()
+        shingles.foreach { s =>
+          val h0 = DetRngHash.xx(s.getBytes("UTF-8"))
+          if (seen.add(h0)) {
+            val h = DetRngHash.mix(h0 ^ mixedSeed)
+            val bin = ((h >>> 1) % numHashes).toInt
+            val v = DetRngHash.mix(h ^ 0x9e3779b97f4a7c15L)
+            if (v < sig(bin)) sig(bin) = v
           }
-          sig(i) = best
+        }
+        // densify: empty bins copy the next non-empty bin (circular)
+        var anyFilled = false
+        var i = 0
+        while (i < numHashes && !anyFilled) {
+          if (sig(i) != Long.MaxValue) anyFilled = true
           i += 1
         }
-        sig
+        if (!anyFilled) null
+        else {
+          // right-to-left so a whole empty run fills from its right
+          // neighbor in one pass; the wrap-around search covers runs
+          // crossing the top end
+          var j = numHashes - 1
+          while (j >= 0) {
+            if (sig(j) == Long.MaxValue) {
+              var k = (j + 1) % numHashes
+              while (sig(k) == Long.MaxValue) k = (k + 1) % numHashes
+              sig(j) = sig(k)
+            }
+            j -= 1
+          }
+          sig
+        }
       }
     }
 
@@ -92,9 +125,9 @@ object Dedup {
     val rowsPerBand = numHashes / bands
 
     // signatures are read by the banding pass and the two candidate
-    // rejoins — cache so the O(shingles × hashes) UDF runs once per row
+    // rejoins — cache so the signature UDF runs once per row
     // (at cluster scale: persist the signature table)
-    val signed = df.select(
+    val signed = spread(df).select(
         col(idCol).as("id"),
         minHashSignature(numHashes, seed)(shingles(col(textCol), shingleSize)).as("sig"))
       .filter(col("sig").isNotNull)
@@ -145,7 +178,7 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, candidates: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.6): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
+    val sets = spread(df).select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
     candidates
       .join(sets.select(col("id").as("id0"), col("sh").as("sh0")), "id0")
@@ -191,7 +224,7 @@ object Dedup {
       maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
     val chunks = maxHamming + 1
     val bits = 64 / chunks
-    val signed = df.select(col(idCol).as("id"),
+    val signed = spread(df).select(col(idCol).as("id"),
         simHash(seed)(col(textCol)).as("sim"))
       .filter(col("sim").isNotNull)
     val chunked = signed.select(col("id"), col("sim"),

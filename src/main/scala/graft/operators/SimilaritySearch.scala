@@ -79,7 +79,8 @@ object SimilaritySearch {
       df: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, chunks: Int = 4, seed: Long = 42L): DataFrame = {
     val bits = 64 / chunks
-    val signed = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
+    val signed = Dedup.spread(df)
+      .select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
         hyperplaneSignature(seed)(col(vecCol)).as("sig"))
       .filter(col("sig").isNotNull)
     // narrow relation for the bucket join: ids + chunk values only

@@ -63,6 +63,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val sql = "select id from t1 where age > 50 or id in (select ref_id from refs where tag = 'a')"
     assert(bdb.execute(sql).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
   }
+
+  test("correlated subquery raises the named D3 divergence error") {
+    val e = intercept[UnsupportedOperationException] {
+      bdb.execute(
+        "select id from t1 where id in (select ref_id from refs where tag = t1.label)")
+        .collect()
+    }
+    assert(e.getMessage.contains("D3"))
+  }
 }
 
 /** A dha-like wide population (reference fixture tests/dha.csv is 64
