@@ -58,9 +58,13 @@ object Estimators {
     pm.generators.iterator.flatMap(_.state.categoryCodes.get(colno)).nextOption()
 
   /** Column expression producing the UDF-ready Double for a variable:
-    * categorical → code lookup (null for unseen), numerical → cast. */
+    * categorical → code lookup (null for unseen), numerical → cast.
+    * Latent variables have no observed column — their cell value is NULL
+    * (reference: bayesdb_population_cell_value for colno<0,
+    * core.py:424-429), so row estimators treat them as missing. */
   def valueCol(pm: PopulationModel, varName: String): Column = {
     val colno = pm.colno(varName)
+    if (colno < 0) return lit(null).cast("double")
     codesFor(pm, colno) match {
       case Some(labels) =>
         val m = labels.zipWithIndex.map { case (l, i) => l -> i.toDouble }.toMap

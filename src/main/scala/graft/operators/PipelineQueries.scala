@@ -179,7 +179,7 @@ object PipelineQueries {
   /** p10: language-ID heuristic vs the labeled lang column — confusion
     * counts (rows-only; the heuristic is ours, labels are synthetic). */
   val p10LangId: Q = (spark, dir) => {
-    Tables.load(spark, dir, "documents")
+    Dedup.spread(Tables.load(spark, dir, "documents"))
       .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
@@ -187,7 +187,7 @@ object PipelineQueries {
 
   /** p11: winnowing document fingerprints (rows-only, deterministic). */
   val p11Fingerprint: Q = (spark, dir) => {
-    Tables.load(spark, dir, "documents")
+    Dedup.spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"),
         TextAnalysis.fingerprint()(col("text")).as("fingerprint"))
       .orderBy("doc_id")

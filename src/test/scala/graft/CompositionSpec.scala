@@ -132,6 +132,54 @@ class CompositionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("numerical"))
   }
 
+  test("chained foreign nodes: linreg on a linreg output simulates through") {
+    // w given y, y given x — the network realizes y before w
+    val b2 = new BayesDB(spark, seed = 22L)
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val rows = (1 to 150).map { i =>
+      val x = rng.nextGaussian() * 2.0
+      val y = 2.0 * x + rng.nextGaussian() * 0.3
+      val w = -1.0 * y + 5.0 + rng.nextGaussian() * 0.3
+      (i.toLong, x, y, w)
+    }
+    b2.registerTable("tch", rows.toDF("id", "x", "y", "w"))
+    b2.execute("create population pch for tch (id ignore;" +
+      " x numerical; y numerical; w numerical)")
+    b2.execute("""create generator gch for pch using cgpm (
+      override model for w given y using linreg;
+      override model for y given x using linreg
+    )""")
+    b2.execute("initialize 2 models for gch")
+    b2.execute("analyze gch for 2 iterations")
+    def mean(sql: String): Double = {
+      val v = b2.execute(sql).collect().map(_.getDouble(0)); v.sum / v.length
+    }
+    // E[w | x=3] = -(2*3) + 5 = -1
+    val m = mean("simulate w from pch given x = 3 limit 80")
+    assert(math.abs(m - (-1.0)) < 1.5, s"E[w|x=3] should be ~-1, got $m")
+    assert(b2.execute("estimate dependence probability of w with x by pch")
+      .collect().head.getDouble(0) == 1.0, "w depends on x through the chain")
+  }
+
+  test("USING MODELS restriction flows through the network") {
+    val one = bdb.execute(
+      "simulate y from pc modeled by gc using model 0 given x = 5 limit 40")
+      .collect().map(_.getDouble(0))
+    val other = bdb.execute(
+      "simulate y from pc modeled by gc using model 1 given x = 5 limit 40")
+      .collect().map(_.getDouble(0))
+    assert(one.toSeq != other.toSeq,
+      "per-model linreg posterior draws must differ between models")
+  }
+
+  test("predictive probability of a latent cell is NULL (no observed value)") {
+    val df = bdb.execute(
+      "estimate predictive probability of fscore from pc modeled by gc limit 3")
+    assert(df.collect().forall(_.isNullAt(0)),
+      "latent cells have no observed value; reference yields NULL")
+  }
+
   test("infer and predict on a foreign output work end to end") {
     val inferred = bdb.execute(
       "infer explicit predict y confidence yc from pc limit 5")
