@@ -17,6 +17,9 @@ import scala.io.StdIn
   *   .read <file>            run a BQL script file
   *   .table <name> <path>    register a parquet file/dir as a table
   *   .tables                 list registered tables
+  *   .describe table <t>     show a table's schema
+  *   .describe populations   list populations (+variables)
+  *   .describe generators    list generators
   *   .quit                   exit
   */
 object Shell {
@@ -69,6 +72,22 @@ object Shell {
           case ".table" :: name :: path :: Nil =>
             safely(bdb.registerTable(name, bdb.spark.read.parquet(path)))
           case ".tables" :: Nil => bdb.tableNames.sorted.foreach(println)
+          case ".describe" :: "table" :: t :: Nil =>
+            safely(bdb.table(t).printSchema())
+          case ".describe" :: ("population" | "populations") :: rest =>
+            bdb.catalog.populationNames
+              .filter(n => rest.isEmpty || rest.contains(n))
+              .flatMap(bdb.catalog.population).foreach { p =>
+                println(s"population ${p.name} for ${p.table}")
+                p.variables.foreach(v => println(
+                  f"  ${v.name}%-24s ${v.stattype.name}%-12s" +
+                    (if (v.isLatent) " (latent)" else "")))
+              }
+          case ".describe" :: ("generator" | "generators") :: _ =>
+            bdb.catalog.populationNames.foreach { pn =>
+              bdb.catalog.generatorsOf(pn).foreach(g =>
+                println(s"generator ${g.name} for $pn using ${g.backend}"))
+            }
           case other => System.err.println(s"unknown command: ${other.mkString(" ")}")
         }
       } else {

@@ -970,7 +970,12 @@ object CrossCat {
     override def categoryCodes: Map[Int, IndexedSeq[String]] = cats
     def colIdx(colno: Int): Int = {
       val j = colnos.indexOf(colno)
-      require(j >= 0, s"Unknown colno: $colno")
+      require(j >= 0,
+        if (foreignCols(colno))
+          s"colno $colno is a foreign/latent output — row-structure " +
+            "estimators (SIMILARITY / PREDICTIVE RELEVANCE context) need a " +
+            "baseline CrossCat variable"
+        else s"Unknown colno: $colno")
       j
     }
     /** rowid → subsample index; O(1) — the SIMILARITY / PREDICTIVE

@@ -64,6 +64,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bdb.execute(sql).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("parquet scans push filters down and prune columns") {
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") < 5)
+      .select("l_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"filter must reach the parquet scan:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_quantity") && read.contains("l_orderkey") &&
+      !read.contains("l_extendedprice"),
+      s"scan must read only the needed columns: $read")
+  }
+
   test("correlated subquery raises the named D3 divergence error") {
     val e = intercept[UnsupportedOperationException] {
       bdb.execute(
