@@ -86,6 +86,21 @@ trait Backend extends Serializable {
       targets: Seq[Int], constraints: Seq[(Int, Double)],
       numSamples: Int, rng: DetRng): Seq[Seq[Double]]
 
+  /** Draw targets conditioned on an existing table row (reference:
+    * `SIMULATE ... GIVEN rowid = r`, tests/test_simulate.py:79-260).
+    * `rowValues` are the row's observed cells (targets excluded);
+    * `constraints` are the explicit extra givens. Default: the observed
+    * cells join the constraints (the unincorporated-row semantics);
+    * backends with per-row latent structure override to condition on it. */
+  def simulateJointGivenRow(state: GeneratorState, modelnos: Option[Seq[Int]],
+      targets: Seq[Int], rowid: Long, rowValues: Seq[(Int, Double)],
+      constraints: Seq[(Int, Double)], numSamples: Int,
+      rng: DetRng): Seq[Seq[Double]] = {
+    val merged = constraints ++ rowValues.filterNot { case (c, _) =>
+      constraints.exists(_._1 == c) }
+    simulateJoint(state, modelnos, targets, merged, numSamples, rng)
+  }
+
   /** Impute a value + confidence for one cell (reference:
     * src/backend.py:233-245). */
   def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],

@@ -253,6 +253,45 @@ class CrossCatBackend(
     }
   }
 
+  /** GIVEN rowid = r: an incorporated row conditions the draw on its
+    * latent cluster per view (columns are conditionally independent
+    * given the cluster, so validated extra givens add nothing more);
+    * an unincorporated row falls back to observed-cells-as-constraints
+    * (reference: tests/test_simulate.py:79-260 semantics). */
+  override def simulateJointGivenRow(state: GeneratorState, modelnos: Option[Seq[Int]],
+      targets: Seq[Int], rowid: Long, rowValues: Seq[(Int, Double)],
+      constraints: Seq[(Int, Double)], numSamples: Int,
+      rng: DetRng): Seq[Seq[Double]] = {
+    val st = state.asInstanceOf[CrossCatState]
+    val idx = st.rowIdx(rowid)
+    if (idx < 0)
+      return super.simulateJointGivenRow(state, modelnos, targets, rowid,
+        rowValues, constraints, numSamples, rng)
+    require(targets.forall(c => !st.foreignCols(c)),
+      "SIMULATE GIVEN rowid supports baseline CrossCat targets" +
+        " (foreign/latent outputs have no per-row cluster)")
+    // a constraint may not override an observed (incorporated) cell
+    constraints.foreach { case (c, _) =>
+      if (!st.foreignCols(c)) {
+        val j = st.colIdx(c)
+        require(st.data(j)(idx).isNaN,
+          s"Cannot override observed cell of rowid $rowid: ${st.columns(c)}")
+      }
+    }
+    val ms = select(st, modelnos)
+    (0 until numSamples).map { _ =>
+      val m = ms(rng.nextInt(ms.length))
+      targets.map { c =>
+        val j = st.colIdx(c)
+        val v = m.viewOf(j)
+        val z = m.rowAssign(v)(idx)
+        val w = workspace(st, m, v)
+        val jj = w.cols.indexOf(j)
+        w.suff(jj).sample(z, m.hypers(j), rng)
+      }
+    }
+  }
+
   override def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
       colno: Int, numSamples: Int, rng: DetRng): (Double, Double) = {
     val st = state.asInstanceOf[CrossCatState]
@@ -1018,7 +1057,10 @@ object CrossCat {
     def predictive(z: Int, x: Double, h: ColHyper): Double = (tpe, h) match {
       case (NumericalCol, NigH(hh)) => predictiveLogp(x, n(z), sum(z), ssq(z), hh)
       case (CategoricalCol(k), CatH(a)) =>
-        math.log((cat(z)(x.toInt) + a) / (n(z) + k * a))
+        // out-of-support category code: density 0 (cgpm: an unseen
+        // categorical value has log-probability −∞, not an error)
+        if (x < 0 || x >= k || x != math.floor(x)) Double.NegativeInfinity
+        else math.log((cat(z)(x.toInt) + a) / (n(z) + k * a))
       case _ => throw new IllegalStateException("suff/hyper type mismatch")
     }
     def marginal(z: Int, h: ColHyper): Double = (tpe, h) match {
@@ -1050,7 +1092,9 @@ object CrossCat {
     def growable(tpe: ColType, k: Int): ColSuff = empty(tpe, k)
     def freshPredictive(tpe: ColType, x: Double, h: ColHyper): Double = (tpe, h) match {
       case (NumericalCol, NigH(hh)) => predictiveLogp(x, 0.0, 0.0, 0.0, hh)
-      case (CategoricalCol(k), CatH(a)) => math.log(1.0 / k)
+      case (CategoricalCol(k), CatH(a)) =>
+        if (x < 0 || x >= k || x != math.floor(x)) Double.NegativeInfinity
+        else math.log(1.0 / k)
       case _ => throw new IllegalStateException("suff/hyper type mismatch")
     }
     def freshSample(tpe: ColType, h: ColHyper, rng: DetRng): Double = (tpe, h) match {

@@ -360,13 +360,41 @@ object Planner {
       case other => throw new IllegalArgumentException(
         s"SIMULATE only accepts population variables: $other")
     }
-    val constraints = s.constraints.map { case (c, e) =>
+    // GIVEN rowid = r conditions on an existing row (reference rowid
+    // tokens rowid/_rowid_/oid, src/schema.py:34-40; semantics
+    // tests/test_simulate.py:79-260)
+    val rowidTokens = Set("rowid", "_rowid_", "oid")
+    val (ridGivens, varGivens) = s.constraints.partition { case (c, _) =>
+      rowidTokens(Names.casefold(c)) }
+    require(ridGivens.length <= 1,
+      "SIMULATE GIVEN accepts at most one rowid designator")
+    val givenRowid = ridGivens.headOption.map { case (_, e) =>
+      evalConstInt(bdb, bindParams(e, binds), binds).toLong }
+    val constraints = varGivens.map { case (c, e) =>
       c -> Estimators.encodeValue(pm, c, evalConst(bdb, e, binds))
+    }
+    val rowValues: Seq[(Int, Double)] = givenRowid match {
+      case None => Nil
+      case Some(r) =>
+        val t = bdb.table(pm.population.table)
+        val hit = t.filter(col("rowid") === r).limit(1).collect()
+        require(hit.nonEmpty, s"No row with rowid $r")
+        val row = hit.head
+        val explicit = constraints.map(c => Names.casefold(c._1)).toSet
+        pm.visibleVariables.filterNot(_.isLatent)
+          .filterNot(v => targets.exists(t0 => Names.casefold(t0) == Names.casefold(v.name)))
+          .filterNot(v => explicit(Names.casefold(v.name)))
+          .flatMap { v =>
+            val i = row.fieldIndex(v.name)
+            if (row.isNullAt(i)) None
+            else Some(pm.colno(v.name) ->
+              Estimators.encodeValue(pm, v.name, row.get(i)))
+          }
     }
     val n = s.nsamples.map(e => evalConstInt(bdb, e, binds)).getOrElse(0)
     // ACCURACY is a cgpm likelihood-weighting knob (reference:
     // src/bqlfn.py:585-600); exact conjugate backends ignore it.
-    Estimators.simulate(bdb.spark, pm, targets, constraints, n)
+    Estimators.simulate(bdb.spark, pm, targets, constraints, n, givenRowid, rowValues)
   }
 
   // ----------------------------------------------------------- assembly
@@ -959,6 +987,16 @@ object Planner {
         }
 
       case ExpBQLPredRel(ofCond, toCond, hypotheticals, contextCl) =>
+        // form constraints (reference: src/bql_math? — tests/test_bql.py:
+        // 219-240): BY requires OF (<row>); FROM forbids it
+        ctx.bql match {
+          case ConstCtx(_) => require(ofCond.isDefined,
+            "PREDICTIVE RELEVANCE ... BY requires OF (<row>)")
+          case _ if isRowCtx => require(ofCond.isEmpty,
+            "PREDICTIVE RELEVANCE ... FROM forbids OF (<row>); " +
+              "each table row is the target")
+          case _ => ()
+        }
         val colno = contextColno(pm, contextCl, ctx)
         val queryRowids = toCond match {
           case Some(cond) =>
@@ -967,11 +1005,11 @@ object Planner {
               .select(col("rowid")).collect().map(_.getLong(0)).toSeq
           case None => Nil
         }
+        // empty existing/hypothetical sets are legal (reference compiles
+        // '[]'); the backend yields NaN → NULL for the degenerate case
         val hyp = hypotheticals.map(_.map { case (c, v) =>
           pm.colno(c) -> encodeConst(ctx, pm, c, v)
         })
-        require(queryRowids.nonEmpty || hyp.nonEmpty,
-          "No matching rows for PREDICTIVE RELEVANCE")
         ofCond match {
           case Some(of) =>  // const form
             val r0 = resolveRowid(pm, of, ctx)

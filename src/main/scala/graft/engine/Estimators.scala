@@ -152,7 +152,9 @@ object Estimators {
   def simulate(
       spark: SparkSession, pm: PopulationModel,
       targets: Seq[String], constraints: Seq[(String, Double)],
-      numPredictions: Int): DataFrame = {
+      numPredictions: Int,
+      givenRowid: Option[Long] = None,
+      rowValues: Seq[(Int, Double)] = Nil): DataFrame = {
     val tColnos = targets.map(pm.colno)
     val c = constraints.map { case (v, x) => (pm.colno(v), x) }
     val rng = DetRng(pm.seed, 0x51ed1a7eL, numPredictions.toLong)
@@ -175,7 +177,11 @@ object Estimators {
       }
     val rows = gens.zip(counts).flatMap { case (g, n) =>
       if (n == 0) Nil
-      else g.backend.simulateJoint(g.state, mnos, tColnos, c, n, rng)
+      else givenRowid match {
+        case Some(r) => g.backend.simulateJointGivenRow(
+          g.state, mnos, tColnos, r, rowValues, c, n, rng)
+        case None => g.backend.simulateJoint(g.state, mnos, tColnos, c, n, rng)
+      }
     }
     // nominal targets decode from category codes to labels
     val schema = StructType(targets.map(t => StructField(t,

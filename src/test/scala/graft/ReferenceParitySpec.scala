@@ -1,0 +1,144 @@
+package graft
+
+import graft.bql.BayesDB
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic identities ported from the reference's own test battery
+  * (tests/test_bql.py:158-310 similarity/conditional/joint probability,
+  * tests/test_core.py t1 lifecycle): properties any correct engine must
+  * satisfy, checked against the live engine rather than compiled SQL. */
+class ReferenceParitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  // the reference's t1 fixture shape: id, label (nominal), age, weight
+  private lazy val bdb: BayesDB = {
+    val b = new BayesDB(spark, seed = 31L)
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val labels = Seq("quagga", "eland", "caribou", "kudu")
+    val rows = (1 to 60).map { i =>
+      val age = 2.0 + rng.nextInt(10) + rng.nextDouble()
+      val weight = 2.0 * age + rng.nextGaussian()
+      (i.toLong, labels(rng.nextInt(labels.length)), age, weight)
+    }
+    b.registerTable("t1", rows.toDF("id", "label", "age", "weight"))
+    b.execute("create population p1 for t1 (id ignore;" +
+      " label nominal; age numerical; weight numerical)")
+    b.execute("create generator p1_cc for p1 using cgpm")
+    b.execute("initialize 4 models for p1_cc")
+    b.execute("alter generator p1_cc ensure variables * dependent")
+    b.execute("analyze p1_cc for 3 iterations")
+    b
+  }
+
+  private def value(sql: String): Double =
+    bdb.execute(sql).collect().head.getDouble(0)
+
+  test("similarity of every row to itself is 1 (test_bql.py:158-168)") {
+    val rowids = bdb.execute("select rowid from t1").collect().map(_.getLong(0))
+    rowids.take(10).foreach { r =>
+      val s = value(
+        s"estimate similarity of (rowid=$r) to (rowid=$r) in the context of age by p1")
+      assert(s == 1.0, s"self-similarity of rowid $r must be 1, got $s")
+    }
+  }
+
+  test("probability density: empty GIVEN is the marginal (test_bql.py:277-300)") {
+    val q0 = value("estimate probability density of age = 8 by p1")
+    assert(q0 == value("estimate probability density of age = 8 given () by p1"))
+    assert(q0 == value("estimate probability density of (age = 8) by p1"))
+    assert(q0 == value("estimate probability density of (age = 8) given () by p1"))
+  }
+
+  test("conditioning on a dependent variable sharpens the density (test_bql.py:281-284)") {
+    // weight ≈ 2·age: knowing weight=16 concentrates age near 8
+    val marginal = value("estimate probability density of age = 8 by p1")
+    val cond = value("estimate probability density of age = 8 given (weight = 16) by p1")
+    assert(marginal < cond,
+      s"p(age=8)=$marginal should be below p(age=8|weight=16)=$cond")
+  }
+
+  test("VARIABLES OF density-of-value matches the direct estimate (test_bql.py:286-289)") {
+    val direct = value("estimate probability density of age = 8 given (weight = 16) by p1")
+    val rows = bdb.execute(
+      "estimate probability density of value 8 given (weight = 16)" +
+        " from variables of p1 where name != 'weight' and name != 'label'")
+      .collect()
+    assert(rows.length == 1)
+    assert(math.abs(rows.head.getDouble(0) - direct) < 1e-12)
+  }
+
+  test("joint density below marginal; extra given raises it (test_bql.py:292-309)") {
+    val marginalAge = value("estimate probability density of age = 8 by p1")
+    val joint = value("estimate probability density of (age = 8, weight = 16) by p1")
+    assert(joint < marginalAge, s"joint $joint must be below marginal $marginalAge")
+    val jointGiven = value(
+      "estimate probability density of (age = 8, weight = 16) given (label = 'kudu') by p1")
+    // conditioning can move the joint either way; it must stay a finite density
+    assert(jointGiven > 0 && !jointGiven.isInfinite)
+  }
+
+  test("PREDICTIVE RELEVANCE form constraints (test_bql.py:219-240)") {
+    // BY requires OF
+    intercept[Exception] { bdb.execute(
+      "estimate predictive relevance to hypothetical rows with values" +
+        " ((age = 8)) in the context of age by p1").collect() }
+    // FROM forbids OF
+    intercept[Exception] { bdb.execute(
+      "estimate predictive relevance of (label = 'kudu') to hypothetical rows" +
+        " with values ((age = 8)) in the context of age from p1").collect() }
+  }
+
+  test("predictive relevance with no matching existing rows still runs (test_bql.py:210-218)") {
+    val df = bdb.execute(
+      "estimate label, predictive relevance to existing rows (rowid < 0)" +
+        " in the context of age from p1 limit 3")
+    assert(df.count() == 3)
+  }
+
+  test("empty and bare-semicolon phrases are errors (test_bql.py:311-317)") {
+    intercept[Exception] { bdb.execute("") }
+    intercept[Exception] { bdb.execute(";") }
+  }
+
+  test("SIMULATE GIVEN rowid conditions on the row (test_simulate.py:79-145)") {
+    // one variable; rowid 1 is an order of magnitude away from the rest
+    val b2 = new BayesDB(spark, seed = 33L)
+    import spark.implicits._
+    val ys = 100.0 +: (2 to 30).map(i => 1.0 + (i % 7) * 0.5)
+    b2.registerTable("ts", ys.zipWithIndex.map { case (y, i) =>
+      ((i + 1).toLong, y, 2 * y) }.toDF("id", "y", "z"))
+    b2.execute("create population ps for ts (id ignore; y numerical; z numerical)")
+    b2.execute("create generator gs for ps using cgpm")
+    b2.execute("initialize 1 models for gs")
+    b2.execute("analyze gs for 3 iterations")
+    def avg(sql: String): Double = {
+      val v = b2.execute(sql).collect().map(_.getDouble(0)); v.sum / v.length
+    }
+    val row1 = avg("simulate y from ps given rowid = 1 limit 100")
+    val row5 = avg("simulate y from ps given oid = 5 limit 100")
+    assert(row5 + 10 < row1,
+      s"row 1's cluster (y=100) must dominate: row1=$row1 row5=$row5")
+    // multiple rowid designators are an error
+    intercept[Exception] {
+      b2.execute("simulate y from ps given oid = 5, rowid = 2 limit 10").collect()
+    }
+    // overriding an observed cell of an incorporated row is an error
+    val e = intercept[Exception] {
+      b2.execute("simulate y from ps given rowid = 3, z = 99 limit 10").collect()
+    }
+    assert(e.getMessage.contains("observed cell"))
+  }
+
+  test("INFER EXPLICIT verbatim + PREDICT ... CONFIDENCE AS forms (test_bql.py:641-717)") {
+    assert(bdb.execute(
+      "infer explicit rowid, age, predict weight confidence wc from p1 limit 4")
+      .columns.toSeq == Seq("rowid", "age", "weight", "wc"))
+    assert(bdb.execute(
+      "infer explicit rowid, predict weight as w confidence wc using 5 samples" +
+        " from p1 limit 2").columns.toSeq == Seq("rowid", "w", "wc"))
+    assert(bdb.execute(
+      "infer explicit predict weight as w from p1 limit 2")
+      .columns.toSeq == Seq("w"))
+  }
+}
