@@ -106,6 +106,16 @@ trait Backend extends Serializable {
   def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
       colno: Int, numSamples: Int, rng: DetRng): (Double, Double)
 
+  /** Row-conditioned imputation (reference: bql_predict keys on rowid —
+    * cgpm conditions on the row's latent structure or its observed
+    * cells). `rowValues` are the row's other observed cells. Default:
+    * the marginal — correct for backends whose columns are independent
+    * (nig_normal family); joint backends override. */
+  def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
+      colno: Int, rowid: Long, rowValues: Seq[(Int, Double)],
+      numSamples: Int, rng: DetRng): (Double, Double) =
+    predictConfidence(state, modelnos, colno, numSamples, rng)
+
   /** Per-model dependence indicator between two columns (reference:
     * src/backend.py:204-207). */
   def columnDependenceProbability(state: GeneratorState,

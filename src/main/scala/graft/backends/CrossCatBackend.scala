@@ -295,8 +295,29 @@ class CrossCatBackend(
   override def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
       colno: Int, numSamples: Int, rng: DetRng): (Double, Double) = {
     val st = state.asInstanceOf[CrossCatState]
-    val samples = simulateJoint(state, modelnos, Seq(colno), Nil, numSamples, rng)
-      .map(_.head)
+    imputeFrom(st, colno,
+      simulateJoint(state, modelnos, Seq(colno), Nil, numSamples, rng).map(_.head))
+  }
+
+  /** Row-conditioned imputation: incorporated rows use their cluster,
+    * fresh rows condition on their observed cells (reference: cgpm
+    * predict → impute over the row-conditional). */
+  override def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
+      colno: Int, rowid: Long, rowValues: Seq[(Int, Double)],
+      numSamples: Int, rng: DetRng): (Double, Double) = {
+    val st = state.asInstanceOf[CrossCatState]
+    val ev = rowValues.filterNot(_._1 == colno)
+    val samples =
+      if (st.foreignCols(colno))
+        // foreign target: condition through the network on the cells
+        simulateJoint(state, modelnos, Seq(colno), ev, numSamples, rng).map(_.head)
+      else simulateJointGivenRow(state, modelnos, Seq(colno), rowid, ev, Nil,
+        numSamples, rng).map(_.head)
+    imputeFrom(st, colno, samples)
+  }
+
+  private def imputeFrom(st: CrossCatState, colno: Int,
+      samples: Seq[Double]): (Double, Double) = {
     val colType =
       if (st.foreignCols(colno)) NumericalCol  // foreign outputs are numerical
       else st.colTypes(st.colIdx(colno))
@@ -305,7 +326,7 @@ class CrossCatBackend(
         // nominal: mode + mode share (reference cgpm_backend.py:842-847)
         val counts = samples.groupBy(identity).view.mapValues(_.length)
         val (mode, cnt) = counts.maxBy { case (v, c) => (c, -v) }
-        (mode, cnt.toDouble / numSamples)
+        (mode, cnt.toDouble / samples.length)
       case NumericalCol =>
         // numerical: mean, confidence 0 ("XXX Punt", cgpm_backend.py:850-853)
         (samples.sum / samples.length, 0.0)

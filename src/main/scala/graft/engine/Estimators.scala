@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.backends.{Backend, DetRng, GeneratorState}
-import graft.catalog.Population
+import graft.catalog.{Names, Population}
 import graft.functions.SpecialMath.{arithmeticMean, logAvgExpWeighted, logMeanExp}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -199,6 +199,22 @@ object Estimators {
     * confidence clears the threshold. Generator choice is a deterministic
     * per-row function of (seed, rowid) — Spark-retry-safe where the
     * reference used a process PRNG. */
+  /** The row's other observed cells as imputation evidence: their colnos
+    * plus an array Column of their encoded values (reference: bql_predict
+    * conditions on the rowid's observed cells). `available` restricts to
+    * columns actually present in the queried frame (a projection may
+    * carry only a subset). */
+  private def evidenceOf(pm: PopulationModel, colno: Int,
+      available: Option[Set[String]] = None): (Seq[Int], Column) = {
+    val vars = pm.visibleVariables.filterNot(_.isLatent).filterNot(_.colno == colno)
+      .filter(v => available.forall(_.contains(Names.casefold(v.name))))
+    if (vars.isEmpty) (Nil, array())
+    else (vars.map(_.colno), array(vars.map(v => valueCol(pm, v.name)): _*))
+  }
+
+  private def zipEvidence(colnos: Seq[Int], vals: Seq[java.lang.Double]): Seq[(Int, Double)] =
+    colnos.zip(vals).collect { case (c, v) if v != null => (c, v.doubleValue) }
+
   def inferWithConfidence(
       df: DataFrame, pm: PopulationModel, targetCol: String,
       minConfidence: Double, numSamples: Int = 2,
@@ -207,28 +223,32 @@ object Estimators {
     val gens = pm.generators
     val mnos = pm.modelnos
     val seed = pm.seed
+    val (evColnos, evCol) = evidenceOf(pm, colno,
+      Some(df.columns.map(Names.casefold).toSet))
     val labels = codesFor(pm, colno)
     if (labels.isDefined) {
       val lab = labels.get
-      val fn = udf { (rowid: Long) =>
+      val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
         val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
         val g = gens(rng.nextInt(gens.length))
-        val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
+        val (value, confidence) = g.backend.predictConfidence(
+          g.state, mnos, colno, rowid, zipEvidence(evColnos, ev), numSamples, rng)
         if (confidence >= minConfidence && value.toInt >= 0 && value.toInt < lab.length)
           lab(value.toInt)
         else null
       }
       df.withColumn(targetCol,
-        coalesce(col(targetCol).cast("string"), fn(col(rowidCol))))
+        coalesce(col(targetCol).cast("string"), fn(col(rowidCol), evCol)))
     } else {
-      val fn = udf { (rowid: Long) =>
+      val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
         val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
         val g = gens(rng.nextInt(gens.length))
-        val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
+        val (value, confidence) = g.backend.predictConfidence(
+          g.state, mnos, colno, rowid, zipEvidence(evColnos, ev), numSamples, rng)
         if (confidence >= minConfidence) java.lang.Double.valueOf(value) else null
       }
       df.withColumn(targetCol,
-        coalesce(col(targetCol).cast("double"), fn(col(rowidCol))))
+        coalesce(col(targetCol).cast("double"), fn(col(rowidCol), evCol)))
     }
   }
 
@@ -243,13 +263,17 @@ object Estimators {
     val gens = pm.generators
     val mnos = pm.modelnos
     val seed = pm.seed
-    val fn = udf { (rowid: Long) =>
+    val (evColnos, evCol) = evidenceOf(pm, colno,
+      Some(df.columns.map(Names.casefold).toSet))
+    val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
       val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
       val g = gens(rng.nextInt(gens.length))
-      val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
+      val (value, confidence) = g.backend.predictConfidence(
+        g.state, mnos, colno, rowid, zipEvidence(evColnos, ev), numSamples, rng)
       (value, confidence)
     }
-    df.withColumn(outCol, fn(col(rowidCol)).cast("struct<value:double,confidence:double>"))
+    df.withColumn(outCol,
+      fn(col(rowidCol), evCol).cast("struct<value:double,confidence:double>"))
   }
 
   /** `DEPENDENCE PROBABILITY OF c0 WITH c1` — mean over generators of the
@@ -395,25 +419,28 @@ object Estimators {
     val gens = pm.generators
     val mnos = pm.modelnos
     val seed = pm.seed
+    val (evColnos, evCol) = evidenceOf(pm, colno)
     codesFor(pm, colno) match {
       case Some(lab) =>
-        val fn = udf { (rowid: Long) =>
+        val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
           val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
           val g = gens(rng.nextInt(gens.length))
-          val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
+          val (value, confidence) = g.backend.predictConfidence(
+            g.state, mnos, colno, rowid, zipEvidence(evColnos, ev), numSamples, rng)
           if (confidence >= threshold && value.toInt >= 0 && value.toInt < lab.length)
             lab(value.toInt)
           else null
         }
-        fn(rowidCol)
+        fn(rowidCol, evCol)
       case None =>
-        val fn = udf { (rowid: Long) =>
+        val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
           val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
           val g = gens(rng.nextInt(gens.length))
-          val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
+          val (value, confidence) = g.backend.predictConfidence(
+            g.state, mnos, colno, rowid, zipEvidence(evColnos, ev), numSamples, rng)
           if (confidence >= threshold) java.lang.Double.valueOf(value) else null
         }
-        fn(rowidCol)
+        fn(rowidCol, evCol)
     }
   }
 
@@ -423,24 +450,27 @@ object Estimators {
     val gens = pm.generators
     val mnos = pm.modelnos
     val seed = pm.seed
+    val (evColnos, evCol) = evidenceOf(pm, colno)
     codesFor(pm, colno) match {
       case Some(lab) =>
-        val fn = udf { (rowid: Long) =>
+        val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
           val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
           val g = gens(rng.nextInt(gens.length))
-          val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
+          val (value, confidence) = g.backend.predictConfidence(
+            g.state, mnos, colno, rowid, zipEvidence(evColnos, ev), numSamples, rng)
           val label = if (value.toInt >= 0 && value.toInt < lab.length) lab(value.toInt) else null
           (label, confidence)
         }
-        fn(rowidCol).cast("struct<value:string,confidence:double>")
+        fn(rowidCol, evCol).cast("struct<value:string,confidence:double>")
       case None =>
-        val fn = udf { (rowid: Long) =>
+        val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
           val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
           val g = gens(rng.nextInt(gens.length))
-          val (value, confidence) = g.backend.predictConfidence(g.state, mnos, colno, numSamples, rng)
+          val (value, confidence) = g.backend.predictConfidence(
+            g.state, mnos, colno, rowid, zipEvidence(evColnos, ev), numSamples, rng)
           (value, confidence)
         }
-        fn(rowidCol).cast("struct<value:double,confidence:double>")
+        fn(rowidCol, evCol).cast("struct<value:double,confidence:double>")
     }
   }
 

@@ -130,6 +130,34 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("observed cell"))
   }
 
+  test("INFER recovers the complement function on held-out rows (test_infer_hypothetical.py)") {
+    // population of (a,b) ∈ {(0,1),(1,0)}; held-out rows observe only a —
+    // PREDICT b must condition on a and return its complement
+    val b3 = new BayesDB(spark, seed = 41L)
+    import spark.implicits._
+    val base = (1 to 40).map(i =>
+      if (i <= 20) ("0", "1") else ("1", "0")).toDF("a", "b")
+    b3.registerTable("tc2", base)
+    b3.execute("create population pcomp for tc2 (a nominal; b nominal)")
+    b3.execute("create generator gcomp for pcomp using cgpm")
+    b3.execute("initialize 4 models for gcomp")
+    b3.execute("analyze gcomp for 20 iterations")
+    // extend the base table with held-out rows (b unobserved) — the
+    // fitted models keep their original subsample, like the reference's
+    // unincorporated inserts
+    val holdout = (1 to 10).map(_ => ("0", null: String)).toDF("a", "b")
+    b3.registerTable("tc2", base.unionAll(holdout))
+    val rows = b3.execute(
+      "infer explicit a, predict b confidence conf using 50 samples" +
+        " from pcomp where rowid > 40").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getString(0) == "0"))
+    val confident = rows.count(r => r.getString(1) == "1" && r.getDouble(2) > 0.8)
+    assert(confident >= 9,
+      s"PREDICT b must condition on a=0 and return 1: got " +
+        rows.map(r => (r.getString(1), r.getDouble(2))).mkString(", "))
+  }
+
   test("INFER EXPLICIT verbatim + PREDICT ... CONFIDENCE AS forms (test_bql.py:641-717)") {
     assert(bdb.execute(
       "infer explicit rowid, age, predict weight confidence wc from p1 limit 4")
