@@ -234,6 +234,14 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
             spark.read.json(csv)
           else spark.read.option("header", "true")
             .option("inferSchema", "true").csv(csv)
+        // reference strictness (read_csv.py:64-99): a header is required,
+        // column names must be non-empty and casefold-unique
+        require(df.columns.nonEmpty, s"No columns in $csv")
+        require(df.columns.forall(_.trim.nonEmpty), s"Empty column name in $csv")
+        val dups = df.columns.groupBy(Names.casefold).collect {
+          case (n, cs) if cs.length > 1 => n }
+        require(dups.isEmpty,
+          s"Duplicate column names in $csv: ${dups.toSeq.sorted.mkString(", ")}")
         registerTable(name, df)
       }
       emptyResult
@@ -318,7 +326,14 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     case Ast.DropPop(ifExists, name) =>
       if (catalog.population(name).isEmpty) {
         if (!ifExists) throw new NoSuchElementException(s"No such population: $name")
-      } else catalog.dropPopulation(name)
+      } else {
+        // reference names the blocking generators (tests/test_error_bql.py)
+        val gens = catalog.generatorsOf(name)
+        require(gens.isEmpty,
+          s"Population $name still has generators: ${gens.map(_.name).mkString(", ")};" +
+            " drop them first")
+        catalog.dropPopulation(name)
+      }
       emptyResult
 
     case Ast.AlterPop(popName, commands) =>
@@ -651,11 +666,16 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     * (variable, coefficient). */
   private def regress(r: Ast.Regress, binds: Seq[Any]): DataFrame = {
     val pm = populationModel(r.population, r.generator)
-    val givens = r.givens.map {
-      case Ast.SelColExp(Ast.ExpCol(_, c), _) => c
+    val givens = r.givens.flatMap {
+      case Ast.SelColExp(Ast.ExpCol(_, c), _) => Seq(c)
+      case Ast.SelColAll(_) =>
+        // GIVEN (*): every modeled manifest variable except the target
+        // (reference: tests/test_regress.py:78-86)
+        pm.visibleVariables.filterNot(_.isLatent).map(_.name)
+          .filterNot(v => Names.casefold(v) == Names.casefold(r.target))
       case other => throw new IllegalArgumentException(
         s"REGRESS givens must be population variables: $other")
-    }
+    }.distinct
     def isNominalVar(v: String): Boolean =
       pm.population.variable(v).exists(x => StatType.isNominal(x.stattype))
     if (isNominalVar(r.target)) throw new IllegalArgumentException(

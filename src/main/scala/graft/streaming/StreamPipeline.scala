@@ -51,4 +51,49 @@ object StreamPipeline {
         avg(col("quality_score")).as("mean_quality"))
       .select(col("window.start").as("window_start"), col("lang"),
         col("n_docs"), col("mean_quality"))
+
+  /** Per-source running quality profile (count + Welford mean/variance)
+    * with drift flagging — custom keyed state via mapGroupsWithState:
+    * each micro-batch folds its documents into the source's persistent
+    * state; the emitted row carries the lifetime profile and whether the
+    * batch's mean quality drifted more than `driftSigma` standard
+    * deviations from the running mean. State is O(1) per source. */
+  final case class SourceProfile(
+      n: Long, mean: Double, m2: Double) extends Serializable
+
+  final case class SourceUpdate(
+      source: String, nTotal: Long, meanQuality: Double,
+      batchMean: Double, drifted: Boolean)
+
+  def sourceQualityProfile(stream: DataFrame, textCol: String,
+      sourceCol: String, driftSigma: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val scored = TextAnalysis.qualityMetrics(stream, textCol)
+      .select(col(sourceCol).cast("string").as("source"),
+        col("quality_score").cast("double").as("q"))
+      .as[(String, Double)]
+    scored.groupByKey(_._1)
+      .mapGroupsWithState[SourceProfile, SourceUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (source, rows, state: GroupState[SourceProfile]) =>
+          val qs = rows.map(_._2).toSeq
+          val batchMean = if (qs.isEmpty) 0.0 else qs.sum / qs.length
+          var st = state.getOption.getOrElse(SourceProfile(0L, 0.0, 0.0))
+          // drift test against the state BEFORE folding this batch in
+          val priorSd = if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+          val drifted = st.n > 10 && priorSd > 0 &&
+            math.abs(batchMean - st.mean) > driftSigma * priorSd
+          qs.foreach { q =>
+            val n1 = st.n + 1
+            val d = q - st.mean
+            val mean1 = st.mean + d / n1
+            st = SourceProfile(n1, mean1, st.m2 + d * (q - mean1))
+          }
+          state.update(st)
+          SourceUpdate(source, st.n, st.mean, batchMean, drifted)
+      }.toDF()
+  }
 }

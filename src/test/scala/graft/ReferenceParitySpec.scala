@@ -96,9 +96,25 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("REGRESS GIVEN (*) expands and dummy-codes nominals (test_regress.py:78-86)") {
+    val rows = bdb.execute("regress weight given (*) using 30 samples by p1").collect()
+    val vars = rows.map(_.getString(0))
+    assert(vars.contains("intercept"))
+    assert(vars.contains("age"))
+    assert(vars.exists(_.startsWith("label_dum_")),
+      s"nominal given must dummy-code: ${vars.mkString(", ")}")
+    assert(vars.distinct.length == vars.length, "no duplicate regressors")
+    assert(!vars.contains("weight"), "the target is not a regressor")
+  }
+
   test("empty and bare-semicolon phrases are errors (test_bql.py:311-317)") {
     intercept[Exception] { bdb.execute("") }
     intercept[Exception] { bdb.execute(";") }
+  }
+
+  test("DROP POPULATION with live generators names them (test_error_bql.py:24-35)") {
+    val e = intercept[Exception] { bdb.execute("drop population p1") }
+    assert(e.getMessage.contains("generators") && e.getMessage.contains("p1_cc"))
   }
 
   test("SIMULATE GIVEN rowid conditions on the row (test_simulate.py:79-145)") {

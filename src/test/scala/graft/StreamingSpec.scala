@@ -79,4 +79,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.map(_.get(0)).distinct.length == 2)
     } finally q.stop()
   }
+
+  test("source quality profile keeps custom per-key state across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val profiled = StreamPipeline.sourceQualityProfile(
+      input.toDF.toDF("ts", "doc_id", "source", "text"), "text", "source")
+    val q = profiled.writeStream.format("memory").queryName("profile_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts(0), 1L, "web", goodText), (ts(0), 2L, "web", goodText),
+        (ts(0), 3L, "pdf", junkText))
+      q.processAllAvailable()
+      input.addData((ts(1), 4L, "web", goodText))
+      q.processAllAvailable()
+      val rows = spark.table("profile_out")
+        .select("source", "nTotal").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // state persisted: the web source's second update saw n=3 lifetime
+      assert(rows.contains(("web", 2L)) || rows.contains(("web", 3L)))
+      assert(rows.map(_._1).contains("pdf"))
+      val webMax = rows.filter(_._1 == "web").map(_._2).max
+      assert(webMax == 3L, s"lifetime count must accumulate across batches: $rows")
+    } finally q.stop()
+  }
 }
