@@ -131,6 +131,15 @@ object Planner {
       case ExpOp(Op.Div, Seq(a, b)) => ev(a) / ev(b)
       case ExpOp(Op.Negate, Seq(a)) => -ev(a)
       case ExpOp(Op.PlusId, Seq(a)) => ev(a)
+      // comparisons → indicator values, so PROBABILITY OF (mi > 0.5)
+      // averages an event over the ensemble (reference: tests/test_cmi.py
+      // test_estimate_cmi_bound)
+      case ExpOp(Op.Gt, Seq(a, b)) => if (ev(a) > ev(b)) 1.0 else 0.0
+      case ExpOp(Op.Geq, Seq(a, b)) => if (ev(a) >= ev(b)) 1.0 else 0.0
+      case ExpOp(Op.Lt, Seq(a, b)) => if (ev(a) < ev(b)) 1.0 else 0.0
+      case ExpOp(Op.Leq, Seq(a, b)) => if (ev(a) <= ev(b)) 1.0 else 0.0
+      case ExpOp(Op.Eq, Seq(a, b)) => if (ev(a) == ev(b)) 1.0 else 0.0
+      case ExpOp(Op.Neq, Seq(a, b)) => if (ev(a) != ev(b)) 1.0 else 0.0
       case ExpBQLMutInf(cols0, cols1, constraints, nsamp) =>
         require(cols0.nonEmpty && cols1.nonEmpty,
           "MUTUAL INFORMATION in MODELS OF needs OF ... WITH ...")
@@ -231,9 +240,12 @@ object Planner {
   private def variablesDf(bdb: BayesDB, pm: PopulationModel): DataFrame = {
     val spark = bdb.spark
     import spark.implicits._
+    // aliased `v` like the reference's compiled `bayesdb_variable AS v`
+    // (src/compiler.py:844-919) so `WHERE v.name != ...` resolves
     pm.visibleVariables
       .map(v => (v.name, v.colno, v.stattype.name))
       .toDF("name", "colno", "stattype")
+      .as("v")
   }
 
   private def planEstCols(bdb: BayesDB, e: EstCols, binds: Seq[Any]): DataFrame = {

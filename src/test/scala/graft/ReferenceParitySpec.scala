@@ -60,9 +60,10 @@ class ReferenceParitySpec extends AnyFunSuite {
 
   test("VARIABLES OF density-of-value matches the direct estimate (test_bql.py:286-289)") {
     val direct = value("estimate probability density of age = 8 given (weight = 16) by p1")
+    // the reference's `FROM COLUMNS OF p ... WHERE v.name != ...` form
     val rows = bdb.execute(
       "estimate probability density of value 8 given (weight = 16)" +
-        " from variables of p1 where name != 'weight' and name != 'label'")
+        " from columns of p1 where v.name != 'weight' and v.name != 'label'")
       .collect()
     assert(rows.length == 1)
     assert(math.abs(rows.head.getDouble(0) - direct) < 1e-12)
@@ -110,6 +111,24 @@ class ReferenceParitySpec extends AnyFunSuite {
   test("empty and bare-semicolon phrases are errors (test_bql.py:311-317)") {
     intercept[Exception] { bdb.execute("") }
     intercept[Exception] { bdb.execute(";") }
+  }
+
+  test("PROBABILITY OF a comparison event averages over the ensemble (test_cmi.py:324-330)") {
+    val p = value(
+      "estimate probability of" +
+        " (mutual information of age with weight using 20 samples > 0.0001) within p1")
+    assert(p >= 0.0 && p <= 1.0, s"event probability must be in [0,1]: $p")
+    // age and weight are strongly dependent: most models should agree
+    assert(p > 0.5, s"MI(age, weight) > 0 should hold for most models: $p")
+    // SIMULATE of a model quantity requires FROM MODELS OF
+    intercept[Exception] {
+      bdb.execute("simulate mutual information of age with weight using 10 samples" +
+        " from p1 limit 10").collect()
+    }
+    // SIMULATE FROM MODELS OF rejects population variables
+    intercept[Exception] {
+      bdb.execute("simulate age, weight from models of p1 limit 10").collect()
+    }
   }
 
   test("DROP POPULATION with live generators names them (test_error_bql.py:24-35)") {
