@@ -446,8 +446,12 @@ object Planner {
             if (positive) df.join(subv, key === col(v), "left_semi")
             else
               // null-aware NOT IN: a null key or any null element means the
-              // predicate is NULL (row filtered), an empty set keeps all rows
-              df.join(subv, (key <=> col(v)) || key.isNull || col(v).isNull,
+              // predicate is NULL (row filtered), an empty set keeps all
+              // rows. The `k = v OR isnull(k = v)` shape is Spark's
+              // canonical single-column null-aware anti join, which the
+              // planner executes as an optimized hash join rather than a
+              // nested-loop join (spark.sql.optimizeNullAwareAntiJoin).
+              df.join(subv, (key === col(v)) || (key === col(v)).isNull,
                 "left_anti")
           case (df, ExpExists(q)) =>
             // uncorrelated EXISTS: keep all rows iff the subquery is
@@ -609,7 +613,13 @@ object Planner {
     case ExpLit(LitString(v)) => lit(v)
     case ExpNumpar(n) => lit(bindValue(ctx.binds, n))
     case ExpNampar(n, _) => lit(bindValue(ctx.binds, n))
+    case ExpCol(None, c) if Set("_rowid_", "oid")(Names.casefold(c)) =>
+      // SQLite rowid aliases (reference: bayesdb_rowid_tokens,
+      // src/schema.py:34-40) resolve to the materialized rowid column
+      col("rowid")
     case ExpCol(None, c) => col(c)
+    case ExpCol(Some(t), c) if Set("_rowid_", "oid")(Names.casefold(c)) =>
+      col(s"$t.rowid")
     case ExpCol(Some(t), c) => col(s"$t.$c")
     case ExpCollate(x, _) => compile(x, ctx)  // collation handled at comparison sites
     case ExpCast(x, t) => compile(x, ctx).cast(castType(t))

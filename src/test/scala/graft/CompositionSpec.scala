@@ -180,6 +180,18 @@ class CompositionSpec extends AnyFunSuite {
       "latent cells have no observed value; reference yields NULL")
   }
 
+  test("save/open round-trips a composed generator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_comp_persist").toString
+    bdb.save(dir)
+    val reopened = BayesDB.open(spark, dir)
+    val dep = reopened.execute(
+      "estimate dependence probability of y with x by pc modeled by gc")
+      .collect().head.getDouble(0)
+    assert(dep == 1.0, "composition structure must survive persistence")
+    val sim = reopened.execute("simulate fscore from pc modeled by gc limit 5")
+    assert(sim.count() == 5, "latent simulation must survive persistence")
+  }
+
   test("infer and predict on a foreign output work end to end") {
     val inferred = bdb.execute(
       "infer explicit predict y confidence yc from pc limit 5")

@@ -12,7 +12,8 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val keys = if (args.length > 1) args.tail.toSeq
       else Seq("q01_agg", "q03_join_topk", "q14_star_join", "b01_bql_select",
-        "b02_bql_join", "p01_dedup_exact", "p06_ann_topk")
+        "b02_bql_join", "b03_bql_subquery", "b17_bql_exists",
+        "p01_dedup_exact", "p02_minhash_lsh", "p06_ann_topk")
     val spark = TestSpark.spark
     keys.foreach { k =>
       println(s"\n========== $k ==========")

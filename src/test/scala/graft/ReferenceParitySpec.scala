@@ -131,6 +131,14 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("_rowid_ and oid alias the rowid column (schema.py:34-40)") {
+    assert(bdb.execute("select _rowid_ from t1 where oid <= 3 order by _rowid_")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val s = value(
+      "estimate similarity of (_rowid_ = 2) to (oid = 2) in the context of age by p1")
+    assert(s == 1.0)
+  }
+
   test("DROP POPULATION with live generators names them (test_error_bql.py:24-35)") {
     val e = intercept[Exception] { bdb.execute("drop population p1") }
     assert(e.getMessage.contains("generators") && e.getMessage.contains("p1_cc"))
