@@ -66,7 +66,7 @@ object ForeignCgpm {
   // The design dimensions here are schema-sized (inputs + 1, or
   // outputs + L): tiny dense ops on the driver, no library needed.
 
-  private[backends] object Lin {
+  private[graft] object Lin {
     /** Solve A x = b via Gauss-Jordan with partial pivoting (A is n×n,
       * destroyed). */
     def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
