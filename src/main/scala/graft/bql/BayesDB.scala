@@ -45,7 +45,8 @@ object BayesDB {
   }
 }
 
-final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
+final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
+    val tableStore: Option[String] = None) {
 
   private var catalog0 = new Catalog
   def catalog: Catalog = catalog0
@@ -72,19 +73,31 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L) {
     *
     * The zipWithIndex pass leaves an RDD-backed scan with no size
     * statistics and no column pruning — a scale-killer (joins can never
-    * broadcast, every query deserializes full rows). The rowid'd frame
-    * is therefore cached columnar (accurate stats → broadcast joins;
-    * in-memory column pruning). At cluster scale the equivalent ingest
-    * step is writing the rowid'd table back to parquet once. */
-  def registerTable(name: String, df: DataFrame): Unit =
-    tables(Names.casefold(name)) = ensureRowid(df)
+    * broadcast, every query deserializes full rows). Two mitigations:
+    *  - default (single-process): cache the rowid'd frame columnar
+    *    (accurate stats → broadcast joins; in-memory column pruning);
+    *  - `tableStore` set (the cluster-scale path): write the rowid'd
+    *    table back to parquet ONCE and re-read it — every later query
+    *    scans a real parquet source with filter pushdown, column
+    *    pruning, and file statistics. */
+  def registerTable(name: String, df: DataFrame): Unit = {
+    val key = Names.casefold(name)
+    val withRowid = ensureRowid(df)
+    tables(key) = tableStore match {
+      case Some(dir) if withRowid ne df =>
+        val path = s"$dir/$key.parquet"
+        withRowid.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case _ => if (withRowid ne df) withRowid.cache() else withRowid
+    }
+  }
 
   private def ensureRowid(df: DataFrame): DataFrame =
     if (df.columns.exists(c => Names.casefold(c) == "rowid")) df
     else {
       val schema = StructType(df.schema.fields :+ StructField("rowid", LongType, nullable = false))
       val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-      spark.createDataFrame(rdd, schema).cache()
+      spark.createDataFrame(rdd, schema)
     }
 
   def hasTable(name: String): Boolean = tables.contains(Names.casefold(name))

@@ -77,6 +77,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan must read only the needed columns: $read")
   }
 
+  test("tableStore ingest restores pushdown and pruning over rowid'd tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val b = new graft.bql.BayesDB(spark, seed = 3L, tableStore = Some(dir))
+    import spark.implicits._
+    b.registerTable("st", (1 to 500).map(i => (i.toLong, i % 7, s"v$i"))
+      .toDF("k", "grp", "payload"))
+    // rowid is stable and 1-based through the store round-trip
+    assert(b.execute("select rowid from st where k = 42").collect()
+      .head.getLong(0) == 42L)
+    val plan = b.execute("select k from st where grp = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"stored table must push filters to parquet:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("payload"),
+      s"stored table must prune unused columns: $read")
+  }
+
   test("correlated subquery raises the named D3 divergence error") {
     val e = intercept[UnsupportedOperationException] {
       bdb.execute(
