@@ -548,11 +548,15 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
         throw new NoSuchElementException(s"No such generator: $genName"))
       val pop = catalog.populationNames.flatMap(catalog.population)
         .find(_.id == gen.populationId).get
+      var currentGen = genName
       commands.foreach {
-        case Ast.AlterGenRenameGen(_) =>
-          throw new UnsupportedOperationException("ALTER GENERATOR RENAME: not supported yet")
+        case Ast.AlterGenRenameGen(nw) =>
+          catalog.renameGenerator(currentGen, nw)
+          states.remove(Names.casefold(currentGen)).foreach(st =>
+            states(Names.casefold(nw)) = st)
+          currentGen = nw
         case Ast.AlterGenGeneric(tokens) =>
-          runAlterGenClause(genName, gen.backend, pop, tokens)
+          runAlterGenClause(currentGen, gen.backend, pop, tokens)
       }
       emptyResult
 

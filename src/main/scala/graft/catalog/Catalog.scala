@@ -102,6 +102,20 @@ final class Catalog extends Serializable {
     population(populationName).toSeq.flatMap(p =>
       generators.values.filter(_.populationId == p.id).toSeq.sortBy(_.id))
 
+  /** ALTER GENERATOR g RENAME TO h (reference: src/bql.py generator
+    * rename). The id — and thus model numbering and latent-variable
+    * ownership — is unchanged. */
+  def renameGenerator(oldName: String, newName: String): Unit = {
+    val oldKey = Names.casefold(oldName)
+    val newKey = Names.casefold(newName)
+    val gen = generators.getOrElse(oldKey,
+      throw new NoSuchElementException(s"No such generator: $oldName"))
+    require(!generators.contains(newKey), s"Generator already exists: $newName")
+    generators.remove(oldKey)
+    generators(newKey) = gen.copy(name = newName)
+    ()
+  }
+
   def dropGenerator(name: String): Unit = {
     val key = Names.casefold(name)
     val gen = generators.getOrElse(key,

@@ -139,6 +139,20 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(s == 1.0)
   }
 
+  test("ALTER GENERATOR RENAME keeps fitted models addressable") {
+    val b4 = new BayesDB(spark, seed = 51L)
+    import spark.implicits._
+    b4.registerTable("tr", (1 to 30).map(i => (i.toLong, i.toDouble)).toDF("id", "x"))
+    b4.execute("create population pr for tr (id ignore; x numerical)")
+    b4.execute("create generator gr for pr using cgpm")
+    b4.execute("initialize 2 models for gr")
+    b4.execute("analyze gr for 1 iteration")
+    b4.execute("alter generator gr rename to gr2")
+    assert(b4.execute("simulate x from pr modeled by gr2 limit 3").count() == 3)
+    intercept[Exception] { b4.execute("analyze gr for 1 iteration") }
+    b4.execute("analyze gr2 for 1 iteration")
+  }
+
   test("DROP POPULATION with live generators names them (test_error_bql.py:24-35)") {
     val e = intercept[Exception] { bdb.execute("drop population p1") }
     assert(e.getMessage.contains("generators") && e.getMessage.contains("p1_cc"))
