@@ -231,6 +231,16 @@ object BqlQueries {
   val b16CrosscatSimulate: Q = (spark, dir) => bdb(spark, dir).execute(
     "SIMULATE l_extendedprice FROM lpop MODELED BY lgen GIVEN l_quantity = 40 LIMIT 50")
 
+  /** b22: CrossCat INFER with row-conditioned imputation — PREDICT
+    * draws condition on each row's latent cluster / observed cells
+    * (not the marginal), bounded by the WHERE for bench stability. */
+  val b22CrosscatInfer: Q = (spark, dir) => bdb(spark, dir).execute(
+    """INFER EXPLICIT rowid, l_quantity,
+      |  PREDICT l_extendedprice AS price_hat CONFIDENCE price_conf USING 8 SAMPLES
+      |FROM lpop MODELED BY lgen
+      |WHERE rowid <= 300
+      |ORDER BY rowid""".stripMargin)
+
   /** b21: cgpm composition — network dependence over a population whose
     * generator carries a LATENT factor (factor_analysis) and a linreg
     * OVERRIDE node; the latent appears as a first-class variable. */
@@ -322,6 +332,7 @@ object BqlQueries {
     "b15_crosscat_similarity" -> b15CrosscatSimilarity,
     "b16_crosscat_simulate" -> b16CrosscatSimulate,
     "b21_cgpm_composition" -> b21Composition,
+    "b22_crosscat_infer" -> b22CrosscatInfer,
     "b01_bql_select" -> b01Select,
     "b02_bql_join" -> b02Join,
     "b03_bql_subquery" -> b03Subquery,
