@@ -180,6 +180,25 @@ class CompositionSpec extends AnyFunSuite {
       "latent cells have no observed value; reference yields NULL")
   }
 
+  test("network density given full inputs equals the analytic predictive exactly") {
+    // with every input of the linreg node constrained, the likelihood
+    // weighting degenerates: each sample scores the same analytic
+    // Student-t, so the network density must match it to the bit
+    val pm = bdb.populationModel("pc", Some("gc"))
+    val gen = pm.generators.head
+    val st = gen.state.asInstanceOf[graft.backends.CrossCat.CrossCatState]
+    val yC = pm.colno("y"); val xC = pm.colno("x")
+    val li = st.foreignSpecs.indexWhere(_.predictor == "linreg")
+    st.models.foreach { m =>
+      val lr = m.foreign(li).asInstanceOf[graft.backends.ForeignCgpm.LinReg]
+      val direct = lr.logpdf(Seq(yC -> 11.0), Seq(xC -> 5.0))
+      val viaNetwork = gen.backend.logpdfJoint(
+        st, Some(Seq(m.modelno)), Seq(yC -> 11.0), Seq(xC -> 5.0))
+      assert(math.abs(viaNetwork - direct) < 1e-9,
+        s"model ${m.modelno}: network $viaNetwork vs analytic $direct")
+    }
+  }
+
   test("save/open round-trips a composed generator") {
     val dir = java.nio.file.Files.createTempDirectory("graft_comp_persist").toString
     bdb.save(dir)
