@@ -24,10 +24,16 @@ object BqlQueries {
   def bdb(spark: SparkSession, dir: String): BayesDB =
     cache.getOrElseUpdate(dir, {
       val b = new BayesDB(spark, seed = 42L)
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents").foreach { t =>
-        b.registerTable(t, Tables.load(spark, dir, t))
-      }
+      // register concurrently: each table's rowid pass is its own small
+      // Spark job, and per-job latency — not data volume — dominates at
+      // this scale (the registry is a thread-safe map)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents"))(t =>
+        Future { b.registerTable(t, Tables.load(spark, dir, t)) }), 15.minutes)
       // model lifecycle over customer, mirroring ModelQueries' ensemble
       b.execute("create population cpop for customer (" +
         "set stattypes of c_acctbal, c_nationkey to numerical; " +
