@@ -461,9 +461,15 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       }
       emptyResult
 
-    case Ast.InitModels(_, genName, n) =>
+    case Ast.InitModels(ifNotExists, genName, n) =>
       val gen = catalog.generator(genName).getOrElse(
         throw new NoSuchElementException(s"No such generator: $genName"))
+      // re-initializing existing models needs IF NOT EXISTS (reference:
+      // src/bql.py INITIALIZE raises on already-initialized models)
+      val already = catalog.modelNumbers(genName).filter(_ < n)
+      require(ifNotExists || already.isEmpty,
+        s"Models already initialized for $genName: ${already.mkString(", ")}" +
+          " (use INITIALIZE ... IF NOT EXISTS)")
       val pop = catalog.populationNames.flatMap(catalog.population)
         .find(_.id == gen.populationId).get
       // generator schema options (SUBSAMPLE, DEVIATION, LATENT, OVERRIDE)
@@ -499,11 +505,15 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       }.toMap
       val modelnos = catalog.initializeModels(genName, n)
       val rng = DetRng(seed, 0xf17L, gen.id.toLong)
-      val st0raw = backend.createGenerator(df, columns, nominal)
-      val st0 = (st0raw, backend) match {
-        case (ns: graft.backends.NigNormalBackend.State, _) if deviations.nonEmpty =>
-          ns.copy(deviations = deviations)
-        case _ => st0raw
+      // reuse an existing fitted state: IF NOT EXISTS tops up missing
+      // model numbers without refitting the ones already analyzed
+      val st0 = states.get(Names.casefold(genName)).getOrElse {
+        val st0raw = backend.createGenerator(df, columns, nominal)
+        (st0raw, backend) match {
+          case (ns: graft.backends.NigNormalBackend.State, _) if deviations.nonEmpty =>
+            ns.copy(deviations = deviations)
+          case _ => st0raw
+        }
       }
       states(Names.casefold(genName)) = backend.initializeModels(st0, modelnos, rng)
       emptyResult

@@ -139,6 +139,21 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(s == 1.0)
   }
 
+  test("re-INITIALIZE requires IF NOT EXISTS and keeps fitted state (bql.py)") {
+    val e = intercept[IllegalArgumentException] {
+      bdb.execute("initialize 4 models for p1_cc")
+    }
+    assert(e.getMessage.contains("already initialized"))
+    val before = value("estimate probability density of age = 8 by p1")
+    bdb.execute("initialize 4 models if not exists for p1_cc")  // no-op
+    assert(value("estimate probability density of age = 8 by p1") == before,
+      "IF NOT EXISTS with no new models must not refit the ensemble")
+    // topping up adds new members without disturbing the old ones
+    bdb.execute("initialize 6 models if not exists for p1_cc")
+    val after = value("estimate probability density of age = 8 by p1 using models 0-3")
+    assert(after == before, "existing members unchanged after top-up")
+  }
+
   test("ALTER GENERATOR RENAME keeps fitted models addressable") {
     val b4 = new BayesDB(spark, seed = 51L)
     import spark.implicits._
