@@ -553,7 +553,10 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       }
       emptyResult
 
-    case Ast.AlterGen(genName, _, commands) =>
+    case Ast.AlterGen(genName, modelSubset, commands) =>
+      require(modelSubset.isEmpty,
+        "ALTER GENERATOR ... MODELS (subset) is not supported;" +
+          " commands apply to every model (drop the MODELS clause)")
       val gen = catalog.generator(genName).getOrElse(
         throw new NoSuchElementException(s"No such generator: $genName"))
       val pop = catalog.populationNames.flatMap(catalog.population)
