@@ -47,6 +47,10 @@ class CrossCatBackend(
   private val topoForeigns: IndexedSeq[ForeignSpec] = {
     val remaining = scala.collection.mutable.ArrayBuffer(foreigns: _*)
     val placed = scala.collection.mutable.ArrayBuffer.empty[ForeignSpec]
+    val dupOut = foreigns.flatMap(_.outputs).groupBy(identity)
+      .collect { case (c, vs) if vs.size > 1 => c }
+    require(dupOut.isEmpty,
+      s"multiple OVERRIDE MODEL clauses claim output column(s) ${dupOut.mkString(", ")}")
     val producedBy = foreigns.flatMap(f => f.outputs.map(_ -> f)).toMap
     while (remaining.nonEmpty) {
       val next = remaining.find(f => f.inputs.forall(i =>
@@ -70,32 +74,57 @@ class CrossCatBackend(
     val colnos = columns.keys.toIndexedSeq.sorted
     val names = colnos.map(columns)
     // dictionary-encode nominal columns: distinct values by frequency
-    // (deterministic tie-break on the value) — one distributed agg per
-    // nominal column over the full table
-    val cats: Map[Int, IndexedSeq[String]] = colnos.filter(nominalCols).map { c =>
-      val values = df.groupBy(col(columns(c)).cast("string").as("v"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("v").isNotNull)
-        .orderBy(col("n").desc, col("v").asc)
-        .limit(maxCategories)
-        .collect().map(_.getString(0)).toIndexedSeq
-      c -> values
-    }.toMap
+    // (deterministic tie-break on the value). ONE table scan for ALL
+    // columns: melt to (column-index, value) via posexplode, a single
+    // distributed groupBy, then per-column top-K over the tiny
+    // (columns × categories) aggregate — a 64-nominal-column population
+    // costs one job, not 64 sequential scans.
+    val nomColnos = colnos.filter(nominalCols)
+    val cats: Map[Int, IndexedSeq[String]] =
+      if (nomColnos.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val melted = df
+          .select(posexplode(array(
+            nomColnos.map(c => col(columns(c)).cast("string")): _*)).as(Seq("ci", "v")))
+          .filter(col("v").isNotNull)
+          .groupBy("ci", "v").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("ci").orderBy(col("n").desc, col("v").asc)
+        val top = melted
+          .select(col("ci"), col("v"), row_number().over(w).as("r"))
+          .filter(col("r") <= maxCategories)
+          .collect()
+        val byCol = top.groupBy(_.getInt(0))
+        nomColnos.zipWithIndex.map { case (c, i) =>
+          c -> byCol.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
+            .sortBy(_.getInt(2)).map(_.getString(1)).toIndexedSeq
+        }.toMap
+      }
     val colTypes: IndexedSeq[ColType] = colnos.map { c =>
       if (nominalCols(c)) CategoricalCol(math.max(cats(c).length, 1))
       else NumericalCol
     }
     val hasRowid = df.columns.exists(_.equalsIgnoreCase("rowid"))
-    // bounded subsample for MCMC (deterministic: first rows by rowid);
-    // nominal columns travel as strings and are encoded on the driver
+    // bounded UNIFORM subsample for MCMC (the reference reservoir-samples
+    // its SUBSAMPLE, cgpm_backend.py:189-205 — a first-N prefix would bias
+    // every estimator on ingest-ordered data). Seeded xxhash64 of the
+    // rowid makes the selected SET a deterministic function of the rowid
+    // values alone — invariant under input partitioning/order, retry-safe
+    // — and orderBy+limit plans as one TakeOrderedAndProject pass.
+    // Nominal columns travel as strings and are encoded on the driver.
     val selCols = names.zip(colTypes).map {
       case (n, NumericalCol) => col(n).cast("double").cast("string")
       case (n, _) => col(n).cast("string")
     }
     val sel = if (hasRowid) df.select((col("rowid").cast("double") +: selCols): _*)
-                .orderBy(col("rowid"))
+                .orderBy(xxhash64(col("rowid").cast("long"), lit(CrossCatBackend.SubsampleSeed)))
               else df.select((lit(-1.0) +: selCols): _*)
-    val rows = sel.limit(subsampleRows).collect()
+    val rows = {
+      val r0 = sel.limit(subsampleRows).collect()
+      // canonical in-sample order: by rowid, so the fitted state is
+      // identical no matter how the sample arrived
+      if (hasRowid) r0.sortBy(_.getDouble(0)) else r0
+    }
     val n = rows.length
     require(n > 0, "CrossCat needs at least one row")
     val rowids = Array.tabulate(n)(i =>
@@ -984,6 +1013,13 @@ class CrossCatBackend(
       case (None, Some(g)) => g.inputs.exists(i => networkDependent(st, m, a, i))
     }
   }
+}
+
+object CrossCatBackend {
+  /** Fixed salt for the uniform MCMC subsample: the sampled rowid SET is a
+    * pure function of (rowid values, this seed) — stable across retries,
+    * re-partitioning, and input reordering. */
+  val SubsampleSeed: Long = 0x5ca1ab1e5eedL
 }
 
 /** CrossCat state containers + conjugate component math (NIG-Normal and

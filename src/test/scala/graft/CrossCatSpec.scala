@@ -244,4 +244,86 @@ class CrossCatSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Invalid subproblems"))
   }
+
+  test("MCMC subsample is uniform and invariant under input reordering") {
+    // r3 verdict #1: a first-N-by-rowid prefix silently biases every
+    // estimator on ingest-ordered data (reference reservoir-samples,
+    // cgpm_backend.py:189-205). 1200 rows where the first 600 and last
+    // 600 come from different regimes; the 500-row subsample must mix
+    // them, and the fitted state must not depend on input layout.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rng = DetRng(77L)
+    val rows = (1 to 1200).map { i =>
+      val shift = if (i <= 600) 0.0 else 10.0
+      (i.toLong, shift + rng.nextGaussian(), if (i % 2 == 0) "a" else "b")
+    }
+    val df = rows.toDF("rowid", "x", "g")
+    val cols = Map(0 -> "x", 1 -> "g")
+    val be = new CrossCatBackend()
+    val a = be.createGenerator(df, cols, Set(1)).asInstanceOf[CrossCatState]
+    val b = be.createGenerator(df.orderBy(col("rowid").desc).repartition(7), cols, Set(1))
+      .asInstanceOf[CrossCatState]
+    assert(a.rowids.toSeq == b.rowids.toSeq, "sampled rowid set must be order-invariant")
+    assert(a.data.map(_.toSeq).toSeq == b.data.map(_.toSeq).toSeq,
+      "fitted data matrix must be order-invariant")
+    assert(a.rowids.length == 500)
+    // uniform, not a prefix: both halves of the table are represented
+    val headFrac = a.rowids.count(_ <= 600).toDouble / a.rowids.length
+    assert(headFrac > 0.35 && headFrac < 0.65,
+      s"subsample should mix the table uniformly, got head fraction $headFrac")
+    // and the fit itself is reproducible end-to-end
+    val fitA = be.analyzeModels(be.initializeModels(a, 0 until 2, DetRng(5L)),
+      None, 3, DetRng(6L)).asInstanceOf[CrossCatState]
+    val fitB = be.analyzeModels(be.initializeModels(b, 0 until 2, DetRng(5L)),
+      None, 3, DetRng(6L)).asInstanceOf[CrossCatState]
+    assert(fitA.models.map(_.viewOf) == fitB.models.map(_.viewOf))
+    assert(fitA.models.map(_.rowAssign) == fitB.models.map(_.rowAssign))
+  }
+
+  test("category dictionaries build in one scan regardless of column count") {
+    // r3 verdict #3: one groupBy job PER nominal column meant a
+    // 64-column population paid ~64 full scans at CREATE GENERATOR.
+    // Job count during createGenerator must not scale with columns.
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def fit(nNom: Int, group: String): CrossCatState = {
+      val names = (0 until nNom).map(i => s"c$i")
+      val rows = (1 to 300).map { i =>
+        (i.toLong, names.map(n => s"${n}_v${i % 5}").mkString(","))
+      }
+      var df = rows.toDF("rowid", "packed")
+      for ((n, i) <- names.zipWithIndex)
+        df = df.withColumn(n, org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("packed"), ",").getItem(i))
+      val cols = names.zipWithIndex.map { case (n, i) => i -> n }.toMap
+      sc.setJobGroup(group, group)
+      try new CrossCatBackend().createGenerator(df.select(
+          (Seq(org.apache.spark.sql.functions.col("rowid")) ++ names.map(org.apache.spark.sql.functions.col)): _*),
+        cols, cols.keySet).asInstanceOf[CrossCatState]
+      finally sc.clearJobGroup()
+    }
+    val small = fit(2, "dict-small")
+    val large = fit(12, "dict-large")
+    assert(small.cats.size == 2 && large.cats.size == 12)
+    assert(large.cats.values.forall(_.size == 5))
+    // sorted by frequency then value — each value appears 60 times, so
+    // the deterministic tie-break is the value itself
+    assert(large.cats(3) == (0 until 5).map(v => s"c3_v$v"))
+    def jobs(group: String): Int = {
+      // status store updates async — poll until the count is stable
+      var last = -1; var stable = 0
+      val deadline = System.nanoTime() + 5000000000L
+      while (System.nanoTime() < deadline && (last <= 0 || stable < 3)) {
+        val n = sc.statusTracker.getJobIdsForGroup(group).length
+        stable = if (n == last) stable + 1 else 0
+        last = n
+        Thread.sleep(100)
+      }
+      last
+    }
+    val (jSmall, jLarge) = (jobs("dict-small"), jobs("dict-large"))
+    assert(jLarge <= jSmall + 1,
+      s"job count must not scale with nominal column count: 2 cols -> $jSmall jobs, 12 cols -> $jLarge jobs")
+  }
 }
