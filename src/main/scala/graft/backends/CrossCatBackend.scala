@@ -307,16 +307,48 @@ class CrossCatBackend(
           s"Cannot override observed cell of rowid $rowid: ${st.columns(c)}")
       }
     }
+    // Baseline constraints on UNOBSERVED cells carry no information once
+    // the row's cluster is fixed (cells are conditionally independent
+    // given the cluster), so the cluster draw already conditions on them.
+    // Foreign-output constraints DO inform baseline targets (through the
+    // predictor's inputs): route those through the network with the
+    // row's cluster-conditioned baseline as the proposal and resample by
+    // the foreign constraints' likelihood.
+    val foreignCons = constraints.filter { case (c, _) => st.foreignCols(c) }
     val ms = select(st, modelnos)
-    (0 until numSamples).map { _ =>
-      val m = ms(rng.nextInt(ms.length))
-      targets.map { c =>
-        val j = st.colIdx(c)
-        val v = m.viewOf(j)
-        val z = m.rowAssign(v)(idx)
-        val w = workspace(st, m, v)
-        val jj = w.cols.indexOf(j)
-        w.suff(jj).sample(z, m.hypers(j), rng)
+    def clusterDraw(m: CrossCatModel, j: Int): Double = {
+      val v = m.viewOf(j)
+      val z = m.rowAssign(v)(idx)
+      val w = workspace(st, m, v)
+      w.suff(w.cols.indexOf(j)).sample(z, m.hypers(j), rng)
+    }
+    if (foreignCons.isEmpty)
+      (0 until numSamples).map { _ =>
+        val m = ms(rng.nextInt(ms.length))
+        targets.map(c => clusterDraw(m, st.colIdx(c)))
+      }
+    else {
+      val evalByNode: Map[ForeignSpec, Seq[(Int, Double)]] =
+        foreignCons.groupBy { case (c, _) =>
+          st.foreignSpecs.find(_.outputs.contains(c)).getOrElse(
+            throw new IllegalArgumentException(s"No foreign node produces colno $c"))
+        }
+      val tset = targets.toSet
+      (0 until numSamples).map { _ =>
+        val m = ms(rng.nextInt(ms.length))
+        val draws = (0 until networkSamples).map { _ =>
+          // proposal: every baseline cell — observed value if present,
+          // else a draw from the row's cluster component; TARGET cells
+          // always redraw from the cluster (posterior predictive for the
+          // row, matching the foreign-free path)
+          val baseVals: Map[Int, Double] = st.colnos.zipWithIndex.map { case (c, j) =>
+            val obs = st.data(j)(idx)
+            c -> (if (obs.isNaN || tset(c)) clusterDraw(m, j) else obs)
+          }.toMap
+          networkForward(st, m, Set.empty, baseVals, evalByNode, rng)
+        }
+        val pick = rng.logCategorical(draws.map(_._2).toIndexedSeq)
+        targets.map(draws(pick)._1)
       }
     }
   }

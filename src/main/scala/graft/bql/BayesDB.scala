@@ -146,7 +146,11 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     }
     val fittedIds = gens.filter(g =>
       states.contains(Names.casefold(g.name))).map(_.id).toSet
-    PopulationModel(pop, fitted, seed, modelnos, Some(fittedIds))
+    // generatorIds scope latent-variable visibility: set only when the
+    // query NAMES a generator (MODELED BY) — an unscoped query sees
+    // manifest variables only (reference core.py:350-366)
+    PopulationModel(pop, fitted, seed, modelnos,
+      if (generatorName.isDefined) Some(fittedIds) else None)
   }
 
   // ------------------------------------------------------------- execute
@@ -435,8 +439,9 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
             }
           }
         }
-        val gen = catalog.createGenerator(name, popName, backendName,
-          schema.map(_.mkString(" ")))
+        // store the token lists verbatim — re-tokenizing on a space
+        // delimiter would split quoted parameters containing spaces
+        val gen = catalog.createGenerator(name, popName, backendName, schema)
         val latentDefs: Seq[(String, StatType)] =
           parsed.deviations.map { case (dev, _) => dev -> (StatType.Numerical: StatType) } ++
             allLatents.map { case (v, st) => v -> StatType.parse(st).get }
@@ -475,7 +480,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       // generator schema options (SUBSAMPLE, DEVIATION, LATENT, OVERRIDE)
       // parameterize the backend; latent variables are excluded from the
       // suff-stats fit
-      val parsed = GenSchema.parse(gen.schemaAst.map(_.split(" ").toSeq))
+      val parsed = GenSchema.parse(gen.schemaAst)
       // resolve OVERRIDE clauses to colno-level foreign specs (exposed
       // variables append to the node's outputs, cgpm_backend.py:1497-1501)
       def colnoOf(v: String): Int = pop.variable(v).getOrElse(

@@ -32,10 +32,15 @@ object Planner {
   case object NoModelCtx extends BqlCtx
   /** ESTIMATE ... BY p: constants only. */
   final case class ConstCtx(pm: PopulationModel) extends BqlCtx
-  /** ESTIMATE ... FROM p: row functions over `rowid`. */
-  final case class RowCtx(pm: PopulationModel) extends BqlCtx
+  /** ESTIMATE ... FROM p: row functions over `rowid`. `available` is the
+    * set of (casefolded) columns actually present in the queried frame —
+    * PREDICT evidence restricts to it so a projected frame degrades
+    * gracefully instead of failing analysis on an unresolved column. */
+  final case class RowCtx(pm: PopulationModel,
+      available: Option[Set[String]] = None) extends BqlCtx
   /** INFER: row context that additionally admits PREDICT. */
-  final case class InferCtx(pm: PopulationModel) extends BqlCtx
+  final case class InferCtx(pm: PopulationModel,
+      available: Option[Set[String]] = None) extends BqlCtx
   /** ESTIMATE ... FROM VARIABLES OF p: 1-column functions over `name`. */
   final case class ColCtx(pm: PopulationModel) extends BqlCtx
   /** ESTIMATE ... FROM PAIRWISE VARIABLES OF p: 2-column functions. */
@@ -49,8 +54,8 @@ object Planner {
 
   private def pmOf(ctx: BqlCtx): PopulationModel = ctx match {
     case ConstCtx(pm) => pm
-    case RowCtx(pm) => pm
-    case InferCtx(pm) => pm
+    case RowCtx(pm, _) => pm
+    case InferCtx(pm, _) => pm
     case ColCtx(pm) => pm
     case PairColCtx(pm, _) => pm
     case PairRowCtx(pm) => pm
@@ -60,6 +65,12 @@ object Planner {
 
   final case class Ctx(bdb: BayesDB, bql: BqlCtx, binds: Seq[Any], agg: Boolean) {
     def withAgg(a: Boolean): Ctx = copy(agg = a)
+  }
+
+  private def availableOf(ctx: Ctx): Option[Set[String]] = ctx.bql match {
+    case RowCtx(_, a) => a
+    case InferCtx(_, a) => a
+    case _ => None
   }
 
   // --------------------------------------------------------------- entry
@@ -221,7 +232,8 @@ object Planner {
   private def planEstimate(bdb: BayesDB, e: Estimate, binds: Seq[Any]): DataFrame = {
     val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
     val base = bdb.table(pm.population.table)
-    val ctx = Ctx(bdb, RowCtx(pm), binds, agg = false)
+    val ctx = Ctx(bdb,
+      RowCtx(pm, Some(base.columns.map(Names.casefold).toSet)), binds, agg = false)
     assemble(base, Nil, e.columns, e.quantifier, e.condition, e.grouping,
       e.order, e.limit, ctx,
       starColumns = base.columns.toSeq.filterNot(c => Names.casefold(c) == "rowid"))
@@ -339,7 +351,8 @@ object Planner {
   private def planInferExplicit(bdb: BayesDB, i: InferExplicit, binds: Seq[Any]): DataFrame = {
     val pm = bdb.populationModel(i.population, i.generator, i.modelnos)
     val base = bdb.table(pm.population.table)
-    val ctx = Ctx(bdb, InferCtx(pm), binds, agg = false)
+    val ctx = Ctx(bdb,
+      InferCtx(pm, Some(base.columns.map(Names.casefold).toSet)), binds, agg = false)
     // PredCol expands to value [+ confidence] columns from the predict
     // struct (the reference smuggles these through JSON, bql_json_get;
     // a struct column is the Spark-native shape). The struct is attached
@@ -350,7 +363,8 @@ object Planner {
         val colno = pm.colno(c)
         val n = nsamp.map(e => evalConstInt(bdb, e, binds)).getOrElse(2)
         val hid = s"__pred_$idx"
-        base2 = base2.withColumn(hid, Estimators.predictStructCol(pm, colno, n, col("rowid")))
+        base2 = base2.withColumn(hid, Estimators.predictStructCol(pm, colno, n,
+          col("rowid"), Some(base2.columns.map(Names.casefold).toSet)))
         val valueCol = SelColExp(ExpCol(Some(hid), "value"), Some(nm.getOrElse(c)))
         confName match {
           case Some(cn) => Seq(valueCol, SelColExp(ExpCol(Some(hid), "confidence"), Some(cn)))
@@ -1045,12 +1059,14 @@ object Planner {
         require(isRowCtx, "PREDICT requires a row context (INFER)")
         val threshold = evalConstDouble(ctx.bdb, conf, ctx.binds)
         val n = nsamp.map(e => evalConstInt(ctx.bdb, e, ctx.binds)).getOrElse(2)
-        Estimators.predictValueCol(pm, pm.colno(c), threshold, n, col("rowid"))
+        Estimators.predictValueCol(pm, pm.colno(c), threshold, n, col("rowid"),
+          availableOf(ctx))
 
       case ExpBQLPredictConf(c, nsamp) =>
         require(isRowCtx, "PREDICT CONFIDENCE requires a row context")
         val n = nsamp.map(e => evalConstInt(ctx.bdb, e, ctx.binds)).getOrElse(2)
-        Estimators.predictStructCol(pm, pm.colno(c), n, col("rowid"))
+        Estimators.predictStructCol(pm, pm.colno(c), n, col("rowid"),
+          availableOf(ctx))
 
       // ---------------- column functions (const / 1-col / 2-col)
       case ExpBQLDepProb(c0, c1) =>

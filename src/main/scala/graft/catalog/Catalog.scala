@@ -36,7 +36,7 @@ final case class Generator(
     name: String,
     populationId: Int,
     backend: String,
-    schemaAst: Seq[String] = Nil)
+    schemaAst: Seq[Seq[String]] = Nil)
 
 /** Name handling matching the reference's casefold (upper().lower(),
   * src/util.py:77-79) and identifier quoting (src/quote.py). */
@@ -85,7 +85,7 @@ final class Catalog extends Serializable {
   }
 
   def createGenerator(name: String, populationName: String, backend: String,
-      schemaAst: Seq[String] = Nil): Generator = {
+      schemaAst: Seq[Seq[String]] = Nil): Generator = {
     val key = Names.casefold(name)
     require(!generators.contains(key), s"Generator already exists: $name")
     val pop = population(populationName).getOrElse(

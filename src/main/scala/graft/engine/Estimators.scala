@@ -30,12 +30,15 @@ final case class PopulationModel(
       throw new NoSuchElementException(s"No such variable: $varName")).colno
 
   /** Modeled variables visible to this query: manifest variables plus
-    * latent variables owned by one of the generators in scope
-    * (reference: bayesdb_variable filters on generator_id,
-    * core.py:350-366 — a latent of another generator is invisible). */
+    * latent variables owned by a generator EXPLICITLY in scope
+    * (reference: bayesdb_variable filters on
+    * `generator_id IS NULL OR generator_id = ?`, core.py:350-366 — a
+    * latent is invisible unless its generator is named, so an unscoped
+    * query over a population with several latent-bearing generators
+    * never mixes their latents). */
   def visibleVariables: Seq[graft.catalog.Variable] =
     population.modeledVariables.filter(v =>
-      v.generatorId.forall(gid => generatorIds.forall(_.contains(gid))))
+      v.generatorId.forall(gid => generatorIds.exists(_.contains(gid))))
 }
 
 /** The BQL model-estimator operators (SURVEY §2.7), Spark-first:
@@ -189,8 +192,12 @@ object Estimators {
     val decoded = rows.map(r => Row.fromSeq(targets.zip(r).map {
       case (t, v) => decodeValue(pm, t, v)
     }))
+    // partition the materialized sample so downstream operators don't
+    // serialize on one core for large LIMITs (~1k rows per slice)
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, decoded.length / 1000))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(decoded, 1), schema)
+      spark.sparkContext.parallelize(decoded, slices), schema)
   }
 
   /** `INFER c WITH CONFIDENCE conf FROM p` — macro semantics
@@ -415,11 +422,12 @@ object Estimators {
     * generator choice is a deterministic function of (seed, rowid, colno)
     * where the reference used the process PRNG). */
   def predictValueCol(pm: PopulationModel, colno: Int, threshold: Double,
-      numSamples: Int, rowidCol: Column): Column = {
+      numSamples: Int, rowidCol: Column,
+      available: Option[Set[String]] = None): Column = {
     val gens = pm.generators
     val mnos = pm.modelnos
     val seed = pm.seed
-    val (evColnos, evCol) = evidenceOf(pm, colno)
+    val (evColnos, evCol) = evidenceOf(pm, colno, available)
     codesFor(pm, colno) match {
       case Some(lab) =>
         val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
@@ -446,11 +454,12 @@ object Estimators {
 
   /** `PREDICT c AS v CONFIDENCE cv` struct column for INFER EXPLICIT. */
   def predictStructCol(pm: PopulationModel, colno: Int, numSamples: Int,
-      rowidCol: Column): Column = {
+      rowidCol: Column,
+      available: Option[Set[String]] = None): Column = {
     val gens = pm.generators
     val mnos = pm.modelnos
     val seed = pm.seed
-    val (evColnos, evCol) = evidenceOf(pm, colno)
+    val (evColnos, evCol) = evidenceOf(pm, colno, available)
     codesFor(pm, colno) match {
       case Some(lab) =>
         val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>

@@ -177,9 +177,14 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** p10: language-ID heuristic vs the labeled lang column — confusion
-    * counts (rows-only; the heuristic is ours, labels are synthetic). */
+    * counts (rows-only; the heuristic is ours, labels are synthetic).
+    * No `spread()` here: languageId is pure whole-stage-codegen native
+    * expressions feeding a tiny groupBy — a pre-repartition would round-
+    * trip the full text column through a shuffle for nothing (spread is
+    * for per-row JVM-UDF stages like p11/p12, where single-file parquet
+    * = one partition serializes the work). */
   val p10LangId: Q = (spark, dir) => {
-    Dedup.spread(Tables.load(spark, dir, "documents"))
+    Tables.load(spark, dir, "documents")
       .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")

@@ -86,10 +86,16 @@ class CompositionSpec extends AnyFunSuite {
     assert(vHi < vLo, s"v anti-correlates with u: E[v|u=6]=$vHi, E[v|u=-6]=$vLo")
   }
 
-  test("latents appear in ESTIMATE FROM VARIABLES OF, scoped to their generator") {
-    val names = bdb.execute("estimate * from variables of pc")
+  test("latents appear in ESTIMATE FROM VARIABLES OF only when their generator is named") {
+    // reference core.py:335-343: `generator_id IS NULL OR generator_id = ?`
+    // — an UNSCOPED query sees manifest variables only; naming the
+    // latent's generator (MODELED BY) reveals it
+    val unscoped = bdb.execute("estimate * from variables of pc")
       .collect().map(_.getString(0)).toSet
-    assert(names == Set("x", "y", "z", "u", "v", "fscore"))
+    assert(unscoped == Set("x", "y", "z", "u", "v"))
+    val scoped = bdb.execute("estimate * from variables of pc modeled by gc")
+      .collect().map(_.getString(0)).toSet
+    assert(scoped == Set("x", "y", "z", "u", "v", "fscore"))
     // a second, plain generator on the same population does not see fscore
     bdb.execute("create generator gplain for pc using cgpm (subsample 100)")
     bdb.execute("initialize 1 models for gplain")
@@ -217,5 +223,16 @@ class CompositionSpec extends AnyFunSuite {
     assert(inferred.count() == 5)
     val preds = bdb.execute("estimate predict y with confidence 0 from pc limit 3")
     assert(preds.count() == 3)
+  }
+
+  test("foreign-output given conditions an incorporated-row simulate") {
+    // SIMULATE x GIVEN rowid, y=c: y is a foreign (linreg) output whose
+    // input is x, so the given must inform the x draw — the network path
+    // reweights cluster-conditioned proposals by the linreg likelihood
+    // (previously the given was validated then silently dropped).
+    val hi = simMean("simulate x from pc modeled by gc given rowid = 1, y = 25 limit 60")
+    val lo = simMean("simulate x from pc modeled by gc given rowid = 1, y = -25 limit 60")
+    assert(hi > lo + 0.5,
+      s"y=25 implies x~12, y=-25 implies x~-13; got E[x|y=25]=$hi <= E[x|y=-25]=$lo")
   }
 }

@@ -151,4 +151,21 @@ class WidePopulationSpec extends AnyFunSuite {
     assert(got.length == 4)
     assert(got.toSet == Set(("v1", "v1"), ("v1", "v2"), ("v2", "v1"), ("v2", "v2")))
   }
+
+  test("p10 lang-id has no Exchange before the row-local projection") {
+    // r3 verdict #2: a blanket spread() repartitioned the full text
+    // column before pure-codegen expressions. The only shuffle allowed
+    // is the groupBy aggregation itself (partials first, map-side).
+    val df = graft.operators.PipelineQueries.p10LangId(spark, sf)
+    val planStr = df.queryExecution.executedPlan.toString
+    // plans print top-down, so the LAST HashAggregate is the map-side
+    // partial: everything below it (project + scan) must be shuffle-free
+    val partialAgg = planStr.lastIndexOf("HashAggregate")
+    assert(partialAgg >= 0 && planStr.contains("Scan parquet"), planStr)
+    assert(!planStr.substring(partialAgg).contains("Exchange"),
+      s"shuffle below the partial aggregate (spread regression):\n$planStr")
+    // only the groupBy hash exchange + orderBy range exchange are allowed
+    assert("Exchange (hash|range)partitioning".r.findAllIn(planStr).size <= 2,
+      s"unexpected extra shuffle:\n$planStr")
+  }
 }
