@@ -63,7 +63,19 @@ object Planner {
       "Model estimators are forbidden in plain SELECT; use ESTIMATE")
   }
 
-  final case class Ctx(bdb: BayesDB, bql: BqlCtx, binds: Seq[Any], agg: Boolean) {
+  /** Name scope of one query frame: unqualified (casefolded) column names
+    * plus alias → columns, used to classify a subquery's column references
+    * as inner or outer (correlated). */
+  final case class Scope(names: Set[String], tables: Map[String, Set[String]])
+
+  /** `scope` is this query's own FROM-frame; `outerScope` is the enclosing
+    * frame when this query is a subquery — references that do not resolve
+    * in `scope` but do in `outerScope` compile as outer references
+    * (Column.outer()), giving one level of correlation (reference: SQLite
+    * resolves arbitrarily nested outer references; we support the
+    * immediately-enclosing frame and name deeper nesting as D3). */
+  final case class Ctx(bdb: BayesDB, bql: BqlCtx, binds: Seq[Any], agg: Boolean,
+      scope: Option[Scope] = None, outerScope: Option[Scope] = None) {
     def withAgg(a: Boolean): Ctx = copy(agg = a)
   }
 
@@ -75,8 +87,12 @@ object Planner {
 
   // --------------------------------------------------------------- entry
 
-  def plan(bdb: BayesDB, q: Query, binds: Seq[Any]): DataFrame = q match {
-    case s: Select => planSelect(bdb, s, binds)
+  def plan(bdb: BayesDB, q: Query, binds: Seq[Any]): DataFrame =
+    plan(bdb, q, binds, None)
+
+  private def plan(bdb: BayesDB, q: Query, binds: Seq[Any],
+      outer: Option[Scope]): DataFrame = q match {
+    case s: Select => planSelect(bdb, s, binds, outer)
     case e: Estimate => planEstimate(bdb, e, binds)
     case e: EstBy => planEstBy(bdb, e, binds)
     case e: EstCols => planEstCols(bdb, e, binds)
@@ -195,21 +211,28 @@ object Planner {
 
   // -------------------------------------------------------------- SELECT
 
-  private def planSelect(bdb: BayesDB, s: Select, binds: Seq[Any]): DataFrame = {
+  private def planSelect(bdb: BayesDB, s: Select, binds: Seq[Any],
+      outer: Option[Scope] = None): DataFrame = {
+    val tabs: Seq[(String, DataFrame)] = s.tables.map { st =>
+      val df = st.table match {
+        case Right(name) => bdb.table(name)
+        case Left(sub) => plan(bdb, sub, binds)
+      }
+      val alias = st.name.getOrElse(st.table match {
+        case Right(name) => name
+        case Left(_) => "__sub__"
+      })
+      (alias, df)
+    }
     val base =
-      if (s.tables.isEmpty) bdb.spark.range(1).toDF("__dummy__")
-      else s.tables.map { st =>
-        val df = st.table match {
-          case Right(name) => bdb.table(name)
-          case Left(sub) => plan(bdb, sub, binds)
-        }
-        val alias = st.name.getOrElse(st.table match {
-          case Right(name) => name
-          case Left(_) => "__sub__"
-        })
-        df.as(alias)
-      }.reduceLeft(_ crossJoin _)
-    val ctx = Ctx(bdb, NoModelCtx, binds, agg = false)
+      if (tabs.isEmpty) bdb.spark.range(1).toDF("__dummy__")
+      else tabs.map { case (a, df) => df.as(a) }.reduceLeft(_ crossJoin _)
+    val scope = Scope(
+      tabs.flatMap(_._2.columns).map(Names.casefold).toSet,
+      tabs.map { case (a, df) =>
+        Names.casefold(a) -> df.columns.map(Names.casefold).toSet }.toMap)
+    val ctx = Ctx(bdb, NoModelCtx, binds, agg = false,
+      scope = Some(scope), outerScope = outer)
     assemble(base, Nil, s.columns, s.quantifier, s.condition, s.grouping,
       s.order, s.limit, ctx,
       starColumns = starCols(s.tables, bdb, binds))
@@ -232,8 +255,11 @@ object Planner {
   private def planEstimate(bdb: BayesDB, e: Estimate, binds: Seq[Any]): DataFrame = {
     val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
     val base = bdb.table(pm.population.table)
-    val ctx = Ctx(bdb,
-      RowCtx(pm, Some(base.columns.map(Names.casefold).toSet)), binds, agg = false)
+    val cols = base.columns.map(Names.casefold).toSet
+    val ctx = Ctx(bdb, RowCtx(pm, Some(cols)), binds, agg = false,
+      scope = Some(Scope(cols, Map(
+        Names.casefold(pm.population.table) -> cols,
+        Names.casefold(e.population) -> cols))))
     assemble(base, Nil, e.columns, e.quantifier, e.condition, e.grouping,
       e.order, e.limit, ctx,
       starColumns = base.columns.toSeq.filterNot(c => Names.casefold(c) == "rowid"))
@@ -437,21 +463,75 @@ object Planner {
       grouping: Option[Grouping],
       order: Seq[Ord],
       limit: Option[Lim],
-      ctx: Ctx,
+      ctx0: Ctx,
       starColumns: Seq[String]): DataFrame = {
 
-    val filtered = condition match {
+    // Pre-pass over every expression clause:
+    // (a) equality-correlated aggregate scalar subqueries decorrelate into
+    //     grouped left joins on the base frame (each distinct subquery
+    //     joins once even when mentioned in several clauses);
+    // (b) the LHS of a correlated IN materializes as a uniquely-named
+    //     hidden column on the outer frame — Column.outer() resolves
+    //     inner-first, so an outer-text expression whose names collide
+    //     with the subquery's columns would otherwise silently bind to
+    //     the inner frame.
+    var base0 = base
+    val hiddenOuter = Seq.newBuilder[String]
+    val subCache = scala.collection.mutable.Map[Exp, Exp]()
+    def rewriteSub(e: Exp): Exp = e match {
+      case sub @ ExpSub(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
+        subCache.getOrElseUpdate(sub, decorrelateAggScalar(ctx0, q) match {
+          case Some((attach, repl)) => base0 = attach(base0); repl
+          case None => sub
+        })
+      case inq @ ExpInQuery(x, p, q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
+        subCache.getOrElseUpdate(inq, {
+          val xn = s"__in_x_${subqueryTag.getAndIncrement()}"
+          base0 = base0.withColumn(xn, compile(x, ctx0))
+          hiddenOuter += xn
+          ExpInQuery(ExpCol(None, xn), p, q)
+        })
+      case ExpOp(op, os) => ExpOp(op, os.map(rewriteSub))
+      case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(rewriteSub))
+      case ExpCase(k, ws, o) => ExpCase(k.map(rewriteSub),
+        ws.map { case (a, b) => (rewriteSub(a), rewriteSub(b)) }, o.map(rewriteSub))
+      case ExpCast(x, t) => ExpCast(rewriteSub(x), t)
+      case ExpCollate(x, cl) => ExpCollate(rewriteSub(x), cl)
+      case ExpInExp(x, p, es) => ExpInExp(rewriteSub(x), p, es.map(rewriteSub))
+      case other => other
+    }
+    val columns1 = columns.map {
+      case SelColExp(e, nm) => SelColExp(rewriteSub(e), nm)
+      case other => other
+    }
+    val condition1 = condition.map(rewriteSub)
+    val grouping1 = grouping.map(g =>
+      Grouping(g.keys.map(rewriteSub), g.condition.map(rewriteSub)))
+    val order1 = order.map(o => Ord(rewriteSub(o.expression), o.asc))
+    val base1 = base0
+    // the hidden LHS columns are part of the outer frame's scope so the
+    // membership filter can reference them as outer references
+    val ctx = hiddenOuter.result() match {
+      case Nil => ctx0
+      case hs => ctx0.copy(scope = ctx0.scope.map(s =>
+        s.copy(names = s.names ++ hs.map(Names.casefold))))
+    }
+
+    val filtered = condition1 match {
       case Some(cond) =>
         // Scale-safe membership: top-level AND-conjuncts of the form
         // `x IN (subquery)` / `EXISTS (subquery)` become semi/anti joins so
         // the subquery result never collects to the driver (the nested
         // fallback in `compile` stays for metadata-sized positions).
+        // Correlated forms stay in the residual — compile plans them as
+        // native exists-subquery expressions, which Catalyst turns into
+        // the same semi/anti hash joins after decorrelation.
         val (joinable, residual) = conjuncts(cond).partition {
-          case ExpInQuery(_, _, _) => true
-          case ExpExists(_) => true
+          case ExpInQuery(_, _, q) => !isCorrelated(ctx, q)
+          case ExpExists(q) => !isCorrelated(ctx, q)
           case _ => false
         }
-        val joined = joinable.foldLeft(base) {
+        val joined = joinable.foldLeft(base1) {
           case (df, ExpInQuery(x, positive, q)) =>
             val sub = planSubquery(ctx, q)
             val v = s"__in_v_${subqueryTag.getAndIncrement()}"
@@ -477,12 +557,12 @@ object Planner {
           case Nil => joined
           case cs => joined.filter(cs.reduceLeft(_ && _))
         }
-      case None => base
+      case None => base1
     }
 
     // expand select items to (outputName, Exp)
     var autoIdx = -1
-    val items: Seq[(String, Exp)] = columns.flatMap {
+    val items: Seq[(String, Exp)] = columns1.flatMap {
       case SelColAll(None) => starColumns.map(c => c -> (ExpCol(None, c): Exp))
       case SelColAll(Some(t)) => starColumns.map(c => c -> (ExpCol(Some(t), c): Exp))
       case SelColSub(_, sub) =>
@@ -507,23 +587,23 @@ object Planner {
       case _ => e
     }
 
-    val grouped = grouping.isDefined
+    val grouped = grouping1.isDefined
     val hasAgg = items.exists(it => containsAggregate(it._2)) ||
-      grouping.exists(_.condition.exists(containsAggregate))
+      grouping1.exists(_.condition.exists(containsAggregate))
 
     val projected: DataFrame =
       if (grouped) {
-        val keys = grouping.get.keys.map(positional).map(compile(_, ctx))
+        val keys = grouping1.get.keys.map(positional).map(compile(_, ctx))
         val aggCtx = ctx.withAgg(true)
         // unique internal aliases: groupBy().agg() auto-prepends the
         // grouping columns, whose names may collide with select items
         val selCols = prefix.zipWithIndex.map { case ((_, c), k) => first(c).as(s"__pre_$k") } ++
           items.zipWithIndex.map { case ((_, e), k) => compile(e, aggCtx).as(s"__sel_$k") }
-        val havingCol = grouping.get.condition.map(c =>
+        val havingCol = grouping1.get.condition.map(c =>
           compile(c, aggCtx).as("__having__"))
         // ORDER BY may reference select aliases (SQL scoping) — resolve
         // alias / positional references to the item's expression
-        val ordCols = order.map(_.expression).map(positional).map {
+        val ordCols = order1.map(_.expression).map(positional).map {
           case ExpCol(None, c) if items.exists(it => Names.casefold(it._1) == Names.casefold(c)) =>
             items.find(it => Names.casefold(it._1) == Names.casefold(c)).get._2
           case e => e
@@ -531,8 +611,8 @@ object Planner {
         val allAggs = selCols ++ havingCol.toSeq ++ ordCols
         val g = filtered.groupBy(keys: _*).agg(allAggs.head, allAggs.tail: _*)
         val h = if (havingCol.isDefined) g.filter(col("__having__")) else g
-        val o = if (order.nonEmpty) {
-          h.orderBy(order.zipWithIndex.map { case (ord, k) =>
+        val o = if (order1.nonEmpty) {
+          h.orderBy(order1.zipWithIndex.map { case (ord, k) =>
             if (ord.asc) col(s"__ord_$k").asc else col(s"__ord_$k").desc
           }: _*)
         } else h
@@ -550,7 +630,7 @@ object Planner {
         // pre-compute order keys as hidden columns so arbitrary
         // expressions over base columns can sort the projection
         val distinctQ = quant == SelQuantDistinct
-        val ordExprs = order.map(_.expression).map(positional)
+        val ordExprs = order1.map(_.expression).map(positional)
         val ordResolved: Seq[Either[String, Exp]] = ordExprs.map {
           case ExpCol(None, c) if outNames.exists(n => Names.casefold(n) == Names.casefold(c)) =>
             Left(outNames.find(n => Names.casefold(n) == Names.casefold(c)).get)
@@ -569,10 +649,10 @@ object Planner {
         val proj0 = filtered.select(selCols ++ hidden.map { case (n, c) => c.as(n) }: _*)
         val proj1 = if (distinctQ) proj0.distinct() else proj0
         val sorted =
-          if (order.isEmpty) proj1
+          if (order1.isEmpty) proj1
           else proj1.orderBy(ordResolved.zipWithIndex.map { case (r, k) =>
             val c = r match { case Left(n) => col(n); case Right(_) => col(s"__ord_$k") }
-            if (order(k).asc) c.asc else c.desc
+            if (order1(k).asc) c.asc else c.desc
           }: _*)
         if (hidden.nonEmpty) sorted.drop(hidden.map(_._1): _*) else sorted
       }
@@ -618,6 +698,230 @@ object Planner {
   /** Unique suffix for internal join-key aliases (plans may nest). */
   private val subqueryTag = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // ------------------------------------------- correlated subqueries (D3)
+
+  /** rowid aliases resolve to the materialized rowid column. */
+  private def normRef(c: String): String = Names.casefold(c) match {
+    case "_rowid_" | "oid" => "rowid"
+    case cf => cf
+  }
+
+  /** The FROM-frame scope of a subquery, for correlation analysis.
+    * Subquery-valued FROM tables are planned to learn their columns
+    * (driver-side only; they are planned again when the query runs —
+    * Catalyst analysis cost, not data cost). */
+  private def queryScope(bdb: BayesDB, s: Select, binds: Seq[Any]): Scope = {
+    val tabs = s.tables.map { st =>
+      val cols = st.table match {
+        case Right(name) => bdb.table(name).columns.toSeq
+        case Left(sub) => plan(bdb, sub, binds).columns.toSeq
+      }
+      val alias = st.name.getOrElse(st.table match {
+        case Right(n) => n
+        case Left(_) => "__sub__"
+      })
+      (alias, cols)
+    }
+    Scope(tabs.flatMap(_._2).map(Names.casefold).toSet,
+      tabs.map { case (a, cs) =>
+        Names.casefold(a) -> cs.map(Names.casefold).toSet }.toMap)
+  }
+
+  /** Column references in `e` that do not resolve in `inner` but do in
+    * `outer` — the correlation witnesses. Nested subqueries analyze
+    * themselves (one level of correlation; deeper nesting stays D3). */
+  private def freeColRefs(e: Exp, inner: Scope, outer: Scope): Seq[ExpCol] = e match {
+    case c @ ExpCol(None, name) =>
+      val cf = normRef(name)
+      if (!inner.names(cf) && outer.names(cf)) Seq(c) else Nil
+    case c @ ExpCol(Some(t), name) =>
+      val tf = Names.casefold(t)
+      if (!inner.tables.contains(tf) &&
+        outer.tables.get(tf).exists(_(normRef(name)))) Seq(c) else Nil
+    case ExpSub(_) | ExpExists(_) => Nil
+    case ExpInQuery(x, _, _) => freeColRefs(x, inner, outer)
+    case ExpInExp(x, _, es) => (x +: es).flatMap(freeColRefs(_, inner, outer))
+    case ExpOp(_, os) => os.flatMap(freeColRefs(_, inner, outer))
+    case ExpApp(_, _, args) => args.flatMap(freeColRefs(_, inner, outer))
+    case ExpCase(k, ws, o) =>
+      (k.toSeq ++ ws.flatMap(w => Seq(w._1, w._2)) ++ o.toSeq)
+        .flatMap(freeColRefs(_, inner, outer))
+    case ExpCast(x, _) => freeColRefs(x, inner, outer)
+    case ExpCollate(x, _) => freeColRefs(x, inner, outer)
+    case _ => Nil
+  }
+
+  /** All expressions of a Select reachable for correlation analysis. */
+  private def selectExps(s: Select): Seq[Exp] =
+    s.columns.collect { case SelColExp(e, _) => e } ++
+      s.condition.toSeq ++
+      s.grouping.toSeq.flatMap(g => g.keys ++ g.condition.toSeq) ++
+      s.order.map(_.expression)
+
+  /** Whether subquery `q` references the enclosing frame (equality or
+    * otherwise). Only Select subqueries participate; anything else keeps
+    * the uncorrelated path and its named error. */
+  private def isCorrelated(ctx: Ctx, q: Query): Boolean = q match {
+    case s: Select if ctx.scope.isDefined =>
+      val inner = queryScope(ctx.bdb, s, ctx.binds)
+      selectExps(s).exists(e => freeColRefs(e, inner, ctx.scope.get).nonEmpty)
+    case _ => false
+  }
+
+  /** Plan a correlated subquery: outer references (resolved against
+    * `ctx.scope`) compile as Column.outer() and Catalyst decorrelates
+    * (exists / non-aggregate scalar). */
+  private def planWithOuter(ctx: Ctx, q: Query): DataFrame = q match {
+    case s: Select => planSelect(ctx.bdb, s, ctx.binds, ctx.scope)
+    case other => planSubquery(ctx, other)
+  }
+
+  /** Compile an outer-query expression for embedding inside a subquery
+    * plan: every column reference is an outer reference by construction
+    * (the expression's text sits outside the subquery). */
+  private def compileAllOuter(x: Exp, ctx: Ctx): Column =
+    compile(x, ctx.copy(scope = Some(Scope(Set.empty, Map.empty)),
+      outerScope = ctx.scope))
+
+  /** Outer-reference marking at the column leaf: a name that does not
+    * resolve in this query's own frame but does in the enclosing frame
+    * compiles as Column.outer() (inner-first scoping, as SQLite). */
+  private def markOuter(c: Column, ctx: Ctx, table: Option[String],
+      name: String): Column = (ctx.scope, ctx.outerScope) match {
+    case (Some(inner), Some(outer)) =>
+      val isOuter = table match {
+        case None =>
+          val cf = normRef(name)
+          !inner.names(cf) && outer.names(cf)
+        case Some(t) =>
+          val tf = Names.casefold(t)
+          !inner.tables.contains(tf) &&
+            outer.tables.get(tf).exists(_(normRef(name)))
+      }
+      if (isOuter) c.outer() else c
+    case _ => c
+  }
+
+  /** Correlated scalar subquery: aggregate forms decorrelate into a
+    * grouped join at the assemble pre-pass; reaching here means a
+    * non-aggregate form — Catalyst's native scalar-subquery expression
+    * handles those (first matching row, NULL when none). Aggregate forms
+    * that the pre-pass could not decorrelate (non-equality correlation,
+    * grouped/limited subqueries) are rejected eagerly with the named
+    * divergence — Catalyst cannot resolve outer references below an
+    * Aggregate in the DataFrame subquery API, and the failure would
+    * otherwise surface later as a bare unresolved-column error. */
+  private def correlatedScalar(ctx: Ctx, q: Query): Column = {
+    val hasAgg = q match {
+      case s: Select =>
+        s.columns.exists { case SelColExp(e, _) => containsAggregate(e); case _ => false } ||
+          s.grouping.isDefined
+      case _ => false
+    }
+    if (hasAgg) throw new UnsupportedOperationException(
+      "Correlated aggregate subquery shape not supported (divergence D3): " +
+        "only the single-item equality-correlated form decorrelates " +
+        "(SELECT agg(..) FROM t WHERE k = outer.k [AND inner-only ...])")
+    planWithOuter(ctx, q).limit(1).scalar()
+  }
+
+  /** Column references of an expression that resolve in `inner`
+    * (inner-first scoping, mirroring freeColRefs). */
+  private def innerColRefs(e: Exp, inner: Scope): Seq[ExpCol] = e match {
+    case c @ ExpCol(None, name) if inner.names(normRef(name)) => Seq(c)
+    case c @ ExpCol(Some(t), _) if inner.tables.contains(Names.casefold(t)) => Seq(c)
+    case ExpCol(_, _) => Nil
+    case ExpSub(_) | ExpExists(_) => Nil
+    case ExpInQuery(x, _, _) => innerColRefs(x, inner)
+    case ExpInExp(x, _, es) => (x +: es).flatMap(innerColRefs(_, inner))
+    case ExpOp(_, os) => os.flatMap(innerColRefs(_, inner))
+    case ExpApp(_, _, args) => args.flatMap(innerColRefs(_, inner))
+    case ExpCase(k, ws, o) =>
+      (k.toSeq ++ ws.flatMap(w => Seq(w._1, w._2)) ++ o.toSeq)
+        .flatMap(innerColRefs(_, inner))
+    case ExpCast(x, _) => innerColRefs(x, inner)
+    case ExpCollate(x, _) => innerColRefs(x, inner)
+    case _ => Nil
+  }
+
+  /** Decorrelate `(SELECT agg(e) FROM t WHERE k = outer.k AND residual)`
+    * into a grouped left join — Catalyst's DataFrame subquery API does not
+    * yet resolve outer references below an Aggregate, so the rewrite the
+    * optimizer performs for SQL text is done here: group the inner query
+    * by its correlation keys, left-join on the outer side's expressions,
+    * and read the aggregate off the joined column (COUNT/TOTAL coalesce
+    * to 0 for unmatched outer rows — the classic count-bug case; SUM and
+    * friends stay NULL, matching SQL over an empty set). At scale this is
+    * exactly the shuffle Catalyst would plan for the SQL-text form: one
+    * grouped aggregate of the inner table plus one equi-join.
+    * Returns None when the shape is not the supported
+    * single-aggregate-item equality-correlated form. */
+  private def decorrelateAggScalar(ctx: Ctx, q: Query): Option[(DataFrame => DataFrame, Exp)] = q match {
+    case s: Select
+        if ctx.scope.isDefined && s.tables.nonEmpty && s.grouping.isEmpty &&
+          s.order.isEmpty && s.limit.isEmpty && s.quantifier == SelQuantAll &&
+          s.columns.sizeIs == 1 =>
+      val outer = ctx.scope.get
+      val inner = queryScope(ctx.bdb, s, ctx.binds)
+      def refsOuter(e: Exp): Boolean = freeColRefs(e, inner, outer).nonEmpty
+      val aggItem = s.columns.head match {
+        case SelColExp(e, _) if containsAggregate(e) && !refsOuter(e) => Some(e)
+        case _ => None
+      }
+      aggItem.flatMap { aggExp =>
+        // classify WHERE conjuncts: Right = correlation pair
+        // (innerSide, outerSide), Left(Some) = inner residual,
+        // Left(None) = a shape that blocks decorrelation
+        val parts: Seq[Either[Option[Exp], (Exp, Exp)]] =
+          s.condition.toSeq.flatMap(conjuncts).map {
+            case eq @ ExpOp(Op.Eq, Seq(a, b)) =>
+              (refsOuter(a), refsOuter(b)) match {
+                case (false, true) if innerColRefs(b, inner).isEmpty => Right((a, b))
+                case (true, false) if innerColRefs(a, inner).isEmpty => Right((b, a))
+                case (false, false) => Left(Some(eq))
+                case _ => Left(None)
+              }
+            case c if !refsOuter(c) => Left(Some(c))
+            case _ => Left(None)
+          }
+        val corr = parts.collect { case Right(p) => p }
+        val residual = parts.collect { case Left(Some(c)) => c }
+        val blocked = parts.contains(Left(None))
+        if (blocked || corr.isEmpty) None
+        else {
+          val tag = subqueryTag.getAndIncrement()
+          val vName = s"__v_$tag"
+          val keyNames = corr.indices.map(i => s"__ck_${tag}_$i")
+          val innerSel = Select(SelQuantAll,
+            corr.zipWithIndex.map { case ((in, _), i) =>
+              SelColExp(in, Some(keyNames(i))) } :+
+              SelColExp(aggExp, Some(vName)),
+            s.tables,
+            residual.reduceLeftOption((a, b) => ExpOp(Op.BoolAnd, Seq(a, b))),
+            Some(Grouping(corr.map(_._1), None)), Nil, None)
+          val innerDf = plan(ctx.bdb, innerSel, ctx.binds)
+          val attach: DataFrame => DataFrame = { df =>
+            df.join(innerDf,
+              corr.zipWithIndex.map { case ((_, out), i) =>
+                compile(out, ctx) === innerDf(keyNames(i)) }.reduce(_ && _),
+              "left_outer").drop(keyNames: _*)
+          }
+          // COUNT/TOTAL over an empty correlated set is 0, not NULL
+          val countLike = aggExp match {
+            case ExpAppStar(fn) => Names.casefold(fn) == "count"
+            case ExpApp(_, fn, _) => Set("count", "total")(Names.casefold(fn))
+            case _ => false
+          }
+          val replacement =
+            if (countLike) ExpApp(distinct = false, "ifnull",
+              Seq(ExpCol(None, vName), ExpLit(LitInt(0))))
+            else ExpCol(None, vName)
+          Some((attach, replacement))
+        }
+      }
+    case _ => None
+  }
+
   // -------------------------------------------------- expression compile
 
   def compile(e: Exp, ctx: Ctx): Column = e match {
@@ -630,11 +934,11 @@ object Planner {
     case ExpCol(None, c) if Set("_rowid_", "oid")(Names.casefold(c)) =>
       // SQLite rowid aliases (reference: bayesdb_rowid_tokens,
       // src/schema.py:34-40) resolve to the materialized rowid column
-      col("rowid")
-    case ExpCol(None, c) => col(c)
+      markOuter(col("rowid"), ctx, None, "rowid")
+    case ExpCol(None, c) => markOuter(col(c), ctx, None, c)
     case ExpCol(Some(t), c) if Set("_rowid_", "oid")(Names.casefold(c)) =>
-      col(s"$t.rowid")
-    case ExpCol(Some(t), c) => col(s"$t.$c")
+      markOuter(col(s"$t.rowid"), ctx, Some(t), "rowid")
+    case ExpCol(Some(t), c) => markOuter(col(s"$t.$c"), ctx, Some(t), c)
     case ExpCollate(x, _) => compile(x, ctx)  // collation handled at comparison sites
     case ExpCast(x, t) => compile(x, ctx).cast(castType(t))
     case ExpCase(key, whens, otherwise) =>
@@ -663,12 +967,52 @@ object Planner {
       if (!ctx.agg) throw new IllegalArgumentException(
         "Aggregate COUNT(*) outside aggregate context")
       count(lit(1))
-    case ExpSub(q) => lit(scalarSubquery(ctx, q))
-    case ExpExists(q) => lit(planSubquery(ctx, q).limit(1).count() > 0)
+    case ExpSub(q) =>
+      if (isCorrelated(ctx, q)) correlatedScalar(ctx, q)
+      else lit(scalarSubquery(ctx, q))
+    case ExpExists(q) =>
+      if (isCorrelated(ctx, q)) planWithOuter(ctx, q).exists()
+      else lit(planSubquery(ctx, q).limit(1).count() > 0)
     case ExpInQuery(x, positive, q) =>
-      val values = planSubquery(ctx, q).collect().map(_.get(0)).toSeq
-      val in = compile(x, ctx).isin(values: _*)
-      if (positive) in else !in
+      if (isCorrelated(ctx, q)) {
+        // correlated IN: rewrite to EXISTS with a membership filter; the
+        // NOT IN form uses the null-aware `v = x OR isnull(v = x)` shape
+        // so a NULL key or NULL element yields the SQL three-valued result.
+        // The subquery's output column is force-aliased from the AST —
+        // asking the correlated plan for its schema would trigger eager
+        // analysis before the outer frame can resolve the outer refs.
+        val (sub, vName) = q match {
+          case s: Select => s.columns match {
+            case Seq(SelColExp(e, _)) =>
+              val vn = s"__in_v_${subqueryTag.getAndIncrement()}"
+              (planWithOuter(ctx, s.copy(columns = Seq(SelColExp(e, Some(vn))))), vn)
+            case _ =>
+              (planWithOuter(ctx, s), starCols(s.tables, ctx.bdb, ctx.binds).head)
+          }
+          case other => throw new UnsupportedOperationException(
+            s"Correlated IN-subquery must be a SELECT (divergence D3): $other")
+        }
+        // outer-reference resolution is inner-first: an LHS name that also
+        // exists in the subquery frame would silently bind inner — the
+        // assemble pre-pass rewrites the LHS to a unique hidden column;
+        // any other route with a colliding name is rejected, not wrong
+        q match {
+          case s: Select =>
+            val innerSc = queryScope(ctx.bdb, s, ctx.binds)
+            require(innerColRefs(x, innerSc).isEmpty,
+              "Correlated IN whose left side collides with subquery column " +
+                s"names is not supported here (divergence D3): $x")
+          case _ => ()
+        }
+        val v = col(vName)
+        val xo = compileAllOuter(x, ctx)
+        if (positive) sub.filter(v === xo).exists()
+        else !sub.filter((v === xo) || (v === xo).isNull).exists()
+      } else {
+        val values = planSubquery(ctx, q).collect().map(_.get(0)).toSeq
+        val in = compile(x, ctx).isin(values: _*)
+        if (positive) in else !in
+      }
     case ExpInExp(x, positive, es) =>
       val in =
         if (es.isEmpty) lit(false)

@@ -1,0 +1,92 @@
+package graft
+
+import graft.bql.BayesDB
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correlated subqueries (reference: inherited from SQLite,
+  * src/compiler.py:1795-1797 passes any `(query)` through; we decorrelate
+  * the equality-correlated forms — D3 narrowed in round 4). */
+class CorrelatedSubquerySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val bdb: BayesDB = {
+    val b = new BayesDB(spark, seed = 11L)
+    import spark.implicits._
+    b.registerTable("dept", Seq(
+      (1L, "eng"), (2L, "ops"), (3L, "empty")).toDF("dk", "dname"))
+    b.registerTable("emp", Seq(
+      (1L, "ann", 100.0), (1L, "bob", 150.0), (2L, "cid", 90.0),
+      (2L, "dee", 120.0), (2L, "eve", 80.0)).toDF("edk", "ename", "sal"))
+    b
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    bdb.execute(sql).collect().toSeq.map(_.toSeq)
+
+  test("correlated scalar count decorrelates; empty group counts 0") {
+    assert(rows("select dname, (select count(*) from emp where edk = dk) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 3L)))
+  }
+
+  test("correlated scalar max; empty group is NULL") {
+    assert(rows("select dname, (select max(sal) from emp where edk = dk) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
+  }
+
+  test("correlated scalar with residual inner filter") {
+    assert(rows("select dname, (select count(ename) from emp where edk = dk and sal > 95) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 1L)))
+  }
+
+  test("correlated scalar in WHERE and ORDER BY") {
+    assert(rows("select dname from dept where (select count(*) from emp where edk = dk) > 0" +
+      " order by (select sum(sal) from emp where edk = dk) desc") ==
+      Seq(Seq("ops"), Seq("eng")))
+  }
+
+  test("correlated EXISTS / NOT EXISTS") {
+    assert(rows("select dname from dept where exists (select 1 from emp where edk = dk and sal > 120) order by dname") ==
+      Seq(Seq("eng")))
+    assert(rows("select dname from dept where not exists (select 1 from emp where edk = dk) order by dname") ==
+      Seq(Seq("empty")))
+  }
+
+  test("correlated IN / NOT IN") {
+    assert(rows("select ename from emp where sal in (select sal from emp as e2 where e2.edk = emp.edk and e2.sal > 100) order by ename") ==
+      Seq(Seq("bob"), Seq("dee")))
+    assert(rows("select ename from emp where sal not in (select sal from emp as e2 where e2.edk = emp.edk and e2.sal > 100) order by ename") ==
+      Seq(Seq("ann"), Seq("cid"), Seq("eve")))
+  }
+
+  test("correlated scalar qualified outer reference") {
+    assert(rows("select dname, (select count(*) from emp where edk = dept.dk) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 3L)))
+  }
+
+  test("aggregate correlation by non-equality stays D3") {
+    val e = intercept[UnsupportedOperationException] {
+      rows("select dname, (select count(*) from emp where sal > dk) from dept")
+    }
+    assert(e.getMessage.contains("D3"))
+  }
+
+  test("correlated non-aggregate scalar takes first matching row") {
+    assert(rows("select dname, (select ename from emp where edk = dk and sal > 140) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", "bob"), Seq("ops", null)))
+  }
+
+  test("name collision resolves inner-first (SQLite scoping)") {
+    // `edk` inside the subquery binds e2's own edk, not the outer emp's:
+    // e2.edk = e2.edk is vacuously true, so every row with sal above the
+    // global min survives — same answer SQLite gives for this text
+    assert(rows("select ename from emp where sal > (select min(sal) from emp as e2 where edk = edk) order by ename") ==
+      Seq(Seq("ann"), Seq("bob"), Seq("cid"), Seq("dee")))
+  }
+
+  test("uncorrelated subqueries unchanged") {
+    assert(rows("select dname from dept where dk = (select min(edk) from emp) order by dname") ==
+      Seq(Seq("eng")))
+    assert(rows("select dname from dept where dk in (select edk from emp) order by dname") ==
+      Seq(Seq("eng"), Seq("ops")))
+  }
+}

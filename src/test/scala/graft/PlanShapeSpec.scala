@@ -95,10 +95,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"stored table must prune unused columns: $read")
   }
 
-  test("correlated subquery raises the named D3 divergence error") {
+  test("equality-correlated IN decorrelates; non-equality agg keeps D3") {
+    // round 4: the equality-correlated forms decorrelate (D3 narrowed) —
+    // no refs.tag equals a t1.label, so the correlated IN is empty-set
+    assert(bdb.execute(
+      "select id from t1 where id in (select ref_id from refs where tag = t1.label)")
+      .collect().isEmpty)
+    // genuinely non-decorrelatable: aggregate correlated by inequality
     val e = intercept[UnsupportedOperationException] {
       bdb.execute(
-        "select id from t1 where id in (select ref_id from refs where tag = t1.label)")
+        "select id, (select count(*) from refs where ref_id < id) from t1")
         .collect()
     }
     assert(e.getMessage.contains("D3"))
