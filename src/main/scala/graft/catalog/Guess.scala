@@ -131,20 +131,20 @@ object Guess {
         (st.allInt || (st.allFloat && st.allIntegral) || !st.allFloat)
       if (!haveKey && keyable) {
         ColumnGuess("", StatType.Key, st.nDistinct,
-          s"$reason This was the first column in the table with all distinct " +
-            "integers or strings.".trim)
+          (s"$reason This was the first column in the table with all distinct " +
+            "integers or strings.").trim)
       } else if (numericable && st.nDistinct > numcatCount &&
           st.nDistinct.toDouble / totalLen > numcatRatio) {
         ColumnGuess("", StatType.Numerical, st.nDistinct,
-          s"$reason There are at least $numcatCount unique numerical values, " +
+          (s"$reason There are at least $numcatCount unique numerical values, " +
             s"and they account for at least ${(100 * numcatRatio).toInt} percent " +
-            "of all values in the column.".trim)
+            "of all values in the column.").trim)
       } else if (st.nDistinct > numcatCount &&
           st.nDistinct.toDouble / totalLen > distinctRatio) {
         ColumnGuess("", StatType.Ignore, st.nDistinct,
-          s"$reason There are more than $numcatCount distinct values and they " +
+          (s"$reason There are more than $numcatCount distinct values and they " +
             s"account for more than ${(100 * distinctRatio).toInt} percent of the " +
-            "values in the column, so the column is ignored as a pseudo-key.".trim)
+            "values in the column, so the column is ignored as a pseudo-key.").trim)
       } else {
         ColumnGuess("", StatType.Nominal, st.nDistinct,
           (if (numericable)

@@ -204,6 +204,72 @@ object StatsQueries {
       .orderBy("column")
   }
 
+  /** DuckDB oracle for GUESS SCHEMA (reference decision procedure,
+    * src/guess.py:227-297): stack every column as trimmed strings with
+    * the null markers removed, aggregate per-column stats once, then the
+    * same CASE ladder — only-one-value → ignore; first keyable column →
+    * key; many distinct numbers → numerical; high-distinct → ignore
+    * (pseudo-key); else nominal. The >90%-dominant-value nullify-reguess
+    * recursion is not expressible in one SQL pass and never fires on this
+    * data (GuessSpec pins that branch). */
+  private def guessOracle(table: String, cols: Seq[String], withReason: Boolean): String = {
+    val vals = cols.zipWithIndex.map { case (c, i) =>
+      s"""SELECT $i AS ord, '$c' AS colname,
+         |  CASE WHEN trim(CAST($c AS VARCHAR)) IN ('','N/A','none','None')
+         |       THEN NULL ELSE trim(CAST($c AS VARCHAR)) END AS v
+         |FROM $table""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val reason = if (!withReason) "" else
+      """,
+        |  CASE WHEN nd < 2 THEN 'There is only one unique value.'
+        |       WHEN is_key THEN 'This was the first column in the table with all distinct integers or strings.'
+        |       WHEN numericable AND nd > 20 AND CAST(nd AS DOUBLE) / n > 0.02
+        |         THEN 'There are at least 20 unique numerical values, and they account for at least 2 percent of all values in the column.'
+        |       WHEN nd > 20 AND CAST(nd AS DOUBLE) / n > 0.9
+        |         THEN 'There are more than 20 distinct values and they account for more than 90 percent of the values in the column, so the column is ignored as a pseudo-key.'
+        |       WHEN numericable
+        |         THEN 'There are fewer than 20 distinct numerical values, or the ratio of distinct values to total values is low.'
+        |       ELSE 'The values are nonnumerical.' END AS reason""".stripMargin
+    s"""WITH tot AS (SELECT count(*) AS n FROM $table),
+       |vals AS (
+       |  $vals
+       |),
+       |cnts AS (SELECT ord, colname, v, count(*) AS c FROM vals
+       |         WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT ord, colname, count(*) AS nd, CAST(sum(c) AS BIGINT) AS nonnull,
+       |         bool_and(regexp_matches(v, '^[+-]?[0-9]+$$')) AS all_int,
+       |         bool_and(try_cast(v AS DOUBLE) IS NOT NULL) AS all_float,
+       |         bool_and(coalesce(try_cast(v AS DOUBLE) = floor(try_cast(v AS DOUBLE)), FALSE)) AS all_integral
+       |  FROM cnts GROUP BY 1, 2),
+       |dec0 AS (
+       |  SELECT st.*, tot.n,
+       |         (nonnull = n AND nd = n AND
+       |          (all_int OR (all_float AND all_integral) OR NOT all_float)) AS keyable,
+       |         (all_int OR all_float) AS numericable
+       |  FROM st, tot),
+       |dec AS (SELECT *,
+       |          keyable AND ord = min(CASE WHEN keyable THEN ord END) OVER () AS is_key
+       |        FROM dec0)
+       |SELECT colname AS "column",
+       |  CASE WHEN nd < 2 THEN 'ignore'
+       |       WHEN is_key THEN 'key'
+       |       WHEN numericable AND nd > 20 AND CAST(nd AS DOUBLE) / n > 0.02 THEN 'numerical'
+       |       WHEN nd > 20 AND CAST(nd AS DOUBLE) / n > 0.9 THEN 'ignore'
+       |       ELSE 'nominal' END AS stattype,
+       |  CAST(nd AS BIGINT) AS num_distinct$reason
+       |FROM dec ORDER BY "column"""".stripMargin
+  }
+
+  val s07Sql: String = guessOracle("customer",
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    withReason = false)
+
+  /** Shared with BqlQueries' b05 (GUESS SCHEMA FOR documents). */
+  val b05Sql: String = guessOracle("documents",
+    Seq("doc_id", "text", "lang", "source", "n_chars"),
+    withReason = true)
+
   val queries: Map[String, Q] = Map(
     "s01_corr_pearson" -> s01CorrPearson,
     "s02_cramer_phi" -> s02CramerPhi,
@@ -217,6 +283,7 @@ object StatsQueries {
     "s10_f_pvalue_d1_2" -> s10FPValueD12)
 
   val oracles: Map[String, String] = Map(
+    "s07_guess_schema" -> s07Sql,
     "s01_corr_pearson" -> s01Sql,
     "s02_cramer_phi" -> s02Sql,
     "s03_anova_r2" -> s03Sql,
