@@ -52,6 +52,8 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
   def catalog: Catalog = catalog0
   private val tables = TrieMap.empty[String, DataFrame]
   private val states = TrieMap.empty[String, GeneratorState]
+  /** BEGIN-transaction snapshot: (catalog, table registry, model states). */
+  private var txnSnapshot: Option[(Catalog, Map[String, DataFrame], Map[String, GeneratorState])] = None
 
   private[bql] def restore(cat: Catalog, sts: Map[String, GeneratorState]): Unit = {
     catalog0 = cat
@@ -227,8 +229,29 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
   private def emptyResult: DataFrame = spark.emptyDataFrame
 
   private def runCommand(c: Ast.Command, binds: Seq[Any]): DataFrame = c match {
-    // Transactions: no Spark equivalent — accepted, ignored (SURVEY §1.1).
-    case Ast.Begin | Ast.Commit | Ast.Rollback => emptyResult
+    // Transactions (reference: src/txn.py:27-121 — single-level BEGIN,
+    // nested savepoints are a Python-API affair; src/bql.py:67-77).
+    // BEGIN snapshots the catalog, the table registry, and the fitted
+    // model states; ROLLBACK restores all three. Tables are immutable
+    // DataFrames, so the registry snapshot rolls back CREATE TABLE /
+    // NULLIFY too; orphaned tableStore parquet is harmless. D5 narrows
+    // to: no multi-statement atomicity across concurrent sessions.
+    case Ast.Begin =>
+      require(txnSnapshot.isEmpty, "Already in a transaction")
+      txnSnapshot = Some((catalog0.snapshot(), tables.toMap, states.toMap))
+      emptyResult
+    case Ast.Commit =>
+      require(txnSnapshot.nonEmpty, "Not in a transaction")
+      txnSnapshot = None
+      emptyResult
+    case Ast.Rollback =>
+      val (cat, tabs, sts) = txnSnapshot.getOrElse(
+        throw new IllegalArgumentException("Not in a transaction"))
+      catalog0 = cat
+      tables.clear(); tables ++= tabs
+      states.clear(); states ++= sts
+      txnSnapshot = None
+      emptyResult
 
     case Ast.CreateTabAs(_, ifNotExists, name, query) =>
       if (hasTable(name)) {

@@ -177,6 +177,20 @@ final class Catalog extends Serializable {
     ()
   }
 
+  /** Copy-on-write snapshot for BEGIN … ROLLBACK (reference: the
+    * transactional metadata cache, src/txn.py:27-121). All entries are
+    * immutable case classes, so copying the maps and counters is a full
+    * snapshot; restoring means adopting the copied instance. */
+  def snapshot(): Catalog = {
+    val c = new Catalog
+    c.populations ++= populations
+    c.generators ++= generators
+    c.models ++= models
+    c.nextPopId.set(nextPopId.get())
+    c.nextGenId.set(nextGenId.get())
+    c
+  }
+
   /** Replace a population's variable list in place (ALTER POPULATION
     * ADD VARIABLE / SET STATTYPE). Refuses while generators are attached
     * — fitted states would silently diverge from the metadata. */

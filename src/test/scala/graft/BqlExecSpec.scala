@@ -192,10 +192,35 @@ class BqlExecSpec extends AnyFunSuite {
       graft.catalog.StatType.Nominal)
   }
 
-  test("transactions are accepted no-ops") {
-    bdb.execute("begin")
-    bdb.execute("commit")
-    bdb.execute("rollback")
+  test("BEGIN...ROLLBACK restores catalog, tables, and model states") {
+    val b = new BayesDB(spark, seed = 5L)
+    import spark.implicits._
+    b.registerTable("tx", Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("k", "x"))
+    b.execute("begin")
+    b.execute("create table tx2 as select * from tx where k > 1")
+    b.execute("create population txp for tx (k ignore; x numerical)")
+    b.execute("create generator txg for txp using nig_normal")
+    b.execute("initialize 2 models for txg")
+    b.nullify("tx", "x", 2.0)
+    assert(b.hasTable("tx2") && b.catalog.population("txp").isDefined)
+    assert(b.execute("select x from tx where k = 1").collect().head.isNullAt(0))
+    b.execute("rollback")
+    // no trace: DDL undone, nullify undone, model state gone
+    assert(!b.hasTable("tx2"))
+    assert(b.catalog.population("txp").isEmpty)
+    assert(b.catalog.generator("txg").isEmpty)
+    assert(b.execute("select x from tx where k = 1").collect().head.getDouble(0) == 2.0)
+    // COMMIT keeps effects
+    b.execute("begin")
+    b.execute("create table tx3 as select * from tx")
+    b.execute("commit")
+    assert(b.hasTable("tx3"))
+    // txn state machine matches the reference (src/txn.py:67-86)
+    intercept[IllegalArgumentException](b.execute("commit"))
+    intercept[IllegalArgumentException](b.execute("rollback"))
+    b.execute("begin")
+    intercept[IllegalArgumentException](b.execute("begin"))
+    b.execute("rollback")
   }
 
   // --------------------------------------------------------- estimators
