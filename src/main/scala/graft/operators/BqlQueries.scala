@@ -247,6 +247,18 @@ object BqlQueries {
       |WHERE rowid <= 300
       |ORDER BY rowid""".stripMargin)
 
+  /** b24: INFER through an OVERRIDE-composed output at bench scale —
+    * PREDICT l_discount routes through the network: the linreg node
+    * conditions on l_quantity, and the baseline evidence flows through
+    * the CrossCat row context (CompositionSpec pins the imputed values
+    * against the fitted line on a synthetic fixture). */
+  val b24ForeignInfer: Q = (spark, dir) => bdb(spark, dir).execute(
+    """INFER EXPLICIT rowid, l_quantity,
+      |  PREDICT l_discount AS disc_hat CONFIDENCE disc_conf USING 4 SAMPLES
+      |FROM lpop MODELED BY lcomp
+      |WHERE rowid <= 200
+      |ORDER BY rowid""".stripMargin)
+
   /** b21: cgpm composition — network dependence over a population whose
     * generator carries a LATENT factor (factor_analysis) and a linreg
     * OVERRIDE node; the latent appears as a first-class variable. */
@@ -329,7 +341,32 @@ object BqlQueries {
       |WHERE r_name IS NOT NULL AND NOT (r_regionkey IS NOT DISTINCT FROM 99)
       |ORDER BY r_regionkey""".stripMargin
 
+  /** b23: correlated subqueries (round-4 D3 narrowing) — an aggregate
+    * scalar decorrelated into a grouped left join (count with the empty
+    * group = 0 case live: some nations have no customers at sf0.001), a
+    * second correlated aggregate, and a correlated EXISTS planned as a
+    * native exists-subquery (reference: correlated subqueries come free
+    * from SQLite, src/compiler.py:1795-1797). */
+  val b23Correlated: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT n_name,
+      |       (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS custs,
+      |       (SELECT max(c_acctbal) FROM customer WHERE c_nationkey = n_nationkey) AS top_bal
+      |FROM nation
+      |WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+      |ORDER BY custs DESC, n_name
+      |LIMIT 10""".stripMargin)
+
+  val b23Sql: String =
+    """SELECT n_name,
+      |       (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS custs,
+      |       (SELECT max(c_acctbal) FROM customer WHERE c_nationkey = n_nationkey) AS top_bal
+      |FROM nation
+      |WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+      |ORDER BY custs DESC, n_name
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "b23_bql_correlated_subquery" -> b23Correlated,
     "b17_bql_exists" -> b17Exists,
     "b18_bql_glob_collate" -> b18GlobCollate,
     "b19_bql_positional" -> b19Positional,
@@ -339,6 +376,7 @@ object BqlQueries {
     "b16_crosscat_simulate" -> b16CrosscatSimulate,
     "b21_cgpm_composition" -> b21Composition,
     "b22_crosscat_infer" -> b22CrosscatInfer,
+    "b24_foreign_infer" -> b24ForeignInfer,
     "b01_bql_select" -> b01Select,
     "b02_bql_join" -> b02Join,
     "b03_bql_subquery" -> b03Subquery,
@@ -354,6 +392,8 @@ object BqlQueries {
     "b13_bql_variables" -> b13Variables)
 
   val oracles: Map[String, String] = Map(
+    "b05_bql_guess_schema" -> StatsQueries.b05Sql,
+    "b23_bql_correlated_subquery" -> b23Sql,
     "b01_bql_select" -> b01Sql,
     "b02_bql_join" -> b02Sql,
     "b03_bql_subquery" -> b03Sql,

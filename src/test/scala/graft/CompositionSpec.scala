@@ -225,6 +225,27 @@ class CompositionSpec extends AnyFunSuite {
     assert(preds.count() == 3)
   }
 
+  test("INFER on a foreign output tracks the regression line (value pin)") {
+    // b24's semantics at unit scale: PREDICT y conditions on each row's
+    // observed x through the linreg node, so the imputed value must track
+    // 2x+1 — not the marginal mean (which a marginal-draw bug would give)
+    // MODELED BY gc: an earlier case attaches a second (plain) generator
+    // to pc, and an unscoped PREDICT picks a random generator per row
+    // (reference: bql_predict chooses among the population's generators)
+    val rows = bdb.execute(
+      "infer explicit x, predict y as y_hat using 16 samples from pc modeled by gc where rowid <= 40 order by rowid")
+      .collect()
+    val errs = rows.map { r =>
+      math.abs(r.getDouble(1) - (2.0 * r.getDouble(0) + 1.0)) }
+    val mae = errs.sum / errs.length
+    assert(mae < 1.0, s"mean |y_hat - (2x+1)| = $mae; y_hat must condition on x")
+    // and it must beat the marginal: average |marginal mean - (2x+1)|
+    val yMean = bdb.execute("select avg(y) from tc").collect().head.getDouble(0)
+    val marginalMae = rows.map(r => math.abs(yMean - (2.0 * r.getDouble(0) + 1.0))).sum / rows.length
+    assert(mae < marginalMae / 2,
+      s"conditioned MAE $mae should be far below marginal MAE $marginalMae")
+  }
+
   test("foreign-output given conditions an incorporated-row simulate") {
     // SIMULATE x GIVEN rowid, y=c: y is a foreign (linreg) output whose
     // input is x, so the given must inform the x draw — the network path
