@@ -254,12 +254,13 @@ object Planner {
 
   private def planEstimate(bdb: BayesDB, e: Estimate, binds: Seq[Any]): DataFrame = {
     val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
-    val base = bdb.table(pm.population.table)
+    // aliased by table name so correlated subqueries can reference the
+    // frame qualified, as the reference's compiled `FROM base_table` does
+    val base = bdb.table(pm.population.table).as(pm.population.table)
     val cols = base.columns.map(Names.casefold).toSet
     val ctx = Ctx(bdb, RowCtx(pm, Some(cols)), binds, agg = false,
       scope = Some(Scope(cols, Map(
-        Names.casefold(pm.population.table) -> cols,
-        Names.casefold(e.population) -> cols))))
+        Names.casefold(pm.population.table) -> cols))))
     assemble(base, Nil, e.columns, e.quantifier, e.condition, e.grouping,
       e.order, e.limit, ctx,
       starColumns = base.columns.toSeq.filterNot(c => Names.casefold(c) == "rowid"))
@@ -376,9 +377,11 @@ object Planner {
 
   private def planInferExplicit(bdb: BayesDB, i: InferExplicit, binds: Seq[Any]): DataFrame = {
     val pm = bdb.populationModel(i.population, i.generator, i.modelnos)
-    val base = bdb.table(pm.population.table)
-    val ctx = Ctx(bdb,
-      InferCtx(pm, Some(base.columns.map(Names.casefold).toSet)), binds, agg = false)
+    val base = bdb.table(pm.population.table).as(pm.population.table)
+    val cols = base.columns.map(Names.casefold).toSet
+    val ctx = Ctx(bdb, InferCtx(pm, Some(cols)), binds, agg = false,
+      scope = Some(Scope(cols, Map(
+        Names.casefold(pm.population.table) -> cols))))
     // PredCol expands to value [+ confidence] columns from the predict
     // struct (the reference smuggles these through JSON, bql_json_get;
     // a struct column is the Spark-native shape). The struct is attached

@@ -74,14 +74,19 @@ object Correlation {
     * via the level cross product), and the χ² reduction is a second tiny
     * agg — nothing larger than #levels² ever leaves the executors. */
   def chi2Contingency(df: DataFrame, c0: String, c1: String): (Double, Long, Long, Long) = {
-    val pair = bothNotNull(df, c0, c1).select(col(c0).as("x0"), col(c1).as("x1")).cache()
+    val pair = bothNotNull(df, c0, c1).select(col(c0).as("x0"), col(c1).as("x1"))
+    // ONE scan+shuffle of the data builds the contingency cells; the
+    // marginals, total, and χ² all derive from the cells relation, so
+    // what gets cached is the ≤ levels²-row aggregate — never the n-row
+    // pair (at 100 TB the pair cache was the cost, and the data was
+    // scanned once per marginal besides)
+    val cells = pair.groupBy("x0", "x1").agg(count(lit(1)).as("obs")).cache()
     try {
-      val cells = pair.groupBy("x0", "x1").agg(count(lit(1)).as("obs"))
-      val m0 = pair.groupBy("x0").agg(count(lit(1)).as("row_total"))
-      val m1 = pair.groupBy("x1").agg(count(lit(1)).as("col_total"))
-      val totals = pair.agg(count(lit(1)).as("n")).head()
+      val totals = cells.agg(sum("obs").as("n")).head()
+      if (totals.isNullAt(0)) return (Double.NaN, 0L, 0L, 0L)
       val n = totals.getLong(0)
-      if (n == 0L) return (Double.NaN, 0L, 0L, 0L)
+      val m0 = cells.groupBy("x0").agg(sum(col("obs")).as("row_total"))
+      val m1 = cells.groupBy("x1").agg(sum(col("obs")).as("col_total"))
       // full outer product of levels (including zero-observation cells,
       // which still contribute (0-e)^2/e to the statistic)
       val full = m0.crossJoin(m1)
@@ -94,7 +99,7 @@ object Correlation {
           countDistinct(col("x1")).as("n1"))
         .head()
       (full.getDouble(0), full.getLong(1), full.getLong(2), n)
-    } finally pair.unpersist()
+    } finally cells.unpersist()
   }
 
   /** CORRELATION for nominal×nominal: Cramér's φ =

@@ -246,9 +246,48 @@ object PipelineQueries {
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames)
 
+  /** p10 oracle: same lexicons, same scoring, same tie-break. Spark's
+    * array_max over struct(score, lang) resolves score ties by the
+    * lexicographically greatest lang, so the CASE tests langs in
+    * descending name order. The CJK override uses the common Han block
+    * (both engines' regex classes agree on the fixture corpus). */
+  val p10Sql: String = {
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(tk, w -> w IN ($set)))::DOUBLE / n AS s_$lang"
+    }.mkString(",\n         ")
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val byNameDesc = langs.sorted.reverse
+    val tieBreak = byNameDesc.init.map(l =>
+      s"WHEN s_$l = best THEN '$l'").mkString(" ") + s" ELSE '${byNameDesc.last}'"
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         string_split_regex(trim(lower(text)), '\\s+') AS tk,
+       |         greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS n,
+       |         regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang, cjk,
+       |         $scoreCols
+       |  FROM t),
+       |b AS (
+       |  SELECT lang, cjk, $best AS best, * FROM s),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN cjk THEN 'zh'
+       |         WHEN best = 0 THEN 'und'
+       |         ELSE (CASE $tieBreak END)
+       |    END AS pred_lang
+       |  FROM b)
+       |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,
-    "p09_quality" -> p09Sql)
+    "p09_quality" -> p09Sql,
+    "p10_lang_id" -> p10Sql)
 }

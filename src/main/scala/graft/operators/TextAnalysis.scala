@@ -61,8 +61,10 @@ object TextAnalysis {
   }
 
   /** Per-language marker lexicons for the n-gram/stopword language-ID
-    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    * heuristic. Tiny on purpose: broadcast as literals into codegen.
+    * Shared with the p10 DuckDB oracle so both engines score the same
+    * lexicons. */
+  private[operators] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "this"),
     "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "nicht"),
     "fr" -> Seq("le", "la", "les", "et", "est", "avec", "que", "une"),

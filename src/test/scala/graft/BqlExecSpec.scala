@@ -192,6 +192,15 @@ class BqlExecSpec extends AnyFunSuite {
       graft.catalog.StatType.Nominal)
   }
 
+  test("correlated subquery inside ESTIMATE's WHERE") {
+    // the ESTIMATE frame (the population's base table) is the outer
+    // scope; the correlated EXISTS references it by table name
+    val df = bdb.execute(
+      "estimate id from p1 where exists" +
+        " (select 1 from t1 as u where u.id = t1.id and u.age > 40) order by id")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 7L, 8L))
+  }
+
   test("BEGIN...ROLLBACK restores catalog, tables, and model states") {
     val b = new BayesDB(spark, seed = 5L)
     import spark.implicits._

@@ -83,6 +83,21 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("ann"), Seq("bob"), Seq("cid"), Seq("dee")))
   }
 
+  test("decorrelated plans are joins, not per-row re-execution") {
+    // aggregate scalar: one grouped aggregate left-joined to the outer
+    // frame — the shape Catalyst would plan for the SQL text
+    val agg = bdb.execute(
+      "select dname, (select count(*) from emp where edk = dk) from dept")
+      .queryExecution.optimizedPlan.toString
+    assert(agg.contains("Join LeftOuter"), s"expected grouped left join:\n$agg")
+    assert(agg.contains("Aggregate"), s"expected inner aggregate:\n$agg")
+    // correlated EXISTS: Catalyst decorrelates to a left-semi join
+    val ex = bdb.execute(
+      "select dname from dept where exists (select 1 from emp where edk = dk)")
+      .queryExecution.optimizedPlan.toString
+    assert(ex.contains("Join LeftSemi"), s"expected semi join:\n$ex")
+  }
+
   test("uncorrelated subqueries unchanged") {
     assert(rows("select dname from dept where dk = (select min(edk) from emp) order by dname") ==
       Seq(Seq("eng")))
