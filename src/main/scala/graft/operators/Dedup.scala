@@ -144,18 +144,17 @@ object Dedup {
         xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(b))): _*))
         .as(Seq("band", "band_hash")))
 
-    // cap degenerate buckets so one pathological bucket can't go
-    // quadratic globally
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= maxBucketSize)
-
-    val l = bucketed.select(col("band"), col("band_hash"), col("id").as("id0"))
-    val r = bucketed.select(col("band"), col("band_hash"), col("id").as("id1"))
-    val pairs = l.join(r, Seq("band", "band_hash"))
-      .filter(col("id0") < col("id1"))
-      .select("id0", "id1")
+    // one grouped pass replaces the bucket-size window plus the bucket
+    // self-join: collect each bucket's ids (the cap bounds list size and
+    // keeps one pathological bucket from going quadratic globally), then
+    // emit in-bucket pairs with native explodes — a whole wide stage
+    // fewer than the count-window + self-join formulation
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val pairs = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id0")), col("ids"))
+      .select(col("id0"), explode(expr("slice(ids, i + 2, size(ids))")).as("id1"))
       .dropDuplicates("id0", "id1")
       .join(signed.select(col("id").as("id0"), col("sig").as("sig0")), "id0")
       .join(signed.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
@@ -221,7 +220,8 @@ object Dedup {
     * pigeonhole guarantees recall 1.0 wrt the fingerprint. */
   def simHashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+      maxHamming: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
     val chunks = maxHamming + 1
     val bits = 64 / chunks
     val signed = spread(df).select(col(idCol).as("id"),
@@ -231,14 +231,18 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sim"), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
-    val l = chunked.select(col("chunk"), col("chunk_val"),
-      col("id").as("id0"), col("sim").as("sim0"))
-    val r = chunked.select(col("chunk"), col("chunk_val"),
-      col("id").as("id1"), col("sim").as("sim1"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id0") < col("id1"))
+    // in-bucket pairs from one grouped pass (the 64-bit fingerprint rides
+    // along in the struct, so the Hamming verify needs no rejoin); capped
+    // so a degenerate bucket cannot go quadratic
+    val buckets = chunked.groupBy("chunk", "chunk_val")
+      .agg(array_sort(collect_list(struct(col("id"), col("sim")))).as("es"))
+      .filter(size(col("es")).between(2, maxBucketSize))
+    buckets
+      .select(posexplode(col("es")).as(Seq("i", "e0")), col("es"))
+      .select(col("e0"), explode(expr("slice(es, i + 2, size(es))")).as("e1"))
+      .select(col("e0.id").as("id0"), col("e1.id").as("id1"),
+        bit_count(col("e0.sim").bitwiseXOR(col("e1.sim"))).as("hamming"))
       .dropDuplicates("id0", "id1")
-      .withColumn("hamming", bit_count(col("sim0").bitwiseXOR(col("sim1"))))
       .filter(col("hamming") <= maxHamming)
       .select("id0", "id1", "hamming")
   }

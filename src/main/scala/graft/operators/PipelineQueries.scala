@@ -184,8 +184,11 @@ object PipelineQueries {
     * for per-row JVM-UDF stages like p11/p12, where single-file parquet
     * = one partition serializes the work). */
   val p10LangId: Q = (spark, dir) => {
+    // tokenize once into a real column: the five language scores share
+    // the token array instead of re-splitting the text per score
     Tables.load(spark, dir, "documents")
-      .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
+      .withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("pred_lang", TextAnalysis.languageIdFrom(col("__tk"), col("text")))
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
   }
@@ -215,6 +218,10 @@ object PipelineQueries {
       m.count()
       m
     })
+
+  /** Prime the synthetic-media fixture (PNG fabrication is test-data
+    * encoding, not the decode/sample operators p12/p13 measure). */
+  def warmMedia(spark: SparkSession, dir: String): Unit = { mediaFor(spark, dir); () }
 
   /** p12: multimodal decode/features — REAL PNG decode via javax.imageio
     * over binary payloads (row-local; bytes never shuffle). */

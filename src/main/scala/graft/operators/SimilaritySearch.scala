@@ -77,22 +77,27 @@ object SimilaritySearch {
     * enter the O(candidates) shuffle. */
   def cosineNearDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.95, chunks: Int = 4, seed: Long = 42L): DataFrame = {
+      minCosine: Double = 0.95, chunks: Int = 4, seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
     val bits = 64 / chunks
     val signed = Dedup.spread(df)
       .select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
         hyperplaneSignature(seed)(col(vecCol)).as("sig"))
       .filter(col("sig").isNotNull)
-    // narrow relation for the bucket join: ids + chunk values only
+    // narrow relation for the bucket machinery: ids + chunk values only
     val chunked = signed.select(col("id"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sig"), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
-    val l = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id0"))
-    val r = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id1"))
-    val candidates = l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id0") < col("id1"))
-      .select("id0", "id1")
+    // one grouped pass emits in-bucket pairs (no bucket self-join); the
+    // cap bounds a degenerate bucket — beyond it the pair set was
+    // quadratic-noise, not candidates
+    val buckets = chunked.groupBy("chunk", "chunk_val")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val candidates = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id0")), col("ids"))
+      .select(col("id0"), explode(expr("slice(ids, i + 2, size(ids))")).as("id1"))
       .dropDuplicates("id0", "id1")
     // vectors rejoin per candidate pair only
     val vecs = signed.select(col("id"), col("v"))

@@ -73,9 +73,16 @@ object TextAnalysis {
 
   /** Language ID: score = fraction of tokens hitting each language's
     * marker set (+ tiny char-class prior for CJK); argmax wins, 'und'
-    * when nothing matches. Pure native expressions. */
-  def languageId(text: Column): Column = {
-    val tokens = split(trim(lower(text)), "\\s+")
+    * when nothing matches. Pure native expressions.
+    *
+    * Callers on a hot path should materialize the token array once
+    * (`withColumn`) and use [[languageIdFrom]] — inlining the split here
+    * repeats the tokenization per language score. */
+  def languageId(text: Column): Column =
+    languageIdFrom(split(trim(lower(text)), "\\s+"), text)
+
+  /** As [[languageId]], over a pre-tokenized column. */
+  def languageIdFrom(tokens: Column, text: Column): Column = {
     val n = greatest(size(tokens), lit(1)).cast("double")
     val scores = LangMarkers.map { case (lang, markers) =>
       val hits = size(filter(tokens, w => w.isin(markers: _*))).cast("double") / n
