@@ -111,6 +111,16 @@ object Dedup {
       }
     }
 
+  /** Profiling hook: the signature stage alone (cached), for stage-level
+    * attribution in `graft.Profile`. */
+  private[graft] def minHashSignedForProfile(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, shingleSize: Int = 3, seed: Long = 42L): DataFrame =
+    spread(df).select(col(idCol).as("id"),
+        minHashSignature(numHashes, seed)(shingles(col(textCol), shingleSize)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .cache()
+
   /** Candidate near-duplicate pairs by MinHash+LSH with signature-level
     * similarity estimate. Returns (id0, id1, est_jaccard), id0 < id1. */
   def minHashCandidates(
