@@ -27,12 +27,46 @@ object Dedup {
 
   /** Ensure per-row heavy stages have cluster-width parallelism: a
     * single-file parquet scan is ONE partition, which would serialize
-    * the signature/fingerprint UDF on one core. Only widens — an input
-    * that is already wider (the 100 TB case) passes through untouched,
-    * no extra shuffle. */
+    * the signature/fingerprint UDF on one core. The width probe reads
+    * file-source metadata only (`inputFiles`) — no `.rdd` conversion, so
+    * the plan stays a DataFrame and AQE still coalesces downstream. A
+    * many-file input (the 100 TB case) or a derived/cached frame passes
+    * through untouched, no extra shuffle. */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files < want) df.repartition(want) else df
+  }
+
+  /** Distributed in-bucket pair emission: rows carrying `("id" +: carry)`
+    * grouped into buckets by `keys`, emitting every unordered in-bucket
+    * pair (id0 < id1) via a bucket self-join. The size cap (a count
+    * window over the bucket key — one shuffle, also pre-drops singleton
+    * buckets, usually the vast majority) keeps one degenerate bucket from
+    * going quadratic, and the self-join distributes pair expansion across
+    * tasks per bucket key — each bucket's O(k²) pairs STREAM through the
+    * join rather than materializing as one collected row in one task,
+    * which is what survives a 100 TB input. Exchange reuse makes the
+    * window and both join sides share one hash partitioning on `keys`. */
+  private[operators] def inBucketPairs(
+      rows: DataFrame, keys: Seq[String], carry: Seq[String],
+      maxBucketSize: Int,
+      prune: DataFrame => DataFrame = identity): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val capped = rows
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n").between(2, maxBucketSize))
+      .drop("bucket_n")
+    val side = "id" +: carry
+    val l = capped.select(keys.map(col) ++ side.map(c => col(c).as(c + "0")): _*)
+    val r = capped.select(keys.map(col) ++ side.map(c => col(c).as(c + "1")): _*)
+    // `prune` runs on the streaming join output BEFORE the dedup shuffle,
+    // so a cheap verify (e.g. Hamming) shrinks the shuffled pair set
+    prune(
+      l.join(r, keys)
+        .filter(col("id0") < col("id1"))
+        .drop(keys: _*))
+      .dropDuplicates("id0", "id1")
   }
 
   // ---------------------------------------------------------------- exact
@@ -154,18 +188,11 @@ object Dedup {
         xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(b))): _*))
         .as(Seq("band", "band_hash")))
 
-    // one grouped pass replaces the bucket-size window plus the bucket
-    // self-join: collect each bucket's ids (the cap bounds list size and
-    // keeps one pathological bucket from going quadratic globally), then
-    // emit in-bucket pairs with native explodes — a whole wide stage
-    // fewer than the count-window + self-join formulation
-    val buckets = banded.groupBy("band", "band_hash")
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-    val pairs = buckets
-      .select(posexplode(col("ids")).as(Seq("i", "id0")), col("ids"))
-      .select(col("id0"), explode(expr("slice(ids, i + 2, size(ids))")).as("id1"))
-      .dropDuplicates("id0", "id1")
+    // distributed in-bucket pair emission (capped): pairs stream out of a
+    // per-bucket self-join across tasks — NOT a collect_list row per
+    // bucket, which would serialize each bucket's O(k²) expansion into a
+    // single task (the round-4 regression)
+    val pairs = inBucketPairs(banded, Seq("band", "band_hash"), Nil, maxBucketSize)
       .join(signed.select(col("id").as("id0"), col("sig").as("sig0")), "id0")
       .join(signed.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
 
@@ -187,8 +214,18 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, candidates: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.6): DataFrame = {
-    val sets = spread(df).select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    // candidates ≪ corpus: a left-semi prefilter on the candidate ids
+    // (applied to the RAW scan, before the shingle projection, so shingle
+    // arrays are only built for candidate docs). No forced broadcast: AQE
+    // broadcasts the id list while it's small and falls back to a
+    // shuffled semi-join when a 100 TB candidate set isn't.
+    val candIds = candidates
+      .select(explode(array(col("id0"), col("id1"))).as("id")).distinct()
+    val candDocs = df
+      .select(col(idCol).as("id"), col(textCol).as("__graft_text"))
+      .join(candIds, Seq("id"), "left_semi")
+    val sets = candDocs.select(col("id"),
+      array_distinct(shingles(col("__graft_text"), shingleSize)).as("sh"))
     candidates
       .join(sets.select(col("id").as("id0"), col("sh").as("sh0")), "id0")
       .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
@@ -241,19 +278,15 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sim"), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
-    // in-bucket pairs from one grouped pass (the 64-bit fingerprint rides
-    // along in the struct, so the Hamming verify needs no rejoin); capped
-    // so a degenerate bucket cannot go quadratic
-    val buckets = chunked.groupBy("chunk", "chunk_val")
-      .agg(array_sort(collect_list(struct(col("id"), col("sim")))).as("es"))
-      .filter(size(col("es")).between(2, maxBucketSize))
-    buckets
-      .select(posexplode(col("es")).as(Seq("i", "e0")), col("es"))
-      .select(col("e0"), explode(expr("slice(es, i + 2, size(es))")).as("e1"))
-      .select(col("e0.id").as("id0"), col("e1.id").as("id1"),
-        bit_count(col("e0.sim").bitwiseXOR(col("e1.sim"))).as("hamming"))
-      .dropDuplicates("id0", "id1")
-      .filter(col("hamming") <= maxHamming)
+    // distributed in-bucket pair emission (capped); the 64-bit
+    // fingerprint rides along both join sides (16 bytes/row), so the
+    // Hamming verify needs no rejoin and prunes pairs as they stream out
+    // of the join, BEFORE the dedup shuffle — nothing quadratic is ever
+    // materialized or shuffled
+    inBucketPairs(chunked, Seq("chunk", "chunk_val"), Seq("sim"), maxBucketSize,
+        prune = p => p
+          .withColumn("hamming", bit_count(col("sim0").bitwiseXOR(col("sim1"))))
+          .filter(col("hamming") <= maxHamming))
       .select("id0", "id1", "hamming")
   }
 }

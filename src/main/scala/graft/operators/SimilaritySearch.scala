@@ -89,16 +89,11 @@ object SimilaritySearch {
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sig"), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
-    // one grouped pass emits in-bucket pairs (no bucket self-join); the
-    // cap bounds a degenerate bucket — beyond it the pair set was
-    // quadratic-noise, not candidates
-    val buckets = chunked.groupBy("chunk", "chunk_val")
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-    val candidates = buckets
-      .select(posexplode(col("ids")).as(Seq("i", "id0")), col("ids"))
-      .select(col("id0"), explode(expr("slice(ids, i + 2, size(ids))")).as("id1"))
-      .dropDuplicates("id0", "id1")
+    // distributed in-bucket pair emission (capped): pairs stream out of a
+    // per-bucket self-join across tasks; the cap bounds a degenerate
+    // bucket — beyond it the pair set was quadratic-noise, not candidates
+    val candidates =
+      Dedup.inBucketPairs(chunked, Seq("chunk", "chunk_val"), Nil, maxBucketSize)
     // vectors rejoin per candidate pair only
     val vecs = signed.select(col("id"), col("v"))
     candidates
