@@ -16,7 +16,8 @@ import scala.collection.concurrent.TrieMap
   *
   * Divergences from the reference, by design:
   *  - tables are immutable DataFrames in a registry (no SQLite file);
-  *    BEGIN/COMMIT/ROLLBACK are accepted and ignored (documented).
+  *    BEGIN/COMMIT/ROLLBACK and the savepoint API are snapshot-backed
+  *    (catalog + registry + model states), not WAL-backed.
   *  - rowid is a materialized column (zipWithIndex at ingest) because
   *    Spark has no stable implicit rowid (SURVEY §1.1).
   *  - the default backend is cgpm (the Scala CrossCat port), matching
@@ -52,8 +53,62 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
   def catalog: Catalog = catalog0
   private val tables = TrieMap.empty[String, DataFrame]
   private val states = TrieMap.empty[String, GeneratorState]
-  /** BEGIN-transaction snapshot: (catalog, table registry, model states). */
-  private var txnSnapshot: Option[(Catalog, Map[String, DataFrame], Map[String, GeneratorState])] = None
+
+  /** One entry per open transaction/savepoint: a full engine-state
+    * snapshot (catalog, table registry, model states) plus whether the
+    * frame is the BQL-level transaction (only one allowed, only at the
+    * bottom — reference src/txn.py:67-70) or an API savepoint
+    * (nestable — src/txn.py:35-41). Snapshots are immutable, so an inner
+    * rollback never invalidates an outer frame. */
+  private final case class TxnFrame(
+      cat: Catalog, tabs: Map[String, DataFrame],
+      sts: Map[String, GeneratorState], isTransaction: Boolean)
+  private var txnStack: List[TxnFrame] = Nil
+
+  private def pushFrame(isTransaction: Boolean): TxnFrame = {
+    val f = TxnFrame(catalog0.snapshot(), tables.toMap, states.toMap, isTransaction)
+    txnStack = f :: txnStack
+    f
+  }
+  private def restoreFrame(f: TxnFrame): Unit = {
+    catalog0 = f.cat
+    tables.clear(); tables ++= f.tabs
+    states.clear(); states ++= f.sts
+  }
+
+  /** Nested savepoint (reference src/txn.py:35-41 `bayesdb_savepoint`):
+    * effects of `body` are kept on normal return and rolled back if it
+    * throws. Nestable to any depth, including inside a BQL BEGIN
+    * transaction. */
+  def savepoint[A](body: => A): A = {
+    val f = pushFrame(isTransaction = false)
+    try { val r = body; txnStack = txnStack.tail; r }
+    catch { case e: Throwable =>
+      restoreFrame(f); txnStack = txnStack.tail; throw e
+    }
+  }
+
+  /** Savepoint that always rolls back at exit, success or not
+    * (reference src/txn.py:44-51 `bayesdb_savepoint_rollback`) — for
+    * what-if exploration without mutating engine state. */
+  def savepointRollback[A](body: => A): A = {
+    val f = pushFrame(isTransaction = false)
+    try body
+    finally { restoreFrame(f); txnStack = txnStack.tail }
+  }
+
+  /** Top-level transaction (reference src/txn.py:53-64
+    * `bayesdb_transaction`): commits on normal return, rolls back if
+    * `body` throws. Does not nest — errors inside any open
+    * transaction/savepoint, like the reference. */
+  def transaction[A](body: => A): A = {
+    require(txnStack.isEmpty, "Already in a transaction")
+    val f = pushFrame(isTransaction = true)
+    try { val r = body; txnStack = txnStack.tail; r }
+    catch { case e: Throwable =>
+      restoreFrame(f); txnStack = txnStack.tail; throw e
+    }
+  }
 
   private[bql] def restore(cat: Catalog, sts: Map[String, GeneratorState]): Unit = {
     catalog0 = cat
@@ -229,28 +284,27 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
   private def emptyResult: DataFrame = spark.emptyDataFrame
 
   private def runCommand(c: Ast.Command, binds: Seq[Any]): DataFrame = c match {
-    // Transactions (reference: src/txn.py:27-121 — single-level BEGIN,
-    // nested savepoints are a Python-API affair; src/bql.py:67-77).
+    // Transactions (reference: src/txn.py:27-121 — BQL BEGIN is
+    // single-level there too; nesting is the savepoint API, here
+    // [[savepoint]]/[[savepointRollback]]/[[transaction]]).
     // BEGIN snapshots the catalog, the table registry, and the fitted
     // model states; ROLLBACK restores all three. Tables are immutable
     // DataFrames, so the registry snapshot rolls back CREATE TABLE /
     // NULLIFY too; orphaned tableStore parquet is harmless. D5 narrows
     // to: no multi-statement atomicity across concurrent sessions.
     case Ast.Begin =>
-      require(txnSnapshot.isEmpty, "Already in a transaction")
-      txnSnapshot = Some((catalog0.snapshot(), tables.toMap, states.toMap))
+      require(txnStack.isEmpty, "Already in a transaction")
+      pushFrame(isTransaction = true)
       emptyResult
     case Ast.Commit =>
-      require(txnSnapshot.nonEmpty, "Not in a transaction")
-      txnSnapshot = None
+      require(txnStack.headOption.exists(_.isTransaction), "Not in a transaction")
+      txnStack = txnStack.tail
       emptyResult
     case Ast.Rollback =>
-      val (cat, tabs, sts) = txnSnapshot.getOrElse(
+      val f = txnStack.headOption.filter(_.isTransaction).getOrElse(
         throw new IllegalArgumentException("Not in a transaction"))
-      catalog0 = cat
-      tables.clear(); tables ++= tabs
-      states.clear(); states ++= sts
-      txnSnapshot = None
+      restoreFrame(f)
+      txnStack = txnStack.tail
       emptyResult
 
     case Ast.CreateTabAs(_, ifNotExists, name, query) =>

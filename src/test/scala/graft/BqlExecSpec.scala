@@ -232,6 +232,78 @@ class BqlExecSpec extends AnyFunSuite {
     b.execute("rollback")
   }
 
+  test("savepoints nest, keep on success, roll back on exception (reference test_bql.py:2190-2206)") {
+    val b = new BayesDB(spark, seed = 6L)
+    import spark.implicits._
+    b.registerTable("sv", Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("k", "x"))
+
+    // success at both depths: inner + outer effects all kept
+    b.savepoint {
+      b.execute("create table sv_a as select * from sv")
+      b.savepoint {
+        b.execute("create table sv_b as select * from sv where k > 1")
+      }
+    }
+    assert(b.hasTable("sv_a") && b.hasTable("sv_b"))
+
+    // inner failure rolls back only the inner frame
+    intercept[IllegalStateException] {
+      b.savepoint {
+        b.execute("create table sv_c as select * from sv")
+        try b.savepoint {
+          b.execute("create table sv_d as select * from sv")
+          throw new IllegalStateException("inner")
+        } catch { case e: IllegalStateException =>
+          assert(b.hasTable("sv_c") && !b.hasTable("sv_d"))
+          throw e
+        }
+      }
+    }
+    // outer frame unwound too (the exception propagated through it)
+    assert(!b.hasTable("sv_c") && !b.hasTable("sv_d"))
+
+    // outer failure after a successful inner savepoint undoes both
+    intercept[IllegalStateException] {
+      b.savepoint {
+        b.savepoint {
+          b.execute("create population svp for sv (k ignore; x numerical)")
+          b.execute("create generator svg for svp using nig_normal")
+          b.execute("initialize 2 models for svg")
+        }
+        assert(b.catalog.population("svp").isDefined)
+        throw new IllegalStateException("outer")
+      }
+    }
+    assert(b.catalog.population("svp").isEmpty)
+    assert(b.catalog.generator("svg").isEmpty)
+
+    // savepointRollback always rolls back (reference test_backends.py:123)
+    val n = b.savepointRollback {
+      b.execute("create table sv_e as select * from sv")
+      b.execute("select count(*) as n from sv_e").collect().head.getLong(0)
+    }
+    assert(n == 3L && !b.hasTable("sv_e"))
+
+    // savepoints are allowed inside a BQL transaction; transaction()
+    // refuses to nest inside a savepoint (reference test_bql.py:2199-2206)
+    b.execute("begin")
+    b.savepoint { b.savepoint { () } }
+    b.execute("commit")
+    b.savepoint {
+      intercept[IllegalArgumentException](b.transaction(()))
+    }
+    // transaction() commits on success, rolls back on exception
+    b.transaction { b.execute("create table sv_f as select * from sv") }
+    assert(b.hasTable("sv_f"))
+    intercept[IllegalStateException] {
+      b.transaction {
+        b.execute("create table sv_g as select * from sv")
+        throw new IllegalStateException("txn")
+      }
+    }
+    assert(!b.hasTable("sv_g"))
+  }
+
   // --------------------------------------------------------- estimators
 
   test("estimate predictive probability per row") {
