@@ -365,8 +365,30 @@ object BqlQueries {
       |ORDER BY custs DESC, n_name
       |LIMIT 10""".stripMargin
 
+  /** b25: correlated aggregate scalar subquery in an ESTIMATE frame's
+    * WHERE — the population's base table is the outer scope, referenced
+    * qualified from the inner query; the same decorrelation pre-pass as
+    * SELECT runs because ESTIMATE assembles through it (round-6 D3
+    * narrowing; reference compiles ESTIMATE WHERE as plain SQLite SQL so
+    * correlation is free there, src/compiler.py:1795-1797). ESTIMATE of
+    * plain base columns is SQL-expressible, so this one is oracled. */
+  val b25EstimateCorrelated: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE c_custkey, c_acctbal FROM cpop
+      |WHERE c_acctbal > (SELECT avg(u.c_acctbal) FROM customer AS u
+      |                   WHERE u.c_nationkey = customer.c_nationkey)
+      |ORDER BY c_custkey
+      |LIMIT 50""".stripMargin)
+
+  val b25Sql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (SELECT avg(u.c_acctbal) FROM customer AS u
+      |                   WHERE u.c_nationkey = customer.c_nationkey)
+      |ORDER BY c_custkey
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "b23_bql_correlated_subquery" -> b23Correlated,
+    "b25_estimate_correlated" -> b25EstimateCorrelated,
     "b17_bql_exists" -> b17Exists,
     "b18_bql_glob_collate" -> b18GlobCollate,
     "b19_bql_positional" -> b19Positional,
@@ -394,6 +416,7 @@ object BqlQueries {
   val oracles: Map[String, String] = Map(
     "b05_bql_guess_schema" -> StatsQueries.b05Sql,
     "b23_bql_correlated_subquery" -> b23Sql,
+    "b25_estimate_correlated" -> b25Sql,
     "b01_bql_select" -> b01Sql,
     "b02_bql_join" -> b02Sql,
     "b03_bql_subquery" -> b03Sql,

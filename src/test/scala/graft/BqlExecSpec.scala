@@ -201,6 +201,27 @@ class BqlExecSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 7L, 8L))
   }
 
+  test("correlated aggregate scalar decorrelates in ESTIMATE and INFER frames") {
+    // ESTIMATE assembles through the same decorrelation pre-pass as
+    // SELECT, so `ESTIMATE … WHERE col > (SELECT agg … WHERE u.k = t.k)`
+    // plans as a grouped left join (b25's shape)
+    val est = bdb.execute(
+      "estimate id from p1 where age >" +
+        " (select avg(u.age) from t1 as u where u.id % 2 = t1.id % 2) order by id")
+    val sel = bdb.execute(
+      "select id from t1 where age >" +
+        " (select avg(u.age) from t1 as u where u.id % 2 = t1.id % 2) order by id")
+    assert(est.collect().map(_.getLong(0)).toSeq ==
+      sel.collect().map(_.getLong(0)).toSeq)
+    assert(est.count() > 0)
+    // same pre-pass in INFER EXPLICIT frames
+    val inf = bdb.execute(
+      "infer explicit id from p1 where age >" +
+        " (select avg(u.age) from t1 as u where u.id % 2 = t1.id % 2) order by id")
+    assert(inf.collect().map(_.getLong(0)).toSeq ==
+      est.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("BEGIN...ROLLBACK restores catalog, tables, and model states") {
     val b = new BayesDB(spark, seed = 5L)
     import spark.implicits._
