@@ -7,10 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The CORRELATION / CORRELATION PVALUE estimator family (SURVEY §2.4,
-  * §2.7) + GUESS SCHEMA, exposed as driver-checkable queries. The
-  * p-value queries have no DuckDB-expressible oracle (they need
-  * incomplete gamma/beta) → rows-only checks; values are instead pinned
-  * by SpecialMathSpec's closed-form identities.
+  * §2.7) + GUESS SCHEMA, exposed as driver-checkable queries. Every
+  * p-value key whose degrees of freedom admit an algebraic survival
+  * function carries a DuckDB oracle (s05/s06/s08-s12); only s04 — t at
+  * df = n−2, which needs the incomplete beta at a data-dependent df —
+  * stays rows-only, pinned by SpecialMathSpec's closed-form identities.
   */
 object StatsQueries {
 
@@ -105,25 +106,70 @@ object StatsQueries {
       Correlation.pearsonPValue(li, "l_quantity", "l_extendedprice"))
   }
 
-  /** CORRELATION PVALUE nominal×nominal (χ² independence test). */
+  /** CORRELATION PVALUE nominal×nominal (χ² independence test).
+    * returnflag×linestatus is a 3×2 contingency, so df = 2 and the χ²
+    * survival has the closed form e^(−χ²/2) — DuckDB-expressible, so
+    * this key is oracled (round 6). */
   val s05CramerPValue: Q = (spark, dir) => {
     val li = Tables.load(spark, dir, "lineitem")
     oneRow(spark, "cramer_pvalue",
-      Correlation.cramerPhiPValue(li, "l_returnflag", "l_linestatus"))
+      round6(Correlation.cramerPhiPValue(li, "l_returnflag", "l_linestatus")))
   }
 
-  /** CORRELATION PVALUE nominal×numerical (F-test). */
+  val s05Sql: String =
+    """WITH pair AS (
+      |  SELECT l_returnflag AS x0, l_linestatus AS x1 FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL),
+      |cells AS (SELECT x0, x1, count(*)::DOUBLE AS obs FROM pair GROUP BY x0, x1),
+      |m0 AS (SELECT x0, count(*)::DOUBLE AS rt FROM pair GROUP BY x0),
+      |m1 AS (SELECT x1, count(*)::DOUBLE AS ct FROM pair GROUP BY x1),
+      |tot AS (SELECT count(*)::DOUBLE AS n FROM pair),
+      |grid AS (
+      |  SELECT m0.x0, m1.x1, coalesce(cells.obs, 0) AS obs,
+      |         m0.rt * m1.ct / tot.n AS expected
+      |  FROM m0 CROSS JOIN m1 CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.x0 = m0.x0 AND cells.x1 = m1.x1),
+      |chi AS (SELECT sum(pow(obs - expected, 2) / expected) AS chi2 FROM grid)
+      |SELECT round(exp(-chi2 / 2), 6) AS cramer_pvalue FROM chi""".stripMargin
+
+  /** CORRELATION PVALUE nominal×numerical (F-test). returnflag has 3
+    * groups, so d1 = 2 and the F survival has the closed form
+    * (1 + 2x/d2)^(−d2/2) for ANY d2 = n−k — general-df on the second
+    * parameter, DuckDB-expressible, oracled (round 6). */
   val s06AnovaPValue: Q = (spark, dir) => {
     val li = Tables.load(spark, dir, "lineitem")
     oneRow(spark, "anova_pvalue",
-      Correlation.anovaPValue(li, "l_returnflag", "l_extendedprice"))
+      round6(Correlation.anovaPValue(li, "l_returnflag", "l_extendedprice")))
   }
 
+  val s06Sql: String =
+    """WITH pair AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS y FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |grp AS (
+      |  SELECT g, count(*)::DOUBLE AS n_g, avg(y) AS mean_g,
+      |         var_pop(y) * count(*) AS m2_g
+      |  FROM pair GROUP BY g),
+      |ov AS (
+      |  SELECT sum(n_g) AS n, count(*)::DOUBLE AS k,
+      |         sum(n_g * mean_g) / sum(n_g) AS gmean
+      |  FROM grp),
+      |st AS (
+      |  SELECT sum(n_g * pow(mean_g - ov.gmean, 2)) / (ov.k - 1) AS bgv,
+      |         sum(m2_g) / (ov.n - ov.k) AS wgv,
+      |         ov.n AS n, ov.k AS k
+      |  FROM grp CROSS JOIN ov GROUP BY ov.n, ov.k, ov.gmean)
+      |SELECT round(pow(1 + 2 * (bgv / wgv) / (n - k), -(n - k) / 2), 6) AS anova_pvalue
+      |FROM st""".stripMargin
+
   // p-values at known degrees of freedom have closed forms DuckDB can
-  // compute — s08-s10 pin the special-function paths against hard
-  // oracles (the general-df keys s04-s06 stay rows-only):
-  //   t, df=2:  2·sf(|t|) = 1 − |t|/√(2+t²)
+  // compute — s05/s06/s08-s12 pin the special-function paths against
+  // hard oracles; only s04 (t at df = n−2, which needs the incomplete
+  // beta at runtime-sized df) stays rows-only:
+  //   t, df=2:  2·sf(|t|) = 1 − u,             u = |t|/√(df+t²)
+  //   t, df=4:  2·sf(|t|) = 1 − (u/2)(3 − u²)
   //   χ², df=2: sf(x) = e^(−x/2)
+  //   χ², df=6: sf(x) = e^(−x/2)(1 + x/2 + x²/8)
   //   F,  d1=2: sf(x) = (1 + 2x/d2)^(−d2/2)
 
   /** s08: Pearson PVALUE over exactly 4 rows → t-test with df=2. */
@@ -195,6 +241,52 @@ object StatsQueries {
       |  FROM grp CROSS JOIN ov GROUP BY ov.n, ov.k, ov.gmean)
       |SELECT round(pow(1 + 2 * (bgv / wgv) / (n - k), -(n - k) / 2), 6) AS anova_pvalue
       |FROM st""".stripMargin
+
+  /** s11: Pearson PVALUE over exactly 6 rows → t-test with df=4; the
+    * even-df t survival is algebraic: 2·sf(|t|) = 1 − (u/2)(3 − u²)
+    * with u = |t|/√(4+t²) — pins the t path at a second fixed df. */
+  val s11TPValueDf4: Q = (spark, dir) => {
+    val six = Tables.load(spark, dir, "lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(6)
+    oneRow(spark, "corr_pvalue",
+      round6(Correlation.pearsonPValue(six, "l_quantity", "l_extendedprice")))
+  }
+
+  val s11Sql: String =
+    """WITH six AS (
+      |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+      |  ORDER BY l_orderkey, l_linenumber LIMIT 6),
+      |c AS (SELECT covar_pop(x, y) / (stddev_pop(x) * stddev_pop(y)) AS r FROM six),
+      |t AS (SELECT abs(r) * sqrt(4 / (1 - r * r)) AS tt FROM c),
+      |u AS (SELECT tt / sqrt(4 + tt * tt) AS uu FROM t)
+      |SELECT round(1 - (uu / 2) * (3 - uu * uu), 6) AS corr_pvalue FROM u""".stripMargin
+
+  /** s12: χ² PVALUE over a 4×3 contingency (line-number mod 4 ×
+    * returnflag) → df=6, sf = e^(−x/2)(1 + x/2 + x²/8) — pins the
+    * regularized-gamma path at a second even df. */
+  val s12Chi2PValueDf6: Q = (spark, dir) => {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("quad", (col("l_linenumber") % 4).cast("string"))
+    oneRow(spark, "cramer_pvalue",
+      round6(Correlation.cramerPhiPValue(li, "quad", "l_returnflag")))
+  }
+
+  val s12Sql: String =
+    """WITH pair AS (
+      |  SELECT (l_linenumber % 4)::VARCHAR AS x0, l_returnflag AS x1 FROM lineitem
+      |  WHERE l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL),
+      |cells AS (SELECT x0, x1, count(*)::DOUBLE AS obs FROM pair GROUP BY x0, x1),
+      |m0 AS (SELECT x0, count(*)::DOUBLE AS rt FROM pair GROUP BY x0),
+      |m1 AS (SELECT x1, count(*)::DOUBLE AS ct FROM pair GROUP BY x1),
+      |tot AS (SELECT count(*)::DOUBLE AS n FROM pair),
+      |grid AS (
+      |  SELECT m0.x0, m1.x1, coalesce(cells.obs, 0) AS obs,
+      |         m0.rt * m1.ct / tot.n AS expected
+      |  FROM m0 CROSS JOIN m1 CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.x0 = m0.x0 AND cells.x1 = m1.x1),
+      |chi AS (SELECT sum(pow(obs - expected, 2) / expected) AS chi2 FROM grid)
+      |SELECT round(exp(-chi2 / 2) * (1 + chi2 / 2 + chi2 * chi2 / 8), 6)
+      |  AS cramer_pvalue FROM chi""".stripMargin
 
   /** GUESS SCHEMA FOR customer (reference: src/bql.py:220-252) — one
     * distributed pass; reasons omitted from the dump for stability. */
@@ -280,14 +372,20 @@ object StatsQueries {
     "s07_guess_schema" -> s07GuessSchema,
     "s08_t_pvalue_df2" -> s08TPValueDf2,
     "s09_chi2_pvalue_df2" -> s09Chi2PValueDf2,
-    "s10_f_pvalue_d1_2" -> s10FPValueD12)
+    "s10_f_pvalue_d1_2" -> s10FPValueD12,
+    "s11_t_pvalue_df4" -> s11TPValueDf4,
+    "s12_chi2_pvalue_df6" -> s12Chi2PValueDf6)
 
   val oracles: Map[String, String] = Map(
     "s07_guess_schema" -> s07Sql,
     "s01_corr_pearson" -> s01Sql,
     "s02_cramer_phi" -> s02Sql,
     "s03_anova_r2" -> s03Sql,
+    "s05_cramer_pvalue" -> s05Sql,
+    "s06_anova_pvalue" -> s06Sql,
     "s08_t_pvalue_df2" -> s08Sql,
     "s09_chi2_pvalue_df2" -> s09Sql,
-    "s10_f_pvalue_d1_2" -> s10Sql)
+    "s10_f_pvalue_d1_2" -> s10Sql,
+    "s11_t_pvalue_df4" -> s11Sql,
+    "s12_chi2_pvalue_df6" -> s12Sql)
 }
