@@ -49,6 +49,32 @@ final case class PopulationModel(
   */
 object Estimators {
 
+  // ------------------------------------------------- ensemble broadcast
+
+  /** Estimator UDF closures serialize a `Broadcast` handle (a few bytes
+    * per task) instead of the full O(cols × models × subsample) ensemble
+    * state per task; executors fetch the state once per node over the
+    * torrent protocol. Cached per identical ensemble so the many Columns
+    * of one query (and repeated queries over an unchanged ensemble)
+    * share one broadcast — FittedGenerator's case-class equality
+    * eq-shortcuts on the shared GeneratorState instances, so the lookup
+    * is cheap. Weak keys let entries go when the ensemble is refit. */
+  private val gensBcCache = new java.util.WeakHashMap[
+    Seq[FittedGenerator],
+    org.apache.spark.broadcast.Broadcast[Seq[FittedGenerator]]]()
+
+  private def gensBc(pm: PopulationModel)
+      : org.apache.spark.broadcast.Broadcast[Seq[FittedGenerator]] =
+    gensBcCache.synchronized {
+      val hit = gensBcCache.get(pm.generators)
+      if (hit != null) hit
+      else {
+        val b = SparkSession.active.sparkContext.broadcast(pm.generators)
+        gensBcCache.put(pm.generators, b)
+        b
+      }
+    }
+
   // -------------------------------------------------- category encoding
   // Nominal variables travel through the Double-valued backend interface
   // as dictionary codes (reference: bayesdb_cgpm_category). The first
@@ -114,9 +140,10 @@ object Estimators {
       outCol: String = "predictive_probability"): DataFrame = {
     val tCols = targets.map(v => v -> pm.colno(v))
     val cCols = constraints.map(v => v -> pm.colno(v))
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val fn = udf { (tVals: Seq[java.lang.Double], cVals: Seq[java.lang.Double]) =>
+      val gens = gensB.value
       val t = tCols.map(_._2).zip(tVals).collect { case (c, v) if v != null => (c, v.doubleValue) }
       if (t.isEmpty) null
       else {
@@ -227,7 +254,7 @@ object Estimators {
       minConfidence: Double, numSamples: Int = 2,
       rowidCol: String = "rowid"): DataFrame = {
     val colno = pm.colno(targetCol)
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val seed = pm.seed
     val (evColnos, evCol) = evidenceOf(pm, colno,
@@ -236,6 +263,7 @@ object Estimators {
     if (labels.isDefined) {
       val lab = labels.get
       val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
+        val gens = gensB.value
         val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
         val g = gens(rng.nextInt(gens.length))
         val (value, confidence) = g.backend.predictConfidence(
@@ -248,6 +276,7 @@ object Estimators {
         coalesce(col(targetCol).cast("string"), fn(col(rowidCol), evCol)))
     } else {
       val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
+        val gens = gensB.value
         val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
         val g = gens(rng.nextInt(gens.length))
         val (value, confidence) = g.backend.predictConfidence(
@@ -267,12 +296,13 @@ object Estimators {
       numSamples: Int = 2, rowidCol: String = "rowid",
       outCol: String = "prediction"): DataFrame = {
     val colno = pm.colno(targetCol)
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val seed = pm.seed
     val (evColnos, evCol) = evidenceOf(pm, colno,
       Some(df.columns.map(Names.casefold).toSet))
     val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
+      val gens = gensB.value
       val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
       val g = gens(rng.nextInt(gens.length))
       val (value, confidence) = g.backend.predictConfidence(
@@ -326,9 +356,10 @@ object Estimators {
       targets: Seq[String], constraints: Seq[String]): Column = {
     val tColnos = targets.map(pm.colno)
     val cColnos = constraints.map(pm.colno)
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val fn = udf { (tVals: Seq[java.lang.Double], cVals: Seq[java.lang.Double]) =>
+      val gens = gensB.value
       val t = tColnos.zip(tVals).collect { case (c, v) if v != null => (c, v.doubleValue) }
       if (t.isEmpty) null
       else {
@@ -357,10 +388,10 @@ object Estimators {
     * over the rowid column (1-row form). */
   def similarityCol(pm: PopulationModel, targetRowid: Long, colno: Int,
       rowidCol: Column): Column = {
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val fn = udf { (rowid: Long) =>
-      val perGen = gens.map { g =>
+      val perGen = gensB.value.map { g =>
         val ss = g.backend.rowSimilarity(g.state, mnos, rowid, targetRowid, Seq(colno))
         arithmeticMean(ss)
       }
@@ -373,10 +404,10 @@ object Estimators {
     * (ESTIMATE ... FROM PAIRWISE p). */
   def pairSimilarityCol(pm: PopulationModel, colno: Int,
       rowid0Col: Column, rowid1Col: Column): Column = {
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val fn = udf { (r0: Long, r1: Long) =>
-      val perGen = gens.map { g =>
+      val perGen = gensB.value.map { g =>
         val ss = g.backend.rowSimilarity(g.state, mnos, r0, r1, Seq(colno))
         arithmeticMean(ss)
       }
@@ -404,10 +435,10 @@ object Estimators {
   def predictiveRelevanceCol(pm: PopulationModel, rowidQuery: Seq[Long],
       hypotheticals: Seq[Seq[(Int, Double)]], colno: Int,
       rowidCol: Column): Column = {
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val fn = udf { (rowid: Long) =>
-      val perGen = gens.map { g =>
+      val perGen = gensB.value.map { g =>
         val ss = g.backend.predictiveRelevance(
           g.state, mnos, rowid, rowidQuery, hypotheticals, colno)
         arithmeticMean(ss)
@@ -424,13 +455,14 @@ object Estimators {
   def predictValueCol(pm: PopulationModel, colno: Int, threshold: Double,
       numSamples: Int, rowidCol: Column,
       available: Option[Set[String]] = None): Column = {
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val seed = pm.seed
     val (evColnos, evCol) = evidenceOf(pm, colno, available)
     codesFor(pm, colno) match {
       case Some(lab) =>
         val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
+          val gens = gensB.value
           val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
           val g = gens(rng.nextInt(gens.length))
           val (value, confidence) = g.backend.predictConfidence(
@@ -442,6 +474,7 @@ object Estimators {
         fn(rowidCol, evCol)
       case None =>
         val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
+          val gens = gensB.value
           val rng = DetRng(seed, rowid, colno.toLong, 0x1f3e5L)
           val g = gens(rng.nextInt(gens.length))
           val (value, confidence) = g.backend.predictConfidence(
@@ -456,13 +489,14 @@ object Estimators {
   def predictStructCol(pm: PopulationModel, colno: Int, numSamples: Int,
       rowidCol: Column,
       available: Option[Set[String]] = None): Column = {
-    val gens = pm.generators
+    val gensB = gensBc(pm)
     val mnos = pm.modelnos
     val seed = pm.seed
     val (evColnos, evCol) = evidenceOf(pm, colno, available)
     codesFor(pm, colno) match {
       case Some(lab) =>
         val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
+          val gens = gensB.value
           val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
           val g = gens(rng.nextInt(gens.length))
           val (value, confidence) = g.backend.predictConfidence(
@@ -473,6 +507,7 @@ object Estimators {
         fn(rowidCol, evCol).cast("struct<value:string,confidence:double>")
       case None =>
         val fn = udf { (rowid: Long, ev: Seq[java.lang.Double]) =>
+          val gens = gensB.value
           val rng = DetRng(seed, rowid, colno.toLong, 0x9c0ffeeL)
           val g = gens(rng.nextInt(gens.length))
           val (value, confidence) = g.backend.predictConfidence(

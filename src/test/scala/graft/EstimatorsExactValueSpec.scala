@@ -109,4 +109,36 @@ class EstimatorsExactValueSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("population", "name0", "name1", "depprob"))
     assert(df.count() == 4)
   }
+
+  test("estimator UDF closures broadcast the ensemble, not serialize it per task") {
+    // the per-task serialized closure must carry only the Broadcast
+    // handle: Java-serializing the ScalaUDF function object (exactly what
+    // Spark ships with every task) must not embed GeneratorState
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val pm = fit("nig_normal")
+    val cols = Seq(
+      Estimators.predictiveProbabilityCol(pm, Seq("x"), Nil),
+      Estimators.similarityCol(pm, 1L, 0, col("rowid")),
+      Estimators.predictStructCol(pm, 0, 2, col("rowid")))
+    for (c <- cols) {
+      val analyzed = data.select(c.as("v")).queryExecution.analyzed
+      val udfs = analyzed.expressions.flatMap(_.collect { case u: ScalaUDF => u })
+      assert(udfs.nonEmpty, s"expected a ScalaUDF in $analyzed")
+      for (u <- udfs) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        oos.writeObject(u.function)
+        oos.close()
+        val payload = new String(bos.toByteArray, "ISO-8859-1")
+        assert(!payload.contains("GeneratorState"),
+          "UDF closure serializes the model ensemble instead of a broadcast handle")
+        assert(payload.contains("Broadcast"),
+          "UDF closure does not carry a Broadcast handle")
+      }
+    }
+    // and the values still flow through the broadcast correctly
+    val out = Estimators.predictiveProbability(data, fit("troll_rng"), Seq("x"))
+      .orderBy("rowid").collect().map(_.getAs[Double]("predictive_probability"))
+    assert(out.toSeq == Seq(1.0, 1.0, 0.0))
+  }
 }
