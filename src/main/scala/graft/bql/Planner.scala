@@ -483,10 +483,12 @@ object Planner {
     val subCache = scala.collection.mutable.Map[Exp, Exp]()
     def rewriteSub(e: Exp): Exp = e match {
       case sub @ ExpSub(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
-        subCache.getOrElseUpdate(sub, decorrelateAggScalar(ctx0, q) match {
-          case Some((attach, repl)) => base0 = attach(base0); repl
-          case None => sub
-        })
+        subCache.getOrElseUpdate(sub,
+          decorrelateAggScalar(ctx0, q)
+            .orElse(decorrelateThetaAggScalar(ctx0, q)) match {
+            case Some((attach, repl)) => base0 = attach(base0); repl
+            case None => sub
+          })
       case inq @ ExpInQuery(x, p, q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
         subCache.getOrElseUpdate(inq, {
           val xn = s"__in_x_${subqueryTag.getAndIncrement()}"
@@ -920,6 +922,143 @@ object Planner {
               Seq(ExpCol(None, vName), ExpLit(LitInt(0))))
             else ExpCol(None, vName)
           Some((attach, replacement))
+        }
+      }
+    case _ => None
+  }
+
+  /** General theta decorrelation for `(SELECT agg(e) FROM ts WHERE ...)`
+    * with ARBITRARY correlation operators (`<`, `>`, BETWEEN, OR-mixed
+    * conjuncts, expressions over outer columns) — the fallback when the
+    * equality-only grouped rewrite above does not apply. The rewrite:
+    *
+    *   keys    = outer frame's DISTINCT correlated-column tuples
+    *   grouped = keys LEFT-THETA-JOIN inner-FROM GROUP BY keys AGG(e)
+    *   outer   LEFT-JOIN grouped ON null-safe key equality
+    *
+    * This is the de-correlation Catalyst itself performs for SQL text;
+    * the DataFrame subquery API cannot resolve outer refs below an
+    * Aggregate, so it is done once here. Aggregate arguments are
+    * null-shielded on the join marker so an outer key with NO matching
+    * inner rows aggregates an empty set (COUNT 0, SUM NULL, TOTAL 0.0 —
+    * the SQL semantics), not the padding row of the left join. Scale
+    * shape: |distinct keys| ≤ |outer rows|; one theta join, one grouped
+    * aggregate, one equi-join — never a per-outer-row subquery. */
+  private def decorrelateThetaAggScalar(ctx: Ctx, q: Query): Option[(DataFrame => DataFrame, Exp)] = q match {
+    case s: Select
+        if ctx.scope.isDefined && s.tables.nonEmpty && s.grouping.isEmpty &&
+          s.order.isEmpty && s.limit.isEmpty && s.quantifier == SelQuantAll &&
+          s.columns.sizeIs == 1 =>
+      val outer = ctx.scope.get
+      val inner = queryScope(ctx.bdb, s, ctx.binds)
+      def hasNestedQuery(e: Exp): Boolean = e match {
+        case ExpSub(_) | ExpExists(_) => true
+        case ExpInQuery(_, _, _) => true
+        case ExpOp(_, os) => os.exists(hasNestedQuery)
+        case ExpApp(_, _, as_) => as_.exists(hasNestedQuery)
+        case ExpCase(k, ws, o) =>
+          k.exists(hasNestedQuery) ||
+            ws.exists(w => hasNestedQuery(w._1) || hasNestedQuery(w._2)) ||
+            o.exists(hasNestedQuery)
+        case ExpCast(x, _) => hasNestedQuery(x)
+        case ExpCollate(x, _) => hasNestedQuery(x)
+        case ExpInExp(x, _, es) => (x +: es).exists(hasNestedQuery)
+        case _ => false
+      }
+      val aggItem = s.columns.head match {
+        case SelColExp(e, _) if containsAggregate(e) &&
+          freeColRefs(e, inner, outer).isEmpty && !hasNestedQuery(e) => Some(e)
+        case _ => None
+      }
+      aggItem.flatMap { aggExp =>
+        val cs = s.condition.toSeq.flatMap(conjuncts)
+        val refs = cs.flatMap(freeColRefs(_, inner, outer))
+          .distinctBy(r => (r.table.map(Names.casefold), normRef(r.column)))
+        if (refs.isEmpty || cs.exists(hasNestedQuery)) None
+        else {
+          val tag = subqueryTag.getAndIncrement()
+          val vName = s"__tv_$tag"
+          val marker = s"__tm_$tag"
+          val keyName = refs.indices.map(i => s"__tk_${tag}_$i").toIndexedSeq
+          val keyOf: Map[(Option[String], String), String] =
+            refs.zipWithIndex.map { case (r, i) =>
+              (r.table.map(Names.casefold), normRef(r.column)) -> keyName(i) }.toMap
+          // substitute outer references with their key-column names
+          // (inner-first: a ref that resolves in the subquery's own frame
+          // is left alone even if the enclosing frame shares the name)
+          def subst(e: Exp): Exp = e match {
+            case c: ExpCol if freeColRefs(c, inner, outer).nonEmpty =>
+              keyOf.get((c.table.map(Names.casefold), normRef(c.column)))
+                .map(k => ExpCol(None, k)).getOrElse(c)
+            case ExpOp(op, os) => ExpOp(op, os.map(subst))
+            case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(subst))
+            case ExpCase(k, ws, o) => ExpCase(k.map(subst),
+              ws.map { case (a, b) => (subst(a), subst(b)) }, o.map(subst))
+            case ExpCast(x, t) => ExpCast(subst(x), t)
+            case ExpCollate(x, cl) => ExpCollate(subst(x), cl)
+            case ExpInExp(x, p, es) => ExpInExp(subst(x), p, es.map(subst))
+            case other => other
+          }
+          // null-shield aggregate arguments on the join marker so the
+          // left join's padding row never contributes to the aggregate
+          val markerNotNull = ExpOp(Op.NotNull, Seq(ExpCol(None, marker)))
+          def shield(e: Exp): Exp = e match {
+            case ExpAppStar(fn) =>
+              ExpApp(distinct = false, fn, Seq(ExpCol(None, marker)))
+            case ExpApp(d, fn, args) if SqlFunctions.isAggregate(fn, args.length) =>
+              ExpApp(d, fn, args.map(a =>
+                ExpCase(None, Seq((markerNotNull, a)), None)))
+            case ExpApp(d, fn, args) => ExpApp(d, fn, args.map(shield))
+            case ExpOp(op, os) => ExpOp(op, os.map(shield))
+            case ExpCase(k, ws, o) => ExpCase(k.map(shield),
+              ws.map { case (a, b) => (shield(a), shield(b)) }, o.map(shield))
+            case ExpCast(x, t) => ExpCast(shield(x), t)
+            case ExpCollate(x, cl) => ExpCollate(shield(x), cl)
+            case other => other
+          }
+          val (corrCs, innerCs) = cs.partition(c =>
+            freeColRefs(c, inner, outer).nonEmpty)
+          // inner FROM frame with aliases preserved (qualified refs keep
+          // resolving after the theta join)
+          val tabs: Seq[(String, DataFrame)] = s.tables.map { st =>
+            val d = st.table match {
+              case Right(name) => ctx.bdb.table(name)
+              case Left(sub) => plan(ctx.bdb, sub, ctx.binds)
+            }
+            val alias = st.name.getOrElse(st.table match {
+              case Right(name) => name
+              case Left(_) => "__sub__"
+            })
+            (alias, d)
+          }
+          val innerCtx = Ctx(ctx.bdb, NoModelCtx, ctx.binds, agg = false,
+            scope = Some(inner))
+          val innerBase0 = tabs.map { case (a, d) => d.as(a) }
+            .reduceLeft(_ crossJoin _)
+          val innerFiltered = innerCs.map(compile(_, innerCtx)) match {
+            case Nil => innerBase0
+            case conds => innerBase0.filter(conds.reduce(_ && _))
+          }
+          val innerMarked = innerFiltered.withColumn(marker, lit(1))
+          val joinScope = Scope(
+            inner.names ++ (marker +: keyName).map(Names.casefold),
+            inner.tables)
+          val jctx = Ctx(ctx.bdb, NoModelCtx, ctx.binds, agg = false,
+            scope = Some(joinScope))
+          val attach: DataFrame => DataFrame = { df =>
+            val keyed = df.select(refs.zipWithIndex.map { case (r, i) =>
+              compile(r, ctx).as(keyName(i)) }: _*).distinct()
+            val joinCond = corrCs.map(c => compile(subst(c), jctx)).reduce(_ && _)
+            val grouped = keyed.join(innerMarked, joinCond, "left_outer")
+              .groupBy(keyName.map(col): _*)
+              .agg(compile(shield(aggExp), jctx.withAgg(true)).as(vName))
+            df.join(grouped,
+              refs.zipWithIndex.map { case (r, i) =>
+                compile(r, ctx) <=> col(keyName(i)) }.reduce(_ && _),
+              "left_outer")
+              .drop(keyName: _*)
+          }
+          Some((attach, ExpCol(None, vName)))
         }
       }
     case _ => None

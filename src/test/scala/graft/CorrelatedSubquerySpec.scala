@@ -63,9 +63,37 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 3L)))
   }
 
-  test("aggregate correlation by non-equality stays D3") {
+  test("non-equality aggregate correlation theta-decorrelates") {
+    // count of emps earning more than 100×dk — `<`/`>` correlation, no
+    // equality pair, handled by the theta rewrite (round-6 D3 narrowing)
+    assert(rows("select dname, (select count(*) from emp where sal > dk * 100) as n from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 0L)))
+    // non-count aggregate over an empty theta group stays NULL
+    assert(rows("select dname, (select max(sal) from emp where sal > dk * 100) as m from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", null)))
+    // TOTAL over an empty theta group is 0.0 (SQLite total semantics)
+    assert(rows("select dname, (select total(sal) from emp where sal > dk * 100) as t from dept order by dname") ==
+      Seq(Seq("empty", 0.0), Seq("eng", 270.0), Seq("ops", 0.0)))
+    // mixed: equality pair AND inequality in the same subquery (the
+    // equality pre-pass refuses, the theta path takes the whole WHERE)
+    assert(rows("select dname, (select count(*) from emp where edk = dk and sal < dk * 60) as n from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 0L), Seq("ops", 1L)))
+    // OR-mixed correlated conjunct (not expressible as join keys at all)
+    assert(rows("select dname, (select count(*) from emp where sal > dk * 100 or edk = dk) as n from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 3L)))
+  }
+
+  test("theta decorrelation plans as key-join-aggregate, not per-row execution") {
+    val plan = bdb.execute(
+      "select dname, (select count(*) from emp where sal > dk * 100) as n from dept")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), s"expected grouped aggregate:\n$plan")
+    assert(plan.contains("Join LeftOuter"), s"expected attach join:\n$plan")
+  }
+
+  test("aggregate correlation in a grouped subquery stays D3") {
     val e = intercept[UnsupportedOperationException] {
-      rows("select dname, (select count(*) from emp where sal > dk) from dept")
+      rows("select dname, (select count(*) from emp where sal > dk group by edk) from dept")
     }
     assert(e.getMessage.contains("D3"))
   }
