@@ -75,12 +75,14 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
     assert(rows("select dname, (select total(sal) from emp where sal > dk * 100) as t from dept order by dname") ==
       Seq(Seq("empty", 0.0), Seq("eng", 270.0), Seq("ops", 0.0)))
     // mixed: equality pair AND inequality in the same subquery (the
-    // equality pre-pass refuses, the theta path takes the whole WHERE)
+    // equality pre-pass refuses, the theta path takes the whole WHERE) —
+    // ops (dk=2): edk=2 and sal<120 matches cid(90) and eve(80)
     assert(rows("select dname, (select count(*) from emp where edk = dk and sal < dk * 60) as n from dept order by dname") ==
-      Seq(Seq("empty", 0L), Seq("eng", 0L), Seq("ops", 1L)))
-    // OR-mixed correlated conjunct (not expressible as join keys at all)
+      Seq(Seq("empty", 0L), Seq("eng", 0L), Seq("ops", 2L)))
+    // OR-mixed correlated conjunct (not expressible as join keys at all) —
+    // eng (dk=1): sal>100 gives bob(150), dee(120); edk=1 adds ann
     assert(rows("select dname, (select count(*) from emp where sal > dk * 100 or edk = dk) as n from dept order by dname") ==
-      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 3L)))
+      Seq(Seq("empty", 0L), Seq("eng", 3L), Seq("ops", 3L)))
   }
 
   test("theta decorrelation plans as key-join-aggregate, not per-row execution") {

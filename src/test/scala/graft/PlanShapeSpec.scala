@@ -95,19 +95,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"stored table must prune unused columns: $read")
   }
 
-  test("equality-correlated IN decorrelates; non-equality agg keeps D3") {
+  test("equality-correlated IN decorrelates; non-equality agg theta-joins") {
     // round 4: the equality-correlated forms decorrelate (D3 narrowed) —
     // no refs.tag equals a t1.label, so the correlated IN is empty-set
     assert(bdb.execute(
       "select id from t1 where id in (select ref_id from refs where tag = t1.label)")
       .collect().isEmpty)
-    // genuinely non-decorrelatable: aggregate correlated by inequality
-    val e = intercept[UnsupportedOperationException] {
-      bdb.execute(
-        "select id, (select count(*) from refs where ref_id < id) from t1")
-        .collect()
-    }
-    assert(e.getMessage.contains("D3"))
+    // round 6: aggregate correlated by inequality theta-decorrelates
+    // (keys → theta join → group → rejoin), never per-row execution
+    val sql = "select id, (select count(*) from refs where ref_id < id) as n from t1 order by id"
+    assert(bdb.execute(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L)))
+    val plan = optimized(sql)
+    assert(plan.contains("Join LeftOuter") && plan.contains("Aggregate"),
+      s"theta decorrelation must plan as join+aggregate:\n$plan")
   }
 }
 
