@@ -386,9 +386,45 @@ object BqlQueries {
       |ORDER BY c_custkey
       |LIMIT 50""".stripMargin
 
+  /** b26: NON-equality correlated aggregate scalars (round-6 D3
+    * narrowing) — "how many earlier orders did this customer place, and
+    * what was the priciest of them": an equality pair PLUS a `<`
+    * correlation, which the grouped-equality rewrite refuses and the
+    * theta decorrelation handles (distinct outer key tuples →
+    * theta join → group → null-safe rejoin; the equality half still
+    * becomes the shuffle key, so the join is an equi-join with a range
+    * residual, never a cross product). First order per customer counts
+    * 0 / maxes NULL — the empty-theta-group case live. (Reference:
+    * correlated subqueries come free from SQLite,
+    * src/compiler.py:1795-1797.) */
+  val b26ThetaCorrelated: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT o_orderkey,
+      |       (SELECT count(*) FROM orders AS u
+      |        WHERE u.o_custkey = orders.o_custkey
+      |          AND u.o_orderdate < orders.o_orderdate) AS n_earlier,
+      |       (SELECT max(u.o_totalprice) FROM orders AS u
+      |        WHERE u.o_custkey = orders.o_custkey
+      |          AND u.o_orderdate < orders.o_orderdate) AS prev_max
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 100""".stripMargin)
+
+  val b26Sql: String =
+    """SELECT o_orderkey,
+      |       (SELECT count(*) FROM orders AS u
+      |        WHERE u.o_custkey = orders.o_custkey
+      |          AND u.o_orderdate < orders.o_orderdate) AS n_earlier,
+      |       (SELECT max(u.o_totalprice) FROM orders AS u
+      |        WHERE u.o_custkey = orders.o_custkey
+      |          AND u.o_orderdate < orders.o_orderdate) AS prev_max
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "b23_bql_correlated_subquery" -> b23Correlated,
     "b25_estimate_correlated" -> b25EstimateCorrelated,
+    "b26_theta_correlated" -> b26ThetaCorrelated,
     "b17_bql_exists" -> b17Exists,
     "b18_bql_glob_collate" -> b18GlobCollate,
     "b19_bql_positional" -> b19Positional,
@@ -417,6 +453,7 @@ object BqlQueries {
     "b05_bql_guess_schema" -> StatsQueries.b05Sql,
     "b23_bql_correlated_subquery" -> b23Sql,
     "b25_estimate_correlated" -> b25Sql,
+    "b26_theta_correlated" -> b26Sql,
     "b01_bql_select" -> b01Sql,
     "b02_bql_join" -> b02Sql,
     "b03_bql_subquery" -> b03Sql,
