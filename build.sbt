@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced roaming multi-second GC pauses onto whichever bench key
+  // ran while the heap was full (the box has 128 GiB; local[32] churns
+  // cached frames across ~76 keys) — 24g keeps collections rare
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 
 // forward sbt's stdin to the forked run so the BQL shell REPL works

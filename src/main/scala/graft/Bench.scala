@@ -24,7 +24,10 @@ object Bench {
     operators.ModelQueries.customerModel(spark, sfDir)
     operators.PipelineQueries.warmMedia(spark, sfDir)
     val setupSec = (System.nanoTime() - setup0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: Map iteration order shifts when keys are added, which
+    // moved warm-cache/JIT effects between keys across rounds and made
+    // per-key cross-round comparison noisy
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -36,7 +39,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_sec":$setupSec,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -48,6 +48,24 @@ object Profile {
       Dedup.minHashCandidates(docs, "text", "doc_id", minEstJaccard = 0.1).count()
     }
 
+    // p10 — attribution: tokenization vs language scores vs Catalyst
+    // compile (second run reuses the compiled codegen, so run1 - run2
+    // ≈ driver-side analysis/codegen cost)
+    time("p10 tokenize only") {
+      docs.withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
+        .select(size(col("__tk")).as("n")).agg(sum("n")).collect()
+    }
+    time("p10 lang-id run 1") {
+      docs.withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
+        .withColumn("pred_lang", TextAnalysis.languageIdFrom(col("__tk"), col("text")))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")).collect()
+    }
+    time("p10 lang-id run 2") {
+      docs.withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
+        .withColumn("pred_lang", TextAnalysis.languageIdFrom(col("__tk"), col("text")))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")).collect()
+    }
+
     // p03
     time("p03 simhash pairs") {
       Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 6).count()
@@ -63,6 +81,14 @@ object Profile {
     // p07
     time("p07 ivf fit") {
       SimilaritySearch.ivfIndex(emb, "embedding", "vec_id")
+    }
+
+    // p10 AFTER the embedding-heavy keys: reproduces the bench ordering
+    // where p10's wall time inflates (heap pressure / GC attribution)
+    time("p10 lang-id after p05/p07") {
+      docs.withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
+        .withColumn("pred_lang", TextAnalysis.languageIdFrom(col("__tk"), col("text")))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")).collect()
     }
 
     signed.unpersist()

@@ -102,45 +102,70 @@ object Dedup {
     * densification for empty bins (Shrivastava: an empty bin copies the
     * next non-empty bin circularly, preserving the collision property —
     * two docs that borrow from the same bin agree iff that bin agrees).
-    * Row-local, no shuffle. */
-  private def minHashSignature(numHashes: Int, seed: Long) =
-    udf { (shingles: Seq[String]) =>
-      if (shingles == null || shingles.isEmpty) null
+    * Row-local, no shuffle.
+    *
+    * Fused text→signature: each token's bytes are hashed ONCE and the
+    * word-n-gram hash is the FNV combine of its token hashes — no
+    * n-gram strings are ever built, and a token's bytes are not
+    * re-hashed by every window containing it (the separate
+    * `shingles()` + string-hash pass cost ~n× more hashing plus one
+    * string allocation per window). Duplicate shingles need no dedup
+    * set: they yield identical (bin, value) pairs, which cannot change
+    * a per-bin minimum. */
+  private def minHashSignature(numHashes: Int, shingleSize: Int, seed: Long) =
+    udf { (text: String) =>
+      if (text == null) null
       else {
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        val mixedSeed = DetRngHash.mix(seed)
-        val seen = new java.util.HashSet[Long]()
-        shingles.foreach { s =>
-          val h0 = DetRngHash.xx(s.getBytes("UTF-8"))
-          if (seen.add(h0)) {
-            val h = DetRngHash.mix(h0 ^ mixedSeed)
+        val tokens = text.trim.toLowerCase.split("\\s+")
+        val windows = tokens.length - (shingleSize - 1)
+        if (windows <= 0 || (tokens.length == 1 && tokens(0).isEmpty)) null
+        else {
+          val tokenHash = new Array[Long](tokens.length)
+          var i = 0
+          while (i < tokens.length) {
+            tokenHash(i) = DetRngHash.xx(tokens(i).getBytes("UTF-8"))
+            i += 1
+          }
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          val mixedSeed = DetRngHash.mix(seed)
+          var w = 0
+          while (w < windows) {
+            // FNV-combine the window's token hashes (order-sensitive)
+            var h0 = 0xcbf29ce484222325L
+            var k = 0
+            while (k < shingleSize) {
+              h0 = (h0 ^ tokenHash(w + k)) * 0x100000001b3L
+              k += 1
+            }
+            val h = DetRngHash.mix(DetRngHash.mix(h0) ^ mixedSeed)
             val bin = ((h >>> 1) % numHashes).toInt
             val v = DetRngHash.mix(h ^ 0x9e3779b97f4a7c15L)
             if (v < sig(bin)) sig(bin) = v
+            w += 1
           }
-        }
-        // densify: empty bins copy the next non-empty bin (circular)
-        var anyFilled = false
-        var i = 0
-        while (i < numHashes && !anyFilled) {
-          if (sig(i) != Long.MaxValue) anyFilled = true
-          i += 1
-        }
-        if (!anyFilled) null
-        else {
-          // right-to-left so a whole empty run fills from its right
-          // neighbor in one pass; the wrap-around search covers runs
-          // crossing the top end
-          var j = numHashes - 1
-          while (j >= 0) {
-            if (sig(j) == Long.MaxValue) {
-              var k = (j + 1) % numHashes
-              while (sig(k) == Long.MaxValue) k = (k + 1) % numHashes
-              sig(j) = sig(k)
+          // densify: empty bins copy the next non-empty bin (circular)
+          var anyFilled = false
+          i = 0
+          while (i < numHashes && !anyFilled) {
+            if (sig(i) != Long.MaxValue) anyFilled = true
+            i += 1
+          }
+          if (!anyFilled) null
+          else {
+            // right-to-left so a whole empty run fills from its right
+            // neighbor in one pass; the wrap-around search covers runs
+            // crossing the top end
+            var j = numHashes - 1
+            while (j >= 0) {
+              if (sig(j) == Long.MaxValue) {
+                var k2 = (j + 1) % numHashes
+                while (sig(k2) == Long.MaxValue) k2 = (k2 + 1) % numHashes
+                sig(j) = sig(k2)
+              }
+              j -= 1
             }
-            j -= 1
+            sig
           }
-          sig
         }
       }
     }
@@ -151,7 +176,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, shingleSize: Int = 3, seed: Long = 42L): DataFrame =
     spread(df).select(col(idCol).as("id"),
-        minHashSignature(numHashes, seed)(shingles(col(textCol), shingleSize)).as("sig"))
+        minHashSignature(numHashes, shingleSize, seed)(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
       .cache()
 
@@ -173,7 +198,7 @@ object Dedup {
     // (at cluster scale: persist the signature table)
     val signed = spread(df).select(
         col(idCol).as("id"),
-        minHashSignature(numHashes, seed)(shingles(col(textCol), shingleSize)).as("sig"))
+        minHashSignature(numHashes, shingleSize, seed)(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
       .cache()
 
