@@ -484,10 +484,15 @@ object Planner {
     def rewriteSub(e: Exp): Exp = e match {
       case sub @ ExpSub(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
         subCache.getOrElseUpdate(sub,
-          decorrelateAggScalar(ctx0, q)
-            .orElse(decorrelateThetaAggScalar(ctx0, q)) match {
-            case Some((attach, repl)) => base0 = attach(base0); repl
-            case None => sub
+          normalizeAggScalar(q) match {
+            case Left(()) => ExpLit(LitNull) // provably yields no row
+            case Right(q2) =>
+              decorrelateAggScalar(ctx0, q2)
+                .orElse(decorrelateThetaAggScalar(ctx0, q2))
+                .orElse(decorrelateGroupedScalar(ctx0, q2)) match {
+                case Some((attach, repl)) => base0 = attach(base0); repl
+                case None => sub
+              }
           })
       case inq @ ExpInQuery(x, p, q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
         subCache.getOrElseUpdate(inq, {
@@ -825,8 +830,10 @@ object Planner {
     }
     if (hasAgg) throw new UnsupportedOperationException(
       "Correlated aggregate subquery shape not supported (divergence D3): " +
-        "only the single-item equality-correlated form decorrelates " +
-        "(SELECT agg(..) FROM t WHERE k = outer.k [AND inner-only ...])")
+        "ungrouped single-aggregate forms decorrelate under any " +
+        "correlation operators; grouped forms need equality correlation " +
+        "plus ORDER BY and a literal LIMIT (the row a scalar takes is " +
+        "otherwise unspecified)")
     planWithOuter(ctx, q).limit(1).scalar()
   }
 
@@ -1057,6 +1064,152 @@ object Planner {
                 compile(r, ctx) <=> col(keyName(i)) }.reduce(_ && _),
               "left_outer")
               .drop(keyName: _*)
+          }
+          Some((attach, ExpCol(None, vName)))
+        }
+      }
+    case _ => None
+  }
+
+  /** Normalize a correlated scalar subquery before decorrelation:
+    * an UNGROUPED aggregate subquery emits exactly one row, so its
+    * ORDER BY is a no-op and a literal LIMIT ≥ 1 keeps the row — strip
+    * both so the aggregate decorrelators apply; a literal LIMIT ≤ 0
+    * (any shape) or a positive literal OFFSET past the single row
+    * provably yields NO row, i.e. scalar NULL. */
+  private def normalizeAggScalar(q: Query): Either[Unit, Query] = q match {
+    case s: Select =>
+      def litOf(e: Exp): Option[Long] =
+        e match { case ExpLit(LitInt(v)) => Some(v); case _ => None }
+      val limLit = s.limit.flatMap(l => litOf(l.limit))
+      val offLit = s.limit.flatMap(_.offset) match {
+        case None => Some(0L)
+        case Some(e) => litOf(e)
+      }
+      val singleAgg = s.grouping.isEmpty && s.columns.sizeIs == 1 &&
+        (s.columns.head match {
+          case SelColExp(e, _) => containsAggregate(e)
+          case _ => false
+        })
+      if (limLit.exists(_ <= 0)) Left(())
+      else if (singleAgg && offLit.exists(_ >= 1)) Left(())
+      else if (singleAgg && (s.order.nonEmpty || s.limit.isDefined) &&
+        s.limit.forall(l => litOf(l.limit).exists(_ >= 1)) &&
+        offLit.contains(0L))
+        Right(s.copy(order = Nil, limit = None))
+      else Right(s)
+    case other => Right(other)
+  }
+
+  /** Decorrelate a GROUPED, ordered, limited correlated scalar subquery —
+    * the greatest-n-per-group shape written as a scalar:
+    *
+    *   (SELECT item FROM t WHERE k = outer.k [AND residual]
+    *    GROUP BY g [HAVING h] ORDER BY o [DESC] LIMIT 1 [OFFSET j])
+    *
+    * The scalar is row j+1 of the subquery's ordered group rows (SQLite
+    * takes the first row a scalar subquery yields; LIMIT/OFFSET shift
+    * which row that is). Rewrite: group the inner relation by
+    * (correlation keys × GROUP BY keys) with the correlation conjuncts
+    * as equi-keys, rank groups per key with a window over the compiled
+    * ORDER BY, keep rank j+1, left-join back on the outer expressions.
+    * An outer row with no groups joins nothing → NULL (SQL semantics:
+    * zero groups, no row — the COUNT coalesce of the ungrouped form
+    * does NOT apply). Scale shape: one grouped aggregate over the inner
+    * table, one window partitioned by the correlation keys (both
+    * shuffle on bounded-cardinality keys), one equi-join — never a
+    * per-outer-row subquery. Ordering ties pick one row arbitrarily,
+    * as SQLite does. Unordered grouped scalars stay rejected (their
+    * result is unspecified even in SQLite). */
+  private def decorrelateGroupedScalar(ctx: Ctx, q: Query): Option[(DataFrame => DataFrame, Exp)] = q match {
+    case s: Select
+        if ctx.scope.isDefined && s.tables.nonEmpty && s.grouping.isDefined &&
+          s.order.nonEmpty && s.quantifier == SelQuantAll &&
+          s.columns.sizeIs == 1 =>
+      val outer = ctx.scope.get
+      val inner = queryScope(ctx.bdb, s, ctx.binds)
+      def refsOuter(e: Exp): Boolean = freeColRefs(e, inner, outer).nonEmpty
+      def litOf(e: Exp): Option[Long] =
+        e match { case ExpLit(LitInt(v)) => Some(v); case _ => None }
+      // LIMIT must keep at least the picked row; OFFSET shifts the pick
+      val rowTarget: Option[Long] = s.limit match {
+        case None => Some(1L)
+        case Some(Lim(l, off)) =>
+          val offN = off match {
+            case None => Some(0L)
+            case Some(e) => litOf(e)
+          }
+          (litOf(l), offN) match {
+            case (Some(n), Some(j)) if n >= 1 && j >= 0 => Some(j + 1)
+            case _ => None
+          }
+      }
+      val itemOk = s.columns.head match {
+        case SelColExp(e, _) => !refsOuter(e)
+        case _ => false
+      }
+      val g = s.grouping.get
+      val clean = itemOk && rowTarget.isDefined &&
+        g.keys.forall(k => !refsOuter(k)) &&
+        g.condition.forall(h => !refsOuter(h)) &&
+        s.order.forall(o => !refsOuter(o.expression))
+      if (!clean) None
+      else {
+        val itemExp = s.columns.head.asInstanceOf[SelColExp].expression
+        val itemAlias = s.columns.head.asInstanceOf[SelColExp].name
+        // classify WHERE conjuncts exactly as the equality decorrelator
+        val parts: Seq[Either[Option[Exp], (Exp, Exp)]] =
+          s.condition.toSeq.flatMap(conjuncts).map {
+            case eq @ ExpOp(Op.Eq, Seq(a, b)) =>
+              (refsOuter(a), refsOuter(b)) match {
+                case (false, true) if innerColRefs(b, inner).isEmpty => Right((a, b))
+                case (true, false) if innerColRefs(a, inner).isEmpty => Right((b, a))
+                case (false, false) => Left(Some(eq))
+                case _ => Left(None)
+              }
+            case c if !refsOuter(c) => Left(Some(c))
+            case _ => Left(None)
+          }
+        val corr = parts.collect { case Right(p) => p }
+        val residual = parts.collect { case Left(Some(c)) => c }
+        if (parts.contains(Left(None)) || corr.isEmpty) None
+        else {
+          val tag = subqueryTag.getAndIncrement()
+          val vName = s"__gv_$tag"
+          val rnName = s"__gr_$tag"
+          val keyNames = corr.indices.map(i => s"__gk_${tag}_$i")
+          val obNames = s.order.indices.map(i => s"__go_${tag}_$i")
+          // ORDER BY may name the item positionally (1) or by alias
+          val orderExps = s.order.map(_.expression).map {
+            case ExpLit(LitInt(1)) => itemExp
+            case c @ ExpCol(None, n)
+                if itemAlias.exists(a => Names.casefold(a) == Names.casefold(n)) &&
+                  innerColRefs(c, inner).isEmpty => itemExp
+            case o => o
+          }
+          val innerSel = Select(SelQuantAll,
+            corr.zipWithIndex.map { case ((in, _), i) =>
+              SelColExp(in, Some(keyNames(i))) } ++
+              (SelColExp(itemExp, Some(vName)) +:
+                orderExps.zipWithIndex.map { case (o, i) =>
+                  SelColExp(o, Some(obNames(i))) }),
+            s.tables,
+            residual.reduceLeftOption((a, b) => ExpOp(Op.BoolAnd, Seq(a, b))),
+            Some(Grouping(corr.map(_._1) ++ g.keys, g.condition)), Nil, None)
+          val innerDf = plan(ctx.bdb, innerSel, ctx.binds)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyNames.map(col): _*)
+            .orderBy(s.order.zip(obNames).map { case (o, n) =>
+              if (o.asc) col(n).asc else col(n).desc }: _*)
+          val picked = innerDf
+            .withColumn(rnName, row_number().over(w))
+            .filter(col(rnName) === lit(rowTarget.get))
+            .select((keyNames.map(col) :+ col(vName)): _*)
+          val attach: DataFrame => DataFrame = { df =>
+            df.join(picked,
+              corr.zipWithIndex.map { case ((_, out), i) =>
+                compile(out, ctx) === picked(keyNames(i)) }.reduce(_ && _),
+              "left_outer").drop(keyNames: _*)
           }
           Some((attach, ExpCol(None, vName)))
         }

@@ -421,8 +421,55 @@ object BqlQueries {
       |ORDER BY o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** b27: GROUPED correlated scalar subqueries (round-6 D3 narrowing) —
+    * greatest-n-per-group written as a scalar: each customer's most
+    * frequent order priority (string item = a group key), its count
+    * (aggregate item), the runner-up via OFFSET (row 2 of the ordered
+    * groups; NULL when only one group exists), plus an ungrouped
+    * aggregate whose no-op ORDER BY/LIMIT is stripped by
+    * normalization. Decorrelates into one grouped aggregate + one
+    * window ranked by the ORDER BY + equi-joins — never a per-row
+    * subquery. Tie-breaks are total (count DESC, priority ASC) so the
+    * picked row is deterministic on both engines. */
+  val b27GroupedCorrelated: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT c_custkey,
+      |       (SELECT o_orderpriority FROM orders WHERE o_custkey = c_custkey
+      |        GROUP BY o_orderpriority
+      |        ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio,
+      |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey
+      |        GROUP BY o_orderpriority
+      |        ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio_n,
+      |       (SELECT o_orderpriority FROM orders WHERE o_custkey = c_custkey
+      |        GROUP BY o_orderpriority
+      |        ORDER BY count(*) DESC, o_orderpriority
+      |        LIMIT 1 OFFSET 1) AS second_prio,
+      |       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey
+      |        ORDER BY 1 LIMIT 1) AS max_spend
+      |FROM customer
+      |WHERE c_custkey <= 300
+      |ORDER BY c_custkey""".stripMargin)
+
+  val b27Sql: String =
+    """SELECT c_custkey,
+      |       (SELECT o_orderpriority FROM orders WHERE o_custkey = c_custkey
+      |        GROUP BY o_orderpriority
+      |        ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio,
+      |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey
+      |        GROUP BY o_orderpriority
+      |        ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio_n,
+      |       (SELECT o_orderpriority FROM orders WHERE o_custkey = c_custkey
+      |        GROUP BY o_orderpriority
+      |        ORDER BY count(*) DESC, o_orderpriority
+      |        LIMIT 1 OFFSET 1) AS second_prio,
+      |       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey
+      |        ORDER BY 1 LIMIT 1) AS max_spend
+      |FROM customer
+      |WHERE c_custkey <= 300
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "b23_bql_correlated_subquery" -> b23Correlated,
+    "b27_grouped_correlated" -> b27GroupedCorrelated,
     "b25_estimate_correlated" -> b25EstimateCorrelated,
     "b26_theta_correlated" -> b26ThetaCorrelated,
     "b17_bql_exists" -> b17Exists,
@@ -452,6 +499,7 @@ object BqlQueries {
   val oracles: Map[String, String] = Map(
     "b05_bql_guess_schema" -> StatsQueries.b05Sql,
     "b23_bql_correlated_subquery" -> b23Sql,
+    "b27_grouped_correlated" -> b27Sql,
     "b25_estimate_correlated" -> b25Sql,
     "b26_theta_correlated" -> b26Sql,
     "b01_bql_select" -> b01Sql,

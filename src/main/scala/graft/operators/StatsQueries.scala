@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
 
 /** The CORRELATION / CORRELATION PVALUE estimator family (SURVEY §2.4,
   * §2.7) + GUESS SCHEMA, exposed as driver-checkable queries. Every
-  * p-value key whose degrees of freedom admit an algebraic survival
-  * function carries a DuckDB oracle (s05/s06/s08-s12); only s04 — t at
-  * df = n−2, which needs the incomplete beta at a data-dependent df —
-  * stays rows-only, pinned by SpecialMathSpec's closed-form identities.
+  * p-value key carries a DuckDB oracle: algebraic survival functions at
+  * fixed df (s05/s06/s08-s12), and the general-df incomplete beta
+  * itself for the t-test (s04/s13) — the same Lentz continued fraction
+  * `SpecialMath.betacf` runs, evaluated DuckDB-side as a recursive CTE.
   */
 object StatsQueries {
 
@@ -98,13 +98,75 @@ object StatsQueries {
       |SELECT round(1 - 1 / (1 + (bgv / wgv) * ((k - 1) / (n - k))), 6) AS anova_r2
       |FROM st""".stripMargin
 
-  /** CORRELATION PVALUE numerical×numerical (two-sided t-test) —
-    * special functions, rows-only driver check. */
+  /** CORRELATION PVALUE numerical×numerical (two-sided t-test) at the
+    * data's own df = n−2. Oracled at GENERAL df (round 6): the DuckDB
+    * side evaluates the same regularized-incomplete-beta continued
+    * fraction (Lentz) the Scala `SpecialMath.incBeta` runs, as a
+    * recursive CTE — p = I_{1−r²}(df/2, 1/2). */
   val s04PearsonPValue: Q = (spark, dir) => {
     val li = Tables.load(spark, dir, "lineitem")
     oneRow(spark, "corr_pvalue",
-      Correlation.pearsonPValue(li, "l_quantity", "l_extendedprice"))
+      round6(Correlation.pearsonPValue(li, "l_quantity", "l_extendedprice")))
   }
+
+  /** DuckDB SQL for the two-sided Pearson t-test p-value at general df:
+    * the regularized incomplete beta I_x(df/2, 1/2) with x = 1 − r²,
+    * branch-swapped into the convergent region and evaluated with the
+    * SAME Lentz continued fraction as `SpecialMath.betacf`, unrolled as
+    * a 200-step recursive CTE (two Lentz sub-steps per row; FpMin
+    * clamps mirrored). `pairCte` must define pair(x0, x1). */
+  private def tPValueSql(pairCte: String): String =
+    s"""WITH RECURSIVE
+       |pair AS ($pairCte),
+       |st AS (
+       |  SELECT covar_pop(x0, x1) / (stddev_pop(x0) * stddev_pop(x1)) AS r,
+       |         count(*)::DOUBLE - 2 AS df
+       |  FROM pair),
+       |par AS (
+       |  SELECT df,
+       |         CASE WHEN 1 - r*r >= (df/2 + 1) / (df/2 + 2.5)
+       |              THEN r*r ELSE 1 - r*r END AS xx,
+       |         CASE WHEN 1 - r*r >= (df/2 + 1) / (df/2 + 2.5)
+       |              THEN 0.5 ELSE df/2 END AS a,
+       |         CASE WHEN 1 - r*r >= (df/2 + 1) / (df/2 + 2.5)
+       |              THEN df/2 ELSE 0.5 END AS b,
+       |         (1 - r*r >= (df/2 + 1) / (df/2 + 2.5)) AS swapped
+       |  FROM st),
+       |cf AS (
+       |  SELECT 1 AS m, 1.0::DOUBLE AS c,
+       |         1.0 / (CASE WHEN abs(1 - (a+b)*xx/(a+1)) < 1e-300
+       |                     THEN 1e-300 ELSE 1 - (a+b)*xx/(a+1) END) AS d,
+       |         1.0 / (CASE WHEN abs(1 - (a+b)*xx/(a+1)) < 1e-300
+       |                     THEN 1e-300 ELSE 1 - (a+b)*xx/(a+1) END) AS h
+       |  FROM par
+       |  UNION ALL
+       |  SELECT m + 1, c2, d2, h * d1 * c1 * d2 * c2
+       |  FROM (
+       |    SELECT m, h,
+       |      m*(b-m)*xx / ((a-1+2*m)*(a+2*m)) AS aa1,
+       |      1.0 / (CASE WHEN abs(1 + aa1*d) < 1e-300
+       |             THEN 1e-300 ELSE 1 + aa1*d END) AS d1,
+       |      CASE WHEN abs(1 + aa1/c) < 1e-300
+       |           THEN 1e-300 ELSE 1 + aa1/c END AS c1,
+       |      -(a+m)*(a+b+m)*xx / ((a+2*m)*(a+1+2*m)) AS aa2,
+       |      1.0 / (CASE WHEN abs(1 + aa2*d1) < 1e-300
+       |             THEN 1e-300 ELSE 1 + aa2*d1 END) AS d2,
+       |      CASE WHEN abs(1 + aa2/c1) < 1e-300
+       |           THEN 1e-300 ELSE 1 + aa2/c1 END AS c2
+       |    FROM cf, par WHERE m < 200)),
+       |done AS (SELECT h FROM cf WHERE m = 200)
+       |SELECT round(CASE WHEN swapped
+       |  THEN 1 - exp(lgamma(a+b) - lgamma(a) - lgamma(b)
+       |               + a*ln(xx) + b*ln(1-xx)) * h / a
+       |  ELSE exp(lgamma(a+b) - lgamma(a) - lgamma(b)
+       |           + a*ln(xx) + b*ln(1-xx)) * h / a
+       |  END, 6) AS corr_pvalue
+       |FROM done, par""".stripMargin
+
+  val s04Sql: String = tPValueSql(
+    """
+      |  SELECT l_quantity AS x0, l_extendedprice AS x1 FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL""".stripMargin)
 
   /** CORRELATION PVALUE nominal×nominal (χ² independence test).
     * returnflag×linestatus is a 3×2 contingency, so df = 2 and the χ²
@@ -162,10 +224,28 @@ object StatsQueries {
       |SELECT round(pow(1 + 2 * (bgv / wgv) / (n - k), -(n - k) / 2), 6) AS anova_pvalue
       |FROM st""".stripMargin
 
+  /** s13: the t p-value at a SMALL general df (32 rows → df=30, p well
+    * inside (0,1)) through the same incomplete-beta continued fraction —
+    * s04's full-table df is ~n, so this key pins the small-df corner of
+    * the general path against the same recursive-CTE oracle. */
+  val s13TPValueDf30: Q = (spark, dir) => {
+    val sub = Tables.load(spark, dir, "lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(32)
+    oneRow(spark, "corr_pvalue",
+      round6(Correlation.pearsonPValue(sub, "l_quantity", "l_extendedprice")))
+  }
+
+  val s13Sql: String = tPValueSql(
+    """
+      |  SELECT x0, x1 FROM (
+      |    SELECT l_quantity AS x0, l_extendedprice AS x1,
+      |           l_orderkey, l_linenumber FROM lineitem
+      |    ORDER BY l_orderkey, l_linenumber LIMIT 32)""".stripMargin)
+
   // p-values at known degrees of freedom have closed forms DuckDB can
   // compute — s05/s06/s08-s12 pin the special-function paths against
-  // hard oracles; only s04 (t at df = n−2, which needs the incomplete
-  // beta at runtime-sized df) stays rows-only:
+  // hard oracles; s04/s13 oracle the general-df incomplete beta itself
+  // (Lentz continued fraction as a recursive CTE). Closed forms used:
   //   t, df=2:  2·sf(|t|) = 1 − u,             u = |t|/√(df+t²)
   //   t, df=4:  2·sf(|t|) = 1 − (u/2)(3 − u²)
   //   χ², df=2: sf(x) = e^(−x/2)
@@ -374,18 +454,21 @@ object StatsQueries {
     "s09_chi2_pvalue_df2" -> s09Chi2PValueDf2,
     "s10_f_pvalue_d1_2" -> s10FPValueD12,
     "s11_t_pvalue_df4" -> s11TPValueDf4,
-    "s12_chi2_pvalue_df6" -> s12Chi2PValueDf6)
+    "s12_chi2_pvalue_df6" -> s12Chi2PValueDf6,
+    "s13_t_pvalue_df30" -> s13TPValueDf30)
 
   val oracles: Map[String, String] = Map(
     "s07_guess_schema" -> s07Sql,
     "s01_corr_pearson" -> s01Sql,
     "s02_cramer_phi" -> s02Sql,
     "s03_anova_r2" -> s03Sql,
+    "s04_pearson_pvalue" -> s04Sql,
     "s05_cramer_pvalue" -> s05Sql,
     "s06_anova_pvalue" -> s06Sql,
     "s08_t_pvalue_df2" -> s08Sql,
     "s09_chi2_pvalue_df2" -> s09Sql,
     "s10_f_pvalue_d1_2" -> s10Sql,
     "s11_t_pvalue_df4" -> s11Sql,
-    "s12_chi2_pvalue_df6" -> s12Sql)
+    "s12_chi2_pvalue_df6" -> s12Sql,
+    "s13_t_pvalue_df30" -> s13Sql)
 }

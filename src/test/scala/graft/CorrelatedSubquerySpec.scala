@@ -94,10 +94,55 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
   }
 
   test("aggregate correlation in a grouped subquery stays D3") {
+    // grouped + theta correlation + NO ORDER BY: the picked row would be
+    // unspecified even in SQLite — still the named divergence
     val e = intercept[UnsupportedOperationException] {
       rows("select dname, (select count(*) from emp where sal > dk group by edk) from dept")
     }
     assert(e.getMessage.contains("D3"))
+  }
+
+  test("grouped ordered correlated scalar decorrelates (round-6 narrowing)") {
+    // most common salary band per dept — item is a GROUP BY key, ranked
+    // by count: eng = hi:2 → 'hi'; ops = lo:2, hi:1 → 'lo'; empty → NULL
+    assert(rows("select dname, (select case when sal >= 100 then 'hi' else 'lo' end" +
+      " from emp where edk = dk group by case when sal >= 100 then 'hi' else 'lo' end" +
+      " order by count(*) desc, 1 limit 1) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", "hi"), Seq("ops", "lo")))
+    // aggregate item: the top band's count — NO count-bug coalesce here
+    // (zero groups ⇒ no row ⇒ NULL, unlike the ungrouped count form)
+    assert(rows("select dname, (select count(*)" +
+      " from emp where edk = dk group by case when sal >= 100 then 'hi' else 'lo' end" +
+      " order by count(*) desc limit 1) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 2L), Seq("ops", 2L)))
+  }
+
+  test("grouped correlated scalar with OFFSET picks the ranked row") {
+    // runner-up band: ops → 'hi'; eng has one band → NULL; empty → NULL
+    assert(rows("select dname, (select case when sal >= 100 then 'hi' else 'lo' end" +
+      " from emp where edk = dk group by case when sal >= 100 then 'hi' else 'lo' end" +
+      " order by count(*) desc, 1 limit 1 offset 1) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", null), Seq("ops", "hi")))
+  }
+
+  test("no-op ORDER BY/LIMIT on an ungrouped aggregate scalar strips") {
+    assert(rows("select dname, (select max(sal) from emp where edk = dk order by 1 limit 1) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
+  }
+
+  test("LIMIT 0 scalar subquery is provably NULL") {
+    assert(rows("select dname, (select count(*) from emp where edk = dk limit 0) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", null), Seq("ops", null)))
+  }
+
+  test("grouped decorrelation plans as window + join, not per-row execution") {
+    val plan = bdb.execute(
+      "select dname, (select case when sal >= 100 then 'hi' else 'lo' end" +
+        " from emp where edk = dk group by case when sal >= 100 then 'hi' else 'lo' end" +
+        " order by count(*) desc, 1 limit 1) from dept")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window"), s"expected window rank:\n$plan")
+    assert(plan.contains("Join LeftOuter"), s"expected attach join:\n$plan")
   }
 
   test("correlated non-aggregate scalar takes first matching row") {
