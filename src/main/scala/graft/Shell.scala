@@ -17,6 +17,7 @@ import scala.io.StdIn
   *   .read <file>            run a BQL script file
   *   .table <name> <path>    register a parquet file/dir as a table
   *   .tables                 list registered tables
+  *   .sql <query>            raw Spark SQL over the registered tables
   *   .describe table <t>     show a table's schema
   *   .describe populations   list populations (+variables)
   *   .describe generators    list generators
@@ -72,6 +73,10 @@ object Shell {
           case ".table" :: name :: path :: Nil =>
             safely(bdb.registerTable(name, bdb.spark.read.parquet(path)))
           case ".tables" :: Nil => bdb.tableNames.sorted.foreach(println)
+          case ".sql" :: rest if rest.nonEmpty =>
+            // raw Spark SQL over the registered tables (reference shell
+            // .sql, shell/src/core.py:270-280)
+            safely(bdb.sqlExecute(rest.mkString(" ")).show(50, truncate = false))
           case ".describe" :: "table" :: t :: Nil =>
             safely(bdb.table(t).printSchema())
           case ".describe" :: ("population" | "populations") :: rest =>

@@ -224,6 +224,51 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     }
   }
 
+  /** Raw SQL escape hatch (reference: `bdb.sql_execute`,
+    * src/bayesdb.py:284-303 — passes the text straight to SQLite with
+    * the BQL math UDFs still visible). Spark-first: every registered
+    * table (rowid column included) becomes a session temp view and the
+    * text runs through `spark.sql` — full Spark SQL, the session's
+    * registered math UDFs, Catalyst optimization. `?`/`?N`/`:name`
+    * parameters are spliced as SQL literals via the BQL lexer (so
+    * parameter markers inside strings/comments are never touched);
+    * Spark SQL has no positional-bind API. */
+  def sqlExecute(sql: String, bindings: Seq[Any] = Nil): DataFrame = {
+    tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    spark.sql(if (bindings.isEmpty) sql else spliceBinds(sql, bindings))
+  }
+
+  private def spliceBinds(sql: String, binds: Seq[Any]): String = {
+    def lit(nr: Int): String = {
+      require(nr >= 1 && nr <= binds.length,
+        s"Query needs parameter $nr, got ${binds.length} bindings")
+      binds(nr - 1) match {
+        case null => "NULL"
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case b: Boolean => if (b) "TRUE" else "FALSE"
+        case n: java.lang.Number => n.toString
+        case other => "'" + other.toString.replace("'", "''") + "'"
+      }
+    }
+    val sb = new StringBuilder
+    var last = 0
+    Lexer.lex(sql).tokens.foreach {
+      case Lexer.TNumpar(nr, pos) =>
+        sb.append(sql.substring(last, pos)).append(lit(nr))
+        var e = pos + 1
+        while (e < sql.length && sql.charAt(e).isDigit) e += 1
+        last = e
+      case Lexer.TNampar(nr, _, pos) =>
+        sb.append(sql.substring(last, pos)).append(lit(nr))
+        var e = pos + 1
+        while (e < sql.length && (sql.charAt(e).isLetterOrDigit ||
+          sql.charAt(e) == '_' || sql.charAt(e) == '$')) e += 1
+        last = e
+      case _ => ()
+    }
+    sb.append(sql.substring(last)).toString
+  }
+
   /** Execute with named parameters (`:name`/`@name`/`$name`). */
   def executeNamed(bql: String, bindings: Map[String, Any]): DataFrame = {
     val parsed = Parser.parseOne(bql)

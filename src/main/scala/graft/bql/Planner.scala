@@ -484,7 +484,7 @@ object Planner {
     def rewriteSub(e: Exp): Exp = e match {
       case sub @ ExpSub(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
         subCache.getOrElseUpdate(sub,
-          normalizeAggScalar(q) match {
+          normalizeAggScalar(requalifyDeep(ctx0, q)) match {
             case Left(()) => ExpLit(LitNull) // provably yields no row
             case Right(q2) =>
               decorrelateAggScalar(ctx0, q2)
@@ -494,12 +494,16 @@ object Planner {
                 case None => sub
               }
           })
+      case ex @ ExpExists(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
+        // depth-≥2 refs inside the EXISTS body peel to one level here;
+        // the one-level form then plans as a native exists-subquery
+        subCache.getOrElseUpdate(ex, ExpExists(requalifyDeep(ctx0, q)))
       case inq @ ExpInQuery(x, p, q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
         subCache.getOrElseUpdate(inq, {
           val xn = s"__in_x_${subqueryTag.getAndIncrement()}"
           base0 = base0.withColumn(xn, compile(x, ctx0))
           hiddenOuter += xn
-          ExpInQuery(ExpCol(None, xn), p, q)
+          ExpInQuery(ExpCol(None, xn), p, requalifyDeep(ctx0, q))
         })
       case ExpOp(op, os) => ExpOp(op, os.map(rewriteSub))
       case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(rewriteSub))
@@ -1069,6 +1073,177 @@ object Planner {
         }
       }
     case _ => None
+  }
+
+  /** Free references of `e` against a scope CHAIN (innermost first),
+    * including refs inside nested subqueries (each nested frame extends
+    * the chain): returns the refs that resolve in NO chain frame but DO
+    * resolve in `outer` — the depth-(chain length) correlation
+    * witnesses. Non-Select nested queries block analysis (treated as
+    * having no deep refs; they error later with the named divergence). */
+  private def chainFreeRefs(ctx: Ctx, e: Exp, chain: Seq[Scope], outer: Scope): Seq[ExpCol] = {
+    def resolves(t: Option[String], n: String, sc: Scope): Boolean = t match {
+      case None => sc.names(normRef(n))
+      case Some(tb) => sc.tables.get(Names.casefold(tb)).exists(_(normRef(n)))
+    }
+    e match {
+      case c @ ExpCol(t, n) =>
+        if (chain.exists(resolves(t, n, _))) Nil
+        else if (resolves(t, n, outer)) Seq(c) else Nil
+      case ExpSub(q) => queryChainRefs(ctx, q, chain, outer)
+      case ExpExists(q) => queryChainRefs(ctx, q, chain, outer)
+      case ExpInQuery(x, _, q) =>
+        chainFreeRefs(ctx, x, chain, outer) ++ queryChainRefs(ctx, q, chain, outer)
+      case ExpInExp(x, _, es) => (x +: es).flatMap(chainFreeRefs(ctx, _, chain, outer))
+      case ExpOp(_, os) => os.flatMap(chainFreeRefs(ctx, _, chain, outer))
+      case ExpApp(_, _, args) => args.flatMap(chainFreeRefs(ctx, _, chain, outer))
+      case ExpCase(k, ws, o) =>
+        (k.toSeq ++ ws.flatMap(w => Seq(w._1, w._2)) ++ o.toSeq)
+          .flatMap(chainFreeRefs(ctx, _, chain, outer))
+      case ExpCast(x, _) => chainFreeRefs(ctx, x, chain, outer)
+      case ExpCollate(x, _) => chainFreeRefs(ctx, x, chain, outer)
+      case _ => Nil
+    }
+  }
+
+  private def queryChainRefs(ctx: Ctx, q: Query, chain: Seq[Scope], outer: Scope): Seq[ExpCol] =
+    q match {
+      case s: Select =>
+        val sc = queryScope(ctx.bdb, s, ctx.binds)
+        selectExps(s).flatMap(chainFreeRefs(ctx, _, sc +: chain, outer))
+      case _ => Nil
+    }
+
+  /** Rewrite refs to frames MORE than one level up (depth ≥ 2 outer
+    * references, which neither the decorrelators nor Catalyst's
+    * subquery expressions can resolve) into one-level refs, when the
+    * immediately-enclosing subquery `s` carries an equality-correlation
+    * conjunct `innerExpr = outerCol` naming the same outer column: the
+    * deep ref is then equal, row-by-row within the subquery's frame, to
+    * `innerExpr` — substitute the (alias-qualified) inner side. Each
+    * application peels one level, so depth-N chains cascade as the
+    * nested queries are planned in turn. Substitution is skipped (and
+    * the named D3 error stands) when the inner side cannot be uniquely
+    * alias-qualified or a nested frame shadows the qualifying alias. */
+  private def requalifyDeep(ctx: Ctx, q: Query): Query = q match {
+    case s: Select if ctx.scope.isDefined =>
+      val outer = ctx.scope.get
+      val inner = queryScope(ctx.bdb, s, ctx.binds)
+      def refsOuter(e: Exp): Boolean = freeColRefs(e, inner, outer).nonEmpty
+      // unique alias of `n` in scope `sc` (None when absent or ambiguous)
+      def ownerAlias(sc: Scope, t: Option[String], n: String): Option[String] = t match {
+        case Some(tb) =>
+          val tf = Names.casefold(tb)
+          if (sc.tables.get(tf).exists(_(normRef(n)))) Some(tf) else None
+        case None =>
+          sc.tables.filter(_._2(normRef(n))).keys.toSeq match {
+            case Seq(one) => Some(one)
+            case _ => None
+          }
+      }
+      // qualify every unqualified ref of an inner-side expr by its
+      // unique owning alias in the subquery's own frame
+      def qualify(e: Exp): Option[Exp] = e match {
+        case ExpCol(None, n) => ownerAlias(inner, None, n).map(a => ExpCol(Some(a), n))
+        case c @ ExpCol(Some(t), _) =>
+          if (inner.tables.contains(Names.casefold(t))) Some(c) else None
+        case ExpOp(op, os) =>
+          val qs = os.map(qualify)
+          if (qs.forall(_.isDefined)) Some(ExpOp(op, qs.flatten)) else None
+        case ExpCast(x, t) => qualify(x).map(ExpCast(_, t))
+        case ExpCollate(x, cl) => qualify(x).map(ExpCollate(_, cl))
+        case lit: ExpLit => Some(lit)
+        case _ => None
+      }
+      // equality pairs: inner-side expr keyed by the OUTER column it equals
+      val mapping: Map[(String, String), Exp] =
+        s.condition.toSeq.flatMap(conjuncts).flatMap {
+          case ExpOp(Op.Eq, Seq(a, b)) =>
+            def tryPair(in: Exp, out: Exp): Option[((String, String), Exp)] = out match {
+              case ExpCol(t, n)
+                  if freeColRefs(out, inner, outer) == Seq(out) &&
+                    innerColRefs(out, inner).isEmpty &&
+                    !refsOuter(in) && innerColRefs(in, inner).nonEmpty =>
+                for {
+                  alias <- ownerAlias(outer, t, n)
+                  qin <- qualify(in)
+                } yield ((alias, normRef(n)), qin)
+              case _ => None
+            }
+            tryPair(a, b).orElse(tryPair(b, a))
+          case _ => None
+        }.toMap
+      if (mapping.isEmpty) s
+      else {
+        // aliases a substitution introduces must not be shadowed by any
+        // frame between the ref and this subquery
+        def aliasesOf(e: Exp): Set[String] = e match {
+          case ExpCol(Some(t), _) => Set(Names.casefold(t))
+          case ExpOp(_, os) => os.flatMap(aliasesOf).toSet
+          case ExpCast(x, _) => aliasesOf(x)
+          case ExpCollate(x, _) => aliasesOf(x)
+          case _ => Set.empty
+        }
+        def resolves(t: Option[String], n: String, sc: Scope): Boolean = t match {
+          case None => sc.names(normRef(n))
+          case Some(tb) => sc.tables.get(Names.casefold(tb)).exists(_(normRef(n)))
+        }
+        // walk expressions inside nested queries; `chain` holds the
+        // frames from the ref's position up to (excluding) `s`'s frame
+        def walkExp(e: Exp, chain: Seq[Scope]): Exp = e match {
+          case c @ ExpCol(t, n) if chain.nonEmpty =>
+            if (chain.exists(resolves(t, n, _)) || resolves(t, n, inner)) c
+            else {
+              val key = ownerAlias(outer, t, n).map(a => (a, normRef(n)))
+              key.flatMap(mapping.get) match {
+                case Some(repl)
+                    if aliasesOf(repl).forall(a => !chain.exists(_.tables.contains(a))) =>
+                  repl
+                case _ => c
+              }
+            }
+          case c: ExpCol => c
+          case ExpSub(qq) => ExpSub(walkQuery(qq, chain))
+          case ExpExists(qq) => ExpExists(walkQuery(qq, chain))
+          case ExpInQuery(x, p, qq) => ExpInQuery(walkExp(x, chain), p, walkQuery(qq, chain))
+          case ExpInExp(x, p, es) => ExpInExp(walkExp(x, chain), p, es.map(walkExp(_, chain)))
+          case ExpOp(op, os) => ExpOp(op, os.map(walkExp(_, chain)))
+          case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(walkExp(_, chain)))
+          case ExpCase(k, ws, o) => ExpCase(k.map(walkExp(_, chain)),
+            ws.map { case (a, b) => (walkExp(a, chain), walkExp(b, chain)) },
+            o.map(walkExp(_, chain)))
+          case ExpCast(x, t) => ExpCast(walkExp(x, chain), t)
+          case ExpCollate(x, cl) => ExpCollate(walkExp(x, chain), cl)
+          case other => other
+        }
+        def walkQuery(qq: Query, chain: Seq[Scope]): Query = qq match {
+          case ss: Select =>
+            val sc = queryScope(ctx.bdb, ss, ctx.binds)
+            val chain2 = chain :+ sc
+            ss.copy(
+              columns = ss.columns.map {
+                case SelColExp(e, nm) => SelColExp(walkExp(e, chain2), nm)
+                case other => other
+              },
+              condition = ss.condition.map(walkExp(_, chain2)),
+              grouping = ss.grouping.map(g =>
+                Grouping(g.keys.map(walkExp(_, chain2)), g.condition.map(walkExp(_, chain2)))),
+              order = ss.order.map(o => Ord(walkExp(o.expression, chain2), o.asc)))
+          case other => other
+        }
+        // top level: only expressions INSIDE nested queries are touched
+        // (chain starts empty; ExpCol with empty chain is left alone)
+        s.copy(
+          columns = s.columns.map {
+            case SelColExp(e, nm) => SelColExp(walkExp(e, Nil), nm)
+            case other => other
+          },
+          condition = s.condition.map(walkExp(_, Nil)),
+          grouping = s.grouping.map(g =>
+            Grouping(g.keys.map(walkExp(_, Nil)), g.condition.map(walkExp(_, Nil)))),
+          order = s.order.map(o => Ord(walkExp(o.expression, Nil), o.asc)))
+      }
+    case other => other
   }
 
   /** Normalize a correlated scalar subquery before decorrelation:

@@ -467,9 +467,40 @@ object BqlQueries {
       |WHERE c_custkey <= 300
       |ORDER BY c_custkey""".stripMargin
 
+  /** b28: DEPTH-2 correlation (round-6 D3 narrowing) — the innermost
+    * avg references o_orderkey TWO frames up; the mid level's equality
+    * pair (l_orderkey = o_orderkey) requalifies the deep ref to the mid
+    * frame, after which each level decorrelates one step into grouped
+    * equi-joins. Orders with no above-average items exercise the empty
+    * group live at both levels (count 0 / max NULL). */
+  val b28NestedCorrelated: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT o_orderkey,
+      |  (SELECT max(l_extendedprice) FROM lineitem
+      |   WHERE l_orderkey = o_orderkey
+      |     AND l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem AS l2
+      |                            WHERE l2.l_orderkey = o_orderkey)) AS top_above_avg,
+      |  (SELECT count(*) FROM lineitem
+      |   WHERE l_orderkey = o_orderkey
+      |     AND l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem AS l2
+      |                            WHERE l2.l_orderkey = o_orderkey)) AS n_above_avg
+      |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)
+
+  val b28Sql: String =
+    """SELECT o_orderkey,
+      |  (SELECT max(l_extendedprice) FROM lineitem
+      |   WHERE l_orderkey = o_orderkey
+      |     AND l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem AS l2
+      |                            WHERE l2.l_orderkey = o_orderkey)) AS top_above_avg,
+      |  (SELECT count(*)::BIGINT FROM lineitem
+      |   WHERE l_orderkey = o_orderkey
+      |     AND l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem AS l2
+      |                            WHERE l2.l_orderkey = o_orderkey)) AS n_above_avg
+      |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "b23_bql_correlated_subquery" -> b23Correlated,
     "b27_grouped_correlated" -> b27GroupedCorrelated,
+    "b28_nested_correlated" -> b28NestedCorrelated,
     "b25_estimate_correlated" -> b25EstimateCorrelated,
     "b26_theta_correlated" -> b26ThetaCorrelated,
     "b17_bql_exists" -> b17Exists,
@@ -500,6 +531,7 @@ object BqlQueries {
     "b05_bql_guess_schema" -> StatsQueries.b05Sql,
     "b23_bql_correlated_subquery" -> b23Sql,
     "b27_grouped_correlated" -> b27Sql,
+    "b28_nested_correlated" -> b28Sql,
     "b25_estimate_correlated" -> b25Sql,
     "b26_theta_correlated" -> b26Sql,
     "b01_bql_select" -> b01Sql,

@@ -117,6 +117,21 @@ class BqlExecSpec extends AnyFunSuite {
     assert(n == 8L)
   }
 
+  test("sql_execute raw escape hatch: temp views, rowid, binds, UDFs") {
+    // registered tables (rowid included) are visible to raw Spark SQL
+    assert(bdb.sqlExecute("select count(*) as n from t1 where rowid <= 3")
+      .head.getLong(0) == 3L)
+    // positional + named binds splice as literals (never inside strings)
+    assert(bdb.sqlExecute(
+      "select id from t1 where age > ? and label <> '?x' order by id", Seq(40))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 7L, 8L))
+    assert(bdb.sqlExecute("select id from t1 where label = :lab order by id",
+      Seq("baz")).collect().map(_.getLong(0)).toSeq == Seq(4L, 7L))
+    // session math UDFs remain visible (reference keeps BQL UDFs in scope)
+    assert(math.abs(bdb.sqlExecute("select erf(0.5) as e").head.getDouble(0)
+      - 0.5204998778) < 1e-9)
+  }
+
   test("registered math UDFs work in BQL and raw spark.sql") {
     assert(math.abs(one("select erf(0.5)").asInstanceOf[Double] - 0.5204998778) < 1e-9)
     assert(math.abs(spark.sql("select lgamma(5.0)").head.getDouble(0) -

@@ -145,6 +145,36 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
     assert(plan.contains("Join LeftOuter"), s"expected attach join:\n$plan")
   }
 
+  test("depth-2 correlation peels through equality pairs (scalar in scalar)") {
+    // innermost avg references dk, TWO frames up; the mid equality
+    // edk = dk requalifies it to the mid frame's edk, then each level
+    // decorrelates one step (round-6 D3 narrowing)
+    assert(rows("select dname, (select max(sal) from emp where edk = dk" +
+      " and sal > (select avg(sal) from emp as e2 where e2.edk = dk)) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
+    // qualified and unqualified deep refs resolve to the same outer key
+    assert(rows("select dname, (select max(sal) from emp where edk = dept.dk" +
+      " and sal > (select avg(sal) from emp as e2 where e2.edk = dk)) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
+  }
+
+  test("depth-2 correlation peels inside EXISTS bodies") {
+    assert(rows("select dname from dept where exists (select 1 from emp where edk = dk" +
+      " and exists (select 1 from emp as e2 where e2.edk = dk and e2.sal > 120)) order by dname") ==
+      Seq(Seq("eng")))
+  }
+
+  test("depth-2 without a matching equality pair stays D3") {
+    // the mid level correlates only by theta (sal > dk), so no equality
+    // pair names dk — the deep ref cannot peel and the named divergence
+    // stands
+    val e = intercept[Exception] {
+      rows("select dname, (select max(sal) from emp where sal > dk" +
+        " and sal > (select avg(sal) from emp as e2 where e2.edk = dk)) from dept")
+    }
+    assert(e.getMessage.contains("D3"), e.getMessage)
+  }
+
   test("correlated non-aggregate scalar takes first matching row") {
     assert(rows("select dname, (select ename from emp where edk = dk and sal > 140) from dept order by dname") ==
       Seq(Seq("empty", null), Seq("eng", "bob"), Seq("ops", null)))
