@@ -18,13 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** Native cosine similarity between two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    when(na === 0.0 || nb === 0.0, lit(null)).otherwise(dot / (na * nb))
-  }
+  /** Cosine similarity between two array<double> columns — a custom
+    * Catalyst expression (one fused codegen'd pass over the array data;
+    * see [[graft.functions.CosineSimilarity]]). Bit-identical to the
+    * zip_with/aggregate higher-order formulation it replaced. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   private def asDoubles(c: Column): Column = transform(c, _.cast("double"))
 
