@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Position-agreement count of two equal-length `array<bigint>` MinHash
+  * signatures — the estimated-Jaccard numerator. One fused codegen'd
+  * pass over the raw array data; replaces a `zip_with` + `aggregate`
+  * higher-order pipeline evaluated per CANDIDATE PAIR on the LSH path
+  * (at threshold 0.1 the pair set is large; the interpreted lambdas and
+  * the intermediate indicator array were the cost). NULL when either
+  * side is NULL or lengths differ. */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<bigint> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sig_agreement"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureAgreement.kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("agree")
+      s"""
+         |java.lang.Integer $r = graft.functions.SignatureAgreement.kernel($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SignatureAgreement {
+  def kernel(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(agree)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(SignatureAgreement(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** 64-bit random-hyperplane signature of an `array<float>` embedding as
+  * a native expression: reads the raw float array data directly (the
+  * UDF form converts every row into a boxed Seq first), planes
+  * precomputed per (seed, dim). Bit-identical to the UDF it replaces.
+  * NULL for NULL/empty vectors or null elements. */
+case class HyperplaneSignature64(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<float> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HyperplaneSignature64.kernel(v.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("sig")
+      s"""
+         |java.lang.Long $r = graft.functions.HyperplaneSignature64.kernel($v, ${seed}L);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSignature64 {
+  /** ±1 plane components, derived once per (seed, dim) per executor —
+    * component (i, j) is the low bit of mix64(seed ^ i<<32 ^ j), the
+    * same derivation the UDF form used. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, Int), Array[Array[Float]]]
+  private def planesFor(seed: Long, dim: Int): Array[Array[Float]] =
+    planeCache.getOrElseUpdate((seed, dim), Array.tabulate(64, dim) { (i, j) =>
+      if ((graft.operators.DetRngHash.mix(seed ^ (i.toLong << 32) ^ j.toLong) & 1L) == 1L)
+        1f
+      else -1f
+    })
+
+  def kernel(vec: ArrayData, seed: Long): java.lang.Long = {
+    val n = vec.numElements()
+    if (n == 0) return null
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    val planes = planesFor(seed, n)
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      val p = planes(i)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += p(j) * vec.getFloat(j)
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  def apply(v: Column, seed: Long): Column =
+    ColumnBridge.column(HyperplaneSignature64(ColumnBridge.expression(v), seed))
+}

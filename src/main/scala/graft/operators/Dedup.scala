@@ -221,13 +221,13 @@ object Dedup {
       .join(signed.select(col("id").as("id0"), col("sig").as("sig0")), "id0")
       .join(signed.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
 
-    // estimated Jaccard = fraction of agreeing signature positions (native
-    // zip_with + aggregate → codegen)
+    // estimated Jaccard = fraction of agreeing signature positions — a
+    // native fused-pass expression evaluated once per candidate pair
+    // (graft.functions.SignatureAgreement, whole-stage codegen)
     pairs
       .withColumn("est_jaccard",
-        aggregate(
-          zip_with(col("sig0"), col("sig1"), (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        graft.functions.SignatureAgreement(col("sig0"), col("sig1"))
+          .cast("double") / numHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id0", "id1", "est_jaccard")
   }

@@ -41,43 +41,13 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** ±1 hyperplane components, derived once per (seed, dim) and cached
-    * per executor — the planes are row-independent, so hashing them out
-    * per row (64 × dim mix64 calls each) would dominate the signature
-    * pass. Bit-identical to deriving inline: component (i, j) is the low
-    * bit of mix64(seed ^ i<<32 ^ j). */
-  private val planeCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, Int), Array[Array[Float]]]
-  private def planesFor(seed: Long, dim: Int): Array[Array[Float]] =
-    planeCache.getOrElseUpdate((seed, dim), Array.tabulate(64, dim) { (i, j) =>
-      if ((DetRngHash.mix(seed ^ (i.toLong << 32) ^ j.toLong) & 1L) == 1L) 1f else -1f
-    })
-
   /** 64-bit random-hyperplane signature: bit i = sign(v · r_i) where r_i
     * is a deterministic pseudo-random ±1 hyperplane. Row-local, no
-    * shuffle; planes precomputed (see planesFor), vector copied out of
-    * its boxed Seq once per row. */
-  def hyperplaneSignature(seed: Long) = udf { (vec: Seq[Float]) =>
-    if (vec == null || vec.isEmpty) null
-    else {
-      val v = vec.toArray
-      val planes = planesFor(seed, v.length)
-      var sig = 0L
-      var i = 0
-      while (i < 64) {
-        val p = planes(i)
-        var dot = 0.0
-        var j = 0
-        while (j < v.length) {
-          dot += p(j) * v(j)
-          j += 1
-        }
-        if (dot >= 0) sig |= (1L << i)
-        i += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
-  }
+    * shuffle — a native Catalyst expression reading the raw float array
+    * data with per-executor precomputed planes (see
+    * [[graft.functions.HyperplaneSignature64]]). */
+  def hyperplaneSignature(seed: Long)(vec: Column): Column =
+    graft.functions.HyperplaneSignature64(vec, seed)
 
   /** Embedding near-duplicate pairs: hyperplane-LSH buckets → exact
     * cosine on candidates only. Returns (id0, id1, cosine) with

@@ -55,6 +55,48 @@ class CosineExprSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1)) < 1e-15)
   }
 
+  test("signature agreement counts equal positions; NULL on mismatch") {
+    import graft.functions.SignatureAgreement
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L))).toDF("a", "b")
+    assert(df.select(SignatureAgreement(col("a"), col("b"))).head.getInt(0) == 2)
+    // parity with the zip_with/aggregate formulation it replaced
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(100)((Seq.fill(32)(rnd.nextInt(4).toLong),
+      Seq.fill(32)(rnd.nextInt(4).toLong)))
+    val both = rows.toDF("a", "b").select(
+      SignatureAgreement(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(not(col("native") === col("hof"))).count() == 0)
+    val mism = Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+    assert(mism.select(SignatureAgreement(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("hyperplane signature expression matches a reference reimplementation") {
+    import graft.functions.HyperplaneSignature64
+    import graft.operators.DetRngHash
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(50)(Seq.fill(24)(rnd.nextFloat() - 0.5f))
+    def reference(v: Seq[Float], seed: Long): Long = {
+      var sig = 0L
+      for (i <- 0 until 64) {
+        var dot = 0.0
+        for (j <- v.indices) {
+          val h = DetRngHash.mix(seed ^ (i.toLong << 32) ^ j.toLong)
+          dot += (if ((h & 1L) == 1L) v(j) else -v(j))
+        }
+        if (dot >= 0) sig |= (1L << i)
+      }
+      sig
+    }
+    val got = vecs.toDF("v")
+      .select(HyperplaneSignature64(col("v"), 42L)).collect().map(_.getLong(0))
+    assert(got.toSeq == vecs.map(reference(_, 42L)))
+    // NULL for the empty vector
+    assert(Seq(Seq.empty[Float]).toDF("v")
+      .select(HyperplaneSignature64(col("v"), 42L)).head.isNullAt(0))
+  }
+
   test("stays inside whole-stage codegen") {
     // a range source keeps the projection out of plan-time constant
     // folding, so the expression's doGenCode path is what runs
