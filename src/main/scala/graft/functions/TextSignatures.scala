@@ -1,0 +1,171 @@
+package graft.functions
+
+import graft.operators.DetRngHash
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-permutation MinHash signature of a text column as a native
+  * Catalyst expression (kernel as in the UDF it replaced, bit-identical:
+  * fused text→token-hash→window-FNV pass, per-bin minima, rotational
+  * densification; see Dedup's scaladoc for the algorithm discussion).
+  * Native wins over the ScalaUDF: no encoder conversion wrappers, the
+  * primitive long[] result goes straight to UnsafeArrayData, and the
+  * call stays inside whole-stage codegen. NULL for NULL text or fewer
+  * tokens than the shingle size. */
+case class MinHashSignature(child: Expression, numHashes: Int,
+    shingleSize: Int, seed: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val sig = MinHashSignature.kernel(
+      v.asInstanceOf[UTF8String].toString, numHashes, shingleSize, seed)
+    if (sig == null) null else UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("sig")
+      s"""
+         |long[] $r = graft.functions.MinHashSignature.kernel(
+         |  $v.toString(), $numHashes, $shingleSize, ${seed}L);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($r); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+
+  /** The fused signature kernel (verbatim from the UDF form). */
+  def kernel(text: String, numHashes: Int, shingleSize: Int, seed: Long): Array[Long] = {
+    val tokens = text.trim.toLowerCase.split("\\s+")
+    val windows = tokens.length - (shingleSize - 1)
+    if (windows <= 0 || (tokens.length == 1 && tokens(0).isEmpty)) null
+    else {
+      val tokenHash = new Array[Long](tokens.length)
+      var i = 0
+      while (i < tokens.length) {
+        tokenHash(i) = DetRngHash.xx(tokens(i).getBytes("UTF-8"))
+        i += 1
+      }
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val mixedSeed = DetRngHash.mix(seed)
+      var w = 0
+      while (w < windows) {
+        // FNV-combine the window's token hashes (order-sensitive)
+        var h0 = 0xcbf29ce484222325L
+        var k = 0
+        while (k < shingleSize) {
+          h0 = (h0 ^ tokenHash(w + k)) * 0x100000001b3L
+          k += 1
+        }
+        val h = DetRngHash.mix(DetRngHash.mix(h0) ^ mixedSeed)
+        val bin = ((h >>> 1) % numHashes).toInt
+        val v = DetRngHash.mix(h ^ 0x9e3779b97f4a7c15L)
+        if (v < sig(bin)) sig(bin) = v
+        w += 1
+      }
+      // densify: empty bins copy the next non-empty bin (circular)
+      var anyFilled = false
+      i = 0
+      while (i < numHashes && !anyFilled) {
+        if (sig(i) != Long.MaxValue) anyFilled = true
+        i += 1
+      }
+      if (!anyFilled) null
+      else {
+        // right-to-left so a whole empty run fills from its right
+        // neighbor in one pass; the wrap-around search covers runs
+        // crossing the top end
+        var j = numHashes - 1
+        while (j >= 0) {
+          if (sig(j) == Long.MaxValue) {
+            var k2 = (j + 1) % numHashes
+            while (sig(k2) == Long.MaxValue) k2 = (k2 + 1) % numHashes
+            sig(j) = sig(k2)
+          }
+          j -= 1
+        }
+        sig
+      }
+    }
+  }
+
+  def apply(text: Column, numHashes: Int, shingleSize: Int, seed: Long): Column =
+    ColumnBridge.column(MinHashSignature(
+      ColumnBridge.expression(text), numHashes, shingleSize, seed))
+}
+
+/** 64-bit SimHash of the whitespace token stream as a native expression
+  * (bit-identical to the UDF it replaced). NULL for NULL text or an
+  * empty token stream. */
+case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHash64.kernel(v.asInstanceOf[UTF8String].toString, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("sim")
+      s"""
+         |java.lang.Long $r = graft.functions.SimHash64.kernel($v.toString(), ${seed}L);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  def kernel(text: String, seed: Long): java.lang.Long = {
+    val tokens = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (tokens.isEmpty) null
+    else {
+      val acc = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = DetRngHash.mix(DetRngHash.xx(t.getBytes("UTF-8")) ^ seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+  }
+
+  def apply(text: Column, seed: Long): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text), seed))
+}

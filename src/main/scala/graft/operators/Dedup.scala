@@ -107,68 +107,11 @@ object Dedup {
     * Fused text→signature: each token's bytes are hashed ONCE and the
     * word-n-gram hash is the FNV combine of its token hashes — no
     * n-gram strings are ever built, and a token's bytes are not
-    * re-hashed by every window containing it (the separate
-    * `shingles()` + string-hash pass cost ~n× more hashing plus one
-    * string allocation per window). Duplicate shingles need no dedup
-    * set: they yield identical (bin, value) pairs, which cannot change
-    * a per-bin minimum. */
-  private def minHashSignature(numHashes: Int, shingleSize: Int, seed: Long) =
-    udf { (text: String) =>
-      if (text == null) null
-      else {
-        val tokens = text.trim.toLowerCase.split("\\s+")
-        val windows = tokens.length - (shingleSize - 1)
-        if (windows <= 0 || (tokens.length == 1 && tokens(0).isEmpty)) null
-        else {
-          val tokenHash = new Array[Long](tokens.length)
-          var i = 0
-          while (i < tokens.length) {
-            tokenHash(i) = DetRngHash.xx(tokens(i).getBytes("UTF-8"))
-            i += 1
-          }
-          val sig = Array.fill(numHashes)(Long.MaxValue)
-          val mixedSeed = DetRngHash.mix(seed)
-          var w = 0
-          while (w < windows) {
-            // FNV-combine the window's token hashes (order-sensitive)
-            var h0 = 0xcbf29ce484222325L
-            var k = 0
-            while (k < shingleSize) {
-              h0 = (h0 ^ tokenHash(w + k)) * 0x100000001b3L
-              k += 1
-            }
-            val h = DetRngHash.mix(DetRngHash.mix(h0) ^ mixedSeed)
-            val bin = ((h >>> 1) % numHashes).toInt
-            val v = DetRngHash.mix(h ^ 0x9e3779b97f4a7c15L)
-            if (v < sig(bin)) sig(bin) = v
-            w += 1
-          }
-          // densify: empty bins copy the next non-empty bin (circular)
-          var anyFilled = false
-          i = 0
-          while (i < numHashes && !anyFilled) {
-            if (sig(i) != Long.MaxValue) anyFilled = true
-            i += 1
-          }
-          if (!anyFilled) null
-          else {
-            // right-to-left so a whole empty run fills from its right
-            // neighbor in one pass; the wrap-around search covers runs
-            // crossing the top end
-            var j = numHashes - 1
-            while (j >= 0) {
-              if (sig(j) == Long.MaxValue) {
-                var k2 = (j + 1) % numHashes
-                while (sig(k2) == Long.MaxValue) k2 = (k2 + 1) % numHashes
-                sig(j) = sig(k2)
-              }
-              j -= 1
-            }
-            sig
-          }
-        }
-      }
-    }
+    * re-hashed by every window containing it. Runs as a native Catalyst
+    * expression ([[graft.functions.MinHashSignature]], whole-stage
+    * codegen, primitive long[] straight to UnsafeArrayData). */
+  private def minHashSignature(numHashes: Int, shingleSize: Int, seed: Long): Column => Column =
+    text => graft.functions.MinHashSignature(text, numHashes, shingleSize, seed)
 
   /** Profiling hook: the signature stage alone (cached), for stage-level
     * attribution in `graft.Profile`. */
@@ -263,29 +206,10 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of the token stream (row-local UDF). */
-  def simHash(seed: Long = 42L) = udf { (text: String) =>
-    if (text == null) null
-    else {
-      val tokens = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (tokens.isEmpty) null
-      else {
-        val acc = new Array[Int](64)
-        tokens.foreach { t =>
-          val h = DetRngHash.mix(DetRngHash.xx(t.getBytes("UTF-8")) ^ seed)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-            b += 1
-          }
-        }
-        var out = 0L
-        var b = 0
-        while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-        java.lang.Long.valueOf(out)
-      }
-    }
-  }
+  /** 64-bit SimHash of the token stream (row-local, native Catalyst
+    * expression — [[graft.functions.SimHash64]]). */
+  def simHash(seed: Long = 42L): Column => Column =
+    text => graft.functions.SimHash64(text, seed)
 
   /** Near-duplicate pairs by SimHash: Hamming(sig0, sig1) <= maxHamming.
     * Bucketed on (maxHamming+1) disjoint chunks of the fingerprint —
