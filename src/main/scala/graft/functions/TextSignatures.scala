@@ -169,3 +169,76 @@ object SimHash64 {
   def apply(text: Column, seed: Long): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text), seed))
 }
+
+/** 64-bit winnowing fingerprint (Schleimer et al., MOSS) as a native
+  * expression — rolling Rabin–Karp char k-gram hashes, window minima
+  * XOR-combined. Bit-identical to the UDF it replaced. NULL for NULL
+  * or shorter-than-k text. */
+case class WinnowFingerprint(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_fp"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowFingerprint.kernel(v.asInstanceOf[UTF8String].toString, k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("fp")
+      s"""
+         |java.lang.Long $r = graft.functions.WinnowFingerprint.kernel(
+         |  $v.toString(), $k, $window);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+
+  def kernel(text: String, k: Int, window: Int): java.lang.Long = {
+    if (text.length < k) return null
+    val s = text.toLowerCase
+    val B = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = DetRngHash.mix(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = DetRngHash.mix(h)
+      i += 1
+    }
+    // winnow: combine the minimum of each window of k-gram hashes
+    var out = 0L
+    var w = 0
+    while (w < n) {
+      var m = Long.MaxValue
+      var j = w
+      val end = math.min(w + window, n)
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      out ^= DetRngHash.mix(m + w)
+      w += window
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  def apply(text: Column, k: Int, window: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, window))
+}

@@ -497,10 +497,33 @@ object BqlQueries {
       |                            WHERE l2.l_orderkey = o_orderkey)) AS n_above_avg
       |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
 
+  /** b29: the raw-SQL escape hatch through the driver gate — the same
+    * text runs via `bdb.sqlExecute` (temp views over registered tables
+    * → spark.sql) and via DuckDB directly. Integer-valued doubles keep
+    * the sums exact across engines. */
+  val b29SqlExecute: Q = (spark, dir) => bdb(spark, dir).sqlExecute(
+    """SELECT l_returnflag, count(*) AS n,
+      |       round(sum(l_quantity), 1) AS qty,
+      |       round(avg(l_linenumber), 6) AS avg_line
+      |FROM lineitem
+      |WHERE l_quantity > ?
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin, Seq(10))
+
+  val b29Sql: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n,
+      |       round(sum(l_quantity), 1) AS qty,
+      |       round(avg(l_linenumber), 6) AS avg_line
+      |FROM lineitem
+      |WHERE l_quantity > 10
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "b23_bql_correlated_subquery" -> b23Correlated,
     "b27_grouped_correlated" -> b27GroupedCorrelated,
     "b28_nested_correlated" -> b28NestedCorrelated,
+    "b29_sql_execute" -> b29SqlExecute,
     "b25_estimate_correlated" -> b25EstimateCorrelated,
     "b26_theta_correlated" -> b26ThetaCorrelated,
     "b17_bql_exists" -> b17Exists,
@@ -532,6 +555,7 @@ object BqlQueries {
     "b23_bql_correlated_subquery" -> b23Sql,
     "b27_grouped_correlated" -> b27Sql,
     "b28_nested_correlated" -> b28Sql,
+    "b29_sql_execute" -> b29Sql,
     "b25_estimate_correlated" -> b25Sql,
     "b26_theta_correlated" -> b26Sql,
     "b01_bql_select" -> b01Sql,

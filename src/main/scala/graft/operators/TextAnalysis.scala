@@ -98,39 +98,8 @@ object TextAnalysis {
 
   /** 64-bit content fingerprint by winnowing (Schleimer et al., MOSS):
     * rolling Rabin–Karp hashes of char k-grams, minimum per window,
-    * fingerprint = combined distinct window minima. Row-local UDF. */
-  def fingerprint(k: Int = 8, window: Int = 16) = udf { (text: String) =>
-    if (text == null || text.length < k) null
-    else {
-      val s = text.toLowerCase
-      val B = 257L
-      var pow = 1L
-      var i = 0
-      while (i < k - 1) { pow *= B; i += 1 }
-      val n = s.length - k + 1
-      val hashes = new Array[Long](n)
-      var h = 0L
-      i = 0
-      while (i < k) { h = h * B + s.charAt(i); i += 1 }
-      hashes(0) = DetRngHash.mix(h)
-      i = 1
-      while (i < n) {
-        h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-        hashes(i) = DetRngHash.mix(h)
-        i += 1
-      }
-      // winnow: combine the minimum of each window of `window` k-gram hashes
-      var out = 0L
-      var w = 0
-      while (w < n) {
-        var m = Long.MaxValue
-        var j = w
-        val end = math.min(w + window, n)
-        while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
-        out ^= DetRngHash.mix(m + w)
-        w += window
-      }
-      java.lang.Long.valueOf(out)
-    }
-  }
+    * fingerprint = combined distinct window minima. Row-local, native
+    * Catalyst expression ([[graft.functions.WinnowFingerprint]]). */
+  def fingerprint(k: Int = 8, window: Int = 16): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    text => graft.functions.WinnowFingerprint(text, k, window)
 }
