@@ -195,4 +195,27 @@ class WidePopulationSpec extends AnyFunSuite {
       assert(plan.contains("Join"), s"expected a bucket self-join:\n$plan")
     }
   }
+
+  test("dedup/similarity kernels run as native expressions, not ScalaUDFs") {
+    // round 6: the signature/agreement/fingerprint kernels are Catalyst
+    // expressions with doGenCode — a ScalaUDF in these plans means a
+    // regression back to encoder-converted, non-codegen evaluation
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"))
+      .toDF("doc_id", "text")
+    val vecs = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(3f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val plans = Seq(
+      graft.operators.Dedup.minHashCandidates(docs, "text", "doc_id"),
+      graft.operators.Dedup.simHashPairs(docs, "text", "doc_id"),
+      graft.operators.SimilaritySearch.cosineNearDupPairs(
+        vecs, "embedding", "vec_id"),
+      docs.select(graft.operators.TextAnalysis.fingerprint()(
+        org.apache.spark.sql.functions.col("text"))))
+    for (df <- plans) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("udf"),
+        s"expected native expressions only:\n$plan")
+    }
+  }
 }
