@@ -34,6 +34,41 @@ class ReferenceParitySpec extends AnyFunSuite {
   private def value(sql: String): Double =
     bdb.execute(sql).collect().head.getDouble(0)
 
+  test("nominal conditioning infers the co-occurring category (test_condprob.py:19-54)") {
+    // the reference's conditional-probability inference: with foo/bar
+    // perfectly co-occurring ('x' with 'a', 'y' with 'b'), conditioning
+    // on the matching bar value must raise the density and conditioning
+    // on the mismatched one must lower it
+    val b = new BayesDB(spark, seed = 5L)
+    import spark.implicits._
+    val rows = Seq(("x", "a"), ("x", "a"), ("x", "a"),
+      ("y", "b"), ("y", "b"), ("y", "b"))
+    b.registerTable("t", rows.toDF("foo", "bar"))
+    b.execute("create population p for t (foo nominal; bar nominal)")
+    b.execute("create generator p_cc for p using cgpm")
+    b.execute("initialize 10 models for p_cc")
+    // place foo/bar in one view (the reference's 100 ANALYZE iterations
+    // discover this; pinning the view keeps the test deterministic),
+    // then learn the row clustering within it
+    b.execute("alter generator p_cc ensure variables * dependent")
+    b.execute("analyze p_cc for 30 iterations (subproblem row clustering)")
+    val r = b.execute(
+      """estimate
+        |  probability density of foo = 'x',
+        |  probability density of foo = 'x' given (bar = 'a'),
+        |  probability density of foo = 'x' given (bar = 'b'),
+        |  probability density of foo = 'y',
+        |  probability density of foo = 'y' given (bar = 'a'),
+        |  probability density of foo = 'y' given (bar = 'b')
+        |by p""".stripMargin).collect().head
+    val (px, pxa, pxb) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val (py, pya, pyb) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(px < pxa, s"p(x)=$px should be below p(x|a)=$pxa")
+    assert(pxb < px, s"p(x|b)=$pxb should be below p(x)=$px")
+    assert(py < pyb, s"p(y)=$py should be below p(y|b)=$pyb")
+    assert(pya < py, s"p(y|a)=$pya should be below p(y)=$py")
+  }
+
   test("similarity of every row to itself is 1 (test_bql.py:158-168)") {
     val rowids = bdb.execute("select rowid from t1").collect().map(_.getLong(0))
     rowids.take(10).foreach { r =>
