@@ -768,15 +768,27 @@ class CrossCatBackend(
         (0 until k).map(z => s.marginal(z, m.hypers(j))).sum
       }
       val nViews = m.rowAssign.length
-      // auxiliary view: fresh CRP partition (Neal algorithm 8, m=1)
+      // auxiliary view (Neal algorithm 8, m=1): when the column's
+      // CURRENT view is a singleton, that view — with its learned row
+      // partition — IS the auxiliary component (a fresh prior draw in
+      // its place breaks detailed balance and biases the chain toward
+      // whatever the prior draws fit, observed as spurious column
+      // independence on small data); only a non-singleton departure
+      // proposes a fresh CRP partition.
+      val isSingleton =
+        st.colnos.indices.count(jj => m.viewOf(jj) == vOld) == 1
       val auxAlpha = rng.nextGamma(1.0, 1.0) max 1e-3
       val auxAssign = crpPartition(n, auxAlpha, rng)
       val logw = (0 until nViews).map { v =>
         val size = st.colnos.indices.count(jj => m.viewOf(jj) == v) -
           (if (v == vOld) 1 else 0)
-        if (size == 0) Double.NegativeInfinity
-        else math.log(size.toDouble) + colMarginal(m.rowAssign(v))
-      } :+ (math.log(m.alpha) + colMarginal(auxAssign))
+        if (size == 0) {
+          if (v == vOld && isSingleton)
+            math.log(m.alpha) + colMarginal(m.rowAssign(v))
+          else Double.NegativeInfinity
+        } else math.log(size.toDouble) + colMarginal(m.rowAssign(v))
+      } :+ (if (isSingleton) Double.NegativeInfinity
+            else math.log(m.alpha) + colMarginal(auxAssign))
       val pick = rng.logCategorical(logw)
       if (pick != vOld) {
         val viewOf = m.viewOf.updated(j, if (pick < nViews) pick else nViews)

@@ -248,7 +248,11 @@ class ReferenceParitySpec extends AnyFunSuite {
     b3.execute("create population pcomp for tc2 (a nominal; b nominal)")
     b3.execute("create generator gcomp for pcomp using cgpm")
     b3.execute("initialize 4 models for gcomp")
-    b3.execute("analyze gcomp for 20 iterations")
+    // 60 sweeps: the corrected column kernel (Neal alg-8 singleton
+    // treatment, round 6) mixes to the fully-dependent posterior by
+    // ~40 sweeps on this fixture where the old biased kernel got lucky
+    // faster; dep(a,b) = 1.0 at 60 (DepProbe measurement)
+    b3.execute("analyze gcomp for 60 iterations")
     // extend the base table with held-out rows (b unobserved) — the
     // fitted models keep their original subsample, like the reference's
     // unincorporated inserts
