@@ -158,6 +158,16 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
   }
 
+  test("depth-3 correlation cascades one level per frame (DuckDB-checked)") {
+    // each nesting level carries its own equality pair on dk, so the
+    // peeling applies recursively as each level plans its subqueries
+    assert(rows("select dname, (select max(sal) from emp as e1 where e1.edk = dk" +
+      " and sal > (select avg(sal) from emp as e2 where e2.edk = dk" +
+      " and e2.sal < (select max(sal) from emp as e3 where e3.edk = dk)))" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
+  }
+
   test("depth-2 correlation peels inside EXISTS bodies") {
     assert(rows("select dname from dept where exists (select 1 from emp where edk = dk" +
       " and exists (select 1 from emp as e2 where e2.edk = dk and e2.sal > 120)) order by dname") ==
