@@ -16,6 +16,8 @@ import scala.io.StdIn
   * Dot commands (a minimal slice of the reference's shell/src/core.py):
   *   .read <file>            run a BQL script file
   *   .table <name> <path>    register a parquet file/dir as a table
+  *   .csv <name> <path>      ingest a CSV file as a table
+  *   .describe models <gen>  list a generator's fitted model numbers
   *   .tables                 list registered tables
   *   .sql <query>            raw Spark SQL over the registered tables
   *   .describe table <t>     show a table's schema
@@ -93,6 +95,16 @@ object Shell {
               bdb.catalog.generatorsOf(pn).foreach(g =>
                 println(s"generator ${g.name} for $pn using ${g.backend}"))
             }
+          case ".describe" :: ("model" | "models") :: g :: _ =>
+            bdb.modelNumbers(g) match {
+              case Nil => System.err.println(s"generator $g has no initialized models")
+              case ns => ns.sorted.foreach(n => println(s"model $n"))
+            }
+          case ".csv" :: name :: path :: Nil =>
+            // CSV ingest dot-command (reference shell .csv,
+            // shell/src/core.py:151-170) — routes through the BQL
+            // CREATE TABLE ... FROM '<file>' path (type inference, D7)
+            safely(bdb.execute(s"create table $name from '$path'"))
           case other => System.err.println(s"unknown command: ${other.mkString(" ")}")
         }
       } else {

@@ -175,6 +175,11 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
 
   // ------------------------------------------------------------- models
 
+  /** Model numbers of a generator's fitted ensemble (empty when
+    * uninitialized) — shell `.describe models` support. */
+  def modelNumbers(generatorName: String): Seq[Int] =
+    states.get(Names.casefold(generatorName)).map(_.modelNumbers.toSeq).getOrElse(Nil)
+
   /** Assemble the PopulationModel for query planning: the population's
     * fitted generator ensemble (optionally one named generator). */
   def populationModel(populationName: String, generatorName: Option[String],

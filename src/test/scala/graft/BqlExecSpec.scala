@@ -117,6 +117,11 @@ class BqlExecSpec extends AnyFunSuite {
     assert(n == 8L)
   }
 
+  test("modelNumbers lists the fitted ensemble (.describe models)") {
+    assert(bdb.modelNumbers("g1").sorted == Seq(0, 1, 2, 3))
+    assert(bdb.modelNumbers("no_such_gen").isEmpty)
+  }
+
   test("sql_execute raw escape hatch: temp views, rowid, binds, UDFs") {
     // registered tables (rowid included) are visible to raw Spark SQL
     assert(bdb.sqlExecute("select count(*) as n from t1 where rowid <= 3")
