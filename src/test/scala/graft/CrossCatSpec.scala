@@ -326,4 +326,28 @@ class CrossCatSpec extends AnyFunSuite {
     assert(jLarge <= jSmall + 1,
       s"job count must not scale with nominal column count: 2 cols -> $jSmall jobs, 12 cols -> $jLarge jobs")
   }
+
+  test("view posterior is calibrated against exact enumeration (6-row pair)") {
+    // Two perfectly-aligned 2-category nominal columns over 6 rows:
+    // summing the CRP x Dirichlet-multinomial marginal over all 203 row
+    // partitions gives exact P(dependent) = 0.75/0.60/0.42 at view
+    // concentration 0.5/1/2; hyper-grid resampling widens the band.
+    // The chain must land inside it -- the pre-round-6 column kernel
+    // (fresh-prior auxiliary for singleton views, breaking detailed
+    // balance) drifted to 0.1-0.3 and failed this bound low.
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val b = new graft.bql.BayesDB(spark2, seed = 17L)
+    val rows = Seq(("x", "a"), ("x", "a"), ("x", "a"),
+      ("y", "b"), ("y", "b"), ("y", "b"))
+    b.registerTable("t6", rows.toDF("foo", "bar"))
+    b.execute("create population p6 for t6 (foo nominal; bar nominal)")
+    b.execute("create generator p6_cc for p6 using cgpm")
+    b.execute("initialize 40 models for p6_cc")
+    b.execute("analyze p6_cc for 100 iterations")
+    val dep = b.execute("estimate dependence probability of foo with bar by p6")
+      .collect().head.getDouble(0)
+    assert(dep >= 0.3 && dep <= 0.8,
+      s"dep(foo,bar)=$dep outside the exact-posterior band [0.3, 0.8]")
+  }
 }
