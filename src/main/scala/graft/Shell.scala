@@ -104,7 +104,8 @@ object Shell {
             // CSV ingest dot-command (reference shell .csv,
             // shell/src/core.py:151-170) — routes through the BQL
             // CREATE TABLE ... FROM '<file>' path (type inference, D7)
-            safely(bdb.execute(s"create table $name from '$path'"))
+            safely(bdb.execute(
+              s"create table $name from '${path.replace("'", "''")}'"))
           case other => System.err.println(s"unknown command: ${other.mkString(" ")}")
         }
       } else {

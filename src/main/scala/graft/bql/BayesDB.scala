@@ -239,9 +239,22 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     * parameter markers inside strings/comments are never touched);
     * Spark SQL has no positional-bind API. */
   def sqlExecute(sql: String, bindings: Seq[Any] = Nil): DataFrame = {
-    tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    // drop views left by earlier calls whose tables have since been
+    // DROPped — a stale view would keep a dropped table queryable
+    sqlViews.filterNot(tables.contains).foreach { v =>
+      spark.catalog.dropTempView(v)
+      sqlViews -= v
+    }
+    tables.foreach { case (name, df) =>
+      df.createOrReplaceTempView(name)
+      sqlViews += name
+    }
     spark.sql(if (bindings.isEmpty) sql else spliceBinds(sql, bindings))
   }
+
+  /** Temp views this instance registered via sqlExecute (only these are
+    * dropped on table removal — user-created views are never touched). */
+  private val sqlViews = scala.collection.mutable.Set.empty[String]
 
   private def spliceBinds(sql: String, binds: Seq[Any]): String = {
     def lit(nr: Int): String = {

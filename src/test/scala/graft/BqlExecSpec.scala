@@ -135,6 +135,15 @@ class BqlExecSpec extends AnyFunSuite {
     // session math UDFs remain visible (reference keeps BQL UDFs in scope)
     assert(math.abs(bdb.sqlExecute("select erf(0.5) as e").head.getDouble(0)
       - 0.5204998778) < 1e-9)
+    // a DROPped table must not stay queryable through a stale temp view
+    val b2 = new graft.bql.BayesDB(spark, seed = 3L)
+    import spark.implicits._
+    b2.registerTable("ephemeral", Seq((1L, "a")).toDF("id", "v"))
+    assert(b2.sqlExecute("select count(*) from ephemeral").head.getLong(0) == 1L)
+    b2.execute("drop table ephemeral")
+    intercept[Exception] {
+      b2.sqlExecute("select count(*) from ephemeral").collect()
+    }
   }
 
   test("registered math UDFs work in BQL and raw spark.sql") {
