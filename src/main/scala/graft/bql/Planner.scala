@@ -489,7 +489,8 @@ object Planner {
             case Right(q2) =>
               decorrelateAggScalar(ctx0, q2)
                 .orElse(decorrelateThetaAggScalar(ctx0, q2))
-                .orElse(decorrelateGroupedScalar(ctx0, q2)) match {
+                .orElse(decorrelateGroupedScalar(ctx0, q2))
+                .orElse(decorrelateThetaGroupedScalar(ctx0, q2)) match {
                 case Some((attach, repl)) => base0 = attach(base0); repl
                 case None => sub
               }
@@ -835,9 +836,10 @@ object Planner {
     if (hasAgg) throw new UnsupportedOperationException(
       "Correlated aggregate subquery shape not supported (divergence D3): " +
         "ungrouped single-aggregate forms decorrelate under any " +
-        "correlation operators; grouped forms need equality correlation " +
-        "plus ORDER BY and a literal LIMIT (the row a scalar takes is " +
-        "otherwise unspecified)")
+        "correlation operators; grouped forms need ORDER BY and a " +
+        "literal LIMIT (the row a scalar takes is otherwise " +
+        "unspecified), and HAVING under non-equality correlation is " +
+        "unsupported")
     planWithOuter(ctx, q).limit(1).scalar()
   }
 
@@ -1070,6 +1072,162 @@ object Planner {
               .drop(keyName: _*)
           }
           Some((attach, ExpCol(None, vName)))
+        }
+      }
+    case _ => None
+  }
+
+  /** Theta-correlated GROUPED ordered scalar — greatest-n-per-group
+    * written as a scalar under ARBITRARY correlation operators:
+    *
+    *   (SELECT item FROM t WHERE sal > outer.x [AND residual]
+    *    GROUP BY g ORDER BY o [DESC] LIMIT 1 [OFFSET j])
+    *
+    * Rewrite (the theta and grouped rewrites composed): DISTINCT outer
+    * correlated-column tuples θ-join the inner relation, group by
+    * (key tuple × GROUP BY keys), rank the groups per key tuple with a
+    * window over the compiled ORDER BY, keep rank j+1, left-join back
+    * on null-safe key equality. Zero matching groups ⇒ no row ⇒ NULL
+    * (grouped-scalar semantics — no count-bug coalesce). HAVING in
+    * this shape stays the named divergence. Scale shape matches the
+    * component rewrites: one θ-join against |distinct keys| ≤ |outer
+    * rows|, one grouped aggregate, one window, one equi-join. */
+  private def decorrelateThetaGroupedScalar(ctx: Ctx, q: Query): Option[(DataFrame => DataFrame, Exp)] = q match {
+    case s: Select
+        if ctx.scope.isDefined && s.tables.nonEmpty && s.grouping.isDefined &&
+          s.grouping.get.condition.isEmpty &&
+          s.order.nonEmpty && s.quantifier == SelQuantAll &&
+          s.columns.sizeIs == 1 =>
+      val outer = ctx.scope.get
+      val inner = queryScope(ctx.bdb, s, ctx.binds)
+      def refsOuter(e: Exp): Boolean = freeColRefs(e, inner, outer).nonEmpty
+      def hasNested(e: Exp): Boolean = e match {
+        case ExpSub(_) | ExpExists(_) | ExpInQuery(_, _, _) => true
+        case ExpOp(_, os) => os.exists(hasNested)
+        case ExpApp(_, _, as_) => as_.exists(hasNested)
+        case ExpCase(k, ws, o) =>
+          k.exists(hasNested) ||
+            ws.exists(w => hasNested(w._1) || hasNested(w._2)) ||
+            o.exists(hasNested)
+        case ExpCast(x, _) => hasNested(x)
+        case ExpCollate(x, _) => hasNested(x)
+        case ExpInExp(x, _, es) => (x +: es).exists(hasNested)
+        case _ => false
+      }
+      def litOf(e: Exp): Option[Long] =
+        e match { case ExpLit(LitInt(v)) => Some(v); case _ => None }
+      val rowTarget: Option[Long] = s.limit match {
+        case None => Some(1L)
+        case Some(Lim(l, off)) =>
+          val offN = off match {
+            case None => Some(0L)
+            case Some(e) => litOf(e)
+          }
+          (litOf(l), offN) match {
+            case (Some(n), Some(j)) if n >= 1 && j >= 0 => Some(j + 1)
+            case _ => None
+          }
+      }
+      val g = s.grouping.get
+      val itemOk = s.columns.head match {
+        case SelColExp(e, _) => !refsOuter(e) && !hasNested(e)
+        case _ => false
+      }
+      val clean = itemOk && rowTarget.isDefined &&
+        g.keys.forall(k => !refsOuter(k) && !hasNested(k)) &&
+        s.order.forall(o => !refsOuter(o.expression) && !hasNested(o.expression))
+      if (!clean) None
+      else {
+        val itemExp = s.columns.head.asInstanceOf[SelColExp].expression
+        val itemAlias = s.columns.head.asInstanceOf[SelColExp].name
+        val cs = s.condition.toSeq.flatMap(conjuncts)
+        if (cs.exists(hasNested)) None
+        else {
+          val (corrCs, innerCs) = cs.partition(refsOuter)
+          val refs = corrCs.flatMap(freeColRefs(_, inner, outer))
+            .distinctBy(r => (r.table.map(Names.casefold), normRef(r.column)))
+          if (refs.isEmpty) None
+          else {
+            val tag = subqueryTag.getAndIncrement()
+            val vName = s"__tgv_$tag"
+            val rnName = s"__tgr_$tag"
+            val keyName = refs.indices.map(i => s"__tgk_${tag}_$i").toIndexedSeq
+            val gNames = g.keys.indices.map(i => s"__tgg_${tag}_$i")
+            val obNames = s.order.indices.map(i => s"__tgo_${tag}_$i")
+            val keyOf: Map[(Option[String], String), String] =
+              refs.zipWithIndex.map { case (r, i) =>
+                (r.table.map(Names.casefold), normRef(r.column)) -> keyName(i) }.toMap
+            def subst(e: Exp): Exp = e match {
+              case c: ExpCol if freeColRefs(c, inner, outer).nonEmpty =>
+                keyOf.get((c.table.map(Names.casefold), normRef(c.column)))
+                  .map(k => ExpCol(None, k)).getOrElse(c)
+              case ExpOp(op, os) => ExpOp(op, os.map(subst))
+              case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(subst))
+              case ExpCase(k, ws, o) => ExpCase(k.map(subst),
+                ws.map { case (a, b) => (subst(a), subst(b)) }, o.map(subst))
+              case ExpCast(x, t) => ExpCast(subst(x), t)
+              case ExpCollate(x, cl) => ExpCollate(subst(x), cl)
+              case ExpInExp(x, p, es) => ExpInExp(subst(x), p, es.map(subst))
+              case other => other
+            }
+            val tabs: Seq[(String, DataFrame)] = s.tables.map { st =>
+              val d = st.table match {
+                case Right(name) => ctx.bdb.table(name)
+                case Left(sub) => plan(ctx.bdb, sub, ctx.binds)
+              }
+              val alias = st.name.getOrElse(st.table match {
+                case Right(name) => name
+                case Left(_) => "__sub__"
+              })
+              (alias, d)
+            }
+            val innerCtx = Ctx(ctx.bdb, NoModelCtx, ctx.binds, agg = false,
+              scope = Some(inner))
+            val innerBase0 = tabs.map { case (a, d) => d.as(a) }
+              .reduceLeft(_ crossJoin _)
+            val innerFiltered = innerCs.map(compile(_, innerCtx)) match {
+              case Nil => innerBase0
+              case conds => innerBase0.filter(conds.reduce(_ && _))
+            }
+            val joinScope = Scope(
+              inner.names ++ keyName.map(Names.casefold), inner.tables)
+            val jctx = Ctx(ctx.bdb, NoModelCtx, ctx.binds, agg = false,
+              scope = Some(joinScope))
+            val orderExps = s.order.map(_.expression).map {
+              case ExpLit(LitInt(1)) => itemExp
+              case c @ ExpCol(None, n)
+                  if itemAlias.exists(a => Names.casefold(a) == Names.casefold(n)) &&
+                    innerColRefs(c, inner).isEmpty => itemExp
+              case o => o
+            }
+            val attach: DataFrame => DataFrame = { df =>
+              val keyed = df.select(refs.zipWithIndex.map { case (r, i) =>
+                compile(r, ctx).as(keyName(i)) }: _*).distinct()
+              val joinCond = corrCs.map(c => compile(subst(c), jctx)).reduce(_ && _)
+              val joined = keyed.join(innerFiltered, joinCond, "inner")
+              val gkeyCols = g.keys.zip(gNames).map { case (k, nm) =>
+                compile(k, jctx).as(nm) }
+              val aggCtx = jctx.withAgg(true)
+              val grouped = joined
+                .groupBy((keyName.map(col) ++ gkeyCols): _*)
+                .agg(compile(itemExp, aggCtx).as(vName),
+                  orderExps.zip(obNames).map { case (o, nm) =>
+                    compile(o, aggCtx).as(nm) }: _*)
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keyName.map(col): _*)
+                .orderBy(s.order.zip(obNames).map { case (o, nm) =>
+                  if (o.asc) col(nm).asc else col(nm).desc }: _*)
+              val picked = grouped
+                .withColumn(rnName, row_number().over(w))
+                .filter(col(rnName) === lit(rowTarget.get))
+                .select((keyName.map(col) :+ col(vName)): _*)
+              df.join(picked,
+                refs.zipWithIndex.map { case (r, i) =>
+                  compile(r, ctx) <=> picked(keyName(i)) }.reduce(_ && _),
+                "left_outer").drop(keyName: _*)
+            }
+            Some((attach, ExpCol(None, vName)))
+          }
         }
       }
     case _ => None

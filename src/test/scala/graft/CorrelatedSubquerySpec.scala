@@ -125,6 +125,23 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("empty", null), Seq("eng", null), Seq("ops", "hi")))
   }
 
+  test("theta-correlated grouped ordered scalar decorrelates (DuckDB-checked)") {
+    // greatest-n-per-group under a `>` correlation (no equality pair):
+    // most common salary band among emps earning over dk*60 — eng (>60)
+    // sees hi:3/lo:2 → 'hi'; ops (>120) sees only bob → 'hi'; empty
+    // (>180) has no groups → NULL
+    assert(rows("select dname, (select case when sal >= 100 then 'hi' else 'lo' end" +
+      " from emp where sal > dk * 60" +
+      " group by case when sal >= 100 then 'hi' else 'lo' end" +
+      " order by count(*) desc, 1 limit 1) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", "hi"), Seq("ops", "hi")))
+    // mixed equality + theta conjuncts with grouping: eng has no emp
+    // with sal < 60 → NULL; ops (sal < 120) groups by name → count 1
+    assert(rows("select dname, (select count(*) from emp where edk = dk and sal < dk * 60" +
+      " group by ename order by count(*) desc, ename limit 1) from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", null), Seq("ops", 1L)))
+  }
+
   test("no-op ORDER BY/LIMIT on an ungrouped aggregate scalar strips") {
     assert(rows("select dname, (select max(sal) from emp where edk = dk order by 1 limit 1) from dept order by dname") ==
       Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
