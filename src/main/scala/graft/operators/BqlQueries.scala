@@ -519,11 +519,33 @@ object BqlQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** b30: THETA-correlated grouped scalar (round-6 D3 closure) — each
+    * customer's most frequent priority among its orders pricier than 40×
+    * its account balance: a mixed equality + `>` correlation with
+    * GROUP BY/ORDER BY/LIMIT, decorrelated via θ-join + window rank.
+    * One customer has no qualifying orders (NULL live). */
+  val b30ThetaGrouped: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT c_custkey,
+      |  (SELECT o_orderpriority FROM orders
+      |   WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 40
+      |   GROUP BY o_orderpriority
+      |   ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio_above
+      |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin)
+
+  val b30Sql: String =
+    """SELECT c_custkey,
+      |  (SELECT o_orderpriority FROM orders
+      |   WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 40
+      |   GROUP BY o_orderpriority
+      |   ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio_above
+      |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "b23_bql_correlated_subquery" -> b23Correlated,
     "b27_grouped_correlated" -> b27GroupedCorrelated,
     "b28_nested_correlated" -> b28NestedCorrelated,
     "b29_sql_execute" -> b29SqlExecute,
+    "b30_theta_grouped" -> b30ThetaGrouped,
     "b25_estimate_correlated" -> b25EstimateCorrelated,
     "b26_theta_correlated" -> b26ThetaCorrelated,
     "b17_bql_exists" -> b17Exists,
@@ -556,6 +578,7 @@ object BqlQueries {
     "b27_grouped_correlated" -> b27Sql,
     "b28_nested_correlated" -> b28Sql,
     "b29_sql_execute" -> b29Sql,
+    "b30_theta_grouped" -> b30Sql,
     "b25_estimate_correlated" -> b25Sql,
     "b26_theta_correlated" -> b26Sql,
     "b01_bql_select" -> b01Sql,
