@@ -27,20 +27,40 @@ object Bench {
     // sorted order: Map iteration order shifts when keys are added, which
     // moved warm-cache/JIT effects between keys across rounds and made
     // per-key cross-round comparison noisy
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Two full alternating passes (suite A, then suite B) rather than
+    // back-to-back repeats of each key: a transient host-throttle episode
+    // then poisons at most one of a key's two samples, and min(a, b) is a
+    // throttle-robust estimate of the key's true cost. Keys whose two
+    // samples disagree by >3x are flagged suspect so a polluted run is
+    // detectable from the JSON alone.
+    val pass1 = keys.map { case (n, f) => n -> timeOne(n, f) }.toMap
+    val pass2 = keys.map { case (n, f) => n -> timeOne(n, f) }.toMap
+    val results = keys.map { case (name, _) =>
+      val a = pass1(name); val b = pass2(name)
+      val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      // materiality guard: sub-second spread is JIT/cache warmup, not
+      // throttle — only flag when the slow sample is itself significant
+      val suspect = a > 0 && b > 0 && math.max(a, b) / math.min(a, b) > 3.0 &&
+        math.max(a, b) > 1.0
+      (name, best, a, b, suspect)
+    }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val samples = results.map { case (k, _, a, b, _) => s"\"" + k + "\":[" + a + "," + b + "]" }
+      .mkString("{", ",", "}")
+    val suspects = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_sec":$setupSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"setup_sec":$setupSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,8 +77,11 @@ object Shell {
           case ".tables" :: Nil => bdb.tableNames.sorted.foreach(println)
           case ".sql" :: rest if rest.nonEmpty =>
             // raw Spark SQL over the registered tables (reference shell
-            // .sql, shell/src/core.py:270-280)
-            safely(bdb.sqlExecute(rest.mkString(" ")).show(50, truncate = false))
+            // .sql, shell/src/core.py:270-280); the raw remainder of the
+            // line is passed, not rejoined tokens — rejoining would
+            // collapse whitespace runs inside string literals
+            safely(bdb.sqlExecute(line.trim.stripPrefix(".sql").trim)
+              .show(50, truncate = false))
           case ".describe" :: "table" :: t :: Nil =>
             safely(bdb.table(t).printSchema())
           case ".describe" :: ("population" | "populations") :: rest =>

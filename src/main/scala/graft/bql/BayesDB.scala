@@ -149,12 +149,31 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     }
   }
 
+  /** Materialize 1-based insertion-order rowids WITHOUT leaving the
+    * DataFrame world: `monotonically_increasing_id()` is
+    * `partitionId << 33 | offsetInPartition`, so per-partition row counts
+    * (one small agg, collected — numPartitions rows) plus the recovered
+    * in-partition offset reproduce `rdd.zipWithIndex`'s numbering exactly
+    * (partition index order, then scan order) while the data path stays
+    * in Tungsten: columnar scan, codegen projection, broadcast join on
+    * the partition id — no single-partition window, no RDD round-trip.
+    * Numbering parity with the old zipWithIndex path is pinned by
+    * BqlExecSpec ("rowid matches zipWithIndex numbering"). */
   private def ensureRowid(df: DataFrame): DataFrame =
     if (df.columns.exists(c => Names.casefold(c) == "rowid")) df
     else {
-      val schema = StructType(df.schema.fields :+ StructField("rowid", LongType, nullable = false))
-      val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-      spark.createDataFrame(rdd, schema)
+      val counts = df.groupBy(spark_partition_id().as("__pid")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, n)) => (p, acc + n) }
+        .init.zip(counts).map { case ((_, off), (p, _)) => (p, off) }
+      val offDf = broadcast(
+        spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
+      df.withColumn("__pid", spark_partition_id())
+        .withColumn("__mid", monotonically_increasing_id())
+        .join(offDf, "__pid")
+        .withColumn("rowid",
+          col("__off") + (col("__mid") - col("__pid").cast(LongType) * lit(1L << 33)) + lit(1L))
+        .drop("__pid", "__mid", "__off")
     }
 
   def hasTable(name: String): Boolean = tables.contains(Names.casefold(name))
@@ -235,9 +254,12 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     * table (rowid column included) becomes a session temp view and the
     * text runs through `spark.sql` — full Spark SQL, the session's
     * registered math UDFs, Catalyst optimization. `?`/`?N`/`:name`
-    * parameters are spliced as SQL literals via the BQL lexer (so
-    * parameter markers inside strings/comments are never touched);
-    * Spark SQL has no positional-bind API. */
+    * parameters are spliced as SQL literals by a small string/comment-
+    * aware marker scanner (NOT the BQL lexer — the full text may use
+    * Spark-only tokens like `::` casts, `arr[0]`, backquoted
+    * identifiers that the BQL grammar lacks); markers inside strings,
+    * comments, and backquoted names are never touched. Spark SQL has
+    * no positional-bind API. */
   def sqlExecute(sql: String, bindings: Seq[Any] = Nil): DataFrame = {
     // drop views left by earlier calls whose tables have since been
     // DROPped — a stale view would keep a dropped table queryable
@@ -268,23 +290,67 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
         case other => "'" + other.toString.replace("'", "''") + "'"
       }
     }
+    // Same numbering rules as the BQL lexer (bare ? sequential, ?N
+    // explicit, :name/@name/$name numbered at first appearance) but as a
+    // standalone scan, so the surrounding text may be arbitrary Spark SQL.
+    def isNameStart(c: Char) = c.isLetter || c == '_'
+    def isNameChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
+    val named = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var nNumpar = 0
     val sb = new StringBuilder
-    var last = 0
-    Lexer.lex(sql).tokens.foreach {
-      case Lexer.TNumpar(nr, pos) =>
-        sb.append(sql.substring(last, pos)).append(lit(nr))
-        var e = pos + 1
-        while (e < sql.length && sql.charAt(e).isDigit) e += 1
-        last = e
-      case Lexer.TNampar(nr, _, pos) =>
-        sb.append(sql.substring(last, pos)).append(lit(nr))
-        var e = pos + 1
-        while (e < sql.length && (sql.charAt(e).isLetterOrDigit ||
-          sql.charAt(e) == '_' || sql.charAt(e) == '$')) e += 1
-        last = e
-      case _ => ()
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        // string literal / quoted identifier: copy through, honoring the
+        // doubled-quote escape ('' "" ``)
+        val q = c
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          sb.append(sql.charAt(i))
+          if (sql.charAt(i) == q) {
+            if (i + 1 < n && sql.charAt(i + 1) == q) { sb.append(q); i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i)
+        val stop = if (e < 0) n else e + 1
+        sb.append(sql.substring(i, stop)); i = stop
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        val stop = if (e < 0) n else e + 2
+        sb.append(sql.substring(i, stop)); i = stop
+      } else if (c == '?') {
+        i += 1
+        if (i < n && sql.charAt(i).isDigit) {
+          val ds = i
+          while (i < n && sql.charAt(i).isDigit) i += 1
+          val k = sql.substring(ds, i).toInt
+          nNumpar = math.max(k, nNumpar)
+          sb.append(lit(k))
+        } else {
+          nNumpar += 1
+          sb.append(lit(nNumpar))
+        }
+      } else if ((c == ':' || c == '@' || c == '$') && i + 1 < n &&
+                 isNameStart(sql.charAt(i + 1)) &&
+                 // `x::int` cast: a ':' preceded by ':' is not a marker
+                 !(c == ':' && i > 0 && sql.charAt(i - 1) == ':')) {
+        i += 1
+        val ns = i
+        while (i < n && isNameChar(sql.charAt(i))) i += 1
+        val name = sql.substring(ns, i).toLowerCase
+        val nr = named.getOrElseUpdate(name, { nNumpar += 1; nNumpar })
+        sb.append(lit(nr))
+      } else {
+        sb.append(c); i += 1
+      }
     }
-    sb.append(sql.substring(last)).toString
+    sb.toString
   }
 
   /** Execute with named parameters (`:name`/`@name`/`$name`). */

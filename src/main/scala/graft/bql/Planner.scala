@@ -492,7 +492,10 @@ object Planner {
                 .orElse(decorrelateGroupedScalar(ctx0, q2))
                 .orElse(decorrelateThetaGroupedScalar(ctx0, q2)) match {
                 case Some((attach, repl)) => base0 = attach(base0); repl
-                case None => sub
+                // keep the requalifyDeep-peeled body (as the ExpExists
+                // branch does): depth-2 non-aggregate scalars then plan
+                // as a native one-level Catalyst scalar subquery
+                case None => if (q2 eq q) sub else ExpSub(q2)
               }
           })
       case ex @ ExpExists(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
@@ -1095,7 +1098,6 @@ object Planner {
   private def decorrelateThetaGroupedScalar(ctx: Ctx, q: Query): Option[(DataFrame => DataFrame, Exp)] = q match {
     case s: Select
         if ctx.scope.isDefined && s.tables.nonEmpty && s.grouping.isDefined &&
-          s.grouping.get.condition.isEmpty &&
           s.order.nonEmpty && s.quantifier == SelQuantAll &&
           s.columns.sizeIs == 1 =>
       val outer = ctx.scope.get
@@ -1135,7 +1137,18 @@ object Planner {
       }
       val clean = itemOk && rowTarget.isDefined &&
         g.keys.forall(k => !refsOuter(k) && !hasNested(k)) &&
-        s.order.forall(o => !refsOuter(o.expression) && !hasNested(o.expression))
+        // HAVING is allowed — including with theta-correlated outer refs
+        // (substituted to the decorrelation key like the WHERE conjuncts)
+        // — as long as it nests no subquery
+        g.condition.forall(h => !hasNested(h)) &&
+        s.order.forall(o => !refsOuter(o.expression) && !hasNested(o.expression)) &&
+        // a positional ORDER BY other than 1 is out of range for the
+        // single select item (SQLite rejects it) — refuse rather than
+        // compile the integer as a constant sort key
+        s.order.forall(o => o.expression match {
+          case ExpLit(LitInt(k)) => k == 1
+          case _ => true
+        })
       if (!clean) None
       else {
         val itemExp = s.columns.head.asInstanceOf[SelColExp].expression
@@ -1144,13 +1157,19 @@ object Planner {
         if (cs.exists(hasNested)) None
         else {
           val (corrCs, innerCs) = cs.partition(refsOuter)
-          val refs = corrCs.flatMap(freeColRefs(_, inner, outer))
+          // outer refs inside HAVING also become decorrelation keys (the
+          // grouped frame carries every key column, so a substituted
+          // HAVING ref is always resolvable) — but only WHERE conjuncts
+          // form the θ-join, so at least one must be correlated
+          val refs = (corrCs ++ g.condition.toSeq)
+            .flatMap(freeColRefs(_, inner, outer))
             .distinctBy(r => (r.table.map(Names.casefold), normRef(r.column)))
-          if (refs.isEmpty) None
+          if (corrCs.isEmpty || refs.isEmpty) None
           else {
             val tag = subqueryTag.getAndIncrement()
             val vName = s"__tgv_$tag"
             val rnName = s"__tgr_$tag"
+            val hvName = s"__tgh_$tag"
             val keyName = refs.indices.map(i => s"__tgk_${tag}_$i").toIndexedSeq
             val gNames = g.keys.indices.map(i => s"__tgg_${tag}_$i")
             val obNames = s.order.indices.map(i => s"__tgo_${tag}_$i")
@@ -1208,11 +1227,22 @@ object Planner {
               val gkeyCols = g.keys.zip(gNames).map { case (k, nm) =>
                 compile(k, jctx).as(nm) }
               val aggCtx = jctx.withAgg(true)
-              val grouped = joined
+              // HAVING rides through the aggregation as one extra boolean
+              // aggregate column (its aggregates and group-key refs are
+              // both legal inside .agg), then filters groups BEFORE the
+              // ordered row pick — SQLite's evaluation order. Outer refs
+              // inside HAVING go through the same key substitution as the
+              // correlated WHERE conjuncts.
+              val hvCol = g.condition.map(h =>
+                compile(subst(h), aggCtx).cast("boolean").as(hvName))
+              val grouped0 = joined
                 .groupBy((keyName.map(col) ++ gkeyCols): _*)
                 .agg(compile(itemExp, aggCtx).as(vName),
                   orderExps.zip(obNames).map { case (o, nm) =>
-                    compile(o, aggCtx).as(nm) }: _*)
+                    compile(o, aggCtx).as(nm) } ++ hvCol.toSeq: _*)
+              val grouped =
+                if (hvCol.isDefined) grouped0.filter(col(hvName)).drop(hvName)
+                else grouped0
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(keyName.map(col): _*)
                 .orderBy(s.order.zip(obNames).map { case (o, nm) =>
@@ -1485,7 +1515,13 @@ object Planner {
       val clean = itemOk && rowTarget.isDefined &&
         g.keys.forall(k => !refsOuter(k)) &&
         g.condition.forall(h => !refsOuter(h)) &&
-        s.order.forall(o => !refsOuter(o.expression))
+        s.order.forall(o => !refsOuter(o.expression)) &&
+        // positional ORDER BY other than 1 is out of range for the single
+        // select item — refuse rather than sort by a constant
+        s.order.forall(o => o.expression match {
+          case ExpLit(LitInt(k)) => k == 1
+          case _ => true
+        })
       if (!clean) None
       else {
         val itemExp = s.columns.head.asInstanceOf[SelColExp].expression

@@ -540,7 +540,31 @@ object BqlQueries {
       |   ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio_above
       |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
 
+  /** b31: HAVING under theta correlation (round-7 D3 closure) — like b30
+    * but the group filter itself carries both an aggregate (`count(*) >=
+    * 2`) and a theta-correlated bound (`max(o_totalprice) > c_acctbal *
+    * 45`): HAVING refs ride the same key substitution as the WHERE
+    * conjuncts and filter groups before the ordered row pick. */
+  val b31ThetaHaving: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT c_custkey,
+      |  (SELECT o_orderpriority FROM orders
+      |   WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 40
+      |   GROUP BY o_orderpriority
+      |   HAVING count(*) >= 2 AND max(o_totalprice) > c_acctbal * 45
+      |   ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio_hav
+      |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin)
+
+  val b31Sql: String =
+    """SELECT c_custkey,
+      |  (SELECT o_orderpriority FROM orders
+      |   WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 40
+      |   GROUP BY o_orderpriority
+      |   HAVING count(*) >= 2 AND max(o_totalprice) > c_acctbal * 45
+      |   ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio_hav
+      |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "b31_theta_having" -> b31ThetaHaving,
     "b23_bql_correlated_subquery" -> b23Correlated,
     "b27_grouped_correlated" -> b27GroupedCorrelated,
     "b28_nested_correlated" -> b28NestedCorrelated,
@@ -573,6 +597,7 @@ object BqlQueries {
     "b13_bql_variables" -> b13Variables)
 
   val oracles: Map[String, String] = Map(
+    "b31_theta_having" -> b31Sql,
     "b05_bql_guess_schema" -> StatsQueries.b05Sql,
     "b23_bql_correlated_subquery" -> b23Sql,
     "b27_grouped_correlated" -> b27Sql,

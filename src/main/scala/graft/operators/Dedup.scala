@@ -113,15 +113,34 @@ object Dedup {
   private def minHashSignature(numHashes: Int, shingleSize: Int, seed: Long): Column => Column =
     text => graft.functions.MinHashSignature(text, numHashes, shingleSize, seed)
 
+  /** One-slot lifecycle for the cached signature table: the result frame
+    * is lazy, so the cache can't be dropped inside the call — instead
+    * each new signature build evicts the previous one, so a long session
+    * of repeated minHashCandidates calls holds at most ONE cached
+    * signature table instead of accumulating them until executor storage
+    * evicts under pressure. Unpersisting a plan a caller still holds is
+    * safe (it recomputes), and `blocking = false` keeps eviction off the
+    * query path. */
+  private val lastSigned = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def cacheSigned(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val prev = lastSigned.getAndSet(cached)
+    // plan-identity guard: the cache registry is keyed by logical plan, so
+    // unpersisting an identical re-request would drop the new entry too
+    if (prev != null && !prev.queryExecution.analyzed
+          .sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
+    cached
+  }
+
   /** Profiling hook: the signature stage alone (cached), for stage-level
     * attribution in `graft.Profile`. */
   private[graft] def minHashSignedForProfile(
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, shingleSize: Int = 3, seed: Long = 42L): DataFrame =
-    spread(df).select(col(idCol).as("id"),
+    cacheSigned(spread(df).select(col(idCol).as("id"),
         minHashSignature(numHashes, shingleSize, seed)(col(textCol)).as("sig"))
-      .filter(col("sig").isNotNull)
-      .cache()
+      .filter(col("sig").isNotNull))
 
   /** Candidate near-duplicate pairs by MinHash+LSH with signature-level
     * similarity estimate. Returns (id0, id1, est_jaccard), id0 < id1. */
@@ -138,12 +157,12 @@ object Dedup {
 
     // signatures are read by the banding pass and the two candidate
     // rejoins — cache so the signature UDF runs once per row
-    // (at cluster scale: persist the signature table)
-    val signed = spread(df).select(
+    // (at cluster scale: persist the signature table); the one-slot
+    // registry evicts the previous call's cache
+    val signed = cacheSigned(spread(df).select(
         col(idCol).as("id"),
         minHashSignature(numHashes, shingleSize, seed)(col(textCol)).as("sig"))
-      .filter(col("sig").isNotNull)
-      .cache()
+      .filter(col("sig").isNotNull))
 
     // band hashes: one 64-bit hash per band over its signature slice.
     // Only (id, band, band_hash) enters the bucket machinery — the

@@ -66,14 +66,55 @@ object PipelineQueries {
       .orderBy("id0", "id1")
   }
 
-  /** p05: embedding-cosine near-dup pairs via hyperplane LSH buckets. */
+  /** p05: embedding-cosine near-dup pairs via hyperplane LSH buckets.
+    * The synthetic embeddings have no planted near-dup clusters (max
+    * pairwise cosine ≈ 0.5–0.6 across SFs), so the production-shaped
+    * default (minCosine 0.95, 16-bit chunks) correctly finds nothing —
+    * this key probes the moderate-similarity tail instead: 8-bit chunks
+    * raise the per-chunk collision probability to ~(1-θ/π)^8 so pairs at
+    * cosine ≥ 0.4 actually collide, and the driver-level signal is
+    * non-empty at every SF. */
   val p05CosineNearDup: Q = (spark, dir) => {
     SimilaritySearch.cosineNearDupPairs(
       Tables.load(spark, dir, "embeddings"), "embedding", "vec_id",
-      minCosine = 0.55)
+      minCosine = 0.4, chunks = 8)
       .select(col("id0"), col("id1"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id0", "id1")
   }
+
+  /** p14: exact n-gram Jaccard over a DETERMINISTIC candidate set — all
+    * pairs among the 50 lowest doc_ids (with ≥ shingleSize tokens, so no
+    * empty gram sets reach the division) — which makes the exact-verify
+    * kernel ANSI-expressible end-to-end: DuckDB rebuilds the same word
+    * 3-gram sets and Jaccard, and the driver hash-compares. p04 keeps the
+    * production shape (LSH candidates); this key proves the verify math. */
+  val p14NgramJaccardExact: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val ids = docs.filter(col("doc_id") <= 50)
+      .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+      .select(col("doc_id").as("id"))
+    val cands = ids.select(col("id").as("id0"))
+      .crossJoin(ids.select(col("id").as("id1")))
+      .filter(col("id0") < col("id1"))
+    Dedup.ngramJaccard(docs, cands, "text", "doc_id", minJaccard = 0.0)
+      .select(col("id0"), col("id1"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id0", "id1")
+  }
+
+  val p14Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id <= 50),
+      |g AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+      |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS grams
+      |  FROM d WHERE len(tk) >= 3)
+      |SELECT a.doc_id AS id0, b.doc_id AS id1,
+      |       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |             len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |ORDER BY id0, id1""".stripMargin
 
   /** p06: brute-force cosine top-k neighbors of vec_id 0 — exact ANN
     * baseline, DuckDB-oracled. */
@@ -251,7 +292,8 @@ object PipelineQueries {
     "p10_lang_id" -> p10LangId,
     "p11_fingerprint" -> p11Fingerprint,
     "p12_multimodal_features" -> p12MultimodalFeatures,
-    "p13_multimodal_frames" -> p13MultimodalFrames)
+    "p13_multimodal_frames" -> p13MultimodalFrames,
+    "p14_ngram_jaccard_exact" -> p14NgramJaccardExact)
 
   /** p10 oracle: same lexicons, same scoring, same tie-break. Spark's
     * array_max over struct(score, lang) resolves score ties by the
@@ -296,5 +338,6 @@ object PipelineQueries {
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,
     "p09_quality" -> p09Sql,
-    "p10_lang_id" -> p10Sql)
+    "p10_lang_id" -> p10Sql,
+    "p14_ngram_jaccard_exact" -> p14Sql)
 }

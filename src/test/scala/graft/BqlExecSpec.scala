@@ -50,6 +50,21 @@ class BqlExecSpec extends AnyFunSuite {
     assert(one("select ifnull(null, 9)") == 9L)
   }
 
+  test("rowid matches zipWithIndex numbering (multi-partition ingest)") {
+    import spark.implicits._
+    // 3 partitions with uneven sizes: the offset arithmetic must place
+    // every row exactly where rdd.zipWithIndex would have
+    val df = (1 to 23).map(i => (i * 10L, s"v$i")).toDF("k", "v").repartition(3)
+    val b2 = new BayesDB(spark, seed = 11L)
+    b2.registerTable("zt", df)
+    val got = b2.table("zt").select("k", "rowid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.rdd.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i + 1L) }.collect().toMap
+    assert(got == want)
+    assert(got.values.toSeq.sorted == (1L to 23L))
+  }
+
   test("select star hides rowid, projects table columns") {
     val df = bdb.execute("select * from t1")
     assert(df.columns.toSeq == Seq("id", "label", "age", "weight"))

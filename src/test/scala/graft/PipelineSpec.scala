@@ -44,6 +44,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(spurious.isEmpty, s"unrelated docs surfaced as candidates: $spurious")
   }
 
+  test("repeated minhash calls hold at most one cached signature table") {
+    import org.apache.spark.storage.StorageLevel
+    val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)
+    s1.count()
+    assert(s1.storageLevel != StorageLevel.NONE, "first signature table should be cached")
+    val s2 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 202L)
+    s2.count()
+    assert(s1.storageLevel == StorageLevel.NONE,
+      "previous signature cache must be evicted by the next call")
+    assert(s2.storageLevel != StorageLevel.NONE, "newest signature table stays cached")
+    // identical re-request must NOT evict its own cache entry
+    val s3 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 202L)
+    s3.count()
+    assert(s3.storageLevel != StorageLevel.NONE)
+  }
+
   test("ngram jaccard verification keeps planted pairs above threshold") {
     val cands = Dedup.minHashCandidates(docs, "text", "doc_id", minEstJaccard = 0.3)
     val verified = Dedup.ngramJaccard(docs, cands, "text", "doc_id", minJaccard = 0.6)
