@@ -839,10 +839,9 @@ object Planner {
     if (hasAgg) throw new UnsupportedOperationException(
       "Correlated aggregate subquery shape not supported (divergence D3): " +
         "ungrouped single-aggregate forms decorrelate under any " +
-        "correlation operators; grouped forms need ORDER BY and a " +
-        "literal LIMIT (the row a scalar takes is otherwise " +
-        "unspecified), and HAVING under non-equality correlation is " +
-        "unsupported")
+        "correlation operators; grouped forms (including HAVING, even " +
+        "theta-correlated) need ORDER BY and a literal LIMIT — the row " +
+        "a grouped scalar takes is otherwise unspecified, in SQLite too")
     planWithOuter(ctx, q).limit(1).scalar()
   }
 

@@ -56,16 +56,23 @@ object Guess {
     val totalLen = df.count()
 
     try {
+      // ONE aggregation job computes every column's no-exclusion stats
+      // (C rows collected); per-column jobs remain only for the rare
+      // nullify-and-reguess recursion, which filters by exclusion set
+      val statsAll = colStatsAll(counts)
+
       // first keyable column (after overrides' explicit keys) wins
       var haveKey = overrideMap.values.exists(_ == StatType.Key)
 
       cols.zipWithIndex.map { case (name, ci) =>
+        val st0 = statsAll.getOrElse(ci, ColStats(0L, 0L, null, 0L, false, false, false))
         overrideMap.get(Names.casefold(name)) match {
           case Some(st) =>
-            ColumnGuess(name, st, distinctCount(counts, ci, Set.empty), "User override.")
+            ColumnGuess(name, st, st0.nDistinct, "User override.")
           case None =>
             val g = guessColumn(counts, ci, totalLen, Set.empty, "",
-              numcatCount, numcatRatio, distinctRatio, nullifyRatio, haveKey)
+              numcatCount, numcatRatio, distinctRatio, nullifyRatio, haveKey,
+              precomputed = Some(st0))
             if (g.stattype == StatType.Key) haveKey = true
             g.copy(column = name)
         }
@@ -73,10 +80,6 @@ object Guess {
     } finally { counts.unpersist(); () }
   }
 
-  private def distinctCount(counts: DataFrame, ci: Int, excluded: Set[String]): Long =
-    counts.filter(col("ci") === ci && col("v").isNotNull &&
-        !col("v").isin(excluded.toSeq: _*))
-      .count()
 
   /** Per-column stats from the count relation with an exclusion set (the
     * values nullified so far by the reguess recursion). */
@@ -84,22 +87,35 @@ object Guess {
       nDistinct: Long, nonNullCnt: Long, topValue: String, topCnt: Long,
       allInt: Boolean, allFloat: Boolean, allIntegral: Boolean)
 
+  private val statAggs = Seq(
+    count(lit(1)).as("ndist"),
+    sum("cnt").as("nonnull"),
+    max_by(col("v"), struct(col("cnt"), col("v"))).as("top_v"),
+    max("cnt").as("top_cnt"),
+    min(col("v").rlike("^[+-]?[0-9]+$").cast("int")).as("all_int"),
+    min(expr("try_cast(v AS double)").isNotNull.cast("int")).as("all_float"),
+    min((expr("try_cast(v AS double)") === floor(expr("try_cast(v AS double)")))
+      .cast("int")).as("all_integral"))
+
+  private def statsOf(row: Row, off: Int): ColStats =
+    if (row.getLong(off) == 0L) ColStats(0L, 0L, null, 0L, false, false, false)
+    else ColStats(row.getLong(off), row.getLong(off + 1), row.getString(off + 2),
+      row.getLong(off + 3), row.getInt(off + 4) == 1, row.getInt(off + 5) == 1,
+      !row.isNullAt(off + 6) && row.getInt(off + 6) == 1)
+
+  /** All columns' no-exclusion stats in one aggregation over the cached
+    * count relation (the per-column form runs a Spark job per column —
+    * pure scheduling overhead on a metadata-sized input). */
+  private def colStatsAll(counts: DataFrame): Map[Int, ColStats] =
+    counts.filter(col("v").isNotNull)
+      .groupBy("ci").agg(statAggs.head, statAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> statsOf(r, 1)).toMap
+
   private def colStats(counts: DataFrame, ci: Int, excluded: Set[String]): ColStats = {
     val live = counts.filter(col("ci") === ci && col("v").isNotNull &&
       (if (excluded.isEmpty) lit(true) else !col("v").isin(excluded.toSeq: _*)))
-    val row: Row = live.agg(
-      count(lit(1)).as("ndist"),
-      sum("cnt").as("nonnull"),
-      max_by(col("v"), struct(col("cnt"), col("v"))).as("top_v"),
-      max("cnt").as("top_cnt"),
-      min(col("v").rlike("^[+-]?[0-9]+$").cast("int")).as("all_int"),
-      min(expr("try_cast(v AS double)").isNotNull.cast("int")).as("all_float"),
-      min((expr("try_cast(v AS double)") === floor(expr("try_cast(v AS double)")))
-        .cast("int")).as("all_integral")).head()
-    if (row.getLong(0) == 0L) ColStats(0L, 0L, null, 0L, false, false, false)
-    else ColStats(row.getLong(0), row.getLong(1), row.getString(2), row.getLong(3),
-      row.getInt(4) == 1, row.getInt(5) == 1,
-      !row.isNullAt(6) && row.getInt(6) == 1)
+    statsOf(live.agg(statAggs.head, statAggs.tail: _*).head(), 0)
   }
 
   /** The reference's per-column decision procedure
@@ -108,9 +124,10 @@ object Guess {
   private def guessColumn(
       counts: DataFrame, ci: Int, totalLen: Long, excluded: Set[String],
       reason: String, numcatCount: Int, numcatRatio: Double,
-      distinctRatio: Double, nullifyRatio: Double, haveKey: Boolean): ColumnGuess = {
+      distinctRatio: Double, nullifyRatio: Double, haveKey: Boolean,
+      precomputed: Option[ColStats] = None): ColumnGuess = {
 
-    val st = colStats(counts, ci, excluded)
+    val st = precomputed.getOrElse(colStats(counts, ci, excluded))
 
     if (st.nDistinct < 2) {
       ColumnGuess("", StatType.Ignore, st.nDistinct,

@@ -142,3 +142,73 @@ object HyperplaneSignature64 {
   def apply(v: Column, seed: Long): Column =
     ColumnBridge.column(HyperplaneSignature64(ColumnBridge.expression(v), seed))
 }
+
+/** Nearest-centroid assignment for the IVF index: argmin over the
+  * (expression-embedded) centroid table of squared Euclidean distance to
+  * an `array<double>` vector — the whole corpus-side assignment pass
+  * stays inside whole-stage codegen (the MLlib form it replaces paid a
+  * vector conversion plus a model-transform job). NULL for empty/null
+  * vectors, null elements, or a dimension mismatch with the centroids. */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if centroids.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a non-empty centroid table")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCentroid.kernel(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("cell")
+      s"""
+         |java.lang.Integer $r = graft.functions.NearestCentroid.kernel($v, $centsRef);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def kernel(vec: ArrayData, cents: Array[Array[Double]]): java.lang.Integer = {
+    val n = vec.numElements()
+    if (n == 0 || cents.length == 0 || cents(0).length != n) return null
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var d = 0.0
+      var j = 0
+      while (j < n) { val x = vec.getDouble(j) - cc(j); d += x * x; j += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  def apply(v: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), centroids))
+}

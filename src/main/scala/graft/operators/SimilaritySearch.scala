@@ -92,26 +92,104 @@ object SimilaritySearch {
     * is written partitioned by `cell` so a probe reads only its cells. */
   final case class IvfIndex(centroids: Array[(Int, Array[Double])], cells: DataFrame)
 
-  /** Fit the IVF index: MLlib k-means (k-means|| init) over the
-    * embeddings, then assign every vector to its nearest centroid. */
+  /** Fit the IVF index: a coarse quantizer needs only a REPRESENTATIVE
+    * SAMPLE, never the corpus (the FAISS training protocol), so the
+    * k-means++/Lloyd fit runs driver-side on a bounded hash-ordered
+    * sample — one distributed top-k pass (per-partition heaps, unbiased
+    * because id-hash order is independent of the vectors, deterministic
+    * across retries) and a milliseconds-scale local fit, replacing an
+    * MLlib job per Lloyd iteration. Assignment stays distributed and
+    * whole-stage-codegen via the NearestCentroid native expression. */
   def ivfIndex(
       df: DataFrame, vecCol: String, idCol: String,
-      nCentroids: Int = 16, seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nCentroids: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      maxFitSample: Int = 65536): IvfIndex = {
     val data = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
-    val feats = data.withColumn("features", array_to_vector(col("v")))
-    // a coarse quantizer does not need a converged clustering — 10
-    // Lloyd iterations (with the default 1e-4 movement early-stop)
-    // halves fit cost at equal probe recall
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
-      .fit(feats)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-    val cells = model.transform(feats)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
-    IvfIndex(centroids, cells)
+    val sample: Array[Array[Double]] = data
+      .orderBy(xxhash64(col("id"), lit(seed)))
+      .limit(maxFitSample)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = KMeansLocal.fit(sample, nCentroids, maxIter, seed)
+    val cells = data.withColumn("cell",
+        graft.functions.NearestCentroid(col("v"), centroids.map(_.toSeq).toSeq))
+      .filter(col("cell").isNotNull)
+      .select(col("id"), col("v"), col("cell"))
+    IvfIndex(centroids.zipWithIndex.map { case (c, i) => (i, c) }, cells)
+  }
+
+  /** Driver-side k-means (k-means++ init, Lloyd refinement) for the IVF
+    * coarse quantizer — the fit input is a bounded sample, so local
+    * arrays beat a per-iteration distributed job by orders of magnitude
+    * at every scale. Deterministic for a fixed seed. */
+  private[operators] object KMeansLocal {
+    private def sqdist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    def fit(xs: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Array[Array[Double]] = {
+      val n = xs.length
+      if (n == 0) return Array.empty
+      val kk = math.min(k, n)
+      val rng = new java.util.Random(seed)
+      // k-means++ seeding: next center sampled ∝ distance² to nearest
+      val cents = new Array[Array[Double]](kk)
+      cents(0) = xs(rng.nextInt(n)).clone()
+      val d2 = Array.fill(n)(Double.MaxValue)
+      for (c <- 1 until kk) {
+        var sum = 0.0
+        var i = 0
+        while (i < n) {
+          val d = sqdist(xs(i), cents(c - 1))
+          if (d < d2(i)) d2(i) = d
+          sum += d2(i); i += 1
+        }
+        var r = rng.nextDouble() * sum
+        var pick = 0
+        while (pick < n - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
+        cents(c) = xs(pick).clone()
+      }
+      // Lloyd with movement early-stop; an emptied cluster keeps its
+      // previous centroid (same behavior the MLlib fit had)
+      val assign = new Array[Int](n)
+      val dim = xs(0).length
+      var iter = 0
+      var moved = true
+      while (iter < maxIter && moved) {
+        moved = false
+        var i = 0
+        while (i < n) {
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            val d = sqdist(xs(i), cents(c))
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+          i += 1
+        }
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Int](kk)
+        i = 0
+        while (i < n) {
+          val c = assign(i); counts(c) += 1
+          var j = 0
+          while (j < dim) { sums(c)(j) += xs(i)(j); j += 1 }
+          i += 1
+        }
+        for (c <- 0 until kk if counts(c) > 0) {
+          var j = 0
+          while (j < dim) { sums(c)(j) /= counts(c); j += 1 }
+          cents(c) = sums(c)
+        }
+        iter += 1
+      }
+      cents
+    }
   }
 
   /** IVF two-stage search: rank the query against the (broadcast-sized)

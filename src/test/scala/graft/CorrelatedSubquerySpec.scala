@@ -230,6 +230,25 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
     assert(ex.contains("Join LeftSemi"), s"expected semi join:\n$ex")
   }
 
+  test("HAVING under theta correlation filters groups before the row pick") {
+    // theta WHERE (sal > dk*50) + theta-correlated HAVING (max(sal) >
+    // dk*60): dk=2 keeps only bob's group (dee's max 120 fails > 120);
+    // dk=3 has no qualifying rows at all
+    assert(rows("select dname, (select ename from emp where sal > dk * 50" +
+      " group by ename having count(*) >= 1 and max(sal) > dk * 60" +
+      " order by max(sal) desc limit 1) as top from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", "bob"), Seq("ops", "bob")))
+  }
+
+  test("HAVING aggregate-only under theta correlation") {
+    // count(*) >= 2 drops dk=3's single-row group entirely; the tie at
+    // dk=2 resolves by the edk tiebreak
+    assert(rows("select dname, (select edk from emp where sal > dk * 40" +
+      " group by edk having count(*) >= 2 order by count(*) desc, edk limit 1)" +
+      " as busy from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 2L), Seq("ops", 1L)))
+  }
+
   test("uncorrelated subqueries unchanged") {
     assert(rows("select dname from dept where dk = (select min(edk) from emp) order by dname") ==
       Seq(Seq("eng")))
