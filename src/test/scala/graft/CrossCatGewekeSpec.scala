@@ -72,9 +72,9 @@ class CrossCatGewekeSpec extends AnyFunSuite {
       IndexedSeq.fill(C)(NigH(H0)))
   }
 
-  /** x | z: per column, sequential NIG predictive draws within each
+  /** x | z, h: per column, sequential NIG predictive draws within each
     * row cluster of the column's view (an exact joint draw by
-    * exchangeability). */
+    * exchangeability), under the model's own column hypers. */
   private def drawData(m: CrossCatModel, rng: DetRng): Array[Array[Double]] =
     (0 until C).map { j =>
       val assign = m.rowAssign(m.viewOf(j))
@@ -82,7 +82,7 @@ class CrossCatGewekeSpec extends AnyFunSuite {
       val suff = ColSuff.empty(NumericalCol, k)
       val xs = new Array[Double](N)
       for (i <- 0 until N) {
-        val x = suff.sample(assign(i), NigH(H0), rng)
+        val x = suff.sample(assign(i), m.hypers(j), rng)
         suff.add(assign(i), x)
         xs(i) = x
       }
@@ -185,5 +185,122 @@ class CrossCatGewekeSpec extends AnyFunSuite {
     val ps = (1 to 3).map(a => minP(a + 10, break_ = true))
     assert(ps.forall(_ < 1e-3),
       s"broken singleton-view kernel was not detected: p-values $ps")
+  }
+
+  // ---- hypers-kernel Geweke (grid-uniform hyperprior) ----
+  //
+  // transitionHypers is coordinate-wise grid Gibbs scored by the cluster
+  // marginal likelihood — the implied prior is product-uniform over the
+  // (moments-derived, data-of-record-independent) grid lattice. A second
+  // skeleton with non-degenerate moments fixes the grids; the forward
+  // sampler draws each hyper uniformly from the same grids, and the
+  // chain runs row_clustering + variable_hyperparameters (view structure
+  // untouched by either kernel, so it conditions per replicate).
+
+  private lazy val skeletonH = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vals = IndexedSeq(-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0)
+    val df = (0 until N).map(i => (i.toLong + 1, vals(i), vals(i), vals(i)))
+      .toDF("rowid", "a", "b", "c")
+    backend.createGenerator(df, Map(0 -> "a", 1 -> "b", 2 -> "c"))
+      .asInstanceOf[CrossCatState]
+  }
+
+  private val GridSize = 15 // CrossCatBackend default
+
+  private lazy val hyperGrids: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    (0 until C).map { j =>
+      val mom = skeletonH.moments(j)
+      IndexedSeq(
+        linGrid(mom.min, mom.max, GridSize),
+        logGrid(1.0 / N, 10.0, GridSize),
+        logGrid(mom.variance / 100.0 + 1e-9, mom.variance * 100.0 + 1e-6, GridSize),
+        logGrid(0.5, N.toDouble max 2.0, GridSize))
+    }
+
+  private def forwardModelH(rng: DetRng): CrossCatModel = {
+    val base = forwardModel(rng)
+    val hypers = (0 until C).map { j =>
+      val g = hyperGrids(j)
+      def u(k: Int): Double = g(k)(rng.nextInt(g(k).length))
+      NigH(NigHypers(u(0), u(1), u(2), u(3)))
+    }
+    base.copy(hypers = hypers)
+  }
+
+  /** Hyper-sensitive statistics: grid indices of column 0's s and nu
+    * (exact lattice values), cluster count, and the s-tercile ×
+    * x-variance-tercile JOINT code — a prior-redrawn hyper keeps its
+    * uniform MARGINAL, so only the s↔spread coupling (bigger s ⇒ wider
+    * predictive ⇒ larger |x| spread) can expose it. */
+  private def statsH(m: CrossCatModel, x: Array[Array[Double]]): Seq[Int] = {
+    val NigH(h) = m.hypers(0): @unchecked
+    val sIdx = hyperGrids(0)(2).indexOf(h.s)
+    val nuIdx = hyperGrids(0)(3).indexOf(h.nu)
+    val a0 = m.rowAssign(m.viewOf(0))
+    val mean0 = x(0).sum / N
+    val v0 = x(0).map(v => (v - mean0) * (v - mean0)).sum / N
+    val varBin = if (v0 < 1.0) 0 else if (v0 < 10.0) 1 else 2
+    Seq(sIdx, nuIdx, a0.distinct.size, (sIdx / 5) * 3 + varBin)
+  }
+
+  private def replicateH(seed: Long, chain: Boolean, corrupt: Boolean): Seq[Int] = {
+    val rng = DetRng(seed)
+    var m = forwardModelH(rng)
+    var x = drawDataH(m, rng)
+    if (chain) {
+      for (_ <- 0 until T) {
+        m = kernelH(m, x, DetRng(rng.nextLong()), "row_clustering")
+        m = kernelH(m, x, DetRng(rng.nextLong()), "variable_hyperparameters")
+        x = drawDataH(m, rng)
+        // corrupted kernel: column 0's s redrawn from its prior AFTER x
+        // is already drawn — the s↔x mismatch survives to measurement
+        // (corrupting before the x draw would "heal" into a valid prior
+        // sample of the (s, x) block, exactly like the singleton case)
+        if (corrupt) {
+          val NigH(h) = m.hypers(0): @unchecked
+          val g = hyperGrids(0)(2)
+          m = m.copy(hypers = m.hypers.updated(0,
+            NigH(h.copy(s = g(rng.nextInt(g.length))))))
+        }
+      }
+    }
+    statsH(m, x)
+  }
+
+  private def kernelH(m: CrossCatModel, x: Array[Array[Double]], rng: DetRng,
+      which: String): CrossCatModel = {
+    val st = skeletonH.copy(models = IndexedSeq(m), data = x)
+    backend.analyzeModels(st, Some(Seq(0)), 1, rng,
+      AnalyzeProgram(subproblems = Some(Seq(which))))
+      .asInstanceOf[CrossCatState].models.head
+  }
+
+  private def drawDataH(m: CrossCatModel, rng: DetRng): Array[Array[Double]] =
+    drawData(m, rng)
+
+  private def minPH(attempt: Int, corrupt: Boolean): Double = {
+    val base = 0xcafe0000L + attempt * 2L * M
+    val fwd = (0 until M).map(i => replicateH(base + i, chain = false, corrupt = false))
+    val chn = (0 until M).map(i => replicateH(base + M + i, chain = true, corrupt = corrupt))
+    val ps = (0 until 4).map { s =>
+      StatTestUtil.chiSquareTwoSample(
+        fwd.groupBy(_(s)).map { case (k, v) => k -> v.size },
+        chn.groupBy(_(s)).map { case (k, v) => k -> v.size })
+    }
+    math.min(1.0, ps.min * 4)
+  }
+
+  test("hypers kernel passes the Geweke check (with the row kernel)") {
+    val attempts = (1 to 3).iterator.map(a => minPH(a, corrupt = false))
+    assert(attempts.exists(_ > 1e-4),
+      "forward and Gibbs-chain hyper distributions diverged (3 attempts)")
+  }
+
+  test("negative control: a prior-decoupled s hyper fails the coupling check") {
+    val ps = (1 to 3).map(a => minPH(a + 10, corrupt = true))
+    assert(ps.forall(_ < 1e-3),
+      s"decoupled hyper kernel was not detected: p-values $ps")
   }
 }

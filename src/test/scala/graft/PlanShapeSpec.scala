@@ -95,6 +95,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"stored table must prune unused columns: $read")
   }
 
+  test("rowid ingest stays in Tungsten: broadcast offsets join, no RDD scan") {
+    import spark.implicits._
+    val b = new graft.bql.BayesDB(spark, seed = 5L)
+    b.registerTable("wt", (1 to 200).map(i => (i.toLong, s"p$i"))
+      .toDF("k", "payload").repartition(4))
+    val plan = b.table("wt").queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"rowid ingest must not round-trip through an RDD:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"partition-offset join must broadcast the offsets side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"partition-offset join must never shuffle the data side:\n$plan")
+  }
+
   test("equality-correlated IN decorrelates; non-equality agg theta-joins") {
     // round 4: the equality-correlated forms decorrelate (D3 narrowed) —
     // no refs.tag equals a t1.label, so the correlated IN is empty-set
