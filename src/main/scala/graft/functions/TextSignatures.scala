@@ -242,3 +242,85 @@ object WinnowFingerprint {
   def apply(text: Column, k: Int, window: Int): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, window))
 }
+
+/** Distinct word-n-gram hash set of a text column as a native
+  * expression: the same fused tokenize→token-hash→FNV-window pass as
+  * [[MinHashSignature]], but emitting the DISTINCT window hashes
+  * (sorted) instead of per-bin minima — the exact-verify side of the
+  * dedup pipeline. `array_intersect`/`array_union` over `array<bigint>`
+  * then compute n-gram Jaccard with no n-gram strings ever built
+  * (hash-collision error is ~2⁻⁶⁴ per gram pair, far below the
+  * 6-decimal rounding the driver compares at). NULL for NULL text or
+  * fewer tokens than the window. */
+case class NgramHashSet(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ngram_hashset"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val hs = NgramHashSet.kernel(v.asInstanceOf[UTF8String].toString, shingleSize)
+    if (hs == null) null else UnsafeArrayData.fromPrimitiveArray(hs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("grams")
+      s"""
+         |long[] $r = graft.functions.NgramHashSet.kernel($v.toString(), $shingleSize);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($r); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramHashSet {
+  def kernel(text: String, shingleSize: Int): Array[Long] = {
+    val tokens = text.trim.toLowerCase.split("\\s+")
+    val windows = tokens.length - (shingleSize - 1)
+    if (windows <= 0 || (tokens.length == 1 && tokens(0).isEmpty)) null
+    else {
+      val tokenHash = new Array[Long](tokens.length)
+      var i = 0
+      while (i < tokens.length) {
+        tokenHash(i) = DetRngHash.xx(tokens(i).getBytes("UTF-8"))
+        i += 1
+      }
+      val hs = new Array[Long](windows)
+      var w = 0
+      while (w < windows) {
+        var h0 = 0xcbf29ce484222325L
+        var k = 0
+        while (k < shingleSize) {
+          h0 = (h0 ^ tokenHash(w + k)) * 0x100000001b3L
+          k += 1
+        }
+        hs(w) = DetRngHash.mix(h0)
+        w += 1
+      }
+      // sort + in-place dedup (the set is the value; order irrelevant to
+      // intersect/union but sorted keeps the output canonical)
+      java.util.Arrays.sort(hs)
+      var out = 0
+      i = 0
+      while (i < windows) {
+        if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+        i += 1
+      }
+      if (out == windows) hs else java.util.Arrays.copyOf(hs, out)
+    }
+  }
+
+  def apply(text: Column, shingleSize: Int): Column =
+    ColumnBridge.column(NgramHashSet(ColumnBridge.expression(text), shingleSize))
+}

@@ -211,8 +211,11 @@ object Dedup {
     val candDocs = df
       .select(col(idCol).as("id"), col(textCol).as("__graft_text"))
       .join(candIds, Seq("id"), "left_semi")
+    // distinct window-hash sets via one fused native pass (no n-gram
+    // strings, no interpreted higher-order transform); intersect/union
+    // then run over primitive long arrays
     val sets = candDocs.select(col("id"),
-      array_distinct(shingles(col("__graft_text"), shingleSize)).as("sh"))
+      graft.functions.NgramHashSet(col("__graft_text"), shingleSize).as("sh"))
     candidates
       .join(sets.select(col("id").as("id0"), col("sh").as("sh0")), "id0")
       .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
