@@ -67,16 +67,28 @@ object SimilaritySearch {
       .select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
         hyperplaneSignature(seed)(col(vecCol)).as("sig"))
       .filter(col("sig").isNotNull)
-    // narrow relation for the bucket machinery: ids + chunk values only
-    val chunked = signed.select(col("id"),
+    // narrow relation for the bucket machinery: ids + full signature
+    // (16 bytes) + chunk values — the vectors stay out of the shuffle
+    val chunked = signed.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sig"), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
+    // signature-Hamming prefilter AS THE PAIRS STREAM out of the bucket
+    // self-join, before the dedup shuffle and the vector rejoin: E[d] =
+    // 64·θ/π with sd ≈ √(64·p(1−p)) ≤ 4, so a +4σ slack above the
+    // threshold's expected distance prunes only pairs whose angle is
+    // far too wide while keeping recall at the target cosine
+    val theta = math.acos(math.max(-1.0, math.min(1.0, minCosine)))
+    val maxHamming = math.min(64.0, 64.0 * theta / math.Pi + 16.0)
     // distributed in-bucket pair emission (capped): pairs stream out of a
     // per-bucket self-join across tasks; the cap bounds a degenerate
     // bucket — beyond it the pair set was quadratic-noise, not candidates
     val candidates =
-      Dedup.inBucketPairs(chunked, Seq("chunk", "chunk_val"), Nil, maxBucketSize)
+      Dedup.inBucketPairs(chunked, Seq("chunk", "chunk_val"), Seq("sig"),
+          maxBucketSize,
+          prune = p => p.filter(
+            bit_count(col("sig0").bitwiseXOR(col("sig1"))) <= maxHamming))
+        .select("id0", "id1")
     // vectors rejoin per candidate pair only
     val vecs = signed.select(col("id"), col("v"))
     candidates
