@@ -21,7 +21,8 @@ object SparkEntry {
     operators.StatsQueries.queries ++
     operators.ModelQueries.queries ++
     operators.PipelineQueries.queries ++
-    operators.BqlQueries.queries
+    operators.BqlQueries.queries ++
+    streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -31,5 +32,6 @@ object SparkEntry {
     operators.StatsQueries.oracles ++
     operators.ModelQueries.oracles ++
     operators.PipelineQueries.oracles ++
-    operators.BqlQueries.oracles
+    operators.BqlQueries.oracles ++
+    streaming.StreamingQueries.oracles
 }

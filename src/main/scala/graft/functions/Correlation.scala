@@ -82,23 +82,25 @@ object Correlation {
     // scanned once per marginal besides)
     val cells = pair.groupBy("x0", "x1").agg(count(lit(1)).as("obs")).cache()
     try {
-      val totals = cells.agg(sum("obs").as("n")).head()
-      if (totals.isNullAt(0)) return (Double.NaN, 0L, 0L, 0L)
-      val n = totals.getLong(0)
       val m0 = cells.groupBy("x0").agg(sum(col("obs")).as("row_total"))
       val m1 = cells.groupBy("x1").agg(sum(col("obs")).as("col_total"))
+      val tot = cells.agg(sum(col("obs")).as("n"))
       // full outer product of levels (including zero-observation cells,
-      // which still contribute (0-e)^2/e to the statistic)
-      val full = m0.crossJoin(m1)
+      // which still contribute (0-e)^2/e to the statistic); the 1-row
+      // total crossJoins in so the whole reduction is ONE driver action
+      // over the cached cells relation instead of two
+      val full = m0.crossJoin(m1).crossJoin(tot)
         .join(cells, Seq("x0", "x1"), "left")
         .withColumn("obs", coalesce(col("obs"), lit(0L)))
-        .withColumn("expected", col("row_total") * col("col_total") / lit(n.toDouble))
+        .withColumn("expected", col("row_total") * col("col_total") / col("n").cast("double"))
         .agg(
           sum(pow(col("obs") - col("expected"), 2) / col("expected")).as("chi2"),
           countDistinct(col("x0")).as("n0"),
-          countDistinct(col("x1")).as("n1"))
+          countDistinct(col("x1")).as("n1"),
+          max(col("n")).as("n"))
         .head()
-      (full.getDouble(0), full.getLong(1), full.getLong(2), n)
+      if (full.isNullAt(0) || full.isNullAt(3)) (Double.NaN, 0L, 0L, 0L)
+      else (full.getDouble(0), full.getLong(1), full.getLong(2), full.getLong(3))
     } finally cells.unpersist()
   }
 

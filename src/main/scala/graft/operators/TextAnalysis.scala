@@ -64,7 +64,7 @@ object TextAnalysis {
     * heuristic. Tiny on purpose: broadcast as literals into codegen.
     * Shared with the p10 DuckDB oracle so both engines score the same
     * lexicons. */
-  private[operators] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "this"),
     "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "nicht"),
     "fr" -> Seq("le", "la", "les", "et", "est", "avec", "que", "une"),

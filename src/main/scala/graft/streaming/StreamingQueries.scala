@@ -1,0 +1,194 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** Driver-checkable Structured Streaming keys: the documents table
+  * replayed as a BOUNDED file stream through the streaming operators,
+  * drained to a memory sink, and compared — via the DuckDB oracle —
+  * against the equivalent batch SQL. A bounded deterministic source
+  * plus an order-independent projection of the sink make the streaming
+  * result exactly the batch answer, so the STREAMING paths (watermark,
+  * stateful aggregation, dedup state, mapGroupsWithState) are
+  * themselves oracle-verified, not just spec-pinned.
+  *
+  *  - st01: event-time windowed (minute, language) rollup — windowed
+  *    stateful aggregation.
+  *  - st02: watermarked exact dedup — dropDuplicatesWithinWatermark
+  *    state; the surviving DISTINCT hash set is order-independent.
+  *  - st03: per-source Welford quality profile — custom keyed state via
+  *    mapGroupsWithState; the final (count, mean) per source is the
+  *    batch GROUP BY answer.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // deterministic synthetic event time: 2026-01-01T00:00:00Z + (doc_id*37
+  // mod 600) seconds — ~10 one-minute windows over any scale factor
+  private val EpochBase = 1767225600L
+
+  /** The documents table as a bounded file stream with the synthetic
+    * event-time column. The streaming file source needs a DIRECTORY base
+    * path; the testdata table is a single file, so glob-filter it from
+    * its parent. */
+  private def boundedDocStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "documents").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("ts",
+        timestamp_seconds(lit(EpochBase) + (col("doc_id") * 37) % 600))
+  }
+
+  /** Start `w` against a fresh memory sink, drain the bounded source,
+    * stop, and return the sink table. The streaming state store opens
+    * one provider per shuffle partition and these rollups hold ~tens of
+    * keys — a handful of partitions is the right state layout (the conf
+    * is read at query START, so the scope-and-restore only affects this
+    * query; at real corpus scale the caller sizes this knob to its key
+    * cardinality). */
+  private def drainToMemory(spark: SparkSession, key: String,
+      w: DataStreamWriter[Row]): DataFrame = {
+    val sink = s"graft_${key}_${runCounter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        w.format("memory").queryName(sink).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+  }
+
+  /** st01: windowed (event-time minute, language) doc counts + mean
+    * quality over the replayed stream. */
+  val st01WindowedLang: Q = (spark, dir) => {
+    val stats = StreamPipeline.windowedLangStats(
+      boundedDocStream(spark, dir), "text", "ts",
+      windowLength = "1 minute", watermark = "5 minutes")
+    drainToMemory(spark, "st01", stats.writeStream.outputMode("complete"))
+      .select(col("window_start"), col("lang"), col("n_docs"),
+        round(col("mean_quality"), 6).as("mean_quality"))
+      .orderBy("window_start", "lang")
+  }
+
+  /** st02: watermarked exact streaming dedup. Which row of a duplicate
+    * set survives depends on arrival order, but the SET of surviving
+    * content hashes does not — project that, and the streaming answer
+    * is DISTINCT sha256(text). */
+  val st02StreamDedup: Q = (spark, dir) => {
+    val kept = StreamPipeline.dedupExact(
+      boundedDocStream(spark, dir), "text", "ts", watermark = "10 minutes")
+    drainToMemory(spark, "st02", kept.writeStream.outputMode("append"))
+      .select(col("content_hash"))
+      .orderBy("content_hash")
+  }
+
+  /** st03: per-source lifetime quality profile through the
+    * mapGroupsWithState Welford kernel. Each micro-batch emits the
+    * running (count, mean) per source; the final state — selected
+    * order-independently as the row with the maximal count — is the
+    * batch GROUP BY (count, avg) answer (Welford's mean is exact up to
+    * float rounding; both sides round to 6). */
+  val st03SourceProfile: Q = (spark, dir) => {
+    val prof = StreamPipeline.sourceQualityProfile(
+      boundedDocStream(spark, dir), "text", "source")
+    drainToMemory(spark, "st03", prof.writeStream.outputMode("update"))
+      .groupBy(col("source"))
+      .agg(max(col("nTotal")).as("n_total"),
+        max_by(col("meanQuality"), col("nTotal")).as("mq"))
+      .select(col("source"), col("n_total"),
+        round(col("mq"), 6).as("mean_quality"))
+      .orderBy("source")
+  }
+
+  /** Shared oracle fragment: per-doc quality (the p09 formula, rounded
+    * to 6 as the Spark expression does) and language scores (the p10
+    * lexicons) as CTEs `m` and `q` over `documents`. */
+  private val docPrelude: String = {
+    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "are", "was", "were", "it", "that", "this", "with", "for", "on", "as",
+      "at").map(w => s"'$w'").mkString(", ")
+    val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(tk, w -> w IN ($set)))::DOUBLE / nn AS s_$lang"
+    }.mkString(",\n         ")
+    s"""m AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> list_contains([$stopwords], x))) AS n_stop,
+       |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS tk,
+       |    greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS nn,
+       |    regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source, cjk, tk, nn,
+       |    round(greatest(0.0, least(1.0,
+       |      0.5 + 0.5 * least((CASE WHEN n_tokens = 0 THEN 0.0
+       |                         ELSE n_stop::DOUBLE / n_tokens END) * 2.5, 1.0)
+       |          - 0.5 * (CASE WHEN n_chars = 0 THEN 0.0
+       |                   ELSE n_punct::DOUBLE / n_chars END)
+       |          - CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+       |                       ELSE n_wordchars::DOUBLE / n_tokens END) < 2.0
+       |                   OR (CASE WHEN n_tokens = 0 THEN 0.0
+       |                       ELSE n_wordchars::DOUBLE / n_tokens END) > 12.0
+       |                 THEN 0.25 ELSE 0.0 END)), 6) AS quality_score,
+       |    $scoreCols
+       |  FROM m)""".stripMargin
+  }
+
+  /** The st01 batch-SQL oracle: per-doc quality + language id (lexicon
+    * tie-break), rolled up by the same minute window. */
+  val st01Sql: String = {
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val byNameDesc = langs.sorted.reverse
+    val tieBreak = byNameDesc.init.map(l =>
+      s"WHEN s_$l = best THEN '$l'").mkString(" ") + s" ELSE '${byNameDesc.last}'"
+    s"""WITH $docPrelude,
+       |b AS (SELECT *, $best AS best FROM q),
+       |p AS (
+       |  SELECT doc_id, quality_score,
+       |    CASE WHEN cjk THEN 'zh'
+       |         WHEN best = 0 THEN 'und'
+       |         ELSE (CASE $tieBreak END)
+       |    END AS lang,
+       |    epoch_ms((${EpochBase}000 + ((doc_id * 37) % 600) * 1000)::BIGINT) AS ts
+       |  FROM b)
+       |SELECT date_trunc('minute', ts) AS window_start, lang,
+       |       count(*)::BIGINT AS n_docs,
+       |       round(avg(quality_score), 6) AS mean_quality
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  val st02Sql: String =
+    "SELECT DISTINCT sha256(text) AS content_hash FROM documents ORDER BY 1"
+
+  val st03Sql: String =
+    s"""WITH $docPrelude
+       |SELECT source, count(*)::BIGINT AS n_total,
+       |       round(avg(quality_score), 6) AS mean_quality
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "st01_stream_windowed_lang" -> st01WindowedLang,
+    "st02_stream_dedup" -> st02StreamDedup,
+    "st03_stream_source_profile" -> st03SourceProfile)
+
+  val oracles: Map[String, String] = Map(
+    "st01_stream_windowed_lang" -> st01Sql,
+    "st02_stream_dedup" -> st02Sql,
+    "st03_stream_source_profile" -> st03Sql)
+}
