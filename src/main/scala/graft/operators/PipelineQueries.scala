@@ -158,6 +158,45 @@ object PipelineQueries {
       .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** p15: IVF with every cell probed — exhaustive probing makes the
+    * two-stage search EXACTLY the brute-force answer (same scan set, same
+    * ranking), so the whole IVF machinery (quantizer fit, NearestCentroid
+    * cell routing, probe pruning, re-rank) sits behind the DuckDB oracle:
+    * if cell assignment dropped or misrouted one vector, the top-k would
+    * differ. p07 keeps the production shape (pruned probes, recall-pinned
+    * vs p06 in PipelineSpec); this key proves the index is lossless. */
+  val p15AnnIvfExact: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val idx = ivfIndexFor(spark, dir)
+    SimilaritySearch.ivfTopK(idx, q, 10, nProbe = idx.centroids.length)
+      .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** p16: BPE-ish subword counting — word pieces split at every
+    * alnum/non-alnum boundary (digits and punctuation as their own
+    * tokens), the cheap deterministic stand-in for a real BPE vocabulary.
+    * DuckDB lacks lookaround regex, so the oracle counts the equivalent
+    * closed form: maximal alnum runs + non-alnum non-space characters
+    * (Spark-side `trim` strips only spaces, so tabs/newlines count as
+    * pieces on both sides). */
+  val p16SubwordCount: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+      col("doc_id"),
+      TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  val p16Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+      |       + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT)
+      |    AS n_subwords
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** p08: token counting (whitespace + subword), DuckDB-oracled. */
   val p08TokenCount: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
@@ -293,7 +332,9 @@ object PipelineQueries {
     "p11_fingerprint" -> p11Fingerprint,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
-    "p14_ngram_jaccard_exact" -> p14NgramJaccardExact)
+    "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
+    "p15_ann_ivf_exact" -> p15AnnIvfExact,
+    "p16_subword_count" -> p16SubwordCount)
 
   /** p10 oracle: same lexicons, same scoring, same tie-break. Spark's
     * array_max over struct(score, lang) resolves score ties by the
@@ -339,5 +380,7 @@ object PipelineQueries {
     "p08_token_count" -> p08Sql,
     "p09_quality" -> p09Sql,
     "p10_lang_id" -> p10Sql,
-    "p14_ngram_jaccard_exact" -> p14Sql)
+    "p14_ngram_jaccard_exact" -> p14Sql,
+    "p15_ann_ivf_exact" -> p06Sql,
+    "p16_subword_count" -> p16Sql)
 }

@@ -135,6 +135,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("IVF probing every cell equals brute force exactly") {
+    val q = embeddings.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val exact = SimilaritySearch.bruteForceTopK(embeddings, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val index = SimilaritySearch.ivfIndex(embeddings, "embedding", "vec_id", nCentroids = 8)
+    val full = SimilaritySearch.ivfTopK(index, q, 10, nProbe = index.centroids.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq,
+      "exhaustive probes must reproduce the exact ranking — a mismatch means cell routing lost a vector")
+  }
+
+  test("subword count: alnum runs + punctuation as their own tokens") {
+    import spark.implicits._
+    val cases = Seq(
+      "hello world"        -> 2L,   // plain words
+      "don't stop, now!"   -> 7L,   // don ' t stop , now !
+      "a1b2"               -> 1L,   // one alnum run
+      ",,"                 -> 2L,   // each punct char its own token
+      "  spaced   out  "   -> 2L,   // whitespace pieces dropped
+      ""                   -> 0L,
+      "tab\there"          -> 3L)   // tab survives space-only trim
+    val got = cases.map(_._1).toDF("text")
+      .select(operators.TextAnalysis.subwordCount(col("text")).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._2), s"subword counts $got != ${cases.map(_._2)}")
+  }
+
   test("hyperplane LSH near-dup pairs find same-cluster vectors only") {
     val pairs = SimilaritySearch.cosineNearDupPairs(
       embeddings, "embedding", "vec_id", minCosine = 0.98, chunks = 8)
