@@ -454,6 +454,91 @@ object Planner {
 
   // ----------------------------------------------------------- assembly
 
+  /** Correlated-subquery pre-pass, shared by `assemble` (over every
+    * expression clause of a query) and by the theta decorrelator's
+    * nested-conjunct path (over conjuncts re-scoped onto its joined
+    * frame): aggregate correlated scalars rewrite into decorrelated
+    * joins — collected as attach closures to fold over the frame being
+    * assembled — the LHS of a correlated IN materializes as a hidden
+    * outer column, and depth-≥2 refs peel one level via requalifyDeep.
+    * One instance per assembly so distinct mentions of the same subquery
+    * join once. */
+  private final class SubqueryPrepass(ctx0: Ctx) {
+    private val attaches = scala.collection.mutable.Buffer.empty[DataFrame => DataFrame]
+    private val hidden = scala.collection.mutable.Buffer.empty[String]
+    private val subCache = scala.collection.mutable.Map[Exp, Exp]()
+
+    /** Hidden IN-LHS columns added to the outer frame (scope additions). */
+    def hiddenNames: Seq[String] = hidden.toSeq
+
+    /** Fold the collected decorrelation joins over `df`. */
+    def apply(df: DataFrame): DataFrame = attaches.foldLeft(df)((d, f) => f(d))
+
+    def rewrite(e: Exp): Exp = e match {
+      case sub @ ExpSub(q) if ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) =>
+        subCache.getOrElseUpdate(sub,
+          normalizeAggScalar(requalifyDeep(ctx0, q)) match {
+            case Left(()) => ExpLit(LitNull) // provably yields no row
+            case Right(q2) =>
+              decorrelateAggScalar(ctx0, q2)
+                .orElse(decorrelateThetaAggScalar(ctx0, q2))
+                .orElse(decorrelateGroupedScalar(ctx0, q2))
+                .orElse(decorrelateThetaGroupedScalar(ctx0, q2)) match {
+                case Some((attach, repl)) => attaches += attach; repl
+                // keep the requalifyDeep-peeled body (as the ExpExists
+                // branch does): depth-2 non-aggregate scalars then plan
+                // as a native one-level Catalyst scalar subquery
+                case None => if (q2 eq q) sub else ExpSub(q2)
+              }
+          })
+      case ex @ ExpExists(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
+        // depth-≥2 refs inside the EXISTS body peel to one level here;
+        // the one-level form then plans as a native exists-subquery
+        subCache.getOrElseUpdate(ex, ExpExists(requalifyDeep(ctx0, q)))
+      case inq @ ExpInQuery(x, p, q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
+        subCache.getOrElseUpdate(inq, {
+          val xn = s"__in_x_${subqueryTag.getAndIncrement()}"
+          attaches += ((df: DataFrame) => df.withColumn(xn, compile(x, ctx0)))
+          hidden += xn
+          ExpInQuery(ExpCol(None, xn), p, requalifyDeep(ctx0, q))
+        })
+      case ExpOp(op, os) => ExpOp(op, os.map(rewrite))
+      case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(rewrite))
+      case ExpCase(k, ws, o) => ExpCase(k.map(rewrite),
+        ws.map { case (a, b) => (rewrite(a), rewrite(b)) }, o.map(rewrite))
+      case ExpCast(x, t) => ExpCast(rewrite(x), t)
+      case ExpCollate(x, cl) => ExpCollate(rewrite(x), cl)
+      case ExpInExp(x, p, es) => ExpInExp(rewrite(x), p, es.map(rewrite))
+      case other => other
+    }
+  }
+
+  /** Whether the expression contains any nested subquery. */
+  private def hasNestedQuery(e: Exp): Boolean = e match {
+    case ExpSub(_) | ExpExists(_) | ExpInQuery(_, _, _) => true
+    case ExpOp(_, os) => os.exists(hasNestedQuery)
+    case ExpApp(_, _, as_) => as_.exists(hasNestedQuery)
+    case ExpCase(k, ws, o) =>
+      k.exists(hasNestedQuery) ||
+        ws.exists(w => hasNestedQuery(w._1) || hasNestedQuery(w._2)) ||
+        o.exists(hasNestedQuery)
+    case ExpCast(x, _) => hasNestedQuery(x)
+    case ExpCollate(x, _) => hasNestedQuery(x)
+    case ExpInExp(x, _, es) => (x +: es).exists(hasNestedQuery)
+    case _ => false
+  }
+
+  /** `isCorrelated` extended through nested subquery bodies: a subquery
+    * whose ONLY reference to the enclosing frame sits at depth ≥ 2 still
+    * needs the decorrelation machinery, not the plan-time path. */
+  private def isCorrelatedDeep(ctx: Ctx, q: Query): Boolean =
+    ctx.scope.exists(o => queryChainRefs(ctx, q, Nil, o).nonEmpty)
+
+  private def scopeResolves(t: Option[String], n: String, sc: Scope): Boolean = t match {
+    case None => sc.names(normRef(n))
+    case Some(tb) => sc.tables.get(Names.casefold(tb)).exists(_(normRef(n)))
+  }
+
   /** Shared relational assembly: WHERE → (GROUP BY [+HAVING] | aggregate
     * | project) → DISTINCT → ORDER BY → LIMIT/OFFSET. `prefix` columns
     * (rowid0/…) are prepended to the projection. */
@@ -469,67 +554,28 @@ object Planner {
       ctx0: Ctx,
       starColumns: Seq[String]): DataFrame = {
 
-    // Pre-pass over every expression clause:
-    // (a) equality-correlated aggregate scalar subqueries decorrelate into
-    //     grouped left joins on the base frame (each distinct subquery
+    // Pre-pass over every expression clause (SubqueryPrepass):
+    // (a) correlated aggregate scalar subqueries decorrelate into
+    //     grouped joins on the base frame (each distinct subquery
     //     joins once even when mentioned in several clauses);
     // (b) the LHS of a correlated IN materializes as a uniquely-named
     //     hidden column on the outer frame — Column.outer() resolves
     //     inner-first, so an outer-text expression whose names collide
     //     with the subquery's columns would otherwise silently bind to
     //     the inner frame.
-    var base0 = base
-    val hiddenOuter = Seq.newBuilder[String]
-    val subCache = scala.collection.mutable.Map[Exp, Exp]()
-    def rewriteSub(e: Exp): Exp = e match {
-      case sub @ ExpSub(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
-        subCache.getOrElseUpdate(sub,
-          normalizeAggScalar(requalifyDeep(ctx0, q)) match {
-            case Left(()) => ExpLit(LitNull) // provably yields no row
-            case Right(q2) =>
-              decorrelateAggScalar(ctx0, q2)
-                .orElse(decorrelateThetaAggScalar(ctx0, q2))
-                .orElse(decorrelateGroupedScalar(ctx0, q2))
-                .orElse(decorrelateThetaGroupedScalar(ctx0, q2)) match {
-                case Some((attach, repl)) => base0 = attach(base0); repl
-                // keep the requalifyDeep-peeled body (as the ExpExists
-                // branch does): depth-2 non-aggregate scalars then plan
-                // as a native one-level Catalyst scalar subquery
-                case None => if (q2 eq q) sub else ExpSub(q2)
-              }
-          })
-      case ex @ ExpExists(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
-        // depth-≥2 refs inside the EXISTS body peel to one level here;
-        // the one-level form then plans as a native exists-subquery
-        subCache.getOrElseUpdate(ex, ExpExists(requalifyDeep(ctx0, q)))
-      case inq @ ExpInQuery(x, p, q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
-        subCache.getOrElseUpdate(inq, {
-          val xn = s"__in_x_${subqueryTag.getAndIncrement()}"
-          base0 = base0.withColumn(xn, compile(x, ctx0))
-          hiddenOuter += xn
-          ExpInQuery(ExpCol(None, xn), p, requalifyDeep(ctx0, q))
-        })
-      case ExpOp(op, os) => ExpOp(op, os.map(rewriteSub))
-      case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(rewriteSub))
-      case ExpCase(k, ws, o) => ExpCase(k.map(rewriteSub),
-        ws.map { case (a, b) => (rewriteSub(a), rewriteSub(b)) }, o.map(rewriteSub))
-      case ExpCast(x, t) => ExpCast(rewriteSub(x), t)
-      case ExpCollate(x, cl) => ExpCollate(rewriteSub(x), cl)
-      case ExpInExp(x, p, es) => ExpInExp(rewriteSub(x), p, es.map(rewriteSub))
-      case other => other
-    }
+    val pre = new SubqueryPrepass(ctx0)
     val columns1 = columns.map {
-      case SelColExp(e, nm) => SelColExp(rewriteSub(e), nm)
+      case SelColExp(e, nm) => SelColExp(pre.rewrite(e), nm)
       case other => other
     }
-    val condition1 = condition.map(rewriteSub)
+    val condition1 = condition.map(pre.rewrite)
     val grouping1 = grouping.map(g =>
-      Grouping(g.keys.map(rewriteSub), g.condition.map(rewriteSub)))
-    val order1 = order.map(o => Ord(rewriteSub(o.expression), o.asc))
-    val base1 = base0
+      Grouping(g.keys.map(pre.rewrite), g.condition.map(pre.rewrite)))
+    val order1 = order.map(o => Ord(pre.rewrite(o.expression), o.asc))
+    val base1 = pre(base)
     // the hidden LHS columns are part of the outer frame's scope so the
     // membership filter can reference them as outer references
-    val ctx = hiddenOuter.result() match {
+    val ctx = pre.hiddenNames match {
       case Nil => ctx0
       case hs => ctx0.copy(scope = ctx0.scope.map(s =>
         s.copy(names = s.names ++ hs.map(Names.casefold))))
@@ -839,9 +885,12 @@ object Planner {
     if (hasAgg) throw new UnsupportedOperationException(
       "Correlated aggregate subquery shape not supported (divergence D3): " +
         "ungrouped single-aggregate forms decorrelate under any " +
-        "correlation operators; grouped forms (including HAVING, even " +
-        "theta-correlated) need ORDER BY and a literal LIMIT — the row " +
-        "a grouped scalar takes is otherwise unspecified, in SQLite too")
+        "correlation operators — depth-≥2 refs included, carried through " +
+        "the key tuple when each nested subquery itself decorrelates; " +
+        "still rejected: correlated EXISTS/IN bodies under an aggregate, " +
+        "and grouped forms (including HAVING, even theta-correlated) " +
+        "without ORDER BY and a literal LIMIT — the row a grouped scalar " +
+        "takes is otherwise unspecified, in SQLite too")
     planWithOuter(ctx, q).limit(1).scalar()
   }
 
@@ -894,6 +943,13 @@ object Planner {
         // Left(None) = a shape that blocks decorrelation
         val parts: Seq[Either[Option[Exp], (Exp, Exp)]] =
           s.condition.toSeq.flatMap(conjuncts).map {
+            case c if hasNestedQuery(c) &&
+                chainFreeRefs(ctx, c, Seq(inner), outer).nonEmpty =>
+              // outer refs (direct, or deep inside the nested subquery's
+              // body) around a nested subquery: the equality path cannot
+              // thread them — block, so the theta decorrelator's
+              // key-tuple carry gets the shape instead
+              Left(None)
             case eq @ ExpOp(Op.Eq, Seq(a, b)) =>
               (refsOuter(a), refsOuter(b)) match {
                 case (false, true) if innerColRefs(b, inner).isEmpty => Right((a, b))
@@ -956,9 +1012,29 @@ object Planner {
     * Aggregate, so it is done once here. Aggregate arguments are
     * null-shielded on the join marker so an outer key with NO matching
     * inner rows aggregates an empty set (COUNT 0, SUM NULL, TOTAL 0.0 —
-    * the SQL semantics), not the padding row of the left join. Scale
-    * shape: |distinct keys| ≤ |outer rows|; one theta join, one grouped
-    * aggregate, one equi-join — never a per-outer-row subquery. */
+    * the SQL semantics), not the padding row of the left join.
+    *
+    * Conjuncts CONTAINING nested subqueries are carried too (round 7 —
+    * the last closable D3 shape): outer refs inside a nested body —
+    * depth-≥2 refs with no equality pair for requalifyDeep to peel —
+    * land in the key tuple like direct refs, the refs rewrite to key
+    * columns inside the nested body (shadow-aware, the mirror of
+    * chainFreeRefs), and the nested subquery then decorrelates AGAINST
+    * THE JOINED FRAME through the same SubqueryPrepass the assembler
+    * uses. The conjunct's value becomes a boolean column on the joined
+    * frame and masks rows out of the aggregate THROUGH the match
+    * condition rather than a filter — a key whose joined rows all fail
+    * still aggregates an empty set, keeping COUNT = 0. Nested
+    * subqueries that stay correlated after the pre-pass (deep EXISTS/IN
+    * bodies, non-decorrelatable scalar shapes) return None and keep the
+    * named divergence.
+    *
+    * Scale shape: |distinct keys| ≤ |outer rows|; one theta join, one
+    * grouped aggregate, one equi-join, plus one grouped equi-join per
+    * decorrelated nested subquery — never a per-outer-row subquery.
+    * With no plain theta conjunct (correlation rides entirely inside
+    * nested bodies) the key-inner join is a cross product — the honest
+    * relational form of the reference's per-row nested loop, set-based. */
   private def decorrelateThetaAggScalar(ctx: Ctx, q: Query): Option[(DataFrame => DataFrame, Exp)] = q match {
     case s: Select
         if ctx.scope.isDefined && s.tables.nonEmpty && s.grouping.isEmpty &&
@@ -966,20 +1042,6 @@ object Planner {
           s.columns.sizeIs == 1 =>
       val outer = ctx.scope.get
       val inner = queryScope(ctx.bdb, s, ctx.binds)
-      def hasNestedQuery(e: Exp): Boolean = e match {
-        case ExpSub(_) | ExpExists(_) => true
-        case ExpInQuery(_, _, _) => true
-        case ExpOp(_, os) => os.exists(hasNestedQuery)
-        case ExpApp(_, _, as_) => as_.exists(hasNestedQuery)
-        case ExpCase(k, ws, o) =>
-          k.exists(hasNestedQuery) ||
-            ws.exists(w => hasNestedQuery(w._1) || hasNestedQuery(w._2)) ||
-            o.exists(hasNestedQuery)
-        case ExpCast(x, _) => hasNestedQuery(x)
-        case ExpCollate(x, _) => hasNestedQuery(x)
-        case ExpInExp(x, _, es) => (x +: es).exists(hasNestedQuery)
-        case _ => false
-      }
       val aggItem = s.columns.head match {
         case SelColExp(e, _) if containsAggregate(e) &&
           freeColRefs(e, inner, outer).isEmpty && !hasNestedQuery(e) => Some(e)
@@ -987,10 +1049,20 @@ object Planner {
       }
       aggItem.flatMap { aggExp =>
         val cs = s.condition.toSeq.flatMap(conjuncts)
-        val refs = cs.flatMap(freeColRefs(_, inner, outer))
+        def outerRefsOf(c: Exp): Seq[ExpCol] =
+          chainFreeRefs(ctx, c, Seq(inner), outer)
+        val refs = cs.flatMap(outerRefsOf)
           .distinctBy(r => (r.table.map(Names.casefold), normRef(r.column)))
-        if (refs.isEmpty || cs.exists(hasNestedQuery)) None
-        else {
+        if (refs.isEmpty) None
+        else try {
+          // three-way conjunct split: plain theta conditions join; self-
+          // contained conjuncts (nested or not) filter the inner frame;
+          // nested conjuncts with outer refs ride the joined frame
+          val plainCorr = cs.filter(c =>
+            !hasNestedQuery(c) && freeColRefs(c, inner, outer).nonEmpty)
+          val innerCs = cs.filter(c => outerRefsOf(c).isEmpty)
+          val nestedCorr = cs.filter(c =>
+            hasNestedQuery(c) && outerRefsOf(c).nonEmpty)
           val tag = subqueryTag.getAndIncrement()
           val vName = s"__tv_$tag"
           val marker = s"__tm_$tag"
@@ -998,82 +1070,157 @@ object Planner {
           val keyOf: Map[(Option[String], String), String] =
             refs.zipWithIndex.map { case (r, i) =>
               (r.table.map(Names.casefold), normRef(r.column)) -> keyName(i) }.toMap
-          // substitute outer references with their key-column names
-          // (inner-first: a ref that resolves in the subquery's own frame
-          // is left alone even if the enclosing frame shares the name)
-          def subst(e: Exp): Exp = e match {
-            case c: ExpCol if freeColRefs(c, inner, outer).nonEmpty =>
-              keyOf.get((c.table.map(Names.casefold), normRef(c.column)))
+          // substitute outer refs (direct or deep) with key-column names.
+          // A ref rewrites only when NO frame between its position and
+          // the outer query resolves it (inner-first, shadow-aware — the
+          // mirror of chainFreeRefs' collection rule; `chain` ends with
+          // the subquery's own frame).
+          def subst(e: Exp, chain: Seq[Scope]): Exp = e match {
+            case c @ ExpCol(t, n) =>
+              if (chain.exists(scopeResolves(t, n, _))) c
+              else keyOf.get((t.map(Names.casefold), normRef(n)))
                 .map(k => ExpCol(None, k)).getOrElse(c)
-            case ExpOp(op, os) => ExpOp(op, os.map(subst))
-            case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(subst))
-            case ExpCase(k, ws, o) => ExpCase(k.map(subst),
-              ws.map { case (a, b) => (subst(a), subst(b)) }, o.map(subst))
-            case ExpCast(x, t) => ExpCast(subst(x), t)
-            case ExpCollate(x, cl) => ExpCollate(subst(x), cl)
-            case ExpInExp(x, p, es) => ExpInExp(subst(x), p, es.map(subst))
+            case ExpSub(qq) => ExpSub(substQ(qq, chain))
+            case ExpExists(qq) => ExpExists(substQ(qq, chain))
+            case ExpInQuery(x, p, qq) =>
+              ExpInQuery(subst(x, chain), p, substQ(qq, chain))
+            case ExpOp(op, os) => ExpOp(op, os.map(subst(_, chain)))
+            case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(subst(_, chain)))
+            case ExpCase(k, ws, o) => ExpCase(k.map(subst(_, chain)),
+              ws.map { case (a, b) => (subst(a, chain), subst(b, chain)) },
+              o.map(subst(_, chain)))
+            case ExpCast(x, t) => ExpCast(subst(x, chain), t)
+            case ExpCollate(x, cl) => ExpCollate(subst(x, chain), cl)
+            case ExpInExp(x, p, es) =>
+              ExpInExp(subst(x, chain), p, es.map(subst(_, chain)))
             case other => other
           }
-          // null-shield aggregate arguments on the join marker so the
-          // left join's padding row never contributes to the aggregate
+          def substQ(qq: Query, chain: Seq[Scope]): Query = qq match {
+            case ss: Select =>
+              val ch = queryScope(ctx.bdb, ss, ctx.binds) +: chain
+              ss.copy(
+                columns = ss.columns.map {
+                  case SelColExp(e, nm) => SelColExp(subst(e, ch), nm)
+                  case other => other
+                },
+                condition = ss.condition.map(subst(_, ch)),
+                grouping = ss.grouping.map(g => Grouping(
+                  g.keys.map(subst(_, ch)), g.condition.map(subst(_, ch)))),
+                order = ss.order.map(o => Ord(subst(o.expression, ch), o.asc)))
+            case other => other
+          }
+          // null-shield aggregate arguments on the match condition (join
+          // marker, AND the nested-conjunct mask when present) so neither
+          // the left join's padding row nor a masked row contributes
           val markerNotNull = ExpOp(Op.NotNull, Seq(ExpCol(None, marker)))
-          def shield(e: Exp): Exp = e match {
+          def shield(e: Exp, matchExp: Exp): Exp = e match {
             case ExpAppStar(fn) =>
-              ExpApp(distinct = false, fn, Seq(ExpCol(None, marker)))
+              ExpApp(distinct = false, fn,
+                Seq(ExpCase(None, Seq((matchExp, ExpLit(LitInt(1)))), None)))
             case ExpApp(d, fn, args) if SqlFunctions.isAggregate(fn, args.length) =>
               ExpApp(d, fn, args.map(a =>
-                ExpCase(None, Seq((markerNotNull, a)), None)))
-            case ExpApp(d, fn, args) => ExpApp(d, fn, args.map(shield))
-            case ExpOp(op, os) => ExpOp(op, os.map(shield))
-            case ExpCase(k, ws, o) => ExpCase(k.map(shield),
-              ws.map { case (a, b) => (shield(a), shield(b)) }, o.map(shield))
-            case ExpCast(x, t) => ExpCast(shield(x), t)
-            case ExpCollate(x, cl) => ExpCollate(shield(x), cl)
+                ExpCase(None, Seq((matchExp, a)), None)))
+            case ExpApp(d, fn, args) => ExpApp(d, fn, args.map(shield(_, matchExp)))
+            case ExpOp(op, os) => ExpOp(op, os.map(shield(_, matchExp)))
+            case ExpCase(k, ws, o) => ExpCase(k.map(shield(_, matchExp)),
+              ws.map { case (a, b) => (shield(a, matchExp), shield(b, matchExp)) },
+              o.map(shield(_, matchExp)))
+            case ExpCast(x, t) => ExpCast(shield(x, matchExp), t)
+            case ExpCollate(x, cl) => ExpCollate(shield(x, matchExp), cl)
             case other => other
           }
-          val (corrCs, innerCs) = cs.partition(c =>
-            freeColRefs(c, inner, outer).nonEmpty)
-          // inner FROM frame with aliases preserved (qualified refs keep
-          // resolving after the theta join)
-          val tabs: Seq[(String, DataFrame)] = s.tables.map { st =>
-            val d = st.table match {
-              case Right(name) => ctx.bdb.table(name)
-              case Left(sub) => plan(ctx.bdb, sub, ctx.binds)
-            }
-            val alias = st.name.getOrElse(st.table match {
-              case Right(name) => name
-              case Left(_) => "__sub__"
-            })
-            (alias, d)
-          }
-          val innerCtx = Ctx(ctx.bdb, NoModelCtx, ctx.binds, agg = false,
-            scope = Some(inner))
-          val innerBase0 = tabs.map { case (a, d) => d.as(a) }
-            .reduceLeft(_ crossJoin _)
-          val innerFiltered = innerCs.map(compile(_, innerCtx)) match {
-            case Nil => innerBase0
-            case conds => innerBase0.filter(conds.reduce(_ && _))
-          }
-          val innerMarked = innerFiltered.withColumn(marker, lit(1))
           val joinScope = Scope(
             inner.names ++ (marker +: keyName).map(Names.casefold),
             inner.tables)
           val jctx = Ctx(ctx.bdb, NoModelCtx, ctx.binds, agg = false,
             scope = Some(joinScope))
-          val attach: DataFrame => DataFrame = { df =>
-            val keyed = df.select(refs.zipWithIndex.map { case (r, i) =>
-              compile(r, ctx).as(keyName(i)) }: _*).distinct()
-            val joinCond = corrCs.map(c => compile(subst(c), jctx)).reduce(_ && _)
-            val grouped = keyed.join(innerMarked, joinCond, "left_outer")
-              .groupBy(keyName.map(col): _*)
-              .agg(compile(shield(aggExp), jctx.withAgg(true)).as(vName))
-            df.join(grouped,
-              refs.zipWithIndex.map { case (r, i) =>
-                compile(r, ctx) <=> col(keyName(i)) }.reduce(_ && _),
-              "left_outer")
-              .drop(keyName: _*)
+          val innerCtx = Ctx(ctx.bdb, NoModelCtx, ctx.binds, agg = false,
+            scope = Some(inner))
+          // nested conjuncts with outer refs: substitute, then run the
+          // assembler's subquery pre-pass against the joined frame. Any
+          // nested query still correlated afterward (deep EXISTS/IN, a
+          // non-decorrelatable scalar) keeps the named divergence.
+          val deepPre = new SubqueryPrepass(jctx)
+          val nestedCorr2 = nestedCorr.map(c => deepPre.rewrite(subst(c, Seq(inner))))
+          def stillCorrelated(e: Exp): Boolean = e match {
+            case ExpSub(qq) => isCorrelatedDeep(jctx, qq)
+            case ExpExists(qq) => isCorrelatedDeep(jctx, qq)
+            case ExpInQuery(x, _, qq) =>
+              stillCorrelated(x) || isCorrelatedDeep(jctx, qq)
+            case ExpOp(_, os) => os.exists(stillCorrelated)
+            case ExpApp(_, _, as_) => as_.exists(stillCorrelated)
+            case ExpCase(k, ws, o) =>
+              k.exists(stillCorrelated) ||
+                ws.exists(w => stillCorrelated(w._1) || stillCorrelated(w._2)) ||
+                o.exists(stillCorrelated)
+            case ExpCast(x, _) => stillCorrelated(x)
+            case ExpCollate(x, _) => stillCorrelated(x)
+            case ExpInExp(x, _, es) => (x +: es).exists(stillCorrelated)
+            case _ => false
           }
-          Some((attach, ExpCol(None, vName)))
+          if (nestedCorr2.exists(stillCorrelated)) None
+          else {
+            // inner FROM frame with aliases preserved (qualified refs keep
+            // resolving after the theta join); self-contained conjuncts run
+            // through their own pre-pass so nested subqueries correlated to
+            // the INNER frame (e.g. requalifyDeep-peeled forms) decorrelate
+            val innerPre = new SubqueryPrepass(innerCtx)
+            val innerCs2 = innerCs.map(innerPre.rewrite)
+            val tabs: Seq[(String, DataFrame)] = s.tables.map { st =>
+              val d = st.table match {
+                case Right(name) => ctx.bdb.table(name)
+                case Left(sub) => plan(ctx.bdb, sub, ctx.binds)
+              }
+              val alias = st.name.getOrElse(st.table match {
+                case Right(name) => name
+                case Left(_) => "__sub__"
+              })
+              (alias, d)
+            }
+            val innerBase0 = innerPre(tabs.map { case (a, d) => d.as(a) }
+              .reduceLeft(_ crossJoin _))
+            val innerFiltered = innerCs2.map(compile(_, innerCtx)) match {
+              case Nil => innerBase0
+              case conds => innerBase0.filter(conds.reduce(_ && _))
+            }
+            val innerMarked = innerFiltered.withColumn(marker, lit(1))
+            val matchExp = nestedCorr2 match {
+              case Nil => markerNotNull
+              case _ =>
+                ExpOp(Op.BoolAnd, Seq(markerNotNull,
+                  ExpCol(None, s"__nc_$tag")))
+            }
+            val attach: DataFrame => DataFrame = { df =>
+              val keyed = df.select(refs.zipWithIndex.map { case (r, i) =>
+                compile(r, ctx).as(keyName(i)) }: _*).distinct()
+              val joinCond = plainCorr.map(c => compile(subst(c, Seq(inner)), jctx)) match {
+                case Nil => lit(true) // correlation rides the nested mask
+                case conds => conds.reduce(_ && _)
+              }
+              val joined0 = keyed.join(innerMarked, joinCond, "left_outer")
+              val joined1 = deepPre(joined0)
+              val joinedF = nestedCorr2 match {
+                case Nil => joined1
+                case conds => joined1.withColumn(s"__nc_$tag",
+                  compile(conds.reduceLeft((a, b) =>
+                    ExpOp(Op.BoolAnd, Seq(a, b))), jctx))
+              }
+              val grouped = joinedF
+                .groupBy(keyName.map(col): _*)
+                .agg(compile(shield(aggExp, matchExp), jctx.withAgg(true)).as(vName))
+              df.join(grouped,
+                refs.zipWithIndex.map { case (r, i) =>
+                  compile(r, ctx) <=> col(keyName(i)) }.reduce(_ && _),
+                "left_outer")
+                .drop(keyName: _*)
+            }
+            Some((attach, ExpCol(None, vName)))
+          }
+        } catch {
+          // an unthreadable shape discovered while building (e.g. a deep
+          // ref hidden inside a FROM-subquery that the chain analysis
+          // cannot see) falls back to the named divergence
+          case scala.util.control.NonFatal(_) => None
         }
       }
     case _ => None

@@ -563,8 +563,35 @@ object BqlQueries {
       |   ORDER BY count(*) DESC, o_orderpriority LIMIT 1) AS top_prio_hav
       |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
 
+  /** b32: deep correlation with NO equality pair at the enclosing level
+    * (round-7 D3 closure, the last closable shape): the nation key pairs
+    * by equality, but the REGION key appears only two frames down inside
+    * the supplier average — requalifyDeep has nothing to peel it
+    * through, so the theta decorrelator carries n_regionkey in its key
+    * tuple and decorrelates the nested average against the joined
+    * frame. Counts customers richer than the average supplier balance
+    * of their nation's region. */
+  val b32DeepNoPair: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT n_name,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_nationkey = n_nationkey
+      |     AND c_acctbal > (SELECT avg(s_acctbal) FROM supplier, nation AS n2
+      |                      WHERE s_nationkey = n2.n_nationkey
+      |                        AND n2.n_regionkey = nation.n_regionkey)) AS n_rich
+      |FROM nation ORDER BY n_name""".stripMargin)
+
+  val b32Sql: String =
+    """SELECT n_name,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_nationkey = n_nationkey
+      |     AND c_acctbal > (SELECT avg(s_acctbal) FROM supplier, nation AS n2
+      |                      WHERE s_nationkey = n2.n_nationkey
+      |                        AND n2.n_regionkey = nation.n_regionkey)) AS n_rich
+      |FROM nation ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "b31_theta_having" -> b31ThetaHaving,
+    "b32_deep_correlated" -> b32DeepNoPair,
     "b23_bql_correlated_subquery" -> b23Correlated,
     "b27_grouped_correlated" -> b27GroupedCorrelated,
     "b28_nested_correlated" -> b28NestedCorrelated,
@@ -598,6 +625,7 @@ object BqlQueries {
 
   val oracles: Map[String, String] = Map(
     "b31_theta_having" -> b31Sql,
+    "b32_deep_correlated" -> b32Sql,
     "b05_bql_guess_schema" -> StatsQueries.b05Sql,
     "b23_bql_correlated_subquery" -> b23Sql,
     "b27_grouped_correlated" -> b27Sql,

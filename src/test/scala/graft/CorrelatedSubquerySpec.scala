@@ -191,15 +191,63 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("eng")))
   }
 
-  test("depth-2 without a matching equality pair stays D3") {
+  test("depth-2 without a matching equality pair decorrelates (key-tuple carry)") {
     // the mid level correlates only by theta (sal > dk), so no equality
-    // pair names dk — the deep ref cannot peel and the named divergence
-    // stands
+    // pair names dk for requalifyDeep — round 7 carries the deep ref in
+    // the theta key tuple and decorrelates the nested avg against the
+    // joined frame: dk=1 avg=125 → max 150; dk=2 avg≈96.67 → 150;
+    // dk=3 empty avg=NULL → comparison NULL → empty set → NULL
+    assert(rows("select dname, (select max(sal) from emp where sal > dk" +
+      " and sal > (select avg(sal) from emp as e2 where e2.edk = dk)) from dept" +
+      " order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 150.0)))
+  }
+
+  test("deep-only correlation (enclosing otherwise uncorrelated) decorrelates") {
+    // the enclosing subquery's ONLY link to dept is the deep dk ref
+    // inside the nested avg — the key-inner join degenerates to a cross
+    // product over |distinct dk| keys and the nested subquery supplies
+    // the mask: dk=1 → sal > 125 → count 1 (bob); dk=2 → sal > 96.67 →
+    // count 3 (ann, bob, dee); dk=3 → NULL mask → count 0, not NULL
+    assert(rows("select dname, (select count(*) from emp" +
+      " where sal > (select avg(sal) from emp as e2 where e2.edk = dk))" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 1L), Seq("ops", 3L)))
+  }
+
+  test("equality-correlated enclosing with an unpaired deep ref decorrelates") {
+    // edk = dk peels nothing for the SECOND outer column (dname has no
+    // equality pair): sum of salaries in the department strictly above
+    // the department's own average — eng: avg 125 → 150; ops: avg 96.67
+    // → 120; empty: no rows → NULL
+    assert(rows("select dname, (select sum(sal) from emp where edk = dk" +
+      " and sal > (select avg(e2.sal) from emp as e2 where e2.edk = dk))" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
+  }
+
+  test("deep EXISTS inside a theta aggregate scalar stays D3") {
+    // the nested EXISTS body references BOTH the deep frame (dk) and the
+    // mid frame (emp.sal) — after key substitution it is still correlated
+    // to the joined frame, which the native path cannot place under an
+    // Aggregate: the named divergence stands
     val e = intercept[Exception] {
-      rows("select dname, (select max(sal) from emp where sal > dk" +
-        " and sal > (select avg(sal) from emp as e2 where e2.edk = dk)) from dept")
+      rows("select dname, (select count(*) from emp where sal > dk" +
+        " and exists (select 1 from emp as e2 where e2.edk = dk and e2.sal > emp.sal))" +
+        " from dept")
     }
     assert(e.getMessage.contains("D3"), e.getMessage)
+  }
+
+  test("shadowed names inside the nested body bind inner-first, not deep") {
+    // bare edk inside the nested subquery resolves in e2's own frame
+    // (vacuously true edk = edk), exactly SQLite's inner-first scoping —
+    // the nested subquery is self-contained (global min 80), NOT deep:
+    // each department counts employees with sal > dk and sal > 80 → 4
+    assert(rows("select dname, (select count(*) from emp" +
+      " where sal > dk and sal > (select min(sal) from emp as e2 where edk = edk))" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", 4L), Seq("eng", 4L), Seq("ops", 4L)))
   }
 
   test("correlated non-aggregate scalar takes first matching row") {
