@@ -463,7 +463,7 @@ object Planner {
     * outer column, and depth-≥2 refs peel one level via requalifyDeep.
     * One instance per assembly so distinct mentions of the same subquery
     * join once. */
-  private final class SubqueryPrepass(ctx0: Ctx) {
+  private final class SubqueryPrepass(ctx0: Ctx, aggSafe: Boolean = false) {
     private val attaches = scala.collection.mutable.Buffer.empty[DataFrame => DataFrame]
     private val hidden = scala.collection.mutable.Buffer.empty[String]
     private val subCache = scala.collection.mutable.Map[Exp, Exp]()
@@ -475,6 +475,60 @@ object Planner {
     def apply(df: DataFrame): DataFrame = attaches.foldLeft(df)((d, f) => f(d))
 
     def rewrite(e: Exp): Exp = e match {
+      case ex @ ExpExists(q: Select)
+          if aggSafe && ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) &&
+            q.grouping.isEmpty && q.limit.isEmpty &&
+            q.columns.forall {
+              case SelColExp(ie, _) => !containsAggregate(ie)
+              case _ => true
+            } =>
+        // EXISTS in an aggregate-bound position (the theta mask column,
+        // where Catalyst cannot place a native exists-subquery under the
+        // Aggregate): existence rewrites to a decorrelatable count —
+        // EXISTS(body) ≡ (SELECT count(*) FROM body) > 0, never NULL —
+        // and the scalar machinery (key-tuple carry included) takes it
+        subCache.getOrElseUpdate(ex, rewrite(ExpOp(Op.Gt, Seq(
+          ExpSub(Select(SelQuantAll,
+            Seq(SelColExp(ExpAppStar("count"), None)),
+            q.tables, q.condition, None, Nil, None)),
+          ExpLit(LitInt(0))))))
+      case inq @ ExpInQuery(x, positive, q: Select)
+          if aggSafe && ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) &&
+            q.grouping.isEmpty && q.limit.isEmpty && !hasNestedQuery(x) &&
+            (q.columns match {
+              case Seq(SelColExp(ie, _)) => !containsAggregate(ie)
+              case _ => false
+            }) =>
+        // membership in an aggregate-bound position, three-valued logic
+        // preserved: TRUE on a match, NULL when no match but some
+        // comparison is NULL (x NULL, or a NULL element), FALSE
+        // otherwise — two decorrelatable counts replace the native
+        // in-subquery expression. The LHS embeds into the count's WHERE,
+        // so refs that collide with subquery column names must first
+        // qualify by their unique owner alias in the enclosing frame
+        // (embedSafe); unqualifiable shapes keep the native form and its
+        // named rejection.
+        subCache.getOrElseUpdate(inq,
+          embedSafe(x, queryScope(ctx0.bdb, q, ctx0.binds)) match {
+            case None => inq
+            case Some(x2) =>
+              val ie = q.columns.head.asInstanceOf[SelColExp].expression
+              def cnt(extra: Exp): Exp = ExpSub(Select(SelQuantAll,
+                Seq(SelColExp(ExpAppStar("count"), None)),
+                q.tables,
+                Some(q.condition.fold(extra)(c => ExpOp(Op.BoolAnd, Seq(c, extra)))),
+                None, Nil, None))
+              val eq = ExpOp(Op.Eq, Seq(ie, x2))
+              val threeValued = ExpOp(Op.Eq, Seq(
+                ExpCase(None, Seq(
+                  (ExpOp(Op.Gt, Seq(cnt(eq), ExpLit(LitInt(0)))), ExpLit(LitInt(1))),
+                  (ExpOp(Op.Gt, Seq(cnt(ExpOp(Op.IsNull, Seq(eq))), ExpLit(LitInt(0)))),
+                    ExpLit(LitNull))),
+                  Some(ExpLit(LitInt(0)))),
+                ExpLit(LitInt(1))))
+              rewrite(if (positive) threeValued
+                else ExpOp(Op.BoolNot, Seq(threeValued)))
+          })
       case sub @ ExpSub(q) if ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) =>
         subCache.getOrElseUpdate(sub,
           normalizeAggScalar(requalifyDeep(ctx0, q)) match {
@@ -510,6 +564,35 @@ object Planner {
       case ExpCollate(x, cl) => ExpCollate(rewrite(x), cl)
       case ExpInExp(x, p, es) => ExpInExp(rewrite(x), p, es.map(rewrite))
       case other => other
+    }
+
+    /** Qualify an outer-text expression so it can embed INSIDE a
+      * subquery's WHERE without capture: unqualified refs that collide
+      * with the subquery's own column names qualify by their unique
+      * owner alias in the enclosing frame; refs whose alias the
+      * subquery shadows, or shapes beyond plain column/operator
+      * expressions, return None (caller keeps the native form). */
+    private def embedSafe(x: Exp, subScope: Scope): Option[Exp] = x match {
+      case c @ ExpCol(None, n) if innerColRefs(c, subScope).nonEmpty =>
+        ctx0.scope.get.tables.filter(_._2(normRef(n))).keys.toSeq match {
+          case Seq(one) => Some(ExpCol(Some(one), n))
+          case _ => None
+        }
+      case ExpCol(Some(t), _) if subScope.tables.contains(Names.casefold(t)) =>
+        None
+      case c: ExpCol => Some(c)
+      case l: ExpLit => Some(l)
+      case p: ExpNumpar => Some(p)
+      case p: ExpNampar => Some(p)
+      case ExpOp(op, os) =>
+        val qs = os.map(embedSafe(_, subScope))
+        if (qs.forall(_.isDefined)) Some(ExpOp(op, qs.flatten)) else None
+      case ExpApp(d, f, as_) if !SqlFunctions.isAggregate(f, as_.length) =>
+        val qs = as_.map(embedSafe(_, subScope))
+        if (qs.forall(_.isDefined)) Some(ExpApp(d, f, qs.flatten)) else None
+      case ExpCast(e2, t) => embedSafe(e2, subScope).map(ExpCast(_, t))
+      case ExpCollate(e2, cl) => embedSafe(e2, subScope).map(ExpCollate(_, cl))
+      case _ => None
     }
   }
 
@@ -886,11 +969,13 @@ object Planner {
       "Correlated aggregate subquery shape not supported (divergence D3): " +
         "ungrouped single-aggregate forms decorrelate under any " +
         "correlation operators — depth-≥2 refs included, carried through " +
-        "the key tuple when each nested subquery itself decorrelates; " +
-        "still rejected: correlated EXISTS/IN bodies under an aggregate, " +
-        "and grouped forms (including HAVING, even theta-correlated) " +
-        "without ORDER BY and a literal LIMIT — the row a grouped scalar " +
-        "takes is otherwise unspecified, in SQLite too")
+        "the key tuple, with correlated EXISTS/IN masks rewritten to " +
+        "decorrelatable counts; still rejected: nested shapes that stay " +
+        "correlated after the pre-pass (grouped/limited EXISTS-IN " +
+        "bodies, unqualifiable LHS collisions), and grouped forms " +
+        "(including HAVING, even theta-correlated) without ORDER BY and " +
+        "a literal LIMIT — the row a grouped scalar takes is otherwise " +
+        "unspecified, in SQLite too")
     planWithOuter(ctx, q).limit(1).scalar()
   }
 
@@ -1140,7 +1225,7 @@ object Planner {
           // assembler's subquery pre-pass against the joined frame. Any
           // nested query still correlated afterward (deep EXISTS/IN, a
           // non-decorrelatable scalar) keeps the named divergence.
-          val deepPre = new SubqueryPrepass(jctx)
+          val deepPre = new SubqueryPrepass(jctx, aggSafe = true)
           val nestedCorr2 = nestedCorr.map(c => deepPre.rewrite(subst(c, Seq(inner))))
           def stillCorrelated(e: Exp): Boolean = e match {
             case ExpSub(qq) => isCorrelatedDeep(jctx, qq)

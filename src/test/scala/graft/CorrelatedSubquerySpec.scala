@@ -17,6 +17,8 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
     b.registerTable("emp", Seq(
       (1L, "ann", 100.0), (1L, "bob", 150.0), (2L, "cid", 90.0),
       (2L, "dee", 120.0), (2L, "eve", 80.0)).toDF("edk", "ename", "sal"))
+    b.registerTable("bonus", Seq(
+      (1L, Option(10.0)), (2L, Option.empty[Double])).toDF("bk", "amt"))
     b
   }
 
@@ -226,17 +228,39 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("empty", null), Seq("eng", 150.0), Seq("ops", 120.0)))
   }
 
-  test("deep EXISTS inside a theta aggregate scalar stays D3") {
+  test("deep EXISTS inside a theta aggregate scalar decorrelates via count") {
     // the nested EXISTS body references BOTH the deep frame (dk) and the
-    // mid frame (emp.sal) — after key substitution it is still correlated
-    // to the joined frame, which the native path cannot place under an
-    // Aggregate: the named divergence stands
-    val e = intercept[Exception] {
-      rows("select dname, (select count(*) from emp where sal > dk" +
-        " and exists (select 1 from emp as e2 where e2.edk = dk and e2.sal > emp.sal))" +
-        " from dept")
-    }
-    assert(e.getMessage.contains("D3"), e.getMessage)
+    // mid frame (emp.sal) — in the aggregate-bound mask position it
+    // rewrites to (SELECT count(*) ...) > 0 and the count decorrelates
+    // (mixed equality-on-key + theta-on-inner-column correlation):
+    // counts employees with somebody better paid in department dk —
+    // eng: sal<150 → 4; ops: sal<120 → 3; empty: no e2 rows → 0
+    assert(rows("select dname, (select count(*) from emp where sal > dk" +
+      " and exists (select 1 from emp as e2 where e2.edk = dk and e2.sal > emp.sal))" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 4L), Seq("ops", 3L)))
+  }
+
+  test("deep IN inside a theta aggregate scalar decorrelates via count") {
+    // membership source depends on the deep dk ref: departments whose
+    // high earners (sal > dk*60) exist pass their edks — dk=1: {1,2} →
+    // all 5 emp rows; dk=2: only bob → {1} → 2 rows; dk=3: empty set →
+    // FALSE mask → count 0
+    assert(rows("select dname, (select count(*) from emp where sal > dk" +
+      " and edk in (select e2.edk from emp as e2 where e2.sal > dk * 60))" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 5L), Seq("ops", 2L)))
+  }
+
+  test("deep NOT IN keeps SQL three-valued semantics under the mask") {
+    // bonus(bk=2) holds a NULL amount: for dk >= 2 the NOT IN set
+    // contains NULL, every comparison is NULL, the mask is NULL and all
+    // rows drop — count 0, exactly SQLite/DuckDB's answer; dk=1 sees
+    // only {10.0} and keeps all 5 rows
+    assert(rows("select dname, (select count(*) from emp where sal > dk" +
+      " and sal not in (select amt from bonus where bk <= dk))" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 5L), Seq("ops", 0L)))
   }
 
   test("shadowed names inside the nested body bind inner-first, not deep") {
