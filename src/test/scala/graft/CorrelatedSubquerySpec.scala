@@ -95,6 +95,20 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
     assert(plan.contains("Join LeftOuter"), s"expected attach join:\n$plan")
   }
 
+  test("deep-carry decorrelation plans as joins, not per-row execution") {
+    // the nested avg decorrelates onto the joined key-inner frame: the
+    // optimized plan is aggregates + outer joins end to end — no scalar
+    // subquery expression survives (which would mean per-outer-row
+    // re-execution on the driver side or an unresolved Catalyst plan)
+    val plan = bdb.execute(
+      "select dname, (select count(*) from emp where sal > dk" +
+        " and sal > (select avg(sal) from emp as e2 where e2.edk = dk)) as n from dept")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), s"expected grouped aggregates:\n$plan")
+    assert(plan.contains("Join LeftOuter"), s"expected attach joins:\n$plan")
+    assert(!plan.contains("scalar-subquery"), s"nested scalar must be decorrelated:\n$plan")
+  }
+
   test("aggregate correlation in a grouped subquery stays D3") {
     // grouped + theta correlation + NO ORDER BY: the picked row would be
     // unspecified even in SQLite — still the named divergence
