@@ -2358,12 +2358,36 @@ object Planner {
 
       case ExpBQLProbEst(inner) =>
         // macro: AVG over SIMULATE (expr) FROM MODELS OF p (reference:
-        // src/macro.py:26-34) — evaluated directly over the ensemble
+        // src/macro.py:26-34) — evaluated directly over the ensemble. In
+        // a VARIABLES OF context, 1-column estimator forms inside the
+        // event (`mutual information with x`, `dependence probability
+        // with x`) bind the row's variable as their implicit first
+        // column, so `ORDER BY probability of (mi with x > t)` ranks the
+        // variables (reference tests/test_approxest.py).
         val gen = pm.generators.head
         val ms = gen.state.modelNumbers
         require(ms.nonEmpty, "PROBABILITY OF needs initialized models")
-        val vals = ms.map(m => evalModelExp(ctx.bdb, pm, m, inner, ctx.binds))
-        lit(vals.sum / vals.length)
+        def avgFor(ast: Exp): Double = {
+          val vals = ms.map(m => evalModelExp(ctx.bdb, pm, m, ast, ctx.binds))
+          vals.sum / vals.length
+        }
+        def hasImplicit(e: Exp): Boolean = e match {
+          case ExpBQLMutInf(Seq(), _, _, _) => true
+          case ExpBQLDepProb(None, Some(_)) => true
+          case ExpOp(_, os) => os.exists(hasImplicit)
+          case _ => false
+        }
+        def bindVar(e: Exp, v: String): Exp = e match {
+          case ExpBQLMutInf(Seq(), c1, cs, n) => ExpBQLMutInf(Seq(v), c1, cs, n)
+          case ExpBQLDepProb(None, c1 @ Some(_)) => ExpBQLDepProb(Some(v), c1)
+          case ExpOp(op, os) => ExpOp(op, os.map(bindVar(_, v)))
+          case other => other
+        }
+        ctx.bql match {
+          case ColCtx(_) if hasImplicit(inner) =>
+            varValueCol(pm, v => avgFor(bindVar(inner, v)))
+          case _ => lit(avgFor(inner))
+        }
 
       case other => throw new IllegalArgumentException(s"Unexpected BQL expression: $other")
     }

@@ -269,6 +269,34 @@ class ReferenceParitySpec extends AnyFunSuite {
         rows.map(r => (r.getString(1), r.getDouble(2))).mkString(", "))
   }
 
+  test("variables rank by MI-event probability and dependence probability (test_approxest.py)") {
+    // the reference's approximate-estimator ordering test: with (x, y)
+    // strongly dependent and z independent, ordering the variables of p
+    // by P(MI with x > 0.1) and by dependence probability with x must
+    // both put x first (MI with itself), then y, then z
+    val b5 = new BayesDB(spark, seed = 23L)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 50).map { _ =>
+      val x = rng.nextGaussian() * 3
+      (x, 2.0 * x + 0.1 * rng.nextGaussian(), rng.nextGaussian())
+    }
+    b5.registerTable("ta", rows.toDF("x", "y", "z"))
+    b5.execute("create population pa for ta (x numerical; y numerical; z numerical)")
+    b5.execute("create generator ga for pa using cgpm")
+    b5.execute("initialize 8 models for ga")
+    b5.execute("analyze ga for 40 iterations")
+    val byMutinf = b5.execute(
+      "estimate * from variables of pa" +
+        " order by probability of (mutual information with x using 100 samples > 0.1) desc")
+      .collect().map(_.getString(0)).toSeq
+    val byDepProb = b5.execute(
+      "estimate * from variables of pa order by dependence probability with x desc")
+      .collect().map(_.getString(0)).toSeq
+    assert(byMutinf == Seq("x", "y", "z"), s"MI ordering was $byMutinf")
+    assert(byDepProb == Seq("x", "y", "z"), s"dep-prob ordering was $byDepProb")
+  }
+
   test("INFER EXPLICIT verbatim + PREDICT ... CONFIDENCE AS forms (test_bql.py:641-717)") {
     assert(bdb.execute(
       "infer explicit rowid, age, predict weight confidence wc from p1 limit 4")
