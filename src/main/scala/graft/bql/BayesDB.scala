@@ -200,9 +200,15 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     states.get(Names.casefold(generatorName)).map(_.modelNumbers.toSeq).getOrElse(Nil)
 
   /** Assemble the PopulationModel for query planning: the population's
-    * fitted generator ensemble (optionally one named generator). */
+    * fitted generator ensemble (optionally one named generator).
+    * `needModels = false` admits a generator-less / model-less population
+    * for queries whose estimators are data-only (CORRELATION [PVALUE] —
+    * the reference computes them with no generator at all,
+    * tests/test_correlation.py); the planner passes false only after
+    * scanning the query for model-needing estimator forms. */
   def populationModel(populationName: String, generatorName: Option[String],
-      modelnos: Option[Seq[Int]] = None): PopulationModel = {
+      modelnos: Option[Seq[Int]] = None,
+      needModels: Boolean = true): PopulationModel = {
     val pop = catalog.population(populationName).getOrElse(
       throw new NoSuchElementException(s"No such population: $populationName"))
     val gens = generatorName match {
@@ -213,12 +219,13 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
         Seq(gen)
       case None => catalog.generatorsOf(populationName)
     }
-    require(gens.nonEmpty, s"Population $populationName has no generators")
+    require(!needModels || gens.nonEmpty,
+      s"Population $populationName has no generators")
     val fitted = gens.flatMap { g =>
       states.get(Names.casefold(g.name)).map(st =>
         FittedGenerator(g.name, Backends.byName(g.backend), st))
     }
-    require(fitted.nonEmpty,
+    require(!needModels || fitted.nonEmpty,
       s"Population $populationName has no initialized models (INITIALIZE ... MODELS FOR ...)")
     modelnos.foreach { ns =>
       val known = fitted.flatMap(_.state.modelNumbers).toSet

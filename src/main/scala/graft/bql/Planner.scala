@@ -287,8 +287,36 @@ object Planner {
       .as("v")
   }
 
+  /** Whether any expression uses a MODEL-needing estimator form. Data-only
+    * estimators (CORRELATION [PVALUE]) run against the raw table — the
+    * reference computes them on populations with no generator at all
+    * (tests/test_correlation.py), so planners for column contexts relax
+    * the generator requirement when nothing else needs models. Subqueries
+    * plan against their own population context and are not scanned. */
+  private def needsModels(exps: Seq[Exp]): Boolean = {
+    def scan(e: Exp): Boolean = e match {
+      case _: ExpBQLCorrel | _: ExpBQLCorrelPval => false
+      case _: ExpBQLPredProb | _: ExpBQLProbDensity | _: ExpBQLProbDensityFn |
+           _: ExpBQLSim | _: ExpBQLPredRel | _: ExpBQLDepProb |
+           _: ExpBQLMutInf | _: ExpBQLPredict | _: ExpBQLPredictConf |
+           _: ExpBQLProbEst => true
+      case ExpOp(_, os) => os.exists(scan)
+      case ExpApp(_, _, as_) => as_.exists(scan)
+      case ExpCase(k, ws, o) =>
+        k.exists(scan) || ws.exists(w => scan(w._1) || scan(w._2)) || o.exists(scan)
+      case ExpCast(x, _) => scan(x)
+      case ExpCollate(x, _) => scan(x)
+      case ExpInExp(x, _, es) => (x +: es).exists(scan)
+      case _ => false
+    }
+    exps.exists(scan)
+  }
+
   private def planEstCols(bdb: BayesDB, e: EstCols, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
+    val exps = e.columns.collect { case SelColExp(x, _) => x } ++
+      e.condition.toSeq ++ e.order.map(_.expression)
+    val pm = bdb.populationModel(e.population, e.generator, e.modelnos,
+      needModels = needsModels(exps) || e.modelnos.isDefined)
     val base = variablesDf(bdb, pm)
     val ctx = Ctx(bdb, ColCtx(pm), binds, agg = false)
     // `*` means just the variable name column (reference: 'v.name AS name')
@@ -301,7 +329,10 @@ object Planner {
   }
 
   private def planEstPairCols(bdb: BayesDB, e: EstPairCols, binds: Seq[Any]): DataFrame = {
-    val pm = bdb.populationModel(e.population, e.generator, e.modelnos)
+    val exps = e.columns.collect { case SelColExp(x, _) => x } ++
+      e.condition.toSeq ++ e.order.map(_.expression)
+    val pm = bdb.populationModel(e.population, e.generator, e.modelnos,
+      needModels = needsModels(exps) || e.modelnos.isDefined)
     val vars = variablesDf(bdb, pm)
     val base = vars.select(col("name").as("name0"), col("colno").as("colno0"))
       .crossJoin(vars.select(col("name").as("name1"), col("colno").as("colno1")))
@@ -2312,11 +2343,17 @@ object Planner {
         colFn2("DEPENDENCE PROBABILITY", c0, c1, ctx, pm)(
           (a, b) => Estimators.dependenceProbability(pm, a, b))
 
+      // degenerate inputs (constant column, single category, too few
+      // observations, empty table) compute NaN internally; the reference
+      // returns NULL for them (src/stats.py guards return None,
+      // tests/test_correlation.py pins it) — surface NULL
       case ExpBQLCorrel(c0, c1) =>
-        colFn2("CORRELATION", c0, c1, ctx, pm)(correlationValue(ctx, pm))
+        nanvl(colFn2("CORRELATION", c0, c1, ctx, pm)(correlationValue(ctx, pm)),
+          lit(null).cast("double"))
 
       case ExpBQLCorrelPval(c0, c1) =>
-        colFn2("CORRELATION PVALUE", c0, c1, ctx, pm)(correlationPValue(ctx, pm))
+        nanvl(colFn2("CORRELATION PVALUE", c0, c1, ctx, pm)(correlationPValue(ctx, pm)),
+          lit(null).cast("double"))
 
       case ExpBQLMutInf(cols0, cols1, constraints, nsamp) =>
         val n = nsamp.map(e => evalConstInt(ctx.bdb, e, ctx.binds)).getOrElse(1000)

@@ -24,7 +24,11 @@ final case class PopulationModel(
     seed: Long,
     modelnos: Option[Seq[Int]] = None,
     generatorIds: Option[Set[Int]] = None) extends Serializable {
-  require(generators.nonEmpty, "PopulationModel needs at least one generator")
+  // generators MAY be empty for data-only estimator queries (CORRELATION
+  // [PVALUE] need no models, reference tests/test_correlation.py runs
+  // them on a generator-less population); the planner gates every
+  // model-needing path through BayesDB.populationModel(needModels=true),
+  // which still rejects missing generators/models with the named errors.
   def colno(varName: String): Int =
     population.variable(varName).getOrElse(
       throw new NoSuchElementException(s"No such variable: $varName")).colno

@@ -297,6 +297,90 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(byDepProb == Seq("x", "y", "z"), s"dep-prob ordering was $byDepProb")
   }
 
+  test("correlation battery: exact values, constants/empty are NULL (test_correlation.py)") {
+    val b6 = new BayesDB(spark, seed = 3L)
+    import spark.implicits._
+    // empty population: every correlation and pvalue is NULL, all 15 pairs
+    b6.registerTable("u",
+      Seq.empty[(Long, String, String, Double, Double, Double, Double)]
+        .toDF("id", "c0", "c1", "n0", "n1", "r0", "r1"))
+    b6.execute("create population q for u (id ignore; c0 nominal; c1 nominal;" +
+      " n0 numerical; n1 numerical; r0 cyclic; r1 cyclic)")
+    val ru = b6.execute("estimate correlation as corr, correlation pvalue as pv" +
+      " from pairwise variables of q where name0 < name1 order by name0, name1")
+      .collect()
+    assert(ru.length == 15, s"expected 15 pairs, got ${ru.length}")
+    ru.foreach { r =>
+      val i = r.fieldIndex("corr"); val j = r.fieldIndex("pv")
+      assert(r.isNullAt(i) && r.isNullAt(j), s"empty-table pair must be NULL: $r")
+    }
+    // the reference's 30-row deterministic fixture: exact correlations
+    val base = Seq(
+      ("foo", "quagga", "x", "y", 0.0, -1.0, 1.0, 1.0, 0.0, 13.0),
+      ("bar", "eland", "x", "y", 87.0, -2.0, -1.0, 2.0, 0.0, 13.0),
+      ("baz", "caribou", "x", "y", 92.1, -3.0, 1.0, 3.0, 0.0, 13.0))
+    val rows = (0 until 10).flatMap(_ => base).zipWithIndex.map { case (r, i) =>
+      (i + 1L, r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10)
+    }
+    b6.registerTable("t",
+      rows.toDF("id", "c0", "c1", "cx", "cy", "n0", "n1", "nc", "nl", "nx", "ny"))
+    b6.execute("create population p for t (id ignore; c0 nominal; c1 nominal;" +
+      " cx nominal; cy nominal; n0 numerical; n1 numerical; nc numerical;" +
+      " nl numerical; nx numerical; ny numerical)")
+    val res = b6.execute("estimate correlation as corr, correlation pvalue as pv" +
+      " from pairwise variables of p where name0 < name1 order by name0, name1")
+      .collect().map { r =>
+        val c = if (r.isNullAt(r.fieldIndex("corr"))) None
+          else Some(r.getDouble(r.fieldIndex("corr")))
+        val p = if (r.isNullAt(r.fieldIndex("pv"))) None
+          else Some(r.getDouble(r.fieldIndex("pv")))
+        (r.getString(r.fieldIndex("name0")), r.getString(r.fieldIndex("name1")), c, p)
+      }.toSeq
+    // the reference's expected table (tests/test_correlation.py:87-134);
+    // constant columns (cx, cy, nx, ny) yield NULL everywhere
+    val expected: Seq[(String, String, Option[Double], Option[Double])] = Seq(
+      ("c0", "c1", Some(1.0), Some(2.900863120340436e-12)),
+      ("c0", "cx", None, None), ("c0", "cy", None, None),
+      ("c0", "n0", Some(1.0), Some(0.0)), ("c0", "n1", Some(1.0), Some(0.0)),
+      ("c0", "nc", Some(1.0), Some(0.0)), ("c0", "nl", Some(1.0), Some(0.0)),
+      ("c0", "nx", None, None), ("c0", "ny", None, None),
+      ("c1", "cx", None, None), ("c1", "cy", None, None),
+      ("c1", "n0", Some(1.0), Some(0.0)), ("c1", "n1", Some(1.0), Some(0.0)),
+      ("c1", "nc", Some(1.0), Some(0.0)), ("c1", "nl", Some(1.0), Some(0.0)),
+      ("c1", "nx", None, None), ("c1", "ny", None, None),
+      ("cx", "cy", None, None), ("cx", "n0", None, None),
+      ("cx", "n1", None, None), ("cx", "nc", None, None),
+      ("cx", "nl", None, None), ("cx", "nx", None, None),
+      ("cx", "ny", None, None), ("cy", "n0", None, None),
+      ("cy", "n1", None, None), ("cy", "nc", None, None),
+      ("cy", "nl", None, None), ("cy", "nx", None, None),
+      ("cy", "ny", None, None),
+      ("n0", "n1", Some(0.7913965673596881), Some(0.0)),
+      ("n0", "nc", Some(0.20860343264031175), Some(0.0111758925135)),
+      ("n0", "nl", Some(0.7913965673596881), Some(0.0)),
+      ("n0", "nx", None, None), ("n0", "ny", None, None),
+      ("n1", "nc", Some(0.0), Some(1.0)),
+      ("n1", "nl", Some(1.0), Some(0.0)),
+      ("n1", "nx", None, None), ("n1", "ny", None, None),
+      ("nc", "nl", Some(0.0), Some(1.0)),
+      ("nc", "nx", None, None), ("nc", "ny", None, None),
+      ("nl", "nx", None, None), ("nl", "ny", None, None),
+      ("nx", "ny", None, None))
+    assert(res.map(r => (r._1, r._2)) == expected.map(e => (e._1, e._2)),
+      s"pair list mismatch: ${res.map(r => (r._1, r._2))}")
+    res.zip(expected).foreach { case ((a0, a1, c, p), (_, _, ec, ep)) =>
+      def relerr(x: Double, y: Double) = math.abs(x - y) / math.max(math.abs(x), 1e-300)
+      assert(c.isDefined == ec.isDefined, s"($a0,$a1) corr null mismatch: $c vs $ec")
+      c.zip(ec).foreach { case (x, y) =>
+        assert(x == y || math.abs(x - y) < 1e-12 || relerr(x, y) < 1e-10,
+          s"($a0,$a1) corr $x != $y") }
+      // the reference compares pvalues loosely (abs 1e-10 OR rel 1e-1)
+      p.zip(ep).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-10 || relerr(x, y) < 1e-1,
+          s"($a0,$a1) pvalue $x != $y") }
+    }
+  }
+
   test("INFER EXPLICIT verbatim + PREDICT ... CONFIDENCE AS forms (test_bql.py:641-717)") {
     assert(bdb.execute(
       "infer explicit rowid, age, predict weight confidence wc from p1 limit 4")
