@@ -24,6 +24,33 @@ import scala.collection.concurrent.TrieMap
   *    the reference (src/__init__.py:94-96).
   */
 object BayesDB {
+
+  /** Minimal RFC-4180 field split of ONE line (the CSV header): commas
+    * outside double quotes separate, doubled quotes escape. Used for
+    * raw-header validation only — data rows go through Spark's reader. */
+  private[bql] def splitCsvLine(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQ = false
+        } else cur += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.toString; cur.clear()
+        case ch => cur += ch
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
   /** Reopen a persisted engine (see [[BayesDB.save]]): restores catalog,
     * fitted model states, and all tables from their parquet snapshots
     * (rowid already materialized — no re-indexing pass). */
@@ -462,16 +489,51 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
           if (lower.endsWith(".parquet")) spark.read.parquet(csv)
           else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
             spark.read.json(csv)
-          else spark.read.option("header", "true")
-            .option("inferSchema", "true").csv(csv)
-        // reference strictness (read_csv.py:64-99): a header is required,
-        // column names must be non-empty and casefold-unique
-        require(df.columns.nonEmpty, s"No columns in $csv")
-        require(df.columns.forall(_.trim.nonEmpty), s"Empty column name in $csv")
-        val dups = df.columns.groupBy(Names.casefold).collect {
-          case (n, cs) if cs.length > 1 => n }
-        require(dups.isEmpty,
-          s"Duplicate column names in $csv: ${dups.toSeq.sorted.mkString(", ")}")
+          else {
+            // header validation on the RAW first line (read_csv.py:64-87):
+            // a header is required, names are stripped, must be non-empty
+            // and casefold-unique. Spark's reader silently RENAMES
+            // duplicate header names, so the DataFrame's columns cannot
+            // witness a duplicate - only the file's own header can.
+            val headRows = spark.read.text(csv).limit(1).collect()
+            require(headRows.nonEmpty, s"Missing header in CSV file $csv")
+            val names = BayesDB.splitCsvLine(headRows.head.getString(0)).map(_.trim)
+            require(names.exists(_.nonEmpty), s"No columns in CSV file $csv")
+            require(names.forall(_.nonEmpty),
+              s"Missing column names in header of $csv: ${names.mkString(",")}")
+            val dups = names.groupBy(Names.casefold).collect {
+              case (n, cs) if cs.length > 1 => n }
+            require(dups.isEmpty,
+              s"Duplicate columns in CSV $csv: ${dups.toSeq.sorted.mkString(", ")}")
+            // reference strictness: every row must have exactly the
+            // header's arity (read_csv.py:90-99 raises IOError). Spark
+            // pads short rows with null and drops extra fields silently
+            // (even FAILFAST only fires on type-malformed records), so a
+            // one-pass probe re-parses all-string with a sentinel EXTRA
+            // column - an overlong row lands a value there - and a
+            // never-occurring nullValue so only genuinely MISSING fields
+            // read back null (an empty field is '', as in the reference's
+            // csv.reader). Ingest-time only; at scale bulk data arrives
+            // as parquet, not CSV.
+            import org.apache.spark.sql.types.{StringType, StructField, StructType}
+            val sentinel = "__graft_extra__"
+            val probeSchema = StructType(
+              names.map(c => StructField(c, StringType)) :+
+                StructField(sentinel, StringType))
+            val probe = spark.read.option("header", "true")
+              .option("nullValue", " __graft_never__ ")
+              .schema(probeSchema).csv(csv)
+            val ragged = probe.filter(
+              org.apache.spark.sql.functions.col(sentinel).isNotNull ||
+                names.map(c =>
+                  org.apache.spark.sql.functions.col(c).isNull).reduce(_ || _))
+              .limit(1).count()
+            require(ragged == 0,
+              s"Ragged CSV row in $csv: every row must have exactly " +
+                s"${names.length} fields (as the header)")
+            spark.read.option("header", "true")
+              .option("inferSchema", "true").csv(csv)
+          }
         registerTable(name, df)
       }
       emptyResult

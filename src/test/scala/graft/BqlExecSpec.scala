@@ -199,6 +199,46 @@ class BqlExecSpec extends AnyFunSuite {
     f.delete()
   }
 
+  test("csv ingest strictness mirrors the reference (tests/test_csv.py:43-97)") {
+    def csvFile(content: String): java.io.File = {
+      val f = java.io.File.createTempFile("graft_csv_strict", ".csv")
+      val w = new java.io.PrintWriter(f)
+      w.print(content)
+      w.close()
+      f
+    }
+    def ingest(content: String): Unit = {
+      val f = csvFile(content)
+      try bdb.execute(s"create table csv_strict from '${f.getAbsolutePath}'")
+      finally { try bdb.execute("drop table csv_strict") catch { case _: Throwable => () }; f.delete() }
+    }
+    // empty file and header-only-no-columns: rejected
+    intercept[Exception] { ingest("") }
+    // duplicate column names, exact and case-insensitive: rejected
+    intercept[Exception] { ingest("foo,foo\n0,1\n") }
+    intercept[Exception] { ingest("foo,FOO\n0,1\n") }
+    // strict row arity: too few and too many fields both reject
+    intercept[Exception] { ingest("foo,bar\n0,1\n0\n") }
+    intercept[Exception] { ingest("foo,bar\n0,1\n0,1,2\n") }
+    // the reference's employees fixture imports cleanly
+    val f = csvFile(
+      """age,gender,salary,height,division,rank
+        |34,M,74000,65,sales,3
+        |41,M,65600,72,marketing,4
+        |25,M,52000,69,accounting,5
+        |23,F,81000,67,data science,3
+        |36,F,96000,70,management,2
+        |30,M,70000,73,sales,4
+        |30,F,81000,73,engineering,3
+        |""".stripMargin)
+    bdb.execute(s"create table employees_csv from '${f.getAbsolutePath}'")
+    assert(bdb.execute("select count(*) from employees_csv").head.getLong(0) == 7L)
+    assert(bdb.execute("select count(distinct division) from employees_csv")
+      .head.getLong(0) == 6L)
+    bdb.execute("drop table employees_csv")
+    f.delete()
+  }
+
   test("infer * expands to all table columns with predict-wrapping") {
     val df = bdb.execute("infer * from p1 limit 3")
     assert(df.columns.toSeq == Seq("id", "label", "age", "weight"))
