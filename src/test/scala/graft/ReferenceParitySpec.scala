@@ -381,6 +381,34 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("SUBSAMPLE'd generators answer queries on out-of-subsample rows (test_subsample.py)") {
+    // the reference subsamples 100 of the dha rows and then queries
+    // rowids 1 and 101 (101 outside the subsample) through SIMILARITY,
+    // PREDICTIVE PROBABILITY, pairwise SIMILARITY, and INFER — all must
+    // run, treating unincorporated rows by their observed values
+    val b7 = new BayesDB(spark, seed = 13L)
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (1 to 60).map { i =>
+      val x = rng.nextGaussian()
+      (i.toLong, x, 2 * x + 0.1 * rng.nextGaussian())
+    }
+    b7.registerTable("ts2", rows.toDF("id", "x", "y"))
+    b7.execute("create population ps2 for ts2 (id ignore; x numerical; y numerical)")
+    b7.execute("create generator gs2 for ps2 using cgpm (subsample 30)")
+    b7.execute("initialize 2 models for gs2")
+    b7.execute("analyze gs2 for 2 iterations")
+    // rowid 55 is outside the 30-row subsample
+    assert(b7.execute("estimate similarity to (_rowid_=2) in the context of x" +
+      " from ps2 where _rowid_ = 1 or _rowid_ = 55").count() == 2)
+    assert(b7.execute("estimate predictive probability of y from ps2" +
+      " where _rowid_ = 1 or _rowid_ = 55").count() == 2)
+    assert(b7.execute("estimate similarity in the context of x from pairwise ps2" +
+      " where (r0._rowid_ = 1 or r0._rowid_ = 55)" +
+      " and (r1._rowid_ = 1 or r1._rowid_ = 55)").count() == 4)
+    assert(b7.execute("infer y from ps2 where _rowid_ = 1 or _rowid_ = 55").count() == 2)
+  }
+
   test("INFER EXPLICIT verbatim + PREDICT ... CONFIDENCE AS forms (test_bql.py:641-717)") {
     assert(bdb.execute(
       "infer explicit rowid, age, predict weight confidence wc from p1 limit 4")
