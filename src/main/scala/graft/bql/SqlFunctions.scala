@@ -60,7 +60,10 @@ object SqlFunctions {
       case ("min", Seq(a)) => min(a)
       case ("max", Seq(a)) => max(a)
       case ("group_concat", Seq(a)) => concat_ws(",", collect_list(a.cast("string")))
-      case ("group_concat", Seq(a, sep)) => array_join(collect_list(a.cast("string")), ",")
+      // custom separator: array_join's SQL form takes the delimiter as an
+      // expression (the Scala helper only accepts a literal String)
+      case ("group_concat", Seq(a, sep)) =>
+        call_function("array_join", collect_list(a.cast("string")), sep.cast("string"))
       case _ => throw new IllegalArgumentException(
         s"Bad aggregate: $name/${args.length}")
     }

@@ -239,6 +239,80 @@ class BqlExecSpec extends AnyFunSuite {
     f.delete()
   }
 
+  test("group_concat honors a custom separator (SQLite semantics)") {
+    val rows = bdb.execute(
+      "select label, group_concat(id, ' | ') as ids from t1" +
+        " where id <= 6 group by label order by label").collect()
+    // separator must be the given string, not the default comma
+    assert(rows.forall(r => r.getString(1) == null ||
+      !r.getString(1).contains(",")), rows.mkString("; "))
+    val all = bdb.execute(
+      "select group_concat(id, '+') from t1 where id <= 3").head.getString(0)
+    assert(all == "1+2+3", all)
+    val dflt = bdb.execute(
+      "select group_concat(id) from t1 where id <= 3").head.getString(0)
+    assert(dflt == "1,2,3", dflt)
+  }
+
+  test("bqlmath surface parity at the reference's probe points (test_bqlmath.py)") {
+    // every bqlmath function (src/bqlmath.py:20-46), probed through the
+    // SQL surface at the reference's domain-valid probe points and
+    // compared to the JVM's math — ONE query, one job
+    val P = Seq(-2.5, -1.0, -0.1, 0.0, 0.1, 1.0, 2.5)
+    def acoshJ(x: Double) = math.log(x + math.sqrt(x * x - 1))
+    def asinhJ(x: Double) = math.log(x + math.sqrt(x * x + 1))
+    def atanhJ(x: Double) = 0.5 * math.log((1 + x) / (1 - x))
+    val one: Seq[(String, Double => Double, Seq[Double])] = Seq(
+      ("acos", math.acos, P.filter(x => x >= -1 && x <= 1)),
+      ("acosh", acoshJ, P.filter(_ >= 1)),
+      ("asin", math.asin, P.filter(x => x >= -1 && x <= 1)),
+      ("asinh", asinhJ, P),
+      ("atan", math.atan, P),
+      ("atanh", atanhJ, P.filter(x => x > -1 && x < 1)),
+      ("ceil", math.ceil, P),
+      ("cos", math.cos, P),
+      ("cosh", math.cosh, P),
+      ("degrees", math.toDegrees, P),
+      ("erf", graft.functions.SpecialMath.erf, P),
+      ("erfc", graft.functions.SpecialMath.erfc, P),
+      ("exp", math.exp, P),
+      ("expm1", math.expm1, P),
+      ("fabs", math.abs, P),
+      ("factorial", (x: Double) => (1L to x.toLong).product.toDouble,
+        Seq(0.0, 1.0, 5.0)),
+      ("floor", math.floor, P),
+      ("gamma", bql.SqlFunctions.gammaFn, P.filterNot(x => x == x.floor && x <= 0)),
+      ("lgamma", graft.functions.SpecialMath.lgamma, P.filter(_ > 0)),
+      ("log", math.log, P.filter(_ > 0)))
+    val two: Seq[(String, (Double, Double) => Double, Seq[(Double, Double)])] = Seq(
+      ("atan2", math.atan2, P.flatMap(a => P.map(b => (a, b)))),
+      ("copysign", math.copySign, P.flatMap(a => P.map(b => (a, b)))),
+      ("fmod", (a: Double, b: Double) => a % b,
+        P.flatMap(a => P.filter(_ != 0).map(b => (a, b)))),
+      ("hypot", math.hypot, P.flatMap(a => P.map(b => (a, b)))),
+      ("ldexp", (a: Double, i: Double) => a * math.pow(2, i),
+        P.flatMap(a => Seq(-2.0, 0.0, 3.0).map(b => (a, b)))))
+    val cols = Seq.newBuilder[(String, Double)]
+    val sqlParts = Seq.newBuilder[String]
+    var k = 0
+    one.foreach { case (fn, f, probes) => probes.foreach { x =>
+      sqlParts += s"$fn(cast($x as double)) AS f$k"
+      cols += (s"$fn($x)" -> f(x)); k += 1
+    } }
+    two.foreach { case (fn, f, probes) => probes.foreach { case (x, y) =>
+      val ya = if (fn == "ldexp") s"cast(${y.toInt} as int)" else s"cast($y as double)"
+      sqlParts += s"$fn(cast($x as double), $ya) AS f$k"
+      cols += (s"$fn($x,$y)" -> f(x, y)); k += 1
+    } }
+    val row = bdb.sqlExecute("SELECT " + sqlParts.result().mkString(", ")).head()
+    cols.result().zipWithIndex.foreach { case ((label, expect), i) =>
+      // ceil/floor/factorial return integral types in Spark
+      val got = row.get(i).asInstanceOf[Number].doubleValue()
+      assert(math.abs(got - expect) <= 1e-12 * math.max(1.0, math.abs(expect)),
+        s"$label: got $got, expected $expect")
+    }
+  }
+
   test("infer * expands to all table columns with predict-wrapping") {
     val df = bdb.execute("infer * from p1 limit 3")
     assert(df.columns.toSeq == Seq("id", "label", "age", "weight"))
