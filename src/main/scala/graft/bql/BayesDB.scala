@@ -215,6 +215,31 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       when(col(column) === lit(value), lit(null)).otherwise(col(column)))
   }
 
+  /** Full `bayesdb_nullify` surface (reference src/nullify.py +
+    * tests/test_nullify.py): map the sentinel to NULL across ALL columns
+    * — or the given subset — and return the number of nullified CELLS.
+    * The count is ONE aggregation job over the targeted columns; the
+    * rewrite itself stays lazy. rowid is never touched. */
+  def nullifyValue(tableName: String, value: Any,
+      columns: Option[Seq[String]] = None): Long = {
+    val df = table(tableName)
+    val targets = columns match {
+      case Some(cs) =>
+        val have = df.columns.map(c => Names.casefold(c) -> c).toMap
+        cs.map(c => have.getOrElse(Names.casefold(c),
+          throw new NoSuchElementException(s"No such column in $tableName: $c")))
+      case None => df.columns.toSeq.filterNot(c => Names.casefold(c) == "rowid")
+    }
+    val changed = df.agg(
+      targets.map(c => sum(when(col(c) === lit(value), 1L).otherwise(0L)))
+        .reduce(_ + _).as("n")).head()
+    val n = if (changed.isNullAt(0)) 0L else changed.getLong(0)
+    val key = Names.casefold(tableName)
+    tables(key) = targets.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c) === lit(value), lit(null)).otherwise(col(c))))
+    n
+  }
+
   def table(name: String): DataFrame =
     tables.getOrElse(Names.casefold(name),
       throw new NoSuchElementException(s"No such table: $name"))

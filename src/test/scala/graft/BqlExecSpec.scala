@@ -239,6 +239,21 @@ class BqlExecSpec extends AnyFunSuite {
     f.delete()
   }
 
+  test("nullifyValue counts cells across columns (test_nullify.py)") {
+    import spark.implicits._
+    val b = new graft.bql.BayesDB(spark, seed = 61L)
+    b.registerTable("tn", Seq(
+      ("1", ""), ("nan", "foo"), ("2", "nan"), ("2", "\"\""), ("", ""))
+      .toDF("x", "y"))
+    assert(b.nullifyValue("tn", "") == 3L)
+    assert(b.execute("select count(*) from tn where x is null").head.getLong(0) == 1L)
+    assert(b.execute("select count(*) from tn where y is null").head.getLong(0) == 2L)
+    assert(b.nullifyValue("tn", "nan", Some(Seq("x"))) == 1L)
+    assert(b.execute("select count(*) from tn where x is null").head.getLong(0) == 2L)
+    assert(b.execute("select count(*) from tn where y = 'nan'").head.getLong(0) == 1L)
+    assert(b.nullifyValue("tn", "fnord") == 0L)
+  }
+
   test("group_concat honors a custom separator (SQLite semantics)") {
     val rows = bdb.execute(
       "select label, group_concat(id, ' | ') as ids from t1" +
