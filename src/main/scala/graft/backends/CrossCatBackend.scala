@@ -458,9 +458,13 @@ class CrossCatBackend(
   // ---------------------------------------------- ALTER GENERATOR moves
   // (reference: cgpm_alter sub-language, cgpm_backend.py:396-556)
 
-  /** ENSURE VARIABLES * DEPENDENT: collapse every model to one view. */
-  def ensureAllDependent(state: GeneratorState): GeneratorState =
-    mapModels(state) { (st, m) =>
+  /** ENSURE VARIABLES * DEPENDENT: collapse every model to one view.
+    * `only` restricts every ensure transform to the listed model numbers
+    * (ALTER GENERATOR ... MODELS (subset), reference cgpm_backend
+    * per-model alter; tests/test_cgpm_alter.py:63-73). */
+  def ensureAllDependent(state: GeneratorState,
+      only: Option[Set[Int]] = None): GeneratorState =
+    mapModels(state, only) { (st, m) =>
       val keep = m.viewOf(0)
       m.copy(viewOf = m.viewOf.map(_ => 0),
         viewAlpha = IndexedSeq(m.viewAlpha(keep)),
@@ -469,8 +473,9 @@ class CrossCatBackend(
 
   /** ENSURE VARIABLES * INDEPENDENT: one singleton view per column,
     * each seeded with the column's current view partition. */
-  def ensureAllIndependent(state: GeneratorState): GeneratorState =
-    mapModels(state) { (st, m) =>
+  def ensureAllIndependent(state: GeneratorState,
+      only: Option[Set[Int]] = None): GeneratorState =
+    mapModels(state, only) { (st, m) =>
       m.copy(
         viewOf = st.colnos.indices,
         viewAlpha = st.colnos.indices.map(j => m.viewAlpha(m.viewOf(j))),
@@ -478,8 +483,9 @@ class CrossCatBackend(
     }
 
   /** ENSURE VARIABLES cols IN VIEW OF anchor. */
-  def ensureInViewOf(state: GeneratorState, colnos: Seq[Int], anchor: Int): GeneratorState =
-    mapModels(state) { (st, m) =>
+  def ensureInViewOf(state: GeneratorState, colnos: Seq[Int], anchor: Int,
+      only: Option[Set[Int]] = None): GeneratorState =
+    mapModels(state, only) { (st, m) =>
       val target = m.viewOf(st.colIdx(anchor))
       val moved = colnos.map(st.colIdx).toSet
       compactViews(m.copy(viewOf = m.viewOf.zipWithIndex.map {
@@ -489,8 +495,9 @@ class CrossCatBackend(
 
   /** ENSURE VARIABLES cols IN SINGLETON VIEW: each listed column moves
     * to its own fresh view seeded with its current partition. */
-  def ensureSingleton(state: GeneratorState, colnos: Seq[Int]): GeneratorState =
-    mapModels(state) { (st, m0) =>
+  def ensureSingleton(state: GeneratorState, colnos: Seq[Int],
+      only: Option[Set[Int]] = None): GeneratorState =
+    mapModels(state, only) { (st, m0) =>
       var m = m0
       colnos.map(st.colIdx).foreach { j =>
         val src = m.viewOf(j)
@@ -506,8 +513,9 @@ class CrossCatBackend(
     * reassign the listed (incorporated) rows to the anchor row's cluster
     * in the view containing `colno`. */
   def ensureRowsInCluster(state: GeneratorState, rowids: Seq[Long],
-      anchorRowid: Long, colno: Int): GeneratorState =
-    mapModels(state) { (st, m) =>
+      anchorRowid: Long, colno: Int,
+      only: Option[Set[Int]] = None): GeneratorState =
+    mapModels(state, only) { (st, m) =>
       val v = m.viewOf(st.colIdx(colno))
       val anchorIdx = st.rowIdx(anchorRowid)
       require(anchorIdx >= 0, s"Anchor rowid $anchorRowid is not incorporated")
@@ -522,10 +530,16 @@ class CrossCatBackend(
       m.copy(rowAssign = m.rowAssign.updated(v, assign.map(remap)))
     }
 
-  private def mapModels(state: GeneratorState)(
+  private def mapModels(state: GeneratorState, only: Option[Set[Int]] = None)(
       f: (CrossCatState, CrossCatModel) => CrossCatModel): GeneratorState = {
     val st = state.asInstanceOf[CrossCatState]
-    st.copy(models = st.models.map(m => f(st, m)))
+    only.foreach { ns =>
+      val known = st.models.map(_.modelno).toSet
+      val missing = ns.diff(known)
+      require(missing.isEmpty, s"No such models: ${missing.toSeq.sorted.mkString(", ")}")
+    }
+    st.copy(models = st.models.map(m =>
+      if (only.forall(_.contains(m.modelno))) f(st, m) else m))
   }
 
   private def compactViews(m: CrossCatModel): CrossCatModel = {

@@ -859,9 +859,6 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       emptyResult
 
     case Ast.AlterGen(genName, modelSubset, commands) =>
-      require(modelSubset.isEmpty,
-        "ALTER GENERATOR ... MODELS (subset) is not supported;" +
-          " commands apply to every model (drop the MODELS clause)")
       val gen = catalog.generator(genName).getOrElse(
         throw new NoSuchElementException(s"No such generator: $genName"))
       val pop = catalog.populationNames.flatMap(catalog.population)
@@ -874,7 +871,8 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
             states(Names.casefold(nw)) = st)
           currentGen = nw
         case Ast.AlterGenGeneric(tokens) =>
-          runAlterGenClause(currentGen, gen.backend, pop, tokens)
+          runAlterGenClause(currentGen, gen.backend, pop, tokens,
+            modelSubset.map(_.toSet))
       }
       emptyResult
 
@@ -885,7 +883,8 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     * (reference: cgpm_backend.py:396-556): ENSURE VARIABLES [* | cols]
     * DEPENDENT / INDEPENDENT / IN VIEW OF c / IN SINGLETON VIEW. */
   private def runAlterGenClause(genName: String, backendName: String,
-      pop: graft.catalog.Population, tokens: Seq[String]): Unit = {
+      pop: graft.catalog.Population, tokens: Seq[String],
+      only: Option[Set[Int]] = None): Unit = {
     val backend = Backends.byName(backendName)
     val cc = backend match {
       case b: CrossCatBackend => b
@@ -900,15 +899,15 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       throw new NoSuchElementException(s"No such variable: $v")).colno
     val updated = toks match {
       case Seq("ensure", "variables", "*", "dependent") =>
-        cc.ensureAllDependent(st)
+        cc.ensureAllDependent(st, only)
       case Seq("ensure", "variables", "*", "independent") =>
-        cc.ensureAllIndependent(st)
+        cc.ensureAllIndependent(st, only)
       case "ensure" +: "variables" +: rest if rest.takeRight(3) == Seq("in", "singleton", "view") =>
-        cc.ensureSingleton(st, rest.dropRight(3).map(colno))
+        cc.ensureSingleton(st, rest.dropRight(3).map(colno), only)
       case "ensure" +: "variables" +: rest if rest.length >= 4 &&
           rest(rest.length - 4) == "in" && rest(rest.length - 3) == "view" &&
           rest(rest.length - 2) == "of" =>
-        cc.ensureInViewOf(st, rest.dropRight(4).map(colno), colno(rest.last))
+        cc.ensureInViewOf(st, rest.dropRight(4).map(colno), colno(rest.last), only)
       case "ensure" +: ("row" | "rows") +: rest if rest.length >= 9 &&
           rest.containsSlice(Seq("in", "cluster", "of", "row")) &&
           rest(rest.length - 4) == "within" && rest(rest.length - 3) == "view" &&
@@ -918,7 +917,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
         val splitAt = rest.indexOfSlice(Seq("in", "cluster", "of", "row"))
         val rows = rest.take(splitAt).map(_.toLong)
         val anchor = rest(splitAt + 4).toLong
-        cc.ensureRowsInCluster(st, rows, anchor, colno(rest.last))
+        cc.ensureRowsInCluster(st, rows, anchor, colno(rest.last), only)
       case other => throw new UnsupportedOperationException(
         s"ALTER GENERATOR clause not supported: ${other.mkString(" ")}")
     }

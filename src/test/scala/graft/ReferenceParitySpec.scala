@@ -409,6 +409,34 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(b7.execute("infer y from ps2 where _rowid_ = 1 or _rowid_ = 55").count() == 2)
   }
 
+  test("ALTER GENERATOR MODELS (subset) scopes ensure commands (test_cgpm_alter.py:63-85)") {
+    val b8 = new BayesDB(spark, seed = 19L)
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 40).map { _ =>
+      val x = rng.nextGaussian(); (x, 2 * x + 0.05 * rng.nextGaussian())
+    }
+    b8.registerTable("tm", rows.toDF("a", "b"))
+    b8.execute("create population pmm for tm (a numerical; b numerical)")
+    b8.execute("create generator gm for pmm using cgpm")
+    b8.execute("initialize 4 models for gm")
+    b8.execute("alter generator gm ensure variables * dependent")
+    def dep(models: String): Double =
+      b8.execute("estimate dependence probability of a with b" +
+        s" by pmm modeled by gm $models").head.getDouble(0)
+    assert(dep("") == 1.0)
+    // scope independence to models 0-1: those two flip, 2-3 keep the
+    // dependent structure — the ensemble average reads 0.5
+    b8.execute("alter generator gm models (0,1) ensure variables * independent")
+    assert(dep("using models 0-1") == 0.0)
+    assert(dep("using models 2-3") == 1.0)
+    assert(dep("") == 0.5)
+    // unknown model numbers in the subset are an error
+    intercept[Exception] {
+      b8.execute("alter generator gm models (7) ensure variables * dependent")
+    }
+  }
+
   test("INFER EXPLICIT verbatim + PREDICT ... CONFIDENCE AS forms (test_bql.py:641-717)") {
     assert(bdb.execute(
       "infer explicit rowid, age, predict weight confidence wc from p1 limit 4")
