@@ -225,9 +225,18 @@ class CrossCatBackend(
     val which = modelnos.getOrElse(st.models.map(_.modelno))
     // VARIABLES restriction: colIdx set whose kernels transition
     val restrict = program.variables.map(_.map(st.colIdx).toSet)
-    // ROWS restriction: subsample indices (rowids outside the MCMC
-    // subsample are not incorporated — reference ignores them likewise)
-    val rowRestrict = program.rows.map(_.map(st.rowIdx).filter(_ >= 0).toSet)
+    // ROWS restriction: subsample indices. A listed rowid that is not
+    // incorporated in the MCMC subsample is an ERROR, as in the
+    // reference (tests/test_cgpm_analysis.py:106-120 expects BQLError
+    // for rows outside the population or subsample)
+    val rowRestrict = program.rows.map { rs =>
+      val idx = rs.map(r => r -> st.rowIdx(r))
+      val bad = idx.collect { case (r, i) if i < 0 => r }
+      require(bad.isEmpty,
+        "ANALYZE ROWS not incorporated in the subsample: " +
+          bad.sorted.mkString(", "))
+      idx.map(_._2).toSet
+    }
     val kernels = program.subproblems.map { names =>
       val bad = names.filterNot(AnalyzeProgram.Subproblems)
       require(bad.isEmpty, s"Invalid subproblems: ${bad.mkString(", ")}")

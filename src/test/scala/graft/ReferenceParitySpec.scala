@@ -437,6 +437,43 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE subproblem programs run; out-of-subsample ROWS error (test_cgpm_analysis.py)") {
+    val b9 = new BayesDB(spark, seed = 37L)
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 20).map { _ =>
+      val x = rng.nextGaussian(); (x, x + rng.nextGaussian(), rng.nextInt(3).toString)
+    }
+    b9.registerTable("tap", rows.toDF("a", "b", "c"))
+    b9.execute("create population pap for tap (a numerical; b numerical; c nominal)")
+    b9.execute("create generator gap for pap using cgpm")
+    b9.execute("initialize 4 models for gap")
+    // each subproblem kernel individually, scoped to a model subset
+    for (sub <- Seq("variable clustering", "variable clustering concentration",
+        "row clustering", "row clustering concentration"))
+      b9.execute(s"analyze gap models 0,1 for 2 iterations (subproblem $sub)")
+    // variable hyperparameters restricted to named variables
+    b9.execute("analyze gap for 1 iteration" +
+      " (variables a, b; subproblem variable hyperparameters)")
+    // combined SUBPROBLEMS list with VARIABLES and ROWS over incorporated
+    // rowids (no SUBSAMPLE clause -> every row is incorporated)
+    b9.execute("analyze gap model 3 for 1 iteration (variables c; rows 1, 2, 3;" +
+      " subproblems (row clustering, row clustering concentration))")
+    // a SUBSAMPLE'd generator must REJECT rows outside its subsample
+    b9.execute("create generator gsub for pap using cgpm (subsample 5)")
+    b9.execute("initialize 2 models for gsub")
+    val bad = (1L to 20L).find { r =>
+      try {
+        b9.execute(s"analyze gsub for 1 iteration (rows $r;" +
+          " subproblem row clustering)")
+        false
+      } catch { case e: Exception =>
+        e.getMessage.contains("not incorporated")
+      }
+    }
+    assert(bad.isDefined, "some rowid must fall outside the 5-row subsample")
+  }
+
   test("INFER EXPLICIT verbatim + PREDICT ... CONFIDENCE AS forms (test_bql.py:641-717)") {
     assert(bdb.execute(
       "infer explicit rowid, age, predict weight confidence wc from p1 limit 4")
