@@ -61,6 +61,21 @@ object Guess {
       // nullify-and-reguess recursion, which filters by exclusion set
       val statsAll = colStatsAll(counts)
 
+      // key-override validation (reference guess.py:184-204): at most one
+      // column may be overridden as the key, and that column must
+      // actually be keyable — all values distinct, no nulls, integer /
+      // integral-float / plain-string valued
+      val keyOvers = cols.zipWithIndex.filter { case (n, _) =>
+        overrideMap.get(Names.casefold(n)).contains(StatType.Key) }
+      require(keyOvers.sizeIs <= 1,
+        s"Multiple columns overridden as keys: ${keyOvers.map(_._1).mkString(", ")}")
+      keyOvers.foreach { case (n, ci) =>
+        val st = statsAll.getOrElse(ci, ColStats(0L, 0L, null, 0L, false, false, false))
+        val keyable = st.nonNullCnt == totalLen && st.nDistinct == totalLen &&
+          (st.allInt || (st.allFloat && st.allIntegral) || !st.allFloat)
+        require(keyable, s"Column non-unique but specified as key: $n")
+      }
+
       // first keyable column (after overrides' explicit keys) wins
       var haveKey = overrideMap.values.exists(_ == StatType.Key)
 
