@@ -614,13 +614,23 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
         val explicit = scala.collection.mutable.LinkedHashMap.empty[String, StatType]
         val ignored = scala.collection.mutable.Set.empty[String]
         var guessCols = Seq.empty[String]
+        // a variable declared twice — same or different case, same or
+        // different stattype — is an error (reference
+        // tests/test_core.py:182-193; casefold-keyed)
+        def checkFresh(n: String): String = {
+          val k = Names.casefold(n)
+          require(!explicit.contains(k) && !ignored(k),
+            s"Duplicate variable in population schema: $n")
+          n
+        }
         schema.foreach {
           case Ast.PopModelVars(names, st) =>
             val stattype = StatType.parse(st).getOrElse(
               throw new IllegalArgumentException(s"Unknown stattype: $st"))
-            names.foreach(n => explicit(Names.casefold(checkExists(n))) = stattype)
+            names.foreach(n =>
+              explicit(Names.casefold(checkFresh(checkExists(n)))) = stattype)
           case Ast.PopIgnoreVars(names) =>
-            names.foreach(n => ignored += Names.casefold(checkExists(n)))
+            names.foreach(n => ignored += Names.casefold(checkFresh(checkExists(n))))
           case Ast.PopGuessVars(Nil) => guessCols = baseCols
           case Ast.PopGuessVars(names) => guessCols = guessCols ++ names.map(checkExists)
         }

@@ -536,6 +536,29 @@ class ReferenceParitySpec extends AnyFunSuite {
       Seq("numerical", "numerical"))
   }
 
+  test("casefold identifiers: dup variables rejected, queries case-blind (test_core.py:171-345)") {
+    val b10 = new BayesDB(spark, seed = 43L)
+    import spark.implicits._
+    b10.registerTable("tc", Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "label", "age"))
+    // declaring the same variable twice — same or different case, same or
+    // different stattype — is an error
+    intercept[Exception] {
+      b10.execute("create population px for tc (id ignore; label nominal; label nominal; age numerical)")
+    }
+    intercept[Exception] {
+      b10.execute("create population px for tc (id ignore; label nominal; LABEL numerical; age numerical)")
+    }
+    // naming a column the table does not have is an error (t0_badname)
+    intercept[Exception] {
+      b10.execute("create population px for tc (id ignore; label nominal; bogus numerical)")
+    }
+    // identifier resolution is case-insensitive end to end
+    b10.execute("create population pc for tc (id ignore; label nominal; age numerical)")
+    assert(b10.execute("select id from tc").count() == 2)
+    assert(b10.execute("select ID from TC").count() == 2)
+    assert(b10.execute("select iD from Tc where AGE > 2.5").count() == 1)
+  }
+
   test("INFER EXPLICIT verbatim + PREDICT ... CONFIDENCE AS forms (test_bql.py:641-717)") {
     assert(bdb.execute(
       "infer explicit rowid, age, predict weight confidence wc from p1 limit 4")
