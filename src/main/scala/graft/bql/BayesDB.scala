@@ -51,6 +51,32 @@ object BayesDB {
     out.result()
   }
 
+  /** Field count of ONE raw line under a fresh RFC-4180 scan, plus whether
+    * the scan ends inside an unterminated quote. An unterminated quote means
+    * the line opens (or is the closing line of) a multi-line quoted field,
+    * so its per-line field count is not a record arity. Serializable-static
+    * on purpose: used from a Spark UDF in the ragged-row ingest probe. */
+  private[bql] def csvLineArity(s: String): (Int, Boolean) = {
+    var i = 0
+    var inQ = false
+    var n = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') i += 1
+          else inQ = false
+        }
+      } else c match {
+        case '"' => inQ = true
+        case ',' => n += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    (n, inQ)
+  }
+
   /** Reopen a persisted engine (see [[BayesDB.save]]): restores catalog,
     * fitted model states, and all tables from their parquet snapshots
     * (rowid already materialized — no re-indexing pass). */
@@ -166,13 +192,30 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     *    pruning, and file statistics. */
   def registerTable(name: String, df: DataFrame): Unit = {
     val key = Names.casefold(name)
-    val withRowid = ensureRowid(df)
-    tables(key) = tableStore match {
-      case Some(dir) if withRowid ne df =>
-        val path = s"$dir/$key.parquet"
-        withRowid.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      case _ => if (withRowid ne df) withRowid.cache() else withRowid
+    if (df.columns.exists(c => Names.casefold(c) == "rowid")) {
+      tables(key) = df
+    } else {
+      // pin ONE physical instance of the input across ensureRowid's two
+      // jobs (the per-partition count agg, then the materialization): an
+      // unpinned plan compiles and executes independently for each, and a
+      // nondeterministic upstream (shuffle fetch order, AQE re-coalescing
+      // decided per query) could renumber rows between them, producing
+      // duplicate or gapped rowids. The pin is released once the rowid'd
+      // result is materialized (parquet write, or eager cache count).
+      val pinned = df.cache()
+      try {
+        val withRowid = ensureRowid(pinned)
+        tables(key) = tableStore match {
+          case Some(dir) =>
+            val path = s"$dir/$key.parquet"
+            withRowid.write.mode("overwrite").parquet(path)
+            spark.read.parquet(path)
+          case None =>
+            val cached = withRowid.cache()
+            cached.count()
+            cached
+        }
+      } finally pinned.unpersist(blocking = false)
     }
   }
 
@@ -341,12 +384,18 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
     def lit(nr: Int): String = {
       require(nr >= 1 && nr <= binds.length,
         s"Query needs parameter $nr, got ${binds.length} bindings")
+      // Spark's lexer backslash-escapes inside string literals (and does
+      // NOT treat '' as an escaped quote - adjacent literals concatenate),
+      // so escape \ first, then ' as \' - a value ending in \ must not
+      // swallow the closing quote.
+      def q(s: String): String =
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
       binds(nr - 1) match {
         case null => "NULL"
-        case s: String => "'" + s.replace("'", "''") + "'"
+        case s: String => q(s)
         case b: Boolean => if (b) "TRUE" else "FALSE"
         case n: java.lang.Number => n.toString
-        case other => "'" + other.toString.replace("'", "''") + "'"
+        case other => q(other.toString)
       }
     }
     // Same numbering rules as the BQL lexer (bare ? sequential, ?N
@@ -533,27 +582,44 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
             // reference strictness: every row must have exactly the
             // header's arity (read_csv.py:90-99 raises IOError). Spark
             // pads short rows with null and drops extra fields silently
-            // (even FAILFAST only fires on type-malformed records), so a
-            // one-pass probe re-parses all-string with a sentinel EXTRA
-            // column - an overlong row lands a value there - and a
-            // never-occurring nullValue so only genuinely MISSING fields
-            // read back null (an empty field is '', as in the reference's
-            // csv.reader). Ingest-time only; at scale bulk data arrives
-            // as parquet, not CSV.
+            // (even FAILFAST only fires on type-malformed records).
+            // Overlong rows: re-parse all-string with a sentinel EXTRA
+            // column - an overlong row lands a value there (and the real
+            // parser handles multi-line quoted fields). Short rows CANNOT
+            // be told apart from valid empty unquoted fields by the
+            // parser - univocity reads both back as null regardless of
+            // nullValue - so they are detected by counting fields per RAW
+            // line with the same quote-aware scanner as the header check.
+            // A line ending inside an unterminated quote marks a
+            // multi-line quoted field; per-line counts are meaningless in
+            // such files, so the short check is skipped for them (the
+            // overlong probe still applies). Ingest-time only; at scale
+            // bulk data arrives as parquet, not CSV.
             import org.apache.spark.sql.types.{StringType, StructField, StructType}
             val sentinel = "__graft_extra__"
             val probeSchema = StructType(
               names.map(c => StructField(c, StringType)) :+
                 StructField(sentinel, StringType))
             val probe = spark.read.option("header", "true")
-              .option("nullValue", " __graft_never__ ")
               .schema(probeSchema).csv(csv)
-            val ragged = probe.filter(
-              org.apache.spark.sql.functions.col(sentinel).isNotNull ||
-                names.map(c =>
-                  org.apache.spark.sql.functions.col(c).isNull).reduce(_ || _))
+            val overlong = probe.filter(
+              org.apache.spark.sql.functions.col(sentinel).isNotNull)
               .limit(1).count()
-            require(ragged == 0,
+            require(overlong == 0,
+              s"Ragged CSV row in $csv: every row must have exactly " +
+                s"${names.length} fields (as the header)")
+            val arityOf =
+              org.apache.spark.sql.functions.udf(BayesDB.csvLineArity _)
+            val F = org.apache.spark.sql.functions
+            val lineStats = spark.read.text(csv)
+              .select(arityOf(F.col("value")).as("a"))
+              .agg(
+                F.sum(F.when(F.col("a._2"), 1L).otherwise(0L)).as("open"),
+                F.sum(F.when(!F.col("a._2") && F.col("a._1") < names.length,
+                  1L).otherwise(0L)).as("short"))
+              .head()
+            val hasMultilineField = lineStats.getLong(0) > 0
+            require(hasMultilineField || lineStats.getLong(1) == 0,
               s"Ragged CSV row in $csv: every row must have exactly " +
                 s"${names.length} fields (as the header)")
             spark.read.option("header", "true")

@@ -150,6 +150,16 @@ class BqlExecSpec extends AnyFunSuite {
     // session math UDFs remain visible (reference keeps BQL UDFs in scope)
     assert(math.abs(bdb.sqlExecute("select erf(0.5) as e").head.getDouble(0)
       - 0.5204998778) < 1e-9)
+    // string bindings with quotes and backslashes round-trip exactly:
+    // Spark backslash-escapes in string literals, so a trailing \ must
+    // not swallow the closing quote and '' is not a quote escape
+    for (v <- Seq("it's", "a\\", "\\", "a'b\\c", "'\\'", "trailing\\")) {
+      assert(bdb.sqlExecute("select ? as v", Seq(v)).head.getString(0) == v,
+        s"round-trip failed for <$v>")
+    }
+    // parameter-free raw SQL with $/:/@ tokens passes through verbatim
+    assert(bdb.sqlExecute("select `a$b` from (select 1 as `a$b`)")
+      .head.getInt(0) == 1)
     // a DROPped table must not stay queryable through a stale temp view
     val b2 = new graft.bql.BayesDB(spark, seed = 3L)
     import spark.implicits._
@@ -220,6 +230,12 @@ class BqlExecSpec extends AnyFunSuite {
     // strict row arity: too few and too many fields both reject
     intercept[Exception] { ingest("foo,bar\n0,1\n0\n") }
     intercept[Exception] { ingest("foo,bar\n0,1\n0,1,2\n") }
+    // empty unquoted/quoted fields are VALID (csv.reader yields '' -
+    // arity matches); the ragged probe must not mistake them for short
+    // rows (reference read_csv.py:90-99 only checks arity)
+    ingest("foo,bar,baz\na,,b\n,,\n\"\",x,\"\"\n")
+    // quoted fields containing commas and embedded newlines are one field
+    ingest("foo,bar\n\"a,b\",1\n\"line1\nline2\",2\n")
     // the reference's employees fixture imports cleanly
     val f = csvFile(
       """age,gender,salary,height,division,rank
