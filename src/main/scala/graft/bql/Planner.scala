@@ -1335,8 +1335,14 @@ object Planner {
         } catch {
           // an unthreadable shape discovered while building (e.g. a deep
           // ref hidden inside a FROM-subquery that the chain analysis
-          // cannot see) falls back to the named divergence
-          case scala.util.control.NonFatal(_) => None
+          // cannot see) falls back to the named divergence — but a GENUINE
+          // planning bug would land here too and be silently reclassified,
+          // so the swallowed exception is loggable via -Dgraft.debug.planner
+          case scala.util.control.NonFatal(e) =>
+            if (java.lang.Boolean.getBoolean("graft.debug.planner"))
+              System.err.println(
+                s"[planner] theta-decorrelation fell back: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
         }
       }
     case _ => None
@@ -2408,16 +2414,37 @@ object Planner {
           val vals = ms.map(m => evalModelExp(ctx.bdb, pm, m, ast, ctx.binds))
           vals.sum / vals.length
         }
+        // recursion mirrors the expression shapes the event grammar can
+        // nest an estimator under (operators, CASE, CAST, COLLATE,
+        // function calls, IN-lists) — not just ExpOp, so
+        // `probability of (abs(mutual information with x) > t)` binds
         def hasImplicit(e: Exp): Boolean = e match {
           case ExpBQLMutInf(Seq(), _, _, _) => true
           case ExpBQLDepProb(None, Some(_)) => true
           case ExpOp(_, os) => os.exists(hasImplicit)
+          case ExpApp(_, _, os) => os.exists(hasImplicit)
+          case ExpCast(x, _) => hasImplicit(x)
+          case ExpCollate(x, _) => hasImplicit(x)
+          case ExpInExp(x, _, xs) => hasImplicit(x) || xs.exists(hasImplicit)
+          case ExpCase(k, whens, els) =>
+            k.exists(hasImplicit) ||
+              whens.exists { case (w, t) => hasImplicit(w) || hasImplicit(t) } ||
+              els.exists(hasImplicit)
           case _ => false
         }
         def bindVar(e: Exp, v: String): Exp = e match {
           case ExpBQLMutInf(Seq(), c1, cs, n) => ExpBQLMutInf(Seq(v), c1, cs, n)
           case ExpBQLDepProb(None, c1 @ Some(_)) => ExpBQLDepProb(Some(v), c1)
           case ExpOp(op, os) => ExpOp(op, os.map(bindVar(_, v)))
+          case ExpApp(d, op, os) => ExpApp(d, op, os.map(bindVar(_, v)))
+          case ExpCast(x, t) => ExpCast(bindVar(x, v), t)
+          case ExpCollate(x, c) => ExpCollate(bindVar(x, v), c)
+          case ExpInExp(x, p, xs) =>
+            ExpInExp(bindVar(x, v), p, xs.map(bindVar(_, v)))
+          case ExpCase(k, whens, els) =>
+            ExpCase(k.map(bindVar(_, v)),
+              whens.map { case (w, t) => (bindVar(w, v), bindVar(t, v)) },
+              els.map(bindVar(_, v)))
           case other => other
         }
         ctx.bql match {
