@@ -43,6 +43,10 @@ object Bench {
     // samples disagree by >3x are flagged suspect so a polluted run is
     // detectable from the JSON alone.
     val pass1 = keys.map { case (n, f) => n -> timeOne(n, f) }.toMap
+    // drop operator-algorithm caches built during pass 1 (MinHash
+    // candidates, IVF index) so pass 2 is cold too — min(a, b) must
+    // estimate the key's true cost, not a warm-cache rerun
+    operators.PipelineQueries.resetOperatorCaches()
     val pass2 = keys.map { case (n, f) => n -> timeOne(n, f) }.toMap
     val results = keys.map { case (name, _) =>
       val a = pass1(name); val b = pass2(name)
@@ -60,7 +64,20 @@ object Bench {
     val suspects = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"setup_sec":$setupSec,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"setup_sec":$setupSec,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's log capture keeps only a ~2000-char tail, which lost
+    // two-thirds of the per-key record in past rounds — persist the full
+    // JSON to a repo file as the durable record, and name it last so the
+    // tail always shows where the complete data lives
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r8.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(json) finally w.close()
+      println(s"[bench] full record written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

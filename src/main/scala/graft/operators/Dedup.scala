@@ -133,6 +133,14 @@ object Dedup {
     cached
   }
 
+  /** Bench/test hook: drop the one-slot signature cache so the next
+    * minHashCandidates call measures a cold build (a warm slot made the
+    * second bench pass understate the operator's true cost). */
+  private[graft] def resetCaches(): Unit = {
+    val prev = lastSigned.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   /** Profiling hook: the signature stage alone (cached), for stage-level
     * attribution in `graft.Profile`. */
   private[graft] def minHashSignedForProfile(
