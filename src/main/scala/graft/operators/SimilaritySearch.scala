@@ -111,16 +111,26 @@ object SimilaritySearch {
     * because id-hash order is independent of the vectors, deterministic
     * across retries) and a milliseconds-scale local fit, replacing an
     * MLlib job per Lloyd iteration. Assignment stays distributed and
-    * whole-stage-codegen via the NearestCentroid native expression. */
+    * whole-stage-codegen via the NearestCentroid native expression.
+    *
+    * Driver memory: the collected fit sample is capped at BOTH
+    * `maxFitSample` rows and `fitSampleBudgetBytes` (sample × dim × 8
+    * bytes, default 256 MB) — the row cap alone would collect ~2 GB at
+    * 4096-dim embeddings. The dimension is probed from one row before
+    * the sample collect. */
   def ivfIndex(
       df: DataFrame, vecCol: String, idCol: String,
       nCentroids: Int = 16, seed: Long = 42L, maxIter: Int = 10,
-      maxFitSample: Int = 65536): IvfIndex = {
+      maxFitSample: Int = 65536,
+      fitSampleBudgetBytes: Long = 256L << 20): IvfIndex = {
     val data = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
+    val dim = data.select(size(col("v"))).head().getInt(0)
+    val budgetRows = (fitSampleBudgetBytes / (math.max(dim, 1) * 8L))
+      .min(maxFitSample.toLong).max(nCentroids.toLong).toInt
     val sample: Array[Array[Double]] = data
       .orderBy(xxhash64(col("id"), lit(seed)))
-      .limit(maxFitSample)
+      .limit(budgetRows)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     val centroids = KMeansLocal.fit(sample, nCentroids, maxIter, seed)
     val cells = data.withColumn("cell",
