@@ -33,6 +33,26 @@ object NigNormalBackend {
     (mn, vn, an, bn)
   }
 
+  /** Closed-form log posterior-predictive density: under the conjugate
+    * NIG prior the predictive for a fresh observation is Student-t with
+    * df = 2·an, location mn, scale² = bn(1+vn)/an (the standard conjugate
+    * result the reference's Gibbs draw targets, nig_normal.py:133-140).
+    * This is the backend's deterministic spine — the same
+    * [[posteriorHypers]] the ANALYZE redraw uses — so a SQL oracle can
+    * pin the distributed suff-stats pass and the hyper algebra exactly,
+    * even though the ensemble's RNG draws cannot be reproduced in SQL. */
+  def posteriorPredictiveLogpdf(hypers: (Double, Double, Double, Double),
+      stats: ColStats, x: Double): Double = {
+    val (mn, vn, an, bn) = posteriorHypers(hypers, stats)
+    val df = 2.0 * an
+    val scale = math.sqrt(bn * (1.0 + vn) / an)
+    val z = (x - mn) / scale
+    graft.functions.SpecialMath.lgamma((df + 1.0) / 2.0) -
+      graft.functions.SpecialMath.lgamma(df / 2.0) -
+      0.5 * math.log(df * math.Pi) - math.log(scale) -
+      ((df + 1.0) / 2.0) * math.log1p(z * z / df)
+  }
+
   val HalfLog2Pi: Double = 0.5 * math.log(2 * math.Pi)
 
   def logpdfGaussian(x: Double, mu: Double, sigma: Double): Double = {

@@ -508,37 +508,42 @@ object Planner {
     def rewrite(e: Exp): Exp = e match {
       case ex @ ExpExists(q: Select)
           if aggSafe && ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) &&
-            q.grouping.isEmpty && q.limit.isEmpty &&
-            q.columns.forall {
-              case SelColExp(ie, _) => !containsAggregate(ie)
-              case _ => true
-            } =>
+            existsCountRewritable(ctx0, q) =>
         // EXISTS in an aggregate-bound position (the theta mask column,
         // where Catalyst cannot place a native exists-subquery under the
         // Aggregate): existence rewrites to a decorrelatable count —
         // EXISTS(body) ≡ (SELECT count(*) FROM body) > 0, never NULL —
-        // and the scalar machinery (key-tuple carry included) takes it
-        subCache.getOrElseUpdate(ex, rewrite(ExpOp(Op.Gt, Seq(
-          ExpSub(Select(SelQuantAll,
-            Seq(SelColExp(ExpAppStar("count"), None)),
-            q.tables, q.condition, None, Nil, None)),
-          ExpLit(LitInt(0))))))
+        // and the scalar machinery (key-tuple carry included) takes it.
+        // Grouped bodies without HAVING drop their grouping (groups
+        // exist ⟺ rows exist, whatever the select list aggregates);
+        // ORDER BY and a constant LIMIT n≠0 drop too (existence is
+        // order- and cap-insensitive); LIMIT 0 is provably empty.
+        subCache.getOrElseUpdate(ex, {
+          val limN = q.limit.map(l =>
+            evalConstInt(ctx0.bdb, bindParams(l.limit, ctx0.binds), ctx0.binds))
+          if (limN.contains(0))
+            ExpOp(Op.Eq, Seq(ExpLit(LitInt(0)), ExpLit(LitInt(1))))
+          else rewrite(ExpOp(Op.Gt, Seq(
+            ExpSub(Select(SelQuantAll,
+              Seq(SelColExp(ExpAppStar("count"), None)),
+              q.tables, q.condition, None, Nil, None)),
+            ExpLit(LitInt(0)))))
+        })
       case inq @ ExpInQuery(x, positive, q: Select)
           if aggSafe && ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) &&
-            q.grouping.isEmpty && q.limit.isEmpty && !hasNestedQuery(x) &&
-            (q.columns match {
-              case Seq(SelColExp(ie, _)) => !containsAggregate(ie)
-              case _ => false
-            }) =>
+            !hasNestedQuery(x) && inBodyCountRewritable(ctx0, q) =>
         // membership in an aggregate-bound position, three-valued logic
         // preserved: TRUE on a match, NULL when no match but some
         // comparison is NULL (x NULL, or a NULL element), FALSE
         // otherwise — two decorrelatable counts replace the native
-        // in-subquery expression. The LHS embeds into the count's WHERE,
-        // so refs that collide with subquery column names must first
-        // qualify by their unique owner alias in the enclosing frame
-        // (embedSafe); unqualifiable shapes keep the native form and its
-        // named rejection.
+        // in-subquery expression. Grouped bodies qualify when the
+        // selected item IS one of the group keys (membership in the
+        // grouped values ≡ membership in the raw values, NULL group
+        // included) and there is no HAVING/LIMIT. The LHS embeds into
+        // the count's WHERE, so refs that collide with subquery column
+        // names must first qualify by their unique owner alias in the
+        // enclosing frame (embedSafe); unqualifiable shapes keep the
+        // native form and its named rejection.
         subCache.getOrElseUpdate(inq,
           embedSafe(x, queryScope(ctx0.bdb, q, ctx0.binds)) match {
             case None => inq
@@ -560,8 +565,11 @@ object Planner {
               rewrite(if (positive) threeValued
                 else ExpOp(Op.BoolNot, Seq(threeValued)))
           })
-      case sub @ ExpSub(q) if ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) =>
-        subCache.getOrElseUpdate(sub,
+      case sub @ ExpSub(q0) if ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q0) =>
+        subCache.getOrElseUpdate(sub, {
+          // correlated FROM-subqueries flatten first, surfacing their
+          // outer refs into this body's WHERE for the decorrelators
+          val q = flattenCorrelatedFrom(ctx0, q0)
           normalizeAggScalar(requalifyDeep(ctx0, q)) match {
             case Left(()) => ExpLit(LitNull) // provably yields no row
             case Right(q2) =>
@@ -573,19 +581,22 @@ object Planner {
                 // keep the requalifyDeep-peeled body (as the ExpExists
                 // branch does): depth-2 non-aggregate scalars then plan
                 // as a native one-level Catalyst scalar subquery
-                case None => if (q2 eq q) sub else ExpSub(q2)
+                case None => if (q2 eq q0) sub else ExpSub(q2)
               }
-          })
+          }
+        })
       case ex @ ExpExists(q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
         // depth-≥2 refs inside the EXISTS body peel to one level here;
         // the one-level form then plans as a native exists-subquery
-        subCache.getOrElseUpdate(ex, ExpExists(requalifyDeep(ctx0, q)))
+        subCache.getOrElseUpdate(ex,
+          ExpExists(requalifyDeep(ctx0, flattenCorrelatedFrom(ctx0, q))))
       case inq @ ExpInQuery(x, p, q) if ctx0.scope.isDefined && isCorrelated(ctx0, q) =>
         subCache.getOrElseUpdate(inq, {
           val xn = s"__in_x_${subqueryTag.getAndIncrement()}"
           attaches += ((df: DataFrame) => df.withColumn(xn, compile(x, ctx0)))
           hidden += xn
-          ExpInQuery(ExpCol(None, xn), p, requalifyDeep(ctx0, q))
+          ExpInQuery(ExpCol(None, xn), p,
+            requalifyDeep(ctx0, flattenCorrelatedFrom(ctx0, q)))
         })
       case ExpOp(op, os) => ExpOp(op, os.map(rewrite))
       case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(rewrite))
@@ -647,6 +658,61 @@ object Planner {
     * needs the decorrelation machinery, not the plan-time path. */
   private def isCorrelatedDeep(ctx: Ctx, q: Query): Boolean =
     ctx.scope.exists(o => queryChainRefs(ctx, q, Nil, o).nonEmpty)
+
+  /** Whether an EXISTS body can rewrite to a count: ungrouped bodies
+    * must not select aggregates (an ungrouped aggregate always yields
+    * one row — EXISTS would be constant-true, left to the native path);
+    * grouped bodies qualify without HAVING (groups exist ⟺ rows exist);
+    * LIMIT must be constant without OFFSET (n≠0 drops, 0 is empty). */
+  private def existsCountRewritable(ctx: Ctx, q: Select): Boolean = {
+    val groupOk = q.grouping match {
+      case None => q.columns.forall {
+        case SelColExp(ie, _) => !containsAggregate(ie)
+        case _ => true
+      }
+      case Some(g) => g.condition.isEmpty
+    }
+    val limitOk = q.limit match {
+      case None => true
+      case Some(Lim(l, None)) =>
+        scala.util.Try(
+          evalConstInt(ctx.bdb, bindParams(l, ctx.binds), ctx.binds)).isSuccess
+      case Some(Lim(_, Some(_))) => false
+    }
+    groupOk && limitOk
+  }
+
+  /** Whether an IN body can rewrite to counts: a single non-aggregate
+    * item, and — when grouped — no HAVING and the item syntactically one
+    * of the group keys (membership in grouped values ≡ raw values). */
+  private def inBodyCountRewritable(ctx: Ctx, q: Select): Boolean =
+    q.limit.isEmpty && (q.columns match {
+      case Seq(SelColExp(ie, _)) if !containsAggregate(ie) =>
+        q.grouping match {
+          case None => true
+          case Some(g) =>
+            g.condition.isEmpty && g.keys.exists(k => sameColExp(ctx, q, k, ie))
+        }
+      case _ => false
+    })
+
+  /** Same column reference modulo qualification: exact AST equality, or
+    * two ExpCols naming the same column where any unqualified side is
+    * uniquely owned by one FROM alias. */
+  private def sameColExp(ctx: Ctx, q: Select, a: Exp, b: Exp): Boolean =
+    a == b || ((a, b) match {
+      case (ExpCol(t1, n1), ExpCol(t2, n2)) if normRef(n1) == normRef(n2) =>
+        val sc = queryScope(ctx.bdb, q, ctx.binds)
+        def owner(t: Option[String]): Option[String] = t match {
+          case Some(tb) => Some(Names.casefold(tb))
+          case None => sc.tables.filter(_._2(normRef(n1))).keys.toSeq match {
+            case Seq(one) => Some(one)
+            case _ => None
+          }
+        }
+        owner(t1).isDefined && owner(t1) == owner(t2)
+      case _ => false
+    })
 
   private def scopeResolves(t: Option[String], n: String, sc: Scope): Boolean = t match {
     case None => sc.names(normRef(n))
@@ -892,7 +958,17 @@ object Planner {
     val tabs = s.tables.map { st =>
       val cols = st.table match {
         case Right(name) => bdb.table(name).columns.toSeq
-        case Left(sub) => plan(bdb, sub, binds).columns.toSeq
+        case Left(sub) =>
+          // a CORRELATED FROM-sub cannot be planned standalone (outer
+          // refs don't resolve) — derive its output columns structurally
+          // so correlation analysis (and the flattening rewrite) can
+          // still see the frame; uncorrelated subs keep the planned
+          // columns (exact, including computed names)
+          try plan(bdb, sub, binds).columns.toSeq
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              structuralColumns(bdb, sub, binds)
+          }
       }
       val alias = st.name.getOrElse(st.table match {
         case Right(n) => n
@@ -904,6 +980,26 @@ object Planner {
       tabs.map { case (a, cs) =>
         Names.casefold(a) -> cs.map(Names.casefold).toSet }.toMap)
   }
+
+  /** Output column names of a Select derived WITHOUT planning it (for
+    * correlated FROM-subqueries, which cannot plan standalone): explicit
+    * aliases, bare column names, star expansion via the sub's own frame;
+    * unnamed computed items get an unreferenceable placeholder. */
+  private def structuralColumns(bdb: BayesDB, q: Query, binds: Seq[Any]): Seq[String] =
+    q match {
+      case s: Select =>
+        lazy val sc = queryScope(bdb, s, binds)
+        s.columns.zipWithIndex.flatMap {
+          case (SelColExp(_, Some(nm)), _) => Seq(nm)
+          case (SelColExp(ExpCol(_, n), None), _) => Seq(n)
+          case (SelColExp(_, None), i) => Seq(s"__expr_$i")
+          case (SelColAll(None), _) => sc.tables.values.flatten.toSeq
+          case (SelColAll(Some(t)), _) =>
+            sc.tables.getOrElse(Names.casefold(t), Set.empty).toSeq
+          case _ => Nil
+        }
+      case _ => Nil
+    }
 
   /** Column references in `e` that do not resolve in `inner` but do in
     * `outer` — the correlation witnesses. Nested subqueries analyze
@@ -942,7 +1038,12 @@ object Planner {
   private def isCorrelated(ctx: Ctx, q: Query): Boolean = q match {
     case s: Select if ctx.scope.isDefined =>
       val inner = queryScope(ctx.bdb, s, ctx.binds)
-      selectExps(s).exists(e => freeColRefs(e, inner, ctx.scope.get).nonEmpty)
+      selectExps(s).exists(e => freeColRefs(e, inner, ctx.scope.get).nonEmpty) ||
+        // correlation carried entirely inside a FROM-subquery body
+        s.tables.exists(st => st.table match {
+          case Left(sub) => queryChainRefs(ctx, sub, Nil, ctx.scope.get).nonEmpty
+          case Right(_) => false
+        })
     case _ => false
   }
 
@@ -1000,14 +1101,89 @@ object Planner {
       "Correlated aggregate subquery shape not supported (divergence D3): " +
         "ungrouped single-aggregate forms decorrelate under any " +
         "correlation operators — depth-≥2 refs included, carried through " +
-        "the key tuple, with correlated EXISTS/IN masks rewritten to " +
-        "decorrelatable counts; still rejected: nested shapes that stay " +
-        "correlated after the pre-pass (grouped/limited EXISTS-IN " +
-        "bodies, unqualifiable LHS collisions), and grouped forms " +
-        "(including HAVING, even theta-correlated) without ORDER BY and " +
-        "a literal LIMIT — the row a grouped scalar takes is otherwise " +
-        "unspecified, in SQLite too")
+        "the key tuple, EXISTS/IN masks (grouped and literal-LIMIT " +
+        "bodies included) rewritten to decorrelatable counts, and " +
+        "correlated FROM-subqueries flattened; still rejected: " +
+        "HAVING under a masked EXISTS-IN body, unqualifiable LHS " +
+        "collisions, unflattenable FROM-sub shapes (DISTINCT/grouped/" +
+        "aggregate projections), and grouped forms (including HAVING, " +
+        "even theta-correlated) without ORDER BY and a literal LIMIT — " +
+        "the row a grouped scalar takes is otherwise unspecified, in " +
+        "SQLite too")
     planWithOuter(ctx, q).limit(1).scalar()
+  }
+
+  /** Existence-equivalent plain body for a CORRELATED EXISTS. A
+    * correlated body must stay standalone-analyzable under
+    * Column.outer(), which a grouped/limited plan is not (groupBy.agg
+    * forces eager analysis before the outer frame can resolve the
+    * refs) — but EXISTS only asks whether rows exist, so: GROUP BY
+    * without HAVING drops (groups exist ⟺ rows exist), ORDER BY drops,
+    * a constant LIMIT n≠0 drops, LIMIT 0 is provably empty, and an
+    * UNGROUPED aggregate select list is provably non-empty (a global
+    * aggregate yields exactly one row, WHERE notwithstanding — SQLite
+    * semantics). When anything strips, the select list becomes the
+    * constant 1 (EXISTS never reads it, and a stripped aggregate item
+    * would otherwise make the body one-row-always). Left(b) = the
+    * constant answer; Right(s) = the body to plan; None = no
+    * existence-preserving plain form (HAVING, OFFSET, non-constant
+    * LIMIT) — callers reject with the named divergence. */
+  private def existenceBody(ctx: Ctx, s: Select): Option[Either[Boolean, Select]] = {
+    if (s.grouping.exists(_.condition.isDefined)) return None
+    val limitEmpty: Option[Boolean] = s.limit match {
+      case None => Some(false)
+      case Some(Lim(l, None)) =>
+        scala.util.Try(
+          evalConstInt(ctx.bdb, bindParams(l, ctx.binds), ctx.binds))
+          .toOption.map(_ == 0)
+      case Some(Lim(_, Some(_))) => None
+    }
+    limitEmpty.map {
+      case true => Left(false)
+      case false =>
+        val aggItem = s.columns.exists {
+          case SelColExp(e, _) => containsAggregate(e)
+          case _ => false
+        }
+        if (s.grouping.isEmpty && aggItem) Left(true)
+        else if (s.grouping.isEmpty && s.order.isEmpty && s.limit.isEmpty) Right(s)
+        else Right(Select(SelQuantAll,
+          Seq(SelColExp(ExpLit(LitInt(1)), None)),
+          s.tables, s.condition, None, Nil, None))
+    }
+  }
+
+  /** Membership-equivalent plain body for a correlated IN: ORDER BY
+    * drops (membership is order-blind), GROUP BY without HAVING drops
+    * when the selected item IS one of the group keys (membership in the
+    * grouped values ≡ membership in the raw values, NULL group
+    * included), LIMIT 0 is the empty set (IN → FALSE, NOT IN → TRUE,
+    * never NULL). Left(()) = empty set; None = membership not
+    * preserved (HAVING, a row-capping LIMIT, grouped on other keys) —
+    * callers reject with the named divergence. */
+  private def membershipBody(ctx: Ctx, s: Select): Option[Either[Unit, Select]] = {
+    if (s.grouping.exists(_.condition.isDefined)) return None
+    val limitEmpty: Option[Boolean] = s.limit match {
+      case None => Some(false)
+      case Some(Lim(l, None)) =>
+        scala.util.Try(
+          evalConstInt(ctx.bdb, bindParams(l, ctx.binds), ctx.binds))
+          .toOption.filter(_ == 0).map(_ => true)
+      case Some(_) => None
+    }
+    limitEmpty.flatMap {
+      case true => Some(Left(()))
+      case false => s.grouping match {
+        case None => Some(Right(s.copy(order = Nil)))
+        case Some(g) => s.columns match {
+          case Seq(SelColExp(ie, _))
+              if !containsAggregate(ie) &&
+                g.keys.exists(k => sameColExp(ctx, s, k, ie)) =>
+            Some(Right(s.copy(grouping = None, order = Nil)))
+          case _ => None
+        }
+      }
+    }
   }
 
   /** Column references of an expression that resolve in `inner`
@@ -1566,7 +1742,15 @@ object Planner {
     q match {
       case s: Select =>
         val sc = queryScope(ctx.bdb, s, ctx.binds)
-        selectExps(s).flatMap(chainFreeRefs(ctx, _, sc +: chain, outer))
+        selectExps(s).flatMap(chainFreeRefs(ctx, _, sc +: chain, outer)) ++
+          // FROM-subquery bodies can carry outer refs too (SQLite resolves
+          // names by walking up enclosing SELECTs from ANY subquery
+          // position); their chain excludes this select's own frame — a
+          // FROM-term cannot see its siblings (no LATERAL in SQLite)
+          s.tables.flatMap(st => st.table match {
+            case Left(sub) => queryChainRefs(ctx, sub, chain, outer)
+            case Right(_) => Nil
+          })
       case _ => Nil
     }
 
@@ -1700,6 +1884,176 @@ object Planner {
           order = s.order.map(o => Ord(walkExp(o.expression, Nil), o.asc)))
       }
     case other => other
+  }
+
+  /** Flatten CORRELATED FROM-subqueries into their enclosing Select —
+    * the classic subquery-flattening rewrite, applied only when the
+    * FROM-term's body references an enclosing frame. SQLite resolves
+    * outer names from ANY subquery position, FROM-terms included
+    * (the reference inherits this, src/compiler.py:1795-1797), but this
+    * planner plans FROM-terms scope-less — so the correlated predicate
+    * must surface into the enclosing WHERE, where the decorrelators and
+    * outer-marking see it. Safe subset only: the sub must be a plain
+    * projection (SELECT-ALL quantifier, no grouping/limit/order, no
+    * aggregates, no nested queries), with FROM aliases disjoint from the
+    * enclosing frame's and every inner ref uniquely alias-qualifiable.
+    * Anything else returns the query unchanged → the named divergence. */
+  private def flattenCorrelatedFrom(ctx: Ctx, q: Query): Query = q match {
+    case s: Select if ctx.scope.isDefined =>
+      val outer = ctx.scope.get
+      s.tables.foldLeft(s) { (cur, st) =>
+        st.table match {
+          case Left(sub: Select)
+              if queryChainRefs(ctx, sub, Nil, outer).nonEmpty =>
+            flattenOneFrom(ctx, cur, st, sub).getOrElse(cur)
+          case _ => cur
+        }
+      }
+    case other => other
+  }
+
+  private def flattenOneFrom(ctx: Ctx, cur: Select, st: SelTab,
+      sub: Select): Option[Select] = {
+    object Bail extends scala.util.control.ControlThrowable
+    def seqOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+      if (xs.forall(_.isDefined)) Some(xs.flatten) else None
+    val plain = sub.quantifier == SelQuantAll && sub.grouping.isEmpty &&
+      sub.limit.isEmpty && sub.order.isEmpty &&
+      sub.condition.forall(c => !hasNestedQuery(c)) &&
+      sub.columns.forall {
+        case SelColExp(e, _) => !containsAggregate(e) && !hasNestedQuery(e)
+        case SelColAll(None) => true
+        case _ => false
+      }
+    if (!plain) return None
+    def aliasOf(t: SelTab): String = t.name.getOrElse(t.table match {
+      case Right(n) => n
+      case Left(_) => "__sub__"
+    })
+    val subAliasCf = Names.casefold(aliasOf(st))
+    val others = cur.tables.filterNot(_ eq st)
+    val otherAliases = others.map(t => Names.casefold(aliasOf(t))).toSet
+    val subTabAliases = sub.tables.map(t => Names.casefold(aliasOf(t)))
+    if (subTabAliases.exists(otherAliases) ||
+      subTabAliases.distinct.length != subTabAliases.length) return None
+    val subScope = queryScope(ctx.bdb, sub, ctx.binds)
+    val othersScope = queryScope(ctx.bdb, cur.copy(tables = others), ctx.binds)
+    def ownerAlias(n: String): Option[String] =
+      subScope.tables.filter(_._2(normRef(n))).keys.toSeq match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    // qualify the sub's OWN refs by their unique owner alias (they must
+    // keep resolving after the merge); refs that do not resolve in the
+    // sub's frame are the outer refs being surfaced — pass through
+    def qualifyInner(e: Exp): Option[Exp] = e match {
+      case ExpCol(None, n) =>
+        if (subScope.names(normRef(n))) ownerAlias(n).map(a => ExpCol(Some(a), n))
+        else Some(e)
+      case c: ExpCol => Some(c)
+      case ExpOp(op, os) => seqOpt(os.map(qualifyInner)).map(ExpOp(op, _))
+      case ExpApp(d, f, as_) => seqOpt(as_.map(qualifyInner)).map(ExpApp(d, f, _))
+      case ExpCase(k, ws, o) =>
+        for {
+          k2 <- k.map(qualifyInner).map(_.map(Some(_))).getOrElse(Some(None))
+          ws2 <- seqOpt(ws.map { case (a, b) =>
+            for (a2 <- qualifyInner(a); b2 <- qualifyInner(b)) yield (a2, b2) })
+          o2 <- o.map(qualifyInner).map(_.map(Some(_))).getOrElse(Some(None))
+        } yield ExpCase(k2, ws2, o2)
+      case ExpCast(x, t) => qualifyInner(x).map(ExpCast(_, t))
+      case ExpCollate(x, c) => qualifyInner(x).map(ExpCollate(_, c))
+      case ExpInExp(x, p, es) =>
+        for (x2 <- qualifyInner(x); es2 <- seqOpt(es.map(qualifyInner)))
+          yield ExpInExp(x2, p, es2)
+      case l: ExpLit => Some(l)
+      case p: ExpNumpar => Some(p)
+      case p: ExpNampar => Some(p)
+      case _ => None
+    }
+    // output name (casefold) → replacement expression on the merged frame
+    val mapping = scala.collection.mutable.LinkedHashMap.empty[String, Exp]
+    try sub.columns.foreach {
+      case SelColExp(e, nmOpt) =>
+        val nm = nmOpt.orElse(e match { case ExpCol(_, n) => Some(n); case _ => None })
+        nm.foreach { n =>
+          val key = Names.casefold(n)
+          if (!mapping.contains(key))
+            mapping(key) = qualifyInner(e).getOrElse(throw Bail)
+        }
+      case SelColAll(None) =>
+        subScope.tables.foreach { case (a, cols) =>
+          cols.foreach { c => if (!mapping.contains(c)) mapping(c) = ExpCol(Some(a), c) } }
+      case _ => throw Bail
+    } catch { case Bail => return None }
+    // does a nested query mention the flattened alias (qualified)?
+    def queryMentions(qq: Query): Boolean = qq match {
+      case ss: Select =>
+        (selectExps(ss) ++ ss.tables.flatMap(_.table.left.toSeq.flatMap {
+          case s2: Select => selectExps(s2); case _ => Nil
+        })).exists(mentions)
+      case _ => false
+    }
+    def mentions(e: Exp): Boolean = e match {
+      case ExpCol(Some(t), _) => Names.casefold(t) == subAliasCf
+      case ExpCol(None, _) => false
+      case ExpSub(qq) => queryMentions(qq)
+      case ExpExists(qq) => queryMentions(qq)
+      case ExpInQuery(x, _, qq) => mentions(x) || queryMentions(qq)
+      case ExpInExp(x, _, es) => (x +: es).exists(mentions)
+      case ExpOp(_, os) => os.exists(mentions)
+      case ExpApp(_, _, as_) => as_.exists(mentions)
+      case ExpCase(k, ws, o) =>
+        k.exists(mentions) || ws.exists(w => mentions(w._1) || mentions(w._2)) ||
+          o.exists(mentions)
+      case ExpCast(x, _) => mentions(x)
+      case ExpCollate(x, _) => mentions(x)
+      case _ => false
+    }
+    // rewrite the enclosing query's refs to the sub's outputs
+    def rw(e: Exp): Exp = e match {
+      case c @ ExpCol(t, n) => t match {
+        case Some(tb) if Names.casefold(tb) == subAliasCf =>
+          mapping.getOrElse(Names.casefold(n), throw Bail)
+        case Some(_) => c
+        case None =>
+          val cf = Names.casefold(n)
+          if (mapping.contains(cf) && !othersScope.names(normRef(n)))
+            mapping(cf)
+          else c
+      }
+      case nested @ (ExpSub(_) | ExpExists(_) | ExpInQuery(_, _, _)) =>
+        // nested bodies are not rewritten; bail if one names the alias
+        if (mentions(nested)) throw Bail else nested
+      case ExpOp(op, os) => ExpOp(op, os.map(rw))
+      case ExpApp(d, f, as_) => ExpApp(d, f, as_.map(rw))
+      case ExpCase(k, ws, o) => ExpCase(k.map(rw),
+        ws.map { case (a, b) => (rw(a), rw(b)) }, o.map(rw))
+      case ExpCast(x, t) => ExpCast(rw(x), t)
+      case ExpCollate(x, cl) => ExpCollate(rw(x), cl)
+      case ExpInExp(x, p, es) => ExpInExp(rw(x), p, es.map(rw))
+      case other => other
+    }
+    try {
+      val cols2 = cur.columns.map {
+        case SelColExp(e, nm) => SelColExp(rw(e), nm)
+        case SelColAll(Some(t)) if Names.casefold(t) == subAliasCf => throw Bail
+        case SelColAll(None) => throw Bail
+        case other => other
+      }
+      val cond2 = cur.condition.map(rw)
+      val subCond = sub.condition.map(c => qualifyInner(c).getOrElse(throw Bail))
+      val combined = (cond2, subCond) match {
+        case (Some(a), Some(b)) => Some(ExpOp(Op.BoolAnd, Seq(a, b)))
+        case (a, b) => a.orElse(b)
+      }
+      Some(cur.copy(
+        tables = cur.tables.flatMap(t => if (t eq st) sub.tables else Seq(t)),
+        columns = cols2,
+        condition = combined,
+        grouping = cur.grouping.map(g =>
+          Grouping(g.keys.map(rw), g.condition.map(rw))),
+        order = cur.order.map(o => Ord(rw(o.expression), o.asc))))
+    } catch { case Bail => None }
   }
 
   /** Normalize a correlated scalar subquery before decorrelation:
@@ -1903,9 +2257,34 @@ object Planner {
       if (isCorrelated(ctx, q)) correlatedScalar(ctx, q)
       else lit(scalarSubquery(ctx, q))
     case ExpExists(q) =>
-      if (isCorrelated(ctx, q)) planWithOuter(ctx, q).exists()
+      if (isCorrelated(ctx, q)) q match {
+        case s: Select => existenceBody(ctx, s) match {
+          case Some(Left(b)) => lit(b)
+          case Some(Right(s2)) => planWithOuter(ctx, s2).exists()
+          case None => throw new UnsupportedOperationException(
+            "Correlated EXISTS body with HAVING, OFFSET, or a " +
+              "non-constant LIMIT has no existence-equivalent plain " +
+              "form (divergence D3)")
+        }
+        case other => planWithOuter(ctx, other).exists()
+      }
       else lit(planSubquery(ctx, q).limit(1).count() > 0)
-    case ExpInQuery(x, positive, q) =>
+    case ExpInQuery(x, positive, q0) =>
+      // normalize a correlated body to its membership-equivalent plain
+      // form first; an empty-set body short-circuits to the constant
+      val norm: Either[Column, Query] = (q0, isCorrelated(ctx, q0)) match {
+        case (s: Select, true) => membershipBody(ctx, s) match {
+          case Some(Left(())) => Left(lit(!positive))
+          case Some(Right(s2)) => Right(s2)
+          case None => throw new UnsupportedOperationException(
+            "Correlated IN body with HAVING, a row-capping LIMIT, or " +
+              "grouping on non-selected keys does not preserve " +
+              "membership (divergence D3)")
+        }
+        case _ => Right(q0)
+      }
+      if (norm.isLeft) norm.left.toOption.get
+      else { val q = norm.toOption.get
       if (isCorrelated(ctx, q)) {
         // correlated IN: rewrite to EXISTS with a membership filter; the
         // NOT IN form uses the null-aware `v = x OR isnull(v = x)` shape
@@ -1944,7 +2323,7 @@ object Planner {
         val values = planSubquery(ctx, q).collect().map(_.get(0)).toSeq
         val in = compile(x, ctx).isin(values: _*)
         if (positive) in else !in
-      }
+      } }
     case ExpInExp(x, positive, es) =>
       val in =
         if (es.isEmpty) lit(false)

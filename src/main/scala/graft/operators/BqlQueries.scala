@@ -219,6 +219,44 @@ object BqlQueries {
       |FROM VARIABLES OF cpop
       |ORDER BY name""".stripMargin)
 
+  /** b33: the CORRELATION-only FROM VARIABLES surface, DuckDB-oracled —
+    * unlike b13 (which mixes `*`), the estimator here is pure frequentist
+    * Pearson r² with no model dependency, so the whole ESTIMATE ... FROM
+    * VARIABLES OF pipeline (variable enumeration, 1-col context binding,
+    * per-variable dispatch) sits behind the exact oracle. */
+  val b33VariablesCorrelation: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE name, round(CORRELATION WITH c_acctbal, 6) AS corr
+      |FROM VARIABLES OF cpop
+      |ORDER BY name""".stripMargin)
+
+  val b33Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'c_acctbal' AS name, 1.0 AS corr
+      |  UNION ALL
+      |  SELECT 'c_nationkey' AS name,
+      |         round(pow(corr(c_nationkey, c_acctbal), 2), 6) AS corr
+      |  FROM customer
+      |  WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+      |) ORDER BY name""".stripMargin
+
+  /** b34: CORRELATION const form inside a row-wise ESTIMATE ... FROM p
+    * (the b06 shape restricted to the SQL-expressible estimator). */
+  val b34EstimateCorrelation: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE c_custkey, c_acctbal,
+      |         round(CORRELATION OF c_acctbal WITH c_nationkey, 6) AS corr
+      |FROM cpop
+      |WHERE c_custkey <= 50
+      |ORDER BY c_custkey""".stripMargin)
+
+  val b34Sql: String =
+    """SELECT c_custkey, c_acctbal,
+      |       (SELECT round(pow(corr(c_acctbal, c_nationkey), 2), 6)
+      |        FROM customer
+      |        WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL) AS corr
+      |FROM customer
+      |WHERE c_custkey <= 50
+      |ORDER BY c_custkey""".stripMargin
+
   /** b14: CrossCat DEPENDENCE PROBABILITY — non-degenerate (unlike
     * nig_normal's constant 0) over lineitem's correlated columns. */
   val b14CrosscatDependence: Q = (spark, dir) => bdb(spark, dir).execute(
@@ -497,6 +535,78 @@ object BqlQueries {
       |                            WHERE l2.l_orderkey = o_orderkey)) AS n_above_avg
       |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin
 
+  /** b35: grouped/limited EXISTS-IN bodies in aggregate-bound mask
+    * positions (round-8 D3 narrowing) — the EXISTS body carries GROUP BY
+    * + ORDER BY + LIMIT (all existence-irrelevant: groups exist ⟺ rows
+    * exist, order/cap don't change emptiness), the IN body GROUP BY on
+    * its selected key (membership in grouped values ≡ raw values). Both
+    * rewrite to decorrelatable counts inside the theta machinery. */
+  val b35GroupedExistsIn: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT o_orderkey,
+      |  (SELECT count(*) FROM lineitem AS l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND EXISTS (SELECT p_brand FROM part AS p
+      |                 WHERE p.p_partkey = l.l_partkey
+      |                   AND p.p_retailprice > o_totalprice * 0.01
+      |                 GROUP BY p_brand
+      |                 ORDER BY p_brand
+      |                 LIMIT 3)) AS n_exists_grouped,
+      |  (SELECT count(*) FROM lineitem AS l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND l.l_partkey IN (SELECT p_partkey FROM part AS p
+      |                         WHERE p.p_size > o_custkey / 100.0
+      |                         GROUP BY p_partkey)) AS n_in_grouped
+      |FROM orders
+      |WHERE o_orderkey <= 300
+      |ORDER BY o_orderkey""".stripMargin)
+
+  val b35Sql: String =
+    """SELECT o_orderkey,
+      |  (SELECT count(*)::BIGINT FROM lineitem l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND EXISTS (SELECT p_brand FROM part p
+      |                 WHERE p.p_partkey = l.l_partkey
+      |                   AND p.p_retailprice > o_totalprice * 0.01
+      |                 GROUP BY p_brand
+      |                 ORDER BY p_brand
+      |                 LIMIT 3)) AS n_exists_grouped,
+      |  (SELECT count(*)::BIGINT FROM lineitem l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND l.l_partkey IN (SELECT p_partkey FROM part p
+      |                         WHERE p.p_size > o_custkey / 100.0
+      |                         GROUP BY p_partkey)) AS n_in_grouped
+      |FROM orders
+      |WHERE o_orderkey <= 300
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** b36: deep refs hidden inside FROM-subqueries (round-8 D3 closing) —
+    * SQLite resolves outer names from any subquery position, FROM-terms
+    * included; the planner flattens the correlated FROM-term into its
+    * enclosing scalar body, surfacing the predicate where the equality
+    * decorrelator sees it. The DuckDB oracle states the flattened
+    * equivalent (DuckDB rejects non-LATERAL correlated FROM-terms). */
+  val b36FromSubqueryDeep: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT o_orderkey,
+      |  round((SELECT avg(x) FROM (SELECT l_extendedprice * (1 - l_discount) AS x
+      |                             FROM lineitem
+      |                             WHERE l_orderkey = o_orderkey) AS t), 6) AS avg_net,
+      |  (SELECT count(*) FROM (SELECT l_linenumber AS ln FROM lineitem
+      |                         WHERE l_orderkey = o_orderkey) AS u
+      |   WHERE u.ln > 2) AS n_late_lines
+      |FROM orders
+      |WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin)
+
+  val b36Sql: String =
+    """SELECT o_orderkey,
+      |  round((SELECT avg(l_extendedprice * (1 - l_discount)) FROM lineitem
+      |         WHERE l_orderkey = o_orderkey), 6) AS avg_net,
+      |  (SELECT count(*)::BIGINT FROM lineitem
+      |   WHERE l_orderkey = o_orderkey AND l_linenumber > 2) AS n_late_lines
+      |FROM orders
+      |WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
   /** b29: the raw-SQL escape hatch through the driver gate — the same
     * text runs via `bdb.sqlExecute` (temp views over registered tables
     * → spark.sql) and via DuckDB directly. Integer-valued doubles keep
@@ -621,9 +731,17 @@ object BqlQueries {
     "b10_bql_regress" -> b10Regress,
     "b11_bql_similarity_pairwise" -> b11SimilarityPairwise,
     "b12_bql_predictive_relevance" -> b12PredictiveRelevance,
-    "b13_bql_variables" -> b13Variables)
+    "b13_bql_variables" -> b13Variables,
+    "b33_variables_correlation" -> b33VariablesCorrelation,
+    "b34_estimate_correlation" -> b34EstimateCorrelation,
+    "b35_grouped_exists_in" -> b35GroupedExistsIn,
+    "b36_from_subquery_deep" -> b36FromSubqueryDeep)
 
   val oracles: Map[String, String] = Map(
+    "b33_variables_correlation" -> b33Sql,
+    "b34_estimate_correlation" -> b34Sql,
+    "b35_grouped_exists_in" -> b35Sql,
+    "b36_from_subquery_deep" -> b36Sql,
     "b31_theta_having" -> b31Sql,
     "b32_deep_correlated" -> b32Sql,
     "b05_bql_guess_schema" -> StatsQueries.b05Sql,

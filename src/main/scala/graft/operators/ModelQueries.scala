@@ -120,6 +120,30 @@ object ModelQueries {
       .orderBy("c_custkey")
   }
 
+  /** m08: PROBABILITY DENSITY under nig_normal via the CLOSED-FORM
+    * posterior predictive (Student-t, reference nig_normal.py:133-140) at
+    * fixed probe values — the first model-estimator key behind the DuckDB
+    * oracle. What it pins exactly: the distributed suff-stats aggregation
+    * (createGenerator), the posterior-hyper algebra, and the Student-t
+    * evaluation (lgamma from SpecialMath) — i.e. everything in the
+    * backend except the RNG draw itself, which no SQL engine can mirror. */
+  val m08PosteriorPredictive: Q = (spark, dir) => {
+    import spark.implicits._
+    val pm = customerModel(spark, dir)
+    val st = pm.generators.head.state
+      .asInstanceOf[graft.backends.NigNormalBackend.State]
+    val probes: Seq[(String, Int, Double)] =
+      Seq(-999.99, 0.0, 1234.56, 4500.0, 9999.99).map(("c_acctbal", 0, _)) ++
+        Seq(0.0, 5.0, 12.0, 24.0).map(("c_nationkey", 1, _))
+    val rows = probes.map { case (name, colno, x) =>
+      val lp = graft.backends.NigNormalBackend.posteriorPredictiveLogpdf(
+        st.hypers, st.cols(colno), x)
+      (name, x,
+        BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("colname", "x", "log_pp").orderBy("colname", "x")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_predictive_probability" -> m01PredictiveProbability,
     "m02_simulate" -> m02Simulate,
@@ -127,8 +151,51 @@ object ModelQueries {
     "m04_probability_density" -> m04ProbabilityDensity,
     "m05_dependence_pairwise" -> m05DependencePairwise,
     "m06_mutual_information" -> m06MutualInformation,
-    "m07_predict_explicit" -> m07PredictExplicit)
+    "m07_predict_explicit" -> m07PredictExplicit,
+    "m08_posterior_predictive" -> m08PosteriorPredictive)
 
-  /** Model estimators have no SQL oracle — rows-only checks. */
-  val oracles: Map[String, String] = Map.empty
+  /** Ensemble estimators (m01-m07) have no SQL oracle — RNG draws are not
+    * SQL-reproducible → rows-only checks. m08 evaluates the closed-form
+    * NIG posterior predictive, which DuckDB computes independently from
+    * the same parquet (suff stats in SQL, hypers (0,1,1,1) inlined:
+    * vn = 1/(1+n), mn = s/(1+n), an = 1+n/2, bn = 1 + (ss - s²/(1+n))/2;
+    * Student-t logpdf via DuckDB's own lgamma). */
+  val oracles: Map[String, String] = Map(
+    "m08_posterior_predictive" ->
+      """WITH stats AS (
+        |  SELECT 'c_acctbal' AS colname,
+        |         count(c_acctbal)::DOUBLE AS n,
+        |         sum(c_acctbal)::DOUBLE AS s,
+        |         sum(c_acctbal*c_acctbal)::DOUBLE AS ss
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_nationkey',
+        |         count(c_nationkey)::DOUBLE,
+        |         sum(c_nationkey)::DOUBLE,
+        |         sum(c_nationkey*c_nationkey)::DOUBLE
+        |  FROM customer WHERE c_nationkey IS NOT NULL),
+        |probes(colname, x) AS (VALUES
+        |  ('c_acctbal', -999.99), ('c_acctbal', 0.0),
+        |  ('c_acctbal', 1234.56), ('c_acctbal', 4500.0),
+        |  ('c_acctbal', 9999.99),
+        |  ('c_nationkey', 0.0), ('c_nationkey', 5.0),
+        |  ('c_nationkey', 12.0), ('c_nationkey', 24.0)),
+        |post AS (
+        |  SELECT colname,
+        |         1.0/(1.0 + n) AS vn,
+        |         s/(1.0 + n) AS mn,
+        |         1.0 + n/2.0 AS an,
+        |         1.0 + 0.5*(ss - s*s/(1.0 + n)) AS bn
+        |  FROM stats),
+        |t AS (
+        |  SELECT p.colname, CAST(p.x AS DOUBLE) AS x,
+        |         2.0*an AS df, mn, sqrt(bn*(1.0+vn)/an) AS sc
+        |  FROM probes p JOIN post USING (colname))
+        |SELECT colname, x,
+        |  round(lgamma((df+1.0)/2.0) - lgamma(df/2.0)
+        |        - 0.5*ln(df*pi()) - ln(sc)
+        |        - ((df+1.0)/2.0)*ln(1.0 + ((x-mn)/sc)*((x-mn)/sc)/df), 6)
+        |    AS log_pp
+        |FROM t
+        |ORDER BY colname, x""".stripMargin)
 }

@@ -341,4 +341,65 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
     assert(rows("select dname from dept where dk in (select edk from emp) order by dname") ==
       Seq(Seq("eng"), Seq("ops")))
   }
+
+  test("correlated FROM-subquery flattens into the scalar body (round 8)") {
+    // outer ref hidden inside the FROM-term; flattening surfaces edk = dk
+    // into the scalar's WHERE where the equality decorrelator takes it
+    assert(rows("select dname, (select count(*) from" +
+      " (select sal as s from emp where edk = dk) as t where t.s > 95)" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 1L)))
+    // computed+renamed projection: refs to the alias map to the defining
+    // expression on the merged frame
+    assert(rows("select dname, (select max(x) from" +
+      " (select sal * 2 as x from emp where edk = dk) as t)" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", null), Seq("eng", 300.0), Seq("ops", 240.0)))
+  }
+
+  test("grouped/limited EXISTS body in an aggregate-bound mask (round 8)") {
+    // the EXISTS body carries GROUP BY + LIMIT: groups exist iff rows
+    // exist, the cap never changes emptiness — rewritten to a count
+    assert(rows("select dname, (select count(*) from emp as m where m.edk = dk" +
+      " and exists (select ename from emp as e2 where e2.edk = dk" +
+      " and e2.sal > m.sal group by ename limit 2)) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 1L), Seq("ops", 2L)))
+    // LIMIT 0 is provably empty: EXISTS is constant FALSE
+    assert(rows("select dname, (select count(*) from emp as m where m.edk = dk" +
+      " and exists (select 1 from emp as e2 where e2.edk = dk limit 0))" +
+      " from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 0L), Seq("ops", 0L)))
+  }
+
+  test("grouped IN body on its own group key in a mask (round 8)") {
+    // membership in the grouped values of sal ≡ membership in raw sal
+    assert(rows("select dname, (select count(*) from emp as m where m.edk = dk" +
+      " and m.sal in (select sal from emp as e2 where e2.edk = dk" +
+      " and e2.sal > 95 group by sal)) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 1L)))
+  }
+
+  test("still-rejected D3 residuals keep the named error (round 8)") {
+    // HAVING under a masked EXISTS body
+    val e1 = intercept[UnsupportedOperationException] {
+      rows("select dname, (select count(*) from emp where edk = dk" +
+        " and exists (select ename from emp as e2 where e2.edk = dk" +
+        " group by ename having count(*) > 1)) from dept")
+    }
+    assert(e1.getMessage.contains("divergence D3"))
+    // DISTINCT FROM-subquery cannot flatten (row multiplicity changes)
+    val e2 = intercept[UnsupportedOperationException] {
+      rows("select dname, (select count(*) from" +
+        " (select distinct sal from emp where edk = dk) as t) from dept")
+    }
+    assert(e2.getMessage.contains("divergence D3"))
+    // grouped IN whose selected item is NOT a group key: the picked row
+    // per group is unspecified (SQLite bare-column semantics)
+    val e3 = intercept[UnsupportedOperationException] {
+      rows("select dname, (select count(*) from emp where edk = dk" +
+        " and sal in (select sal from emp as e2 where e2.edk = dk" +
+        " group by ename)) from dept")
+    }
+    assert(e3.getMessage.contains("divergence D3"))
+  }
 }
