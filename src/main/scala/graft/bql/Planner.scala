@@ -529,6 +529,18 @@ object Planner {
               q.tables, q.condition, None, Nil, None)),
             ExpLit(LitInt(0)))))
         })
+      case ex @ ExpExists(q: Select)
+          if ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) &&
+            q.grouping.exists(_.condition.isDefined) =>
+        // EXISTS over GROUP BY + HAVING: no plain existence-equivalent
+        // body exists, but the scalar form (SELECT 1 ... ORDER BY 1
+        // LIMIT 1) IS NOT NULL decorrelates through the grouped theta
+        // machinery — re-enter rewrite so the ExpSub case picks it up
+        subCache.getOrElseUpdate(ex,
+          existsHavingScalar(ctx0, q) match {
+            case Some(scalarForm) => rewrite(scalarForm)
+            case None => ex
+          })
       case inq @ ExpInQuery(x, positive, q: Select)
           if aggSafe && ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) &&
             !hasNestedQuery(x) && inBodyCountRewritable(ctx0, q) =>
@@ -963,10 +975,15 @@ object Planner {
           // refs don't resolve) — derive its output columns structurally
           // so correlation analysis (and the flattening rewrite) can
           // still see the frame; uncorrelated subs keep the planned
-          // columns (exact, including computed names)
+          // columns (exact, including computed names). Only the
+          // unresolved-column condition falls back — a missing table or
+          // any other genuine error must surface, not be misread as
+          // correlation
           try plan(bdb, sub, binds).columns.toSeq
           catch {
-            case _: org.apache.spark.sql.AnalysisException =>
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition)
+                  .exists(_.startsWith("UNRESOLVED_COLUMN")) =>
               structuralColumns(bdb, sub, binds)
           }
       }
@@ -1101,15 +1118,15 @@ object Planner {
       "Correlated aggregate subquery shape not supported (divergence D3): " +
         "ungrouped single-aggregate forms decorrelate under any " +
         "correlation operators — depth-≥2 refs included, carried through " +
-        "the key tuple, EXISTS/IN masks (grouped and literal-LIMIT " +
-        "bodies included) rewritten to decorrelatable counts, and " +
-        "correlated FROM-subqueries flattened; still rejected: " +
-        "HAVING under a masked EXISTS-IN body, unqualifiable LHS " +
-        "collisions, unflattenable FROM-sub shapes (DISTINCT/grouped/" +
-        "aggregate projections), and grouped forms (including HAVING, " +
-        "even theta-correlated) without ORDER BY and a literal LIMIT — " +
-        "the row a grouped scalar takes is otherwise unspecified, in " +
-        "SQLite too")
+        "the key tuple, EXISTS/IN masks (grouped, literal-LIMIT, and " +
+        "EXISTS-HAVING bodies included) rewritten to decorrelatable " +
+        "counts or grouped scalars, and correlated FROM-subqueries " +
+        "flattened; still rejected: HAVING under a correlated IN body, " +
+        "unqualifiable LHS collisions, unflattenable FROM-sub shapes " +
+        "(DISTINCT/grouped/aggregate projections), and grouped forms " +
+        "(including HAVING, even theta-correlated) without ORDER BY and " +
+        "a literal LIMIT — the row a grouped scalar takes is otherwise " +
+        "unspecified, in SQLite too")
     planWithOuter(ctx, q).limit(1).scalar()
   }
 
@@ -1151,6 +1168,34 @@ object Planner {
           Seq(SelColExp(ExpLit(LitInt(1)), None)),
           s.tables, s.condition, None, Nil, None))
     }
+  }
+
+  /** A correlated EXISTS body whose GROUP BY carries HAVING has no
+    * plain existence-equivalent body — but it has a SCALAR one: a group
+    * passing HAVING exists iff
+    *   (SELECT 1 FROM body GROUP BY g HAVING P ORDER BY 1 LIMIT 1)
+    * yields a row (IS NOT NULL — the constant item is never NULL), and
+    * grouped ordered-limited correlated scalars decorrelate through the
+    * theta-grouped machinery (key tuples → θ-join → group → HAVING
+    * column → window rank). The body's own ORDER BY and a constant
+    * nonzero LIMIT drop first (existence-irrelevant; LIMIT 0 handled by
+    * [[existenceBody]] before this is consulted); a non-constant LIMIT
+    * or OFFSET keeps the named rejection. */
+  private def existsHavingScalar(ctx: Ctx, s: Select): Option[Exp] = {
+    val limitOk = s.limit match {
+      case None => true
+      case Some(Lim(l, None)) =>
+        scala.util.Try(
+          evalConstInt(ctx.bdb, bindParams(l, ctx.binds), ctx.binds))
+          .toOption.exists(_ != 0)
+      case Some(Lim(_, Some(_))) => false
+    }
+    if (!s.grouping.exists(_.condition.isDefined) || !limitOk) None
+    else Some(ExpOp(Op.NotNull, Seq(ExpSub(Select(SelQuantAll,
+      Seq(SelColExp(ExpLit(LitInt(1)), None)),
+      s.tables, s.condition, s.grouping,
+      Seq(Ord(ExpLit(LitInt(1)), asc = true)),
+      Some(Lim(ExpLit(LitInt(1)), None)))))))
   }
 
   /** Membership-equivalent plain body for a correlated IN: ORDER BY
@@ -2261,10 +2306,12 @@ object Planner {
         case s: Select => existenceBody(ctx, s) match {
           case Some(Left(b)) => lit(b)
           case Some(Right(s2)) => planWithOuter(ctx, s2).exists()
-          case None => throw new UnsupportedOperationException(
-            "Correlated EXISTS body with HAVING, OFFSET, or a " +
-              "non-constant LIMIT has no existence-equivalent plain " +
-              "form (divergence D3)")
+          case None => existsHavingScalar(ctx, s) match {
+            case Some(scalarForm) => compile(scalarForm, ctx)
+            case None => throw new UnsupportedOperationException(
+              "Correlated EXISTS body with OFFSET or a non-constant " +
+                "LIMIT has no existence-equivalent form (divergence D3)")
+          }
         }
         case other => planWithOuter(ctx, other).exists()
       }

@@ -607,6 +607,45 @@ object BqlQueries {
       |WHERE o_orderkey <= 500
       |ORDER BY o_orderkey""".stripMargin
 
+  /** b37: EXISTS over GROUP BY + HAVING in correlated positions
+    * (round-8 D3 closing) — no plain existence-equivalent body exists,
+    * so the planner rewrites to the b31 grouped-scalar form
+    * ((SELECT 1 ... ORDER BY 1 LIMIT 1) IS NOT NULL) and the grouped
+    * theta decorrelator takes it. Exercised in both the plain filter
+    * position and the aggregate-bound mask position, with the HAVING
+    * predicate correlated to the mid frame. */
+  val b37ExistsHaving: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT o_orderkey,
+      |  (SELECT count(*) FROM lineitem AS l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND EXISTS (SELECT 1 FROM part AS p
+      |                 WHERE p.p_partkey = l.l_partkey
+      |                 GROUP BY p.p_brand
+      |                 HAVING max(p.p_retailprice) > l.l_extendedprice / 20)) AS n_hv
+      |FROM orders
+      |WHERE o_orderkey <= 300
+      |  AND EXISTS (SELECT 1 FROM lineitem AS l2
+      |              WHERE l2.l_orderkey = o_orderkey
+      |              GROUP BY l2.l_returnflag
+      |              HAVING sum(l2.l_quantity) > 60)
+      |ORDER BY o_orderkey""".stripMargin)
+
+  val b37Sql: String =
+    """SELECT o_orderkey,
+      |  (SELECT count(*)::BIGINT FROM lineitem l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND EXISTS (SELECT 1 FROM part p
+      |                 WHERE p.p_partkey = l.l_partkey
+      |                 GROUP BY p.p_brand
+      |                 HAVING max(p.p_retailprice) > l.l_extendedprice / 20)) AS n_hv
+      |FROM orders
+      |WHERE o_orderkey <= 300
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = o_orderkey
+      |              GROUP BY l2.l_returnflag
+      |              HAVING sum(l2.l_quantity) > 60)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** b29: the raw-SQL escape hatch through the driver gate — the same
     * text runs via `bdb.sqlExecute` (temp views over registered tables
     * → spark.sql) and via DuckDB directly. Integer-valued doubles keep
@@ -735,9 +774,11 @@ object BqlQueries {
     "b33_variables_correlation" -> b33VariablesCorrelation,
     "b34_estimate_correlation" -> b34EstimateCorrelation,
     "b35_grouped_exists_in" -> b35GroupedExistsIn,
-    "b36_from_subquery_deep" -> b36FromSubqueryDeep)
+    "b36_from_subquery_deep" -> b36FromSubqueryDeep,
+    "b37_exists_having" -> b37ExistsHaving)
 
   val oracles: Map[String, String] = Map(
+    "b37_exists_having" -> b37Sql,
     "b33_variables_correlation" -> b33Sql,
     "b34_estimate_correlation" -> b34Sql,
     "b35_grouped_exists_in" -> b35Sql,

@@ -379,14 +379,31 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 1L)))
   }
 
+  test("grouped EXISTS with HAVING rewrites to the b31 scalar (round 8)") {
+    // filter position: a (sal > 100) group of size ≥ 2 exists only in ops
+    assert(rows("select dname from dept where exists (" +
+      "select 1 from emp where edk = dk group by sal > 100" +
+      " having count(*) >= 2) order by dname") ==
+      Seq(Seq("ops")))
+    // aggregate-bound mask, HAVING on the mid frame only
+    assert(rows("select dname, (select count(*) from emp as m where m.edk = dk" +
+      " and exists (select 1 from emp as e2 where e2.edk = dk and e2.sal >= m.sal" +
+      " group by e2.ename having max(e2.sal) > 100)) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 2L), Seq("ops", 3L)))
+    // HAVING itself carries the correlation (theta against the mid frame)
+    assert(rows("select dname, (select count(*) from emp as m where m.edk = dk" +
+      " and exists (select 1 from emp as e2 where e2.edk = dk" +
+      " group by e2.ename having max(e2.sal) > m.sal)) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 1L), Seq("ops", 2L)))
+    // degenerate: every ename group has one row — HAVING count(*) > 1
+    // is constant-false, EXISTS too
+    assert(rows("select dname, (select count(*) from emp where edk = dk" +
+      " and exists (select ename from emp as e2 where e2.edk = dk" +
+      " group by ename having count(*) > 1)) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 0L), Seq("ops", 0L)))
+  }
+
   test("still-rejected D3 residuals keep the named error (round 8)") {
-    // HAVING under a masked EXISTS body
-    val e1 = intercept[UnsupportedOperationException] {
-      rows("select dname, (select count(*) from emp where edk = dk" +
-        " and exists (select ename from emp as e2 where e2.edk = dk" +
-        " group by ename having count(*) > 1)) from dept")
-    }
-    assert(e1.getMessage.contains("divergence D3"))
     // DISTINCT FROM-subquery cannot flatten (row multiplicity changes)
     val e2 = intercept[UnsupportedOperationException] {
       rows("select dname, (select count(*) from" +
