@@ -577,6 +577,47 @@ object Planner {
               rewrite(if (positive) threeValued
                 else ExpOp(Op.BoolNot, Seq(threeValued)))
           })
+      case inq @ ExpInQuery(x, positive, q: Select)
+          if ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q) &&
+            !hasNestedQuery(x) && q.limit.isEmpty &&
+            q.grouping.exists(_.condition.isDefined) &&
+            (q.columns match {
+              case Seq(SelColExp(ie, _)) =>
+                !containsAggregate(ie) &&
+                  q.grouping.get.keys.exists(k => sameColExp(ctx0, q, k, ie))
+              case _ => false
+            }) =>
+        // membership in HAVING-filtered group keys: the same
+        // three-valued CASE as the count rewrite above, but each branch
+        // probes an EXISTS-HAVING body (the comparison rides the HAVING
+        // conjunction — ie IS a group key, so it is legal there), which
+        // the EXISTS-HAVING case below turns into the b31 grouped
+        // scalar. TRUE on a passing group whose key matches; NULL when
+        // no match but some comparison is NULL (x NULL with any passing
+        // group, or a passing NULL-key group); FALSE otherwise.
+        subCache.getOrElseUpdate(inq,
+          embedSafe(x, queryScope(ctx0.bdb, q, ctx0.binds)) match {
+            case None => inq
+            case Some(x2) =>
+              val ie = q.columns.head.asInstanceOf[SelColExp].expression
+              val g = q.grouping.get
+              def hv(extra: Exp): Exp = ExpExists(Select(SelQuantAll,
+                Seq(SelColExp(ExpLit(LitInt(1)), None)),
+                q.tables, q.condition,
+                Some(Grouping(g.keys,
+                  Some(g.condition.fold(extra)(p =>
+                    ExpOp(Op.BoolAnd, Seq(p, extra)))))),
+                Nil, None))
+              val eq = ExpOp(Op.Eq, Seq(ie, x2))
+              val threeValued = ExpOp(Op.Eq, Seq(
+                ExpCase(None, Seq(
+                  (hv(eq), ExpLit(LitInt(1))),
+                  (hv(ExpOp(Op.IsNull, Seq(eq))), ExpLit(LitNull))),
+                  Some(ExpLit(LitInt(0)))),
+                ExpLit(LitInt(1))))
+              rewrite(if (positive) threeValued
+                else ExpOp(Op.BoolNot, Seq(threeValued)))
+          })
       case sub @ ExpSub(q0) if ctx0.scope.isDefined && isCorrelatedDeep(ctx0, q0) =>
         subCache.getOrElseUpdate(sub, {
           // correlated FROM-subqueries flatten first, surfacing their
@@ -1119,9 +1160,9 @@ object Planner {
         "ungrouped single-aggregate forms decorrelate under any " +
         "correlation operators — depth-≥2 refs included, carried through " +
         "the key tuple, EXISTS/IN masks (grouped, literal-LIMIT, and " +
-        "EXISTS-HAVING bodies included) rewritten to decorrelatable " +
-        "counts or grouped scalars, and correlated FROM-subqueries " +
-        "flattened; still rejected: HAVING under a correlated IN body, " +
+        "HAVING bodies included) rewritten to decorrelatable counts, " +
+        "grouped scalars, or three-valued EXISTS-HAVING compositions, " +
+        "and correlated FROM-subqueries flattened; still rejected: " +
         "unqualifiable LHS collisions, unflattenable FROM-sub shapes " +
         "(DISTINCT/grouped/aggregate projections), and grouped forms " +
         "(including HAVING, even theta-correlated) without ORDER BY and " +

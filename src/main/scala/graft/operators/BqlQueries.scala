@@ -646,6 +646,47 @@ object BqlQueries {
       |              HAVING sum(l2.l_quantity) > 60)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** b38: IN over HAVING-filtered group keys in an aggregate-bound mask
+    * (round-8 D3 closing): membership composes three-valued from
+    * EXISTS-HAVING probes (TRUE on a passing matching group / NULL on
+    * NULL comparisons / FALSE otherwise), each probe riding the b37
+    * grouped-scalar decorrelation. */
+  val b38InHaving: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SELECT o_orderkey,
+      |  (SELECT count(*) FROM lineitem AS l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND l.l_suppkey IN (SELECT l2.l_suppkey FROM lineitem AS l2
+      |                         WHERE l2.l_orderkey = o_orderkey
+      |                         GROUP BY l2.l_suppkey
+      |                         HAVING sum(l2.l_quantity) > 25)) AS n_in_hv,
+      |  (SELECT count(*) FROM lineitem AS l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND l.l_partkey NOT IN (SELECT l2.l_partkey FROM lineitem AS l2
+      |                             WHERE l2.l_orderkey = o_orderkey
+      |                             GROUP BY l2.l_partkey
+      |                             HAVING avg(l2.l_discount) > 0.05)) AS n_notin_hv
+      |FROM orders
+      |WHERE o_orderkey <= 300
+      |ORDER BY o_orderkey""".stripMargin)
+
+  val b38Sql: String =
+    """SELECT o_orderkey,
+      |  (SELECT count(*)::BIGINT FROM lineitem l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND l.l_suppkey IN (SELECT l2.l_suppkey FROM lineitem l2
+      |                         WHERE l2.l_orderkey = o_orderkey
+      |                         GROUP BY l2.l_suppkey
+      |                         HAVING sum(l2.l_quantity) > 25)) AS n_in_hv,
+      |  (SELECT count(*)::BIGINT FROM lineitem l
+      |   WHERE l.l_orderkey = o_orderkey
+      |     AND l.l_partkey NOT IN (SELECT l2.l_partkey FROM lineitem l2
+      |                             WHERE l2.l_orderkey = o_orderkey
+      |                             GROUP BY l2.l_partkey
+      |                             HAVING avg(l2.l_discount) > 0.05)) AS n_notin_hv
+      |FROM orders
+      |WHERE o_orderkey <= 300
+      |ORDER BY o_orderkey""".stripMargin
+
   /** b29: the raw-SQL escape hatch through the driver gate — the same
     * text runs via `bdb.sqlExecute` (temp views over registered tables
     * → spark.sql) and via DuckDB directly. Integer-valued doubles keep
@@ -775,10 +816,12 @@ object BqlQueries {
     "b34_estimate_correlation" -> b34EstimateCorrelation,
     "b35_grouped_exists_in" -> b35GroupedExistsIn,
     "b36_from_subquery_deep" -> b36FromSubqueryDeep,
-    "b37_exists_having" -> b37ExistsHaving)
+    "b37_exists_having" -> b37ExistsHaving,
+    "b38_in_having" -> b38InHaving)
 
   val oracles: Map[String, String] = Map(
     "b37_exists_having" -> b37Sql,
+    "b38_in_having" -> b38Sql,
     "b33_variables_correlation" -> b33Sql,
     "b34_estimate_correlation" -> b34Sql,
     "b35_grouped_exists_in" -> b35Sql,

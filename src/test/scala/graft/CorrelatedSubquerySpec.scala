@@ -403,6 +403,25 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("empty", 0L), Seq("eng", 0L), Seq("ops", 0L)))
   }
 
+  test("grouped IN with HAVING composes EXISTS-HAVING probes (round 8)") {
+    // membership in HAVING-filtered group keys: sals below 130 per dept
+    assert(rows("select dname, (select count(*) from emp as m where m.edk = dk" +
+      " and m.sal in (select e2.sal from emp as e2 where e2.edk = dk" +
+      " group by e2.sal having max(e2.sal) < 130)) from dept order by dname") ==
+      Seq(Seq("empty", 0L), Seq("eng", 1L), Seq("ops", 3L)))
+    // NOT IN keeps three-valued semantics: a NULL LHS against a
+    // nonempty HAVING-passing set is NULL, masking the row out
+    assert(rows("select dname, (select count(*) from bonus as b" +
+      " where b.amt not in (select e2.sal from emp as e2 where e2.edk = dk" +
+      " group by e2.sal having max(e2.sal) < 130)) from dept order by dname") ==
+      Seq(Seq("empty", 2L), Seq("eng", 1L), Seq("ops", 1L)))
+    // plain filter position
+    assert(rows("select dname from dept where 100.0 in" +
+      " (select sal from emp where edk = dk group by sal" +
+      " having count(*) >= 1) order by dname") ==
+      Seq(Seq("eng")))
+  }
+
   test("still-rejected D3 residuals keep the named error (round 8)") {
     // DISTINCT FROM-subquery cannot flatten (row multiplicity changes)
     val e2 = intercept[UnsupportedOperationException] {
