@@ -388,7 +388,211 @@ object PipelineQueries {
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+
+  /** p11 oracle: the winnowing kernel (rolling Rabin-Karp k=8-gram
+    * hashes with Java 64-bit wraparound, splitmix64 finalizer, window-16
+    * signed minima, XOR combine) reproduced bit-exactly in DuckDB —
+    * UBIGINT carries the unsigned state (xor/shift), the two wrapping
+    * multiplies split into 32-bit limbs in HUGEINT mod 2^64, signed
+    * minima order by xor with the top bit, and the final value converts
+    * back to two's-complement BIGINT. Documents are ASCII, so DuckDB
+    * codepoints coincide with the JVM's UTF-16 units. Stage-per-CTE
+    * keeps every intermediate reference linear. */
+  val p11Sql: String =
+    """|WITH d AS (
+      |  SELECT doc_id, lower(text) AS s, length(text) AS L FROM documents),
+      |pos AS (
+      |  SELECT doc_id, s, CAST(unnest(range(0, L - 7)) AS BIGINT) AS rid FROM d),
+      |h0 AS (
+      |  SELECT doc_id, rid, CAST((CAST(ascii(substr(s, rid+1, 1)) AS HUGEINT) * 74051159531521793 + CAST(ascii(substr(s, rid+2, 1)) AS HUGEINT) * 288136807515649 + CAST(ascii(substr(s, rid+3, 1)) AS HUGEINT) * 1121154893057 + CAST(ascii(substr(s, rid+4, 1)) AS HUGEINT) * 4362470401 + CAST(ascii(substr(s, rid+5, 1)) AS HUGEINT) * 16974593 + CAST(ascii(substr(s, rid+6, 1)) AS HUGEINT) * 66049 + CAST(ascii(substr(s, rid+7, 1)) AS HUGEINT) * 257 + CAST(ascii(substr(s, rid+8, 1)) AS HUGEINT) * 1) % 18446744073709551616 AS UBIGINT) AS z
+      |  FROM pos),
+      |g1 AS (SELECT doc_id, rid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM h0),
+      |g2 AS (SELECT doc_id, rid, xor(z, z >> 30) AS z FROM g1),
+      |g3 AS (SELECT doc_id, rid, CAST(((CAST(z & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST(z >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM g2),
+      |g4 AS (SELECT doc_id, rid, xor(z, z >> 27) AS z FROM g3),
+      |g5 AS (SELECT doc_id, rid, CAST(((CAST(z & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST(z >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM g4),
+      |g6 AS (SELECT doc_id, rid, xor(z, z >> 31) AS z FROM g5),
+      |win AS (
+      |  SELECT doc_id, rid // 16 AS wid,
+      |         min_by(z, xor(z, CAST(9223372036854775808 AS UBIGINT))) AS zmin
+      |  FROM g6 GROUP BY doc_id, rid // 16),
+      |w0 AS (
+      |  SELECT doc_id, wid AS rid,
+      |         CAST((CAST(zmin AS HUGEINT) + wid * 16) % 18446744073709551616 AS UBIGINT) AS z
+      |  FROM win),
+      |w1 AS (SELECT doc_id, rid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM w0),
+      |w2 AS (SELECT doc_id, rid, xor(z, z >> 30) AS z FROM w1),
+      |w3 AS (SELECT doc_id, rid, CAST(((CAST(z & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST(z >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM w2),
+      |w4 AS (SELECT doc_id, rid, xor(z, z >> 27) AS z FROM w3),
+      |w5 AS (SELECT doc_id, rid, CAST(((CAST(z & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST(z >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM w4),
+      |w6 AS (SELECT doc_id, rid, xor(z, z >> 31) AS z FROM w5),
+      |fp AS (SELECT doc_id, bit_xor(z) AS u FROM w6 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN fp.u IS NULL THEN NULL
+      |       WHEN fp.u >= 9223372036854775808 THEN CAST(CAST(fp.u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+      |       ELSE CAST(fp.u AS BIGINT) END AS fingerprint
+      |FROM d LEFT JOIN fp USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+
+  /** p03 oracle: the SimHash kernel (FNV-1a 64 over token bytes +
+    * splitmix64 finalizer, seed-xor, second finalizer, 64 bit-votes,
+    * sign) reproduced bit-exactly in DuckDB — list_reduce folds the
+    * FNV state per token with the wrapping multiply split into 32-bit
+    * limbs in HUGEINT mod 2^64, the finalizer runs as stage-per-CTE over
+    * exploded token rows, bit votes explode 64 rows per token, and the
+    * Hamming-<=6 pair set brute-forces over the 500-doc self-join
+    * (recall 1.0 = the pigeonhole bucketing's own guarantee; the 4096
+    * bucket cap never binds at this scale). Documents are ASCII with
+    * space-only whitespace, so regexp \s+ and JVM split agree. */
+  val p03Sql: String =
+    """|WITH d AS (
+      |  SELECT doc_id, lower(trim(text)) AS s FROM documents),
+      |tk AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(s, '\s+'), x -> x <> '') AS toks
+      |  FROM d),
+      |tok AS (
+      |  SELECT doc_id, CAST(i.i AS INTEGER) AS tid, toks[CAST(i.i AS INTEGER)] AS tok
+      |  FROM tk, unnest(range(1, len(toks) + 1)) AS i(i)),
+      |f0 AS (
+      |  SELECT doc_id, tid,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(tok) + 1),
+      |          j -> CAST(ascii(substr(tok, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
+      |  FROM tok),
+      |t1 AS (SELECT doc_id, tid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT doc_id, tid, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT doc_id, tid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT doc_id, tid, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT doc_id, tid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT doc_id, tid, xor(z, z >> 31) AS z FROM t5),
+      |x0 AS (SELECT doc_id, tid, xor(z, CAST(42 AS UBIGINT)) AS z FROM t6),
+      |u1 AS (SELECT doc_id, tid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM x0),
+      |u2 AS (SELECT doc_id, tid, xor(z, z >> 30) AS z FROM u1),
+      |u3 AS (SELECT doc_id, tid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM u2),
+      |u4 AS (SELECT doc_id, tid, xor(z, z >> 27) AS z FROM u3),
+      |u5 AS (SELECT doc_id, tid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM u4),
+      |u6 AS (SELECT doc_id, tid, xor(z, z >> 31) AS z FROM u5),
+      |bits AS (
+      |  SELECT doc_id, CAST(b.b AS INTEGER) AS b,
+      |    sum(CASE WHEN ((z >> CAST(b.b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM u6, unnest(range(0, 64)) AS b(b)
+      |  GROUP BY doc_id, b.b),
+      |sims AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END) AS UBIGINT) AS u
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS id0, b.doc_id AS id1,
+      |       CAST(bit_count(xor(a.u, b.u)) AS INTEGER) AS hamming
+      |FROM sims a, sims b
+      |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.u, b.u)) <= 6
+      |ORDER BY id0, id1""".stripMargin
+
+
+  /** p02 oracle: the full MinHash+LSH candidate pipeline reproduced
+    * bit-exactly in DuckDB — per-token FNV-1a+splitmix64 hashes
+    * (list_reduce fold, wrapping multiplies as 32-bit limbs in HUGEINT
+    * mod 2^64), per-window shingle FNV over the token-hash list, the
+    * one-permutation bin/value split ((h>>>1)%128, mix(h^golden)),
+    * signed per-bin minima (min_by on the top-bit-flipped key),
+    * rotational densification as nearest-filled-bin-upward (the closed
+    * form of the kernel's right-to-left pass), band collision as
+    * slice equality (band xxhash64 equality ⟺ slice equality), and
+    * signature agreement / 128 as the estimate. The 64-entry bucket
+    * cap never binds at this scale, so the brute-force band join is
+    * the same candidate set. */
+  val p02Sql: String =
+    """|WITH d AS (
+      |  SELECT doc_id, lower(trim(text)) AS s FROM documents WHERE trim(text) <> ''),
+      |tk AS (
+      |  SELECT doc_id, regexp_split_to_array(s, '\s+') AS toks FROM d),
+      |tok AS (
+      |  SELECT doc_id, CAST(i.i AS INTEGER) AS rid, toks[CAST(i.i AS INTEGER)] AS tok
+      |  FROM tk, unnest(range(1, len(toks) + 1)) AS i(i)),
+      |f0 AS (
+      |  SELECT doc_id, rid,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(tok) + 1),
+      |          j -> CAST(ascii(substr(tok, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
+      |  FROM tok),
+      |t1 AS (SELECT doc_id, rid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT doc_id, rid, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT doc_id, rid, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT doc_id, rid, xor(z, z >> 31) AS z FROM t5),
+      |thash AS (
+      |  SELECT doc_id, list(z ORDER BY rid) AS th, count(*) AS ntok
+      |  FROM t6 GROUP BY doc_id),
+      |win AS (
+      |  SELECT doc_id, CAST(w.w AS INTEGER) AS rid, th
+      |  FROM thash, unnest(range(1, ntok - 1)) AS w(w)
+      |  WHERE ntok >= 3),
+      |w0 AS (
+      |  SELECT doc_id, rid, CAST(((CAST((xor(CAST(((CAST((xor(CAST(((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 1 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(CAST(((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 1 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 2 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(CAST(((CAST((xor(CAST(((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 1 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(CAST(((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 1 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 2 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM win),
+      |m1 AS (SELECT doc_id, rid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM w0),
+      |m2 AS (SELECT doc_id, rid, xor(z, z >> 30) AS z FROM m1),
+      |m3 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM m2),
+      |m4 AS (SELECT doc_id, rid, xor(z, z >> 27) AS z FROM m3),
+      |m5 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM m4),
+      |m6 AS (SELECT doc_id, rid, xor(z, z >> 31) AS z FROM m5),
+      |x0 AS (SELECT doc_id, rid, xor(z, CAST(13679457532755275413 AS UBIGINT)) AS z FROM m6),
+      |n1 AS (SELECT doc_id, rid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM x0),
+      |n2 AS (SELECT doc_id, rid, xor(z, z >> 30) AS z FROM n1),
+      |n3 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM n2),
+      |n4 AS (SELECT doc_id, rid, xor(z, z >> 27) AS z FROM n3),
+      |n5 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM n4),
+      |n6 AS (SELECT doc_id, rid, xor(z, z >> 31) AS z FROM n5),
+      |hv AS (
+      |  SELECT doc_id, rid, CAST((z >> 1) % 128 AS INTEGER) AS bin,
+      |         xor(z, CAST(11400714819323198485 AS UBIGINT)) AS z
+      |  FROM n6),
+      |o1 AS (SELECT doc_id, rid, bin, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM hv),
+      |o2 AS (SELECT doc_id, rid, bin, xor(z, z >> 30) AS z FROM o1),
+      |o3 AS (SELECT doc_id, rid, bin, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM o2),
+      |o4 AS (SELECT doc_id, rid, bin, xor(z, z >> 27) AS z FROM o3),
+      |o5 AS (SELECT doc_id, rid, bin, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM o4),
+      |o6 AS (SELECT doc_id, rid, bin, xor(z, z >> 31) AS z FROM o5),
+      |filled AS (
+      |  SELECT doc_id, bin, min_by(z, xor(z, CAST(9223372036854775808 AS UBIGINT))) AS v
+      |  FROM o6 GROUP BY doc_id, bin),
+      |allbins AS (
+      |  SELECT DISTINCT f.doc_id, CAST(b.b AS INTEGER) AS bin
+      |  FROM filled f, unnest(range(0, 128)) AS b(b)),
+      |dens AS (
+      |  SELECT a.doc_id, a.bin,
+      |    coalesce(f.v, (
+      |      SELECT f2.v FROM filled f2 WHERE f2.doc_id = a.doc_id
+      |      ORDER BY (f2.bin - a.bin + 128) % 128 LIMIT 1)) AS v
+      |  FROM allbins a LEFT JOIN filled f ON f.doc_id = a.doc_id AND f.bin = a.bin),
+      |sigs AS (
+      |  SELECT doc_id, list(v ORDER BY bin) AS sig FROM dens GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, CAST(t.t AS INTEGER) AS t,
+      |         sig[CAST(4*t.t+1 AS INTEGER):CAST(4*t.t+4 AS INTEGER)] AS bs
+      |  FROM sigs, unnest(range(0, 32)) AS t(t)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id0, b.doc_id AS id1
+      |  FROM bands a JOIN bands b ON a.t = b.t AND a.bs = b.bs AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT c.id0, c.id1,
+      |    len(list_filter(range(1, 129),
+      |      i -> sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)])) / 128.0 AS ej
+      |  FROM cand c
+      |  JOIN sigs sa ON sa.doc_id = c.id0
+      |  JOIN sigs sb ON sb.doc_id = c.id1)
+      |SELECT id0, id1, round(ej, 6) AS est_jaccard
+      |FROM est WHERE ej >= 0.2
+      |ORDER BY id0, id1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p02_minhash_lsh" -> p02Sql,
+    "p03_simhash" -> p03Sql,
+    "p11_fingerprint" -> p11Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,
