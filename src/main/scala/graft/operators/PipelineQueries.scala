@@ -589,7 +589,179 @@ object PipelineQueries {
       |FROM est WHERE ej >= 0.2
       |ORDER BY id0, id1""".stripMargin
 
+
+  /** p04 oracle: the p02 signature/banding chain (est >= 0.1 candidate
+    * set) composed with string-3-gram Jaccard — the hash-set Jaccard
+    * the engine computes equals the string-set Jaccard exactly short of
+    * a same-pair 64-bit collision (~2e-20 across this corpus). */
+  val p04Sql: String =
+    """|WITH d AS (
+      |  SELECT doc_id, lower(trim(text)) AS s FROM documents WHERE trim(text) <> ''),
+      |tk AS (
+      |  SELECT doc_id, regexp_split_to_array(s, '\s+') AS toks FROM d),
+      |tok AS (
+      |  SELECT doc_id, CAST(i.i AS INTEGER) AS rid, toks[CAST(i.i AS INTEGER)] AS tok
+      |  FROM tk, unnest(range(1, len(toks) + 1)) AS i(i)),
+      |f0 AS (
+      |  SELECT doc_id, rid,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(tok) + 1),
+      |          j -> CAST(ascii(substr(tok, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
+      |  FROM tok),
+      |t1 AS (SELECT doc_id, rid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT doc_id, rid, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT doc_id, rid, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT doc_id, rid, xor(z, z >> 31) AS z FROM t5),
+      |thash AS (
+      |  SELECT doc_id, list(z ORDER BY rid) AS th, count(*) AS ntok
+      |  FROM t6 GROUP BY doc_id),
+      |win AS (
+      |  SELECT doc_id, CAST(w.w AS INTEGER) AS rid, th
+      |  FROM thash, unnest(range(1, ntok - 1)) AS w(w)
+      |  WHERE ntok >= 3),
+      |w0 AS (
+      |  SELECT doc_id, rid, CAST(((CAST((xor(CAST(((CAST((xor(CAST(((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 1 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(CAST(((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 1 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 2 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(CAST(((CAST((xor(CAST(((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 1 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(CAST(((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(14695981039346656037, th[CAST(rid + 0 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 1 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT), th[CAST(rid + 2 AS INTEGER)])) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM win),
+      |m1 AS (SELECT doc_id, rid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM w0),
+      |m2 AS (SELECT doc_id, rid, xor(z, z >> 30) AS z FROM m1),
+      |m3 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM m2),
+      |m4 AS (SELECT doc_id, rid, xor(z, z >> 27) AS z FROM m3),
+      |m5 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM m4),
+      |m6 AS (SELECT doc_id, rid, xor(z, z >> 31) AS z FROM m5),
+      |x0 AS (SELECT doc_id, rid, xor(z, CAST(13679457532755275413 AS UBIGINT)) AS z FROM m6),
+      |n1 AS (SELECT doc_id, rid, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM x0),
+      |n2 AS (SELECT doc_id, rid, xor(z, z >> 30) AS z FROM n1),
+      |n3 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM n2),
+      |n4 AS (SELECT doc_id, rid, xor(z, z >> 27) AS z FROM n3),
+      |n5 AS (SELECT doc_id, rid, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM n4),
+      |n6 AS (SELECT doc_id, rid, xor(z, z >> 31) AS z FROM n5),
+      |hv AS (
+      |  SELECT doc_id, rid, CAST((z >> 1) % 128 AS INTEGER) AS bin,
+      |         xor(z, CAST(11400714819323198485 AS UBIGINT)) AS z
+      |  FROM n6),
+      |o1 AS (SELECT doc_id, rid, bin, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM hv),
+      |o2 AS (SELECT doc_id, rid, bin, xor(z, z >> 30) AS z FROM o1),
+      |o3 AS (SELECT doc_id, rid, bin, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM o2),
+      |o4 AS (SELECT doc_id, rid, bin, xor(z, z >> 27) AS z FROM o3),
+      |o5 AS (SELECT doc_id, rid, bin, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM o4),
+      |o6 AS (SELECT doc_id, rid, bin, xor(z, z >> 31) AS z FROM o5),
+      |filled AS (
+      |  SELECT doc_id, bin, min_by(z, xor(z, CAST(9223372036854775808 AS UBIGINT))) AS v
+      |  FROM o6 GROUP BY doc_id, bin),
+      |allbins AS (
+      |  SELECT DISTINCT f.doc_id, CAST(b.b AS INTEGER) AS bin
+      |  FROM filled f, unnest(range(0, 128)) AS b(b)),
+      |dens AS (
+      |  SELECT a.doc_id, a.bin,
+      |    coalesce(f.v, (
+      |      SELECT f2.v FROM filled f2 WHERE f2.doc_id = a.doc_id
+      |      ORDER BY (f2.bin - a.bin + 128) % 128 LIMIT 1)) AS v
+      |  FROM allbins a LEFT JOIN filled f ON f.doc_id = a.doc_id AND f.bin = a.bin),
+      |sigs AS (
+      |  SELECT doc_id, list(v ORDER BY bin) AS sig FROM dens GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, CAST(t.t AS INTEGER) AS t,
+      |         sig[CAST(4*t.t+1 AS INTEGER):CAST(4*t.t+4 AS INTEGER)] AS bs
+      |  FROM sigs, unnest(range(0, 32)) AS t(t)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id0, b.doc_id AS id1
+      |  FROM bands a JOIN bands b ON a.t = b.t AND a.bs = b.bs AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT c.id0, c.id1,
+      |    len(list_filter(range(1, 129),
+      |      i -> sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)])) / 128.0 AS ej
+      |  FROM cand c
+      |  JOIN sigs sa ON sa.doc_id = c.id0
+      |  JOIN sigs sb ON sb.doc_id = c.id1)
+      |,
+      |grams AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+      |           i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i+1 AS INTEGER)] || ' ' || toks[CAST(i+2 AS INTEGER)])) AS g
+      |  FROM tk WHERE len(toks) >= 3),
+      |jac AS (
+      |  SELECT e.id0, e.id1,
+      |         len(list_intersect(ga.g, gb.g))::DOUBLE /
+      |         len(list_distinct(list_concat(ga.g, gb.g))) AS j
+      |  FROM est e
+      |  JOIN grams ga ON ga.doc_id = e.id0
+      |  JOIN grams gb ON gb.doc_id = e.id1
+      |  WHERE e.ej >= 0.1)
+      |SELECT id0, id1, round(j, 6) AS jaccard
+      |FROM jac WHERE j >= 0.2
+      |ORDER BY id0, id1""".stripMargin
+
+  /** p05 oracle: the hyperplane-LSH cosine pipeline reproduced exactly —
+    * the ±1 planes re-derive from the splitmix64 bit (stage-per-CTE over
+    * the 64×64 (i,j) grid), the plane dots and cosine folds replay the
+    * kernels' sequential double accumulation via ordered list_reduce
+    * (products of ±1 floats are exact, so IEEE addition order is the
+    * only invariant that matters), chunk collision tests 8-bit slice
+    * equality, and the Hamming slack recomputes 64·acos(0.4)/π + 16
+    * (an integer comparison — a last-ulp libm divergence cannot flip
+    * it). The 4096 bucket cap never binds at oracle scale. */
+  val p05Sql: String =
+    """|WITH ij AS (
+      |  SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+      |    xor(xor(CAST(42 AS UBIGINT), CAST(i.i AS UBIGINT) << 32), CAST(j.j AS UBIGINT)) AS z
+      |  FROM unnest(range(0, 64)) AS i(i), unnest(range(0, 64)) AS j(j)),
+      |p1 AS (SELECT i, j, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM ij),
+      |p2 AS (SELECT i, j, xor(z, z >> 30) AS z FROM p1),
+      |p3 AS (SELECT i, j, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM p2),
+      |p4 AS (SELECT i, j, xor(z, z >> 27) AS z FROM p3),
+      |p5 AS (SELECT i, j, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM p4),
+      |p6 AS (SELECT i, j, xor(z, z >> 31) AS z FROM p5),
+      |planes AS (
+      |  SELECT i, list(CASE WHEN (z & 1) = 1 THEN 1.0 ELSE -1.0 END ORDER BY j) AS pl
+      |  FROM p6 GROUP BY i),
+      |vecs AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+      |dots AS (
+      |  SELECT v.vec_id, p.i,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, 65),
+      |        j -> p.pl[CAST(j AS INTEGER)] * v.v[CAST(j AS INTEGER)])),
+      |      (acc, x) -> acc + x) AS dot
+      |  FROM vecs v, planes p),
+      |sigs AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sig
+      |  FROM dots GROUP BY vec_id),
+      |norms AS (
+      |  SELECT vec_id, v,
+      |    list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS nn
+      |  FROM vecs),
+      |cand AS (
+      |  SELECT a.vec_id AS id0, b.vec_id AS id1, sa.sig AS s0, sb.sig AS s1
+      |  FROM vecs a, vecs b, sigs sa, sigs sb
+      |  WHERE a.vec_id < b.vec_id AND sa.vec_id = a.vec_id AND sb.vec_id = b.vec_id
+      |    AND len(list_filter(range(0, 8),
+      |          c -> ((sa.sig >> CAST(8*c AS INTEGER)) & 255) =
+      |               ((sb.sig >> CAST(8*c AS INTEGER)) & 255))) > 0
+      |    AND bit_count(xor(sa.sig, sb.sig)) <= 64.0 * acos(0.4) / pi() + 16.0),
+      |cosv AS (
+      |  SELECT c.id0, c.id1,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, 65),
+      |        j -> na.v[CAST(j AS INTEGER)] * nb.v[CAST(j AS INTEGER)])),
+      |      (acc, x) -> acc + x) / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+      |  FROM cand c
+      |  JOIN norms na ON na.vec_id = c.id0
+      |  JOIN norms nb ON nb.vec_id = c.id1
+      |  WHERE na.nn <> 0 AND nb.nn <> 0)
+      |SELECT id0, id1, round(cosine, 6) AS cosine
+      |FROM cosv WHERE cosine >= 0.4
+      |ORDER BY id0, id1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p04_ngram_jaccard" -> p04Sql,
+    "p05_cosine_near_dup" -> p05Sql,
     "p02_minhash_lsh" -> p02Sql,
     "p03_simhash" -> p03Sql,
     "p11_fingerprint" -> p11Sql,
