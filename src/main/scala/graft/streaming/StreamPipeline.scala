@@ -96,4 +96,50 @@ object StreamPipeline {
           SourceUpdate(source, st.n, st.mean, batchMean, drifted)
       }.toDF()
   }
+
+  /** Streaming near-duplicate collision buckets by MinHash banding: each
+    * document keys into its 32 band slices (the same one-permutation
+    * signature expression the batch LSH path uses, stateless inside the
+    * micro-batch), and custom keyed state per bucket tracks the keeper
+    * (min doc id) and the cluster size. The per-bucket (keeper, count)
+    * is ORDER-INDEPENDENT — min and count are commutative folds — so the
+    * replayed stream's final state equals the batch GROUP BY answer no
+    * matter how micro-batches split. State is O(distinct buckets), the
+    * streaming analogue of the batch candidate machinery's (band,
+    * band-hash) keyspace; the signature (1 KB) never enters state. */
+  final case class BucketState(minId: Long, n: Long) extends Serializable
+
+  final case class BucketUpdate(bucket: String, keeper_id: Long, n_docs: Long)
+
+  def nearDupBuckets(stream: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val keyed = stream
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.MinHashSignature(col(textCol), numHashes, shingleSize, seed)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+        .as(Seq("band", "bslice")))
+      .select(col("id"),
+        concat_ws(":", col("band"),
+          concat_ws(",", col("bslice"))).as("bucket"))
+      .as[(Long, String)]
+    keyed.groupByKey(_._2)
+      .mapGroupsWithState[BucketState, BucketUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (bucket, docs, state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(Long.MaxValue, 0L))
+          docs.foreach { case (id, _) =>
+            st = BucketState(math.min(st.minId, id), st.n + 1)
+          }
+          state.update(st)
+          BucketUpdate(bucket, st.minId, st.n)
+      }.toDF()
+  }
 }

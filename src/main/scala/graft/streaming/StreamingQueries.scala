@@ -182,13 +182,52 @@ object StreamingQueries {
        |       round(avg(quality_score), 6) AS mean_quality
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st04: streaming near-dup collision buckets — each doc keys into its
+    * 32 MinHash band slices, custom keyed state folds (min id, count)
+    * per bucket, and the final per-bucket state (selected via max count,
+    * min keeper — both order-independent folds) for buckets of size ≥ 2
+    * equals the batch GROUP BY over the banding expansion. */
+  val st04NearDupBuckets: Q = (spark, dir) => {
+    val nd = StreamPipeline.nearDupBuckets(
+      boundedDocStream(spark, dir), "text", "doc_id")
+    drainToMemory(spark, "st04", nd.writeStream.outputMode("update"))
+      .groupBy(col("bucket"))
+      .agg(min(col("keeper_id")).as("keeper_id"),
+        max(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("bucket"), col("keeper_id"), col("n_docs"))
+      .orderBy("bucket")
+  }
+
+  /** st04 oracle: the p02 signature/banding chain (bit-exact MinHash in
+    * DuckDB) regrouped per band-slice bucket — the slice renders to the
+    * same `band:v1,v2,v3,v4` key string the streaming op emits (values
+    * converted back to two's-complement for the signed JVM rendering). */
+  val st04Sql: String = {
+    val p02 = graft.operators.PipelineQueries.p02Sql
+    val prefix = p02.substring(0, p02.indexOf("cand AS ("))
+    prefix + """buck AS (
+      |  SELECT doc_id,
+      |    t || ':' || array_to_string(list_transform(bs,
+      |      v -> CAST(CAST(CASE WHEN v >= 9223372036854775808
+      |                          THEN CAST(v AS HUGEINT) - 18446744073709551616
+      |                          ELSE CAST(v AS HUGEINT) END AS BIGINT) AS VARCHAR)),
+      |      ',') AS bucket
+      |  FROM bands)
+      |SELECT bucket, min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS n_docs
+      |FROM buck GROUP BY bucket HAVING count(*) >= 2
+      |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_windowed_lang" -> st01WindowedLang,
     "st02_stream_dedup" -> st02StreamDedup,
-    "st03_stream_source_profile" -> st03SourceProfile)
+    "st03_stream_source_profile" -> st03SourceProfile,
+    "st04_stream_near_dup" -> st04NearDupBuckets)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_windowed_lang" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
-    "st03_stream_source_profile" -> st03Sql)
+    "st03_stream_source_profile" -> st03Sql,
+    "st04_stream_near_dup" -> st04Sql)
 }

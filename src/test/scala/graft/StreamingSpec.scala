@@ -106,4 +106,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(webMax == 3L, s"lifetime count must accumulate across batches: $rows")
     } finally q.stop()
   }
+
+  test("streaming near-dup buckets fold (keeper, count) across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val nd = StreamPipeline.nearDupBuckets(
+      input.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id")
+    val q = nd.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("update").start()
+    try {
+      // doc 5 and doc 2 are exact near-dups (identical text → identical
+      // signature → all 32 band buckets shared); doc 9 is unrelated.
+      // The duplicate arrives in a LATER batch — state must fold.
+      input.addData((ts(0), 5L, goodText), (ts(0), 9L, junkText + " junk words here"))
+      q.processAllAvailable()
+      input.addData((ts(1), 2L, goodText))
+      q.processAllAvailable()
+      val finalStates = spark.table("neardup_out")
+        .groupBy("bucket")
+        .agg(min("keeper_id").as("keeper"), max("n_docs").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val shared = finalStates.filter(_._3 >= 2)
+      // all 32 buckets of the duplicated text reach n=2 with keeper=2
+      assert(shared.length == 32, s"expected 32 shared buckets, got ${shared.length}")
+      assert(shared.forall(_._2 == 2L), s"keeper must be the min doc id: ${shared.take(3).toSeq}")
+    } finally q.stop()
+  }
 }
