@@ -1420,16 +1420,20 @@ object Planner {
           s.columns.sizeIs == 1 =>
       val outer = ctx.scope.get
       val inner = queryScope(ctx.bdb, s, ctx.binds)
+      // outer refs IN the aggregate argument are allowed (e.g. a
+      // flattened `max(sal + dk)`): within a key-tuple group the outer
+      // value is the key constant, so the refs thread through the key
+      // tuple and substitute like conjunct refs
       val aggItem = s.columns.head match {
-        case SelColExp(e, _) if containsAggregate(e) &&
-          freeColRefs(e, inner, outer).isEmpty && !hasNestedQuery(e) => Some(e)
+        case SelColExp(e, _) if containsAggregate(e) && !hasNestedQuery(e) =>
+          Some(e)
         case _ => None
       }
       aggItem.flatMap { aggExp =>
         val cs = s.condition.toSeq.flatMap(conjuncts)
         def outerRefsOf(c: Exp): Seq[ExpCol] =
           chainFreeRefs(ctx, c, Seq(inner), outer)
-        val refs = cs.flatMap(outerRefsOf)
+        val refs = (cs.flatMap(outerRefsOf) ++ outerRefsOf(aggExp))
           .distinctBy(r => (r.table.map(Names.casefold), normRef(r.column)))
         if (refs.isEmpty) None
         else try {
@@ -1585,7 +1589,8 @@ object Planner {
               }
               val grouped = joinedF
                 .groupBy(keyName.map(col): _*)
-                .agg(compile(shield(aggExp, matchExp), jctx.withAgg(true)).as(vName))
+                .agg(compile(shield(subst(aggExp, Seq(inner)), matchExp),
+                  jctx.withAgg(true)).as(vName))
               df.join(grouped,
                 refs.zipWithIndex.map { case (r, i) =>
                   compile(r, ctx) <=> col(keyName(i)) }.reduce(_ && _),

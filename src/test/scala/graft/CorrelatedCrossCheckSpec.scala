@@ -76,10 +76,9 @@ class CorrelatedCrossCheckSpec extends AnyFunSuite {
       case other => other.toString
     }.mkString("|")).sorted
 
-  test("BQL decorrelation matches Catalyst SQL-path decorrelation") {
-    val queries = for (sc <- scalars; sql <- outers(sc)) yield sql
-    // planning dominates (640 tiny plans) — drive 8 queries at a time;
-    // both engines are thread-safe per SparkSession
+  /** Run (oursSql, sparkSql) pairs through both engines; returns
+    * (compared, oursRejected, sparkRejected, mismatches). */
+  private def crossCheck(pairs: Seq[(String, String)]): (Int, Int, Int, Seq[String]) = {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
@@ -88,24 +87,51 @@ class CorrelatedCrossCheckSpec extends AnyFunSuite {
     case object OursRejected extends Res
     case object SparkRejected extends Res
     case class Compared(mismatch: Option[String]) extends Res
-    val results = Await.result(Future.traverse(queries) { sql =>
+    val results = Await.result(Future.traverse(pairs) { case (oursSql, sparkSql) =>
       Future {
         try {
-          val o = canon(bdb.execute(sql).collect())
+          val o = canon(bdb.execute(oursSql).collect())
           try {
-            val t = canon(spark.sql(sql).collect())
+            val t = canon(spark.sql(sparkSql).collect())
             Compared(if (o == t) None
-              else Some(s"$sql\n  ours:   $o\n  theirs: $t"))
+              else Some(s"$oursSql\n  ours:   $o\n  theirs: $t"))
           } catch {
             case _: org.apache.spark.sql.AnalysisException => SparkRejected
           }
         } catch { case _: UnsupportedOperationException => OursRejected }
       }
     }, 15.minutes)
-    val compared = results.count(_.isInstanceOf[Compared])
-    val skippedOurs = results.count(_ == OursRejected)
-    val skippedSpark = results.count(_ == SparkRejected)
-    val mismatches = results.collect { case Compared(Some(m)) => m }
+    (results.count(_.isInstanceOf[Compared]), results.count(_ == OursRejected),
+      results.count(_ == SparkRejected),
+      results.collect { case Compared(Some(m)) => m })
+  }
+
+  test("correlated FROM-subquery flattening matches Spark LATERAL") {
+    // SQLite (and the reference) resolve outer names from FROM-subquery
+    // bodies; Spark only via LATERAL — so ours runs the bare form (the
+    // flattening path) and Spark runs the LATERAL spelling of the SAME
+    // query. Projections include computed and outer-referencing items.
+    val fAggs = Seq("count(*)", "max(s)", "sum(s)", "avg(s)")
+    val projs = Seq("sal as s", "sal * 2 as s", "sal + dk as s")
+    val inners = Seq("edk = dk", "edk = dk and sal > 85", "sal > dk * 40")
+    val twheres = Seq("", " where t.s > 100")
+    val pairs = for (a <- fAggs; p <- projs; ic <- inners; tw <- twheres) yield {
+      def q(lateral: String) =
+        s"select dname, (select $a from $lateral(select $p from femp" +
+          s" where $ic) as t$tw) as v from fdept order by dname"
+      (q(""), q("lateral "))
+    }
+    val (compared, skippedOurs, skippedSpark, mismatches) = crossCheck(pairs)
+    info(s"compared $compared, ours-rejected $skippedOurs, spark-rejected $skippedSpark")
+    assert(mismatches.isEmpty,
+      s"${mismatches.length} cross-engine mismatches:\n${mismatches.take(3).mkString("\n")}")
+    // round 8 closed the agg-argument-outer-ref shapes: ALL 72 compare
+    assert(compared >= 70, s"only $compared of ${pairs.length} compared")
+  }
+
+  test("BQL decorrelation matches Catalyst SQL-path decorrelation") {
+    val queries = for (sc <- scalars; sql <- outers(sc)) yield (sql, sql)
+    val (compared, skippedOurs, skippedSpark, mismatches) = crossCheck(queries)
     info(s"compared $compared, ours-rejected $skippedOurs, spark-rejected $skippedSpark")
     assert(mismatches.isEmpty,
       s"${mismatches.length} cross-engine mismatches:\n${mismatches.take(3).mkString("\n")}")
