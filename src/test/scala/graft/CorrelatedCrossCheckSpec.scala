@@ -129,6 +129,28 @@ class CorrelatedCrossCheckSpec extends AnyFunSuite {
     assert(compared >= 70, s"only $compared of ${pairs.length} compared")
   }
 
+  test("depth-2 and scalar-in-scalar shapes match Catalyst") {
+    // nested correlation: the inner subquery references the mid frame
+    // (peeled via equality pairs) or the outer frame directly (deep
+    // refs, key-tuple carried) — the machinery's hardest paths
+    val inner2 = Seq(
+      "(select avg(e2.sal) from femp as e2 where e2.edk = m.edk)",
+      "(select max(e2.sal) from femp as e2 where e2.edk = dk)",
+      "(select count(*) from femp as e2 where e2.edk = m.edk and e2.sal > m.sal)")
+    val cmps = Seq("m.sal >", "m.sal + 5 <", "m.sal =")
+    val aggs2 = Seq("count(*)", "sum(m.sal)", "max(m.sal)")
+    val pairs = for (a <- aggs2; i2 <- inner2; c <- cmps) yield {
+      val q = s"select dname, (select $a from femp as m where m.edk = dk" +
+        s" and $c $i2) as v from fdept order by dname"
+      (q, q)
+    }
+    val (compared, skippedOurs, skippedSpark, mismatches) = crossCheck(pairs)
+    info(s"compared $compared, ours-rejected $skippedOurs, spark-rejected $skippedSpark")
+    assert(mismatches.isEmpty,
+      s"${mismatches.length} cross-engine mismatches:\n${mismatches.take(3).mkString("\n")}")
+    assert(compared >= 15, s"only $compared of ${pairs.length} compared")
+  }
+
   test("BQL decorrelation matches Catalyst SQL-path decorrelation") {
     val queries = for (sc <- scalars; sql <- outers(sc)) yield (sql, sql)
     val (compared, skippedOurs, skippedSpark, mismatches) = crossCheck(queries)
