@@ -422,6 +422,19 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       Seq(Seq("eng")))
   }
 
+  test("EXISTS over an ungrouped aggregate body is constant TRUE (round 8)") {
+    // a global aggregate yields exactly one row, WHERE notwithstanding
+    // (SQLite semantics: SELECT max(x) over no rows is one NULL row) —
+    // every dept qualifies, including 'empty'
+    assert(rows("select dname from dept where exists" +
+      " (select max(sal) from emp where edk = dk) order by dname") ==
+      Seq(Seq("empty"), Seq("eng"), Seq("ops")))
+    // NOT EXISTS of the same body is constant FALSE
+    assert(rows("select dname from dept where not exists" +
+      " (select max(sal) from emp where edk = dk) order by dname") ==
+      Seq.empty)
+  }
+
   test("still-rejected D3 residuals keep the named error (round 8)") {
     // DISTINCT FROM-subquery cannot flatten (row multiplicity changes)
     val e2 = intercept[UnsupportedOperationException] {
