@@ -41,18 +41,28 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       eventsCache.getOrElseUpdate(sfDir, {
-        // events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
-        // rejects; read nanos as long and convert (micro truncation is
-        // exact for this data — generator emits ms-granularity stamps).
+        // events.ts has shipped as two physical encodings across testdata
+        // generations: parquet TIMESTAMP(NANOS) (which the vectorized reader
+        // rejects — read nanos as long under the legacy flag and convert;
+        // micro truncation is exact, the generator emits ms-granularity
+        // stamps) and plain TIMESTAMP(MICROS)/NTZ (read directly). Branch on
+        // the type the reader actually infers so either generation loads.
         // nanosAsLong is session-wide, so force materialization while it is
         // set, then restore the previous value.
         val key = "spark.sql.legacy.parquet.nanosAsLong"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "true")
         try {
-          val df = spark.read.parquet(s"$sfDir/$name.parquet")
-            .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-            .cache()
+          val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+          val df = (raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+            case _ =>
+              // micros timestamp (possibly NTZ) — normalize to the session
+              // TimestampType so downstream plans and the oracle compare see
+              // one type regardless of generation.
+              raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          }).cache()
           df.count()  // force the read while the conf is active
           df
         } finally prev match {

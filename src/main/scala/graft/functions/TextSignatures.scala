@@ -113,6 +113,60 @@ object MinHashSignature {
       ColumnBridge.expression(text), numHashes, shingleSize, seed))
 }
 
+/** Fixed-width LSH bucket key: FNV-1a 64 fold of a band index and its
+  * signature slice values, splitmix64-finalized. Replaces the string
+  * bucket key (`"band:v1,v2,..."`, 40–80 bytes) the streaming near-dup
+  * state used to carry — at 100-TB-class state cardinality the 12-byte
+  * (band, hash) struct key cuts the state store's key footprint ~5×
+  * and keeps comparisons branchless. Collision risk over a 2^64 space
+  * is negligible against LSH's own false-positive floor, and the fold
+  * is reproduced bit-exactly in the DuckDB oracle (same FNV limb /
+  * splitmix64 stage machinery as the p02/p03/p11 oracles). */
+case class BandBucketHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (int, array<bigint>), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_band_bucket_hash"
+
+  override protected def nullSafeEval(band: Any, slice: Any): Any =
+    BandBucketHash.kernel(band.asInstanceOf[Int],
+      slice.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, s) =>
+      s"graft.functions.BandBucketHash.kernel($b, $s)")
+
+  override protected def withNewChildInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BandBucketHash {
+
+  def kernel(band: Int, slice: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var h = 0xcbf29ce484222325L
+    h = (h ^ band.toLong) * 0x100000001b3L
+    var i = 0
+    val n = slice.numElements()
+    while (i < n) {
+      h = (h ^ slice.getLong(i)) * 0x100000001b3L
+      i += 1
+    }
+    DetRngHash.mix(h)
+  }
+
+  def apply(band: Column, slice: Column): Column =
+    ColumnBridge.column(BandBucketHash(
+      ColumnBridge.expression(band), ColumnBridge.expression(slice)))
+}
+
 /** 64-bit SimHash of the whitespace token stream as a native expression
   * (bit-identical to the UDF it replaced). NULL for NULL text or an
   * empty token stream. */

@@ -104,42 +104,76 @@ object StreamPipeline {
     * (min doc id) and the cluster size. The per-bucket (keeper, count)
     * is ORDER-INDEPENDENT — min and count are commutative folds — so the
     * replayed stream's final state equals the batch GROUP BY answer no
-    * matter how micro-batches split. State is O(distinct buckets), the
-    * streaming analogue of the batch candidate machinery's (band,
-    * band-hash) keyspace; the signature (1 KB) never enters state. */
+    * matter how micro-batches split, for buckets whose occurrences all
+    * fall within one suppression horizon.
+    *
+    * Scale design (the part that must survive an unbounded stream):
+    *  - State LIFETIME is bounded by `suppressionHorizon`: the state key
+    *    carries an event-time timeout (`GroupStateTimeout.EventTimeTimeout`,
+    *    re-armed to max-event-time + horizon on every update) and is
+    *    REMOVED once the watermark passes it. A duplicate arriving after
+    *    the horizon starts a fresh cluster — the standard streaming-dedup
+    *    trade-off, identical to st02's `dropDuplicatesWithinWatermark`
+    *    contract. Without this, distinct band-buckets grow linearly with
+    *    corpus size and the state store OOMs.
+    *  - State KEY is the fixed-width (band: int, bucket_hash: long)
+    *    struct via [[graft.functions.BandBucketHash]], not a rendered
+    *    string — 12 bytes vs 40–80, and the signature (1 KB) never
+    *    enters state; the value is 16 bytes of (minId, n).
+    *  - Production runs should pair this with the RocksDB state store
+    *    (`spark.sql.streaming.stateStore.providerClass` =
+    *    `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`)
+    *    so live state spills off-heap; the default HDFS-backed provider
+    *    holds the working set in executor memory. */
   final case class BucketState(minId: Long, n: Long) extends Serializable
 
-  final case class BucketUpdate(bucket: String, keeper_id: Long, n_docs: Long)
+  final case class BucketUpdate(band: Int, bucket_hash: Long,
+      keeper_id: Long, n_docs: Long)
 
   def nearDupBuckets(stream: DataFrame, textCol: String, idCol: String,
+      tsCol: String, suppressionHorizon: String = "30 minutes",
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
+    val horizonMs = scala.concurrent.duration.Duration(suppressionHorizon).toMillis
     val rowsPerBand = numHashes / bands
     val keyed = stream
-      .select(col(idCol).cast("long").as("id"),
+      .withWatermark(tsCol, suppressionHorizon)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         graft.functions.MinHashSignature(col(textCol), numHashes, shingleSize, seed)
           .as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col("id"), posexplode(array((0 until bands).map(b =>
+      .select(col("id"), col("ts"), posexplode(array((0 until bands).map(b =>
         slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
         .as(Seq("band", "bslice")))
-      .select(col("id"),
-        concat_ws(":", col("band"),
-          concat_ws(",", col("bslice"))).as("bucket"))
-      .as[(Long, String)]
-    keyed.groupByKey(_._2)
-      .mapGroupsWithState[BucketState, BucketUpdate](
-        GroupStateTimeout.NoTimeout) {
-        case (bucket, docs, state: GroupState[BucketState]) =>
-          var st = state.getOption.getOrElse(BucketState(Long.MaxValue, 0L))
-          docs.foreach { case (id, _) =>
-            st = BucketState(math.min(st.minId, id), st.n + 1)
+      .select(col("id"), col("ts"), col("band"),
+        graft.functions.BandBucketHash(col("band"), col("bslice")).as("bh"))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    keyed.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BucketState, BucketUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, bh), docs, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the bucket's horizon: evict — the bucket's
+            // suppression window is over and its state must not outlive it
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Long.MaxValue, 0L))
+            var maxTs = Long.MinValue
+            docs.foreach { case (id, ts, _, _) =>
+              st = BucketState(math.min(st.minId, id), st.n + 1)
+              maxTs = math.max(maxTs, ts.getTime)
+            }
+            state.update(st)
+            // re-arm: live until the watermark passes the last occurrence
+            // plus the horizon (must stay strictly above the watermark)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(BucketUpdate(band, bh, st.minId, st.n))
           }
-          state.update(st)
-          BucketUpdate(bucket, st.minId, st.n)
       }.toDF()
   }
 }
