@@ -60,7 +60,11 @@ object Tables {
             case _ =>
               // micros timestamp (possibly NTZ) — normalize to the session
               // TimestampType so downstream plans and the oracle compare see
-              // one type regardless of generation.
+              // one type regardless of generation. NOTE: the NTZ→TZ cast
+              // reinterprets wall-clock values in spark.sql.session.timeZone;
+              // every entrypoint (Verify/Bench/TestSpark) pins that to UTC,
+              // which makes this agree with the nanos-as-long branch. A
+              // non-UTC session would shift events — keep the pin.
               raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
           }).cache()
           df.count()  // force the read while the conf is active

@@ -2782,11 +2782,26 @@ object Planner {
           case _ => ()
         }
         val colno = contextColno(pm, contextCl, ctx)
+        // The TO EXISTING ROWS condition set is broadcast into every
+        // relevance evaluation, so it must be driver-small by contract.
+        // Bound the collect structurally (limit cap+1, then fail) — at
+        // 100 TB an unbounded condition ("WHERE 1=1") would otherwise
+        // OOM the driver; the knob raises the cap for wide-but-bounded
+        // condition sets.
         val queryRowids = toCond match {
           case Some(cond) =>
+            val cap = ctx.bdb.spark.conf
+              .getOption("graft.bql.relevance.maxConditionRows")
+              .map(_.toInt).getOrElse(10000)
             val t = ctx.bdb.table(pm.population.table)
-            t.filter(compile(cond, ctx.copy(bql = NoModelCtx)))
-              .select(col("rowid")).collect().map(_.getLong(0)).toSeq
+            val ids = t.filter(compile(cond, ctx.copy(bql = NoModelCtx)))
+              .select(col("rowid")).limit(cap + 1)
+              .collect().map(_.getLong(0)).toSeq
+            if (ids.length > cap) throw new IllegalArgumentException(
+              s"PREDICTIVE RELEVANCE: the TO EXISTING ROWS condition matched " +
+                s"more than $cap rows; narrow the condition or raise " +
+                "graft.bql.relevance.maxConditionRows")
+            ids
           case None => Nil
         }
         // empty existing/hypothetical sets are legal (reference compiles

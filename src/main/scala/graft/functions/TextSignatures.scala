@@ -3,7 +3,7 @@ package graft.functions
 import graft.operators.DetRngHash
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -143,7 +143,7 @@ case class BandBucketHash(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (b, s) =>
       s"graft.functions.BandBucketHash.kernel($b, $s)")
 
-  override protected def withNewChildInternal(
+  override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }

@@ -144,6 +144,34 @@ object ModelQueries {
     rows.toDF("colname", "x", "log_pp").orderBy("colname", "x")
   }
 
+  /** m09: the closed-form posterior hypers behind nig_normal PREDICT —
+    * the second model-estimator key under the DuckDB oracle. PREDICT's
+    * model draw is μ ~ N(mn, √(σ²·vn)), σ² ~ InvGamma(an, bn) (reference
+    * nig_normal.py predict_confidence via _gibbs_step_params /
+    * posterior_hypers, src/backends/nig_normal.py:430-476): every
+    * deterministic input to that draw is (mn, vn, an, bn) from the
+    * distributed suff-stats pass. Emitting them directly pins the
+    * prediction pipeline end-to-end short of the RNG itself, the same
+    * way m08 pins density. bn is emitted in log domain: it carries the
+    * raw Σx² magnitude (~1e10 here), where an absolute float compare is
+    * meaningless but the log's 6 decimals are ~1e-6 relative. */
+  val m09PosteriorPredict: Q = (spark, dir) => {
+    import spark.implicits._
+    val pm = customerModel(spark, dir)
+    val st = pm.generators.head.state
+      .asInstanceOf[graft.backends.NigNormalBackend.State]
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Seq(("c_acctbal", 0), ("c_nationkey", 1)).map { case (name, colno) =>
+      val stats = st.cols(colno)
+      val (mn, vn, an, bn) =
+        graft.backends.NigNormalBackend.posteriorHypers(st.hypers, stats)
+      (name, stats.count, r(mn, 6), r(vn, 9), r(an, 6), r(math.log(bn), 6))
+    }
+    rows.toDF("colname", "n_obs", "mn", "vn", "an", "log_bn")
+      .orderBy("colname")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_predictive_probability" -> m01PredictiveProbability,
     "m02_simulate" -> m02Simulate,
@@ -152,7 +180,8 @@ object ModelQueries {
     "m05_dependence_pairwise" -> m05DependencePairwise,
     "m06_mutual_information" -> m06MutualInformation,
     "m07_predict_explicit" -> m07PredictExplicit,
-    "m08_posterior_predictive" -> m08PosteriorPredictive)
+    "m08_posterior_predictive" -> m08PosteriorPredictive,
+    "m09_posterior_predict_hypers" -> m09PosteriorPredict)
 
   /** Ensemble estimators (m01-m07) have no SQL oracle — RNG draws are not
     * SQL-reproducible → rows-only checks. m08 evaluates the closed-form
@@ -197,5 +226,27 @@ object ModelQueries {
         |        - ((df+1.0)/2.0)*ln(1.0 + ((x-mn)/sc)*((x-mn)/sc)/df), 6)
         |    AS log_pp
         |FROM t
-        |ORDER BY colname, x""".stripMargin)
+        |ORDER BY colname, x""".stripMargin,
+    "m09_posterior_predict_hypers" ->
+      """WITH stats AS (
+        |  SELECT 'c_acctbal' AS colname,
+        |         count(c_acctbal)::BIGINT AS n_obs,
+        |         count(c_acctbal)::DOUBLE AS n,
+        |         sum(c_acctbal)::DOUBLE AS s,
+        |         sum(c_acctbal*c_acctbal)::DOUBLE AS ss
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_nationkey',
+        |         count(c_nationkey)::BIGINT,
+        |         count(c_nationkey)::DOUBLE,
+        |         sum(c_nationkey)::DOUBLE,
+        |         sum(c_nationkey*c_nationkey)::DOUBLE
+        |  FROM customer WHERE c_nationkey IS NOT NULL)
+        |SELECT colname, n_obs,
+        |  round(s/(1.0 + n), 6) AS mn,
+        |  round(1.0/(1.0 + n), 9) AS vn,
+        |  round(1.0 + n/2.0, 6) AS an,
+        |  round(ln(1.0 + 0.5*(ss - s*s/(1.0 + n))), 6) AS log_bn
+        |FROM stats
+        |ORDER BY colname""".stripMargin)
 }

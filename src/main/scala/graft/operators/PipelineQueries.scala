@@ -332,6 +332,37 @@ object PipelineQueries {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Checked-in multimodal decode fixture (graft.tools.MediaFixture):
+    * real PNGs with closed-form pixel statistics stored alongside. */
+  private val MediaFixturePath = sys.env.getOrElse("GRAFT_MEDIA_FIXTURE",
+    "/root/repo/fixtures/media_fixture.parquet")
+
+  /** p17: the p12 decode kernel against the checked-in fixture — the
+    * DuckDB oracle compares decoded (width, height, mean luminance,
+    * histogram) to the fixture's analytically-derived expectations,
+    * giving the imageio-path its hash-match gate (p12/p13 stay rows-only
+    * over the synthetic corpus payloads, whose statistics have no closed
+    * form). PNG is lossless and the luminance is integer arithmetic, so
+    * equality is exact. */
+  val p17MultimodalOracle: Q = (spark, dir) => {
+    val fx = spark.read.parquet(MediaFixturePath)
+    Multimodal.extractFeatures(fx, "doc_id", "media").toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        element_at(col("byte_hist4"), 1).as("h0"),
+        element_at(col("byte_hist4"), 2).as("h1"),
+        element_at(col("byte_hist4"), 3).as("h2"),
+        element_at(col("byte_hist4"), 4).as("h3"))
+      .orderBy("doc_id")
+  }
+
+  // DuckDB needs a glob for the directory-style parquet Spark writes
+  val p17Sql: String =
+    s"""SELECT doc_id, width, height, n_bytes, mean_byte, h0, h1, h2, h3
+       |FROM read_parquet('$MediaFixturePath/*.parquet')
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p01_dedup_exact" -> p01DedupExact,
     "p02_minhash_lsh" -> p02MinHashLsh,
@@ -348,7 +379,8 @@ object PipelineQueries {
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
     "p15_ann_ivf_exact" -> p15AnnIvfExact,
-    "p16_subword_count" -> p16SubwordCount)
+    "p16_subword_count" -> p16SubwordCount,
+    "p17_multimodal_oracle" -> p17MultimodalOracle)
 
   /** p10 oracle: same lexicons, same scoring, same tie-break. Spark's
     * array_max over struct(score, lang) resolves score ties by the
@@ -772,5 +804,6 @@ object PipelineQueries {
     "p10_lang_id" -> p10Sql,
     "p14_ngram_jaccard_exact" -> p14Sql,
     "p15_ann_ivf_exact" -> p06Sql,
-    "p16_subword_count" -> p16Sql)
+    "p16_subword_count" -> p16Sql,
+    "p17_multimodal_oracle" -> p17Sql)
 }

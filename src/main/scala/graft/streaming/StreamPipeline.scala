@@ -137,7 +137,14 @@ object StreamPipeline {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
-    val horizonMs = scala.concurrent.duration.Duration(suppressionHorizon).toMillis
+    // parse with the same interval grammar withWatermark uses, so every
+    // delay string the watermark accepts (e.g. "1 hour 30 minutes") is
+    // also a valid horizon; month units have no fixed millisecond length
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(suppressionHorizon))
+    require(iv != null && iv.months == 0,
+      s"suppressionHorizon must be a day-time interval, got '$suppressionHorizon'")
+    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
     val rowsPerBand = numHashes / bands
     val keyed = stream
       .withWatermark(tsCol, suppressionHorizon)

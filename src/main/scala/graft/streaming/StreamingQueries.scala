@@ -183,40 +183,59 @@ object StreamingQueries {
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** st04: streaming near-dup collision buckets — each doc keys into its
-    * 32 MinHash band slices, custom keyed state folds (min id, count)
-    * per bucket, and the final per-bucket state (selected via max count,
-    * min keeper — both order-independent folds) for buckets of size ≥ 2
-    * equals the batch GROUP BY over the banding expansion. */
+    * 32 MinHash band slices under the fixed-width (band, bucket_hash)
+    * key (see [[graft.functions.BandBucketHash]]), custom keyed state
+    * folds (min id, count) per bucket with event-time-bounded lifetime,
+    * and the final per-bucket state (selected via max count, min keeper
+    * — both order-independent folds) for buckets of size ≥ 2 equals the
+    * batch GROUP BY over the banding expansion (the 30-minute
+    * suppression horizon exceeds the 10-minute synthetic event span, so
+    * no bucket is evicted mid-replay). */
   val st04NearDupBuckets: Q = (spark, dir) => {
     val nd = StreamPipeline.nearDupBuckets(
-      boundedDocStream(spark, dir), "text", "doc_id")
+      boundedDocStream(spark, dir), "text", "doc_id", "ts")
     drainToMemory(spark, "st04", nd.writeStream.outputMode("update"))
-      .groupBy(col("bucket"))
+      .groupBy(col("band"), col("bucket_hash"))
       .agg(min(col("keeper_id")).as("keeper_id"),
         max(col("n_docs")).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .select(col("bucket"), col("keeper_id"), col("n_docs"))
-      .orderBy("bucket")
+      .select(col("band"), col("bucket_hash"), col("keeper_id"), col("n_docs"))
+      .orderBy("band", "bucket_hash")
   }
 
   /** st04 oracle: the p02 signature/banding chain (bit-exact MinHash in
-    * DuckDB) regrouped per band-slice bucket — the slice renders to the
-    * same `band:v1,v2,v3,v4` key string the streaming op emits (values
-    * converted back to two's-complement for the signed JVM rendering). */
+    * DuckDB) regrouped per band bucket under the BandBucketHash key —
+    * the FNV-1a 64 fold of (band, slice values) splitmix64-finalized,
+    * reproduced in UBIGINT limb arithmetic (the same stage machinery as
+    * the p02/p03/p11 oracles) and converted back to two's-complement
+    * for the signed JVM long. */
   val st04Sql: String = {
     val p02 = graft.operators.PipelineQueries.p02Sql
     val prefix = p02.substring(0, p02.indexOf("cand AS ("))
-    prefix + """buck AS (
-      |  SELECT doc_id,
-      |    t || ':' || array_to_string(list_transform(bs,
-      |      v -> CAST(CAST(CASE WHEN v >= 9223372036854775808
-      |                          THEN CAST(v AS HUGEINT) - 18446744073709551616
-      |                          ELSE CAST(v AS HUGEINT) END AS BIGINT) AS VARCHAR)),
-      |      ',') AS bucket
-      |  FROM bands)
-      |SELECT bucket, min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS n_docs
-      |FROM buck GROUP BY bucket HAVING count(*) >= 2
-      |ORDER BY bucket""".stripMargin
+    val fnvStep = "(acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+    prefix + s"""h0 AS (
+      |  SELECT doc_id, t,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_prepend(CAST(t AS UBIGINT), bs)),
+      |      $fnvStep) AS z
+      |  FROM bands),
+      |g1 AS (SELECT doc_id, t, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM h0),
+      |g2 AS (SELECT doc_id, t, xor(z, z >> 30) AS z FROM g1),
+      |g3 AS (SELECT doc_id, t, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM g2),
+      |g4 AS (SELECT doc_id, t, xor(z, z >> 27) AS z FROM g3),
+      |g5 AS (SELECT doc_id, t, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM g4),
+      |g6 AS (SELECT doc_id, t, xor(z, z >> 31) AS z FROM g5),
+      |buck AS (
+      |  SELECT doc_id, t AS band,
+      |    CAST(CASE WHEN z >= 9223372036854775808
+      |              THEN CAST(z AS HUGEINT) - 18446744073709551616
+      |              ELSE CAST(z AS HUGEINT) END AS BIGINT) AS bucket_hash
+      |  FROM g6)
+      |SELECT band, bucket_hash, min(doc_id)::BIGINT AS keeper_id,
+      |       count(*)::BIGINT AS n_docs
+      |FROM buck GROUP BY band, bucket_hash HAVING count(*) >= 2
+      |ORDER BY band, bucket_hash""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

@@ -64,4 +64,24 @@ class ErrorSurfaceSpec extends AnyFunSuite {
     assert(bdb.execute("select a from dup").head.getLong(0) == 1L)
     bdb.execute("drop table dup")
   }
+
+  test("PREDICTIVE RELEVANCE condition-set collect is bounded") {
+    bdb.execute("create population ep4 for et (id ignore; x numerical)")
+    bdb.execute("create generator eg4 for ep4 using nig_normal")
+    bdb.execute("initialize 1 model for eg4")
+    // a broad TO EXISTING ROWS condition over the cap must fail fast,
+    // naming the knob — not silently collect the table onto the driver
+    spark.conf.set("graft.bql.relevance.maxConditionRows", "1")
+    try {
+      val msg = messageOf(bdb.execute(
+        "estimate predictive relevance to existing rows (x >= 0)" +
+          " in the context of x from ep4").collect())
+      assert(msg.contains("maxConditionRows"), msg)
+    } finally spark.conf.unset("graft.bql.relevance.maxConditionRows")
+    // under the default cap the same phrase runs
+    val ok = bdb.execute(
+      "estimate predictive relevance to existing rows (x >= 0)" +
+        " in the context of x from ep4").collect()
+    assert(ok.length == 2)
+  }
 }

@@ -123,6 +123,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(!raw.decoded && raw.n_bytes == 4 && raw.mean_byte == 2.5)
   }
 
+  test("decode kernel reproduces the fixture's closed-form pixel statistics") {
+    import graft.operators.Multimodal
+    // the same rows MediaFixture persists, regenerated in-memory: every
+    // case's (w, h, mean luminance, histogram) has an analytical form
+    // computed independently of the kernel — decode must match exactly
+    val fixture = graft.tools.MediaFixture.rows()
+    assert(fixture.length >= 30)
+    fixture.foreach { row =>
+      val f = Multimodal.decodeKernel(row.doc_id, row.media)
+      assert(f.decoded, s"fixture ${row.doc_id} (${row.kind}) must decode")
+      assert(f.width == row.width && f.height == row.height,
+        s"${row.kind} ${row.doc_id}: got ${f.width}x${f.height}, want ${row.width}x${row.height}")
+      assert(math.abs(f.mean_byte - row.mean_byte) < 5e-7,
+        s"${row.kind} ${row.doc_id}: mean ${f.mean_byte} != ${row.mean_byte}")
+      assert(f.byte_hist4 == Seq(row.h0, row.h1, row.h2, row.h3),
+        s"${row.kind} ${row.doc_id}: hist ${f.byte_hist4}")
+    }
+  }
+
   test("IVF top-k recall >= 0.9 vs brute force") {
     val q = embeddings.filter(col("vec_id") === 0)
       .head().getSeq[Float](1).map(_.toDouble)

@@ -113,7 +113,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
     val nd = StreamPipeline.nearDupBuckets(
-      input.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id")
+      input.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts")
     val q = nd.writeStream.format("memory").queryName("neardup_out")
       .outputMode("update").start()
     try {
@@ -125,13 +125,54 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((ts(1), 2L, goodText))
       q.processAllAvailable()
       val finalStates = spark.table("neardup_out")
-        .groupBy("bucket")
+        .groupBy("band", "bucket_hash")
         .agg(min("keeper_id").as("keeper"), max("n_docs").as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val shared = finalStates.filter(_._3 >= 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val shared = finalStates.filter(_._4 >= 2)
       // all 32 buckets of the duplicated text reach n=2 with keeper=2
       assert(shared.length == 32, s"expected 32 shared buckets, got ${shared.length}")
-      assert(shared.forall(_._2 == 2L), s"keeper must be the min doc id: ${shared.take(3).toSeq}")
+      assert(shared.forall(_._3 == 2L), s"keeper must be the min doc id: ${shared.take(3).toSeq}")
+      // the duplicated text occupies exactly one bucket per band
+      assert(shared.map(_._1).sorted.toSeq == (0 until 32))
+    } finally q.stop()
+  }
+
+  test("near-dup bucket state is evicted once the watermark passes the horizon") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val nd = StreamPipeline.nearDupBuckets(
+      input.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+      suppressionHorizon = "1 minute")
+    val q = nd.writeStream.format("memory").queryName("neardup_evict_out")
+      .outputMode("update").start()
+    try {
+      // doc 5 at 10:00 arms its buckets' timeout for ~10:01.
+      input.addData((ts(0), 5L, goodText))
+      q.processAllAvailable()
+      // unrelated doc at 10:10 advances the watermark to 10:09 at batch end
+      input.addData((ts(10), 9L, junkText + " junk words here"))
+      q.processAllAvailable()
+      // next batch runs with watermark 10:09 > 10:01 → doc 5's bucket
+      // state times out and is REMOVED (its key gets no data this batch)
+      input.addData((ts(12), 7L, "completely different unrelated content words apple banana cherry"))
+      q.processAllAvailable()
+      // the duplicate of doc 5 arrives after eviction → fresh cluster
+      input.addData((ts(12), 2L, goodText))
+      q.processAllAvailable()
+      val perBucket = spark.table("neardup_evict_out")
+        .groupBy("band", "bucket_hash")
+        .agg(max("n_docs").as("n"), min("keeper_id").as("minKeeper"),
+          max("keeper_id").as("maxKeeper"))
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      // had state survived, doc 2 would fold to n=2 with keeper 2;
+      // eviction means every cluster stays size 1
+      assert(perBucket.forall(_._1 == 1L),
+        s"state must not survive the horizon: ${perBucket.filter(_._1 > 1).take(3).toSeq}")
+      // both occurrences of the duplicated text emitted (keepers 5 then 2)
+      assert(perBucket.exists(p => p._2 == 2L && p._3 == 5L),
+        "both the pre- and post-eviction clusters must appear in the sink")
     } finally q.stop()
   }
 }
