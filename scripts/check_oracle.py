@@ -28,6 +28,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # explicit per-key Spark failures recorded by Verify — surface them
+    # even though the missing parquet would also be caught below
+    fail_path = f"{out_dir}/failures.json"
+    if os.path.exists(fail_path):
+        for name, msg in sorted(json.load(open(fail_path)).items()):
+            print(f"  SPARK FAILED {name}: {msg[:200]}")
     for name in sorted(oracle):
         sql = oracle[name]
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")

@@ -63,14 +63,24 @@ object Bench {
       .mkString("{", ",", "}")
     val suspects = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // failed keys (-1.0 samples) as an explicit top-level list: a gate
+    // reading only "queries" once green-lit a round where two keys had
+    // silently regressed to -1 — failures must be loud in the record
+    val failed = results.collect { case (k, best, _, _, _) if best < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"setup_sec":$setupSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"failed":$failed,"setup_sec":$setupSec,"sf":"$sfDir"}"""
     println(json)
     // the driver's log capture keeps only a ~2000-char tail, which lost
     // two-thirds of the per-key record in past rounds — persist the full
     // JSON to a repo file as the durable record, and name it last so the
-    // tail always shows where the complete data lives
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r8.json")
+    // tail always shows where the complete data lives. Round-suffix the
+    // file (current round = max driver-written BENCH_r{N}.json + 1) so a
+    // later round never overwrites an earlier round's local record.
+    val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
+      .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_local_r$round.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(json) finally w.close()

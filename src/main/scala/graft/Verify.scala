@@ -18,6 +18,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failures are recorded as an explicit artifact, not only stderr: a
+    // thrown query previously produced a silent OMISSION in the round's
+    // correctness record (no parquet → no compare row), which a gate
+    // reading "all present entries pass" green-lit. failures.json makes
+    // a regressed key loud in the record itself.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +31,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +49,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
     spark.stop()
   }
 }

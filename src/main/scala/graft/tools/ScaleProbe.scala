@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical 10× scale probe: union-duplicate the sf0.1 tables with
+  * re-keyed ids into a scratch dir (testdata stays untouched), then time
+  * the most expensive suite keys at 1× and 10× and print per-key scaling
+  * factors with output-row counts. The question it answers is the
+  * 100-TB one in miniature: does each operator's cost grow ~linearly in
+  * input (modulo genuinely quadratic outputs like near-dup PAIRS, which
+  * duplication inflates ~100× by construction — the row counts printed
+  * alongside let a reader separate "more work per row" from "more rows
+  * out").
+  *
+  *   sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /tmp/graft_scale10 10"
+  *
+  * Facts are replicated with shifted keys (FK-consistently: lineitem
+  * follows orders, orders follow customer); dimension tables copy once.
+  * Each table lands as a single file named `<table>.parquet` to mirror
+  * the testdata layout (the streaming keys glob that exact name).
+  */
+object ScaleProbe {
+
+  private val ProbeKeys = Seq(
+    "q01_agg", "q03_join_topk",
+    "p01_dedup_exact", "p02_minhash_lsh", "p03_simhash", "p04_ngram_jaccard",
+    "p05_cosine_near_dup", "p07_ann_ivf", "p11_fingerprint",
+    "st01_stream_windowed_lang", "st04_stream_near_dup")
+
+  private def writeAsSingleFile(df: DataFrame, outDir: String, table: String): Unit = {
+    val tmp = s"$outDir/_tmp_$table"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file for $table"))
+    val dest = new java.io.File(s"$outDir/$table.parquet")
+    if (dest.exists()) dest.delete()
+    if (!part.renameTo(dest)) sys.error(s"rename failed for $table")
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    new java.io.File(tmp).delete()
+  }
+
+  /** Replicate `df` `factor`× shifting each (table-key column → stride)
+    * so replica k's keys live in their own range. */
+  private def replicate(df: DataFrame, factor: Int,
+      shifts: Map[String, Long]): DataFrame =
+    (0 until factor).map { k =>
+      shifts.foldLeft(df) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + lit(k * stride))
+      }
+    }.reduce(_ unionByName _)
+
+  def build(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    new java.io.File(outDir).mkdirs()
+    // strides: one power-of-ten above each table's max key at sf0.1 so
+    // replica ranges never collide and joins stay FK-consistent
+    val C = 1000000L   // customer keys
+    val O = 10000000L  // order keys
+    val D = 1000000L   // doc ids
+    val V = 1000000L   // vec ids
+    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "documents"), factor,
+      Map("doc_id" -> D)), outDir, "documents")
+    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "embeddings"), factor,
+      Map("vec_id" -> V)), outDir, "embeddings")
+    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "customer"), factor,
+      Map("c_custkey" -> C)), outDir, "customer")
+    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "orders"), factor,
+      Map("o_orderkey" -> O, "o_custkey" -> C)), outDir, "orders")
+    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "lineitem"), factor,
+      Map("l_orderkey" -> O)), outDir, "lineitem")
+    // dimensions copy once — at scale the fact tables grow, the dims don't
+    Seq("region", "nation", "supplier", "part", "events").foreach { t =>
+      writeAsSingleFile(Tables.load(spark, srcDir, t), outDir, t)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      println(s"[scale] building ${factor}x dir at $outDir")
+      build(spark, srcDir, outDir, factor)
+    } else println(s"[scale] reusing $outDir")
+
+    def timeOne(key: String, dir: String): (Double, Long) = {
+      graft.operators.PipelineQueries.resetOperatorCaches()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(key)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    println(f"${"key"}%-28s ${"t1x"}%8s ${"t10x"}%8s ${"factor"}%7s ${"rows1x"}%9s ${"rows10x"}%10s")
+    ProbeKeys.foreach { key =>
+      val (t1, n1) = timeOne(key, srcDir)
+      val (t10, n10) = timeOne(key, outDir)
+      println(f"$key%-28s $t1%8.2f $t10%8.2f ${t10 / t1}%7.1f $n1%9d $n10%10d")
+    }
+    spark.stop()
+  }
+}
