@@ -140,8 +140,13 @@ object StreamPipeline {
     // parse with the same interval grammar withWatermark uses, so every
     // delay string the watermark accepts (e.g. "1 hour 30 minutes") is
     // also a valid horizon; month units have no fixed millisecond length
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(suppressionHorizon))
+    val iv =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(suppressionHorizon))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"suppressionHorizon '$suppressionHorizon': ${e.getMessage}", e)
+      }
     require(iv != null && iv.months == 0,
       s"suppressionHorizon must be a day-time interval, got '$suppressionHorizon'")
     val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L

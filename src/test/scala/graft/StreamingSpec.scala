@@ -137,6 +137,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("suppression horizon uses the watermark interval grammar") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF.toDF("ts", "doc_id", "text")
+    // compound day-time intervals (legal watermark delays) must parse
+    StreamPipeline.nearDupBuckets(df, "text", "doc_id", "ts",
+      suppressionHorizon = "1 hour 30 minutes")
+    // month units have no fixed millisecond length → named rejection
+    val e1 = intercept[IllegalArgumentException] {
+      StreamPipeline.nearDupBuckets(df, "text", "doc_id", "ts",
+        suppressionHorizon = "1 month")
+    }
+    assert(e1.getMessage.contains("suppressionHorizon"))
+    // garbage must fail the same named way, not as a downstream NPE
+    val e2 = intercept[IllegalArgumentException] {
+      StreamPipeline.nearDupBuckets(df, "text", "doc_id", "ts",
+        suppressionHorizon = "soon")
+    }
+    assert(e2.getMessage.contains("suppressionHorizon"))
+  }
+
+  test("near-dup buckets run against the RocksDB state store provider") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production pairing the operator documents for 100-TB state:
+    // prove the same query runs (and folds correctly) on RocksDB-backed
+    // state, not only the default in-memory provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val nd = StreamPipeline.nearDupBuckets(
+        input.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts")
+      val q = nd.writeStream.format("memory").queryName("neardup_rocks_out")
+        .outputMode("update").start()
+      try {
+        input.addData((ts(0), 5L, goodText))
+        q.processAllAvailable()
+        input.addData((ts(1), 2L, goodText))
+        q.processAllAvailable()
+        val shared = spark.table("neardup_rocks_out")
+          .groupBy("band", "bucket_hash")
+          .agg(min("keeper_id").as("keeper"), max("n_docs").as("n"))
+          .collect().map(r => (r.getLong(2), r.getLong(3)))
+          .filter(_._2 >= 2)
+        assert(shared.length == 32, s"expected 32 folded buckets, got ${shared.length}")
+        assert(shared.forall(_._1 == 2L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("near-dup bucket state is evicted once the watermark passes the horizon") {
     val spark2 = spark
     import spark2.implicits._
