@@ -561,6 +561,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
         val lower = csv.toLowerCase
         val df =
           if (lower.endsWith(".parquet")) spark.read.parquet(csv)
+          else if (lower.endsWith(".orc")) spark.read.orc(csv)
           else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
             spark.read.json(csv)
           else {

@@ -209,6 +209,19 @@ class BqlExecSpec extends AnyFunSuite {
     f.delete()
   }
 
+  test("create table from orc dispatches on extension like parquet/json") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toFile
+    val path = new java.io.File(dir, "t.orc").getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "tag", "x")
+      .coalesce(1).write.mode("overwrite").orc(path)
+    bdb.execute(s"create table orct from '$path'")
+    try {
+      assert(bdb.execute("select count(*) from orct").head.getLong(0) == 2L)
+      assert(bdb.execute("select sum(x) from orct").head.getDouble(0) == 6.0)
+    } finally bdb.execute("drop table orct")
+  }
+
   test("csv ingest strictness mirrors the reference (tests/test_csv.py:43-97)") {
     def csvFile(content: String): java.io.File = {
       val f = java.io.File.createTempFile("graft_csv_strict", ".csv")
