@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parquet table loader for the driver-generated TPC-H-ish star schema
@@ -76,17 +75,44 @@ object Tables {
       })
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  private val rowidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   /** Load with a 1-based deterministic `rowid` column (SQLite semantics:
-    * rowids start at 1). Window over the natural key — a full sort, only
-    * used by model/row operators that genuinely need row identity. At
-    * cluster scale, prefer ingesting rowid once and persisting it.
-    */
-  def loadWithRowid(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = load(spark, sfDir, name)
-    val key = naturalKey.getOrElse(name, Seq(df.columns.head))
-    val w = Window.orderBy(key.map(col): _*)
-    df.withColumn("rowid", row_number().over(w).cast("long"))
-  }
+    * rowids start at 1), numbered in natural-key order. Distributed
+    * shape: a range-partitioned sort on the key, then per-partition
+    * counts + broadcast offsets recover the global rank (the same
+    * numbering machinery as BayesDB.ensureRowid) — a parallel sort and
+    * a tiny agg instead of the single-partition `row_number()` window
+    * this used before, which serialized the whole table through one
+    * task at scale. The sorted instance is pinned with a cache while
+    * the counts job and the numbering job run (range boundaries are
+    * sampled and could otherwise differ between the two), and results
+    * are memoized per (dir, table) so repeated loads see identical
+    * rowids without renumbering. */
+  def loadWithRowid(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    rowidCache.getOrElseUpdate((sfDir, name), {
+      val df = load(spark, sfDir, name)
+      val key = naturalKey.getOrElse(name, Seq(df.columns.head))
+      val sorted = df.orderBy(key.map(col): _*).cache()
+      try {
+        val counts = sorted.groupBy(spark_partition_id().as("__pid")).count()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, n)) => (p, acc + n) }
+          .init.zip(counts).map { case ((_, off), (p, _)) => (p, off) }
+        val offDf = broadcast(
+          spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__off"))
+        val out = sorted.withColumn("__pid", spark_partition_id())
+          .withColumn("__mid", monotonically_increasing_id())
+          .join(offDf, "__pid")
+          .withColumn("rowid",
+            col("__off") + (col("__mid") - col("__pid").cast("long") * lit(1L << 33)) + lit(1L))
+          .drop("__pid", "__mid", "__off")
+        val cached = out.cache()
+        cached.count()
+        cached
+      } finally sorted.unpersist(blocking = false)
+    })
 
   /** Register all tables of a scale-factor dir as temp views. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -59,16 +59,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.length == 20)
   }
 
-  test("rowid is stable and 1-based") {
+  test("rowid is stable, dense 1..N, and follows the natural key order") {
     val df = Tables.loadWithRowid(spark, sf, "nation")
-    val ids = df.select("rowid").collect().map(_.getLong(0)).sorted
-    assert(ids.head == 1L && ids.length == ids.distinct.length)
+    val byId = df.select("rowid", "n_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    // dense 1..N — no gaps or duplicates from the distributed numbering
+    assert(byId.map(_._1).sameElements(1L to byId.length))
+    // rowid rank equals natural-key rank (SQLite insertion-order parity)
+    assert(byId.map(_._2).sameElements(byId.map(_._2).sorted))
     // deterministic across loads
     val ids2 = Tables.loadWithRowid(spark, sf, "nation")
       .select("rowid", "n_nationkey").collect()
       .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
-    val ids1 = df.select("rowid", "n_nationkey").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
-    assert(ids1.sameElements(ids2))
+    assert(byId.sameElements(ids2))
   }
 }
