@@ -2413,7 +2413,19 @@ object Planner {
         if (positive) sub.filter(v === xo).exists()
         else !sub.filter((v === xo) || (v === xo).isNull).exists()
       } else {
-        val values = planSubquery(ctx, q).collect().map(_.get(0)).toSeq
+        // uncorrelated IN in a position Catalyst's semi-join form cannot
+        // take (e.g. nested under OR): the subquery values inline into an
+        // isin list, which lives in the plan and on the driver — bound it
+        // like the relevance condition collect so a huge subquery fails
+        // loudly instead of OOMing the driver at scale.
+        val cap = ctx.bdb.spark.conf
+          .getOption("graft.bql.inlist.maxValues")
+          .map(_.toInt).getOrElse(100000)
+        val values = planSubquery(ctx, q).limit(cap + 1).collect().map(_.get(0)).toSeq
+        if (values.length > cap) throw new IllegalArgumentException(
+          s"IN (subquery) in this position inlines the subquery result, " +
+            s"which exceeded $cap rows; rewrite as a top-level conjunct " +
+            "(semi-join form) or raise graft.bql.inlist.maxValues")
         val in = compile(x, ctx).isin(values: _*)
         if (positive) in else !in
       } }

@@ -84,4 +84,19 @@ class ErrorSurfaceSpec extends AnyFunSuite {
         " in the context of x from ep4").collect()
     assert(ok.length == 2)
   }
+
+  test("inlined IN-subquery values are bounded") {
+    // IN under OR takes the inline-isin fallback (no semi-join position);
+    // over the cap it must fail naming the knob, not collect unbounded
+    spark.conf.set("graft.bql.inlist.maxValues", "1")
+    try {
+      val msg = messageOf(bdb.execute(
+        "select * from et where id in (select id from et) or x > 99").collect())
+      assert(msg.contains("maxValues"), msg)
+    } finally spark.conf.unset("graft.bql.inlist.maxValues")
+    // default cap: same query runs and keeps IN-or-OR semantics
+    val ok = bdb.execute(
+      "select * from et where id in (select id from et) or x > 99").collect()
+    assert(ok.length == 2)
+  }
 }
