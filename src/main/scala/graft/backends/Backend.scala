@@ -131,6 +131,18 @@ trait Backend extends Serializable {
       constraints: Seq[(Int, Option[Double])],
       numSamples: Int, rng: DetRng): Seq[Double]
 
+  /** Reject ANALYZE options the backend does not support, before any
+    * inference work runs (reference: loom_backend.py:420-431 raises on
+    * seconds budgets and checkpoints). Default accepts everything the
+    * grammar does. */
+  def checkAnalyzeOptions(seconds: Option[Int], ckptIterations: Option[Int],
+      ckptSeconds: Option[Int]): Unit = ()
+
+  /** Whether PREDICTIVE RELEVANCE accepts hypothetical rows. Checked at
+    * plan time so the rejection is a clean driver-side error, not a task
+    * failure (reference: loom_backend.py:688-692 raises before work). */
+  def supportsHypotheticalRelevance: Boolean = true
+
   /** Drop a subset of ensemble members (reference: src/backend.py
     * drop_models). Backends without per-model state may not support it. */
   def dropModels(state: GeneratorState, modelnos: Seq[Int]): GeneratorState =
@@ -175,6 +187,7 @@ object Backends {
     * cgpm is the reference default; ours arrives with the CrossCat port). */
   def byName(name: String): Backend = name.toLowerCase match {
     case "cgpm" | "crosscat" => new CrossCatBackend()
+    case "loom" => new LoomBackend()
     case "nig_normal" => new NigNormalBackend()
     case "std_normal" => new StdNormalBackend()
     case "troll_rng"  => new TrollBackend()

@@ -900,7 +900,8 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       states(Names.casefold(genName)) = backend.initializeModels(st0, modelnos, rng)
       emptyResult
 
-    case Ast.AnalyzeModels(genName, modelnos, iterations, seconds, _, _, program) =>
+    case Ast.AnalyzeModels(genName, modelnos, iterations, seconds,
+        ckptIterations, ckptSeconds, program) =>
       val gen = catalog.generator(genName).getOrElse(
         throw new NoSuchElementException(s"No such generator: $genName"))
       val st = states.getOrElse(Names.casefold(genName),
@@ -913,6 +914,9 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       // ROWS targets row transitions, SUBPROBLEMS selects Gibbs kernels;
       // OPTIMIZED/QUIET are accepted hints
       val prog = parseAnalyzeProgram(program, pop)
+      // backends may reject grammar-legal options they cannot honor
+      // (loom: seconds budgets and checkpoints, loom_backend.py:420-431)
+      backend.checkAnalyzeOptions(seconds, ckptIterations, ckptSeconds)
       // duration in seconds → at least one sweep (conjugate backends
       // converge in one; MCMC backends iterate)
       val iters = iterations.getOrElse(if (seconds.isDefined) 1 else 1)

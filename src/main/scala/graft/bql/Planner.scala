@@ -2821,6 +2821,14 @@ object Planner {
         val hyp = hypotheticals.map(_.map { case (c, v) =>
           pm.colno(c) -> encodeConst(ctx, pm, c, v)
         })
+        // backends that cannot incorporate unseen rows reject hypotheticals
+        // here, at plan time (reference: loom_backend.py:688-692)
+        if (hyp.nonEmpty) pm.generators.foreach { g =>
+          if (!g.backend.supportsHypotheticalRelevance)
+            throw new IllegalArgumentException(
+              s"${g.backend.name} cannot handle hypothetical rows because" +
+                " it is unable to insert rows into CrossCat")
+        }
         ofCond match {
           case Some(of) =>  // const form
             val r0 = resolveRowid(pm, of, ctx)

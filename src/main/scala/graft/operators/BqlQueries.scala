@@ -61,6 +61,13 @@ object BqlQueries {
       )""")
       b.execute("initialize 2 models for lcomp")
       b.execute("analyze lcomp for 2 iterations")
+      // native loom backend over the same population (loom_backend.py's
+      // query contract re-implemented without the external server: one
+      // inference pass runs inside INITIALIZE, ANALYZE takes the whole
+      // sample set only — LoomBackendSpec pins the surface)
+      b.execute("create generator lloom for lpop using loom")
+      b.execute("initialize 4 models for lloom")
+      b.execute("analyze lloom for 4 iterations")
       b
     })
 
@@ -262,6 +269,15 @@ object BqlQueries {
   val b14CrosscatDependence: Q = (spark, dir) => bdb(spark, dir).execute(
     """ESTIMATE DEPENDENCE PROBABILITY
       |FROM PAIRWISE VARIABLES OF lpop MODELED BY lgen
+      |ORDER BY name0, name1""".stripMargin)
+
+  /** b39: DEPENDENCE PROBABILITY through the native loom backend —
+    * the same-kind indicator read from loom's stored column partitions
+    * (reference loom_backend.py:532-549); l_quantity/l_extendedprice
+    * must co-assign. */
+  val b39LoomDependence: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE DEPENDENCE PROBABILITY
+      |FROM PAIRWISE VARIABLES OF lpop MODELED BY lloom
       |ORDER BY name0, name1""".stripMargin)
 
   /** b15: CrossCat 2-row similarity over a bounded pairwise join. */
@@ -817,7 +833,8 @@ object BqlQueries {
     "b35_grouped_exists_in" -> b35GroupedExistsIn,
     "b36_from_subquery_deep" -> b36FromSubqueryDeep,
     "b37_exists_having" -> b37ExistsHaving,
-    "b38_in_having" -> b38InHaving)
+    "b38_in_having" -> b38InHaving,
+    "b39_loom_dependence" -> b39LoomDependence)
 
   val oracles: Map[String, String] = Map(
     "b37_exists_having" -> b37Sql,
