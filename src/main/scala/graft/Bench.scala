@@ -48,25 +48,41 @@ object Bench {
     // estimate the key's true cost, not a warm-cache rerun
     operators.PipelineQueries.resetOperatorCaches()
     val pass2 = keys.map { case (n, f) => n -> timeOne(n, f) }.toMap
+    // arbitration pass: a key whose two samples spread >3x (slow one
+    // >1 s) gets ONE more cold sample, so a single host-throttle episode
+    // is outvoted instead of permanently flagging the key suspect in the
+    // durable record; failed samples re-probe too
+    def spread2(a: Double, b: Double): Boolean =
+      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) > 3.0 && math.max(a, b) > 1.0
+    val arbKeys = keys.filter { case (n, _) =>
+      spread2(pass1(n), pass2(n)) || pass1(n) < 0 || pass2(n) < 0 }
+    val pass3: Map[String, Double] =
+      if (arbKeys.isEmpty) Map.empty
+      else {
+        operators.PipelineQueries.resetOperatorCaches()
+        arbKeys.map { case (n, f) => n -> timeOne(n, f) }.toMap
+      }
     val results = keys.map { case (name, _) =>
-      val a = pass1(name); val b = pass2(name)
-      val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      val all = Seq(pass1(name), pass2(name)) ++ pass3.get(name)
+      val ok = all.filter(_ >= 0).sorted
+      val best = ok.headOption.getOrElse(-1.0)
       // materiality guard: sub-second spread is JIT/cache warmup, not
-      // throttle — only flag when the slow sample is itself significant
-      val suspect = a > 0 && b > 0 && math.max(a, b) / math.min(a, b) > 3.0 &&
-        math.max(a, b) > 1.0
-      (name, best, a, b, suspect)
+      // throttle — only flag when the spread survives arbitration (the
+      // two FASTEST samples still disagree >3x with the slower >1 s)
+      val suspect = ok.length >= 2 && spread2(ok(0), ok(1))
+      (name, best, all, suspect)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val samples = results.map { case (k, _, a, b, _) => s"\"" + k + "\":[" + a + "," + b + "]" }
+    val samples = results.map { case (k, _, all, _) =>
+      s"\"" + k + "\":" + all.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val suspects = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
+    val suspects = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // failed keys (-1.0 samples) as an explicit top-level list: a gate
     // reading only "queries" once green-lit a round where two keys had
     // silently regressed to -1 — failures must be loud in the record
-    val failed = results.collect { case (k, best, _, _, _) if best < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, best, _, _) if best < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"failed":$failed,"setup_sec":$setupSec,"sf":"$sfDir"}"""

@@ -56,13 +56,11 @@ object Profile {
         .select(size(col("__tk")).as("n")).agg(sum("n")).collect()
     }
     time("p10 lang-id run 1") {
-      docs.withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
-        .withColumn("pred_lang", TextAnalysis.languageIdFrom(col("__tk"), col("text")))
+      docs.withColumn("pred_lang", TextAnalysis.languageId(col("text")))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")).collect()
     }
     time("p10 lang-id run 2") {
-      docs.withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
-        .withColumn("pred_lang", TextAnalysis.languageIdFrom(col("__tk"), col("text")))
+      docs.withColumn("pred_lang", TextAnalysis.languageId(col("text")))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")).collect()
     }
 
@@ -86,8 +84,7 @@ object Profile {
     // p10 AFTER the embedding-heavy keys: reproduces the bench ordering
     // where p10's wall time inflates (heap pressure / GC attribution)
     time("p10 lang-id after p05/p07") {
-      docs.withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
-        .withColumn("pred_lang", TextAnalysis.languageIdFrom(col("__tk"), col("text")))
+      docs.withColumn("pred_lang", TextAnalysis.languageId(col("text")))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")).collect()
     }
 

@@ -258,17 +258,14 @@ object PipelineQueries {
 
   /** p10: language-ID heuristic vs the labeled lang column — confusion
     * counts (rows-only; the heuristic is ours, labels are synthetic).
-    * No `spread()` here: languageId is pure whole-stage-codegen native
-    * expressions feeding a tiny groupBy — a pre-repartition would round-
+    * No `spread()` here: languageId is ONE whole-stage-codegen native
+    * expression feeding a tiny groupBy — a pre-repartition would round-
     * trip the full text column through a shuffle for nothing (spread is
     * for per-row JVM-UDF stages like p11/p12, where single-file parquet
     * = one partition serializes the work). */
   val p10LangId: Q = (spark, dir) => {
-    // tokenize once into a real column: the five language scores share
-    // the token array instead of re-splitting the text per score
     Tables.load(spark, dir, "documents")
-      .withColumn("__tk", split(trim(lower(col("text"))), "\\s+"))
-      .withColumn("pred_lang", TextAnalysis.languageIdFrom(col("__tk"), col("text")))
+      .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
   }

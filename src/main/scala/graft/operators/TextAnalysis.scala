@@ -61,28 +61,25 @@ object TextAnalysis {
   }
 
   /** Per-language marker lexicons for the n-gram/stopword language-ID
-    * heuristic. Tiny on purpose: broadcast as literals into codegen.
-    * Shared with the p10 DuckDB oracle so both engines score the same
-    * lexicons. */
-  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "this"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "nicht"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "avec", "que", "une"),
-    "es" -> Seq("el", "los", "las", "es", "con", "que", "una", "para"),
-    "zh" -> Seq("de", "shi", "zai", "le", "he", "you", "wo", "ta"))
+    * heuristic. Tiny on purpose. Shared with the p10/st01 DuckDB oracles
+    * so both engines score the same lexicons (canonical copy lives with
+    * the fused expression). */
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] =
+    graft.functions.LanguageIdExpr.Markers
 
   /** Language ID: score = fraction of tokens hitting each language's
-    * marker set (+ tiny char-class prior for CJK); argmax wins, 'und'
-    * when nothing matches. Pure native expressions.
-    *
-    * Callers on a hot path should materialize the token array once
-    * (`withColumn`) and use [[languageIdFrom]] — inlining the split here
-    * repeats the tokenization per language score. */
+    * marker set (+ a decisive Han-script probe for zh); argmax wins,
+    * 'und' when nothing matches. One codegen'd pass
+    * ([[graft.functions.LanguageIdExpr]]) — the previous composed form
+    * ran five interpreted ArrayFilter lambdas per row. */
   def languageId(text: Column): Column =
-    languageIdFrom(split(trim(lower(text)), "\\s+"), text)
+    graft.functions.LanguageIdExpr(text)
 
-  /** As [[languageId]], over a pre-tokenized column. */
-  def languageIdFrom(tokens: Column, text: Column): Column = {
+  /** The composed higher-order-function form [[languageId]] replaced,
+    * kept as the independent semantics pin for the parity spec (and the
+    * template the DuckDB oracles mirror). */
+  private[graft] def composedLanguageId(text: Column): Column = {
+    val tokens = split(trim(lower(text)), "\\s+")
     val n = greatest(size(tokens), lit(1)).cast("double")
     val scores = LangMarkers.map { case (lang, markers) =>
       val hits = size(filter(tokens, w => w.isin(markers: _*))).cast("double") / n

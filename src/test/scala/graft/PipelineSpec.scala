@@ -166,6 +166,31 @@ class PipelineSpec extends AnyFunSuite {
       "exhaustive probes must reproduce the exact ranking — a mismatch means cell routing lost a vector")
   }
 
+  test("fused language-ID expression matches the composed-operator form") {
+    import spark.implicits._
+    // real corpus: every document at sf0.001, all five labeled languages
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // adversarial tokenization edges: Spark trim strips ASCII space ONLY,
+    // split keeps leading/trailing empty tokens around \t and \n, ties
+    // between language scores break on the larger lang code, Han chars
+    // are decisive, and empty/whitespace text scores 'und'
+    val edges = Seq(
+      "the der le el de", "  the the  ", "\tthe und\n", "le le la der der",
+      "", " ", "\t\n", "que une", "que una", "中文 text the", "DE shi ZAI",
+      "nothing matches here at all", "und und", "the der").zipWithIndex
+      .map { case (t, i) => (100000L + i, t) }.toDF("doc_id", "text")
+    val all = real.unionByName(edges)
+    val mismatch = all
+      .withColumn("fused", graft.operators.TextAnalysis.languageId(col("text")))
+      .withColumn("composed", graft.operators.TextAnalysis.composedLanguageId(col("text")))
+      .filter(not(col("fused") <=> col("composed")))
+      .select("doc_id", "text", "fused", "composed")
+      .collect()
+    assert(mismatch.isEmpty,
+      mismatch.take(5).mkString("fused != composed on: ", "; ", ""))
+  }
+
   test("subword count: alnum runs + punctuation as their own tokens") {
     import spark.implicits._
     val cases = Seq(
