@@ -153,6 +153,44 @@ class LoomBackendSpec extends AnyFunSuite {
     assert(bdb.execute("simulate y from lp given rowid = 2 limit 2").count() == 2)
   }
 
+  test("two loom generators coexist on one population" +
+      " (test_population_two_generators)") {
+    val b = new BayesDB(spark, seed = 31L)
+    b.registerTable("lt3", (1 to 20).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x"))
+    b.execute("create population lp3 for lt3 (id ignore; x numerical)")
+    b.execute("create generator lg3a for lp3 using loom")
+    b.execute("create generator lg3b for lp3 using loom")
+    b.execute("initialize 2 models for lg3a")
+    b.execute("initialize 3 models for lg3b")
+    assert(b.execute("simulate x from lp3 modeled by lg3a limit 2").count() == 2)
+    assert(b.execute("simulate x from lp3 modeled by lg3b limit 2").count() == 2)
+  }
+
+  test("initialize if-not-exists tops up, drop models resets" +
+      " (test_loom_complex_add_analyze_drop_sequence)") {
+    val b = new BayesDB(spark, seed = 37L)
+    b.registerTable("lt4", (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x"))
+    b.execute("create population lp4 for lt4 (id ignore; x numerical)")
+    b.execute("create generator lg4 for lp4 using loom")
+    b.execute("initialize 2 models for lg4")
+    b.execute("initialize 3 models if not exists for lg4")
+    // total is 3, not 2 + 3 (reference asserts num_models == 3)
+    assert(b.catalog.modelNumbers("lg4").length == 3)
+    b.execute("analyze lg4 for 2 iterations")
+    def density(): Double =
+      b.execute("estimate probability density of x = 5 by lp4")
+        .collect().head.getDouble(0)
+    assert(density() > 0.0)
+    b.execute("drop models from lg4")
+    // analysis starts fresh after a full drop
+    b.execute("initialize 1 models for lg4")
+    assert(b.catalog.modelNumbers("lg4").length == 1)
+    b.execute("analyze lg4 for 5 iterations")
+    assert(density() > 0.0)
+  }
+
   test("infer explicit predict: numerical confidences are 0 (loom contract)") {
     // reference test_loom_four_var:345-351: all confidences == 0
     val rows = bdb.execute("infer explicit predict x confidence xc from lp limit 5")
