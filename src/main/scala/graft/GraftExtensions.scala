@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** The library's native Catalyst expressions as plain Spark SQL
+  * functions, so `spark.sql("SELECT graft_simhash(text) ...")` works
+  * without touching the Column API — the standard extension-library
+  * surface (`spark.sql.extensions=graft.GraftExtensions`, or
+  * [[GraftFunctions.register]] on a running session).
+  *
+  * Optional parameters default to the operator-layer defaults
+  * (`operators.Dedup` / `SimilaritySearch` / `TextAnalysis`), so the SQL
+  * spelling of a pipeline stage is bit-identical to the DataFrame one.
+  */
+object GraftFunctions {
+
+  private def litLong(fname: String, arg: String, e: Expression): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fname: $arg must be an integer literal, got $other")
+  }
+  private def litInt(fname: String, arg: String, e: Expression): Int =
+    litLong(fname, arg, e).toInt
+
+  private def badArity(fname: String, got: Int, want: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$fname takes $want argument(s), got $got")
+
+  /** (name, usage, builder) for every exposed expression. */
+  val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_language_id", "(text) - marker-lexicon language id",
+      {
+        case Seq(t) => LanguageIdExpr(t)
+        case as => badArity("graft_language_id", as.length, "1")
+      }),
+    ("graft_simhash", "(text[, seed]) - 64-bit SimHash of the token stream",
+      {
+        case Seq(t) => SimHash64(t, 42L)
+        case Seq(t, s) => SimHash64(t, litLong("graft_simhash", "seed", s))
+        case as => badArity("graft_simhash", as.length, "1 or 2")
+      }),
+    ("graft_minhash",
+      "(text[, numHashes, shingleSize, seed]) - one-permutation MinHash signature",
+      {
+        case Seq(t) => MinHashSignature(t, 128, 3, 42L)
+        case Seq(t, n, sh, s) => MinHashSignature(t,
+          litInt("graft_minhash", "numHashes", n),
+          litInt("graft_minhash", "shingleSize", sh),
+          litLong("graft_minhash", "seed", s))
+        case as => badArity("graft_minhash", as.length, "1 or 4")
+      }),
+    ("graft_winnow_fingerprint",
+      "(text[, k, window]) - winnowing document fingerprint (MOSS)",
+      {
+        case Seq(t) => WinnowFingerprint(t, 8, 16)
+        case Seq(t, k, w) => WinnowFingerprint(t,
+          litInt("graft_winnow_fingerprint", "k", k),
+          litInt("graft_winnow_fingerprint", "window", w))
+        case as => badArity("graft_winnow_fingerprint", as.length, "1 or 3")
+      }),
+    ("graft_ngram_hashes",
+      "(text[, n]) - distinct hashed word n-gram shingle set",
+      {
+        case Seq(t) => NgramHashSet(t, 3)
+        case Seq(t, n) => NgramHashSet(t, litInt("graft_ngram_hashes", "n", n))
+        case as => badArity("graft_ngram_hashes", as.length, "1 or 2")
+      }),
+    ("graft_cosine", "(vec, vec) - fused cosine similarity of float vectors",
+      {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case as => badArity("graft_cosine", as.length, "2")
+      }),
+    ("graft_signature_agreement",
+      "(sig, sig) - agreeing positions of two MinHash signatures",
+      {
+        case Seq(a, b) => SignatureAgreement(a, b)
+        case as => badArity("graft_signature_agreement", as.length, "2")
+      }),
+    ("graft_hyperplane_sig",
+      "(vec[, seed]) - 64-bit random-hyperplane signature of a float vector",
+      {
+        case Seq(v) => HyperplaneSignature64(v, 42L)
+        case Seq(v, s) => HyperplaneSignature64(v,
+          litLong("graft_hyperplane_sig", "seed", s))
+        case as => badArity("graft_hyperplane_sig", as.length, "1 or 2")
+      }),
+    ("graft_band_bucket_hash",
+      "(band, sigSlice) - fixed-width LSH band bucket key",
+      {
+        case Seq(b, s) => BandBucketHash(b, s)
+        case as => badArity("graft_band_bucket_hash", as.length, "2")
+      }))
+
+  private[graft] def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, null, name,
+      usage, "")
+
+  /** Register every function on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, usage, builder) =>
+      ColumnBridge.registerFunction(spark, FunctionIdentifier(name),
+        info(name, usage), builder)
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` injection point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        GraftFunctions.info(name, usage), builder))
+    }
+}

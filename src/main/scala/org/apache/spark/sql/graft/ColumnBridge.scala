@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (`sessionState` is
+    * `private[sql]`, hence this bridge). The SparkSessionExtensions path
+    * (`graft.GraftExtensions`) covers sessions built with
+    * `spark.sql.extensions`; this covers sessions already running. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(name, info, builder)
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-function surface: every native expression registered as a Spark
+  * SQL function must produce bit-identical results to its Column-API
+  * form, through both registration paths (running session + the
+  * spark.sql.extensions injection point). */
+class GraftExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val registered: SparkSession = { GraftFunctions.register(spark); spark }
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "der schnelle braune fuchs springt und ist mit allem nicht fertig"),
+    (3L, "le renard brun rapide est avec la chose que une fois"),
+    (4L, "completely unmatched tokens only qwerty zxcvb asdfgh"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again today"))
+    .toDF("doc_id", "text")
+
+  test("SQL text functions match the Column API bit-for-bit") {
+    registered.catalog // force registration
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = registered.sql(
+      """SELECT doc_id,
+        |       graft_language_id(text) AS lang,
+        |       graft_simhash(text) AS sim,
+        |       graft_simhash(text, 7) AS sim7,
+        |       graft_minhash(text) AS mh,
+        |       graft_minhash(text, 64, 2, 7) AS mh2,
+        |       graft_winnow_fingerprint(text) AS fp,
+        |       graft_ngram_hashes(text, 2) AS ng
+        |FROM ext_docs""".stripMargin)
+    val viaCols = docs.select(col("doc_id"),
+      operators.TextAnalysis.languageId(col("text")).as("lang"),
+      functions.SimHash64(col("text"), 42L).as("sim"),
+      functions.SimHash64(col("text"), 7L).as("sim7"),
+      functions.MinHashSignature(col("text"), 128, 3, 42L).as("mh"),
+      functions.MinHashSignature(col("text"), 64, 2, 7L).as("mh2"),
+      functions.WinnowFingerprint(col("text"), 8, 16).as("fp"),
+      functions.NgramHashSet(col("text"), 2).as("ng"))
+    assert(viaSql.exceptAll(viaCols).isEmpty && viaCols.exceptAll(viaSql).isEmpty)
+  }
+
+  test("SQL vector functions match the Column API") {
+    registered.catalog
+    // cosine runs on double vectors, the hyperplane signature on float
+    // embeddings (the embeddings-table layout)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 0.25f)))
+      .toDF("id", "a", "b")
+      .withColumn("ad", col("a").cast("array<double>"))
+      .withColumn("bd", col("b").cast("array<double>"))
+    vecs.createOrReplaceTempView("ext_vecs")
+    val viaSql = registered.sql(
+      """SELECT id, graft_cosine(ad, bd) AS cos,
+        |       graft_hyperplane_sig(a) AS hp,
+        |       graft_hyperplane_sig(b, 9) AS hp9
+        |FROM ext_vecs""".stripMargin).collect().sortBy(_.getLong(0))
+    val viaCols = vecs.select(col("id"),
+      functions.CosineSimilarity(col("ad"), col("bd")).as("cos"),
+      functions.HyperplaneSignature64(col("a"), 42L).as("hp"),
+      functions.HyperplaneSignature64(col("b"), 9L).as("hp9"))
+      .collect().sortBy(_.getLong(0))
+    assert(viaSql.toSeq == viaCols.toSeq)
+  }
+
+  test("signature agreement and band bucket hash compose in SQL") {
+    registered.catalog
+    docs.createOrReplaceTempView("ext_docs2")
+    val rows = registered.sql(
+      """SELECT graft_signature_agreement(graft_minhash(a.text), graft_minhash(b.text)) AS agree,
+        |       graft_band_bucket_hash(1, slice(graft_minhash(a.text), 1, 4)) AS bb
+        |FROM ext_docs2 a JOIN ext_docs2 b ON a.doc_id = 1 AND b.doc_id = 5""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    // near-identical docs agree on most of the 128 signature positions
+    assert(rows.head.getInt(0) > 64, s"agreement=${rows.head.getInt(0)}")
+  }
+
+  test("arity and literal-argument errors are named") {
+    registered.catalog
+    val e1 = intercept[Exception] {
+      registered.sql("SELECT graft_simhash('a', 'notanint')").collect()
+    }
+    assert(e1.getMessage.contains("seed must be an integer literal"))
+    val e2 = intercept[Exception] {
+      registered.sql("SELECT graft_cosine(array(1.0F))").collect()
+    }
+    assert(e2.getMessage.contains("takes 2 argument"))
+  }
+
+  test("spark.sql.extensions injection registers on a fresh session") {
+    // builder extensions apply only at session CREATION: park the default
+    // session, build a sibling session over the same SparkContext with
+    // the injection point, then restore
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val got = s2.sql("SELECT graft_language_id('der und ist mit') AS l")
+        .collect().head.getString(0)
+      assert(got == "de")
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
