@@ -191,6 +191,49 @@ class LoomBackendSpec extends AnyFunSuite {
     assert(density() > 0.0)
   }
 
+  /** Mixture of two well-separated bivariate gaussians
+    * (test_loom_simulate_bivariate_gaussian.py): simulate must recover
+    * the mix ratio, and conditioning on a partial observation must pull
+    * the other coordinate to the right cluster. */
+  private lazy val bivariateBdb: BayesDB = {
+    val b = new BayesDB(spark, seed = 47L)
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 150).map { i =>
+      val c0 = rng.nextDouble() < 0.7
+      val (mx, my) = if (c0) (0.0, 20.0) else (20.0, 0.0)
+      (i.toLong, mx + rng.nextGaussian(), my + rng.nextGaussian())
+    }
+    b.registerTable("bg", rows.toDF("id", "x", "y"))
+    b.execute("create population bgp for bg (id ignore; x numerical; y numerical)")
+    b.execute("create generator bgg for bgp using loom")
+    b.execute("initialize 4 models for bgg")
+    b.execute("analyze bgg for 30 iterations")
+    b
+  }
+
+  test("simulate recovers a two-cluster mix ratio" +
+      " (test_loom_simulate_bivariate_gaussian: test_mix_ratio)") {
+    val sim = bivariateBdb.execute("simulate x, y from bgp limit 200")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def d2(p: (Double, Double), m: (Double, Double)): Double = {
+      val dx = p._1 - m._1; val dy = p._2 - m._2; dx * dx + dy * dy
+    }
+    val near0 = sim.count(p => d2(p, (0.0, 20.0)) < d2(p, (20.0, 0.0)))
+    val ratio = near0.toDouble / sim.length
+    assert(math.abs(ratio - 0.7) < 0.12, s"simulated mix ratio $ratio vs 0.7")
+  }
+
+  test("simulate conditions a fresh partial observation on the right cluster" +
+      " (test_simulate_y_from_partially_populated_fresh_row)") {
+    // the reference inserts (x=0, y=NULL) and simulates GIVEN rowid; for
+    // loom that conditioning is cells-only, so GIVEN x = 0 is the same
+    // computation
+    val ys = bivariateBdb.execute("simulate y from bgp given x = 0 limit 100")
+      .collect().map(_.getDouble(0))
+    val mean = ys.sum / ys.length
+    assert(mean > 12.0, s"y | x=0 must sit near the (0,20) cluster, got $mean")
+  }
+
   test("infer explicit predict: numerical confidences are 0 (loom contract)") {
     // reference test_loom_four_var:345-351: all confidences == 0
     val rows = bdb.execute("infer explicit predict x confidence xc from lp limit 5")
