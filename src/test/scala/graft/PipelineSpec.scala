@@ -123,6 +123,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(!raw.decoded && raw.n_bytes == 4 && raw.mean_byte == 2.5)
   }
 
+  test("fast PNG path matches ImageIO across color types and filter mixes") {
+    import graft.operators.Multimodal
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    val rng = new scala.util.Random(17)
+    // gradients favor sub/up/paeth scanline filters, noise favors none;
+    // ARGB hits color type 6, RGB hits 2 (gray stays on the general
+    // codec — ImageIO's CS_GRAY->sRGB transform makes getRGB non-trivial
+    // there, so the fast path declines colorType 0)
+    val types = Seq(BufferedImage.TYPE_INT_RGB, BufferedImage.TYPE_INT_ARGB)
+    for (t <- types; mode <- Seq("noise", "gradx", "grady", "mixed")) {
+      val w = 5 + rng.nextInt(40); val h = 5 + rng.nextInt(40)
+      val im = new BufferedImage(w, h, t)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = mode match {
+          case "noise" => rng.nextInt(1 << 24)
+          case "gradx" => (x * 255 / w) * 0x010101
+          case "grady" => (y * 255 / h) * 0x010101
+          case _ => if (y % 2 == 0) rng.nextInt(1 << 24) else (x * 255 / w) * 0x010101
+        }
+        im.setRGB(x, y, v | 0xff000000)
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(im, "png", out)
+      val bytes = out.toByteArray
+      val fast = Multimodal.decodePngFast(bytes)
+      assert(fast.isDefined, s"type=$t mode=$mode must take the fast path")
+      val Some((fw, fh, fsum, fhist)) = fast
+      // independent expectation straight from the BufferedImage
+      var sum = 0L; val hist = new Array[Long](4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = im.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        sum += lum; hist(lum >> 6) += 1
+      }
+      assert((fw, fh) == (w, h), s"type=$t mode=$mode dims")
+      assert(fsum == sum, s"type=$t mode=$mode lum sum $fsum != $sum")
+      assert(fhist.toSeq == hist.toSeq, s"type=$t mode=$mode hist")
+    }
+    // gray PNGs decline the fast path (colorType 0 → general codec)
+    val gim = new BufferedImage(9, 9, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 9; x <- 0 until 9) gim.setRGB(x, y, (x * 28) * 0x010101)
+    val gout = new ByteArrayOutputStream()
+    ImageIO.write(gim, "png", gout)
+    assert(graft.operators.Multimodal.decodePngFast(gout.toByteArray).isEmpty)
+  }
+
   test("decode kernel reproduces the fixture's closed-form pixel statistics") {
     import graft.operators.Multimodal
     // the same rows MediaFixture persists, regenerated in-memory: every
