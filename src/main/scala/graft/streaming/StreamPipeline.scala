@@ -134,22 +134,9 @@ object StreamPipeline {
       tsCol: String, suppressionHorizon: String = "30 minutes",
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
-    // parse with the same interval grammar withWatermark uses, so every
-    // delay string the watermark accepts (e.g. "1 hour 30 minutes") is
-    // also a valid horizon; month units have no fixed millisecond length
-    val iv =
-      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(suppressionHorizon))
-      catch { case e: IllegalArgumentException =>
-        throw new IllegalArgumentException(
-          s"suppressionHorizon '$suppressionHorizon': ${e.getMessage}", e)
-      }
-    require(iv != null && iv.months == 0,
-      s"suppressionHorizon must be a day-time interval, got '$suppressionHorizon'")
-    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val horizonMs = parseHorizonMs(suppressionHorizon)
     val rowsPerBand = numHashes / bands
     val keyed = stream
       .withWatermark(tsCol, suppressionHorizon)
@@ -163,6 +150,63 @@ object StreamPipeline {
       .select(col("id"), col("ts"), col("band"),
         graft.functions.BandBucketHash(col("band"), col("bslice")).as("bh"))
       .as[(Long, java.sql.Timestamp, Int, Long)]
+    bucketStateFold(keyed, horizonMs)
+  }
+
+  /** Streaming near-duplicate collision buckets for an EMBEDDING stream:
+    * the batch p05 bucketing — a 64-bit random-hyperplane signature
+    * split into `chunks` disjoint bit-chunks (cosine-close vectors agree
+    * on whole chunks with high probability) — keyed into the same
+    * keeper/count state fold with the same horizon-bounded lifetime as
+    * the text path. The chunk value is already a fixed-width state key,
+    * so no extra hashing is needed. */
+  def embedNearDupBuckets(stream: DataFrame, vecCol: String, idCol: String,
+      tsCol: String, suppressionHorizon: String = "30 minutes",
+      chunks: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    val bits = 64 / chunks
+    val horizonMs = parseHorizonMs(suppressionHorizon)
+    val keyed = stream
+      .withWatermark(tsCol, suppressionHorizon)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.functions.HyperplaneSignature64(col(vecCol), seed).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("ts"), posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("sig"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1))): _*))
+        .as(Seq("band", "bh")))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    bucketStateFold(keyed, horizonMs)
+  }
+
+  /** Parse with the same interval grammar withWatermark uses, so every
+    * delay string the watermark accepts (e.g. "1 hour 30 minutes") is
+    * also a valid horizon; month units have no fixed millisecond length. */
+  private def parseHorizonMs(suppressionHorizon: String): Long = {
+    val iv =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(suppressionHorizon))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"suppressionHorizon '$suppressionHorizon': ${e.getMessage}", e)
+      }
+    require(iv != null && iv.months == 0,
+      s"suppressionHorizon must be a day-time interval, got '$suppressionHorizon'")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** The shared keyed keeper/count fold: `keyed` is (id, ts, band,
+    * bucket_hash); state per (band, bucket_hash) is the 16-byte
+    * (minId, n) with the event-time timeout re-armed to max-event-time
+    * + horizon — see the scale-design notes on [[nearDupBuckets]]. */
+  private def bucketStateFold(
+      keyed: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Int, Long)],
+      horizonMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = keyed.sparkSession
+    import spark.implicits._
     keyed.groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState[BucketState, BucketUpdate](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {

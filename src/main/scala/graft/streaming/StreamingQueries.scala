@@ -238,15 +238,63 @@ object StreamingQueries {
       |ORDER BY band, bucket_hash""".stripMargin
   }
 
+  /** The embeddings table as a bounded vector stream with the same
+    * synthetic event-time treatment as [[boundedDocStream]]. */
+  private def boundedVecStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.load(spark, dir, "embeddings").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .withColumn("ts",
+        timestamp_seconds(lit(EpochBase) + (col("vec_id") * 37) % 600))
+  }
+
+  /** st05: streaming EMBEDDING near-dup collision buckets — each vector
+    * keys into the 4 disjoint 16-bit chunks of its hyperplane-LSH
+    * signature (the batch p05 bucketing), the shared keyed state folds
+    * (min id, count) per (chunk, value) with horizon-bounded lifetime,
+    * and the final per-bucket state for buckets of size ≥ 2 equals the
+    * batch GROUP BY over the chunk expansion. */
+  val st05EmbedNearDup: Q = (spark, dir) => {
+    val nd = StreamPipeline.embedNearDupBuckets(
+      boundedVecStream(spark, dir), "embedding", "vec_id", "ts")
+    drainToMemory(spark, "st05", nd.writeStream.outputMode("update"))
+      .groupBy(col("band"), col("bucket_hash"))
+      .agg(min(col("keeper_id")).as("keeper_id"),
+        max(col("n_docs")).as("n_vecs"))
+      .filter(col("n_vecs") >= 2)
+      .select(col("band"), col("bucket_hash"), col("keeper_id"), col("n_vecs"))
+      .orderBy("band", "bucket_hash")
+  }
+
+  /** st05 oracle: the p05 signature chain (bit-exact hyperplane LSH in
+    * DuckDB) regrouped per 16-bit signature chunk — logical shift on
+    * UBIGINT matches shiftrightunsigned on the signed JVM long, and the
+    * 16-bit chunk values fit BIGINT directly. */
+  val st05Sql: String = {
+    val p05 = graft.operators.PipelineQueries.p05Sql
+    val prefix = p05.substring(0, p05.indexOf("norms AS ("))
+    prefix + """chunked AS (
+      |  SELECT s.vec_id, CAST(c.c AS INTEGER) AS band,
+      |         CAST((s.sig >> CAST(16*c.c AS INTEGER)) & 65535 AS BIGINT) AS bucket_hash
+      |  FROM sigs s, unnest(range(0, 4)) AS c(c))
+      |SELECT band, bucket_hash, min(vec_id)::BIGINT AS keeper_id,
+      |       count(*)::BIGINT AS n_vecs
+      |FROM chunked GROUP BY band, bucket_hash HAVING count(*) >= 2
+      |ORDER BY band, bucket_hash""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_windowed_lang" -> st01WindowedLang,
     "st02_stream_dedup" -> st02StreamDedup,
     "st03_stream_source_profile" -> st03SourceProfile,
-    "st04_stream_near_dup" -> st04NearDupBuckets)
+    "st04_stream_near_dup" -> st04NearDupBuckets,
+    "st05_stream_embed_near_dup" -> st05EmbedNearDup)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_windowed_lang" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
     "st03_stream_source_profile" -> st03Sql,
-    "st04_stream_near_dup" -> st04Sql)
+    "st04_stream_near_dup" -> st04Sql,
+    "st05_stream_embed_near_dup" -> st05Sql)
 }

@@ -137,6 +137,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup buckets fold across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val nd = StreamPipeline.embedNearDupBuckets(
+      input.toDF.toDF("ts", "vec_id", "embedding"), "embedding", "vec_id", "ts")
+    val q = nd.writeStream.format("memory").queryName("embed_neardup_out")
+      .outputMode("update").start()
+    try {
+      val a = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+      val b = Array.tabulate(64)(i => -math.sin(i * 0.7).toFloat) // antipode
+      // vec 7 and vec 3 are identical (all 4 chunks shared); the
+      // duplicate arrives in a LATER batch — state must fold; the
+      // antipodal vector flips every signature bit, sharing nothing
+      input.addData((ts(0), 7L, a), (ts(0), 11L, b))
+      q.processAllAvailable()
+      input.addData((ts(1), 3L, a))
+      q.processAllAvailable()
+      val finalStates = spark.table("embed_neardup_out")
+        .groupBy("band", "bucket_hash")
+        .agg(min("keeper_id").as("keeper"), max("n_docs").as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val shared = finalStates.filter(_._4 >= 2)
+      assert(shared.length == 4, s"expected 4 shared chunk buckets, got ${shared.length}")
+      assert(shared.forall(_._3 == 3L), s"keeper must be the min vec id: ${shared.toSeq}")
+      assert(shared.map(_._1).sorted.toSeq == (0 until 4))
+      // chunk values are 16-bit
+      assert(finalStates.forall(s => s._2 >= 0 && s._2 < 65536))
+    } finally q.stop()
+  }
+
   test("suppression horizon uses the watermark interval grammar") {
     val spark2 = spark
     import spark2.implicits._
