@@ -23,7 +23,7 @@ class RelationalFuzzSpec extends AnyFunSuite {
 
   private lazy val bdb: BayesDB = {
     val b = new BayesDB(spark, seed = 13L)
-    Seq("customer", "nation", "orders").foreach { t =>
+    Seq("customer", "nation", "region", "orders").foreach { t =>
       val df = Tables.load(spark, dir, t)
       b.registerTable(t, df)
       df.createOrReplaceTempView(t)
@@ -142,12 +142,33 @@ class RelationalFuzzSpec extends AnyFunSuite {
         s" where ${predicate(rng.nextInt(2))}) as t" +
         s" where v ${pick(Seq("<", ">", ">=", "<="))} ${rng.nextInt(4000)}"
 
+    /** 3-way star: customer → nation → region rollup. */
+    def join3Query(): String = {
+      val extra = predicate(0).replaceAll("\\b(c_[a-z]+)\\b", "c.$1")
+      s"select r.r_name, count(*) as n_c," +
+        s" ${pick(Seq("sum", "avg", "min", "max"))}(c.c_acctbal) as s_c" +
+        " from customer as c, nation as n, region as r" +
+        " where c.c_nationkey = n.n_nationkey and n.n_regionkey = r.r_regionkey" +
+        s" and $extra group by r.r_name" +
+        (if (rng.nextInt(2) == 0) " having count(*) >= 1" else "")
+    }
+
+    /** Fact-table join: orders × customer rollup. */
+    def factJoinQuery(): String =
+      s"select c.c_mktsegment, count(*) as n_o," +
+        s" round(${pick(Seq("sum", "avg", "max"))}(o.o_totalprice), 4) as s_o" +
+        " from orders as o, customer as c where o.o_custkey = c.c_custkey" +
+        s" and o.o_totalprice ${pick(Seq("<", ">", ">=", "<="))} ${10000 + rng.nextInt(300000)}" +
+        " group by c.c_mktsegment"
+
     // set ops are a DataFrame-level extension (q16), not BQL grammar —
     // the generator stays inside the parsed dialect
-    def next(): String = rng.nextInt(4) match {
+    def next(): String = rng.nextInt(6) match {
       case 0 => flatQuery()
       case 1 => groupQuery()
       case 2 => joinQuery()
+      case 3 => join3Query()
+      case 4 => factJoinQuery()
       case _ => subQuery()
     }
   }
