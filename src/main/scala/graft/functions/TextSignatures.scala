@@ -200,22 +200,42 @@ case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
 
 object SimHash64 {
 
+  /** nibble value → its 4 bits spread into 4 packed 16-bit lanes, so
+    * one long add counts 4 bit-positions at once. */
+  private val NibbleLanes: Array[Long] = Array.tabulate(16) { v =>
+    var p = 0L
+    var b = 0
+    while (b < 4) { if (((v >> b) & 1) == 1) p |= 1L << (16 * b); b += 1 }
+    p
+  }
+
   def kernel(text: String, seed: Long): java.lang.Long = {
     val tokens = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (tokens.isEmpty) null
     else {
-      val acc = new Array[Int](64)
-      tokens.foreach { t =>
-        val h = DetRngHash.mix(DetRngHash.xx(t.getBytes("UTF-8")) ^ seed)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-          b += 1
+      // ones-count per bit, 4 lanes of 16 bits per accumulator long:
+      // 16 adds per token instead of the naive 64. ±1 voting with
+      // "acc > 0" is equivalent to "2·ones > n" exactly, and 16-bit
+      // lanes cannot overflow below 65k tokens per document.
+      val acc = new Array[Long](16)
+      var i = 0
+      while (i < tokens.length) {
+        val h = DetRngHash.mix(DetRngHash.xx(tokens(i).getBytes("UTF-8")) ^ seed)
+        var g = 0
+        while (g < 16) {
+          acc(g) += NibbleLanes(((h >>> (4 * g)) & 0xfL).toInt)
+          g += 1
         }
+        i += 1
       }
+      val n = tokens.length
       var out = 0L
       var b = 0
-      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      while (b < 64) {
+        val ones = (acc(b >> 2) >>> (16 * (b & 3))) & 0xffffL
+        if (2 * ones > n) out |= (1L << b)
+        b += 1
+      }
       java.lang.Long.valueOf(out)
     }
   }
