@@ -106,6 +106,19 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
   def catalog: Catalog = catalog0
   private val tables = TrieMap.empty[String, DataFrame]
   private val states = TrieMap.empty[String, GeneratorState]
+  private val customBackends = TrieMap.empty[String, graft.backends.Backend]
+
+  /** Register a user-supplied backend on THIS engine instance, shadowing
+    * any built-in of the same casefolded name — the analogue of the
+    * reference's `bayesdb_register_backend(bdb, backend)`
+    * (src/__init__.py:82-96; tests register LoomBackend this way). */
+  def registerBackend(backend: graft.backends.Backend): Unit =
+    customBackends(Names.casefold(backend.name)) = backend
+
+  /** Backend resolution: instance registrations first, then the
+    * built-in registry. */
+  private def backendByName(name: String): graft.backends.Backend =
+    customBackends.getOrElse(Names.casefold(name), Backends.byName(name))
 
   /** One entry per open transaction/savepoint: a full engine-state
     * snapshot (catalog, table registry, model states) plus whether the
@@ -318,7 +331,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       s"Population $populationName has no generators")
     val fitted = gens.flatMap { g =>
       states.get(Names.casefold(g.name)).map(st =>
-        FittedGenerator(g.name, Backends.byName(g.backend), st))
+        FittedGenerator(g.name, backendByName(g.backend), st))
     }
     require(!needModels || fitted.nonEmpty,
       s"Population $populationName has no initialized models (INITIALIZE ... MODELS FOR ...)")
@@ -875,7 +888,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
       val backend = (Names.casefold(gen.backend), parsed.subsample, foreignSpecs) match {
         case ("cgpm" | "crosscat", sub, fs) if sub.isDefined || fs.nonEmpty =>
           new CrossCatBackend(subsampleRows = sub.getOrElse(500), foreigns = fs)
-        case _ => Backends.byName(gen.backend)
+        case _ => backendByName(gen.backend)
       }
       val df = table(pop.table)
       val manifest = pop.modeledVariables.filterNot(_.isLatent)
@@ -908,7 +921,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
         throw new IllegalStateException(s"Generator $genName has no initialized models"))
       val pop = catalog.populationNames.flatMap(catalog.population)
         .find(_.id == gen.populationId).get
-      val backend = Backends.byName(gen.backend)
+      val backend = backendByName(gen.backend)
       // analysis program (reference: cgpm_analyze.parse,
       // cgpm_backend.py:1797-1888): VARIABLES/SKIP target column kernels,
       // ROWS targets row transitions, SUBPROBLEMS selects Gibbs kernels;
@@ -934,7 +947,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
           val gen = catalog.generator(genName).getOrElse(
             throw new NoSuchElementException(s"No such generator: $genName"))
           states.updateWith(Names.casefold(genName))(_.map(st =>
-            Backends.byName(gen.backend).dropModels(st, ns)))
+            backendByName(gen.backend).dropModels(st, ns)))
           catalog.dropModels(genName, Some(ns))
       }
       emptyResult
@@ -966,7 +979,7 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
   private def runAlterGenClause(genName: String, backendName: String,
       pop: graft.catalog.Population, tokens: Seq[String],
       only: Option[Set[Int]] = None): Unit = {
-    val backend = Backends.byName(backendName)
+    val backend = backendByName(backendName)
     val cc = backend match {
       case b: CrossCatBackend => b
       case _ => throw new UnsupportedOperationException(

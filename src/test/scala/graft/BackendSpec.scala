@@ -220,3 +220,39 @@ class EstimatorsSpec extends AnyFunSuite {
     assert(pw.count() == 4)
   }
 }
+
+/** Instance-scoped backend registration — the analogue of the
+  * reference's `bayesdb_register_backend(bdb, backend)`
+  * (src/__init__.py:82-96; its tests register LoomBackend this way). */
+class RegisterBackendSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.bql.BayesDB
+
+  test("user-registered backend resolves by name; unregistered errors") {
+    val b = new BayesDB(spark, seed = 3L)
+    b.registerTable("rt", (1 to 20).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x"))
+    b.execute("create population rp for rt (id ignore; x numerical)")
+    // CREATE stores the name; resolution happens at INITIALIZE
+    b.execute("create generator rg for rp using mycustom")
+    val e = intercept[IllegalArgumentException] {
+      b.execute("initialize 2 models for rg")
+    }
+    assert(e.getMessage.contains("Unknown backend"))
+    val custom = new NigNormalBackend() { override def name: String = "mycustom" }
+    b.registerBackend(custom)
+    b.execute("initialize 2 models for rg")
+    b.execute("analyze rg for 1 iteration")
+    assert(b.execute("simulate x from rp limit 3").count() == 3)
+    // registration is per-instance: a fresh engine does not see it
+    val b2 = new BayesDB(spark, seed = 4L)
+    b2.registerTable("rt2", (1 to 5).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x"))
+    b2.execute("create population rp2 for rt2 (id ignore; x numerical)")
+    b2.execute("create generator rg2 for rp2 using mycustom")
+    intercept[IllegalArgumentException] {
+      b2.execute("initialize 1 models for rg2")
+    }
+  }
+}
