@@ -173,6 +173,18 @@ class RelationalFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("negative control: the harness sees the known LIKE dialect split") {
+    // BQL LIKE is case-insensitive (SQLite semantics), spark.sql's is
+    // case-sensitive — a lowercase pattern against the all-caps segment
+    // column MUST split the engines; if it ever stops splitting, either
+    // the harness went blind or the documented divergence changed
+    val q = "select count(*) as n from customer where c_mktsegment like '%u%'"
+    val ours = canon(bdb.execute(q).collect())
+    val theirs = canon(spark.sql(q).collect())
+    assert(ours != theirs,
+      s"known LIKE divergence must be visible to the harness: both said $ours")
+  }
+
   test("400 generated relational queries match spark.sql exactly") {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration._
