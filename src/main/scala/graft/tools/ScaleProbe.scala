@@ -27,7 +27,8 @@ object ScaleProbe {
     "q01_agg", "q03_join_topk",
     "p01_dedup_exact", "p02_minhash_lsh", "p03_simhash", "p04_ngram_jaccard",
     "p05_cosine_near_dup", "p07_ann_ivf", "p11_fingerprint",
-    "st01_stream_windowed_lang", "st04_stream_near_dup")
+    "st01_stream_windowed_lang", "st04_stream_near_dup",
+    "st05_stream_embed_near_dup")
 
   private def writeAsSingleFile(df: DataFrame, outDir: String, table: String): Unit = {
     val tmp = s"$outDir/_tmp_$table"
