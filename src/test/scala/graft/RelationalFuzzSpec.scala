@@ -173,6 +173,53 @@ class RelationalFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("mutated queries fail with governed errors, never engine corruption") {
+    bdb // force registration
+    val gen = new Gen(77L)
+    val rng = new scala.util.Random(99L)
+    def mutate(q: String): String = {
+      val toks = q.split(" ").toSeq
+      rng.nextInt(4) match {
+        case 0 => toks.patch(rng.nextInt(toks.length), Nil, 1).mkString(" ")
+        case 1 =>
+          val i = rng.nextInt(toks.length)
+          toks.patch(i, Seq(toks(rng.nextInt(toks.length)), toks(i)), 1).mkString(" ")
+        case 2 => rng.shuffle(toks).mkString(" ")
+        case _ => q.take(1 + rng.nextInt(q.length))
+      }
+    }
+    // smoking guns: error classes that indicate an unguarded internal
+    // path rather than a governed rejection, anywhere in the cause chain
+    val forbidden = Set("scala.MatchError", "java.lang.NullPointerException",
+      "java.lang.StackOverflowError", "java.lang.ClassCastException",
+      "java.lang.ArrayIndexOutOfBoundsException",
+      "java.lang.StringIndexOutOfBoundsException")
+    def smokingGun(e: Throwable): Option[Throwable] = {
+      var cur: Throwable = e
+      var seen = 0
+      while (cur != null && seen < 8) {
+        if (forbidden(cur.getClass.getName)) return Some(cur)
+        cur = cur.getCause
+        seen += 1
+      }
+      None
+    }
+    val bad = scala.collection.mutable.ListBuffer.empty[String]
+    (1 to 300).foreach { _ =>
+      val q = mutate(gen.next())
+      try { bdb.execute(q).collect(); () }
+      catch {
+        case e: Throwable => smokingGun(e).foreach(g =>
+          bad += s"$q\n  -> ${g.getClass.getName}: ${String.valueOf(g.getMessage).take(150)}")
+      }
+    }
+    assert(bad.isEmpty,
+      s"${bad.length} ungoverned failures:\n${bad.take(5).mkString("\n\n")}")
+    // and the engine is still healthy afterwards
+    assert(bdb.execute("select count(*) as n from nation")
+      .collect().head.getLong(0) == 25L)
+  }
+
   test("negative control: the harness sees the known LIKE dialect split") {
     // BQL LIKE is case-insensitive (SQLite semantics), spark.sql's is
     // case-sensitive — a lowercase pattern against the all-caps segment
