@@ -373,8 +373,60 @@ object Relational {
       |GROUP BY day, event_type
       |ORDER BY day, event_type""".stripMargin
 
+  /** q18: gap-based sessionization of the events stream table — the
+    * classic log-pipeline operator: per user, a >30-minute silence
+    * starts a new session; sessions roll up to (events, span).
+    *
+    * Scale design: ONE shuffle on user_id; both window passes (lag, the
+    * running session counter) and the per-session rollup reuse that
+    * partitioning. Gaps compare in microseconds (`unix_micros`) so the
+    * oracle's epoch_us arithmetic is exact — no sub-second truncation
+    * ambiguity. Ties order by (ts, event_id) in both engines. A
+    * pathological single user serializes into one task — the standard
+    * per-entity-window trade-off; salt by (user, day) upstream if an
+    * entity can exceed a task. */
+  val q18Sessionize: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q18Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*)::BIGINT AS n_events,
+      |  min(ts) AS session_start,
+      |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   /** All relational queries + oracles, keyed for SparkEntry. */
   val queries: Map[String, Q] = Map(
+    "q18_sessionize" -> q18Sessionize,
     "q01_agg" -> q01Agg,
     "q02_filter_project" -> q02FilterProject,
     "q03_join_topk" -> q03JoinTopK,
@@ -394,6 +446,7 @@ object Relational {
     "q17_events_time_agg" -> q17EventsTimeAgg)
 
   val oracles: Map[String, String] = Map(
+    "q18_sessionize" -> q18Sql,
     "q01_agg" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_topk" -> q03Sql,

@@ -74,3 +74,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(byId.sameElements(ids2))
   }
 }
+
+/** q18 sessionization against hand-built sessions with known gaps. */
+class SessionizeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("gap threshold splits sessions exactly at 30 minutes") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1: two events 10s apart, then one 1801s after the second
+    // (> 1800 → new session); an event EXACTLY 1800s later stays in
+    // session (strict >). user 2: a single event.
+    val events = Seq(
+      (1L, t(0),    1L, "a", 1.0, "{}"),
+      (2L, t(10),   1L, "a", 1.0, "{}"),
+      (3L, t(1811), 1L, "a", 1.0, "{}"),
+      (4L, t(3611), 1L, "a", 1.0, "{}"),  // 1800s after event 3: same session
+      (5L, t(99),   2L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q18").toString
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Relational.q18Sessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 10L * 1000000L),       // session 1: events 1,2 span 10s
+      (1L, 2L, 2L, 1800L * 1000000L),     // session 2: events 3,4 span 1800s
+      (2L, 1L, 1L, 0L)), got.toSeq.toString)
+  }
+}
