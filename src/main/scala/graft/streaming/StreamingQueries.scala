@@ -284,7 +284,72 @@ object StreamingQueries {
       |ORDER BY band, bucket_hash""".stripMargin
   }
 
+  /** The events table as a bounded stream. Schema comes from the raw
+    * parquet footer (micros-NTZ in current testdata generations) and ts
+    * normalizes with the same UTC-pinned cast `Tables.load` applies; a
+    * future nanos-encoded generation would fail loudly at schema
+    * inference here and route through the batch loader's legacy flag. */
+  private def boundedEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+  }
+
+  /** st06: streaming sessionization — Structured Streaming's native
+    * `session_window` (gap-merged event-time windows, state merged by
+    * the engine) over the events stream, per user. The session
+    * assignment matches batch q18 exactly, INCLUDING the boundary: a
+    * gap of exactly the 30-minute threshold still merges (Spark merges
+    * windows that touch, split requires gap > threshold — pinned by
+    * StreamingSpec's boundary case). */
+  val st06StreamSessionize: Q = (spark, dir) => {
+    val sessions = boundedEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    // session windows support append (emit once the watermark passes) or
+    // complete; the bounded drain uses complete so TRAILING sessions —
+    // those the final watermark never passes — still emit for the oracle
+    // compare. Production pairs append mode with a live watermark; state
+    // is bounded either way by the engine's session-window eviction.
+    drainToMemory(spark, "st06", sessions.writeStream.outputMode("complete"))
+      .groupBy("user_id", "session_start")
+      .agg(max("session_end").as("session_end"),
+        max("n_events").as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** st06 oracle: the q18 session assignment (strict > split, matching
+    * session_window's touch-merges boundary) with the streaming window
+    * end = last event + gap. */
+  val st06Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*)::BIGINT AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st06_stream_sessionize" -> st06StreamSessionize,
     "st01_stream_windowed_lang" -> st01WindowedLang,
     "st02_stream_dedup" -> st02StreamDedup,
     "st03_stream_source_profile" -> st03SourceProfile,
@@ -292,6 +357,7 @@ object StreamingQueries {
     "st05_stream_embed_near_dup" -> st05EmbedNearDup)
 
   val oracles: Map[String, String] = Map(
+    "st06_stream_sessionize" -> st06Sql,
     "st01_stream_windowed_lang" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,
     "st03_stream_source_profile" -> st03Sql,

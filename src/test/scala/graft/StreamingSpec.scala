@@ -137,6 +137,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window boundary: exact-gap merges, beyond-gap splits") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = input.toDF.toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      val base = ts(0).getTime
+      def at(sec: Long) = new Timestamp(base + sec * 1000L)
+      // user 1: gap of 1801s → two sessions; user 2: exactly 1800s →
+      // touching windows MERGE (split requires gap strictly above the
+      // threshold — the same boundary as batch q18's strict >)
+      input.addData((at(0), 1L), (at(1801), 1L), (at(0), 2L), (at(1800), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.count(_._1 == 1L) == 2, s"user 1 must have 2 sessions: ${rows.toSeq}")
+      assert(rows.filter(_._1 == 1L).forall(_._2 == 1L))
+      assert(rows.count(_._1 == 2L) == 1, s"user 2 must merge into 1 session: ${rows.toSeq}")
+      assert(rows.filter(_._1 == 2L).head._2 == 2L)
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup buckets fold across batches") {
     val spark2 = spark
     import spark2.implicits._
