@@ -241,6 +241,86 @@ object Dedup {
   def simHash(seed: Long = 42L): Column => Column =
     text => graft.functions.SimHash64(text, seed)
 
+  /** Connected components of a near-duplicate pair graph — the step
+    * that turns pairwise candidates into dedup CLUSTERS (keep one doc
+    * per component). Iterative min-label propagation: every node starts
+    * labeled with its own id; each round, a node takes the minimum of
+    * its label and its neighbors' labels; fixpoint = components labeled
+    * by their minimum member.
+    *
+    * Scale design: each round is ONE shuffle (edge–label join + min
+    * aggregate) over the EDGE list, never all-pairs; labels only
+    * decrease, so convergence needs at most `diameter` rounds — near-dup
+    * clusters are dense and shallow (LSH links most members directly),
+    * so 3–5 rounds cover real corpora. A non-converged graph after
+    * `maxIter` is an error, not a silent partial answer. Returns
+    * (id, component). */
+  def connectedComponents(pairs: DataFrame, col0: String, col1: String,
+      maxIter: Int = 20, driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val edges = pairs.select(col(col0).cast("long").as("a"),
+      col(col1).cast("long").as("b"))
+    // The pair graph is orders of magnitude smaller than the corpus
+    // (LSH emits only colliding candidates, bucket-capped), so up to an
+    // explicit bound the closure runs as driver union-find — O(E·α) and
+    // a single collect, instead of per-iteration scheduler latency.
+    // Beyond the bound, the distributed label-propagation loop below is
+    // the scale path. Both label components by their minimum member;
+    // PipelineSpec pins path equality.
+    val bounded = edges
+      .limit(math.min(driverMaxEdges + 1, Int.MaxValue.toLong - 8L).toInt)
+      .collect()
+    if (bounded.length <= driverMaxEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      bounded.foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = bounded.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+      val rows = ids.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toSeq.toDF("id", "component")
+    }
+    val sym = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    labels.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("component").as("nc")), "b")
+        .groupBy(col("a").as("id")).agg(min("nc").as("nmin"))
+      // carry the previous label through the update so convergence is
+      // ONE action on the cached result, not an extra self-join pass
+      val updated = labels.withColumnRenamed("component", "old")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("component"),
+          col("old"))
+        .cache()
+      val changed = updated.filter(col("component") =!= col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated.select("id", "component")
+      converged = changed == 0L
+      it += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds" +
+        " — graph diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
   /** Near-duplicate pairs by SimHash: Hamming(sig0, sig1) <= maxHamming.
     * Bucketed on (maxHamming+1) disjoint chunks of the fingerprint —
     * pigeonhole guarantees recall 1.0 wrt the fingerprint. */

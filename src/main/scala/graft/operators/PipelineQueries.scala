@@ -50,6 +50,19 @@ object PipelineQueries {
       .orderBy("id0", "id1")
   }
 
+  /** p18: near-dup dedup CLUSTERS — connected components over the p02
+    * LSH pair graph (est_jaccard >= 0.2), labeled by minimum member;
+    * per-component sizes. The step that turns pairwise candidates into
+    * "keep one document per cluster". */
+  val p18DedupComponents: Q = (spark, dir) => {
+    val pairs = minhashCandsFor(spark, dir)
+      .filter(col("est_jaccard") >= 0.2)
+      .select(col("id0"), col("id1"))
+    Dedup.connectedComponents(pairs, "id0", "id1")
+      .groupBy("component").agg(count(lit(1)).as("n_docs"))
+      .orderBy("component")
+  }
+
   /** p03: SimHash near-dup pairs within Hamming distance 6. */
   val p03SimHash: Q = (spark, dir) => {
     Dedup.simHashPairs(Tables.load(spark, dir, "documents"),
@@ -377,7 +390,8 @@ object PipelineQueries {
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
     "p15_ann_ivf_exact" -> p15AnnIvfExact,
     "p16_subword_count" -> p16SubwordCount,
-    "p17_multimodal_oracle" -> p17MultimodalOracle)
+    "p17_multimodal_oracle" -> p17MultimodalOracle,
+    "p18_dedup_components" -> p18DedupComponents)
 
   /** p10 oracle: same lexicons, same scoring, same tie-break. Spark's
     * array_max over struct(score, lang) resolves score ties by the
@@ -802,5 +816,29 @@ object PipelineQueries {
     "p14_ngram_jaccard_exact" -> p14Sql,
     "p15_ann_ivf_exact" -> p06Sql,
     "p16_subword_count" -> p16Sql,
-    "p17_multimodal_oracle" -> p17Sql)
+    "p17_multimodal_oracle" -> p17Sql,
+    "p18_dedup_components" -> p18Sql)
+
+  /** p18 oracle: the p02 signature/banding/estimation chain (bit-exact
+    * MinHash in DuckDB) with a recursive reachability closure over the
+    * thresholded pair graph — component label = minimum reachable id,
+    * independently of the Spark-side label propagation. */
+  lazy val p18Sql: String = {
+    val prefix = p02Sql.substring(0, p02Sql.lastIndexOf("SELECT id0, id1,"))
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+    prefix.stripTrailing() + ",\n" + """pairs AS (SELECT id0, id1 FROM est WHERE ej >= 0.2),
+      |edges AS (
+      |  SELECT id0 AS a, id1 AS b FROM pairs
+      |  UNION SELECT id1 AS a, id0 AS b FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+      |comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a)
+      |SELECT component::BIGINT AS component, count(*)::BIGINT AS n_docs
+      |FROM comp GROUP BY component
+      |ORDER BY component""".stripMargin
+  }
 }

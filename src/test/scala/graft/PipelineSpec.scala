@@ -76,6 +76,38 @@ class PipelineSpec extends AnyFunSuite {
       s"simhash found only ${plantedPairs.intersect(pairs).size}/10 planted pairs")
   }
 
+  test("connected components label clusters by minimum member") {
+    import spark.implicits._
+    // two clusters: a 6-node PATH (diameter 5 — forces several
+    // propagation rounds) and a triangle; labels must be the min id
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("id0", "id1")
+    val comp = Dedup.connectedComponents(pairs, "id0", "id1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 15L).foreach(v => assert(comp(v) == 10L, s"$v -> ${comp(v)}"))
+    (30L to 32L).foreach(v => assert(comp(v) == 30L, s"$v -> ${comp(v)}"))
+    // the distributed label-propagation path (forced past the driver
+    // bound) labels identically
+    val compDist = Dedup.connectedComponents(pairs, "id0", "id1",
+      driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compDist == comp, s"paths disagree: $compDist vs $comp")
+    // planted near-dups: every (i, i+1000) pair collapses to component i
+    val planted = Dedup.connectedComponents(
+      plantedPairs.toSeq.toDF("id0", "id1"), "id0", "id1")
+      .groupBy("component").count().collect()
+    assert(planted.length == 10 && planted.forall(_.getLong(1) == 2L))
+    // non-convergence is loud: a 30-node path with maxIter 2
+    val long = (0L until 30L).map(i => (i, i + 1)).toDF("id0", "id1")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(long, "id0", "id1", maxIter = 2,
+        driverMaxEdges = 0L)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("exact dedup groups identical content only") {
     import spark.implicits._
     val withCopies = docs.union(
