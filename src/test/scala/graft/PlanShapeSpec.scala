@@ -190,6 +190,20 @@ class WidePopulationSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n$planStr")
   }
 
+  test("q18 sessionize reuses ONE user_id shuffle end-to-end") {
+    // both window passes AND the (user_id, session_id) rollup must ride
+    // the single hash exchange on user_id — the grouping keys are a
+    // superset of the window partitioning, so no re-shuffle is legal
+    // before the final output sort
+    val df = graft.operators.Relational.q18Sessionize(spark, sf)
+    val planStr = df.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(hashExchanges == 1,
+      s"expected exactly one hash shuffle (user_id), got $hashExchanges:\n$planStr")
+    assert("Exchange (hash|range)partitioning".r.findAllIn(planStr).size <= 2,
+      s"unexpected extra shuffle:\n$planStr")
+  }
+
   test("LSH pair emission is a distributed bucket self-join, not a collected bucket row") {
     // r5 verdict #1: the round-4 rewrite collected each bucket into ONE
     // row (groupBy + collect_list) and exploded pairs from it — each
