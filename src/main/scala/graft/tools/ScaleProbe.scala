@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private val ProbeKeys = Seq(
-    "q01_agg", "q03_join_topk",
+    "q01_agg", "q03_join_topk", "q18_sessionize",
     "p01_dedup_exact", "p02_minhash_lsh", "p03_simhash", "p04_ngram_jaccard",
     "p05_cosine_near_dup", "p07_ann_ivf", "p11_fingerprint",
+    "p18_dedup_components",
     "st01_stream_windowed_lang", "st04_stream_near_dup",
-    "st05_stream_embed_near_dup")
+    "st05_stream_embed_near_dup", "st06_stream_sessionize")
 
   private def writeAsSingleFile(df: DataFrame, outDir: String, table: String): Unit = {
     val tmp = s"$outDir/_tmp_$table"
@@ -71,8 +72,12 @@ object ScaleProbe {
       Map("o_orderkey" -> O, "o_custkey" -> C)), outDir, "orders")
     writeAsSingleFile(replicate(Tables.load(spark, srcDir, "lineitem"), factor,
       Map("l_orderkey" -> O)), outDir, "lineitem")
+    // events replicate as a fact stream: new users per replica, so
+    // sessionization's user/session cardinality grows with the corpus
+    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "events"), factor,
+      Map("event_id" -> 10000000L, "user_id" -> 10000000L)), outDir, "events")
     // dimensions copy once — at scale the fact tables grow, the dims don't
-    Seq("region", "nation", "supplier", "part", "events").foreach { t =>
+    Seq("region", "nation", "supplier", "part").foreach { t =>
       writeAsSingleFile(Tables.load(spark, srcDir, t), outDir, t)
     }
   }
