@@ -111,7 +111,10 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
   /** Register a user-supplied backend on THIS engine instance, shadowing
     * any built-in of the same casefolded name — the analogue of the
     * reference's `bayesdb_register_backend(bdb, backend)`
-    * (src/__init__.py:82-96; tests register LoomBackend this way). */
+    * (src/__init__.py:82-96; tests register LoomBackend this way).
+    * Registrations are session-scoped environment, NOT catalog state:
+    * they survive ROLLBACK/savepoints by design (the reference likewise
+    * keeps backends on the bdb handle, outside the SQLite txn). */
   def registerBackend(backend: graft.backends.Backend): Unit =
     customBackends(Names.casefold(backend.name)) = backend
 
@@ -885,9 +888,22 @@ final class BayesDB(val spark: SparkSession, val seed: Long = 42L,
             .exists(v => StatType.isNominal(v.stattype)))
         spec
       }
+      // registerBackend shadows built-ins, so a user backend registered
+      // under 'cgpm'/'crosscat' must win even when SUBSAMPLE/OVERRIDE
+      // options are present — those options only parameterize the
+      // BUILT-IN CrossCat; a shadowed backend that cannot honor them
+      // gets a loud rejection instead of a silent bypass
       val backend = (Names.casefold(gen.backend), parsed.subsample, foreignSpecs) match {
-        case ("cgpm" | "crosscat", sub, fs) if sub.isDefined || fs.nonEmpty =>
-          new CrossCatBackend(subsampleRows = sub.getOrElse(500), foreigns = fs)
+        case (nm @ ("cgpm" | "crosscat"), sub, fs) if sub.isDefined || fs.nonEmpty =>
+          customBackends.get(nm) match {
+            case Some(custom) =>
+              throw new UnsupportedOperationException(
+                s"Backend '$nm' is shadowed by a registered backend that does not" +
+                  " take SUBSAMPLE/OVERRIDE generator options; drop the options or" +
+                  " the registration")
+            case None =>
+              new CrossCatBackend(subsampleRows = sub.getOrElse(500), foreigns = fs)
+          }
         case _ => backendByName(gen.backend)
       }
       val df = table(pop.table)

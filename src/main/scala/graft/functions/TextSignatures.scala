@@ -212,11 +212,13 @@ object SimHash64 {
   def kernel(text: String, seed: Long): java.lang.Long = {
     val tokens = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (tokens.isEmpty) null
+    else if (tokens.length >= 65536) kernelWide(tokens, seed)
     else {
       // ones-count per bit, 4 lanes of 16 bits per accumulator long:
       // 16 adds per token instead of the naive 64. ±1 voting with
-      // "acc > 0" is equivalent to "2·ones > n" exactly, and 16-bit
-      // lanes cannot overflow below 65k tokens per document.
+      // "acc > 0" is equivalent to "2·ones > n" exactly. 16-bit lanes
+      // carry into the neighbor at 65536 ones, so book-sized token
+      // streams take the wide-counter path above.
       val acc = new Array[Long](16)
       var i = 0
       while (i < tokens.length) {
@@ -238,6 +240,30 @@ object SimHash64 {
       }
       java.lang.Long.valueOf(out)
     }
+  }
+
+  /** Overflow-proof variant for >=65536-token documents: one Int
+    * ones-counter per bit position. Same votes, any input size. */
+  private def kernelWide(tokens: Array[String], seed: Long): java.lang.Long = {
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = DetRngHash.mix(DetRngHash.xx(tokens(i).getBytes("UTF-8")) ^ seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) ones(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    val n = tokens.length.toLong
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * ones(b) > n) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
   }
 
   def apply(text: Column, seed: Long): Column =

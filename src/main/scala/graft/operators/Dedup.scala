@@ -293,6 +293,10 @@ object Dedup {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id")).cache()
     labels.count()
+    // the cache backing the current labels — labels itself becomes an
+    // uncached projection of it after the first round, so unpersisting
+    // labels directly would be a no-op and pin every round's cache
+    var labelsCache: DataFrame = labels
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -309,7 +313,8 @@ object Dedup {
         .cache()
       val changed = updated.filter(col("component") =!= col("old"))
         .limit(1).count()
-      labels.unpersist()
+      labelsCache.unpersist()
+      labelsCache = updated
       labels = updated.select("id", "component")
       converged = changed == 0L
       it += 1
@@ -318,6 +323,9 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds" +
         " — graph diameter exceeds the bound; raise maxIter")
+    // the last round's cache stays live until the caller materializes
+    // the result; localCheckpoint-free by design — it is one (id,
+    // component) table, small relative to the corpus
     labels
   }
 

@@ -73,6 +73,10 @@ object Multimodal {
     var done = false
     while (!done && off + 8 <= bytes.length) {
       val len = be32(off)
+      // a crafted/corrupt 32-bit length (negative as an Int, or past the
+      // buffer) would otherwise stall or reverse the walk — bail to the
+      // general codec, which handles arbitrary bytes safely
+      if (len < 0 || len > bytes.length - off - 12) { inf.end(); return None }
       val typ = be32(off + 4)
       if (typ == 0x49444154) {  // IDAT
         inf.setInput(bytes, off + 8, len)

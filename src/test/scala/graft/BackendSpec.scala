@@ -255,4 +255,34 @@ class RegisterBackendSpec extends AnyFunSuite {
       b2.execute("initialize 1 models for rg2")
     }
   }
+
+  test("a backend registered as 'cgpm' shadows the built-in, and SUBSAMPLE " +
+      "options against the shadow reject loudly instead of silently bypassing") {
+    val b = new BayesDB(spark, seed = 5L)
+    b.registerTable("st", (1 to 30).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x"))
+    b.execute("create population sp for st (id ignore; x numerical)")
+    var inits = 0
+    val shadow = new NigNormalBackend() {
+      override def name: String = "cgpm"
+      override def initializeModels(st: graft.backends.GeneratorState,
+          modelnos: Seq[Int], rng: graft.backends.DetRng): graft.backends.GeneratorState = {
+        inits += 1
+        super.initializeModels(st, modelnos, rng)
+      }
+    }
+    b.registerBackend(shadow)
+    // plain generator: the shadow must be the backend that runs
+    b.execute("create generator sg for sp using cgpm")
+    b.execute("initialize 1 models for sg")
+    assert(inits == 1, "shadow backend must handle the plain cgpm generator")
+    // SUBSAMPLE parameterizes only the built-in CrossCat; with a shadow
+    // in place that is a contradiction the engine must surface, not
+    // resolve by silently constructing the built-in
+    b.execute("create generator sgsub for sp using cgpm (subsample 10)")
+    val e = intercept[UnsupportedOperationException] {
+      b.execute("initialize 1 models for sgsub")
+    }
+    assert(e.getMessage.contains("shadowed"))
+  }
 }

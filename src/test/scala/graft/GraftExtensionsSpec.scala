@@ -117,4 +117,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SimHash matches the plain ±1-vote reference at every size class, " +
+      "including across the 65536-token lane boundary") {
+    import graft.functions.SimHash64
+    import graft.operators.DetRngHash
+    // independent reimplementation: one Int ones-counter per bit, no
+    // lane packing — correct at any document size by construction
+    def reference(text: String, seed: Long): java.lang.Long = {
+      val tokens = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tokens.isEmpty) return null
+      val ones = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = DetRngHash.mix(DetRngHash.xx(t.getBytes("UTF-8")) ^ seed)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) ones(b) += 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (2L * ones(b) > tokens.length) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    def doc(n: Int): String =
+      Array.tabulate(n)(i => "w" + (i % 997)).mkString(" ")
+    // small (packed path), the largest packed-safe size (65535 — a lane
+    // can hold exactly its ones-count), and past the boundary where the
+    // packed adds would carry into the neighbor lane (wide path)
+    for (n <- Seq(1, 17, 4096, 65535, 65536, 70000); seed <- Seq(42L, 7L)) {
+      assert(SimHash64.kernel(doc(n), seed) == reference(doc(n), seed),
+        s"n=$n seed=$seed")
+    }
+  }
 }

@@ -90,9 +90,17 @@ class PipelineSpec extends AnyFunSuite {
     (30L to 32L).foreach(v => assert(comp(v) == 30L, s"$v -> ${comp(v)}"))
     // the distributed label-propagation path (forced past the driver
     // bound) labels identically
+    // the distributed path must release per-round caches as it goes: a
+    // diameter-5 graph runs several rounds, and only the final labels
+    // cache may remain pinned afterwards (plus nothing from sym/earlier
+    // rounds — the r11 leak kept every round's cache alive)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val compDist = Dedup.connectedComponents(pairs, "id0", "id1",
       driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter - cachedBefore <= 1,
+      s"connectedComponents pinned ${cachedAfter - cachedBefore} caches")
     assert(compDist == comp, s"paths disagree: $compDist vs $comp")
     // planted near-dups: every (i, i+1000) pair collapses to component i
     val planted = Dedup.connectedComponents(
@@ -202,6 +210,38 @@ class PipelineSpec extends AnyFunSuite {
     val gout = new ByteArrayOutputStream()
     ImageIO.write(gim, "png", gout)
     assert(graft.operators.Multimodal.decodePngFast(gout.toByteArray).isEmpty)
+  }
+
+  test("decodePngFast rejects malformed chunk lengths instead of looping") {
+    import graft.operators.Multimodal
+    import java.io.ByteArrayOutputStream
+    // hand-built PNG: signature + a well-formed 8-bit RGB IHDR, then a
+    // chunk whose 32-bit length reads as a negative Int (0xFFFFFFF4 =
+    // -12) — before the length guard this made `off += 12 + len` a
+    // no-op and the chunk walk spun forever on an arbitrary binary
+    // payload; the guard must bounce it to the general codec (None)
+    def crafted(lenBytes: Array[Int]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+      // IHDR: len 13, type, w=2 h=2 depth=8 color=2 rest 0, fake crc
+      Seq(0, 0, 0, 13).foreach(out.write)
+      "IHDR".getBytes("US-ASCII").foreach(b => out.write(b.toInt))
+      Seq(0, 0, 0, 2, 0, 0, 0, 2, 8, 2, 0, 0, 0).foreach(out.write)
+      Seq(1, 2, 3, 4).foreach(out.write)
+      lenBytes.foreach(out.write)
+      "tEXt".getBytes("US-ASCII").foreach(b => out.write(b.toInt))
+      (0 until 24).foreach(_ => out.write(0))
+      out.toByteArray
+    }
+    val negLen = crafted(Array(0xFF, 0xFF, 0xFF, 0xF4))
+    assert(Multimodal.decodePngFast(negLen).isEmpty)
+    // a length far past the buffer must also bail, not read out of range
+    val hugeLen = crafted(Array(0x7F, 0xFF, 0xFF, 0xFF))
+    assert(Multimodal.decodePngFast(hugeLen).isEmpty)
+    // and the decode operator as a whole still answers (general codec
+    // marks it undecodable rather than wedging the task)
+    val feat = Multimodal.decodeKernel(1L, negLen)
+    assert(!feat.decoded)
   }
 
   test("decode kernel reproduces the fixture's closed-form pixel statistics") {
