@@ -114,6 +114,16 @@ object Tables {
       } finally sorted.unpersist(blocking = false)
     })
 
+  /** Drop the memoized events/rowid frames (unpersisting them) so the
+    * determinism gate's second pass re-materializes and renumbers from
+    * the raw parquet. */
+  private[graft] def resetForDeterminism(): Unit = {
+    eventsCache.values.foreach(_.unpersist(blocking = false))
+    eventsCache.clear()
+    rowidCache.values.foreach(_.unpersist(blocking = false))
+    rowidCache.clear()
+  }
+
   /** Register all tables of a scale-factor dir as temp views. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>

@@ -52,6 +52,72 @@ object Verify {
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+
+    // Determinism gate for the rows-only keys (no DuckDB oracle): the
+    // reference's seeded-PRNG contract (src/bayesdb.py:90-96) promises
+    // identical results for identical seeds. Hash the result already
+    // dumped, drop every fitted-model / candidate / table cache, re-run
+    // the key against a fresh fit under the same seed, and compare —
+    // det_match=false means a map-iteration-order or RNG leak made a
+    // sampling key silently nondeterministic.
+    val detKeys = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.oracleSql.contains)
+      .filter(k => only.forall(_.contains(k)))
+      .filterNot(failures.contains)
+    val firstHash = detKeys.flatMap { name =>
+      try Some(name -> canonicalHash(spark.read.parquet(s"$outDir/$name")))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] det read $name failed: ${e.getMessage}")
+        None
+      }
+    }.toMap
+    operators.BqlQueries.resetForDeterminism()
+    operators.ModelQueries.resetForDeterminism()
+    operators.PipelineQueries.resetForDeterminism()
+    Tables.resetForDeterminism()
+    spark.catalog.clearCache()
+    val det = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    detKeys.filter(firstHash.contains).foreach { name =>
+      try {
+        val rerun = canonicalHash(SparkEntry.queries(name)(spark, sfDir))
+        det(name) = rerun == firstHash(name)
+        if (!det(name))
+          System.err.println(s"[verify] det MISMATCH: $name")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] det rerun $name failed: ${e.getMessage}")
+        det(name) = false
+      }
+    }
+    val detJson = det
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/det_match.json"), detJson)
     spark.stop()
+  }
+
+  /** Order-insensitive, bit-exact content hash: columns sorted by name,
+    * rows rendered canonically (doubles/floats by IEEE bit pattern, so
+    * 0.0 vs -0.0 or NaN payloads cannot alias) and sorted. */
+  private[graft] def canonicalHash(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions.col
+    def render(v: Any): String = v match {
+      case null => "\u0000null"
+      case d: java.lang.Double => "d" + java.lang.Double.doubleToRawLongBits(d)
+      case f: java.lang.Float => "f" + java.lang.Float.floatToRawIntBits(f)
+      case b: Array[Byte] => "b" + java.util.Base64.getEncoder.encodeToString(b)
+      case s: scala.collection.Seq[_] => s.map(render).mkString("[", "\u0002", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => render(k) + "\u0003" + render(x) }
+          .toSeq.sorted.mkString("{", "\u0002", "}")
+      case r: org.apache.spark.sql.Row => r.toSeq.map(render).mkString("(", "\u0002", ")")
+      case x => x.toString
+    }
+    val cols = df.columns.sorted.toIndexedSeq
+    val lines = df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(render).mkString("\u0001"))
+    java.util.Arrays.sort(lines.asInstanceOf[Array[AnyRef]])
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(cols.mkString("\u0001").getBytes("UTF-8"))
+    lines.foreach(l => md.update(l.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
   }
 }

@@ -21,6 +21,11 @@ object BqlQueries {
     * materialization scans each table once), model lifecycle run once. */
   private val cache = TrieMap.empty[String, BayesDB]
 
+  /** Drop the fitted engines so the next query refits from scratch —
+    * the determinism gate re-runs every rows-only key against a fresh
+    * fit under the same seed. */
+  private[graft] def resetForDeterminism(): Unit = cache.clear()
+
   def bdb(spark: SparkSession, dir: String): BayesDB =
     cache.getOrElseUpdate(dir, {
       val b = new BayesDB(spark, seed = 42L)

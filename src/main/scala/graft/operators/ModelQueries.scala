@@ -31,6 +31,9 @@ object ModelQueries {
   // base table; refitting per query would repeat the scan)
   private val cache = scala.collection.concurrent.TrieMap.empty[String, PopulationModel]
 
+  /** Drop the fitted ensembles (determinism gate: refit fresh, same seed). */
+  private[graft] def resetForDeterminism(): Unit = cache.clear()
+
   def customerModel(spark: SparkSession, sfDir: String): PopulationModel =
     cache.getOrElseUpdate(sfDir, {
       val df = Tables.load(spark, sfDir, "customer")

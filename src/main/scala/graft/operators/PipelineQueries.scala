@@ -33,6 +33,18 @@ object PipelineQueries {
   private val candsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Drop the per-dir candidate/index/media caches (unpersisting their
+    * pinned frames) so the determinism gate's second pass rebuilds each
+    * from the raw parquet under the same seed. */
+  private[graft] def resetForDeterminism(): Unit = {
+    candsCache.values.foreach(_.unpersist())
+    candsCache.clear()
+    ivfCache.values.foreach(_.cells.unpersist())
+    ivfCache.clear()
+    mediaCache.values.foreach(_.unpersist())
+    mediaCache.clear()
+  }
+
   private def minhashCandsFor(spark: SparkSession, dir: String): DataFrame =
     candsCache.getOrElseUpdate(dir, {
       val c = Dedup.minHashCandidates(Tables.load(spark, dir, "documents"),

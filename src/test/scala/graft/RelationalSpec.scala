@@ -6,7 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxTaskFailures]: allow ONE task retry so
+      // DeterminismSpec can prove sampling replays bit-identically after
+      // a task re-execution (DetRng's whole contract)
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
