@@ -377,22 +377,50 @@ object Relational {
     * classic log-pipeline operator: per user, a >30-minute silence
     * starts a new session; sessions roll up to (events, span).
     *
-    * Scale design: ONE shuffle on user_id; both window passes (lag, the
-    * running session counter) and the per-session rollup reuse that
-    * partitioning. Gaps compare in microseconds (`unix_micros`) so the
-    * oracle's epoch_us arithmetic is exact — no sub-second truncation
-    * ambiguity. Ties order by (ts, event_id) in both engines. A
-    * pathological single user serializes into one task — the standard
-    * per-entity-window trade-off; salt by (user, day) upstream if an
-    * entity can exceed a task. */
-  val q18Sessionize: Q = (spark, dir) => {
+    * Scale design: skew-adaptive. A cheap probe (map-side-combined
+    * groupBy count — the shuffle is one row per user) measures the
+    * largest single user; below the per-task bound the single-shuffle
+    * plan runs (ONE user_id exchange shared by both window passes and
+    * the rollup — PlanShapeSpec guards it). Above it — a bot account, a
+    * null/default user id — that plan would serialize the whole entity
+    * into one task, so the TWO-PHASE path runs instead: sessionize
+    * within (user_id, coarse time bucket), then merge the
+    * boundary-touching sessions in a second pass whose input is
+    * sessions (≤ bucket/gap per entity-bucket), not events. Both paths
+    * are value-identical (SessionizeSkewSpec pins it on a 50 %-skewed
+    * fixture). Gaps compare in microseconds (`unix_micros`) so the
+    * oracle's epoch_us arithmetic is exact. Ties order by
+    * (ts, event_id) in both engines. */
+  val q18Sessionize: Q = (spark, dir) =>
+    sessionize(Tables.load(spark, dir, "events"))
+
+  /** Gap-sessionize `events` (needs user_id, ts, event_id) into
+    * (user_id, session_id, n_events, session_start, duration_us),
+    * session_id numbered 1.. per user in time order. Picks the
+    * single-shuffle or two-phase plan by probing max-rows-per-user
+    * against `maxEntityRowsPerTask`. */
+  def sessionize(events: DataFrame,
+      gapUs: Long = 1800L * 1000000L,
+      bucketUs: Long = 86400L * 1000000L,
+      maxEntityRowsPerTask: Long = 5000000L): DataFrame = {
+    val maxUserRows = events.groupBy("user_id").count()
+      .agg(max("count")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    if (maxUserRows <= maxEntityRowsPerTask) sessionizeSinglePass(events, gapUs)
+    else sessionizeTwoPhase(events, gapUs, bucketUs)
+  }
+
+  /** The classic one-shuffle plan: both window passes (lag, running
+    * session counter) and the per-session rollup reuse one user_id
+    * exchange. Right whenever no single entity exceeds a task. */
+  private[graft] def sessionizeSinglePass(events: DataFrame, gapUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.load(spark, dir, "events")
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -401,6 +429,54 @@ object Relational {
         min("ts").as("session_start"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
           .as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Skew-safe plan: phase 1 windows over (user_id, bucket) — a hot
+    * entity's events spread across buckets, so no task exceeds one
+    * entity-bucket — and rolls up LOCAL sessions. Phase 2 re-windows
+    * over user_id alone, but its input is the per-bucket session list:
+    * within a bucket adjacent local sessions are > gap apart by
+    * construction, so per entity it carries at most ceil(bucket/gap)
+    * sessions per bucket — the hot user that was 10^9 events is now
+    * ~48/day rows. Adjacent sessions (necessarily across bucket
+    * boundaries) merge when their inter-event gap ≤ gapUs; the running
+    * sum renumbers merged sessions 1.. per user in time order, exactly
+    * the single-pass numbering. */
+  private[graft] def sessionizeTwoPhase(events: DataFrame, gapUs: Long,
+      bucketUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    val local = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("bucket", floor(col("us") / lit(bucketUs)).cast("long"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w1))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("lsid",
+        sum("new_sess").over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "bucket", "lsid")
+      .agg(count(lit(1)).as("n"),
+        min("ts").as("start_ts"),
+        min("us").as("start_us"),
+        max("us").as("end_us"))
+    // bucket-local sessions are disjoint, time-ordered intervals per
+    // user (buckets partition the time axis), so ordering by start_us
+    // is total; a session can only merge with its immediate
+    // predecessor, and only when the boundary gap closes
+    val w2 = Window.partitionBy("user_id").orderBy("start_us")
+    local
+      .withColumn("prev_end", lag(col("end_us"), 1).over(w2))
+      .withColumn("new_merged",
+        when(col("prev_end").isNull || col("start_us") - col("prev_end") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_merged").over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(sum("n").as("n_events"),
+        min("start_ts").as("session_start"),
+        (max("end_us") - min("start_us")).as("duration_us"))
       .orderBy("user_id", "session_id")
   }
 

@@ -305,9 +305,17 @@ object StreamingQueries {
     * windows that touch, split requires gap > threshold — pinned by
     * StreamingSpec's boundary case). */
   val st06StreamSessionize: Q = (spark, dir) => {
+    // Skew hardening (mirrors batch q18's two-phase): the session state
+    // key carries a coarse DAY salt, so a pathological single entity (a
+    // bot, a null user id) never funnels a whole stream's sort/merge
+    // into one state partition's task — the engine merges sessions
+    // within (user, day), and the tiny boundary set (sessions touching
+    // midnight) merges in the post-pass below. Day-crossing sessions
+    // split in state and re-join downstream; the oracle hash-match
+    // plus StreamingSpec's midnight-crossing case pin the equivalence.
     val sessions = boundedEventStream(spark, dir)
       .withWatermark("ts", "1 hour")
-      .groupBy(col("user_id"),
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_salt"),
         session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
@@ -317,13 +325,37 @@ object StreamingQueries {
     // those the final watermark never passes — still emit for the oracle
     // compare. Production pairs append mode with a live watermark; state
     // is bounded either way by the engine's session-window eviction.
-    drainToMemory(spark, "st06", sessions.writeStream.outputMode("complete"))
+    mergeTouchingSessions(
+      drainToMemory(spark, "st06", sessions.writeStream.outputMode("complete")))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Interval-merge of salted session fragments: per user in start
+    * order, a fragment whose start is ≤ the running max end touches (or
+    * overlaps) its predecessor — same boundary rule as session_window
+    * itself (touch merges, split needs a real gap). Input is SESSIONS
+    * (≤ ~day/gap per entity-day), so the user_id window here cannot
+    * recreate the event-level skew the salt removed. In production this
+    * runs as the batch compaction over the append-mode sink. */
+  private[graft] def mergeTouchingSessions(fragments: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    val prevEnd = max(col("session_end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    fragments
       .groupBy("user_id", "session_start")
       .agg(max("session_end").as("session_end"),
         max("n_events").as("n_events"))
+      .withColumn("new_grp",
+        when(prevEnd.isNull || col("session_start") > prevEnd, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp")
+      .agg(min("session_start").as("session_start"),
+        max("session_end").as("session_end"),
+        sum("n_events").cast("long").as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
-      .orderBy("user_id", "session_start")
   }
 
   /** st06 oracle: the q18 session assignment (strict > split, matching
