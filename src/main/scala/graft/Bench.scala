@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bench the streaming keys against the state-store provider the
+      // operators document for 100-TB state, not only the in-memory
+      // default — the recorded state_rows then describe the production
+      // pairing
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session warmup (codegen, shuffle service, first-job setup)
@@ -85,14 +91,22 @@ object Bench {
     val failed = results.collect { case (k, best, _, _) if best < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"failed":$failed,"setup_sec":$setupSec,"sf":"$sfDir"}"""
-    println(json)
+    // final state-store rows per streaming key (RocksDB-backed, above):
+    // the durable "state stays bounded" evidence — st04/st05's totals
+    // are horizon-evicted band-bucket keys, st06's are per-(user, day)
+    // open sessions, all orders of magnitude below row count
+    val stateRows = streaming.StreamingQueries.lastStateRows.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"failed":$failed,"state_rows":$stateRows,"setup_sec":$setupSec,"sf":"$sfDir"}"""
     // the driver's log capture keeps only a ~2000-char tail, which lost
     // two-thirds of the per-key record in past rounds — persist the full
-    // JSON to a repo file as the durable record, and name it last so the
-    // tail always shows where the complete data lives. Round-suffix the
-    // file (current round = max driver-written BENCH_r{N}.json + 1) so a
-    // later round never overwrites an earlier round's local record.
+    // JSON to a repo file as the durable record, and ALSO print the
+    // complete record as the FINAL stdout line so the tail capture
+    // always parses on its own (BENCH_r11.json had parsed:null because
+    // a trailing message pushed the JSON out of the tail).
+    // Round-suffix the file (current round = max driver-written
+    // BENCH_r{N}.json + 1) so a later round never overwrites an earlier
+    // round's local record.
     val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
       .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
@@ -104,6 +118,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
+    println(json)
   }
 }

@@ -73,6 +73,17 @@ object BqlQueries {
       b.execute("create generator lloom for lpop using loom")
       b.execute("initialize 4 models for lloom")
       b.execute("analyze lloom for 4 iterations")
+      // constant-9 troll backend on its OWN population over customer
+      // (reference src/backends/troll_rng.py) — a separate population,
+      // not another generator on cpop: a second generator there would
+      // change the multi-generator mixture semantics of every cpop key
+      // (SIMULATE/ESTIMATE draw across ALL of a population's
+      // generators)
+      b.execute("create population tpop for customer (" +
+        "set stattypes of c_acctbal, c_nationkey to numerical; " +
+        "ignore c_name, c_mktsegment, c_custkey)")
+      b.execute("create generator tgen for tpop using troll_rng")
+      b.execute("initialize 2 models for tgen")
       b
     })
 
@@ -284,6 +295,50 @@ object BqlQueries {
     """ESTIMATE DEPENDENCE PROBABILITY
       |FROM PAIRWISE VARIABLES OF lpop MODELED BY lloom
       |ORDER BY name0, name1""".stripMargin)
+
+  /** b40: the troll_rng constant-9 estimator contract through the FULL
+    * BQL surface (reference src/backends/troll_rng.py:37-65): SIMULATE
+    * draws are 9, PREDICT is (9, confidence 1), PROBABILITY DENSITY OF
+    * VALUE 9 is exp(0)=1 and of any other value exp(-inf)=0 — closed
+    * forms the DuckDB oracle states as literals, pinning the backend
+    * dispatch + estimator plumbing with zero sampling noise. */
+  val b40TrollEstimators: Q = (spark, dir) => {
+    val b = bdb(spark, dir)
+    import spark.implicits._
+    val sims = b.execute(
+      "SIMULATE c_acctbal, c_nationkey FROM tpop LIMIT 3")
+      .collect().toSeq.sortBy(r => (r.getDouble(0), r.getDouble(1)))
+      .zipWithIndex.flatMap { case (r, i) =>
+        Seq((s"sim${i}_acctbal", r.getDouble(0)),
+          (s"sim${i}_nation", r.getDouble(1)))
+      }
+    val pred = b.execute(
+      """INFER EXPLICIT PREDICT c_acctbal AS v CONFIDENCE conf
+        |FROM tpop LIMIT 1""".stripMargin)
+      .collect().head
+    val d9 = b.execute(
+      "ESTIMATE PROBABILITY DENSITY OF c_acctbal = 9 AS d BY tpop")
+      .collect().head.getDouble(0)
+    val d7 = b.execute(
+      "ESTIMATE PROBABILITY DENSITY OF c_acctbal = 7 AS d BY tpop")
+      .collect().head.getDouble(0)
+    (sims ++ Seq(
+      ("predict_value", pred.getDouble(0)),
+      ("predict_confidence", pred.getDouble(1)),
+      ("density_at_9", d9),
+      ("density_at_7", d7)))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** b41: loom SIMULATE GIVEN an observed rowid — the native loom
+    * contract's observed-cells-only conditioning path (the adapter
+    * conditions on the row's OBSERVED cells only, never latents —
+    * reference test_loom_backend.py simulate-given-rowid cases;
+    * LoomBackendSpec pins the constraint-overlap rejection). Rows-only
+    * + det_match: draws are model samples, but deterministic per seed. */
+  val b41LoomSimulateRowid: Q = (spark, dir) => bdb(spark, dir).execute(
+    """SIMULATE l_extendedprice, l_discount FROM lpop MODELED BY lloom
+      |GIVEN rowid = 5 LIMIT 40""".stripMargin)
 
   /** b15: CrossCat 2-row similarity over a bounded pairwise join. */
   val b15CrosscatSimilarity: Q = (spark, dir) => bdb(spark, dir).execute(
@@ -839,9 +894,23 @@ object BqlQueries {
     "b36_from_subquery_deep" -> b36FromSubqueryDeep,
     "b37_exists_having" -> b37ExistsHaving,
     "b38_in_having" -> b38InHaving,
-    "b39_loom_dependence" -> b39LoomDependence)
+    "b39_loom_dependence" -> b39LoomDependence,
+    "b40_troll_estimators" -> b40TrollEstimators,
+    "b41_loom_simulate_rowid" -> b41LoomSimulateRowid)
 
   val oracles: Map[String, String] = Map(
+    // every troll_rng estimator is a stated constant — see b40's doc
+    "b40_troll_estimators" ->
+      """SELECT * FROM (VALUES
+        |  ('density_at_7', 0.0),
+        |  ('density_at_9', 1.0),
+        |  ('predict_confidence', 1.0),
+        |  ('predict_value', 9.0),
+        |  ('sim0_acctbal', 9.0), ('sim0_nation', 9.0),
+        |  ('sim1_acctbal', 9.0), ('sim1_nation', 9.0),
+        |  ('sim2_acctbal', 9.0), ('sim2_nation', 9.0))
+        |  AS t(metric, value)
+        |ORDER BY metric""".stripMargin,
     "b37_exists_having" -> b37Sql,
     "b38_in_having" -> b38Sql,
     "b33_variables_correlation" -> b33Sql,

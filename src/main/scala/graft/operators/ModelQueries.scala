@@ -175,7 +175,29 @@ object ModelQueries {
       .orderBy("colname")
   }
 
+  /** m10: INFER at a confidence no nig_normal prediction can meet —
+    * numerical predict_confidence is EXACTLY 1.0 (reference
+    * nig_normal.py predict_confidence returns (value, 1); latent
+    * deviations → (0, 1)), so at threshold 1.5 the INFER macro
+    * IFNULL(c, PREDICT c CONFIDENCE 1.5) (reference
+    * src/compiler.py:424-458) reduces to the IFNULL identity: injected
+    * NULLs stay NULL, observed values pass through — a deterministic
+    * key the DuckDB oracle states directly. Pins the whole INFER
+    * dispatch (evidence collection, per-row generator draw, threshold
+    * compare) except the fill value itself, which m03 exercises. */
+  val m10InferIfnull: Q = (spark, dir) => {
+    val pm = customerModel(spark, dir)
+    val df = Tables.load(spark, dir, "customer")
+      .withColumn("rowid", col("c_custkey"))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")))
+    Estimators.inferWithConfidence(df, pm, "c_acctbal", 1.5)
+      .select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m10_infer_ifnull" -> m10InferIfnull,
     "m01_predictive_probability" -> m01PredictiveProbability,
     "m02_simulate" -> m02Simulate,
     "m03_infer" -> m03Infer,
@@ -193,6 +215,27 @@ object ModelQueries {
     * vn = 1/(1+n), mn = s/(1+n), an = 1+n/2, bn = 1 + (ss - s²/(1+n))/2;
     * Student-t logpdf via DuckDB's own lgamma). */
   val oracles: Map[String, String] = Map(
+    // nig_normal models every column independently BY CONSTRUCTION
+    // (reference src/backends/nig_normal.py:60-80: one suff-stats fit
+    // per column, no shared structure), so DEPENDENCE PROBABILITY is
+    // the closed form 0 off-diagonal / 1 on the diagonal — a literal
+    // grid DuckDB states directly
+    "m05_dependence_pairwise" ->
+      """SELECT * FROM (VALUES
+        |  ('customer_pop', 'c_acctbal', 'c_acctbal', 1.0),
+        |  ('customer_pop', 'c_acctbal', 'c_nationkey', 0.0),
+        |  ('customer_pop', 'c_nationkey', 'c_acctbal', 0.0),
+        |  ('customer_pop', 'c_nationkey', 'c_nationkey', 1.0))
+        |  AS t(population, name0, name1, depprob)
+        |ORDER BY name0, name1""".stripMargin,
+    // predict_confidence ≡ 1.0 < 1.5 → INFER is the IFNULL identity
+    // over the deterministic null-injection rule
+    "m10_infer_ifnull" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |       ELSE round(c_acctbal, 6) END AS c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "m08_posterior_predictive" ->
       """WITH stats AS (
         |  SELECT 'c_acctbal' AS colname,

@@ -385,6 +385,59 @@ object PipelineQueries {
        |FROM read_parquet('$MediaFixturePath/*.parquet')
        |ORDER BY doc_id""".stripMargin
 
+  /** p19: the p13 frame-sampling operator against the checked-in media
+    * fixture — frame boundaries AND the FNV-1a-64+mix frame checksum
+    * reproduced independently in DuckDB (UBIGINT limb arithmetic over
+    * hex(blob), the st04 machinery), giving frame sampling its
+    * hash-match gate. p13 stays rows-only over the per-dir synthetic
+    * payloads; 16-byte frames at stride 2 force the multi-frame +
+    * ragged-tail path on the fixture's ~70-byte payloads. */
+  val p19FramesOracle: Q = (spark, dir) => {
+    val fx = spark.read.parquet(MediaFixturePath)
+    Multimodal.sampleFrames(fx, "doc_id", "media", frameSize = 16, stride = 2)
+      .toDF()
+      .orderBy("doc_id", "frame_no")
+  }
+
+  lazy val p19Sql: String = {
+    // wrapping 64-bit ops in DuckDB: multiply via 32-bit limbs in
+    // HUGEINT, add mod 2^64, logical shift on UBIGINT — identical to
+    // the st04 oracle's reproduction of DetRngHash
+    val fnvStep = "(acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS " +
+      "HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * " +
+      "1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)"
+    s"""WITH fx AS (
+       |  SELECT doc_id, hex(media) AS hx, octet_length(media) AS n
+       |  FROM read_parquet('$MediaFixturePath/*.parquet')),
+       |fr AS (
+       |  SELECT doc_id, CAST(unnest(range(CAST((n + 15) // 16 AS INT))) AS INT) AS frame_no, hx
+       |  FROM fx),
+       |ch AS (
+       |  SELECT doc_id, frame_no, substr(hx, frame_no*32 + 1, 32) AS chx
+       |  FROM fr WHERE frame_no % 2 = 0),
+       |byt AS (
+       |  SELECT doc_id, frame_no, CAST(length(chx) // 2 AS INT) AS n_bytes,
+       |    list_transform(range(CAST(length(chx) // 2 AS INT)), j ->
+       |      CAST(strpos('123456789ABCDEF', substr(chx, CAST(2*j+1 AS INT), 1))*16 +
+       |           strpos('123456789ABCDEF', substr(chx, CAST(2*j+2 AS INT), 1)) AS UBIGINT)) AS bs
+       |  FROM ch),
+       |h0 AS (
+       |  SELECT doc_id, frame_no, n_bytes,
+       |    list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), bs), $fnvStep) AS z
+       |  FROM byt),
+       |g1 AS (SELECT doc_id, frame_no, n_bytes, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM h0),
+       |g2 AS (SELECT doc_id, frame_no, n_bytes, xor(z, z >> 30) AS z FROM g1),
+       |g3 AS (SELECT doc_id, frame_no, n_bytes, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM g2),
+       |g4 AS (SELECT doc_id, frame_no, n_bytes, xor(z, z >> 27) AS z FROM g3),
+       |g5 AS (SELECT doc_id, frame_no, n_bytes, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM g4),
+       |g6 AS (SELECT doc_id, frame_no, n_bytes, xor(z, z >> 31) AS z FROM g5)
+       |SELECT doc_id, frame_no, n_bytes,
+       |  CAST(CASE WHEN z >= 9223372036854775808
+       |            THEN CAST(z AS HUGEINT) - 18446744073709551616
+       |            ELSE CAST(z AS HUGEINT) END AS BIGINT) AS checksum
+       |FROM g6 ORDER BY doc_id, frame_no""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "p01_dedup_exact" -> p01DedupExact,
     "p02_minhash_lsh" -> p02MinHashLsh,
@@ -403,7 +456,8 @@ object PipelineQueries {
     "p15_ann_ivf_exact" -> p15AnnIvfExact,
     "p16_subword_count" -> p16SubwordCount,
     "p17_multimodal_oracle" -> p17MultimodalOracle,
-    "p18_dedup_components" -> p18DedupComponents)
+    "p18_dedup_components" -> p18DedupComponents,
+    "p19_frames_oracle" -> p19FramesOracle)
 
   /** p10 oracle: same lexicons, same scoring, same tie-break. Spark's
     * array_max over struct(score, lang) resolves score ties by the
@@ -829,7 +883,8 @@ object PipelineQueries {
     "p15_ann_ivf_exact" -> p06Sql,
     "p16_subword_count" -> p16Sql,
     "p17_multimodal_oracle" -> p17Sql,
-    "p18_dedup_components" -> p18Sql)
+    "p18_dedup_components" -> p18Sql,
+    "p19_frames_oracle" -> p19Sql)
 
   /** p18 oracle: the p02 signature/banding/estimation chain (bit-exact
     * MinHash in DuckDB) with a recursive reachability closure over the

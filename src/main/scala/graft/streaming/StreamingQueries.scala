@@ -54,6 +54,12 @@ object StreamingQueries {
     * is read at query START, so the scope-and-restore only affects this
     * query; at real corpus scale the caller sizes this knob to its key
     * cardinality). */
+  /** Final state-store row count per streaming key, captured from the
+    * last progress record of the most recent drain — the bench persists
+    * these so "state stays bounded" is a driver-record claim, not only
+    * a unit-test one. */
+  val lastStateRows = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def drainToMemory(spark: SparkSession, key: String,
       w: DataStreamWriter[Row]): DataFrame = {
     val sink = s"graft_${key}_${runCounter.incrementAndGet()}"
@@ -63,7 +69,13 @@ object StreamingQueries {
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         w.format("memory").queryName(sink).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      (Option(q.lastProgress).toSeq ++ q.recentProgress.reverseIterator)
+        .find(p => p != null && p.stateOperators.nonEmpty)
+        .foreach(p => lastStateRows(key) =
+          p.stateOperators.map(_.numRowsTotal).sum)
+      q.stop()
+    }
     spark.table(sink)
   }
 

@@ -54,7 +54,8 @@ object ScaleProbe {
       }
     }.reduce(_ unionByName _)
 
-  def build(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+  def build(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
+      tables: Set[String] = AllTables): Unit = {
     new java.io.File(outDir).mkdirs()
     // strides: one power-of-ten above each table's max key at sf0.1 so
     // replica ranges never collide and joins stay FK-consistent
@@ -62,30 +63,57 @@ object ScaleProbe {
     val O = 10000000L  // order keys
     val D = 1000000L   // doc ids
     val V = 1000000L   // vec ids
-    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "documents"), factor,
-      Map("doc_id" -> D)), outDir, "documents")
-    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "embeddings"), factor,
-      Map("vec_id" -> V)), outDir, "embeddings")
-    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "customer"), factor,
-      Map("c_custkey" -> C)), outDir, "customer")
-    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "orders"), factor,
-      Map("o_orderkey" -> O, "o_custkey" -> C)), outDir, "orders")
-    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "lineitem"), factor,
-      Map("l_orderkey" -> O)), outDir, "lineitem")
+    def want(t: String) = tables.contains(t)
+    if (want("documents"))
+      writeAsSingleFile(replicate(Tables.load(spark, srcDir, "documents"), factor,
+        Map("doc_id" -> D)), outDir, "documents")
+    if (want("embeddings"))
+      writeAsSingleFile(replicate(Tables.load(spark, srcDir, "embeddings"), factor,
+        Map("vec_id" -> V)), outDir, "embeddings")
+    if (want("customer"))
+      writeAsSingleFile(replicate(Tables.load(spark, srcDir, "customer"), factor,
+        Map("c_custkey" -> C)), outDir, "customer")
+    if (want("orders"))
+      writeAsSingleFile(replicate(Tables.load(spark, srcDir, "orders"), factor,
+        Map("o_orderkey" -> O, "o_custkey" -> C)), outDir, "orders")
+    if (want("lineitem"))
+      writeAsSingleFile(replicate(Tables.load(spark, srcDir, "lineitem"), factor,
+        Map("l_orderkey" -> O)), outDir, "lineitem")
     // events replicate as a fact stream: new users per replica, so
     // sessionization's user/session cardinality grows with the corpus
-    writeAsSingleFile(replicate(Tables.load(spark, srcDir, "events"), factor,
-      Map("event_id" -> 10000000L, "user_id" -> 10000000L)), outDir, "events")
+    if (want("events"))
+      writeAsSingleFile(replicate(Tables.load(spark, srcDir, "events"), factor,
+        Map("event_id" -> 10000000L, "user_id" -> 10000000L)), outDir, "events")
     // dimensions copy once — at scale the fact tables grow, the dims don't
-    Seq("region", "nation", "supplier", "part").foreach { t =>
+    Seq("region", "nation", "supplier", "part").filter(want).foreach { t =>
       writeAsSingleFile(Tables.load(spark, srcDir, t), outDir, t)
     }
   }
+
+  private val AllTables = Set("documents", "embeddings", "customer", "orders",
+    "lineitem", "events", "region", "nation", "supplier", "part")
+
+  /** Tables each probe key reads — a 100× run of a key subset only
+    * replicates what that subset scans (a 100× lineitem is ~60 M rows
+    * of single-file write the sessionization keys never touch). */
+  private val KeyTables: Map[String, Set[String]] = Map(
+    "q01_agg" -> Set("lineitem"),
+    "q03_join_topk" -> Set("customer", "orders", "lineitem", "nation", "region"),
+    "q18_sessionize" -> Set("events"),
+    "st01_stream_windowed_lang" -> Set("documents"),
+    "st04_stream_near_dup" -> Set("documents"),
+    "st05_stream_embed_near_dup" -> Set("documents", "embeddings"),
+    "st06_stream_sessionize" -> Set("events")
+  ).withDefaultValue(Set("documents", "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated key subset (e.g. the 6 most
+    // expensive keys at 100×) — only their tables get replicated
+    val probeKeys =
+      if (args.length > 3) args(3).split(",").toSeq else ProbeKeys
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,9 +122,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
-      println(s"[scale] building ${factor}x dir at $outDir")
-      build(spark, srcDir, outDir, factor)
+    val needed = probeKeys.map(KeyTables).reduce(_ ++ _)
+    val missing = needed.filterNot(t =>
+      new java.io.File(s"$outDir/$t.parquet").exists())
+    if (missing.nonEmpty) {
+      println(s"[scale] building ${factor}x of ${missing.mkString(",")} at $outDir")
+      build(spark, srcDir, outDir, factor, missing)
     } else println(s"[scale] reusing $outDir")
 
     def timeOne(key: String, dir: String): (Double, Long) = {
@@ -107,11 +138,11 @@ object ScaleProbe {
     }
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
-    println(f"${"key"}%-28s ${"t1x"}%8s ${"t10x"}%8s ${"factor"}%7s ${"rows1x"}%9s ${"rows10x"}%10s")
-    ProbeKeys.foreach { key =>
+    println(f"${"key"}%-28s ${"t1x"}%8s ${s"t${factor}x"}%8s ${"factor"}%7s ${"rows1x"}%9s ${s"rows${factor}x"}%10s")
+    probeKeys.foreach { key =>
       val (t1, n1) = timeOne(key, srcDir)
-      val (t10, n10) = timeOne(key, outDir)
-      println(f"$key%-28s $t1%8.2f $t10%8.2f ${t10 / t1}%7.1f $n1%9d $n10%10d")
+      val (tN, nN) = timeOne(key, outDir)
+      println(f"$key%-28s $t1%8.2f $tN%8.2f ${tN / t1}%7.1f $n1%9d $nN%10d")
     }
     spark.stop()
   }

@@ -296,4 +296,45 @@ class StreamingSpec extends AnyFunSuite {
         "both the pre- and post-eviction clusters must appear in the sink")
     } finally q.stop()
   }
+
+  test("horizon eviction bounds state; the unbounded variant visibly explodes") {
+    // the quantitative form of the eviction claim, measured where the
+    // bench measures it (stateOperators.numRowsTotal): stream many
+    // batches of UNIQUE docs with advancing event time — under a short
+    // horizon the state plateaus at the keys inside the horizon, while
+    // a deliberately-unbounded horizon accretes every bucket key ever
+    // seen. If eviction silently broke, the bounded run would match the
+    // unbounded one and this test fails loudly.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def finalStateRows(horizon: String): Long = {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val nd = StreamPipeline.nearDupBuckets(
+        input.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+        suppressionHorizon = horizon)
+      val name = s"neardup_bound_${horizon.hashCode.toHexString}"
+      val q = nd.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        // 24 batches, one minute apart, 5 unique docs each — an
+        // hour-scale stream against a minute-scale horizon
+        (0 until 24).foreach { b =>
+          input.addData((0 until 5).map(i =>
+            (ts(b), b * 100L + i,
+              s"unique document number ${b}_$i with words alpha beta gamma delta " +
+                s"epsilon zeta eta theta iota kappa ${b * 31 + i}")): _*)
+          q.processAllAvailable()
+        }
+        (Option(q.lastProgress).toSeq ++ q.recentProgress.reverseIterator)
+          .find(p => p != null && p.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      } finally q.stop()
+    }
+    val bounded = finalStateRows("1 minute")
+    val unbounded = finalStateRows("3650 days")
+    assert(unbounded > 0, "state metric did not report")
+    assert(bounded * 3 <= unbounded,
+      s"horizon eviction not visible in state size: bounded=$bounded unbounded=$unbounded")
+  }
 }
