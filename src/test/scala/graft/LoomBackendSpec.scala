@@ -241,4 +241,62 @@ class LoomBackendSpec extends AnyFunSuite {
     assert(rows.length == 5)
     rows.foreach(r => assert(r.getDouble(1) == 0.0))
   }
+
+  test("loom lifecycle over every stattype (test_stattypes)") {
+    // reference test_loom_backend.py:144-197: a table with
+    // unbounded_nominal, counts, boolean, nominal, cyclic, numerical
+    // through create/initialize/analyze/density/simulate/drop — the
+    // reference only checks for errors; we also sanity the outputs
+    val b = new BayesDB(spark, seed = 31L)
+    val rng = new scala.util.Random(7)
+    val cats = Array("a", "b", "c")
+    b.registerTable("st", (1 to 40).map { i =>
+      (i.toLong, cats(rng.nextInt(3)), rng.nextInt(200).toDouble,
+        rng.nextInt(2).toDouble, cats(rng.nextInt(3)),
+        rng.nextInt(1000) / 4.0, rng.nextInt(1000) / 4.0 - 100.0,
+        rng.nextInt(1000) / 4.0)
+    }.toDF("id", "u", "co", "b", "ca", "cy", "nu", "no"))
+    b.execute("""create population sp for st (
+      id ignore;
+      u unbounded_nominal;
+      co counts;
+      b boolean;
+      ca nominal;
+      cy cyclic;
+      nu numerical;
+      no numerical)""")
+    b.execute("create generator sg for sp using loom")
+    b.execute("initialize 1 models for sg")
+    b.execute("analyze sg for 5 iterations")
+    val d = b.execute(
+      "estimate probability density of (nu = 50) given (co = 2) by sp")
+      .collect().head.getDouble(0)
+    assert(d >= 0.0 && !d.isNaN)
+    assert(b.execute("simulate u, co, b, ca, cy, nu, no from sp limit 1")
+      .count() == 1)
+    assert(b.execute("simulate u, ca from sp given nu = 3, co = 2 limit 1")
+      .count() == 1)
+    b.execute("drop models from sg")
+    b.execute("drop generator sg")
+    b.execute("drop population sp")
+    b.execute("drop table st")
+  }
+
+  test("loom handles a nominal with 300 distinct values (guess-schema case)") {
+    // reference test_loom_guess_schema_nominal:199-231: >256 distinct
+    // values would overflow loom's bounded nominal; the adapter treats
+    // it as unbounded — here the lifecycle must simply run clean
+    val b = new BayesDB(spark, seed = 37L)
+    val rng = new scala.util.Random(11)
+    b.registerTable("wt", (1 to 300).map { i =>
+      (i.toLong, (0 until 20).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    }.toDF("id", "v"))
+    b.execute("create population wp for wt (id ignore; v nominal)")
+    b.execute("create generator wg for wp using loom")
+    b.execute("initialize 1 models for wg")
+    b.execute("analyze wg for 3 iterations")
+    assert(b.execute("simulate v from wp limit 2").count() == 2)
+    b.execute("drop models from wg")
+    b.execute("drop generator wg")
+  }
 }
