@@ -413,7 +413,7 @@ object Relational {
   /** The classic one-shuffle plan: both window passes (lag, running
     * session counter) and the per-session rollup reuse one user_id
     * exchange. Right whenever no single entity exceeds a task. */
-  private[graft] def sessionizeSinglePass(events: DataFrame, gapUs: Long): DataFrame = {
+  def sessionizeSinglePass(events: DataFrame, gapUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
@@ -443,7 +443,7 @@ object Relational {
     * boundaries) merge when their inter-event gap ≤ gapUs; the running
     * sum renumbers merged sessions 1.. per user in time order, exactly
     * the single-pass numbering. */
-  private[graft] def sessionizeTwoPhase(events: DataFrame, gapUs: Long,
+  def sessionizeTwoPhase(events: DataFrame, gapUs: Long,
       bucketUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w1 = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")

@@ -64,9 +64,14 @@ object StreamingQueries {
       w: DataStreamWriter[Row]): DataFrame = {
     val sink = s"graft_${key}_${runCounter.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // the knob the doc above promises the caller: at testdata scale 4
+    // state partitions are right (tens of keys per provider); a scale
+    // probe over 10^7 events raises it so the stateful stage is not
+    // serialized 4-ways
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4")
     val q =
       try {
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", stateParts)
         w.format("memory").queryName(sink).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally {
