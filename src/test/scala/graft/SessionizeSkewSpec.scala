@@ -102,6 +102,37 @@ class SessionizeSkewSpec extends AnyFunSuite {
       s"largest salted group $groups vs hot entity $hotTotal — salt ineffective")
   }
 
+  test("bucket-boundary micro-edges: exact gap across midnight merges, 1µs more splits") {
+    import spark.implicits._
+    // hand-pinned rows, not fixture luck: day boundary at us=86400e6·k.
+    // user 1: last event 1s before midnight, next exactly gap later
+    // (single-pass semantics: strictly > splits, == merges) — the
+    // two-phase path must merge across the bucket seam. user 2: one
+    // microsecond beyond the gap — must split. user 3: an event ON the
+    // boundary itself.
+    val B = DayUs * 20000L // some midnight well inside range
+    val rows = Seq(
+      (1L, 10L, B - 1000000L),
+      (1L, 11L, B - 1000000L + GapUs),
+      (2L, 20L, B - 1000000L),
+      (2L, 21L, B - 1000000L + GapUs + 1L),
+      (3L, 30L, B),
+      (3L, 31L, B + 1L))
+      .toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    val single = run(Relational.sessionizeSinglePass(rows, GapUs))
+    val two = run(Relational.sessionizeTwoPhase(rows, GapUs, DayUs))
+    assert(two == single)
+    val expected = Seq(
+      (1L, 1L, 2L, GapUs),   // merged across the seam, duration == gap
+      (2L, 1L, 1L, 0L),      // split: two singleton sessions
+      (2L, 2L, 1L, 0L),
+      (3L, 1L, 2L, 1L))      // boundary event groups with its successor
+    assert(single == expected, s"got $single")
+  }
+
   test("streaming fragment merge: touch merges, gap splits, counts sum") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000L)
