@@ -133,6 +133,32 @@ class SessionizeSkewSpec extends AnyFunSuite {
     assert(single == expected, s"got $single")
   }
 
+  test("plan equivalence holds across random corpora, including null users") {
+    import spark.implicits._
+    // property-style: 3 seeds × 2 bucket sizes over random gap
+    // structure, with a null-user slice (the classic skew entity —
+    // nulls group as ONE user in a window partition, both plans must
+    // agree on that too)
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val t0 = 1700000000000000L
+      val rows = (0 until 3000).map { i =>
+        val u: java.lang.Long =
+          if (rng.nextInt(10) == 0) null else java.lang.Long.valueOf(rng.nextInt(20).toLong)
+        (u, i.toLong, t0 + rng.nextInt(6 * 86400) * 1000000L)
+      }.toDF("user_id", "event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      // hash compare (Verify.canonicalHash) — the null user sorts
+      // ambiguously against user 0 under a tuple sort, the canonical
+      // hash's null-tagged rendering doesn't
+      val single = Verify.canonicalHash(Relational.sessionizeSinglePass(rows, GapUs))
+      for (bucket <- Seq(3600L * 1000000L, DayUs)) {
+        val two = Verify.canonicalHash(Relational.sessionizeTwoPhase(rows, GapUs, bucket))
+        assert(two == single, s"seed=$seed bucket=$bucket")
+      }
+    }
+  }
+
   test("streaming fragment merge: touch merges, gap splits, counts sum") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000L)
