@@ -43,6 +43,7 @@ object PipelineQueries {
     ivfCache.clear()
     mediaCache.values.foreach(_.unpersist())
     mediaCache.clear()
+    Dedup.resetCaches() // the one-slot signature cache
   }
 
   private def minhashCandsFor(spark: SparkSession, dir: String): DataFrame =
