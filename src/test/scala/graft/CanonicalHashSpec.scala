@@ -43,6 +43,20 @@ class CanonicalHashSpec extends AnyFunSuite {
     assert(h(nan) != h(Seq(Tuple1(1.0)).toDF("v")))
   }
 
+  test("row and cell boundaries cannot alias") {
+    // {"ab","c"} vs {"a","bc"}: same sorted-concatenated characters,
+    // different row multisets — the per-row length prefix must separate
+    // them (pre-fix these collided)
+    val x = Seq(Tuple1("ab"), Tuple1("c")).toDF("v")
+    val y = Seq(Tuple1("a"), Tuple1("bc")).toDF("v")
+    assert(h(x) != h(y))
+    // a string cell containing the in-row separator byte must not
+    // migrate across cell boundaries — string cells are length-prefixed
+    val a = Seq(("a\u0001b", "c")).toDF("u", "v")
+    val b = Seq(("a", "b\u0001c")).toDF("u", "v")
+    assert(h(a) != h(b))
+  }
+
   test("arrays and nested rows hash by content, unambiguous across boundaries") {
     // ["ab","c"] must not alias ["a","bc"] — the separator guarantees it
     val x = Seq(Tuple1(Seq("ab", "c"))).toDF("v")
