@@ -159,6 +159,24 @@ class SessionizeSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs: empty and single-event corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    assert(Relational.sessionizeSinglePass(empty, GapUs).count() == 0L)
+    assert(Relational.sessionizeTwoPhase(empty, GapUs, DayUs).count() == 0L)
+    assert(Relational.sessionize(empty, GapUs, DayUs).count() == 0L)
+    val one = Seq((7L, 1L, 1700000000000000L)).toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    for (df <- Seq(Relational.sessionizeSinglePass(one, GapUs),
+        Relational.sessionizeTwoPhase(one, GapUs, DayUs))) {
+      val r = df.collect()
+      assert(r.length == 1 && r.head.getLong(0) == 7L &&
+        r.head.getLong(1) == 1L && r.head.getLong(2) == 1L &&
+        r.head.getLong(4) == 0L)
+    }
+  }
+
   test("streaming fragment merge: touch merges, gap splits, counts sum") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000L)
