@@ -347,6 +347,28 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** st07: streaming sessionization in APPEND mode — the production
+    * path: a session emits exactly once, when the watermark passes its
+    * end (no more in-gap events can arrive), instead of complete-mode's
+    * full re-emission per batch. Trailing sessions — those the final
+    * watermark (max event time − 1 h) never passes — stay in state and
+    * are NOT in the output; the oracle states that horizon explicitly.
+    * Plain user_id session key (no day salt): the truncation semantics
+    * of append + salt + re-merge are not oracle-expressible, and the
+    * skew treatment is st06's story — salting composes orthogonally in
+    * a deployment that pairs it with a downstream compaction. */
+  val st07SessionizeAppend: Q = (spark, dir) => {
+    val sessions = boundedEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    drainToMemory(spark, "st07", sessions.writeStream.outputMode("append"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Interval-merge of salted session fragments: per user in start
     * order, a fragment whose start is ≤ the running max end touches (or
     * overlaps) its predecessor — same boundary rule as session_window
@@ -399,13 +421,43 @@ object StreamingQueries {
 
   val queries: Map[String, Q] = Map(
     "st06_stream_sessionize" -> st06StreamSessionize,
+    "st07_sessionize_append" -> st07SessionizeAppend,
     "st01_stream_windowed_lang" -> st01WindowedLang,
     "st02_stream_dedup" -> st02StreamDedup,
     "st03_stream_source_profile" -> st03SourceProfile,
     "st04_stream_near_dup" -> st04NearDupBuckets,
     "st05_stream_embed_near_dup" -> st05EmbedNearDup)
 
+  /** st07 oracle: the q18/st06 session construction with the APPEND
+    * emission horizon stated explicitly — a session emits iff its end
+    * (last event + gap) is <= the final watermark (max event time − the
+    * 1 h delay). The inclusive boundary is Spark's rule, pinned by
+    * StreamingSpec's end==watermark case. */
+  val st07Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, min(ts) AS session_start,
+      |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |    count(*)::BIGINT AS n_events
+      |  FROM s GROUP BY user_id, sid),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM sess, wm WHERE session_end <= w
+      |ORDER BY user_id, session_start""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "st07_sessionize_append" -> st07Sql,
     "st06_stream_sessionize" -> st06Sql,
     "st01_stream_windowed_lang" -> st01Sql,
     "st02_stream_dedup" -> st02Sql,

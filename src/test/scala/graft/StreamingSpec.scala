@@ -297,6 +297,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode session emission: a session whose end EQUALS the watermark emits") {
+    // the boundary the st07 oracle states: emission rule is
+    // end <= watermark (inclusive), pinned here so a Spark behavior
+    // change breaks a spec, not the driver's hash gate
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF.toDF("ts", "uid")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("uid"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("uid"), col("w.end").as("e"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("append_tie_out")
+      .outputMode("append").start()
+    try {
+      // uid 1's session: one event at t=0 → end = 1800
+      in.addData((t(0L), 1L))
+      q.processAllAvailable()
+      // an event at 1800+3600 puts the watermark at EXACTLY 1800
+      in.addData((t(5400L), 2L))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data trigger applies the new watermark
+      val emitted = spark.table("append_tie_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L))
+      assert(emitted.contains((1L, 1800L)),
+        s"end==watermark must emit (rule is <=), got ${emitted.toSeq}")
+      assert(!emitted.exists(_._1 == 2L), "the trailing session must stay in state")
+    } finally q.stop()
+  }
+
   test("horizon eviction bounds state; the unbounded variant visibly explodes") {
     // the quantitative form of the eviction claim, measured where the
     // bench measures it (stateOperators.numRowsTotal): stream many
