@@ -46,45 +46,65 @@ object Dedup {
     * going quadratic, and the self-join distributes pair expansion across
     * tasks per bucket key — each bucket's O(k²) pairs STREAM through the
     * join rather than materializing as one collected row in one task,
-    * which is what survives a 100 TB input. Exchange reuse makes the
-    * window and both join sides share one hash partitioning on `keys`. */
+    * which is what survives a 100 TB input.
+    *
+    * Over-cap buckets (degenerate content: boilerplate, mirrored pages)
+    * must not emit O(k²) pairs — but silently DROPPING them (the pre-r12
+    * behavior) is worse: a 100× probe on a high-duplication corpus
+    * returned ZERO candidates. They emit STAR edges instead: every
+    * member pairs with THREE deterministic hubs — the bucket's min id,
+    * max id, and a hash-mid id (min salted id-hash) — O(k) pairs total.
+    * Three hubs, because in a mixed-content hot bucket (LSH false
+    * positives) two genuine duplicates that are both dissimilar to one
+    * unlucky hub would lose all their edges to the downstream verify;
+    * with three independent hubs that requires all three to miss. The
+    * emission is still an APPROXIMATION of the full pairwise set — only
+    * hub-incident edges exist, so components can split if every hub of a
+    * bucket is content-noise — which callers accept in exchange for
+    * linear pair growth on pathological buckets.
+    *
+    * Plan shape: ONE window pass over the bucket exchange computes the
+    * bucket size AND the hub flags (no groupBy + hub-join materializes
+    * hubs — they are flagged in place), and one self-join emits BOTH the
+    * capped pairs and the star edges: the left side keeps capped rows
+    * plus over-cap hub rows, the right side keeps everything, and the
+    * join condition switches on the bucket size. Both sides share the
+    * reused hash exchange on `keys`. */
   private[operators] def inBucketPairs(
       rows: DataFrame, keys: Seq[String], carry: Seq[String],
       maxBucketSize: Int,
       prune: DataFrame => DataFrame = identity): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    val withN = rows.withColumn("bucket_n", count(lit(1)).over(w))
-    val capped = withN
-      .filter(col("bucket_n").between(2, maxBucketSize))
-      .drop("bucket_n")
     val side = "id" +: carry
-    val l = capped.select(keys.map(col) ++ side.map(c => col(c).as(c + "0")): _*)
-    val r = capped.select(keys.map(col) ++ side.map(c => col(c).as(c + "1")): _*)
-    // Over-cap buckets must not emit O(k²) pairs — but silently DROPPING
-    // them (the pre-r12 behavior) is worse: the most duplicated content
-    // in a web-scale corpus (boilerplate, mirrored pages) is exactly
-    // what lands in over-full buckets, and it vanished from the
-    // candidate set entirely (the 100× probe returned ZERO pairs). The
-    // scale-correct emission is the STAR: every member pairs with the
-    // bucket's minimum id — O(k) pairs, each still verified downstream,
-    // and the bucket stays one connected component for grouping even
-    // though non-keeper pairwise edges are intentionally not enumerated.
-    val over = withN.filter(col("bucket_n") > maxBucketSize).drop("bucket_n")
-    val hub = over
-      .groupBy(keys.map(col): _*)
-      .agg(min(struct(side.map(col): _*)).as("hub"))
-      .select(keys.map(col) ++ side.map(c => col(s"hub.$c").as(c + "0")): _*)
-    val star = hub.join(
-      over.select(keys.map(col) ++ side.map(c => col(c).as(c + "1")): _*), keys)
-      .filter(col("id0") < col("id1"))
+    val saltedHash = xxhash64(col("id"), lit(0x517cc1b7L))
+    val decorated = rows
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__is_hub",
+        col("id") === min(col("id")).over(w) ||
+          col("id") === max(col("id")).over(w) ||
+          saltedHash === min(saltedHash).over(w))
+    val l = decorated
+      .filter(col("__n") >= 2 &&
+        (col("__n") <= maxBucketSize || col("__is_hub")))
+      .select(keys.map(col) ++ Seq(col("__n")) ++
+        side.map(c => col(c).as(c + "0")): _*)
+    val r = decorated
+      .filter(col("__n") >= 2)
+      .select(keys.map(col) ++ side.map(c => col(c).as(c + "1")): _*)
+    // capped buckets: full pairwise, oriented id0 < id1 at the source;
+    // over-cap buckets: the left side is hubs only, so hub × member
+    // star edges stream out (both orientations — normalized below)
+    val joined = l.join(r, keys)
+      .filter(when(col("__n") <= maxBucketSize, col("id0") < col("id1"))
+        .otherwise(col("id0") =!= col("id1")))
+      .drop("__n" +: keys: _*)
+    val swap = col("id0") > col("id1")
+    val normalized = joined.select(
+      side.map(c => when(swap, col(c + "1")).otherwise(col(c + "0")).as(c + "0")) ++
+        side.map(c => when(swap, col(c + "0")).otherwise(col(c + "1")).as(c + "1")): _*)
     // `prune` runs on the streaming join output BEFORE the dedup shuffle,
     // so a cheap verify (e.g. Hamming) shrinks the shuffled pair set
-    prune(
-      l.join(r, keys)
-        .filter(col("id0") < col("id1"))
-        .drop(keys: _*)
-        .unionByName(star.drop(keys: _*)))
-      .dropDuplicates("id0", "id1")
+    prune(normalized).dropDuplicates("id0", "id1")
   }
 
   // ---------------------------------------------------------------- exact

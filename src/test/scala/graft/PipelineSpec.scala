@@ -57,10 +57,27 @@ class PipelineSpec extends AnyFunSuite {
     val cands = Dedup.minHashCandidates(copies, "text", "doc_id",
         minEstJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(cands == (1 until 120).map(i => (0L, i.toLong)).toSet,
-      s"expected the 119 star pairs to doc 0, got ${cands.size} pairs")
-    // and the pair count stays LINEAR in the bucket, not quadratic
-    assert(cands.size == 119)
+    // r13: stars go to THREE deterministic hubs (min id, max id, and a
+    // hash-mid id) so one unlucky hub cannot disconnect true duplicates
+    // in a mixed-content bucket. Pin the min- and max-hub stars exactly
+    // and bound the total: between 2 hubs' worth (hash-mid may coincide
+    // with min/max) and 3 disjoint stars — far below the 7140 full
+    // pairwise set.
+    assert(cands.forall { case (a, b) => a < b }, "pairs must be oriented")
+    assert((1 until 120).map(i => (0L, i.toLong)).toSet.subsetOf(cands),
+      "min-hub star missing")
+    assert((0 until 119).map(i => (i.toLong, 119L)).toSet.subsetOf(cands),
+      "max-hub star missing")
+    assert(cands.size >= 237 && cands.size <= 354,
+      s"expected 2-3 hub stars (237..354 pairs), got ${cands.size}")
+    // every pair touches a hub (hubs touch ~119 members; non-hubs only
+    // touch hubs) — the emission is hub-incident by construction
+    val degree = cands.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val hubs = degree.filter(_._2 >= 100).keySet
+    assert(hubs.contains(0L) && hubs.contains(119L) && hubs.size <= 3,
+      s"expected <=3 hubs incl. min and max, got $hubs")
+    assert(cands.forall(p => hubs.contains(p._1) || hubs.contains(p._2)))
     // connectivity survives to components: one cluster, every member
     val comp = Dedup.connectedComponents(
       Dedup.minHashCandidates(copies, "text", "doc_id", minEstJaccard = 0.5)

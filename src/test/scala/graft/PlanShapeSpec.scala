@@ -243,6 +243,29 @@ class WidePopulationSpec extends AnyFunSuite {
     }
   }
 
+  test("star emission shares the bucket window pass — no hub groupBy+join") {
+    // r12 verdict #1: over-cap star hubs were materialized by a separate
+    // groupBy(keys).agg(min(struct)) + join — ~2 extra passes over the
+    // bucket exchange under every LSH key (p02/p03/p05/st04 regressions).
+    // The r13 shape flags hubs in the SAME window pass that counts the
+    // bucket and emits star edges from the same self-join as the capped
+    // pairs: exactly ONE join and at most three Window nodes (count +
+    // hub flags on the left; Catalyst prunes the right down to count
+    // alone) in the whole candidate plan, and no struct-min hub
+    // aggregate anywhere.
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.simHashPairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("(?i)join".r.findAllIn(plan).size == 1,
+      s"expected exactly the bucket self-join:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).size <= 3,
+      s"expected <=3 Window nodes over one bucket exchange:\n$plan")
+    assert(!plan.contains("min(struct"),
+      s"hub groupBy+join should be gone (r12 verdict #1):\n$plan")
+  }
+
   test("dedup/similarity kernels run as native expressions, not ScalaUDFs") {
     // round 6: the signature/agreement/fingerprint kernels are Catalyst
     // expressions with doGenCode — a ScalaUDF in these plans means a
