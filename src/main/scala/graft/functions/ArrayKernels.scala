@@ -143,6 +143,89 @@ object HyperplaneSignature64 {
     ColumnBridge.column(HyperplaneSignature64(ColumnBridge.expression(v), seed))
 }
 
+/** Multi-limb random-hyperplane signature: `bits` sign bits packed
+  * little-endian into `bits/64` longs (bit i → limb i/64, position
+  * i%64). Plane derivation is the [[HyperplaneSignature64]] scheme with
+  * the plane index simply running past 63, so limb 0 of a 128-bit
+  * signature IS the 64-bit signature (pinned by CosineExprSpec). The
+  * wide form exists because an LSH config keying buckets on
+  * sub-16-bit chunk values has a total key space that saturates
+  * linearly with the corpus (the r12 scale-killer: 8 chunks × 2^8 =
+  * 2,048 buckets); 128 bits give 8 chunks × 2^16 values each.
+  * Row-local, codegen'd, NULL for empty vectors or null elements. */
+case class HyperplaneSignatures(child: Expression, seed: Long, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<float> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hyperplane_sigs"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HyperplaneSignatures.kernel(v.asInstanceOf[ArrayData], seed, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("sigs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.HyperplaneSignatures.kernel($v, ${seed}L, $bits);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSignatures {
+  /** ±1 plane components for plane indices 0..bits-1 — same derivation
+    * as the 64-bit form (mix(seed ^ i<<32 ^ j) low bit), cached per
+    * (seed, bits, dim) per executor. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, Int, Int), Array[Array[Float]]]
+  private def planesFor(seed: Long, bits: Int, dim: Int): Array[Array[Float]] =
+    planeCache.getOrElseUpdate((seed, bits, dim), Array.tabulate(bits, dim) { (i, j) =>
+      if ((graft.operators.DetRngHash.mix(seed ^ (i.toLong << 32) ^ j.toLong) & 1L) == 1L)
+        1f
+      else -1f
+    })
+
+  def kernel(vec: ArrayData, seed: Long, bits: Int): ArrayData = {
+    val n = vec.numElements()
+    if (n == 0) return null
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    val planes = planesFor(seed, bits, n)
+    val limbs = new Array[Long](bits / 64)
+    i = 0
+    while (i < bits) {
+      val p = planes(i)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += p(j) * vec.getFloat(j)
+        j += 1
+      }
+      if (dot >= 0) limbs(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(limbs)
+  }
+
+  def apply(v: Column, seed: Long, bits: Int): Column =
+    ColumnBridge.column(HyperplaneSignatures(ColumnBridge.expression(v), seed, bits))
+}
+
 /** Nearest-centroid assignment for the IVF index: argmin over the
   * (expression-embedded) centroid table of squared Euclidean distance to
   * an `array<double>` vector — the whole corpus-side assignment pass

@@ -96,14 +96,19 @@ object PipelineQueries {
     * The synthetic embeddings have no planted near-dup clusters (max
     * pairwise cosine ≈ 0.5–0.6 across SFs), so the production-shaped
     * default (minCosine 0.95, 16-bit chunks) correctly finds nothing —
-    * this key probes the moderate-similarity tail instead: 8-bit chunks
-    * raise the per-chunk collision probability to ~(1-θ/π)^8 so pairs at
-    * cosine ≥ 0.4 actually collide, and the driver-level signal is
-    * non-empty at every SF. */
+    * this key probes the moderate-similarity tail: 8 chunks of a
+    * 128-BIT signature (16-bit chunk values) with single-bit
+    * multi-probe, so a chunk collides iff the two values are within
+    * Hamming 2 — per-pair collision ≈ 1-(1-0.033)^8 ≈ 24 % at cosine
+    * 0.4, at or above the r12 8-bit-chunk config's 18 %. The r12
+    * config keyed buckets on 8-bit values — 8 × 256 = 2,048 TOTAL
+    * buckets, so occupancy grew linearly with the corpus and past the
+    * cap recall collapsed to star edges (the one scale-killer left on
+    * the r12 books); this layout keeps a 524 k-bucket key space. */
   val p05CosineNearDup: Q = (spark, dir) => {
     SimilaritySearch.cosineNearDupPairs(
       Tables.load(spark, dir, "embeddings"), "embedding", "vec_id",
-      minCosine = 0.4, chunks = 8)
+      minCosine = 0.4, chunks = 8, bits = 128, probeHamming = 1)
       .select(col("id0"), col("id1"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id0", "id1")
   }
@@ -804,20 +809,18 @@ object PipelineQueries {
       |FROM jac WHERE j >= 0.2
       |ORDER BY id0, id1""".stripMargin
 
-  /** p05 oracle: the hyperplane-LSH cosine pipeline reproduced exactly —
-    * the ±1 planes re-derive from the splitmix64 bit (stage-per-CTE over
-    * the 64×64 (i,j) grid), the plane dots and cosine folds replay the
-    * kernels' sequential double accumulation via ordered list_reduce
-    * (products of ±1 floats are exact, so IEEE addition order is the
-    * only invariant that matters), chunk collision tests 8-bit slice
-    * equality, and the Hamming slack recomputes 64·acos(0.4)/π + 16
-    * (an integer comparison — a last-ulp libm divergence cannot flip
-    * it). The 4096 bucket cap never binds at oracle scale. */
-  val p05Sql: String =
-    """|WITH ij AS (
+  /** The hyperplane-signature derivation chain in DuckDB, shared by the
+    * p05 and st05 oracles: ±1 planes re-derive from the splitmix64 bit
+    * (stage-per-CTE over the `planes`×64 (i,j) grid), the plane dots
+    * replay the kernels' sequential double accumulation via ordered
+    * list_reduce (products of ±1 floats are exact, so IEEE addition
+    * order is the only invariant that matters). Ends with the `dots`
+    * CTE — callers append their own `sigs` packing. */
+  private def hyperplaneDotsSql(planes: Int): String =
+    s"""|WITH ij AS (
       |  SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
       |    xor(xor(CAST(42 AS UBIGINT), CAST(i.i AS UBIGINT) << 32), CAST(j.j AS UBIGINT)) AS z
-      |  FROM unnest(range(0, 64)) AS i(i), unnest(range(0, 64)) AS j(j)),
+      |  FROM unnest(range(0, $planes)) AS i(i), unnest(range(0, 64)) AS j(j)),
       |p1 AS (SELECT i, j, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM ij),
       |p2 AS (SELECT i, j, xor(z, z >> 30) AS z FROM p1),
       |p3 AS (SELECT i, j, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM p2),
@@ -838,23 +841,51 @@ object PipelineQueries {
       |      list_transform(range(1, 65),
       |        j -> p.pl[CAST(j AS INTEGER)] * v.v[CAST(j AS INTEGER)])),
       |      (acc, x) -> acc + x) AS dot
-      |  FROM vecs v, planes p),
+      |  FROM vecs v, planes p),""".stripMargin
+
+  /** The 64-bit signature prelude (through a single-UBIGINT `sigs`
+    * CTE) — the st05 streaming oracle keys on its 16-bit chunks. */
+  private[graft] val hyperplaneSig64Sql: String =
+    hyperplaneDotsSql(64) +
+    """|
       |sigs AS (
       |  SELECT vec_id,
       |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sig
+      |  FROM dots GROUP BY vec_id),""".stripMargin
+
+  /** p05 oracle: the 128-bit hyperplane-LSH cosine pipeline reproduced
+    * exactly — two UBIGINT limbs pack the 128 plane signs, a chunk
+    * COLLIDES iff the two 16-bit slices are within Hamming distance 2
+    * (the symmetric single-bit multi-probe: exact + 16 flips per side
+    * meet iff d ≤ 2), the cosine folds replay the kernels' sequential
+    * double accumulation, and the Hamming slack recomputes
+    * 128·acos(0.4)/π + 2·√128 (an integer comparison — a last-ulp libm
+    * divergence cannot flip it). The 4096 bucket cap never binds at
+    * oracle scale. */
+  val p05Sql: String =
+    hyperplaneDotsSql(128) +
+    """|
+      |sigs AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot >= 0 AND i < 64 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sig0,
+      |    CAST(sum(CASE WHEN dot >= 0 AND i >= 64 THEN CAST(CAST(1 AS UBIGINT) << (i - 64) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sig1
       |  FROM dots GROUP BY vec_id),
       |norms AS (
       |  SELECT vec_id, v,
       |    list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS nn
       |  FROM vecs),
       |cand AS (
-      |  SELECT a.vec_id AS id0, b.vec_id AS id1, sa.sig AS s0, sb.sig AS s1
+      |  SELECT a.vec_id AS id0, b.vec_id AS id1
       |  FROM vecs a, vecs b, sigs sa, sigs sb
       |  WHERE a.vec_id < b.vec_id AND sa.vec_id = a.vec_id AND sb.vec_id = b.vec_id
       |    AND len(list_filter(range(0, 8),
-      |          c -> ((sa.sig >> CAST(8*c AS INTEGER)) & 255) =
-      |               ((sb.sig >> CAST(8*c AS INTEGER)) & 255))) > 0
-      |    AND bit_count(xor(sa.sig, sb.sig)) <= 64.0 * acos(0.4) / pi() + 16.0),
+      |          c -> bit_count(xor(
+      |                 CASE WHEN c < 4 THEN (sa.sig0 >> CAST(16*c AS INTEGER)) & 65535
+      |                      ELSE (sa.sig1 >> CAST(16*(c-4) AS INTEGER)) & 65535 END,
+      |                 CASE WHEN c < 4 THEN (sb.sig0 >> CAST(16*c AS INTEGER)) & 65535
+      |                      ELSE (sb.sig1 >> CAST(16*(c-4) AS INTEGER)) & 65535 END)) <= 2)) > 0
+      |    AND bit_count(xor(sa.sig0, sb.sig0)) + bit_count(xor(sa.sig1, sb.sig1))
+      |        <= 128.0 * acos(0.4) / pi() + 2.0 * sqrt(128.0)),
       |cosv AS (
       |  SELECT c.id0, c.id1,
       |    list_reduce(list_prepend(0.0,

@@ -54,40 +54,90 @@ object SimilaritySearch {
     * cosine >= minCosine. Chunks give recall on pairs whose signatures
     * differ in <= chunks-1 bits (small angles ⇒ few differing bits).
     *
-    * Scale shape: the bucket self-join shuffles only (id, 64-bit
-    * signature chunk) tuples; the full vectors are joined back onto the
-    * surviving candidate pairs only — at 100 TB the wide rows never
-    * enter the O(candidates) shuffle. */
+    * Scale shape: the bucket self-join shuffles only (id, signature
+    * chunk) tuples; the full vectors are joined back onto the surviving
+    * candidate pairs only — at 100 TB the wide rows never enter the
+    * O(candidates) shuffle.
+    *
+    * `bits` sizes the signature (a multiple of 64; limbs of a wide
+    * signature pack little-endian). It bounds the BUCKET KEY SPACE:
+    * chunks × 2^(bits/chunks) total buckets, so occupancy at a given
+    * corpus size is corpus × keys-per-row / that. The r12 scale-killer
+    * was exactly this: 8 chunks over 64 bits key on 8-bit values —
+    * 2,048 buckets total, every one ~2,000 deep at a 500 k corpus, and
+    * past the cap recall degrades to star edges.
+    *
+    * `probeHamming = 1` turns on symmetric MULTI-PROBE: each row also
+    * emits its chunk value with every single bit flipped (17 keys per
+    * chunk), so two rows collide on a chunk iff their chunk values are
+    * within Hamming distance 2 — the recall a short chunk value gives
+    * up, recovered without shrinking the key space. For
+    * moderate-similarity mining (q = 1−θ/π per agreeing bit), a 16-bit
+    * chunk alone collides with q^16 ≈ 6e-4 at cosine 0.4 — useless —
+    * while d≤2 collision is q^16 + 16pq^15 + 120p²q^14 ≈ 0.033,
+    * matching the 8-bit chunk's q^8 ≈ 0.025 WITH the 2^16-value key
+    * space. The cost is keys-per-row × 17, which is the scale trade:
+    * 17× more (tiny) shuffle rows versus a bucket table that saturates
+    * linearly with the corpus. */
   def cosineNearDupPairs(
       df: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, chunks: Int = 4, seed: Long = 42L,
-      maxBucketSize: Int = 4096): DataFrame = {
-    val bits = 64 / chunks
+      maxBucketSize: Int = 4096, bits: Int = 64,
+      probeHamming: Int = 0): DataFrame = {
+    require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    require(bits % chunks == 0, "chunks must divide bits")
+    val chunkBits = bits / chunks
+    require(chunkBits <= 64 && 64 % chunkBits == 0,
+      "a chunk must fit one limb (bits/chunks <= 64 dividing 64)")
+    require(probeHamming == 0 || probeHamming == 1,
+      "probeHamming supports 0 (exact) or 1 (single-bit multi-probe)")
+    val nLimbs = bits / 64
     val signed = Dedup.spread(df)
       .select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
-        hyperplaneSignature(seed)(col(vecCol)).as("sig"))
+        graft.functions.HyperplaneSignatures(col(vecCol), seed, bits).as("sig"))
       .filter(col("sig").isNotNull)
-    // narrow relation for the bucket machinery: ids + full signature
-    // (16 bytes) + chunk values — the vectors stay out of the shuffle
+    // narrow relation for the bucket machinery: ids + limb array
+    // (8·nLimbs bytes) + chunk values — the vectors stay out of the
+    // shuffle
+    def chunkVal(c: Int): Column = {
+      val limb = element_at(col("sig"), (c * chunkBits) / 64 + 1)
+      val shifted = shiftrightunsigned(limb, (c * chunkBits) % 64)
+      if (chunkBits == 64) shifted
+      else shifted.bitwiseAND(lit((1L << chunkBits) - 1))
+    }
+    // multi-probe: the probe keys of chunk c keep c as the chunk index
+    // — a flipped value must land in the same chunk's bucket family
+    def probeVals(c: Int): Seq[Column] = {
+      val v = chunkVal(c)
+      v +: (if (probeHamming == 0) Seq.empty
+            else (0 until chunkBits).map(b => v.bitwiseXOR(lit(1L << b))))
+    }
+    val keysPerChunk = 1 + (if (probeHamming == 0) 0 else chunkBits)
     val chunked = signed.select(col("id"), col("sig"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("sig"), c * bits)
-          .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
+      posexplode(array((0 until chunks).flatMap(probeVals): _*))
+        .as(Seq("probe_idx", "chunk_val")))
+      .withColumn("chunk", (col("probe_idx") / keysPerChunk).cast("int"))
+      .drop("probe_idx")
     // signature-Hamming prefilter AS THE PAIRS STREAM out of the bucket
     // self-join, before the dedup shuffle and the vector rejoin: E[d] =
-    // 64·θ/π with sd ≈ √(64·p(1−p)) ≤ 4, so a +4σ slack above the
-    // threshold's expected distance prunes only pairs whose angle is
-    // far too wide while keeping recall at the target cosine
+    // bits·θ/π with sd = √(bits·p(1−p)) ≤ √bits/2, so a +4σ slack above
+    // the threshold's expected distance prunes only pairs whose angle
+    // is far too wide while keeping recall at the target cosine
     val theta = math.acos(math.max(-1.0, math.min(1.0, minCosine)))
-    val maxHamming = math.min(64.0, 64.0 * theta / math.Pi + 16.0)
+    val maxHamming = math.min(bits.toDouble,
+      bits * theta / math.Pi + 2.0 * math.sqrt(bits.toDouble))
+    def hamming(a: String, b: String): Column =
+      (0 until nLimbs).map(k =>
+        bit_count(element_at(col(a), k + 1)
+          .bitwiseXOR(element_at(col(b), k + 1))))
+        .reduce(_ + _)
     // distributed in-bucket pair emission (capped): pairs stream out of a
     // per-bucket self-join across tasks; the cap bounds a degenerate
     // bucket — beyond it the pair set was quadratic-noise, not candidates
     val candidates =
       Dedup.inBucketPairs(chunked, Seq("chunk", "chunk_val"), Seq("sig"),
           maxBucketSize,
-          prune = p => p.filter(
-            bit_count(col("sig0").bitwiseXOR(col("sig1"))) <= maxHamming))
+          prune = p => p.filter(hamming("sig0", "sig1") <= maxHamming))
         .select("id0", "id1")
     // vectors rejoin per candidate pair only
     val vecs = signed.select(col("id"), col("v"))

@@ -289,8 +289,10 @@ object StreamingQueries {
     * UBIGINT matches shiftrightunsigned on the signed JVM long, and the
     * 16-bit chunk values fit BIGINT directly. */
   val st05Sql: String = {
-    val p05 = graft.operators.PipelineQueries.p05Sql
-    val prefix = p05.substring(0, p05.indexOf("norms AS ("))
+    // the 64-bit signature prelude (p05 itself moved to a 128-bit
+    // multi-probe layout in r13; the streaming bucket key stays on the
+    // production-default 4×16-bit chunks of the 64-bit signature)
+    val prefix = graft.operators.PipelineQueries.hyperplaneSig64Sql + "\n"
     prefix + """chunked AS (
       |  SELECT s.vec_id, CAST(c.c AS INTEGER) AS band,
       |         CAST((s.sig >> CAST(16*c.c AS INTEGER)) & 65535 AS BIGINT) AS bucket_hash

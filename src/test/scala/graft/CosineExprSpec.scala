@@ -97,6 +97,26 @@ class CosineExprSpec extends AnyFunSuite {
       .select(HyperplaneSignature64(col("v"), 42L)).head.isNullAt(0))
   }
 
+  test("multi-limb hyperplane signature extends the 64-bit one (limb 0 identical)") {
+    import graft.functions.{HyperplaneSignature64, HyperplaneSignatures}
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.fill(40)(Seq.fill(24)(rnd.nextFloat() - 0.5f))
+    val rows = vecs.toDF("v").select(
+      HyperplaneSignature64(col("v"), 42L).as("sig64"),
+      HyperplaneSignatures(col("v"), 42L, 128).as("sigs")).collect()
+    for (r <- rows) {
+      val limbs = r.getSeq[Long](1)
+      assert(limbs.length == 2)
+      // planes 0..63 derive identically, so limb 0 IS the 64-bit sig
+      assert(limbs(0) == r.getLong(0))
+    }
+    // the second limb is a different plane set, not a copy
+    assert(rows.exists(r => r.getSeq[Long](1)(0) != r.getSeq[Long](1)(1)))
+    // NULL for the empty vector
+    assert(Seq(Seq.empty[Float]).toDF("v")
+      .select(HyperplaneSignatures(col("v"), 42L, 128)).head.isNullAt(0))
+  }
+
   test("stays inside whole-stage codegen") {
     // a range source keeps the projection out of plan-time constant
     // folding, so the expression's doGenCode path is what runs
