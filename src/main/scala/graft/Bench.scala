@@ -98,12 +98,14 @@ object Bench {
     val stateRows = streaming.StreamingQueries.lastStateRows.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"suspect":$suspects,"failed":$failed,"state_rows":$stateRows,"setup_sec":$setupSec,"sf":"$sfDir"}"""
-    // the driver's log capture keeps only a ~2000-char tail, which lost
-    // two-thirds of the per-key record in past rounds — persist the full
-    // JSON to a repo file as the durable record, and ALSO print the
-    // complete record as the FINAL stdout line so the tail capture
-    // always parses on its own (BENCH_r11.json had parsed:null because
-    // a trailing message pushed the JSON out of the tail).
+    // the driver's log capture keeps only a ~2000-char tail — the FULL
+    // record (108 keys × 2-3 samples) hasn't fit it since r11, so
+    // BENCH_r11/r12.json both ended up parsed:null. Persist the full
+    // JSON to a repo file as the durable record, print it once for the
+    // log, and make the FINAL stdout line a COMPACT record that always
+    // fits the tail window: totals + the headline q-keys + failure/
+    // suspect lists + streaming state rows, with a pointer to the full
+    // file — no per-key arrays.
     // Round-suffix the file (current round = max driver-written
     // BENCH_r{N}.json + 1) so a later round never overwrites an earlier
     // round's local record.
@@ -118,7 +120,14 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    try spark.stop() catch { case _: Throwable => () }
     println(json)
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val headline = results.filter(_._1.startsWith("q"))
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headline,"n_keys":${results.size},"failed":$failed,"suspect":$suspects,"state_rows":$stateRows,"setup_sec":${r3(setupSec)},"sf":"$sfDir","full_record":"$outPath"}"""
+    try spark.stop() catch { case _: Throwable => () }
+    println(compact)
   }
 }

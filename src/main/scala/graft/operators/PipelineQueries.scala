@@ -44,6 +44,7 @@ object PipelineQueries {
     mediaCache.values.foreach(_.unpersist())
     mediaCache.clear()
     Dedup.resetCaches() // the one-slot signature cache
+    Relational.resetSkewProbeCache() // q18's memoized skew stat
   }
 
   private def minhashCandsFor(spark: SparkSession, dir: String): DataFrame =
@@ -343,6 +344,7 @@ object PipelineQueries {
     ivfCache.values.foreach(_.cells.unpersist(blocking = false))
     ivfCache.clear()
     Dedup.resetCaches()
+    Relational.resetSkewProbeCache()
   }
 
   /** p12: multimodal decode/features — REAL PNG decode via javax.imageio

@@ -399,23 +399,35 @@ object Relational {
     * session_id numbered 1.. per user in time order. Picks the
     * single-shuffle or two-phase plan by probing max-rows-per-user
     * against `maxEntityRowsPerTask`. */
-  // the probe result memoized per canonicalized input plan: bench and
-  // repeated callers would otherwise pay a full scan+agg of events on
-  // EVERY sessionize() call (including plan-only inspection) — the stat
-  // is a pure function of the input data, so one job per distinct
-  // input is enough
+  // the probe result memoized per (canonicalized input plan, input file
+  // set): bench and repeated callers would otherwise pay a full
+  // scan+agg of events on EVERY sessionize() call (including plan-only
+  // inspection). The file list makes the key data-sensitive for the
+  // common mutation paths — an append adds files, and a Spark overwrite
+  // rewrites part-file names — so a stale 'not skewed' answer cannot
+  // route a now-skewed corpus through the single-pass plan. (A same-
+  // name in-place rewrite outside Spark is not detected: pass
+  // `precomputedMaxEntityRows` or reset the cache.) Bounded, and wired
+  // into the determinism reset.
   private val skewProbeCache =
-    scala.collection.concurrent.TrieMap.empty[Int, Long]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+
+  private[graft] def resetSkewProbeCache(): Unit = skewProbeCache.clear()
 
   def sessionize(events: DataFrame,
       gapUs: Long = 1800L * 1000000L,
       bucketUs: Long = 86400L * 1000000L,
-      maxEntityRowsPerTask: Long = 5000000L): DataFrame = {
-    val maxUserRows = skewProbeCache.getOrElseUpdate(
-      events.queryExecution.analyzed.semanticHash(),
-      events.groupBy("user_id").count()
-        .agg(max("count")).collect().headOption
-        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
+      maxEntityRowsPerTask: Long = 5000000L,
+      precomputedMaxEntityRows: Option[Long] = None): DataFrame = {
+    val maxUserRows = precomputedMaxEntityRows.getOrElse {
+      if (skewProbeCache.size > 64) skewProbeCache.clear()
+      skewProbeCache.getOrElseUpdate(
+        (events.queryExecution.analyzed.semanticHash(),
+          events.inputFiles.sorted.mkString("\n")),
+        events.groupBy("user_id").count()
+          .agg(max("count")).collect().headOption
+          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
+    }
     if (maxUserRows <= maxEntityRowsPerTask) sessionizeSinglePass(events, gapUs)
     else sessionizeTwoPhase(events, gapUs, bucketUs)
   }

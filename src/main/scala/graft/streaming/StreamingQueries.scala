@@ -68,10 +68,16 @@ object StreamingQueries {
     // state partitions are right (tens of keys per provider); a scale
     // probe over 10^7 events raises it so the stateful stage is not
     // serialized 4-ways
-    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    // fail at the knob, not with an opaque planner error mid-query
+    val stateParts = scala.util.Try(raw.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, got '$raw'"))
+    require(stateParts > 0,
+      s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, got '$raw'")
     val q =
       try {
-        spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+        spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
         w.format("memory").queryName(sink).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally {

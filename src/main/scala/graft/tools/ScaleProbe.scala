@@ -124,22 +124,32 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // per-table reuse must be factor-guarded: a dir partially built at
     // one factor silently completed at another would print a probe
-    // table mixing scales under one heading
+    // table mixing scales under one heading. A dir that already holds
+    // parquet WITHOUT a marker (pre-guard build, or a run that died
+    // between writing tables and the marker) is equally unknown — treat
+    // it as an error rather than silently reusing it, and write the
+    // marker BEFORE building so a crashed build can never leave
+    // unmarked tables behind.
     val marker = new java.io.File(s"$outDir/_factor")
+    val existingTables = Option(new java.io.File(outDir).listFiles()).toSeq
+      .flatten.filter(_.getName.endsWith(".parquet")).map(_.getName)
     if (marker.exists()) {
       val prev = new String(java.nio.file.Files.readAllBytes(marker.toPath),
         "UTF-8").trim
       require(prev == factor.toString,
         s"$outDir was built at factor $prev, not $factor — use a fresh dir")
-    }
+    } else require(existingTables.isEmpty,
+      s"$outDir holds ${existingTables.mkString(",")} with no _factor marker " +
+        "(unknown scale) — use a fresh dir")
     val needed = probeKeys.map(KeyTables).reduce(_ ++ _)
     val missing = needed.filterNot(t =>
       new java.io.File(s"$outDir/$t.parquet").exists())
     if (missing.nonEmpty) {
       println(s"[scale] building ${factor}x of ${missing.mkString(",")} at $outDir")
-      build(spark, srcDir, outDir, factor, missing)
+      new java.io.File(outDir).mkdirs()
       java.nio.file.Files.write(marker.toPath,
         factor.toString.getBytes("UTF-8"))
+      build(spark, srcDir, outDir, factor, missing)
     } else println(s"[scale] reusing $outDir")
 
     def timeOne(key: String, dir: String): (Double, Long) = {
