@@ -355,25 +355,45 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
-  /** st07: streaming sessionization in APPEND mode — the production
-    * path: a session emits exactly once, when the watermark passes its
-    * end (no more in-gap events can arrive), instead of complete-mode's
-    * full re-emission per batch. Trailing sessions — those the final
-    * watermark (max event time − 1 h) never passes — stay in state and
-    * are NOT in the output; the oracle states that horizon explicitly.
-    * Plain user_id session key (no day salt): the truncation semantics
-    * of append + salt + re-merge are not oracle-expressible, and the
-    * skew treatment is st06's story — salting composes orthogonally in
-    * a deployment that pairs it with a downstream compaction. */
-  val st07SessionizeAppend: Q = (spark, dir) => {
-    val sessions = boundedEventStream(spark, dir)
-      .withWatermark("ts", "1 hour")
+  /** The salted append-mode sessionization plan over any stream with
+    * (user_id, ts): session_window state keyed by (user_id, tz-free day
+    * bucket), so a pathological hot entity — a bot, a null user id —
+    * fragments across day keys instead of funneling every event through
+    * one ever-growing state row in one state partition (the same skew
+    * treatment batch q18 and st06 carry). The day bucket is
+    * floor(epoch_us / 86 400 000 000): pure integer time arithmetic,
+    * immune to session-timezone and DST drift, so the oracle can
+    * restate it exactly. A fragment emits once, when the watermark
+    * passes its end; [[mergeTouchingSessions]] on the EMITTED stream
+    * re-joins day-crossing fragments downstream. */
+  private[graft] def saltedAppendSessions(events: DataFrame,
+      watermark: String = "1 hour", gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
       .groupBy(col("user_id"),
-        session_window(col("ts"), "30 minutes").as("w"))
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day_salt"),
+        session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
-    drainToMemory(spark, "st07", sessions.writeStream.outputMode("append"))
+
+  /** st07: streaming sessionization in APPEND mode — the production
+    * path: a fragment emits exactly once, when the watermark passes its
+    * end (no more in-gap events can arrive), instead of complete-mode's
+    * full re-emission per batch; r13 composes the day salt into this
+    * path too (the r12 version carried the single-hot-entity state key
+    * st06 had just retired). Truncation semantics near the horizon are
+    * salt-aware and the oracle states them explicitly: a day FRAGMENT
+    * emits iff its end (last event in the (user, day) group + gap) is
+    * <= the final watermark (max event time − 1 h; the inclusive
+    * boundary is Spark's rule, pinned by StreamingSpec's
+    * end==watermark case), and only emitted fragments interval-merge —
+    * a session whose later-day fragment is still in state surfaces as
+    * its emitted prefix, exactly as a live deployment would see it. */
+  val st07SessionizeAppend: Q = (spark, dir) => {
+    val sessions = saltedAppendSessions(boundedEventStream(spark, dir))
+    mergeTouchingSessions(
+      drainToMemory(spark, "st07", sessions.writeStream.outputMode("append")))
       .orderBy("user_id", "session_start")
   }
 
@@ -436,32 +456,52 @@ object StreamingQueries {
     "st04_stream_near_dup" -> st04NearDupBuckets,
     "st05_stream_embed_near_dup" -> st05EmbedNearDup)
 
-  /** st07 oracle: the q18/st06 session construction with the APPEND
-    * emission horizon stated explicitly — a session emits iff its end
-    * (last event + gap) is <= the final watermark (max event time − the
-    * 1 h delay). The inclusive boundary is Spark's rule, pinned by
-    * StreamingSpec's end==watermark case. */
+  /** st07 oracle: the salted append path restated — day FRAGMENTS
+    * (session construction within (user, floor(epoch_us/86 400 000 000))
+    * with strict > gap split, fragment end = last event in the fragment
+    * + gap), the append emission horizon per FRAGMENT (end <= max event
+    * time − 1 h, inclusive — Spark's rule, pinned by StreamingSpec's
+    * end==watermark case), then the interval merge over emitted
+    * fragments only (touching — start <= running max end — merges,
+    * matching session_window's own boundary rule). */
   val st07Sql: String =
     """WITH g AS (
       |  SELECT user_id, ts, event_id,
+      |    epoch_us(ts) // 86400000000 AS day,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  WINDOW w AS (PARTITION BY user_id, epoch_us(ts) // 86400000000
+      |               ORDER BY ts, event_id)),
       |s AS (
-      |  SELECT user_id, ts,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  SELECT user_id, day, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id, day ORDER BY ts, event_id
       |      ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM g),
-      |sess AS (
-      |  SELECT user_id, min(ts) AS session_start,
-      |    max(ts) + INTERVAL 30 MINUTE AS session_end,
-      |    count(*)::BIGINT AS n_events
-      |  FROM s GROUP BY user_id, sid),
-      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
-      |SELECT user_id, session_start, session_end, n_events
-      |FROM sess, wm WHERE session_end <= w
+      |frag AS (
+      |  SELECT user_id, min(ts) AS fs,
+      |    max(ts) + INTERVAL 30 MINUTE AS fe,
+      |    count(*)::BIGINT AS n
+      |  FROM s GROUP BY user_id, day, sid),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+      |emitted AS (SELECT f.user_id, f.fs, f.fe, f.n FROM frag f, wm WHERE f.fe <= wm.w),
+      |m AS (
+      |  SELECT user_id, fs, fe, n,
+      |    CASE WHEN max(fe) OVER (PARTITION BY user_id ORDER BY fs
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR fs > max(fe) OVER (PARTITION BY user_id ORDER BY fs
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS ng
+      |  FROM emitted),
+      |mm AS (
+      |  SELECT user_id, fs, fe, n,
+      |    sum(ng) OVER (PARTITION BY user_id ORDER BY fs
+      |      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM m)
+      |SELECT user_id, min(fs) AS session_start, max(fe) AS session_end,
+      |  sum(n)::BIGINT AS n_events
+      |FROM mm GROUP BY user_id, grp
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
