@@ -236,11 +236,27 @@ object BqlQueries {
       |IN THE CONTEXT OF c_acctbal
       |BY cpop""".stripMargin)
 
-  /** b13: ESTIMATE ... FROM VARIABLES OF (1-col context). */
+  /** b13: ESTIMATE ... FROM VARIABLES OF (1-col context). Oracle-backed
+    * since r13: `*` over VARIABLES expands to the deterministic variable
+    * metadata (`name`) and CORRELATION is frequentist Pearson r² with no
+    * model dependency (reference src/compiler.py:844-919 — the VARIABLES
+    * relation is population metadata, not model state), so DuckDB can
+    * restate the whole output: the self-correlation 1.0 literal plus r²
+    * recomputed from the same parquet. */
   val b13Variables: Q = (spark, dir) => bdb(spark, dir).execute(
     """ESTIMATE *, CORRELATION WITH c_acctbal AS corr
       |FROM VARIABLES OF cpop
       |ORDER BY name""".stripMargin)
+
+  val b13Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'c_acctbal' AS name, 1.0 AS corr
+      |  UNION ALL
+      |  SELECT 'c_nationkey' AS name,
+      |         pow(corr(c_nationkey, c_acctbal), 2) AS corr
+      |  FROM customer
+      |  WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+      |) ORDER BY name""".stripMargin
 
   /** b33: the CORRELATION-only FROM VARIABLES surface, DuckDB-oracled —
     * unlike b13 (which mixes `*`), the estimator here is pure frequentist
@@ -934,6 +950,7 @@ object BqlQueries {
     "b37_exists_having" -> b37Sql,
     "b38_in_having" -> b38Sql,
     "b33_variables_correlation" -> b33Sql,
+    "b13_bql_variables" -> b13Sql,
     "b34_estimate_correlation" -> b34Sql,
     "b35_grouped_exists_in" -> b35Sql,
     "b36_from_subquery_deep" -> b36Sql,
