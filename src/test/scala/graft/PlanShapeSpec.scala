@@ -280,6 +280,8 @@ class WidePopulationSpec extends AnyFunSuite {
       graft.operators.Dedup.simHashPairs(docs, "text", "doc_id"),
       graft.operators.SimilaritySearch.cosineNearDupPairs(
         vecs, "embedding", "vec_id"),
+      graft.operators.SimilaritySearch.cosineNearDupPairs(
+        vecs, "embedding", "vec_id", chunks = 8, bits = 128, probeHamming = 1),
       docs.select(graft.operators.TextAnalysis.fingerprint()(
         org.apache.spark.sql.functions.col("text"))))
     for (df <- plans) {
