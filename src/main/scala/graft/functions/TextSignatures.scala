@@ -343,6 +343,100 @@ object WinnowFingerprint {
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, window))
 }
 
+/** The winnowing fingerprint SET (distinct sorted window minima,
+  * position-INDEPENDENT) as a native expression — the
+  * containment-matching form of [[WinnowFingerprint]]. The scalar
+  * fingerprint mixes each window minimum with its window position
+  * before combining (right for whole-document identity, but the same
+  * shared substring at different offsets in two documents would never
+  * match); this form keeps the raw finalized k-gram minima, so a
+  * benchmark passage embedded anywhere in a training document shares
+  * prints with the benchmark's own set — the decontamination primitive.
+  * NULL for NULL or shorter-than-k text. */
+case class WinnowPrintSet(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_prints"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowPrintSet.kernel(v.asInstanceOf[UTF8String].toString, k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("prints")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.WinnowPrintSet.kernel($v.toString(), $k, $window);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowPrintSet {
+
+  /** Same rolling Rabin–Karp + per-tumbling-window signed minimum as
+    * [[WinnowFingerprint.kernel]], but returning the DISTINCT minima
+    * sorted ascending instead of position-mixing and XOR-combining. */
+  def kernel(text: String, k: Int, window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (text.length < k) return null
+    val s = text.toLowerCase
+    val B = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = DetRngHash.mix(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = DetRngHash.mix(h)
+      i += 1
+    }
+    val minima = new Array[Long]((n + window - 1) / window)
+    var w = 0
+    var wi = 0
+    while (w < n) {
+      var m = Long.MaxValue
+      var j = w
+      val end = math.min(w + window, n)
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      minima(wi) = m
+      wi += 1
+      w += window
+    }
+    java.util.Arrays.sort(minima)
+    var distinct = 0
+    i = 0
+    while (i < minima.length) {
+      if (i == 0 || minima(i) != minima(i - 1)) {
+        minima(distinct) = minima(i)
+        distinct += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(minima, distinct))
+  }
+
+  def apply(text: Column, k: Int, window: Int): Column =
+    ColumnBridge.column(WinnowPrintSet(ColumnBridge.expression(text), k, window))
+}
+
 /** Distinct word-n-gram hash set of a text column as a native
   * expression: the same fused tokenize→token-hash→FNV-window pass as
   * [[MinHashSignature]], but emitting the DISTINCT window hashes

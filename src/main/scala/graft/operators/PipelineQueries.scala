@@ -302,13 +302,47 @@ object PipelineQueries {
       .orderBy("lang", "pred_lang")
   }
 
-  /** p11: winnowing document fingerprints (rows-only, deterministic). */
+  /** p11: winnowing document fingerprints (DuckDB-oracled). */
   val p11Fingerprint: Q = (spark, dir) => {
     Dedup.spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"),
         TextAnalysis.fingerprint()(col("text")).as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** p20: benchmark decontamination — every tenth document plays the
+    * "benchmark/eval set" and the rest of the corpus is scanned for
+    * winnowing-print containment (the training-data hygiene pass every
+    * pretraining pipeline runs). Output: the contaminated docs with
+    * matched/total print counts and the containment ratio. */
+  val p20Contamination: Q = (spark, dir) => {
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
+    val refs = docs.filter(col("doc_id") % 10 === 0)
+    val scan = docs.filter(col("doc_id") % 10 =!= 0)
+    TextAnalysis.contamination(scan, refs, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_matched"), col("n_prints"),
+        round(col("contamination"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** p20 oracle: the shared winnowing chain through the per-window
+    * minima, then set semantics stated directly — distinct prints per
+    * doc, the benchmark print set from doc_id % 10 = 0, matches via an
+    * equi-join on the UBIGINT print (unsigned/two's-complement equality
+    * is a bijection, so no sign conversion is needed for counting). */
+  val p20Sql: String = winnowWinSql + """
+      |prints AS (SELECT DISTINCT doc_id, zmin FROM win),
+      |refs AS (SELECT DISTINCT zmin FROM prints WHERE doc_id % 10 = 0),
+      |scan AS (SELECT doc_id, zmin FROM prints WHERE doc_id % 10 <> 0),
+      |tot AS (SELECT doc_id, count(*)::BIGINT AS n_prints FROM scan GROUP BY doc_id),
+      |m AS (
+      |  SELECT s.doc_id, count(*)::BIGINT AS n_matched
+      |  FROM scan s JOIN refs r ON s.zmin = r.zmin
+      |  GROUP BY s.doc_id)
+      |SELECT m.doc_id, m.n_matched, t.n_prints,
+      |       round(m.n_matched::DOUBLE / t.n_prints, 6) AS contamination
+      |FROM m JOIN tot t USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // synthetic PNG payloads fabricated once per dir — the p12/p13 queries
   // measure the decode/sample operators, not test-data encoding
@@ -458,6 +492,7 @@ object PipelineQueries {
     "p09_quality" -> p09Quality,
     "p10_lang_id" -> p10LangId,
     "p11_fingerprint" -> p11Fingerprint,
+    "p20_contamination" -> p20Contamination,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -515,7 +550,12 @@ object PipelineQueries {
     * back to two's-complement BIGINT. Documents are ASCII, so DuckDB
     * codepoints coincide with the JVM's UTF-16 units. Stage-per-CTE
     * keeps every intermediate reference linear. */
-  val p11Sql: String =
+  /** The winnowing derivation chain through the per-window signed
+    * minima (`win`: one row per (doc, window) with the finalized k-gram
+    * minimum) — shared by the p11 and p20 oracles. */
+  // lazy: referenced by p20Sql, which (as an object val) initializes
+  // before this declaration is reached
+  private lazy val winnowWinSql: String =
     """|WITH d AS (
       |  SELECT doc_id, lower(text) AS s, length(text) AS L FROM documents),
       |pos AS (
@@ -532,7 +572,9 @@ object PipelineQueries {
       |win AS (
       |  SELECT doc_id, rid // 16 AS wid,
       |         min_by(z, xor(z, CAST(9223372036854775808 AS UBIGINT))) AS zmin
-      |  FROM g6 GROUP BY doc_id, rid // 16),
+      |  FROM g6 GROUP BY doc_id, rid // 16),""".stripMargin
+
+  val p11Sql: String = winnowWinSql + """
       |w0 AS (
       |  SELECT doc_id, wid AS rid,
       |         CAST((CAST(zmin AS HUGEINT) + wid * 16) % 18446744073709551616 AS UBIGINT) AS z
@@ -908,6 +950,7 @@ object PipelineQueries {
     "p02_minhash_lsh" -> p02Sql,
     "p03_simhash" -> p03Sql,
     "p11_fingerprint" -> p11Sql,
+    "p20_contamination" -> p20Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

@@ -99,4 +99,49 @@ object TextAnalysis {
     * Catalyst expression ([[graft.functions.WinnowFingerprint]]). */
   def fingerprint(k: Int = 8, window: Int = 16): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     text => graft.functions.WinnowFingerprint(text, k, window)
+
+  /** Winnowed fingerprint SET (distinct sorted window minima, position-
+    * independent — see [[graft.functions.WinnowPrintSet]]): the
+    * containment-matching form of [[fingerprint]]. */
+  def fingerprintSet(k: Int = 8, window: Int = 16): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    text => graft.functions.WinnowPrintSet(text, k, window)
+
+  /** Benchmark decontamination: which training documents CONTAIN text
+    * from a benchmark/eval corpus (the training-data hygiene step every
+    * large-scale pipeline runs before pretraining). A document is
+    * contaminated when its winnowing print set overlaps the benchmark's:
+    * winnowing guarantees any shared substring of length ≥ k + window − 1
+    * chars contributes at least one common print (Schleimer et al.'s
+    * coverage theorem), position-independently on both sides.
+    *
+    * Returns one row per CONTAMINATED doc: (id, n_matched, n_prints,
+    * contamination = n_matched/n_prints). Clean docs emit nothing.
+    *
+    * Scale shape (the 100 TB case): the benchmark side reduces to
+    * DISTINCT print hashes — benchmarks are MBs against a corpus of TBs,
+    * so AQE broadcasts the semi-join's build side and the corpus streams
+    * through in ONE scan with no corpus-wide shuffle; only MATCHED
+    * (id, print) rows — a vanishing fraction — reach the per-doc count,
+    * whose groupBy is map-side combinable. Nothing in the plan grows
+    * with corpus × benchmark. */
+  def contamination(docs: org.apache.spark.sql.DataFrame,
+      refs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String,
+      k: Int = 8, window: Int = 16): org.apache.spark.sql.DataFrame = {
+    val winnowWindow = window // shadowed below by sql.functions.window
+    import org.apache.spark.sql.functions._
+    val fp = fingerprintSet(k, winnowWindow)
+    val refPrints = refs
+      .select(explode(fp(col(textCol))).as("print")).distinct()
+    val docPrints = docs
+      .select(col(idCol).as("id"), fp(col(textCol)).as("prints"))
+      .filter(col("prints").isNotNull)
+      .select(col("id"), size(col("prints")).as("n_prints"),
+        explode(col("prints")).as("print"))
+    docPrints.join(refPrints, Seq("print"), "left_semi")
+      .groupBy("id", "n_prints")
+      .agg(count(lit(1)).as("n_matched"))
+      .select(col("id"), col("n_matched"), col("n_prints").cast("long").as("n_prints"),
+        (col("n_matched").cast("double") / col("n_prints")).as("contamination"))
+  }
 }

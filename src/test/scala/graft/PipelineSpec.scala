@@ -86,6 +86,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(comp.count() == 120L)
   }
 
+  test("contamination surfaces an embedded benchmark passage position-independently") {
+    import spark.implicits._
+    // winnowing's coverage guarantee: any shared substring of length
+    // >= k + window - 1 (= 23 chars at defaults) contributes at least
+    // one common print, wherever it sits in either document — the
+    // scalar p11 fingerprint mixes window POSITIONS and could never
+    // match a passage embedded at a different offset
+    val benchmark = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val contaminated = s"some leading filler text then $benchmark and trailing words"
+    val clean = "completely unrelated content words with zero overlap whatsoever in phrasing"
+    val df = Seq((0L, benchmark), (5L, contaminated), (7L, clean))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.contamination(
+        df.filter(col("doc_id") =!= 0L), df.filter(col("doc_id") === 0L),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.contains(5L), s"embedded benchmark text must be flagged: $out")
+    val (matched, total, score) = out(5L)
+    assert(matched >= 1L && matched <= total && score > 0.0 && score <= 1.0)
+    assert(!out.contains(7L), s"clean doc must not be flagged: $out")
+    // the print SET itself: distinct, sorted, null below k chars
+    val prints = df.select(
+      graft.functions.WinnowPrintSet(col("text"), 8, 16).as("p"))
+      .collect().map(_.getSeq[Long](0))
+    prints.foreach { p =>
+      assert(p == p.sorted && p.distinct.length == p.length)
+    }
+    assert(Seq("short").toDF("text")
+      .select(graft.functions.WinnowPrintSet(col("text"), 8, 16))
+      .head.isNullAt(0))
+  }
+
   test("repeated minhash calls hold at most one cached signature table") {
     import org.apache.spark.storage.StorageLevel
     val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)
