@@ -226,6 +226,37 @@ object HyperplaneSignatures {
     ColumnBridge.column(HyperplaneSignatures(ColumnBridge.expression(v), seed, bits))
 }
 
+/** SplitMix64 finalizer of a long column as a native expression —
+  * ANSI mode forbids wrapping multiplies in column arithmetic, so the
+  * kernel ([[graft.operators.DetRngHash.mix]], the hash every
+  * deterministic operator derives from) runs as one codegen'd call.
+  * Null-propagating, never overflows (Java semantics). */
+case class Mix64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a bigint input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_mix64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.operators.DetRngHash.mix(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.operators.DetRngHash.mix($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Mix64 {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Mix64(ColumnBridge.expression(c)))
+}
+
 /** Nearest-centroid assignment for the IVF index: argmin over the
   * (expression-embedded) centroid table of squared Euclidean distance to
   * an `array<double>` vector — the whole corpus-side assignment pass

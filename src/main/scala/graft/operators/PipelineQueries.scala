@@ -325,6 +325,57 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p21: deterministic train/val/test split — fold = seeded SplitMix64
+    * of doc_id, 80/10/10. Rerun-, retry-, and repartition-stable by
+    * construction (pure function of key and seed), unlike rand()-based
+    * splits. */
+  val p21Split: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val f = Sampling.fold(col("doc_id"), 42L, 10)
+    docs.select(col("doc_id"), f.as("fold"),
+        when(f < 8, "train").when(f === 8, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** p22: deterministic stratified sample — exactly 3 docs per source,
+    * selected by seeded hash order (ties by doc_id). */
+  val p22Stratified: Q = (spark, dir) => {
+    Sampling.stratifiedSample(
+        Tables.load(spark, dir, "documents"), "source", "doc_id", 3, 7L)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** The SplitMix64 finalizer chain in DuckDB over an UBIGINT `z`
+    * column seeded by `zeroCte` (same limb arithmetic as the g1..g6
+    * winnowing stages); ends with `h` = z >> 1 — the [0, 2^63) hash
+    * both engines order and mod identically. */
+  private def mixChainSql(zeroCte: String): String =
+    s"""|WITH m0 AS ($zeroCte),
+      |m1 AS (SELECT * REPLACE (CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z) FROM m0),
+      |m2 AS (SELECT * REPLACE (xor(z, z >> 30) AS z) FROM m1),
+      |m3 AS (SELECT * REPLACE (CAST(((CAST(z & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST(z >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z) FROM m2),
+      |m4 AS (SELECT * REPLACE (xor(z, z >> 27) AS z) FROM m3),
+      |m5 AS (SELECT * REPLACE (CAST(((CAST(z & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST(z >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z) FROM m4),
+      |m6 AS (SELECT * REPLACE (xor(z, z >> 31) AS z) FROM m5),
+      |h AS (SELECT * REPLACE ((z >> 1) AS z) FROM m6),""".stripMargin
+
+  val p21Sql: String =
+    mixChainSql("SELECT doc_id, xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT)) AS z FROM documents") + """
+      |f AS (SELECT doc_id, CAST(z % 10 AS BIGINT) AS fold FROM h)
+      |SELECT doc_id, fold,
+      |  CASE WHEN fold < 8 THEN 'train' WHEN fold = 8 THEN 'val' ELSE 'test' END AS split
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  val p22Sql: String =
+    mixChainSql("SELECT source, doc_id, xor(CAST(doc_id AS UBIGINT), CAST(7 AS UBIGINT)) AS z FROM documents") + """
+      |rk AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source ORDER BY z, doc_id) AS rk
+      |  FROM h)
+      |SELECT source, doc_id FROM rk WHERE rk <= 3
+      |ORDER BY source, doc_id""".stripMargin
+
   /** p20 oracle: the shared winnowing chain through the per-window
     * minima, then set semantics stated directly — distinct prints per
     * doc, the benchmark print set from doc_id % 10 = 0, matches via an
@@ -493,6 +544,8 @@ object PipelineQueries {
     "p10_lang_id" -> p10LangId,
     "p11_fingerprint" -> p11Fingerprint,
     "p20_contamination" -> p20Contamination,
+    "p21_split" -> p21Split,
+    "p22_stratified" -> p22Stratified,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -951,6 +1004,8 @@ object PipelineQueries {
     "p03_simhash" -> p03Sql,
     "p11_fingerprint" -> p11Sql,
     "p20_contamination" -> p20Sql,
+    "p21_split" -> p21Sql,
+    "p22_stratified" -> p22Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

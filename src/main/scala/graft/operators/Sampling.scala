@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting operators for training-data
+  * pipelines — engine extensions beyond the reference surface.
+  *
+  * Everything here is a pure function of (key, seed): re-running the
+  * pipeline, re-partitioning the input, adding executors, or retrying a
+  * task can never move a row between folds — the property a train/test
+  * split must have at 100 TB, where `rand()`-based splits silently
+  * reshuffle on every retry. No UDFs: the hash is native column
+  * arithmetic (Java wrapping multiply = Spark long multiply), so the
+  * whole assignment stays inside whole-stage codegen and the DuckDB
+  * oracle can restate it limb-for-limb.
+  */
+object Sampling {
+
+  /** SplitMix64 finalizer over a long column — bit-equal to
+    * [[DetRngHash.mix]] (spec-pinned). A native Catalyst expression
+    * ([[graft.functions.Mix64]]): ANSI mode rejects the wrapping
+    * multiplies as column arithmetic, and the expression stays inside
+    * whole-stage codegen. */
+  def mix64(c: Column): Column = graft.functions.Mix64(c)
+
+  /** Seeded hash of a long key, shifted into [0, 2^63) so that signed
+    * (JVM) and unsigned (DuckDB UBIGINT) arithmetic agree on order and
+    * modulus. */
+  def hash63(key: Column, seed: Long): Column =
+    shiftrightunsigned(mix64(key.cast("long").bitwiseXOR(lit(seed))), 1)
+
+  /** Deterministic fold assignment in [0, folds): the train/val/test
+    * primitive. Split by the DOCUMENT key for an iid split, or by a
+    * GROUP key (source id, cluster keeper id from
+    * [[Dedup.connectedComponents]]) to keep near-duplicates and
+    * same-origin documents in one fold — the leakage-safe form. */
+  def fold(key: Column, seed: Long, folds: Int): Column = {
+    require(folds > 0, "folds must be positive")
+    pmod(hash63(key, seed), lit(folds.toLong))
+  }
+
+  /** Deterministic stratified sample: exactly min(n, |stratum|) rows
+    * per stratum, selected by seeded hash order (ties broken by key so
+    * the selection is total even under hash collisions).
+    *
+    * Scale shape: ONE hash-partitioned window on the stratum column.
+    * Rank-k selection inside each stratum streams through the window
+    * sort; nothing is collected. A heavily skewed stratum bounds at its
+    * own sort — for per-stratum quotas at extreme skew, pre-filter with
+    * an approximate threshold first (the quota semantics here are
+    * exact-k, which no sampling shortcut preserves). */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      n: Int, seed: Long): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hash63(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+}

@@ -119,6 +119,41 @@ class PipelineSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
+  test("deterministic split/sample: native mix64 equals the JVM kernel; assignments survive repartition") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // the native-arithmetic SplitMix64 column is bit-equal to the JVM
+    // kernel every other operator derives from
+    val keys = (Seq(-3L, 0L, 1L, Long.MaxValue, Long.MinValue) ++
+      (1 to 50).map(i => i * 2654435761L)).toDF("k")
+    val got = keys.select(col("k"), Sampling.mix64(col("k")).as("m")).collect()
+    got.foreach(r => assert(r.getLong(1) ==
+      graft.operators.DetRngHash.mix(r.getLong(0)), s"mix64 mismatch at ${r.getLong(0)}"))
+    // fold: a pure function of (key, seed) — identical under any
+    // partitioning, all folds populated, and the same key never splits
+    val ids = (0L until 500L).toDF("id")
+    def folds(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), Sampling.fold(col("id"), 42L, 10).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = folds(ids)
+    val b = folds(ids.repartition(13))
+    assert(a == b, "fold assignment must not depend on partitioning")
+    assert(a.values.toSet == (0L until 10L).toSet, "all folds populated over 500 keys")
+    val trainFrac = a.values.count(_ < 8).toDouble / a.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"80% target, got $trainFrac")
+    // stratified sample: exactly min(n, |stratum|), stable under
+    // repartition, hash-ordered not id-ordered
+    val docs = (0L until 100L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "src", "id", 5, 7L)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val s1 = pick(docs)
+    assert(s1 == pick(docs.repartition(17)))
+    assert(s1.groupBy(_._1).forall(_._2.size == 5))
+    val tiny = Seq((1L, "only"), (2L, "only")).toDF("id", "src")
+    assert(pick(tiny).size == 2, "quota caps at stratum size")
+  }
+
   test("repeated minhash calls hold at most one cached signature table") {
     import org.apache.spark.storage.StorageLevel
     val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)
