@@ -447,7 +447,45 @@ object StreamingQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** st08: streaming decontamination — the document stream scanned
+    * against a STATIC benchmark print set (the stream-static semi-join
+    * pattern: reference data joined into a live stream without
+    * restarting it). The benchmark side is the batch-computed distinct
+    * winnowing-print set (broadcast-sized — benchmarks are MBs); each
+    * streamed doc explodes to its prints row-locally, semi-joins the
+    * static set, and the per-doc match count folds in update mode
+    * (max-folded across re-emissions like st04, order-independent).
+    * State is one row per CONTAMINATED doc — in production this pairs
+    * with a TTL or downstream compaction; the bounded replay keeps it
+    * finite here. Matches the batch p20 exactly, so the p20 oracle IS
+    * the st08 oracle. */
+  val st08StreamContamination: Q = (spark, dir) => {
+    import graft.operators.TextAnalysis
+    val docsStatic = Tables.load(spark, dir, "documents")
+    val fp = TextAnalysis.fingerprintSet()
+    val refPrints = docsStatic.filter(col("doc_id") % 10 === 0)
+      .select(explode(fp(col("text"))).as("print")).distinct()
+    val streamPrints = boundedDocStream(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), fp(col("text")).as("prints"))
+      .filter(col("prints").isNotNull)
+      .select(col("doc_id"), size(col("prints")).as("n_prints"),
+        explode(col("prints")).as("print"))
+    val matched = streamPrints
+      .join(refPrints, Seq("print"), "left_semi")
+      .groupBy("doc_id", "n_prints")
+      .agg(count(lit(1)).as("n_matched"))
+    drainToMemory(spark, "st08", matched.writeStream.outputMode("update"))
+      .groupBy("doc_id")
+      .agg(max("n_prints").as("np"), max("n_matched").as("n_matched"))
+      .select(col("doc_id"), col("n_matched"),
+        col("np").cast("long").as("n_prints"),
+        round(col("n_matched").cast("double") / col("np"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st08_stream_contamination" -> st08StreamContamination,
     "st06_stream_sessionize" -> st06StreamSessionize,
     "st07_sessionize_append" -> st07SessionizeAppend,
     "st01_stream_windowed_lang" -> st01WindowedLang,
@@ -505,6 +543,9 @@ object StreamingQueries {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical computation to batch p20 — the streaming path is the
+    // stream-static semi-join + update-mode fold
+    "st08_stream_contamination" -> graft.operators.PipelineQueries.p20Sql,
     "st07_sessionize_append" -> st07Sql,
     "st06_stream_sessionize" -> st06Sql,
     "st01_stream_windowed_lang" -> st01Sql,
