@@ -266,6 +266,31 @@ class WidePopulationSpec extends AnyFunSuite {
       s"hub groupBy+join should be gone (r12 verdict #1):\n$plan")
   }
 
+  test("decontamination plans as a broadcast semi-join: the corpus never shuffles for the match") {
+    // the p20/st08 scale claim made checkable: the benchmark print set
+    // is the BROADCAST side of a LeftSemi join, so the corpus streams
+    // through one scan — a SortMergeJoin here would mean both sides
+    // shuffle on the print hash, i.e. a corpus-wide exchange that grows
+    // with corpus size
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 40L).map(i =>
+      (i, s"document number $i with some shared boilerplate text to fingerprint"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.contamination(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id")
+    out.count() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the match:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"winnow prints must stay a native expression:\n$plan")
+  }
+
   test("dedup/similarity kernels run as native expressions, not ScalaUDFs") {
     // round 6: the signature/agreement/fingerprint kernels are Catalyst
     // expressions with doGenCode — a ScalaUDF in these plans means a
