@@ -346,6 +346,34 @@ object PipelineQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** p23: greedy sequence packing — documents shard by seeded hash
+    * (8 independent packing streams), order within a shard by the same
+    * hash, and cut into 512-token bins by cumulative whitespace token
+    * count; each doc reports its bin and starting offset. The step
+    * between filtering and the tokenizer in a pretraining pipeline. */
+  val p23SequencePack: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    Sampling.packBins(docs, "doc_id", "n_tokens",
+        budgetTokens = 512L, shards = 8, seed = 11L)
+      .select(col("doc_id"), col("shard"), col("bin"), col("bin_offset"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val p23Sql: String =
+    mixChainSql("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, xor(CAST(doc_id AS UBIGINT), CAST(11 AS UBIGINT)) AS z FROM documents") + """
+      |s AS (SELECT doc_id, n_tokens, z, CAST(z % 8 AS BIGINT) AS shard FROM h),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY z, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM s)
+      |SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS bin,
+      |       CAST(cum - (cum // 512) * 512 AS BIGINT) AS bin_offset,
+      |       n_tokens
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** The SplitMix64 finalizer chain in DuckDB over an UBIGINT `z`
     * column seeded by `zeroCte` (same limb arithmetic as the g1..g6
     * winnowing stages); ends with `h` = z >> 1 — the [0, 2^63) hash
@@ -546,6 +574,7 @@ object PipelineQueries {
     "p20_contamination" -> p20Contamination,
     "p21_split" -> p21Split,
     "p22_stratified" -> p22Stratified,
+    "p23_sequence_pack" -> p23SequencePack,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -1006,6 +1035,7 @@ object PipelineQueries {
     "p20_contamination" -> p20Sql,
     "p21_split" -> p21Sql,
     "p22_stratified" -> p22Sql,
+    "p23_sequence_pack" -> p23Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

@@ -41,6 +41,37 @@ object Sampling {
     pmod(hash63(key, seed), lit(folds.toLong))
   }
 
+  /** Greedy sequence packing — the pretraining step between filtering
+    * and the tokenizer: concatenate documents in a deterministic order
+    * and cut at a fixed token budget, so each `bin` is one training
+    * sequence's worth of text. A document's bin is where its first
+    * token lands (splitting an over-long document across bin boundaries
+    * is the tokenizer's job downstream).
+    *
+    * Scale shape: packing is inherently sequential, so the corpus first
+    * shards by a seeded hash of the key — `shards` independent packing
+    * streams, each a window cumsum over its own hash order. ONE shuffle
+    * on the shard key; shard sizes are hash-balanced; nothing global.
+    * Deterministic: (key, seed) fixes the shard, the order, and the
+    * cumulative offsets, so retries and repartitions cannot move a
+    * document between bins.
+    *
+    * Returns the input plus (shard, bin, bin_offset) — bin_offset is
+    * the document's starting token offset within its bin. */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String,
+      budgetTokens: Long, shards: Int, seed: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hash63(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", fold(col(idCol), seed, shards))
+      .withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin", (col("__cum") / budgetTokens).cast("long"))
+      .withColumn("bin_offset", col("__cum") - col("bin") * budgetTokens)
+      .drop("__cum")
+  }
+
   /** Deterministic stratified sample: exactly min(n, |stratum|) rows
     * per stratum, selected by seeded hash order (ties broken by key so
     * the selection is total even under hash collisions).

@@ -154,6 +154,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(pick(tiny).size == 2, "quota caps at stratum size")
   }
 
+  test("sequence packing: bins are exact cumulative-budget cuts within hash shards") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0 until 200).map(i =>
+        (i.toLong, Seq.fill(i % 37 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packBins(df, "doc_id", "n_tokens", 64L, 4, 5L)
+        .select("doc_id", "shard", "bin", "bin_offset", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    val rows = pack(docs)
+    assert(rows.toSet == pack(docs.repartition(9)).toSet,
+      "packing must not depend on partitioning")
+    // independent reconstruction: within a shard, bin*budget+bin_offset
+    // IS the exclusive prefix sum of token counts in packing order —
+    // sort by global offset and replay the cumsum
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      val ordered = shardRows.sortBy(r => r._3 * 64L + r._4)
+      var cum = 0L
+      ordered.foreach { case (id, _, bin, off, n) =>
+        assert(bin * 64L + off == cum,
+          s"doc $id: expected offset $cum, got bin=$bin off=$off")
+        assert(off >= 0L && off < 64L)
+        cum += n
+      }
+    }
+    // every shard is populated (hash-balanced over 200 docs)
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("repeated minhash calls hold at most one cached signature table") {
     import org.apache.spark.storage.StorageLevel
     val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)
