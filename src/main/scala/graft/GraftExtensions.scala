@@ -94,6 +94,29 @@ object GraftFunctions {
       {
         case Seq(b, s) => BandBucketHash(b, s)
         case as => badArity("graft_band_bucket_hash", as.length, "2")
+      }),
+    ("graft_hyperplane_sigs",
+      "(vec, seed, bits) - multi-limb random-hyperplane signature (bits = multiple of 64)",
+      {
+        case Seq(v, s, b) => HyperplaneSignatures(v,
+          litLong("graft_hyperplane_sigs", "seed", s),
+          litInt("graft_hyperplane_sigs", "bits", b))
+        case as => badArity("graft_hyperplane_sigs", as.length, "3")
+      }),
+    ("graft_winnow_prints",
+      "(text[, k, window]) - distinct position-independent winnowing print set",
+      {
+        case Seq(t) => WinnowPrintSet(t, 8, 16)
+        case Seq(t, k, w) => WinnowPrintSet(t,
+          litInt("graft_winnow_prints", "k", k),
+          litInt("graft_winnow_prints", "window", w))
+        case as => badArity("graft_winnow_prints", as.length, "1 or 3")
+      }),
+    ("graft_mix64",
+      "(key) - SplitMix64 finalizer; the deterministic split/sample hash",
+      {
+        case Seq(k) => Mix64(k)
+        case as => badArity("graft_mix64", as.length, "1")
       }))
 
   private[graft] def info(name: String, usage: String): ExpressionInfo =

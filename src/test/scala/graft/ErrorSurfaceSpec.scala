@@ -99,4 +99,26 @@ class ErrorSurfaceSpec extends AnyFunSuite {
       "select * from et where id in (select id from et) or x > 99").collect()
     assert(ok.length == 2)
   }
+
+  test("pipeline-operator parameter misuse fails at the call, not mid-job") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq((1L, Seq(1f, 2f))).toDF("id", "v")
+    val docs = Seq((1L, "a")).toDF("id", "t")
+    def msg(body: => Any): String = intercept[Exception](body).getMessage
+    assert(msg(graft.operators.SimilaritySearch.cosineNearDupPairs(
+      vecs, "v", "id", bits = 100)).contains("multiple of 64"))
+    assert(msg(graft.operators.SimilaritySearch.cosineNearDupPairs(
+      vecs, "v", "id", probeHamming = 2)).contains("probeHamming"))
+    assert(msg(graft.operators.SimilaritySearch.cosineNearDupPairs(
+      vecs, "v", "id", chunks = 3, bits = 64)).contains("divide"))
+    assert(msg(graft.operators.Sampling.fold(col("id"), 1L, 0))
+      .contains("folds"))
+    assert(msg(graft.operators.Sampling.stratifiedSample(docs, "t", "id", 0, 1L))
+      .contains("n must be positive"))
+    assert(msg(graft.operators.Sampling.packBins(docs, "id", "id", 0L, 4, 1L))
+      .contains("budgetTokens"))
+    assert(msg(graft.operators.Sampling.packBins(docs, "id", "id", 10L, 0, 1L))
+      .contains("shards"))
+  }
 }

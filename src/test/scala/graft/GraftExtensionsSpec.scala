@@ -60,14 +60,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val viaSql = registered.sql(
       """SELECT id, graft_cosine(ad, bd) AS cos,
         |       graft_hyperplane_sig(a) AS hp,
-        |       graft_hyperplane_sig(b, 9) AS hp9
+        |       graft_hyperplane_sig(b, 9) AS hp9,
+        |       graft_hyperplane_sigs(a, 42, 128) AS hps,
+        |       graft_mix64(id) AS mx
         |FROM ext_vecs""".stripMargin).collect().sortBy(_.getLong(0))
     val viaCols = vecs.select(col("id"),
       functions.CosineSimilarity(col("ad"), col("bd")).as("cos"),
       functions.HyperplaneSignature64(col("a"), 42L).as("hp"),
-      functions.HyperplaneSignature64(col("b"), 9L).as("hp9"))
+      functions.HyperplaneSignature64(col("b"), 9L).as("hp9"),
+      functions.HyperplaneSignatures(col("a"), 42L, 128).as("hps"),
+      functions.Mix64(col("id")).as("mx"))
       .collect().sortBy(_.getLong(0))
     assert(viaSql.toSeq == viaCols.toSeq)
+  }
+
+  test("SQL winnow print set matches the Column API and feeds containment") {
+    registered.catalog
+    docs.createOrReplaceTempView("ext_docs3")
+    val viaSql = registered.sql(
+      "SELECT doc_id, graft_winnow_prints(text) AS p FROM ext_docs3")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCols = docs.select(col("doc_id"),
+      functions.WinnowPrintSet(col("text"), 8, 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaCols)
   }
 
   test("signature agreement and band bucket hash compose in SQL") {
