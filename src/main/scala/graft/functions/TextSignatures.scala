@@ -306,7 +306,10 @@ case class WinnowFingerprint(child: Expression, k: Int, window: Int)
 
 object WinnowFingerprint {
 
-  def kernel(text: String, k: Int, window: Int): java.lang.Long = {
+  /** Finalized rolling Rabin–Karp k-gram hashes of the lowercased text —
+    * the shared front half of both winnowing kernels (null for
+    * shorter-than-k text). */
+  private[functions] def gramHashes(text: String, k: Int): Array[Long] = {
     if (text.length < k) return null
     val s = text.toLowerCase
     val B = 257L
@@ -325,7 +328,16 @@ object WinnowFingerprint {
       hashes(i) = DetRngHash.mix(h)
       i += 1
     }
-    // winnow: combine the minimum of each window of k-gram hashes
+    hashes
+  }
+
+  def kernel(text: String, k: Int, window: Int): java.lang.Long = {
+    val hashes = gramHashes(text, k)
+    if (hashes == null) return null
+    val n = hashes.length
+    // winnow: combine the minimum of each TUMBLING window of k-gram
+    // hashes (position-mixed — a whole-document identity fingerprint,
+    // not a containment-matching print set; see WinnowPrintSet)
     var out = 0L
     var w = 0
     while (w < n) {
@@ -385,44 +397,43 @@ case class WinnowPrintSet(child: Expression, k: Int, window: Int)
 
 object WinnowPrintSet {
 
-  /** Same rolling Rabin–Karp + per-tumbling-window signed minimum as
-    * [[WinnowFingerprint.kernel]], but returning the DISTINCT minima
-    * sorted ascending instead of position-mixing and XOR-combining. */
+  /** Distinct sorted minima of every SLIDING window of `window`
+    * consecutive k-gram hashes — true Schleimer-et-al. winnowing, which
+    * is what makes the containment guarantee hold: any window of
+    * `window` consecutive grams fully inside a shared substring has
+    * identical contents in both documents, so its minimum is selected
+    * as a print in BOTH — tumbling blocks (the scalar fingerprint's
+    * combine) realign with the embedding offset and a straddling
+    * block's minimum can come from foreign grams, silently missing a
+    * short embedded passage. O(n) via a monotonic deque. */
   def kernel(text: String, k: Int, window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (text.length < k) return null
-    val s = text.toLowerCase
-    val B = 257L
-    var pow = 1L
+    val hashes = WinnowFingerprint.gramHashes(text, k)
+    if (hashes == null) return null
+    val n = hashes.length
+    val nw = math.max(n - window + 1, 1)
+    val minima = new Array[Long](nw)
+    val deque = new Array[Int](n) // indices, increasing hash values
+    var head = 0
+    var tail = 0 // exclusive
     var i = 0
-    while (i < k - 1) { pow *= B; i += 1 }
-    val n = s.length - k + 1
-    val hashes = new Array[Long](n)
-    var h = 0L
-    i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
-    hashes(0) = DetRngHash.mix(h)
-    i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
-      hashes(i) = DetRngHash.mix(h)
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      val wStart = i - window + 1
+      while (deque(head) < wStart) head += 1
+      if (i >= window - 1 || i == n - 1) {
+        // one minimum per full window; a text shorter than one window
+        // contributes its single global minimum
+        val out = math.max(i - (window - 1), 0)
+        if (out < nw) minima(out) = hashes(deque(head))
+      }
       i += 1
-    }
-    val minima = new Array[Long]((n + window - 1) / window)
-    var w = 0
-    var wi = 0
-    while (w < n) {
-      var m = Long.MaxValue
-      var j = w
-      val end = math.min(w + window, n)
-      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
-      minima(wi) = m
-      wi += 1
-      w += window
     }
     java.util.Arrays.sort(minima)
     var distinct = 0
     i = 0
-    while (i < minima.length) {
+    while (i < nw) {
       if (i == 0 || minima(i) != minima(i - 1)) {
         minima(distinct) = minima(i)
         distinct += 1

@@ -404,23 +404,42 @@ object PipelineQueries {
       |SELECT source, doc_id FROM rk WHERE rk <= 3
       |ORDER BY source, doc_id""".stripMargin
 
-  /** p20 oracle: the shared winnowing chain through the per-window
-    * minima, then set semantics stated directly — distinct prints per
-    * doc, the benchmark print set from doc_id % 10 = 0, matches via an
-    * equi-join on the UBIGINT print (unsigned/two's-complement equality
-    * is a bijection, so no sign conversion is needed for counting). */
+  /** p20 oracle: the shared winnowing chain through the finalized
+    * k-gram hashes, then TRUE (sliding-window) winnowing stated in SQL
+    * — signed minimum of every window of 16 consecutive gram hashes (a
+    * shorter text contributes its single global minimum), distinct per
+    * doc; the benchmark print set from doc_id % 10 = 0; matches via an
+    * equi-join on the signed print. The tumbling `win` CTE in the
+    * shared prelude belongs to the p11 scalar fingerprint and is unused
+    * here — containment needs sliding windows for the coverage
+    * guarantee. */
   val p20Sql: String = winnowWinSql + """
-      |prints AS (SELECT DISTINCT doc_id, zmin FROM win),
-      |refs AS (SELECT DISTINCT zmin FROM prints WHERE doc_id % 10 = 0),
-      |scan AS (SELECT doc_id, zmin FROM prints WHERE doc_id % 10 <> 0),
+      |sg AS (
+      |  SELECT doc_id, rid,
+      |    CAST(CASE WHEN z >= 9223372036854775808
+      |              THEN CAST(z AS HUGEINT) - 18446744073709551616
+      |              ELSE CAST(z AS HUGEINT) END AS BIGINT) AS sz
+      |  FROM g6),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sg GROUP BY doc_id),
+      |winmin AS (
+      |  SELECT doc_id, rid,
+      |    min(sz) OVER (PARTITION BY doc_id ORDER BY rid
+      |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+      |  FROM sg),
+      |prints AS (
+      |  SELECT DISTINCT w.doc_id, w.m
+      |  FROM winmin w JOIN cnt c USING (doc_id)
+      |  WHERE w.rid <= c.n - 16 OR (c.n < 16 AND w.rid = 0)),
+      |refs AS (SELECT DISTINCT m FROM prints WHERE doc_id % 10 = 0),
+      |scan AS (SELECT doc_id, m FROM prints WHERE doc_id % 10 <> 0),
       |tot AS (SELECT doc_id, count(*)::BIGINT AS n_prints FROM scan GROUP BY doc_id),
-      |m AS (
+      |mt AS (
       |  SELECT s.doc_id, count(*)::BIGINT AS n_matched
-      |  FROM scan s JOIN refs r ON s.zmin = r.zmin
+      |  FROM scan s JOIN refs r ON s.m = r.m
       |  GROUP BY s.doc_id)
-      |SELECT m.doc_id, m.n_matched, t.n_prints,
-      |       round(m.n_matched::DOUBLE / t.n_prints, 6) AS contamination
-      |FROM m JOIN tot t USING (doc_id)
+      |SELECT mt.doc_id, mt.n_matched, t.n_prints,
+      |       round(mt.n_matched::DOUBLE / t.n_prints, 6) AS contamination
+      |FROM mt JOIN tot t USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   // synthetic PNG payloads fabricated once per dir — the p12/p13 queries

@@ -67,8 +67,12 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("shard", fold(col(idCol), seed, shards))
       .withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .withColumn("bin", (col("__cum") / budgetTokens).cast("long"))
-      .withColumn("bin_offset", col("__cum") - col("bin") * budgetTokens)
+      // integral division, not double: a shard's cumulative token count
+      // passes 2^53 well inside the 100 TB design point, where the
+      // double quotient can round across a bin boundary (and diverge
+      // from the oracle's exact `//`)
+      .withColumn("bin", expr(s"__cum div ${budgetTokens}L"))
+      .withColumn("bin_offset", pmod(col("__cum"), lit(budgetTokens)))
       .drop("__cum")
   }
 

@@ -31,6 +31,11 @@ object ScaleProbe {
     "st01_stream_windowed_lang", "st04_stream_near_dup",
     "st05_stream_embed_near_dup", "st06_stream_sessionize")
 
+  /** Tables become visible by ATOMIC single-file rename: a crashed
+    * build leaves only `_tmp_*` directories behind (never matched by
+    * the reuse check or the unmarked-dir guard), so `$table.parquet`
+    * existing implies the table is complete — the invariant that makes
+    * writing the `_factor` marker before building safe. */
   private def writeAsSingleFile(df: DataFrame, outDir: String, table: String): Unit = {
     val tmp = s"$outDir/_tmp_$table"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -154,6 +154,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(pick(tiny).size == 2, "quota caps at stratum size")
   }
 
+  test("winnowing containment guarantee holds at EVERY embedding offset (k+window-1 chars)") {
+    import spark.implicits._
+    // Schleimer et al.'s coverage theorem needs SLIDING windows: a
+    // k+window-1-char shared passage (= exactly one full window of
+    // k-grams, the documented detection minimum) must contribute a
+    // common print wherever it sits. The tumbling-block variant (the
+    // scalar p11 fingerprint's combine) realigns with the offset and
+    // missed some offsets — this pins the fixed kernel against all of
+    // them.
+    val passage = "qwzxkvjrypfmgdnbhtlscue" // 23 chars = k + window - 1
+    assert(passage.length == 23)
+    val refs = Seq((0L, passage)).toDF("doc_id", "text")
+    val docs = (0 to 24).map { off =>
+      (100L + off, ("a" * off) + passage + " unrelated trailing words here")
+    }.toDF("doc_id", "text")
+    val flagged = graft.operators.TextAnalysis.contamination(
+        docs, refs, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val missing = (0 to 24).map(100L + _).filterNot(flagged)
+    assert(missing.isEmpty,
+      s"offsets ${missing.map(_ - 100)} missed the embedded passage")
+  }
+
   test("sequence packing: bins are exact cumulative-budget cuts within hash shards") {
     import spark.implicits._
     import graft.operators.Sampling
