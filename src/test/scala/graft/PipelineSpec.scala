@@ -177,6 +177,36 @@ class PipelineSpec extends AnyFunSuite {
       s"offsets ${missing.map(_ - 100)} missed the embedded passage")
   }
 
+  test("sliding winnow prints match a brute-force reimplementation on random texts") {
+    import spark.implicits._
+    // the O(n) monotonic-deque kernel against the O(n*w) definition:
+    // distinct minima of every window of 16 consecutive gram hashes
+    // (single global minimum when fewer than one window of grams)
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdefg hij"
+    val texts = (Seq(8, 9, 15, 22, 23, 24, 40) ++ Seq.fill(30)(rnd.nextInt(200) + 8))
+      .map(len => (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    def brute(text: String, k: Int, w: Int): Seq[Long] = {
+      val s = text.toLowerCase
+      if (s.length < k) return null
+      val grams = (0 to s.length - k).map { i =>
+        var h = 0L
+        s.substring(i, i + k).foreach(c => h = h * 257L + c)
+        graft.operators.DetRngHash.mix(h)
+      }
+      val mins =
+        if (grams.length < w) Seq(grams.min)
+        else (0 to grams.length - w).map(i => grams.slice(i, i + w).min)
+      mins.distinct.sorted
+    }
+    val got = texts.toDF("text")
+      .select(col("text"), graft.functions.WinnowPrintSet(col("text"), 8, 16).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { t =>
+      assert(got(t) == brute(t, 8, 16), s"kernel/brute mismatch on '${t.take(30)}...'")
+    }
+  }
+
   test("sequence packing: bins are exact cumulative-budget cuts within hash shards") {
     import spark.implicits._
     import graft.operators.Sampling
