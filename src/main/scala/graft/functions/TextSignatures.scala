@@ -448,6 +448,81 @@ object WinnowPrintSet {
     ColumnBridge.column(WinnowPrintSet(ColumnBridge.expression(text), k, window))
 }
 
+/** Gopher-style repetition metrics of the whitespace token stream as
+  * ONE row-local native expression: `[top_unigram_frac,
+  * dup_bigram_frac]` — the fraction of tokens that are the single most
+  * frequent token, and the fraction of bigram occurrences that are
+  * duplicates of an earlier one. The two standard cheap
+  * excessive-repetition signals a quality filter thresholds (boilerplate,
+  * keyword stuffing, generation loops). Exact string counting (hash
+  * maps on the tokens, no hashed approximation), NULL for NULL/blank
+  * text, dup_bigram_frac = 0 for single-token docs. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    RepetitionStats.kernel(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("rep")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.RepetitionStats.kernel($v.toString());
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+
+  def kernel(text: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val trimmed = text.trim
+    if (trimmed.isEmpty) return null
+    val tokens = trimmed.toLowerCase.split("\\s+")
+    val n = tokens.length
+    val uni = new java.util.HashMap[String, Int](n * 2)
+    var maxCount = 0
+    var i = 0
+    while (i < n) {
+      val c = uni.merge(tokens(i), 1, Integer.sum)
+      if (c > maxCount) maxCount = c
+      i += 1
+    }
+    val topFrac = maxCount.toDouble / n
+    var dupFrac = 0.0
+    if (n >= 2) {
+      val bi = new java.util.HashSet[String](n * 2)
+      var dis = 0
+      i = 0
+      while (i < n - 1) {
+        // \u0001 separator: a whitespace split cannot yield tokens
+        // containing control chars, so ("ab","c") never collides with ("a","bc")
+        if (bi.add(tokens(i) + "\u0001" + tokens(i + 1))) dis += 1
+        i += 1
+      }
+      dupFrac = (n - 1 - dis).toDouble / (n - 1)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(topFrac, dupFrac))
+  }
+
+  def apply(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+}
+
 /** Distinct word-n-gram hash set of a text column as a native
   * expression: the same fused tokenize→token-hash→FNV-window pass as
   * [[MinHashSignature]], but emitting the DISTINCT window hashes

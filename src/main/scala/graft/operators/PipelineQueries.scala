@@ -374,6 +374,39 @@ object PipelineQueries {
       |       n_tokens
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** p24: Gopher-style repetition metrics — the excessive-repetition
+    * quality-filter signals (top-unigram fraction, duplicate-bigram
+    * fraction) per document, row-local. */
+  val p24Repetition: Q = (spark, dir) => {
+    TextAnalysis.repetitionMetrics(
+        Tables.load(spark, dir, "documents"), "text")
+      .select(col("doc_id"),
+        round(col("top_unigram_frac"), 6).as("top_unigram_frac"),
+        round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val p24Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |u AS (SELECT doc_id, unnest(tk) AS w FROM t),
+      |uc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM u GROUP BY doc_id, w),
+      |topu AS (SELECT doc_id, max(c) AS mc, sum(c) AS n FROM uc GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(tk)), i -> tk[i] || chr(1) || tk[i + 1]) AS b
+      |  FROM t),
+      |bd AS (
+      |  SELECT doc_id, len(b)::BIGINT AS tot, len(list_distinct(b))::BIGINT AS dis
+      |  FROM bg)
+      |SELECT t.doc_id,
+      |  round(topu.mc::DOUBLE / topu.n, 6) AS top_unigram_frac,
+      |  round(CASE WHEN bd.tot = 0 THEN 0.0
+      |             ELSE (bd.tot - bd.dis)::DOUBLE / bd.tot END, 6) AS dup_bigram_frac
+      |FROM t JOIN topu USING (doc_id) JOIN bd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** The SplitMix64 finalizer chain in DuckDB over an UBIGINT `z`
     * column seeded by `zeroCte` (same limb arithmetic as the g1..g6
     * winnowing stages); ends with `h` = z >> 1 — the [0, 2^63) hash
@@ -594,6 +627,7 @@ object PipelineQueries {
     "p21_split" -> p21Split,
     "p22_stratified" -> p22Stratified,
     "p23_sequence_pack" -> p23SequencePack,
+    "p24_repetition" -> p24Repetition,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -1055,6 +1089,7 @@ object PipelineQueries {
     "p21_split" -> p21Sql,
     "p22_stratified" -> p22Sql,
     "p23_sequence_pack" -> p23Sql,
+    "p24_repetition" -> p24Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

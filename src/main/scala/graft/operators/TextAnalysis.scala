@@ -100,6 +100,20 @@ object TextAnalysis {
   def fingerprint(k: Int = 8, window: Int = 16): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     text => graft.functions.WinnowFingerprint(text, k, window)
 
+  /** Gopher-style repetition metrics (the cheap excessive-repetition
+    * quality signals: boilerplate, keyword stuffing, generation loops):
+    * adds `top_unigram_frac` (fraction of tokens that are the single
+    * most frequent token) and `dup_bigram_frac` (fraction of bigram
+    * occurrences duplicating an earlier one). One row-local codegen'd
+    * pass ([[graft.functions.RepetitionStats]]); NULL for blank text. */
+  def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val stats = graft.functions.RepetitionStats(col(textCol))
+    df.withColumn("__rep", stats)
+      .withColumn("top_unigram_frac", col("__rep").getItem(0))
+      .withColumn("dup_bigram_frac", col("__rep").getItem(1))
+      .drop("__rep")
+  }
+
   /** Winnowed fingerprint SET (distinct sorted window minima, position-
     * independent — see [[graft.functions.WinnowPrintSet]]): the
     * containment-matching form of [[fingerprint]]. */

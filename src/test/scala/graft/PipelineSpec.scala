@@ -207,6 +207,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition metrics: hand-computed fractions on planted token streams") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),              // top: 3/4; bigrams aa,aa,ab -> dup 1/3
+      (2L, "x y z w"),              // all distinct: top 1/4, dup 0
+      (3L, "q q q q"),              // top 1; bigrams qq x3 -> dup 2/3
+      (4L, "solo"),                 // single token: top 1, dup 0
+      (5L, "  \t "),                // blank -> NULL row
+      (6L, "ab c a bc")             // separator sanity: (ab,c) != (a,bc) -> dup 0
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionMetrics(df, "text")
+      .select("doc_id", "top_unigram_frac", "dup_bigram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((0.75, 1.0 / 3)))
+    assert(got(2L) == ((0.25, 0.0)))
+    assert(got(3L) == ((1.0, 2.0 / 3)))
+    assert(got(4L) == ((1.0, 0.0)))
+    assert(got(5L) == null)
+    assert(got(6L) == ((0.25, 0.0)))
+  }
+
   test("sequence packing: bins are exact cumulative-budget cuts within hash shards") {
     import spark.implicits._
     import graft.operators.Sampling
