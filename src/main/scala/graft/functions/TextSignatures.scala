@@ -55,7 +55,7 @@ object MinHashSignature {
 
   /** The fused signature kernel (verbatim from the UDF form). */
   def kernel(text: String, numHashes: Int, shingleSize: Int, seed: Long): Array[Long] = {
-    val tokens = text.trim.toLowerCase.split("\\s+")
+    val tokens = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val windows = tokens.length - (shingleSize - 1)
     if (windows <= 0 || (tokens.length == 1 && tokens(0).isEmpty)) null
     else {
@@ -210,7 +210,7 @@ object SimHash64 {
   }
 
   def kernel(text: String, seed: Long): java.lang.Long = {
-    val tokens = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val tokens = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (tokens.isEmpty) null
     else if (tokens.length >= 65536) kernelWide(tokens, seed)
     else {
@@ -311,7 +311,7 @@ object WinnowFingerprint {
     * shorter-than-k text). */
   private[functions] def gramHashes(text: String, k: Int): Array[Long] = {
     if (text.length < k) return null
-    val s = text.toLowerCase
+    val s = text.toLowerCase(java.util.Locale.ROOT)
     val B = 257L
     var pow = 1L
     var i = 0
@@ -491,7 +491,7 @@ object RepetitionStats {
   def kernel(text: String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val trimmed = text.trim
     if (trimmed.isEmpty) return null
-    val tokens = trimmed.toLowerCase.split("\\s+")
+    val tokens = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val n = tokens.length
     val uni = new java.util.HashMap[String, Int](n * 2)
     var maxCount = 0
@@ -508,9 +508,11 @@ object RepetitionStats {
       var dis = 0
       i = 0
       while (i < n - 1) {
-        // \u0001 separator: a whitespace split cannot yield tokens
-        // containing control chars, so ("ab","c") never collides with ("a","bc")
-        if (bi.add(tokens(i) + "\u0001" + tokens(i + 1))) dis += 1
+        // length-prefixed key: the boundary between the two tokens is
+        // unambiguous whatever characters they contain, so distinct
+        // bigrams can never serialize to the same key (a bare separator
+        // could collide when a token itself contains it)
+        if (bi.add(tokens(i).length + ":" + tokens(i) + tokens(i + 1))) dis += 1
         i += 1
       }
       dupFrac = (n - 1 - dis).toDouble / (n - 1)
@@ -566,7 +568,7 @@ case class NgramHashSet(child: Expression, shingleSize: Int)
 
 object NgramHashSet {
   def kernel(text: String, shingleSize: Int): Array[Long] = {
-    val tokens = text.trim.toLowerCase.split("\\s+")
+    val tokens = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val windows = tokens.length - (shingleSize - 1)
     if (windows <= 0 || (tokens.length == 1 && tokens(0).isEmpty)) null
     else {

@@ -376,10 +376,16 @@ object PipelineQueries {
 
   /** p24: Gopher-style repetition metrics — the excessive-repetition
     * quality-filter signals (top-unigram fraction, duplicate-bigram
-    * fraction) per document, row-local. */
+    * fraction) per document, row-local. Blank docs are filtered on BOTH
+    * sides (the oracle's WHERE and this filter agree), so the key's row
+    * set matches even on a fixture with empty texts; like the other
+    * text oracles this relies on the documented space-only-whitespace
+    * fixture property (Java trim/\s and DuckDB trim/RE2 \s differ on
+    * exotic whitespace). */
   val p24Repetition: Q = (spark, dir) => {
     TextAnalysis.repetitionMetrics(
-        Tables.load(spark, dir, "documents"), "text")
+        Tables.load(spark, dir, "documents")
+          .filter(col("text").isNotNull && trim(col("text")) =!= ""), "text")
       .select(col("doc_id"),
         round(col("top_unigram_frac"), 6).as("top_unigram_frac"),
         round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"))
@@ -395,7 +401,8 @@ object PipelineQueries {
       |topu AS (SELECT doc_id, max(c) AS mc, sum(c) AS n FROM uc GROUP BY doc_id),
       |bg AS (
       |  SELECT doc_id,
-      |    list_transform(range(1, len(tk)), i -> tk[i] || chr(1) || tk[i + 1]) AS b
+      |    list_transform(range(1, len(tk)),
+      |      i -> len(tk[i]) || ':' || tk[i] || tk[i + 1]) AS b
       |  FROM t),
       |bd AS (
       |  SELECT doc_id, len(b)::BIGINT AS tot, len(list_distinct(b))::BIGINT AS dis

@@ -107,6 +107,12 @@ object TextAnalysis {
     * occurrences duplicating an earlier one). One row-local codegen'd
     * pass ([[graft.functions.RepetitionStats]]); NULL for blank text. */
   def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
+    // CollapseProject inlines the kernel into both extractions; on the
+    // codegen path (the hot one) subexpression elimination
+    // (spark.sql.subexpressionElimination.enabled, default true)
+    // collapses them back to ONE kernel call per row — interpreted
+    // fallback projections may evaluate it twice, which is wasted work
+    // but never wrong
     val stats = graft.functions.RepetitionStats(col(textCol))
     df.withColumn("__rep", stats)
       .withColumn("top_unigram_frac", col("__rep").getItem(0))
