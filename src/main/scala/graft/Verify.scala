@@ -95,6 +95,22 @@ object Verify {
     val detJson = det
       .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/det_match.json"), detJson)
+    // r13 verdict #4: the determinism-gate result previously lived only
+    // in the transient outDir — persist a per-round copy in the repo cwd
+    // (next to CORRECTNESS_r{N}.json, same round-numbering convention as
+    // Bench) so the rows-only evidence is auditable without re-running
+    // the gate. Full runs only — a key-subset iteration must not
+    // masquerade as the round's gate artifact.
+    if (only.isEmpty) {
+      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^CORRECTNESS_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
+        .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
+      val wrapped = s"""{"sf": ${q(sfDir)}, "det_match": $detJson, "failures": $failJson}"""
+      try Files.writeString(Paths.get(f"det_match_r$round%02d.json"), wrapped)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] could not write det_match_r$round: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 

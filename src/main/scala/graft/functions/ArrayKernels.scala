@@ -187,15 +187,21 @@ case class HyperplaneSignatures(child: Expression, seed: Long, bits: Int)
 object HyperplaneSignatures {
   /** ±1 plane components for plane indices 0..bits-1 — same derivation
     * as the 64-bit form (mix(seed ^ i<<32 ^ j) low bit), cached per
-    * (seed, bits, dim) per executor. */
+    * (seed, bits, dim) per executor. Bounded: an entry is bits×dim
+    * floats (128×1024 ≈ 512 KB), so a long-lived executor serving many
+    * seeds/dims must not accumulate forever — plane tables are cheap to
+    * recompute, so past 16 entries the cache just drops one. */
   private val planeCache =
     scala.collection.concurrent.TrieMap.empty[(Long, Int, Int), Array[Array[Float]]]
-  private def planesFor(seed: Long, bits: Int, dim: Int): Array[Array[Float]] =
+  private def planesFor(seed: Long, bits: Int, dim: Int): Array[Array[Float]] = {
+    while (planeCache.size > 16)
+      planeCache.headOption.foreach(kv => planeCache.remove(kv._1))
     planeCache.getOrElseUpdate((seed, bits, dim), Array.tabulate(bits, dim) { (i, j) =>
       if ((graft.operators.DetRngHash.mix(seed ^ (i.toLong << 32) ^ j.toLong) & 1L) == 1L)
         1f
       else -1f
     })
+  }
 
   def kernel(vec: ArrayData, seed: Long, bits: Int): ArrayData = {
     val n = vec.numElements()

@@ -414,6 +414,70 @@ object PipelineQueries {
       |FROM t JOIN topu USING (doc_id) JOIN bd USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The PII fixture text: the synthetic corpus carries no PII, so the
+    * key plants deterministic emails / phones / IPv4s (and a battery of
+    * near-misses — invalid octets, digit-run phones, malformed emails,
+    * dotted dates) as pure column arithmetic the oracle restates
+    * verbatim. Planted on doc_id residues so densities differ and
+    * multi-hit rows exist. */
+  private def piiFixtureText: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" call 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      lit(" near-misses: 999.999.999.999 1234-567-8901 user@@nope a@b.c 07.08.2025"))
+      .otherwise(lit("")))
+
+  /** p25: PII detection/redaction — the hygiene step after dedup (p01/
+    * p02) and decontamination (p20): per-doc email/phone/IPv4 match
+    * counts plus the redacted text, one row-local codegen'd pass
+    * ([[graft.functions.PiiScan]]). Plan-guarded no-ScalaUDF
+    * (PlanShapeSpec); the patterns are restated verbatim in the DuckDB
+    * oracle (Java regex ↔ RE2 agreement argument in the expression's
+    * scaladoc). */
+  val p25Pii: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), piiFixtureText.as("t"))
+    TextAnalysis.piiStats(aug, "t")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ipv4"),
+        col("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** p25 oracle: the same planted-fixture arithmetic, the same three
+    * patterns (interpolated from the canonical [[graft.functions.PiiScan]]
+    * constants so engine and oracle cannot drift), counts per pattern
+    * over the original text, redaction as the same sequential
+    * email→phone→IPv4 replace chain. */
+  val p25Sql: String = {
+    val e = graft.functions.PiiScan.EmailPattern
+    val p = graft.functions.PiiScan.PhonePattern
+    val i = graft.functions.PiiScan.Ipv4Pattern
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' near-misses: 999.999.999.999 1234-567-8901 user@@nope a@b.c 07.08.2025' ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$i')) AS BIGINT) AS n_ipv4,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$e', '[EMAIL]', 'g'), '$p', '[PHONE]', 'g'), '$i', '[IP]', 'g') AS redacted
+       |FROM aug
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The SplitMix64 finalizer chain in DuckDB over an UBIGINT `z`
     * column seeded by `zeroCte` (same limb arithmetic as the g1..g6
     * winnowing stages); ends with `h` = z >> 1 — the [0, 2^63) hash
@@ -635,6 +699,7 @@ object PipelineQueries {
     "p22_stratified" -> p22Stratified,
     "p23_sequence_pack" -> p23SequencePack,
     "p24_repetition" -> p24Repetition,
+    "p25_pii" -> p25Pii,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -1097,6 +1162,7 @@ object PipelineQueries {
     "p22_stratified" -> p22Sql,
     "p23_sequence_pack" -> p23Sql,
     "p24_repetition" -> p24Sql,
+    "p25_pii" -> p25Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

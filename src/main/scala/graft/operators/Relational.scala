@@ -407,8 +407,13 @@ object Relational {
   // rewrites part-file names — so a stale 'not skewed' answer cannot
   // route a now-skewed corpus through the single-pass plan. (A same-
   // name in-place rewrite outside Spark is not detected: pass
-  // `precomputedMaxEntityRows` or reset the cache.) Bounded, and wired
-  // into the determinism reset.
+  // `precomputedMaxEntityRows` or reset the cache.) NON-FILE sources
+  // (in-memory frames, temp views, join results) have an empty
+  // inputFiles list, which would degrade the guard to plan-hash-only —
+  // those are NOT cached at all: the plan hash cannot see a mutated
+  // in-memory input, and a localRelation probe is cheap anyway.
+  // Bounded (single-entry eviction — one hot caller must not evict the
+  // whole working set), and wired into the determinism reset.
   private val skewProbeCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
 
@@ -419,14 +424,19 @@ object Relational {
       bucketUs: Long = 86400L * 1000000L,
       maxEntityRowsPerTask: Long = 5000000L,
       precomputedMaxEntityRows: Option[Long] = None): DataFrame = {
+    def probe(): Long =
+      events.groupBy("user_id").count()
+        .agg(max("count")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
     val maxUserRows = precomputedMaxEntityRows.getOrElse {
-      if (skewProbeCache.size > 64) skewProbeCache.clear()
-      skewProbeCache.getOrElseUpdate(
-        (events.queryExecution.analyzed.semanticHash(),
-          events.inputFiles.sorted.mkString("\n")),
-        events.groupBy("user_id").count()
-          .agg(max("count")).collect().headOption
-          .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
+      val files = events.inputFiles.sorted.mkString("\n")
+      if (files.isEmpty) probe() // non-file source: uncacheable (see above)
+      else {
+        while (skewProbeCache.size > 64)
+          skewProbeCache.headOption.foreach(kv => skewProbeCache.remove(kv._1))
+        skewProbeCache.getOrElseUpdate(
+          (events.queryExecution.analyzed.semanticHash(), files), probe())
+      }
     }
     if (maxUserRows <= maxEntityRowsPerTask) sessionizeSinglePass(events, gapUs)
     else sessionizeTwoPhase(events, gapUs, bucketUs)

@@ -120,6 +120,22 @@ object TextAnalysis {
       .drop("__rep")
   }
 
+  /** PII detection + redaction (emails, NANP phones, IPv4) — adds
+    * n_emails/n_phones/n_ipv4 counts and a `redacted` text column in one
+    * row-local codegen'd pass ([[graft.functions.PiiScan]]; the patterns
+    * ARE the semantics — see its scaladoc for the Java↔RE2 agreement
+    * argument the DuckDB oracle rests on). Same CSE shape as
+    * [[repetitionMetrics]]: codegen dedups the kernel to one call. */
+  def piiStats(df: DataFrame, textCol: String): DataFrame = {
+    val s = graft.functions.PiiScan(col(textCol))
+    df.withColumn("__pii", s)
+      .withColumn("n_emails", col("__pii.n_emails"))
+      .withColumn("n_phones", col("__pii.n_phones"))
+      .withColumn("n_ipv4", col("__pii.n_ipv4"))
+      .withColumn("redacted", col("__pii.redacted"))
+      .drop("__pii")
+  }
+
   /** Winnowed fingerprint SET (distinct sorted window minima, position-
     * independent — see [[graft.functions.WinnowPrintSet]]): the
     * containment-matching form of [[fingerprint]]. */

@@ -361,9 +361,13 @@ object StreamingQueries {
     * fragments across day keys instead of funneling every event through
     * one ever-growing state row in one state partition (the same skew
     * treatment batch q18 and st06 carry). The day bucket is
-    * floor(epoch_us / 86 400 000 000): pure integer time arithmetic,
-    * immune to session-timezone and DST drift, so the oracle can
-    * restate it exactly. A fragment emits once, when the watermark
+    * floor(epoch_us / 86 400 000 000) computed as EXACT long floor
+    * division ((us - pmod(us, d)) div d — `div` alone truncates toward
+    * zero and `/` on longs is double division, which rounds across
+    * bucket boundaries past 2^53 µs): pure integer time arithmetic,
+    * immune to session-timezone and DST drift, bit-equal to the
+    * oracle's `//` for every epoch including pre-1970. A fragment
+    * emits once, when the watermark
     * passes its end; [[mergeTouchingSessions]] on the EMITTED stream
     * re-joins day-crossing fragments downstream. */
   private[graft] def saltedAppendSessions(events: DataFrame,
@@ -371,7 +375,8 @@ object StreamingQueries {
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"),
-        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day_salt"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+          .as("day_salt"),
         session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),

@@ -262,6 +262,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 
+  // ------------------------------------------------- p25 PII battery
+
+  private def piiRow(text: String): (Long, Long, Long, String) = {
+    import spark.implicits._
+    val df = graft.operators.TextAnalysis.piiStats(
+      Seq((1L, text)).toDF("id", "t"), "t")
+    val r = df.select("n_emails", "n_phones", "n_ipv4", "redacted").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+  }
+
+  test("PII scan: detection + redaction on the straightforward cases") {
+    assert(piiRow("mail me at a.b+c@sub.example.org today") ===
+      ((1L, 0L, 0L, "mail me at [EMAIL] today")))
+    assert(piiRow("call 415-555-0134 or 415.555.0199.") ===
+      ((0L, 2L, 0L, "call [PHONE] or [PHONE].")))
+    assert(piiRow("host 192.168.0.1, gw 10.0.0.254") ===
+      ((0L, 0L, 2L, "host [IP], gw [IP]")))
+    assert(piiRow("clean text with no pii at all") ===
+      ((0L, 0L, 0L, "clean text with no pii at all")))
+  }
+
+  test("PII scan: unicode-adjacent matches and non-ASCII text survive redaction") {
+    // ASCII character classes match the embedded ASCII substring only;
+    // surrounding multi-byte text is untouched (Java and RE2 both scan
+    // by codepoint here)
+    assert(piiRow("日本語user@example.comテスト") ===
+      ((1L, 0L, 0L, "日本語[EMAIL]テスト")))
+    assert(piiRow("résumé café naïve") === ((0L, 0L, 0L, "résumé café naïve")))
+    // non-ASCII digits are NOT [0-9]: no phone
+    assert(piiRow("١٢٣-٤٥٦-٧٨٩٠")._2 === 0L)
+  }
+
+  test("PII scan: boundary and near-miss battery") {
+    // digit runs flowing into a phone shape are not phones (\b guards)
+    assert(piiRow("id 1415-555-0134 x")._2 === 0L)
+    assert(piiRow("415-555-01345")._2 === 0L)
+    // dates and octet-invalid quads are not IPs
+    assert(piiRow("on 07.08.2025 at 999.999.999.999")._3 === 0L)
+    assert(piiRow("256.1.1.1 and 1.2.3.256")._3 === 0L)
+    // leading-zero octets don't match (01 is neither 0 nor [1-9][0-9])
+    assert(piiRow("01.2.3.4")._3 === 0L)
+    // a longer dotted run: no \b between 'v' and '1' (both word chars),
+    // so the leftmost match starts at the '2' — "2.3.4.5" redacts,
+    // "v1." survives. Verified bit-identical in RE2/DuckDB.
+    assert(piiRow("v1.2.3.4.5") === ((0L, 0L, 1L, "v1.[IP]")))
+    // TLD needs >= 2 alpha; double @ never matches
+    assert(piiRow("a@b.c or user@@nope")._1 === 0L)
+    assert(piiRow("a@b.co")._1 === 1L)
+    // adjacent punctuation is fine (boundaries are class-driven)
+    assert(piiRow("(ops@example.com),") === ((1L, 0L, 0L, "([EMAIL]),")))
+  }
+
+  test("PII scan: counts are per-pattern on the original text; redaction is sequential") {
+    // the phone-shaped local part counts as a phone AND is part of the
+    // email match; email redacts first, so the phone placeholder never
+    // appears — both facts the oracle restates
+    val (e, p, i, red) = piiRow("reach 415-555-0134@example.com now")
+    assert((e, p, i) === ((1L, 1L, 0L)))
+    assert(red === "reach [EMAIL] now")
+    // placeholders contain no digits/@: the chain cannot cascade
+    assert(piiRow("x 1.2.3.4 y")._4 === "x [IP] y")
+  }
+
+  test("PII scan: null and empty propagate") {
+    import spark.implicits._
+    val df = graft.operators.TextAnalysis.piiStats(
+      Seq((1L, null: String), (2L, "")).toDF("id", "t"), "t")
+      .select("id", "n_emails", "redacted").orderBy("id").collect()
+    assert(df(0).isNullAt(1) && df(0).isNullAt(2))
+    assert(df(1).getLong(1) === 0L && df(1).getString(2) === "")
+  }
+
   test("repeated minhash calls hold at most one cached signature table") {
     import org.apache.spark.storage.StorageLevel
     val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)

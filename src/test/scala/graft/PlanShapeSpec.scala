@@ -291,6 +291,20 @@ class WidePopulationSpec extends AnyFunSuite {
       s"winnow prints must stay a native expression:\n$plan")
   }
 
+  test("PII scan stays a native codegen'd expression — no ScalaUDF, no shuffle") {
+    // p25's scale story IS this plan: one row-local projection inside
+    // whole-stage codegen, nothing exchanges
+    import spark.implicits._
+    val df = graft.operators.TextAnalysis.piiStats(
+      Seq((1L, "a@b.co 1.2.3.4")).toDF("id", "t"), "t")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("udf"),
+      s"expected a native expression:\n$opt")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), s"PII scan must not shuffle:\n$exec")
+    assert(exec.contains("*("), s"expected whole-stage codegen:\n$exec")
+  }
+
   test("dedup/similarity kernels run as native expressions, not ScalaUDFs") {
     // round 6: the signature/agreement/fingerprint kernels are Catalyst
     // expressions with doGenCode — a ScalaUDF in these plans means a
