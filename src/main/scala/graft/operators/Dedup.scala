@@ -394,6 +394,54 @@ object Dedup {
           .filter(col("hamming") <= maxHamming))
       .select("id0", "id1", "hamming")
   }
+
+  /** Line-level boilerplate dedup (CCNet/Dolma-style): drop every line
+    * that occurs more than `maxDf` times across the whole corpus — nav
+    * bars, cookie banners, boilerplate footers — keeping each document's
+    * remaining lines in order. Returns (idCol, n_lines, n_dropped,
+    * cleaned). Document-level exact dedup ([[dedupExact]]) does not
+    * cover this: the boilerplate line recurs inside otherwise-unique
+    * documents.
+    *
+    * Scale shape (the 100 TB case): TWO corpus scans, ZERO corpus-wide
+    * data shuffles.
+    *  1. Count pass: lines explode to their 64-bit xxhash64 only (8
+    *     bytes + count per DISTINCT line after the map-side partial
+    *     aggregate — boilerplate collapses before the exchange), one
+    *     hash-partitioned count, filter df > maxDf. The surviving
+    *     boilerplate set is tiny BY CONSTRUCTION (≤ total_lines/maxDf
+    *     distinct values).
+    *  2. Clean pass: the boilerplate hashes collapse to ONE array row
+    *     broadcast-cross-joined onto the corpus, and each document
+    *     filters its own lines row-locally (array_contains per line —
+    *     linear in the boilerplate set, fine for the banner/footer sets
+    *     this targets). The document text never shuffles and never
+    *     regroups; membership is whole-stage-codegen'd.
+    *
+    * Grouping by the 64-bit line hash instead of the line text cuts the
+    * count-pass exchange ~an order of magnitude; a cross-line collision
+    * mislabeling a clean line as boilerplate needs ~2^32 DISTINCT lines
+    * to become likely (birthday bound) and is the standard trade the
+    * oracle's string-keyed restatement bounds at ~1e-11 per corpus of
+    * 10^4 lines (cf. [[ngramJaccard]]'s identical argument). */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+      maxDf: Long): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive")
+    val lineSplit = split(col(textCol), "\n", -1)
+    val boilArr = docs
+      .select(explode(lineSplit).as("line"))
+      .groupBy(xxhash64(col("line")).as("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(sort_array(collect_list("h")).as("boil_hashes"))
+    docs.crossJoin(broadcast(boilArr))
+      .withColumn("__lines", lineSplit)
+      .withColumn("__kept", filter(col("__lines"),
+        l => !array_contains(col("boil_hashes"), xxhash64(l))))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long").as("n_dropped"),
+        array_join(col("__kept"), "\n").as("cleaned"))
+  }
 }
 
 /** Shared row-local hash primitives (SplitMix64 finalizer + a simple

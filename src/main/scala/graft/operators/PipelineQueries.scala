@@ -374,6 +374,27 @@ object PipelineQueries {
       |       n_tokens
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** p27: weighted source mixing — the epoch-mixing step after p21/p22:
+    * per-source repetition weights (2.5× for src0–4, 1× for src5–9,
+    * 0.25× for src10–14, 0× for src15–19) realized as floor(w) copies +
+    * one more iff hash63(doc_id, seed) < frac(w)·2⁶³
+    * ([[Sampling.weightedMix]]). Pure function of (doc_id, seed):
+    * retries and repartitions reproduce the identical mix. */
+  val p27WeightedMix: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val up = (0 to 4).map(i => s"src$i")
+    val keep = (5 to 9).map(i => s"src$i")
+    val down = (10 to 14).map(i => s"src$i")
+    val w = when(col("source").isin(up: _*), 2.5)
+      .when(col("source").isin(keep: _*), 1.0)
+      .when(col("source").isin(down: _*), 0.25)
+      .otherwise(0.0)
+    Sampling.weightedMix(docs.select(col("doc_id"), col("source")),
+        "doc_id", w, seed = 99L)
+      .select(col("doc_id"), col("source"), col("copy_no"))
+      .orderBy("doc_id", "copy_no")
+  }
+
   /** p24: Gopher-style repetition metrics — the excessive-repetition
     * quality-filter signals (top-unigram fraction, duplicate-bigram
     * fraction) per document, row-local. Blank docs are filtered on BOTH
@@ -478,6 +499,64 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The line-carrying fixture for p26: the corpus has no newlines, so
+    * the key plants them — each doc keeps its own (unique) text as line
+    * 1 and gains boilerplate lines at corpus-wide document frequencies
+    * the threshold must separate: a footer on EVERY doc (df=500), a
+    * cookie banner on evens (df=250), a copyright on %3 (df≈167) — all
+    * > maxDf=50, dropped — and five rare variants (df≈6 each, kept). */
+  private def lineFixtureText: org.apache.spark.sql.Column = concat(
+    col("text"),
+    lit("\nsubscribe to our newsletter today"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      lit("\naccept all cookies to continue")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      lit("\ncopyright 2025 example corp all rights reserved")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(17)) === 0,
+      concat(lit("\nrare footer variant "),
+        pmod(col("doc_id"), lit(5)).cast("string"))).otherwise(lit("")))
+
+  /** p26: line-level boilerplate dedup — corpus-wide line document
+    * frequency, drop lines with df > 50, reassemble each doc
+    * ([[Dedup.lineDedup]]; CCNet/Dolma shape). One map-side-combinable
+    * count on the 64-bit line hash + a broadcast membership pass —
+    * p01's document-level exact dedup cannot see a line repeated inside
+    * otherwise-unique documents. */
+  val p26LineDedup: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), lineFixtureText.as("t"))
+    Dedup.lineDedup(aug, "t", "doc_id", maxDf = 50L)
+      .orderBy("doc_id")
+  }
+
+  /** p26 oracle: the same planted lines, document frequency and the
+    * drop keyed on the LINE STRING itself (the hash-free restatement —
+    * a Spark-side xxhash64 collision would surface as a mismatch
+    * here), order-preserving reassembly via list_filter. */
+  val p26Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || 'subscribe to our newsletter today'
+      |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'accept all cookies to continue' ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'copyright 2025 example corp all rights reserved' ELSE '' END
+      |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'rare footer variant ' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS t
+      |  FROM documents),
+      |l AS (SELECT unnest(string_split(t, chr(10))) AS line FROM aug),
+      |boil AS (SELECT line FROM (SELECT line, count(*) AS df FROM l GROUP BY line) WHERE df > 50),
+      |ba AS (SELECT coalesce((SELECT list(line) FROM boil), []) AS bl),
+      |k AS (
+      |  -- the 1-row ba cross-joins in (DuckDB lambdas can reference
+      |  -- columns but not subqueries) — the same shape as the Spark
+      |  -- side's broadcast cross join
+      |  SELECT doc_id, lines, list_filter(lines, x -> NOT list_contains(bl, x)) AS kept
+      |  FROM (SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug), ba)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+      |  array_to_string(kept, chr(10)) AS cleaned
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
   /** The SplitMix64 finalizer chain in DuckDB over an UBIGINT `z`
     * column seeded by `zeroCte` (same limb arithmetic as the g1..g6
     * winnowing stages); ends with `h` = z >> 1 — the [0, 2^63) hash
@@ -498,6 +577,28 @@ object PipelineQueries {
       |SELECT doc_id, fold,
       |  CASE WHEN fold < 8 THEN 'train' WHEN fold = 8 THEN 'val' ELSE 'test' END AS split
       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** p27 oracle: the shared SplitMix64 chain (h = z in [0, 2^63) where
+    * signed and unsigned comparisons coincide), the same weight CASE,
+    * floor(w) + the fractional-threshold comparison in UBIGINT (the
+    * IEEE double product floor(frac·2⁶³) is bit-identical in both
+    * engines), copies via unnest(range(n)). */
+  val p27Sql: String =
+    mixChainSql("SELECT doc_id, source, xor(CAST(doc_id AS UBIGINT), CAST(99 AS UBIGINT)) AS z FROM documents") + """
+      |w AS (SELECT doc_id, source, z,
+      |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+      |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+      |       WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.25
+      |       ELSE 0.0 END AS wt FROM h),
+      |c AS (SELECT doc_id, source,
+      |  CAST(floor(wt) AS BIGINT) +
+      |  CASE WHEN z < CAST(floor((wt - floor(wt)) * power(2.0, 63)) AS UBIGINT)
+      |       THEN 1 ELSE 0 END AS n
+      |  FROM w)
+      |SELECT doc_id, source, CAST(u.u AS BIGINT) AS copy_no
+      |FROM c, unnest(range(n)) AS u(u)
+      |WHERE n >= 1
+      |ORDER BY doc_id, copy_no""".stripMargin
 
   val p22Sql: String =
     mixChainSql("SELECT source, doc_id, xor(CAST(doc_id AS UBIGINT), CAST(7 AS UBIGINT)) AS z FROM documents") + """
@@ -700,6 +801,8 @@ object PipelineQueries {
     "p23_sequence_pack" -> p23SequencePack,
     "p24_repetition" -> p24Repetition,
     "p25_pii" -> p25Pii,
+    "p26_line_dedup" -> p26LineDedup,
+    "p27_weighted_mix" -> p27WeightedMix,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -1163,6 +1266,8 @@ object PipelineQueries {
     "p23_sequence_pack" -> p23Sql,
     "p24_repetition" -> p24Sql,
     "p25_pii" -> p25Sql,
+    "p26_line_dedup" -> p26Sql,
+    "p27_weighted_mix" -> p27Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

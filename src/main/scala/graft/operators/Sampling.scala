@@ -76,6 +76,42 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Weighted source mixing: deterministic up/down-sampling by a
+    * per-row weight w ≥ 0 — the epoch-mixing step after [[fold]]/
+    * [[stratifiedSample]] (e.g. repeat wiki 3.2×, subsample crawl to
+    * 0.6×). Each row emits floor(w) copies plus one more iff
+    * hash63(key, seed) < frac(w)·2⁶³ — a pure function of (key, seed),
+    * so the realized mix is rerun-, retry-, and repartition-stable and
+    * E[copies] = w exactly. Output adds `copy_no` (0-based) so
+    * downstream shuffling can salt on (key, copy_no).
+    *
+    * Scale shape: row-local arithmetic + a generator explode — no
+    * shuffle, no driver state; weights arrive as a Column (a literal
+    * CASE over sources, or a broadcast-joined dimension).
+    *
+    * The fractional threshold floor(frac·2⁶³) is computed in IEEE
+    * double then truncated to long — bit-identical in the JVM and
+    * DuckDB. frac < 1 keeps the product below 2⁶³ except when frac is
+    * within 1 ulp of 1.0 (a weight like 2.9999999999999999 — write 3.0
+    * instead), where the double product rounds to 2⁶³ exactly; the
+    * comparison is then h < 2⁶³ ≡ always true, which long truncation
+    * would wreck — the cast clamps through least() to keep that edge
+    * deterministic on both engines. */
+  def weightedMix(df: DataFrame, keyCol: String, weight: Column,
+      seed: Long): DataFrame = {
+    val w = weight.cast("double")
+    val base = floor(w).cast("long")
+    val frac = w - floor(w)
+    val thresh = least(floor(frac * lit(math.pow(2, 63))),
+      lit(Long.MaxValue).cast("double")).cast("long")
+    val extra = when(hash63(col(keyCol), seed) < thresh, 1L).otherwise(0L)
+    df.withColumn("__n_copies", base + extra)
+      .filter(col("__n_copies") >= 1)
+      .withColumn("copy_no",
+        explode(sequence(lit(0L), col("__n_copies") - 1)))
+      .drop("__n_copies")
+  }
+
   /** Deterministic stratified sample: exactly min(n, |stratum|) rows
     * per stratum, selected by seeded hash order (ties broken by key so
     * the selection is total even under hash collisions).

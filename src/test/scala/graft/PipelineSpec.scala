@@ -334,6 +334,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(df(1).getLong(1) === 0L && df(1).getString(2) === "")
   }
 
+  test("line dedup drops corpus-frequent lines only, preserving order") {
+    import spark.implicits._
+    // 10 docs: unique head line, FOOTER on all (df=10), BANNER on evens
+    // (df=5), a tail line unique per doc — threshold 4 cuts between
+    // BANNER (dropped) and the uniques (kept)
+    val docs = (0L until 10L).map { i =>
+      val mid = if (i % 2 == 0) "BANNER" else s"mid $i"
+      (i, s"head $i\nFOOTER\n$mid\ntail $i")
+    }.toDF("doc_id", "text")
+    val out = graft.operators.Dedup.lineDedup(docs, "text", "doc_id", 4L)
+      .orderBy("doc_id").collect()
+    assert(out.length === 10)
+    for (r <- out) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 4L, "n_lines")
+      val expectDropped = if (id % 2 == 0) 2L else 1L
+      assert(r.getLong(2) === expectDropped, s"n_dropped for doc $id")
+      val mid = if (id % 2 == 0) "" else s"\nmid $id"
+      assert(r.getString(3) === s"head $id$mid\ntail $id", s"cleaned for doc $id")
+    }
+    // threshold boundary: df == maxDf keeps (strict >)
+    val keep = graft.operators.Dedup.lineDedup(docs, "text", "doc_id", 10L)
+      .agg(sum("n_dropped")).head().getLong(0)
+    assert(keep === 0L, "df == maxDf must be kept")
+  }
+
+  test("weighted mix: exact copies for integer weights, expectation-exact fractional split, repartition-stable") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i < 100) "a" else if (i < 200) "b"
+      else if (i < 300) "c" else "d")).toDF("id", "src")
+    val w = when(col("src") === "a", 3.0).when(col("src") === "b", 1.0)
+      .when(col("src") === "c", 0.5).otherwise(0.0)
+    val out = graft.operators.Sampling.weightedMix(df, "id", w, seed = 5L)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") === 300L, "integer weight 3.0 = exactly 3 copies each")
+    assert(bySrc("b") === 100L)
+    assert(!bySrc.contains("d"), "weight 0 drops the source")
+    // seeded-hash keep for frac 0.5: between 30% and 70% of 100 (the
+    // binomial 5-sigma band), and copy_no runs 0..n-1
+    assert(bySrc("c") > 30L && bySrc("c") < 70L, s"c=${bySrc("c")}")
+    val copies = out.filter(col("src") === "a").groupBy("id")
+      .agg(sort_array(collect_list("copy_no")).as("cs")).select("cs")
+      .distinct().collect()
+    assert(copies.length === 1 && copies(0).getSeq[Long](0) === Seq(0L, 1L, 2L))
+    // pure function of (key, seed): identical multiset under repartition
+    val a = out.select("id", "src", "copy_no").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val b = graft.operators.Sampling.weightedMix(df.repartition(7), "id", w, 5L)
+      .select("id", "src", "copy_no").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(a === b, "mix must be repartition-stable")
+  }
+
   test("repeated minhash calls hold at most one cached signature table") {
     import org.apache.spark.storage.StorageLevel
     val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)

@@ -305,6 +305,36 @@ class WidePopulationSpec extends AnyFunSuite {
     assert(exec.contains("*("), s"expected whole-stage codegen:\n$exec")
   }
 
+  test("line dedup: corpus shuffles only 8-byte hashes; cleaning is a broadcast membership pass") {
+    // p26's scale story: the count pass exchanges (hash, partial count)
+    // only, the boilerplate set collapses to ONE broadcast row, and the
+    // document text NEVER regroups — exactly two Exchanges (count
+    // shuffle + 1-row collect_list), a BroadcastNestedLoopJoin for the
+    // membership array, and no sort-merge anywhere
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"unique $i\nFOOTER"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.lineDedup(docs, "text", "doc_id", 5L)
+    out.count() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"membership must be a broadcast cross join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 3,
+      s"corpus text must not regroup (count shuffle + 1-row agg + broadcast only):\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"native only:\n$plan")
+  }
+
+  test("weighted mix stays row-local — no shuffle, no UDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val df = (0L until 20L).map(i => (i, "s")).toDF("id", "src")
+    val out = graft.operators.Sampling.weightedMix(df, "id", lit(2.5), 3L)
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), s"mix must not shuffle:\n$exec")
+    assert(!exec.toLowerCase.contains("scalaudf"), s"native only:\n$exec")
+  }
+
   test("dedup/similarity kernels run as native expressions, not ScalaUDFs") {
     // round 6: the signature/agreement/fingerprint kernels are Catalyst
     // expressions with doGenCode — a ScalaUDF in these plans means a
