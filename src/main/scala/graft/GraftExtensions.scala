@@ -117,6 +117,18 @@ object GraftFunctions {
       {
         case Seq(k) => Mix64(k)
         case as => badArity("graft_mix64", as.length, "1")
+      }),
+    ("graft_pii_scan",
+      "(text) - struct(n_emails, n_phones, n_ipv4, redacted): PII counts + redacted text",
+      {
+        case Seq(t) => PiiScan(t)
+        case as => badArity("graft_pii_scan", as.length, "1")
+      }),
+    ("graft_repetition_stats",
+      "(text) - [top_unigram_frac, dup_bigram_frac] repetition quality signals",
+      {
+        case Seq(t) => RepetitionStats(t)
+        case as => badArity("graft_repetition_stats", as.length, "1")
       }))
 
   private[graft] def info(name: String, usage: String): ExpressionInfo =

@@ -77,6 +77,37 @@ object PipelineQueries {
       .orderBy("component")
   }
 
+  /** p28: near-dup dedup MATERIALIZATION — the step that turns p18's
+    * clusters into the surviving corpus: every doc except non-keeper
+    * cluster members (keeper = minimum doc_id per component; docs in no
+    * cluster survive untouched). Scale shape: the loser set is tiny
+    * (only near-dup members minus one keeper each), so the subtraction
+    * is a broadcast LEFT ANTI join — the corpus streams through one
+    * scan. */
+  val p28DedupMaterialize: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = minhashCandsFor(spark, dir)
+      .filter(col("est_jaccard") >= 0.2).select(col("id0"), col("id1"))
+    val losers = Dedup.connectedComponents(pairs, "id0", "id1")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** p28 oracle: the p18 reachability closure (bit-exact MinHash chain
+    * + recursive component labels) subtracted from the corpus — a doc
+    * survives iff it is not a non-keeper member of any component. */
+  lazy val p28Sql: String = {
+    val prefix = p18Sql.substring(0, p18Sql.lastIndexOf("SELECT component::BIGINT"))
+    prefix + """SELECT d.doc_id
+      |FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM comp c WHERE c.doc_id = d.doc_id AND c.component < d.doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** p03: SimHash near-dup pairs within Hamming distance 6. */
   val p03SimHash: Q = (spark, dir) => {
     Dedup.simHashPairs(Tables.load(spark, dir, "documents"),
@@ -441,7 +472,7 @@ object PipelineQueries {
     * dotted dates) as pure column arithmetic the oracle restates
     * verbatim. Planted on doc_id residues so densities differ and
     * multi-hit rows exist. */
-  private def piiFixtureText: org.apache.spark.sql.Column = concat(
+  private[graft] def piiFixtureText: org.apache.spark.sql.Column = concat(
     col("text"),
     when(pmod(col("doc_id"), lit(3)) === 0,
       concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -477,17 +508,22 @@ object PipelineQueries {
     * constants so engine and oracle cannot drift), counts per pattern
     * over the original text, redaction as the same sequential
     * email→phone→IPv4 replace chain. */
+  /** The planted-PII fixture as a SQL expression over (doc_id, text) —
+    * shared by the p25 and st09 oracles so the batch and streaming keys
+    * restate the identical corpus. */
+  private[graft] val piiAugSqlExpr: String =
+    """text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' near-misses: 999.999.999.999 1234-567-8901 user@@nope a@b.c 07.08.2025' ELSE '' END""".stripMargin
+
   val p25Sql: String = {
     val e = graft.functions.PiiScan.EmailPattern
     val p = graft.functions.PiiScan.PhonePattern
     val i = graft.functions.PiiScan.Ipv4Pattern
     s"""WITH aug AS (
-       |  SELECT doc_id,
-       |    text ||
-       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-       |    CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
-       |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
-       |    CASE WHEN doc_id % 11 = 0 THEN ' near-misses: 999.999.999.999 1234-567-8901 user@@nope a@b.c 07.08.2025' ELSE '' END AS t
+       |  SELECT doc_id, $piiAugSqlExpr AS t
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
@@ -803,6 +839,7 @@ object PipelineQueries {
     "p25_pii" -> p25Pii,
     "p26_line_dedup" -> p26LineDedup,
     "p27_weighted_mix" -> p27WeightedMix,
+    "p28_dedup_materialize" -> p28DedupMaterialize,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -1268,6 +1305,7 @@ object PipelineQueries {
     "p25_pii" -> p25Sql,
     "p26_line_dedup" -> p26Sql,
     "p27_weighted_mix" -> p27Sql,
+    "p28_dedup_materialize" -> p28Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

@@ -159,7 +159,24 @@ object TextAnalysis {
     * through in ONE scan with no corpus-wide shuffle; only MATCHED
     * (id, print) rows — a vanishing fraction — reach the per-doc count,
     * whose groupBy is map-side combinable. Nothing in the plan grows
-    * with corpus × benchmark. */
+    * with corpus × benchmark.
+    *
+    * SQL recipe (REPL surface — `graft_winnow_prints` is registered by
+    * [[graft.GraftFunctions.register]]; GraftExtensionsSpec pins that
+    * this spelling hash-matches this operator AND keeps the broadcast
+    * semi-join shape):
+    * {{{
+    * WITH refp AS (
+    *   SELECT DISTINCT explode(graft_winnow_prints(text)) AS print FROM benchmark),
+    * docp AS (
+    *   SELECT doc_id, size(prints) AS n_prints, explode(prints) AS print
+    *   FROM (SELECT doc_id, graft_winnow_prints(text) AS prints FROM corpus)
+    *   WHERE prints IS NOT NULL)
+    * SELECT doc_id AS id, count(1) AS n_matched, n_prints,
+    *        CAST(count(1) AS DOUBLE) / n_prints AS contamination
+    * FROM docp WHERE print IN (SELECT print FROM refp)
+    * GROUP BY doc_id, n_prints
+    * }}} */
   def contamination(docs: org.apache.spark.sql.DataFrame,
       refs: org.apache.spark.sql.DataFrame,
       textCol: String, idCol: String,

@@ -489,8 +489,48 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st09: streaming PII scrub profile — the p25 kernel in the live
+    * path: the doc stream plants the same deterministic PII fixture,
+    * `PiiScan` runs as a STATELESS codegen'd projection inside each
+    * micro-batch (redaction happens in-flight; nothing PII-shaped needs
+    * to reach state), and a running per-source aggregate tracks doc and
+    * match counts. Complete-mode totals equal the batch group-by, which
+    * the oracle restates over the same planted corpus. */
+  val st09StreamPii: Q = (spark, dir) => {
+    val aug = boundedDocStream(spark, dir)
+      .select(col("source"),
+        graft.operators.PipelineQueries.piiFixtureText.as("t"))
+    val stats = graft.operators.TextAnalysis.piiStats(aug, "t")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_emails").as("n_emails"),
+        sum("n_phones").as("n_phones"),
+        sum("n_ipv4").as("n_ipv4"))
+    drainToMemory(spark, "st09", stats.writeStream.outputMode("complete"))
+      .orderBy("source")
+  }
+
+  /** st09 oracle: the shared planted-PII fixture + the p25 patterns,
+    * aggregated per source. */
+  val st09Sql: String = {
+    val e = graft.functions.PiiScan.EmailPattern
+    val p = graft.functions.PiiScan.PhonePattern
+    val i = graft.functions.PiiScan.Ipv4Pattern
+    s"""WITH aug AS (
+       |  SELECT source, ${graft.operators.PipelineQueries.piiAugSqlExpr} AS t
+       |  FROM documents)
+       |SELECT source,
+       |  count(*)::BIGINT AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(t, '$e'))) AS BIGINT) AS n_emails,
+       |  CAST(sum(len(regexp_extract_all(t, '$p'))) AS BIGINT) AS n_phones,
+       |  CAST(sum(len(regexp_extract_all(t, '$i'))) AS BIGINT) AS n_ipv4
+       |FROM aug GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "st08_stream_contamination" -> st08StreamContamination,
+    "st09_stream_pii" -> st09StreamPii,
     "st06_stream_sessionize" -> st06StreamSessionize,
     "st07_sessionize_append" -> st07SessionizeAppend,
     "st01_stream_windowed_lang" -> st01WindowedLang,
@@ -551,6 +591,7 @@ object StreamingQueries {
     // identical computation to batch p20 — the streaming path is the
     // stream-static semi-join + update-mode fold
     "st08_stream_contamination" -> graft.operators.PipelineQueries.p20Sql,
+    "st09_stream_pii" -> st09Sql,
     "st07_sessionize_append" -> st07Sql,
     "st06_stream_sessionize" -> st06Sql,
     "st01_stream_windowed_lang" -> st01Sql,

@@ -72,9 +72,28 @@ object ScaleProbe {
     if (want("documents"))
       writeAsSingleFile(replicate(Tables.load(spark, srcDir, "documents"), factor,
         Map("doc_id" -> D)), outDir, "documents")
-    if (want("embeddings"))
-      writeAsSingleFile(replicate(Tables.load(spark, srcDir, "embeddings"), factor,
-        Map("vec_id" -> V)), outDir, "embeddings")
+    if (want("embeddings")) {
+      // SPARK_GRAFT_PROBE_ROTATE=1: rotate replica k's embedding by
+      // k mod dim positions — norm-preserving and deterministic, so each
+      // replica's vectors decorrelate from the others' instead of being
+      // exact copies. Copy-replication probes the quadratic-duplicate
+      // regime (every replica pair is a true near-dup — output grows
+      // ~factor² by construction; probed at 100×); rotation probes the
+      // DISTINCT-corpus regime, the one the p05 bucket key space is
+      // sized for (occupancy must stay bounded as distinct vectors grow).
+      val rotate = sys.env.get("SPARK_GRAFT_PROBE_ROTATE").contains("1")
+      val emb = Tables.load(spark, srcDir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val replicas = (0 until factor).map { k =>
+        val shifted = emb.withColumn("vec_id", col("vec_id") + lit(k * V))
+        val r = k % dim
+        if (!rotate || r == 0) shifted
+        else shifted.withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r)))
+      }
+      writeAsSingleFile(replicas.reduce(_ unionByName _), outDir, "embeddings")
+    }
     if (want("customer"))
       writeAsSingleFile(replicate(Tables.load(spark, srcDir, "customer"), factor,
         Map("c_custkey" -> C)), outDir, "customer")
@@ -157,10 +176,25 @@ object ScaleProbe {
       build(spark, srcDir, outDir, factor, missing)
     } else println(s"[scale] reusing $outDir")
 
+    // SPARK_GRAFT_PROBE_FORCE=1: evaluate every output column (hash and
+    // reduce) instead of count() — for keys whose expensive kernel is a
+    // PROJECTION the optimizer prunes under count (p25's PiiScan: the
+    // row count doesn't depend on it, so count() times the bare scan).
+    // Join/aggregate/explode-shaped keys are count-safe; the default
+    // stays count() for cross-round comparability.
+    val force = sys.env.get("SPARK_GRAFT_PROBE_FORCE").contains("1")
     def timeOne(key: String, dir: String): (Double, Long) = {
       graft.operators.PipelineQueries.resetOperatorCaches()
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(key)(spark, dir).count()
+      val df = graft.SparkEntry.queries(key)(spark, dir)
+      val n =
+        if (force) {
+          // max over the row hash cannot be pruned and cannot overflow
+          // (ANSI mode is on; the value is discarded)
+          val r = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+            .agg(count(lit(1)), max(col("h"))).head()
+          r.getLong(0)
+        } else df.count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
     // warmup

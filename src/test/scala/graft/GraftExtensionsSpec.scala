@@ -99,6 +99,63 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.head.getInt(0) > 64, s"agreement=${rows.head.getInt(0)}")
   }
 
+  test("PII scan and repetition stats are SQL-reachable and match the Column API") {
+    registered.catalog
+    Seq((1L, "mail a@b.co or dial 415-555-0134 from 10.0.0.7"),
+        (2L, "spam spam spam spam spam"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_pii")
+    val viaSql = registered.sql(
+      """SELECT doc_id, graft_pii_scan(text) AS pii,
+        |       graft_repetition_stats(text) AS rep
+        |FROM ext_pii""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getStruct(1).toSeq, r.getSeq[Double](2))).toSet
+    val viaCols = registered.table("ext_pii").select(col("doc_id"),
+        functions.PiiScan(col("text")).as("pii"),
+        functions.RepetitionStats(col("text")).as("rep")).collect()
+      .map(r => (r.getLong(0), r.getStruct(1).toSeq, r.getSeq[Double](2))).toSet
+    assert(viaSql === viaCols)
+    assert(viaSql.find(_._1 == 1L).get._2 === Seq(1L, 1L, 1L,
+      "mail [EMAIL] or dial [PHONE] from [IP]"))
+  }
+
+  test("the decontamination recipe is pure SQL — and keeps the broadcast plan shape") {
+    // r13 verdict stretch: the p20 JOIN shape reachable from the REPL.
+    // This IS the documented recipe (TextAnalysis.contamination scaladoc):
+    // benchmark prints reduce to a distinct set, the corpus streams
+    // through one scan + semi-join, counts are per-doc — and the SQL
+    // spelling must produce the identical result AND the same
+    // broadcast-semi-join physical shape as the Scala operator.
+    registered.catalog
+    val corpus = (0L until 40L).map(i =>
+      (i, s"document number $i with some shared boilerplate text to fingerprint here"))
+      .toDF("doc_id", "text")
+    corpus.filter(col("doc_id") % 10 === 0).createOrReplaceTempView("benchmark")
+    corpus.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("corpus")
+    val viaSql = registered.sql(
+      """WITH refp AS (
+        |  SELECT DISTINCT explode(graft_winnow_prints(text)) AS print FROM benchmark),
+        |docp AS (
+        |  SELECT doc_id, size(prints) AS n_prints, explode(prints) AS print
+        |  FROM (SELECT doc_id, graft_winnow_prints(text) AS prints FROM corpus)
+        |  WHERE prints IS NOT NULL)
+        |SELECT doc_id AS id, count(1) AS n_matched,
+        |       CAST(n_prints AS BIGINT) AS n_prints,
+        |       CAST(count(1) AS DOUBLE) / n_prints AS contamination
+        |FROM docp WHERE print IN (SELECT print FROM refp)
+        |GROUP BY doc_id, n_prints""".stripMargin)
+    val viaScala = graft.operators.TextAnalysis.contamination(
+      registered.table("corpus"), registered.table("benchmark"), "text", "doc_id")
+    val a = viaSql.orderBy("id").collect().map(_.toSeq)
+    val b = viaScala.orderBy("id").collect().map(_.toSeq)
+    assert(a.nonEmpty && (a sameElements b))
+    viaSql.count()
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"IN (subquery) must plan as a semi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark print set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
+  }
+
   test("arity and literal-argument errors are named") {
     registered.catalog
     val e1 = intercept[Exception] {

@@ -293,10 +293,14 @@ class WidePopulationSpec extends AnyFunSuite {
 
   test("PII scan stays a native codegen'd expression — no ScalaUDF, no shuffle") {
     // p25's scale story IS this plan: one row-local projection inside
-    // whole-stage codegen, nothing exchanges
-    import spark.implicits._
-    val df = graft.operators.TextAnalysis.piiStats(
-      Seq((1L, "a@b.co 1.2.3.4")).toDF("id", "t"), "t")
+    // whole-stage codegen, nothing exchanges. Built over range() — a
+    // literal local Seq constant-folds to a LocalTableScan under
+    // ConvertToLocalRelation, which would vacuously pass/fail the
+    // codegen assertion depending on suite order.
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val base = spark.range(4).select(col("id"),
+      concat_ws(" ", lit("a@b.co 1.2.3.4 call"), col("id").cast("string")).as("t"))
+    val df = graft.operators.TextAnalysis.piiStats(base, "t")
     val opt = df.queryExecution.optimizedPlan.toString
     assert(!opt.toLowerCase.contains("udf"),
       s"expected a native expression:\n$opt")
