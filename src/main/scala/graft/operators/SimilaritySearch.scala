@@ -96,28 +96,7 @@ object SimilaritySearch {
       .select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
         graft.functions.HyperplaneSignatures(col(vecCol), seed, bits).as("sig"))
       .filter(col("sig").isNotNull)
-    // narrow relation for the bucket machinery: ids + limb array
-    // (8·nLimbs bytes) + chunk values — the vectors stay out of the
-    // shuffle
-    def chunkVal(c: Int): Column = {
-      val limb = element_at(col("sig"), (c * chunkBits) / 64 + 1)
-      val shifted = shiftrightunsigned(limb, (c * chunkBits) % 64)
-      if (chunkBits == 64) shifted
-      else shifted.bitwiseAND(lit((1L << chunkBits) - 1))
-    }
-    // multi-probe: the probe keys of chunk c keep c as the chunk index
-    // — a flipped value must land in the same chunk's bucket family
-    def probeVals(c: Int): Seq[Column] = {
-      val v = chunkVal(c)
-      v +: (if (probeHamming == 0) Seq.empty
-            else (0 until chunkBits).map(b => v.bitwiseXOR(lit(1L << b))))
-    }
-    val keysPerChunk = 1 + (if (probeHamming == 0) 0 else chunkBits)
-    val chunked = signed.select(col("id"), col("sig"),
-      posexplode(array((0 until chunks).flatMap(probeVals): _*))
-        .as(Seq("probe_idx", "chunk_val")))
-      .withColumn("chunk", (col("probe_idx") / keysPerChunk).cast("int"))
-      .drop("probe_idx")
+    val chunked = hyperplaneBuckets(signed, chunks, chunkBits, probeHamming)
     // signature-Hamming prefilter AS THE PAIRS STREAM out of the bucket
     // self-join, before the dedup shuffle and the vector rejoin: E[d] =
     // bits·θ/π with sd = √(bits·p(1−p)) ≤ √bits/2, so a +4σ slack above
@@ -147,6 +126,33 @@ object SimilaritySearch {
       .withColumn("cosine", cosine(col("v0"), col("v1")))
       .filter(col("cosine") >= minCosine)
       .select("id0", "id1", "cosine")
+  }
+
+  /** The LSH bucket table from a `(id, sig)` signed frame — narrow
+    * relation for the bucket machinery: ids + limb array (8·limbs
+    * bytes) + chunk values; the vectors stay out of the shuffle.
+    * Multi-probe keys of chunk c keep c as the chunk index — a flipped
+    * value must land in the same chunk's bucket family. Shared by
+    * [[cosineNearDupPairs]] and the scale-probe occupancy audit. */
+  private[graft] def hyperplaneBuckets(signed: DataFrame, chunks: Int,
+      chunkBits: Int, probeHamming: Int): DataFrame = {
+    def chunkVal(c: Int): Column = {
+      val limb = element_at(col("sig"), (c * chunkBits) / 64 + 1)
+      val shifted = shiftrightunsigned(limb, (c * chunkBits) % 64)
+      if (chunkBits == 64) shifted
+      else shifted.bitwiseAND(lit((1L << chunkBits) - 1))
+    }
+    def probeVals(c: Int): Seq[Column] = {
+      val v = chunkVal(c)
+      v +: (if (probeHamming == 0) Seq.empty
+            else (0 until chunkBits).map(b => v.bitwiseXOR(lit(1L << b))))
+    }
+    val keysPerChunk = 1 + (if (probeHamming == 0) 0 else chunkBits)
+    signed.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).flatMap(probeVals): _*))
+        .as(Seq("probe_idx", "chunk_val")))
+      .withColumn("chunk", (col("probe_idx") / keysPerChunk).cast("int"))
+      .drop("probe_idx")
   }
 
   /** A fitted IVF coarse quantizer: k-means centroids + the cell-assigned
