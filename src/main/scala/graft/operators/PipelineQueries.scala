@@ -426,6 +426,55 @@ object PipelineQueries {
       .orderBy("doc_id", "copy_no")
   }
 
+  /** p29: per-domain URL statistics — the domain-filtering prerequisite
+    * (blocklists, per-domain caps). The corpus carries no URLs, so the
+    * key plants them deterministically (including near-misses: htp://,
+    * ftp://, a single-slash https:/) and counts URLs + distinct docs
+    * per domain ([[TextAnalysis.domainStats]]). */
+  val p29DomainStats: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" see https://example"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com/page/"), pmod(col("doc_id"), lit(13)).cast("string"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        // cdn index via (doc_id % 27) div 9 — doc_id % 3 would be
+        // degenerate (every multiple of 9 is 0 mod 3)
+        concat(lit(" and http://cdn"), expr("(doc_id % 27) div 9"),
+          lit(".example.net"), lit(" plus https://example"),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit(".com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        // sentence-final dot: the host-ends-alphanumeric rule strips it
+        // (both engines backtrack identically)
+        lit(" near-misses: htp://x.com ftp://files.example.org https:/missing.com see https://dot.example.com."))
+        .otherwise(lit(""))).as("t"))
+    TextAnalysis.domainStats(aug, "t", "doc_id")
+      .orderBy("domain")
+  }
+
+  /** p29 oracle: the same planted URLs, the same extraction pattern
+    * (interpolated from the canonical [[TextAnalysis.UrlPattern]]),
+    * domain = host group, URL count + distinct-doc count per domain. */
+  val p29Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' see https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 9 = 0 THEN ' and http://cdn' || CAST((doc_id % 27) // 9 AS VARCHAR) || '.example.net' || ' plus https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' near-misses: htp://x.com ftp://files.example.org https:/missing.com see https://dot.example.com.' ELSE '' END AS t
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(t, '${TextAnalysis.UrlPattern}')) AS url
+       |  FROM aug),
+       |d AS (
+       |  SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS domain
+       |  FROM u)
+       |SELECT domain, count(*)::BIGINT AS n_urls,
+       |       count(DISTINCT doc_id)::BIGINT AS n_docs
+       |FROM d GROUP BY domain
+       |ORDER BY domain""".stripMargin
+
   /** p24: Gopher-style repetition metrics — the excessive-repetition
     * quality-filter signals (top-unigram fraction, duplicate-bigram
     * fraction) per document, row-local. Blank docs are filtered on BOTH
@@ -840,6 +889,7 @@ object PipelineQueries {
     "p26_line_dedup" -> p26LineDedup,
     "p27_weighted_mix" -> p27WeightedMix,
     "p28_dedup_materialize" -> p28DedupMaterialize,
+    "p29_domain_stats" -> p29DomainStats,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -1306,6 +1356,7 @@ object PipelineQueries {
     "p26_line_dedup" -> p26Sql,
     "p27_weighted_mix" -> p27Sql,
     "p28_dedup_materialize" -> p28Sql,
+    "p29_domain_stats" -> p29Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

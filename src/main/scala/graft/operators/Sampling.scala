@@ -89,21 +89,18 @@ object Sampling {
     * shuffle, no driver state; weights arrive as a Column (a literal
     * CASE over sources, or a broadcast-joined dimension).
     *
-    * The fractional threshold floor(frac·2⁶³) is computed in IEEE
-    * double then truncated to long — bit-identical in the JVM and
-    * DuckDB. frac < 1 keeps the product below 2⁶³ except when frac is
-    * within 1 ulp of 1.0 (a weight like 2.9999999999999999 — write 3.0
-    * instead), where the double product rounds to 2⁶³ exactly; the
-    * comparison is then h < 2⁶³ ≡ always true, which long truncation
-    * would wreck — the cast clamps through least() to keep that edge
-    * deterministic on both engines. */
+    * The fractional threshold floor(frac·2⁶³) is exact arithmetic on
+    * both engines: multiplying a double by 2⁶³ (a power of two) only
+    * shifts the exponent, so the product is EXACT and bounded by
+    * (1 − 2⁻⁵³)·2⁶³ < 2⁶³ — the long cast can never overflow (ANSI
+    * mode would throw) and the comparison against the [0, 2⁶³) hash is
+    * bit-identical in the JVM and DuckDB. */
   def weightedMix(df: DataFrame, keyCol: String, weight: Column,
       seed: Long): DataFrame = {
     val w = weight.cast("double")
     val base = floor(w).cast("long")
     val frac = w - floor(w)
-    val thresh = least(floor(frac * lit(math.pow(2, 63))),
-      lit(Long.MaxValue).cast("double")).cast("long")
+    val thresh = floor(frac * lit(math.pow(2, 63))).cast("long")
     val extra = when(hash63(col(keyCol), seed) < thresh, 1L).otherwise(0L)
     df.withColumn("__n_copies", base + extra)
       .filter(col("__n_copies") >= 1)

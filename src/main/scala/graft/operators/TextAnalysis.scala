@@ -120,6 +120,38 @@ object TextAnalysis {
       .drop("__rep")
   }
 
+  /** The URL shape [[domainStats]] extracts — http/https, dotted host
+    * ending alphanumeric, optional safe-charset path. Like
+    * [[graft.functions.PiiScan]]'s patterns, chosen so Java regex and
+    * RE2 agree (greedy character classes, no alternation ambiguity), so
+    * the DuckDB oracle restates extraction verbatim. Query strings and
+    * exotic hosts are out of scope by design — domain STATISTICS, not a
+    * validating parser. */
+  val UrlPattern: String =
+    "https?://[A-Za-z0-9.-]+[A-Za-z0-9](/[A-Za-z0-9._/-]*)?"
+
+  /** Per-domain corpus statistics — the input to domain-level filtering
+    * (blocklists, per-domain caps), the step CCNet/RefinedWeb-style
+    * pipelines run before quality scoring: extract URLs (codegen'd
+    * regexp_extract_all, full-match), reduce to registrable host, count
+    * URLs and DISTINCT documents per domain.
+    *
+    * Scale shape: extraction is row-local; the only shuffle is the
+    * (domain) aggregate — map-side combinable, cardinality = distinct
+    * domains (orders of magnitude below rows). The distinct-doc count
+    * dedups (domain, id) BEFORE the final aggregate, so the exchange
+    * carries one row per (domain, doc), not per URL occurrence. */
+  def domainStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val urls = df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([^/]+)", 1))
+    urls.groupBy("domain", "id").agg(count(lit(1)).as("n"))
+      .groupBy("domain")
+      .agg(sum("n").as("n_urls"), count(lit(1)).as("n_docs"))
+      .select(col("domain"), col("n_urls").cast("long").as("n_urls"),
+        col("n_docs").cast("long").as("n_docs"))
+  }
+
   /** PII detection + redaction (emails, NANP phones, IPv4) — adds
     * n_emails/n_phones/n_ipv4 counts and a `redacted` text column in one
     * row-local codegen'd pass ([[graft.functions.PiiScan]]; the patterns

@@ -388,6 +388,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(a === b, "mix must be repartition-stable")
   }
 
+  test("domain stats: URL extraction battery and per-domain counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://a.com/x and https://a.com/y plus http://b.net"),
+      (2L, "again https://a.com/z end"),
+      // sentence-final dot: host must end alphanumeric, so the dot stays
+      (3L, "dotted https://c.org. end"),
+      // near-misses: wrong scheme, single slash, bare host
+      (4L, "htp://x.com ftp://f.org https:/nope.com www.bare.com"),
+      (5L, "path chars https://d.io/a_b-c.d/e/ stop")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.domainStats(docs, "text", "doc_id")
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      ("a.com", 3L, 2L),   // 3 URLs over docs 1 and 2
+      ("b.net", 1L, 1L),
+      ("c.org", 1L, 1L),   // trailing dot stripped by the alnum rule
+      ("d.io", 1L, 1L)))   // underscore/dash/dot path accepted
+  }
+
   test("repeated minhash calls hold at most one cached signature table") {
     import org.apache.spark.storage.StorageLevel
     val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)
