@@ -475,6 +475,113 @@ object PipelineQueries {
        |FROM d GROUP BY domain
        |ORDER BY domain""".stripMargin
 
+  /** p30: the curation pipeline END-TO-END — the flagship composition
+    * proving the hygiene operators work TOGETHER the way a pretraining
+    * run uses them: quality + language-ID filter (p09/p10 kernels) →
+    * exact-dedup keepers (p01) → PII redaction (p25 kernel over the
+    * planted fixture) → token count over the REDACTED text (p08) →
+    * deterministic train/val/test split (p21). Per-surviving-doc
+    * output, every stage restated in the single composed oracle.
+    * Scale: filters and kernels row-local; the only wide stages are the
+    * dedup hash-group and the doc_id semi-join — p01's own shapes. */
+  val p30Curation: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = TextAnalysis.qualityMetrics(docs, "text")
+      .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
+    val filtered = scored
+      .filter(col("quality_score") >= 0.5 && col("pred_lang") === "en")
+    val kept = Dedup.dedupExact(docs, "text", "doc_id")
+      .select("doc_id").join(filtered, Seq("doc_id"))
+    val aug = kept.withColumn("t", piiFixtureText)
+    val red = TextAnalysis.piiStats(aug, "t")
+    val f = Sampling.fold(col("doc_id"), 42L, 10)
+    red.select(col("doc_id"),
+        when(f < 8, "train").when(f === 8, "val").otherwise("test").as("split"),
+        TextAnalysis.tokenCount(col("redacted")).cast("long").as("n_tokens"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** p30 oracle: the full composed restatement — p09's quality formula,
+    * p10's lexicon language id (with the array_max-over-struct
+    * tie-break), p01's sha256 keeper groups, the shared PII fixture +
+    * p25's redaction chain, p08's token count over the redacted text,
+    * and p21's SplitMix64 fold. */
+  lazy val p30Sql: String = {
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(tk, w -> w IN ($set)))::DOUBLE / nn AS s_$lang"
+    }.mkString(",\n      |       ").replace("|", "")
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val byNameDesc = langs.sorted.reverse
+    val tieBreak = byNameDesc.init.map(l =>
+      s"WHEN s_$l = best THEN '$l'").mkString(" ") + s" ELSE '${byNameDesc.last}'"
+    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "are", "was", "were", "it", "that", "this", "with", "for", "on", "as",
+      "at").map(w => s"'$w'").mkString(", ")
+    val e = graft.functions.PiiScan.EmailPattern
+    val p = graft.functions.PiiScan.PhonePattern
+    val i = graft.functions.PiiScan.Ipv4Pattern
+    mixChainSql("SELECT doc_id, xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT)) AS z FROM documents") + s"""
+      |fold AS (SELECT doc_id, CAST(z % 10 AS BIGINT) AS f FROM h),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens0,
+      |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      |      x -> list_contains([$stopwords], x))) AS n_stop,
+      |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+      |    string_split_regex(trim(lower(text)), '\\s+') AS tk,
+      |    greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS nn,
+      |    regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, cjk,
+      |    round(greatest(0.0, least(1.0,
+      |      0.5 + 0.5 * least((CASE WHEN n_tokens0 = 0 THEN 0.0
+      |                         ELSE n_stop::DOUBLE / n_tokens0 END) * 2.5, 1.0)
+      |          - 0.5 * (CASE WHEN n_chars = 0 THEN 0.0
+      |                   ELSE n_punct::DOUBLE / n_chars END)
+      |          - CASE WHEN (CASE WHEN n_tokens0 = 0 THEN 0.0
+      |                       ELSE n_wordchars::DOUBLE / n_tokens0 END) < 2.0
+      |                   OR (CASE WHEN n_tokens0 = 0 THEN 0.0
+      |                       ELSE n_wordchars::DOUBLE / n_tokens0 END) > 12.0
+      |                 THEN 0.25 ELSE 0.0 END)), 6) AS quality_score,
+      |    $scoreCols
+      |  FROM m),
+      |pl AS (SELECT doc_id, quality_score, cjk, $best AS best, * FROM q),
+      |pred AS (
+      |  SELECT doc_id, quality_score,
+      |    CASE WHEN cjk THEN 'zh'
+      |         WHEN best = 0 THEN 'und'
+      |         ELSE (CASE $tieBreak END)
+      |    END AS pred_lang
+      |  FROM pl),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+      |k AS (
+      |  SELECT d.doc_id, d.text, pr.quality_score
+      |  FROM documents d
+      |  JOIN pred pr ON pr.doc_id = d.doc_id
+      |  JOIN keep ke ON ke.doc_id = d.doc_id
+      |  WHERE pr.quality_score >= 0.5 AND pr.pred_lang = 'en'),
+      |aug AS (SELECT doc_id, quality_score, $piiAugSqlExpr AS t FROM k),
+      |red AS (
+      |  SELECT doc_id, quality_score,
+      |    regexp_replace(regexp_replace(regexp_replace(t,
+      |      '$e', '[EMAIL]', 'g'), '$p', '[PHONE]', 'g'), '$i', '[IP]', 'g') AS rt
+      |  FROM aug)
+      |SELECT r.doc_id,
+      |  CASE WHEN f.f < 8 THEN 'train' WHEN f.f = 8 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(CASE WHEN trim(rt) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(rt), '\\s+')) END AS BIGINT) AS n_tokens,
+      |  r.quality_score
+      |FROM red r JOIN fold f ON f.doc_id = r.doc_id
+      |ORDER BY r.doc_id""".stripMargin
+  }
+
   /** p24: Gopher-style repetition metrics — the excessive-repetition
     * quality-filter signals (top-unigram fraction, duplicate-bigram
     * fraction) per document, row-local. Blank docs are filtered on BOTH
@@ -890,6 +997,7 @@ object PipelineQueries {
     "p27_weighted_mix" -> p27WeightedMix,
     "p28_dedup_materialize" -> p28DedupMaterialize,
     "p29_domain_stats" -> p29DomainStats,
+    "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
     "p14_ngram_jaccard_exact" -> p14NgramJaccardExact,
@@ -1357,6 +1465,7 @@ object PipelineQueries {
     "p27_weighted_mix" -> p27Sql,
     "p28_dedup_materialize" -> p28Sql,
     "p29_domain_stats" -> p29Sql,
+    "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
     "p08_token_count" -> p08Sql,

@@ -140,7 +140,12 @@ object TextAnalysis {
     * (domain) aggregate — map-side combinable, cardinality = distinct
     * domains (orders of magnitude below rows). The distinct-doc count
     * dedups (domain, id) BEFORE the final aggregate, so the exchange
-    * carries one row per (domain, doc), not per URL occurrence. */
+    * carries one row per (domain, doc), not per URL occurrence.
+    *
+    * Per-domain CAP enforcement (keep ≤ n docs per domain) is
+    * [[graft.operators.Sampling.stratifiedSample]] with the domain as
+    * the stratum — deterministic exact-k per domain in one window
+    * shuffle. */
   def domainStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val urls = df.select(col(idCol).as("id"),
         explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))

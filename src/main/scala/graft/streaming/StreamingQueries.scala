@@ -528,9 +528,64 @@ object StreamingQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** st10: streaming dedup against a HISTORICAL corpus — the "new
+    * crawl vs existing training set" pass: the historical side reduces
+    * to distinct content hashes (32 bytes/doc — broadcastable at real
+    * benchmark-to-corpus ratios) and the live stream drops already-seen
+    * content through a STATELESS stream-static LEFT ANTI join — no
+    * state store at all, unlike st02's within-stream dedup (which keeps
+    * watermarked seen-hash state). The one streaming join pattern the
+    * matrix lacked after st08's semi-join. Every tenth doc plays the
+    * historical corpus; the rest stream. The raw corpus has no
+    * cross-boundary duplicates at oracle scale, so the key PLANTS them
+    * (the anti-join must demonstrably drop): every doc_id ≡ 1 (mod 10)
+    * streams a shared payload text that the %50 historical docs also
+    * carry — those 10 % of the stream must vanish. */
+  val st10StreamDedupHistorical: Q = (spark, dir) => {
+    // payload indices cycle through all 5 values on both sides (div
+    // before mod — doc_id % 5 would be constant on each residue class)
+    def payload(idx: org.apache.spark.sql.Column) =
+      concat(lit("shared duplicate payload "), idx.cast("string"))
+    val historical = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("t", when(col("doc_id") % 50 === 0,
+        payload(expr("(doc_id div 50) % 5"))).otherwise(col("text")))
+      .select(sha2(col("t").cast("binary"), 256).as("content_hash"))
+      .distinct()
+    val fresh = boundedDocStream(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .withColumn("t", when(col("doc_id") % 10 === 1,
+        payload(expr("(doc_id div 10) % 5"))).otherwise(col("text")))
+      .withColumn("content_hash", sha2(col("t").cast("binary"), 256))
+      .join(historical, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"))
+    drainToMemory(spark, "st10", fresh.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
+  /** st10 oracle: content-hash anti-membership against the historical
+    * tenth, with the planted shared payloads restated on both sides
+    * (// is DuckDB integer division ≡ Spark `div` on nonneg ids). */
+  val st10Sql: String =
+    """WITH hist AS (
+      |  SELECT DISTINCT sha256(CASE WHEN doc_id % 50 = 0
+      |    THEN 'shared duplicate payload ' || CAST((doc_id // 50) % 5 AS VARCHAR)
+      |    ELSE text END) AS content_hash
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |fresh AS (
+      |  SELECT doc_id, sha256(CASE WHEN doc_id % 10 = 1
+      |    THEN 'shared duplicate payload ' || CAST((doc_id // 10) % 5 AS VARCHAR)
+      |    ELSE text END) AS content_hash
+      |  FROM documents WHERE doc_id % 10 <> 0)
+      |SELECT f.doc_id
+      |FROM fresh f
+      |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.content_hash = f.content_hash)
+      |ORDER BY f.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st08_stream_contamination" -> st08StreamContamination,
     "st09_stream_pii" -> st09StreamPii,
+    "st10_stream_dedup_historical" -> st10StreamDedupHistorical,
     "st06_stream_sessionize" -> st06StreamSessionize,
     "st07_sessionize_append" -> st07SessionizeAppend,
     "st01_stream_windowed_lang" -> st01WindowedLang,
@@ -592,6 +647,7 @@ object StreamingQueries {
     // stream-static semi-join + update-mode fold
     "st08_stream_contamination" -> graft.operators.PipelineQueries.p20Sql,
     "st09_stream_pii" -> st09Sql,
+    "st10_stream_dedup_historical" -> st10Sql,
     "st07_sessionize_append" -> st07Sql,
     "st06_stream_sessionize" -> st06Sql,
     "st01_stream_windowed_lang" -> st01Sql,
