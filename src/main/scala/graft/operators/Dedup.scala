@@ -418,6 +418,15 @@ object Dedup {
     *     this targets). The document text never shuffles and never
     *     regroups; membership is whole-stage-codegen'd.
     *
+    * CONTRACT: the broadcast design point is the CCNet regime —
+    * boilerplate is the tiny head of the line-frequency distribution,
+    * so `maxDf` must scale with the corpus (a df threshold of 50 on a
+    * 10¹²-line corpus would admit up to total/maxDf = 2·10¹⁰ hashes,
+    * which no executor can hold; a proportional threshold — df >
+    * 0.01 % of docs — keeps the set in the 10³–10⁶ range at any scale).
+    * The single-row agg makes an oversized set fail loudly at the
+    * broadcast, not silently OOM mid-join.
+    *
     * Grouping by the 64-bit line hash instead of the line text cuts the
     * count-pass exchange ~an order of magnitude; a cross-line collision
     * mislabeling a clean line as boilerplate needs ~2^32 DISTINCT lines

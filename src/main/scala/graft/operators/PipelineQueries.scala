@@ -100,7 +100,10 @@ object PipelineQueries {
     * + recursive component labels) subtracted from the corpus — a doc
     * survives iff it is not a non-keeper member of any component. */
   lazy val p28Sql: String = {
-    val prefix = p18Sql.substring(0, p18Sql.lastIndexOf("SELECT component::BIGINT"))
+    val cut = p18Sql.lastIndexOf("SELECT component::BIGINT")
+    require(cut >= 0,
+      "p28Sql composes on p18Sql's final SELECT — update both together")
+    val prefix = p18Sql.substring(0, cut)
     prefix + """SELECT d.doc_id
       |FROM documents d
       |WHERE NOT EXISTS (

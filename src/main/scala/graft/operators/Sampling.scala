@@ -87,7 +87,11 @@ object Sampling {
     *
     * Scale shape: row-local arithmetic + a generator explode — no
     * shuffle, no driver state; weights arrive as a Column (a literal
-    * CASE over sources, or a broadcast-joined dimension).
+    * CASE over sources, or a broadcast-joined dimension). Weights are
+    * per-source repetition factors — single digits in practice; the
+    * explode materializes floor(w) copies per row, so a runaway weight
+    * (10⁶+) is a row-explosion bug at the call site, not something this
+    * operator caps silently.
     *
     * The fractional threshold floor(frac·2⁶³) is exact arithmetic on
     * both engines: multiplying a double by 2⁶³ (a power of two) only

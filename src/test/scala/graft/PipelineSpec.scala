@@ -409,6 +409,27 @@ class PipelineSpec extends AnyFunSuite {
       ("d.io", 1L, 1L)))   // underscore/dash/dot path accepted
   }
 
+  test("weighted mix copies equal the closed form for arbitrary weights") {
+    // independent JVM replay of the kernel: n_copies(key) =
+    // floor(w) + [mix(key ^ seed) >>> 1 < floor(frac(w) * 2^63)] — pins
+    // the column arithmetic (incl. the exact power-of-two threshold)
+    // against a direct Scala computation, for awkward weights too
+    import spark.implicits._
+    val seed = 17L
+    for (w <- Seq(0.1, 0.9999999999999999, 1.0 / 3.0, 2.7182818, 5.0)) {
+      val df = (0L until 200L).map(i => Tuple1(i)).toDF("id")
+      val got = graft.operators.Sampling.weightedMix(df, "id", lit(w), seed)
+        .groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val thresh = math.floor((w - math.floor(w)) * math.pow(2, 63)).toLong
+      (0L until 200L).foreach { id =>
+        val h = graft.operators.DetRngHash.mix(id ^ seed) >>> 1
+        val expect = math.floor(w).toLong + (if (h < thresh) 1L else 0L)
+        assert(got.getOrElse(id, 0L) === expect, s"w=$w id=$id")
+      }
+    }
+  }
+
   test("repeated minhash calls hold at most one cached signature table") {
     import org.apache.spark.storage.StorageLevel
     val s1 = Dedup.minHashSignedForProfile(docs, "text", "doc_id", seed = 101L)
