@@ -116,11 +116,9 @@ object Bench {
     // suspect lists + streaming state rows, with a pointer to the full
     // file — no per-key arrays.
     // Round-suffix the file (current round = max driver-written
-    // BENCH_r{N}.json + 1) so a later round never overwrites an earlier
-    // round's local record.
-    val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
-      .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
+    // BENCH_r{N}.json + 1, GRAFT_ROUND overrides) so a later round never
+    // overwrites an earlier round's local record.
+    val round = RoundInference.current("BENCH")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_local_r$round.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")

@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Current round number for artifact naming, shared by Bench and
+  * Verify: max driver-written `<marker>_r{N}.json` in cwd + 1 (each
+  * tool keys on ITS OWN artifact family, which the driver writes only
+  * AFTER the round's run), overridable with GRAFT_ROUND for re-runs
+  * after the round's file has landed (otherwise a post-hoc gate re-run
+  * would stamp the NEXT round's slot). */
+private[graft] object RoundInference {
+  def current(marker: String): Int =
+    sys.env.get("GRAFT_ROUND").map(_.toInt).getOrElse {
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => s"^${marker}_r(\\d+)\\.json$$".r.findFirstMatchIn(f.getName))
+        .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
+    }
+}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -102,9 +117,7 @@ object Verify {
     // the gate. Full runs only — a key-subset iteration must not
     // masquerade as the round's gate artifact.
     if (only.isEmpty) {
-      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => "^CORRECTNESS_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
-        .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
+      val round = RoundInference.current("CORRECTNESS")
       val wrapped = s"""{"sf": ${q(sfDir)}, "det_match": $detJson, "failures": $failJson}"""
       try Files.writeString(Paths.get(f"det_match_r$round%02d.json"), wrapped)
       catch { case e: Throwable =>

@@ -194,14 +194,28 @@ object HyperplaneSignatures {
   private val planeCache =
     scala.collection.concurrent.TrieMap.empty[(Long, Int, Int), Array[Array[Float]]]
   private def planesFor(seed: Long, bits: Int, dim: Int): Array[Array[Float]] = {
-    while (planeCache.size > 16)
-      planeCache.headOption.foreach(kv => planeCache.remove(kv._1))
-    planeCache.getOrElseUpdate((seed, bits, dim), Array.tabulate(bits, dim) { (i, j) =>
+    val key = (seed, bits, dim)
+    // hot path: plain lookup, no size traversal. Eviction happens only
+    // on a MISS and never evicts the requested key — evict-before-
+    // lookup could permanently thrash the hot entry (recompute the full
+    // bits×dim table on every row once 17 configs had been seen).
+    planeCache.get(key) match {
+      case Some(p) => p
+      case None =>
+        while (planeCache.size >= 16)
+          planeCache.keys.find(_ != key) match {
+            case Some(k) => planeCache.remove(k)
+            case None => return planeCache.getOrElseUpdate(key, mkPlanes(seed, bits, dim))
+          }
+        planeCache.getOrElseUpdate(key, mkPlanes(seed, bits, dim))
+    }
+  }
+  private def mkPlanes(seed: Long, bits: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(bits, dim) { (i, j) =>
       if ((graft.operators.DetRngHash.mix(seed ^ (i.toLong << 32) ^ j.toLong) & 1L) == 1L)
         1f
       else -1f
-    })
-  }
+    }
 
   def kernel(vec: ArrayData, seed: Long, bits: Int): ArrayData = {
     val n = vec.numElements()

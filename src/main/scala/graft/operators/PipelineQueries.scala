@@ -511,18 +511,10 @@ object PipelineQueries {
     * p25's redaction chain, p08's token count over the redacted text,
     * and p21's SplitMix64 fold. */
   lazy val p30Sql: String = {
-    val langs = TextAnalysis.LangMarkers.map(_._1)
-    val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
-      val set = markers.map(m => s"'$m'").mkString(", ")
-      s"len(list_filter(tk, w -> w IN ($set)))::DOUBLE / nn AS s_$lang"
-    }.mkString(",\n      |       ").replace("|", "")
-    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-    val byNameDesc = langs.sorted.reverse
-    val tieBreak = byNameDesc.init.map(l =>
-      s"WHEN s_$l = best THEN '$l'").mkString(" ") + s" ELSE '${byNameDesc.last}'"
-    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
-      "are", "was", "were", "it", "that", "this", "with", "for", "on", "as",
-      "at").map(w => s"'$w'").mkString(", ")
+    val scoreCols = langScoreColsSql("nn", ",\n             ")
+    val best = langBestSql
+    val tieBreak = langTieBreakSql
+    val stopwords = stopwordsSql
     val e = graft.functions.PiiScan.EmailPattern
     val p = graft.functions.PiiScan.PhonePattern
     val i = graft.functions.PiiScan.Ipv4Pattern
@@ -751,6 +743,34 @@ object PipelineQueries {
       |  array_to_string(kept, chr(10)) AS cleaned
       |FROM k
       |ORDER BY doc_id""".stripMargin
+
+  // ---- shared DuckDB fragments for the lang-id / quality oracles
+  // (p10, p30, and the streaming doc preludes) — one generator, so a
+  // lexicon or formula tweak cannot silently diverge between oracles
+
+  /** Per-language score columns over a token array `tk` with the given
+    * denominator column. */
+  private[graft] def langScoreColsSql(denom: String, sep: String): String =
+    TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(tk, w -> w IN ($set)))::DOUBLE / $denom AS s_$lang"
+    }.mkString(sep)
+
+  private[graft] val langBestSql: String =
+    s"greatest(${TextAnalysis.LangMarkers.map("s_" + _._1).mkString(", ")})"
+
+  /** Ties resolve to the lexicographically greatest language — Spark's
+    * array_max over struct(score, lang) semantics. */
+  private[graft] val langTieBreakSql: String = {
+    val byNameDesc = TextAnalysis.LangMarkers.map(_._1).sorted.reverse
+    byNameDesc.init.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ") +
+      s" ELSE '${byNameDesc.last}'"
+  }
+
+  /** The quality-formula stopword list as a SQL array literal (canonical
+    * list: [[TextAnalysis.Stopwords]]). */
+  private[graft] val stopwordsSql: String =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** The SplitMix64 finalizer chain in DuckDB over an UBIGINT `z`
     * column seeded by `zeroCte` (same limb arithmetic as the g1..g6
@@ -1016,15 +1036,9 @@ object PipelineQueries {
     * descending name order. The CJK override uses the common Han block
     * (both engines' regex classes agree on the fixture corpus). */
   val p10Sql: String = {
-    val langs = TextAnalysis.LangMarkers.map(_._1)
-    val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
-      val set = markers.map(m => s"'$m'").mkString(", ")
-      s"len(list_filter(tk, w -> w IN ($set)))::DOUBLE / n AS s_$lang"
-    }.mkString(",\n         ")
-    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-    val byNameDesc = langs.sorted.reverse
-    val tieBreak = byNameDesc.init.map(l =>
-      s"WHEN s_$l = best THEN '$l'").mkString(" ") + s" ELSE '${byNameDesc.last}'"
+    val scoreCols = langScoreColsSql("n", ",\n         ")
+    val best = langBestSql
+    val tieBreak = langTieBreakSql
     s"""WITH t AS (
        |  SELECT lang,
        |         string_split_regex(trim(lower(text)), '\\s+') AS tk,

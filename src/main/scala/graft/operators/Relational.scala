@@ -432,10 +432,16 @@ object Relational {
       val files = events.inputFiles.sorted.mkString("\n")
       if (files.isEmpty) probe() // non-file source: uncacheable (see above)
       else {
-        while (skewProbeCache.size > 64)
-          skewProbeCache.headOption.foreach(kv => skewProbeCache.remove(kv._1))
-        skewProbeCache.getOrElseUpdate(
-          (events.queryExecution.analyzed.semanticHash(), files), probe())
+        val key = (events.queryExecution.analyzed.semanticHash(), files)
+        // lookup first; evict only on a miss and never the requested
+        // key — evict-before-lookup could thrash the hot caller's own
+        // entry, re-running the corpus scan this cache exists to avoid
+        skewProbeCache.get(key).getOrElse {
+          while (skewProbeCache.size >= 64 &&
+              skewProbeCache.keys.find(_ != key).exists(k =>
+                skewProbeCache.remove(k).isDefined)) {}
+          skewProbeCache.getOrElseUpdate(key, probe())
+        }
       }
     }
     if (maxUserRows <= maxEntityRowsPerTask) sessionizeSinglePass(events, gapUs)

@@ -101,7 +101,13 @@ object Sampling {
     * bit-identical in the JVM and DuckDB. */
   def weightedMix(df: DataFrame, keyCol: String, weight: Column,
       seed: Long): DataFrame = {
-    val w = weight.cast("double")
+    // a NULL weight (a broadcast-joined weights dimension missing this
+    // row's source) must FAIL, not silently drop the row — a dropped
+    // source would be indistinguishable from a deliberate 0× weight
+    val w = when(weight.isNotNull, weight.cast("double"))
+      .otherwise(raise_error(lit(
+        "graft weightedMix: NULL weight — missing key in the weights dimension?"))
+        .cast("double"))
     val base = floor(w).cast("long")
     val frac = w - floor(w)
     val thresh = floor(frac * lit(math.pow(2, 63))).cast("long")

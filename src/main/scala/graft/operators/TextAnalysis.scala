@@ -26,7 +26,7 @@ object TextAnalysis {
       split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
       t => length(trim(t)) > 0))
 
-  private val Stopwords = Seq(
+  private[graft] val Stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
     "was", "were", "it", "that", "this", "with", "for", "on", "as", "at")
 

@@ -136,13 +136,11 @@ object StreamingQueries {
     * to 6 as the Spark expression does) and language scores (the p10
     * lexicons) as CTEs `m` and `q` over `documents`. */
   private val docPrelude: String = {
-    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
-      "are", "was", "were", "it", "that", "this", "with", "for", "on", "as",
-      "at").map(w => s"'$w'").mkString(", ")
-    val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
-      val set = markers.map(m => s"'$m'").mkString(", ")
-      s"len(list_filter(tk, w -> w IN ($set)))::DOUBLE / nn AS s_$lang"
-    }.mkString(",\n         ")
+    // shared fragment builders (PipelineQueries) — one generator for the
+    // lexicons/stopwords across the p10/p30/st01/st03 oracles
+    val stopwords = graft.operators.PipelineQueries.stopwordsSql
+    val scoreCols =
+      graft.operators.PipelineQueries.langScoreColsSql("nn", ",\n         ")
     s"""m AS (
        |  SELECT doc_id, source,
        |    CAST(length(text) AS BIGINT) AS n_chars,
@@ -175,11 +173,8 @@ object StreamingQueries {
   /** The st01 batch-SQL oracle: per-doc quality + language id (lexicon
     * tie-break), rolled up by the same minute window. */
   val st01Sql: String = {
-    val langs = TextAnalysis.LangMarkers.map(_._1)
-    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-    val byNameDesc = langs.sorted.reverse
-    val tieBreak = byNameDesc.init.map(l =>
-      s"WHEN s_$l = best THEN '$l'").mkString(" ") + s" ELSE '${byNameDesc.last}'"
+    val best = graft.operators.PipelineQueries.langBestSql
+    val tieBreak = graft.operators.PipelineQueries.langTieBreakSql
     s"""WITH $docPrelude,
        |b AS (SELECT *, $best AS best FROM q),
        |p AS (
