@@ -1,6 +1,16 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "bayeslitespark"
+// Suppress sbt's "[success] Total time …" footer: the driver parses the
+// LAST stdout line of `runMain graft.Bench` as JSON, and the footer has
+// trailed (and broken) that parse for three rounds (BENCH_r{11..13}.json
+// all "parsed: null"). Exit codes still signal failure; test/compile
+// output keeps its own per-suite summaries.
+Global / showSuccess := false
+// Forked run output goes straight to stdout instead of through sbt's
+// logger: no "[info] " prefix on Bench's JSON record lines, so a raw
+// last-line `json.loads` works without stripping.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
