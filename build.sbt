@@ -7,6 +7,8 @@ name := "bayeslitespark"
 // all "parsed: null"). Exit codes still signal failure; test/compile
 // output keeps its own per-suite summaries.
 Global / showSuccess := false
+// (read by sbt's command layer, not a task — exclude from the unused-key lint)
+Global / excludeLintKeys += showSuccess
 // Forked run output goes straight to stdout instead of through sbt's
 // logger: no "[info] " prefix on Bench's JSON record lines, so a raw
 // last-line `json.loads` works without stripping.

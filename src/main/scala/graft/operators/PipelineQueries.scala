@@ -436,7 +436,18 @@ object PipelineQueries {
     * per domain ([[TextAnalysis.domainStats]]). */
   val p29DomainStats: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
-    val aug = docs.select(col("doc_id"), concat(
+    TextAnalysis.domainStats(urlAugmentedDocs(docs), "t", "doc_id")
+      .orderBy("domain")
+  }
+
+  /** The planted-URL corpus shared by p29/p31 (the testdata carries no
+    * URLs): deterministic URLs per doc_id residue class, plus
+    * near-misses (htp://, ftp://, a single-slash https:/, a
+    * sentence-final dot the host-ends-alphanumeric rule strips
+    * identically in both engines). Restated verbatim in SQL by
+    * [[urlAugCteSql]]. */
+  private def urlAugmentedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
       col("text"),
       when(pmod(col("doc_id"), lit(4)) === 0,
         concat(lit(" see https://example"), pmod(col("doc_id"), lit(7)).cast("string"),
@@ -452,8 +463,93 @@ object PipelineQueries {
         // (both engines backtrack identically)
         lit(" near-misses: htp://x.com ftp://files.example.org https:/missing.com see https://dot.example.com."))
         .otherwise(lit(""))).as("t"))
-    TextAnalysis.domainStats(aug, "t", "doc_id")
-      .orderBy("domain")
+
+  /** [[urlAugmentedDocs]] as a DuckDB CTE body (`aug(doc_id, t)`). */
+  private val urlAugCteSql: String =
+    """  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' see https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 0 THEN ' and http://cdn' || CAST((doc_id % 27) // 9 AS VARCHAR) || '.example.net' || ' plus https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' near-misses: htp://x.com ftp://files.example.org https:/missing.com see https://dot.example.com.' ELSE '' END AS t
+      |  FROM documents""".stripMargin
+
+  /** p31's blocklist — CDN/boilerplate hosts from the planted corpus
+    * plus one domain no document carries (a blocklist is maintained
+    * independently of the corpus; unmatched entries must be inert). */
+  private[graft] val P31Blocklist: Seq[String] = Seq(
+    "cdn0.example.net", "cdn1.example.net", "cdn2.example.net",
+    "dot.example.com", "spam.invalid.example")
+  private[graft] val P31Cap = 5
+  private[graft] val P31Seed = 1031L
+
+  /** p31: domain blocklist + per-domain cap — the filtering step p29's
+    * statistics feed (RefinedWeb/CCNet drop blocklisted hosts and cap
+    * documents per domain before quality scoring). A document's domain
+    * is its FIRST extracted URL's host (leftmost match — both regex
+    * engines agree); documents with no URL pass through ungated.
+    *
+    * Scale shape: domain extraction is row-local codegen; the blocklist
+    * (MB-scale in production) is a BROADCAST left-anti join, never a
+    * shuffle of the corpus; the cap is [[Sampling.capPerGroup]]'s
+    * two-phase rank, so one crawler-heavy domain holding 10 % of the
+    * corpus spreads over `cells` sub-sorts instead of serializing a
+    * single reducer. Deterministic in (doc_id, seed). */
+  val p31DomainCap: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val withDom = urlAugmentedDocs(docs)
+      .withColumn("__u", regexp_extract(col("t"), TextAnalysis.UrlPattern, 0))
+      .withColumn("domain",
+        when(length(col("__u")) > 0,
+          regexp_extract(col("__u"), "https?://([^/]+)", 1)))
+      .select(col("doc_id"), col("domain"))
+    import spark.implicits._
+    val bl = P31Blocklist.toDF("blocked_domain")
+    val pass = withDom.join(broadcast(bl),
+      withDom("domain") === bl("blocked_domain"), "left_anti")
+    // no-URL docs are UNGATED: each gets a singleton synthetic group
+    // (space-prefixed id — a space can't appear in an extracted
+    // host, so no collision with a real domain) and trivially survives
+    // any cap ≥ 1 — ONE pipeline,
+    // not a filter/union split that would scan (and regexp) the corpus
+    // twice
+    Sampling.capPerGroup(
+        pass.withColumn("__g", coalesce(col("domain"),
+          concat(lit(" "), col("doc_id")))),
+        "__g", "doc_id", cap = P31Cap, seed = P31Seed)
+      .drop("__g")
+      .orderBy("doc_id")
+  }
+
+  /** p31 oracle: the same planted corpus ([[urlAugCteSql]]), first-URL
+    * domain (both engines return '' on no match — normalized to NULL),
+    * NOT IN blocklist, and the cap restated as a row_number over the
+    * exact (hash63, doc_id) order — the [[mixChainSql]] SplitMix64
+    * restatement seeded like `Sampling.hash63(doc_id, seed)`. */
+  val p31Sql: String = {
+    val blocked = P31Blocklist.map(d => s"'$d'").mkString(", ")
+    s"""WITH aug AS (
+       |$urlAugCteSql),
+       |dom0 AS (
+       |  SELECT doc_id,
+       |         regexp_extract(t, '${TextAnalysis.UrlPattern}') AS u
+       |  FROM aug),
+       |dom AS (
+       |  SELECT doc_id,
+       |         CASE WHEN u = '' THEN NULL
+       |              ELSE regexp_extract(u, 'https?://([^/]+)', 1) END AS domain
+       |  FROM dom0),
+       |pass AS (
+       |  SELECT doc_id, domain FROM dom
+       |  WHERE domain IS NULL OR domain NOT IN ($blocked)),
+       |${mixChainSql(s"SELECT doc_id, domain, xor(CAST(doc_id AS UBIGINT), CAST($P31Seed AS UBIGINT)) AS z FROM pass WHERE domain IS NOT NULL").drop(5)}
+       |rk AS (
+       |  SELECT doc_id, domain,
+       |         row_number() OVER (PARTITION BY domain ORDER BY z, doc_id) AS rk
+       |  FROM h)
+       |SELECT doc_id, domain FROM rk WHERE rk <= $P31Cap
+       |UNION ALL
+       |SELECT doc_id, domain FROM pass WHERE domain IS NULL
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** p29 oracle: the same planted URLs, the same extraction pattern
@@ -461,12 +557,7 @@ object PipelineQueries {
     * domain = host group, URL count + distinct-doc count per domain. */
   val p29Sql: String =
     s"""WITH aug AS (
-       |  SELECT doc_id,
-       |    text ||
-       |    CASE WHEN doc_id % 4 = 0 THEN ' see https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END ||
-       |    CASE WHEN doc_id % 9 = 0 THEN ' and http://cdn' || CAST((doc_id % 27) // 9 AS VARCHAR) || '.example.net' || ' plus https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
-       |    CASE WHEN doc_id % 11 = 0 THEN ' near-misses: htp://x.com ftp://files.example.org https:/missing.com see https://dot.example.com.' ELSE '' END AS t
-       |  FROM documents),
+       |$urlAugCteSql),
        |u AS (
        |  SELECT doc_id, unnest(regexp_extract_all(t, '${TextAnalysis.UrlPattern}')) AS url
        |  FROM aug),
@@ -1020,6 +1111,7 @@ object PipelineQueries {
     "p27_weighted_mix" -> p27WeightedMix,
     "p28_dedup_materialize" -> p28DedupMaterialize,
     "p29_domain_stats" -> p29DomainStats,
+    "p31_domain_cap" -> p31DomainCap,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -1482,6 +1574,7 @@ object PipelineQueries {
     "p27_weighted_mix" -> p27Sql,
     "p28_dedup_materialize" -> p28Sql,
     "p29_domain_stats" -> p29Sql,
+    "p31_domain_cap" -> p31Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

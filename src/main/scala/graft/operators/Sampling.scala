@@ -138,4 +138,49 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Skew-safe per-group cap: keep the `cap` rows of each group that
+    * are smallest in the total order (hash63(key, seed), key) — the
+    * same semantics as [[stratifiedSample]], but built for the
+    * per-DOMAIN cap of a web corpus, where group sizes are Zipfian and
+    * one hot group (a crawler-heavy domain holding 5–10 % of all rows)
+    * would serialize a single-window sort on one reducer.
+    *
+    * Two-phase rank: rows first shuffle on (group, cell) — `cells`
+    * deterministic sub-buckets of the key hash — and each cell keeps
+    * its own top-`cap`, bounding every sort at |group|/cells expected
+    * rows; the ≤ cap·cells survivors per group then take the exact
+    * global top-`cap` in a second, trivially small window. The result
+    * is IDENTICAL to the one-window form for every `cells` ≥ 1: a row's
+    * rank within any cell is ≤ its rank within the whole group, so no
+    * group-wide top-`cap` row can be dropped in phase one, and phase
+    * two applies the exact total order. Deterministic in (key, seed)
+    * like everything in this module — `cells` and the physical
+    * partitioning cannot move a row in or out of the cap.
+    *
+    * NULL groups form one (capped) group, as in any window — callers
+    * that want NULL-group rows UNGATED (e.g. documents with no URL in a
+    * domain cap) should split them out before calling. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      cap: Int, seed: Long, cells: Int = 64): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    require(cells > 0, "cells must be positive")
+    val h = hash63(col(keyCol), seed)
+    // cell id from an independent bit-range of the same hash (the low
+    // bits order within a cell; the high bits pick the cell) — any
+    // deterministic function of the key works, correctness never
+    // depends on how rows land in cells
+    val cell = pmod(shiftrightunsigned(mix64(col(keyCol).cast("long")
+      .bitwiseXOR(lit(seed))), 17), lit(cells.toLong))
+    val w1 = Window.partitionBy(col(groupCol), col("__cell"))
+      .orderBy(h, col(keyCol))
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(h, col(keyCol))
+    df.withColumn("__cell", cell)
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= cap)
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= cap)
+      .drop("__cell", "__r1", "__rk")
+  }
 }

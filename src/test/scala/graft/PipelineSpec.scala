@@ -154,6 +154,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(pick(tiny).size == 2, "quota caps at stratum size")
   }
 
+  test("capPerGroup: exact per-group top-cap, invariant to cells and partitioning, ≡ stratifiedSample") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // Zipf-shaped groups: one hot (1000 rows), one medium (100), one
+    // below the cap (7) — the web-domain skew profile the two-phase
+    // rank exists for
+    val rows = ((0L until 1000L).map(i => (i, "hot")) ++
+      (1000L until 1100L).map(i => (i, "mid")) ++
+      (1100L until 1107L).map(i => (i, "tiny"))).toDF("id", "g")
+    def run(df: org.apache.spark.sql.DataFrame, cells: Int) =
+      Sampling.capPerGroup(df, "g", "id", cap = 10, seed = 5L, cells = cells)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val base = run(rows, 1)
+    // the phase-one pre-prune must never change the answer: any cells
+    // count, any input partitioning
+    assert(base == run(rows, 64), "cells=64 must equal cells=1")
+    assert(base == run(rows.repartition(13), 7), "partitioning+cells must not move rows")
+    // same selection as the one-window stratifiedSample (same total order)
+    val strat = Sampling.stratifiedSample(rows, "g", "id", 10, 5L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(base == strat, "capPerGroup must select the stratifiedSample set")
+    val sizes = base.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes == Map("hot" -> 10, "mid" -> 10, "tiny" -> 7), s"got $sizes")
+  }
+
   test("winnowing containment guarantee holds at EVERY embedding offset (k+window-1 chars)") {
     import spark.implicits._
     // Schleimer et al.'s coverage theorem needs SLIDING windows: a

@@ -291,6 +291,33 @@ class WidePopulationSpec extends AnyFunSuite {
       s"winnow prints must stay a native expression:\n$plan")
   }
 
+  test("domain cap: blocklist broadcasts, cap pre-prunes on (group, cell) — no corpus SortMergeJoin") {
+    // p31's scale shape made checkable: the blocklist is the BROADCAST
+    // side of a LeftAnti hash join (a blocklist shuffle would grow with
+    // the corpus), and the per-domain cap runs TWO window passes — the
+    // (domain, cell) pre-prune then the tiny exact pass — so a hot
+    // domain never serializes one reducer's sort
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit, pmod}
+    val docs = (0L until 400L).map(i => (i, s"d${i % 3}.example.com"))
+      .toDF("doc_id", "domain")
+    val bl = Seq("d9.example.com").toDF("blocked_domain")
+    val pass = docs.join(broadcast(bl),
+      docs("domain") === bl("blocked_domain"), "left_anti")
+    val out = graft.operators.Sampling.capPerGroup(pass, "domain", "doc_id",
+      cap = 5, seed = 1031L)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist must broadcast as an anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle against the blocklist:\n$plan")
+    assert("(?s)Window".r.findAllIn(plan).size >= 2,
+      s"expected the two-phase rank's two Window passes:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"hash order must stay native:\n$plan")
+  }
+
   test("PII scan stays a native codegen'd expression — no ScalaUDF, no shuffle") {
     // p25's scale story IS this plan: one row-local projection inside
     // whole-stage codegen, nothing exchanges. Built over range() — a
