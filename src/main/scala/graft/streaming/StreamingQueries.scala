@@ -577,7 +577,66 @@ object StreamingQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.content_hash = f.content_hash)
       |ORDER BY f.doc_id""".stripMargin
 
+  /** st11: stream-stream event-time INTERVAL join — attribution (which
+    * click led to this purchase?), the last join pattern the streaming
+    * matrix lacked: st08 joins a stream to STATIC reference data, st10
+    * anti-joins it; here BOTH sides are live streams and the engine
+    * must buffer each in keyed state until the other side's watermark
+    * passes the interval. Purchases match same-user clicks from the
+    * preceding 12 hours (boundaries inclusive on both ends — pinned by
+    * StreamingSpec).
+    *
+    * Scale shape: state is bounded by the watermark delay + interval
+    * width — each side retains O(rate × (delay + 12 h)) rows keyed and
+    * hash-partitioned by user_id, evicted as the opposite watermark
+    * advances; nothing grows with total stream length. An inner join
+    * emits in append mode as soon as both rows have arrived, so results
+    * stream out continuously rather than at window close. */
+  val st11StreamStreamJoin: Q = (spark, dir) => {
+    val purchases = boundedEventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = boundedEventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      // the click side's watermark can lag the full lookback: a click
+      // must stay joinable until purchase-time watermark passes
+      // click-time + 12 h (the engine derives the eviction bound from
+      // this condition)
+      .withWatermark("c_ts", "1 hour")
+    drainToMemory(spark, "st11",
+      attributionJoin(purchases, clicks).writeStream.outputMode("append"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** The st11 join core, factored so StreamingSpec can drive the
+    * boundary cases through MemoryStreams: purchases(purchase_id,
+    * user_id, p_ts) ⋈ clicks(click_id, c_user, c_ts) on same user and
+    * c_ts ∈ [p_ts − 12 h, p_ts], both ends inclusive. */
+  private[graft] def attributionJoin(purchases: DataFrame,
+      clicks: DataFrame): DataFrame =
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 12 HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+
+  /** st11 oracle: the same interval self-join in batch SQL — timestamp
+    * arithmetic is exact microseconds in both engines. */
+  val st11Sql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |       p.user_id
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 12 HOUR AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st11_stream_stream_join" -> st11StreamStreamJoin,
     "st08_stream_contamination" -> st08StreamContamination,
     "st09_stream_pii" -> st09StreamPii,
     "st10_stream_dedup_historical" -> st10StreamDedupHistorical,
@@ -638,6 +697,7 @@ object StreamingQueries {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "st11_stream_stream_join" -> st11Sql,
     // identical computation to batch p20 — the streaming path is the
     // stream-static semi-join + update-mode fold
     "st08_stream_contamination" -> graft.operators.PipelineQueries.p20Sql,

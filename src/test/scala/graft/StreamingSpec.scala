@@ -419,4 +419,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(bounded * 3 <= unbounded,
       s"horizon eviction not visible in state size: bounded=$bounded unbounded=$unbounded")
   }
+
+  test("stream-stream attribution join: 12h lookback inclusive on BOTH ends, user-scoped") {
+    // st11's interval semantics pinned at the exact boundaries the
+    // oracle can't isolate (the corpus has no events landing exactly
+    // 12 h apart): a click at p_ts − 12 h and one at p_ts both match;
+    // one second outside either end does not; another user's click at
+    // a matching time never does. Both sides arrive across separate
+    // batches, so the match is made from buffered join STATE, not
+    // within-batch.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val base = 1700000000L
+    val pTs = base + 43200L // purchase at base + 12 h
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.StreamingQueries.attributionJoin(
+      purchases.toDF.toDF("purchase_id", "user_id", "p_ts")
+        .withWatermark("p_ts", "1 hour"),
+      clicks.toDF.toDF("click_id", "c_user", "c_ts")
+        .withWatermark("c_ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("attribution_out")
+      .outputMode("append").start()
+    try {
+      // clicks first, purchase in a LATER batch: the join must hold the
+      // clicks in state until the purchase arrives
+      clicks.addData(
+        (10L, 1L, t(base)),         // exactly p_ts − 12 h → match
+        (11L, 1L, t(pTs)),          // exactly p_ts → match
+        (12L, 1L, t(base - 1L)),    // 1 s too early → no match
+        (13L, 1L, t(pTs + 1L)),     // 1 s after the purchase → no match
+        (14L, 2L, t(base + 100L)))  // right time, wrong user → no match
+      q.processAllAvailable()
+      purchases.addData((1L, 1L, t(pTs)))
+      q.processAllAvailable()
+      val out = spark.table("attribution_out")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((1L, 10L), (1L, 11L)), s"got $out")
+    } finally q.stop()
+  }
 }
