@@ -520,6 +520,28 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p32: corpus-wide top-50 bigram frequencies over `documents` —
+    * [[TextAnalysis.topNgrams]] with n=2 (see its scaladoc for the
+    * scale shape: row-local gram construction, one map-side-combined
+    * shuffle, TakeOrderedAndProject top-k). */
+  val p32TopNgrams: Q = (spark, dir) =>
+    TextAnalysis.topNgrams(Tables.load(spark, dir, "documents"),
+      "text", n = 2, k = 50)
+
+  /** p32 oracle: same whitespace tokens, 1-based inclusive list slices
+    * for the bigrams, same total (count DESC, ngram ASC) order at the
+    * k-boundary. */
+  val p32Sql: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT array_to_string(tk[i:i+1], ' ') AS ngram
+      |  FROM t, unnest(range(1, len(tk))) AS r(i))
+      |SELECT ngram, count(*)::BIGINT AS n
+      |FROM g GROUP BY ngram
+      |ORDER BY n DESC, ngram LIMIT 50""".stripMargin
+
   /** p31 oracle: the same planted corpus ([[urlAugCteSql]]), first-URL
     * domain (both engines return '' on no match — normalized to NULL),
     * NOT IN blocklist, and the cap restated as a row_number over the
@@ -1112,6 +1134,7 @@ object PipelineQueries {
     "p28_dedup_materialize" -> p28DedupMaterialize,
     "p29_domain_stats" -> p29DomainStats,
     "p31_domain_cap" -> p31DomainCap,
+    "p32_top_ngrams" -> p32TopNgrams,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -1575,6 +1598,7 @@ object PipelineQueries {
     "p28_dedup_materialize" -> p28Sql,
     "p29_domain_stats" -> p29Sql,
     "p31_domain_cap" -> p31Sql,
+    "p32_top_ngrams" -> p32Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -93,6 +93,35 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Corpus-wide top-k n-gram frequencies — the vocabulary/bigram
+    * statistics a tokenizer-training or corpus-analysis pass computes
+    * (token coverage, merge candidates, boilerplate phrases).
+    * Tokenization is the whitespace split the quality/lang-id kernels
+    * use, so the oracle restates it verbatim.
+    *
+    * Scale shape: n-gram construction is row-local (one codegen'd
+    * higher-order expression); the ONLY corpus shuffle is the count
+    * aggregate, map-side combined so the exchange carries (distinct
+    * n-gram, partial count), not token occurrences; the top-k runs as
+    * TakeOrderedAndProject — per-partition heaps of k rows merged on
+    * the driver, never a global sort. The (count DESC, n-gram ASC)
+    * order is total, so the k-boundary is deterministic. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(k > 0, "k must be positive")
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val grams =
+      if (n == 1) tk
+      else when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => array_join(slice(tk, i + lit(1), lit(n)), " ")))
+        .otherwise(array())
+    df.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** 64-bit content fingerprint by winnowing (Schleimer et al., MOSS):
     * rolling Rabin–Karp hashes of char k-grams, minimum per window,
     * fingerprint = combined distinct window minima. Row-local, native

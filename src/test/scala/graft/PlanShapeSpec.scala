@@ -318,6 +318,31 @@ class WidePopulationSpec extends AnyFunSuite {
       s"hash order must stay native:\n$plan")
   }
 
+  test("top-ngrams: map-side combine + TakeOrderedAndProject — no global sort, one exchange") {
+    // p32's scale shape: the count aggregate must split into
+    // partial/final HashAggregates around ONE exchange (the exchange
+    // then carries distinct n-grams, not token occurrences), and the
+    // top-k must be per-partition heaps merged on the driver
+    // (TakeOrderedAndProject), never a corpus-wide Sort
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, s"alpha beta gamma token${i % 7} delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.topNgrams(docs, "text", n = 2, k = 10)
+    out.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // nodes only in the final section or every node double-counts
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"expected at most one exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"gram construction must stay native:\n$plan")
+  }
+
   test("PII scan stays a native codegen'd expression — no ScalaUDF, no shuffle") {
     // p25's scale story IS this plan: one row-local projection inside
     // whole-stage codegen, nothing exchanges. Built over range() — a
