@@ -129,6 +129,22 @@ object GraftFunctions {
       {
         case Seq(t) => RepetitionStats(t)
         case as => badArity("graft_repetition_stats", as.length, "1")
+      }),
+    ("graft_url_domain",
+      "(text) - host of the first http(s) URL in text, NULL if none",
+      {
+        // built from raw catalyst nodes: a registry builder must return
+        // a RESOLVED expression tree (the Column-API bridge yields an
+        // unresolved ColumnNodeExpression here); GraftExtensionsSpec
+        // pins bit-equality with TextAnalysis.urlDomain
+        case Seq(t) =>
+          import org.apache.spark.sql.catalyst.expressions.{GreaterThan, If, Length, RegExpExtract}
+          val url = RegExpExtract(t,
+            Literal(graft.operators.TextAnalysis.UrlPattern), Literal(0))
+          If(GreaterThan(Length(url), Literal(0)),
+            RegExpExtract(url, Literal("https?://([^/]+)"), Literal(1)),
+            Literal(null, org.apache.spark.sql.types.StringType))
+        case as => badArity("graft_url_domain", as.length, "1")
       }))
 
   private[graft] def info(name: String, usage: String): ExpressionInfo =

@@ -497,10 +497,7 @@ object PipelineQueries {
   val p31DomainCap: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
     val withDom = urlAugmentedDocs(docs)
-      .withColumn("__u", regexp_extract(col("t"), TextAnalysis.UrlPattern, 0))
-      .withColumn("domain",
-        when(length(col("__u")) > 0,
-          regexp_extract(col("__u"), "https?://([^/]+)", 1)))
+      .withColumn("domain", TextAnalysis.urlDomain(col("t")))
       .select(col("doc_id"), col("domain"))
     import spark.implicits._
     val bl = P31Blocklist.toDF("blocked_domain")

@@ -93,6 +93,15 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Host of the FIRST extracted URL in `text` (leftmost
+    * [[UrlPattern]] match), NULL when the text carries none — the
+    * "document's domain" convention p31's blocklist/cap uses. Row-local
+    * codegen'd regexps; also SQL-exposed as `graft_url_domain`. */
+  def urlDomain(text: Column): Column = {
+    val u = regexp_extract(text, UrlPattern, 0)
+    when(length(u) > 0, regexp_extract(u, "https?://([^/]+)", 1))
+  }
+
   /** Corpus-wide top-k n-gram frequencies — the vocabulary/bigram
     * statistics a tokenizer-training or corpus-analysis pass computes
     * (token coverage, merge candidates, boilerplate phrases).

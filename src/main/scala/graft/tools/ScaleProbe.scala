@@ -127,7 +127,11 @@ object ScaleProbe {
     "st01_stream_windowed_lang" -> Set("documents"),
     "st04_stream_near_dup" -> Set("documents"),
     "st05_stream_embed_near_dup" -> Set("documents", "embeddings"),
-    "st06_stream_sessionize" -> Set("events")
+    "st06_stream_sessionize" -> Set("events"),
+    "st07_sessionize_append" -> Set("events"),
+    "st11_stream_stream_join" -> Set("events"),
+    "p31_domain_cap" -> Set("documents"),
+    "p32_top_ngrams" -> Set("documents")
   ).withDefaultValue(Set("documents", "embeddings"))
 
   def main(args: Array[String]): Unit = {

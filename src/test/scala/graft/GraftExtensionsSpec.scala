@@ -118,6 +118,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "mail [EMAIL] or dial [PHONE] from [IP]"))
   }
 
+  test("graft_url_domain matches the Column API: first-URL host, NULL when no URL") {
+    registered.catalog
+    Seq((1L, "see https://a.example.com/x then https://b.example.com"),
+        (2L, "no urls at all"),
+        (3L, "near-miss htp://x.com then real http://ok.example.net"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_url")
+    val viaSql = registered.sql(
+      "SELECT doc_id, graft_url_domain(text) AS d FROM ext_url").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val viaCols = registered.table("ext_url").select(col("doc_id"),
+        graft.operators.TextAnalysis.urlDomain(col("text")).as("d")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(viaSql === viaCols)
+    assert(viaSql === Set((1L, Some("a.example.com")), (2L, None),
+      (3L, Some("ok.example.net"))))
+  }
+
   test("the decontamination recipe is pure SQL — and keeps the broadcast plan shape") {
     // r13 verdict stretch: the p20 JOIN shape reachable from the REPL.
     // This IS the documented recipe (TextAnalysis.contamination scaladoc):
