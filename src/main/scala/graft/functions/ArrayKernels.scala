@@ -193,20 +193,33 @@ object HyperplaneSignatures {
     * recompute, so past 16 entries the cache just drops one. */
   private val planeCache =
     scala.collection.concurrent.TrieMap.empty[(Long, Int, Int), Array[Array[Float]]]
+  // LRU bookkeeping: lastHit[key] = tick of the most recent planesFor
+  // hit. Eviction (on a miss, cache full) removes the LEAST-recently-hit
+  // key, never the requested one — an arbitrary victim would let one
+  // cold config's misses repeatedly evict another ACTIVE key, degrading
+  // that key to a full bits×dim recompute per row (the thrash this
+  // cache exists to avoid must hold for every live key, not just the
+  // one currently requesting).
+  private val lastHit =
+    scala.collection.concurrent.TrieMap.empty[(Long, Int, Int), Long]
+  private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
   private def planesFor(seed: Long, bits: Int, dim: Int): Array[Array[Float]] = {
     val key = (seed, bits, dim)
-    // hot path: plain lookup, no size traversal. Eviction happens only
-    // on a MISS and never evicts the requested key — evict-before-
-    // lookup could permanently thrash the hot entry (recompute the full
-    // bits×dim table on every row once 17 configs had been seen).
+    // hot path: plain lookup + a counter bump, no size traversal.
     planeCache.get(key) match {
-      case Some(p) => p
+      case Some(p) =>
+        lastHit.put(key, tick.incrementAndGet())
+        p
       case None =>
-        while (planeCache.size >= 16)
-          planeCache.keys.find(_ != key) match {
-            case Some(k) => planeCache.remove(k)
-            case None => return planeCache.getOrElseUpdate(key, mkPlanes(seed, bits, dim))
-          }
+        while (planeCache.size >= 16) {
+          val victims = planeCache.keys.filter(_ != key)
+          if (victims.isEmpty)
+            return planeCache.getOrElseUpdate(key, mkPlanes(seed, bits, dim))
+          val v = victims.minBy(k => lastHit.getOrElse(k, 0L))
+          planeCache.remove(v)
+          lastHit.remove(v)
+        }
+        lastHit.put(key, tick.incrementAndGet())
         planeCache.getOrElseUpdate(key, mkPlanes(seed, bits, dim))
     }
   }

@@ -436,7 +436,11 @@ object Dedup {
   def lineDedup(docs: DataFrame, textCol: String, idCol: String,
       maxDf: Long): DataFrame = {
     require(maxDf > 0, "maxDf must be positive")
-    val lineSplit = split(col(textCol), "\n", -1)
+    // split(null) yields a null ARRAY, which would propagate null
+    // n_lines/n_dropped/cleaned for a null-text doc; coalesce to ""
+    // so such a doc behaves as a one-empty-line document (counted,
+    // cleanable) instead of silently nulling out downstream.
+    val lineSplit = split(coalesce(col(textCol), lit("")), "\n", -1)
     val boilArr = docs
       .select(explode(lineSplit).as("line"))
       .groupBy(xxhash64(col("line")).as("h")).agg(count(lit(1)).as("df"))

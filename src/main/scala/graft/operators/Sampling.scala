@@ -27,9 +27,23 @@ object Sampling {
 
   /** Seeded hash of a long key, shifted into [0, 2^63) so that signed
     * (JVM) and unsigned (DuckDB UBIGINT) arithmetic agree on order and
-    * modulus. */
+    * modulus. NUMERIC keys only: under ANSI mode a non-castable key
+    * (string, …) makes the cast THROW — fail-loudly, never a silent
+    * NULL order. Callers with non-numeric keys use [[orderHash63]],
+    * which dispatches here only for numeric key columns. */
   def hash63(key: Column, seed: Long): Column =
     shiftrightunsigned(mix64(key.cast("long").bitwiseXOR(lit(seed))), 1)
+
+  /** Seeded [0, 2^63) order hash for ANY key type: numeric keys use
+    * [[hash63]] (the DuckDB-restateable mix64 limb arithmetic every
+    * oracle-backed split/cap key relies on); everything else uses a
+    * seeded xxhash64 — deterministic in (key, seed) and partition-
+    * independent like the numeric path, just not SQL-restateable
+    * (non-numeric-key callers are not oracle-backed). */
+  private[graft] def orderHash63(df: DataFrame, keyCol: String, seed: Long): Column =
+    if (df.schema(keyCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      hash63(col(keyCol), seed)
+    else shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1)
 
   /** Deterministic fold assignment in [0, folds): the train/val/test
     * primitive. Split by the DOCUMENT key for an iid split, or by a
@@ -133,7 +147,7 @@ object Sampling {
       n: Int, seed: Long): DataFrame = {
     require(n > 0, "n must be positive")
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(hash63(col(keyCol), seed), col(keyCol))
+      .orderBy(orderHash63(df, keyCol, seed), col(keyCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)
       .drop("__rk")
@@ -161,17 +175,23 @@ object Sampling {
     * NULL groups form one (capped) group, as in any window — callers
     * that want NULL-group rows UNGATED (e.g. documents with no URL in a
     * domain cap) should split them out before calling. */
+  /** Cell id for [[capPerGroup]]'s phase-one sub-bucketing: a generic
+    * 64-bit hash (xxhash64) of the key, NOT the cast-to-long mix64 the
+    * ordering hash uses — a cast of a non-numeric key yields NULL,
+    * which would silently put every row of a group in ONE cell and
+    * reintroduce the single-reducer sort the two-phase design exists
+    * to avoid. xxhash64 hashes any type. Correctness never depends on
+    * cell assignment (phase two applies the exact total order), so
+    * this needs no oracle restatement. */
+  private[graft] def cellOf(keyCol: Column, seed: Long, cells: Int): Column =
+    pmod(shiftrightunsigned(xxhash64(keyCol, lit(seed)), 17), lit(cells.toLong))
+
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
       cap: Int, seed: Long, cells: Int = 64): DataFrame = {
     require(cap > 0, "cap must be positive")
     require(cells > 0, "cells must be positive")
-    val h = hash63(col(keyCol), seed)
-    // cell id from an independent bit-range of the same hash (the low
-    // bits order within a cell; the high bits pick the cell) — any
-    // deterministic function of the key works, correctness never
-    // depends on how rows land in cells
-    val cell = pmod(shiftrightunsigned(mix64(col(keyCol).cast("long")
-      .bitwiseXOR(lit(seed))), 17), lit(cells.toLong))
+    val h = orderHash63(df, keyCol, seed)
+    val cell = cellOf(col(keyCol), seed, cells)
     val w1 = Window.partitionBy(col(groupCol), col("__cell"))
       .orderBy(h, col(keyCol))
     val w2 = Window.partitionBy(col(groupCol))

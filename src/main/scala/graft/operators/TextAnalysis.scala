@@ -120,7 +120,10 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     val tk = split(trim(lower(col(textCol))), "\\s+")
     val grams =
-      if (n == 1) tk
+      // n=1: trim+split of a blank/whitespace-only doc yields [""] — a
+      // phantom empty "token" the n>=2 path's size guard never emits;
+      // filter it so unigram counts aren't polluted by blank docs.
+      if (n == 1) filter(tk, t => length(t) > 0)
       else when(size(tk) >= n,
         transform(sequence(lit(0), size(tk) - n),
           i => array_join(slice(tk, i + lit(1), lit(n)), " ")))

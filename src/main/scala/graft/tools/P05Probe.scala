@@ -11,16 +11,20 @@ import org.apache.spark.sql.functions._
   *     space saturating linearly with the corpus. The audit builds the
   *     exact bucket table `cosineNearDupPairs` joins on (shared
   *     `hyperplaneBuckets` code path, 128-bit/8-chunk/multi-probe
-  *     config) over the 1000× DISTINCT corpus (rotation-replicated —
-  *     exact copies would measure the duplicate regime, not key-space
-  *     health) and prints rows / distinct buckets / mean / p99 / max
+  *     config) over the 1000× rotation-replicated corpus (exact copies
+  *     would measure the duplicate regime, not key-space health; note
+  *     the recorded STATUS run predates ScaleProbe's sign-flip
+  *     composition, so its corpus had ~dim rotation classes — ~32 k
+  *     distinct vectors in 500 k rows, not fully distinct; a fresh
+  *     ROTATE=1 build is distinct per replica)
+  *     and prints rows / distinct buckets / mean / p99 / max
   *     occupancy and the fraction of members in over-cap buckets.
   *  2. WALL vs OUTPUT — the full pipeline at the production threshold
   *     (0.95): the Hamming prefilter (128·acos(.95)/π + 2√128 ≈ 35.5)
   *     prunes the ~64-bit-distant random mass, so wall tracks the true
   *     near-dup output. At the p05 key's exploratory threshold (0.4)
   *     the prefilter's +4σ slack (69.8 bits) ADMITS most random pairs
-  *     by design — a distinct-500k-corpus run at 0.4 is a ~10⁸-pair
+  *     by design — a 500k-corpus run at 0.4 is a ~10⁸-pair
   *     emission whose wall and spill track output quadratically (the
   *     100× copy-corpus row in STATUS.md already pins the output-bound
   *     wall); it is not a bucket-table question.

@@ -73,12 +73,21 @@ object ScaleProbe {
       writeAsSingleFile(replicate(Tables.load(spark, srcDir, "documents"), factor,
         Map("doc_id" -> D)), outDir, "documents")
     if (want("embeddings")) {
-      // SPARK_GRAFT_PROBE_ROTATE=1: rotate replica k's embedding by
-      // k mod dim positions — norm-preserving and deterministic, so each
-      // replica's vectors decorrelate from the others' instead of being
-      // exact copies. Copy-replication probes the quadratic-duplicate
-      // regime (every replica pair is a true near-dup — output grows
-      // ~factor² by construction; probed at 100×); rotation probes the
+      // SPARK_GRAFT_PROBE_ROTATE=1: transform replica k's embedding by a
+      // per-replica orthogonal map — a circular rotation by k mod dim
+      // positions composed with a ±1 diagonal sign-flip keyed on the
+      // rotation BLOCK k/dim (coordinate j flips iff
+      // xxhash64(block, j) is odd). Both factors are norm-preserving
+      // and deterministic, so each replica's vectors decorrelate from
+      // the others' instead of being exact copies. The composition's
+      // period is dim × 2^dim distinct transforms, so every replica k
+      // in any practical factor gets its OWN transform class — a plain
+      // k%dim rotation alone has only dim classes and at factor=1000
+      // would duplicate each vector ~factor/dim times, silently turning
+      // the distinct-corpus probe back into a duplicate-corpus one.
+      // Copy-replication probes the quadratic-duplicate regime (every
+      // replica pair is a true near-dup — output grows ~factor² by
+      // construction; probed at 100×); rotation+flip probes the
       // DISTINCT-corpus regime, the one the p05 bucket key space is
       // sized for (occupancy must stay bounded as distinct vectors grow).
       val rotate = sys.env.get("SPARK_GRAFT_PROBE_ROTATE").contains("1")
@@ -86,11 +95,20 @@ object ScaleProbe {
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       val replicas = (0 until factor).map { k =>
         val shifted = emb.withColumn("vec_id", col("vec_id") + lit(k * V))
-        val r = k % dim
-        if (!rotate || r == 0) shifted
-        else shifted.withColumn("embedding",
-          concat(slice(col("embedding"), r + 1, dim - r),
-            slice(col("embedding"), 1, r)))
+        if (!rotate || k == 0) shifted
+        else {
+          val r = k % dim
+          val rotated =
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, dim - r),
+              slice(col("embedding"), 1, r))
+          val block = (k / dim).toLong
+          val flipped =
+            if (block == 0L) rotated
+            else transform(rotated, (x, j) =>
+              when((xxhash64(lit(block), j) % 2) === 0, x).otherwise(-x))
+          shifted.withColumn("embedding", flipped)
+        }
       }
       writeAsSingleFile(replicas.reduce(_ unionByName _), outDir, "embeddings")
     }

@@ -179,6 +179,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(sizes == Map("hot" -> 10, "mid" -> 10, "tiny" -> 7), s"got $sizes")
   }
 
+  test("capPerGroup string keys: cells genuinely spread (cast-to-long would NULL them into one cell)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // A string key casts to NULL under cast("long") — if the cell id
+    // were derived that way, every row of the hot group would land in
+    // ONE cell and phase one would degenerate to the single-reducer
+    // sort the two-phase design exists to avoid. Pin that the cell
+    // derivation is a real hash of the string: a 512-row hot group
+    // must occupy many distinct cells (binomially, P(≤8 of 16 cells
+    // hit by 512 hashes) is astronomically small), and the cap result
+    // must stay exact and cells-invariant.
+    val rows = ((0 until 512).map(i => (f"key_$i%04d", "hot")) ++
+      (0 until 5).map(i => (s"t$i", "tiny"))).toDF("id", "g")
+    val cellCount = rows.filter($"g" === "hot")
+      .select(Sampling.cellOf($"id", seed = 5L, cells = 16).as("c"))
+      .distinct().count()
+    assert(cellCount > 8, s"512 string keys hit only $cellCount of 16 cells — cells are not spreading")
+    def run(cells: Int) =
+      Sampling.capPerGroup(rows, "g", "id", cap = 10, seed = 5L, cells = cells)
+        .collect().map(r => (r.getString(1), r.getString(0))).toSet
+    val base = run(1)
+    assert(base == run(16), "string-key cap must be cells-invariant")
+    val sizes = base.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes == Map("hot" -> 10, "tiny" -> 5), s"got $sizes")
+  }
+
   test("winnowing containment guarantee holds at EVERY embedding offset (k+window-1 chars)") {
     import spark.implicits._
     // Schleimer et al.'s coverage theorem needs SLIDING windows: a
@@ -383,6 +409,22 @@ class PipelineSpec extends AnyFunSuite {
     val keep = graft.operators.Dedup.lineDedup(docs, "text", "doc_id", 10L)
       .agg(sum("n_dropped")).head().getLong(0)
     assert(keep === 0L, "df == maxDf must be kept")
+    // null text behaves as a one-empty-line document, not a null row
+    // (split(null) would otherwise null out n_lines/cleaned downstream)
+    val withNull = docs.unionByName(
+      Seq((99L, null: String)).toDF("doc_id", "text"))
+    val nr = graft.operators.Dedup.lineDedup(withNull, "text", "doc_id", 4L)
+      .filter(col("doc_id") === 99L).head()
+    assert(nr.getLong(1) === 1L && nr.getLong(2) === 0L && nr.getString(3) === "",
+      s"null-text doc must clean to empty, got $nr")
+  }
+
+  test("topNgrams n=1 ignores blank docs (no phantom '' unigram)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.topNgrams(docs, "text", n = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("a" -> 2L, "b" -> 1L), s"got $out")
   }
 
   test("weighted mix: exact copies for integer weights, expectation-exact fractional split, repartition-stable") {
