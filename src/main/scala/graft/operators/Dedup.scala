@@ -455,6 +455,74 @@ object Dedup {
         (size(col("__lines")) - size(col("__kept"))).cast("long").as("n_dropped"),
         array_join(col("__kept"), "\n").as("cleaned"))
   }
+
+  /** Span-level exact-duplicate statistics — the finest dedup
+    * granularity (cf. Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"; reference has no analogue): every
+    * `width`-token sliding window of every document is hashed, a window
+    * whose corpus-wide occurrence count exceeds 1 is a DUPLICATED SPAN
+    * (including self-repetition inside one document — repeated text is
+    * repeated text wherever its twin lives), and each document reports
+    *   (n_windows, n_dup_windows, longest_dup_run)
+    * where longest_dup_run is the longest run of CONSECUTIVE duplicated
+    * window positions — the length signal a span-removal pass (or a
+    * contamination audit) thresholds on. Documents shorter than `width`
+    * tokens report all-zero rows (present, not dropped). Tokenization
+    * is the corpus-wide whitespace convention (trim+lower+split), so
+    * the oracle restates it verbatim.
+    *
+    * Scale shape (100 TB): three linear exchanges, all carrying
+    * fixed-width rows — never document text.
+    *   1. window construction is ROW-LOCAL (one codegen'd higher-order
+    *      expression per doc) and each window immediately reduces to
+    *      (id, pos, xxhash64) — 24-byte rows, ~one per corpus token;
+    *   2. the occurrence count is a map-side-combined aggregate on the
+    *      hash (the exchange carries distinct windows + partial
+    *      counts), joined back to the window stream as a
+    *      hash-co-partitioned join — the build row per key is ONE
+    *      (h, df) pair, so a boilerplate span repeated 10^8 times skews
+    *      only the probe side, which AQE skew-split handles;
+    *   3. per-doc stats are ONE aggregate keyed by id: counts fold
+    *      map-side; the run-length needs the doc's duplicated
+    *      POSITIONS, collected and folded row-locally (sort_array +
+    *      aggregate, codegen'd) — per-doc state is O(dup windows of
+    *      that one doc), bounded by document length, not corpus size.
+    * The hash-keyed count is the same 2^-64-collision trade as
+    * [[lineDedup]] (the oracle's string-keyed restatement would expose
+    * a collision as a hash mismatch). */
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, "width must be positive")
+    val tk = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    val wins = when(size(tk) >= width,
+      transform(sequence(lit(0), size(tk) - width),
+        i => array_join(slice(tk, i + 1, lit(width)), " "))).otherwise(array())
+    val w = docs.select(col(idCol), posexplode(wins).as(Seq("pos", "win")))
+      .select(col(idCol), col("pos"), xxhash64(col("win")).as("h"))
+    val df = w.groupBy("h").agg(count(lit(1)).as("df"))
+    val m = w.join(df, "h")
+      .select(col(idCol), col("pos"), (col("df") > 1).as("dup"))
+    val perDoc = m.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"),
+      // collect_list skips the NULLs the `when` leaves on non-dup rows
+      sort_array(collect_list(when(col("dup"), col("pos")))).as("__dp"))
+    val longest = aggregate(col("__dp"),
+      struct(lit(0L).as("best"), lit(0L).as("cur"), lit(-2L).as("prev")),
+      (acc, p) => {
+        val cur = when(p.cast("long") === acc("prev") + 1L, acc("cur") + 1L)
+          .otherwise(lit(1L))
+        struct(greatest(acc("best"), cur).as("best"), cur.as("cur"),
+          p.cast("long").as("prev"))
+      },
+      acc => acc("best"))
+    docs.select(col(idCol))
+      .join(perDoc.withColumn("__run", longest), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("__run"), lit(0L)).as("longest_dup_run"))
+  }
 }
 
 /** Shared row-local hash primitives (SplitMix64 finalizer + a simple

@@ -525,6 +525,74 @@ object PipelineQueries {
     TextAnalysis.topNgrams(Tables.load(spark, dir, "documents"),
       "text", n = 2, k = 50)
 
+  /** The passage-carrying fixture for p33: the corpus texts are unique,
+    * so the key plants shared spans — a 12-token passage appended to
+    * every doc_id % 7 == 0 doc (72 docs at sf0.01) and a second
+    * 12-token passage on % 11 == 0 (46 docs); docs divisible by 77
+    * carry both, so windows straddling the two passages are themselves
+    * corpus-repeated. Window width 8 over a 12-token passage yields 5
+    * consecutive pure-passage windows per planted doc — the run the
+    * longest_dup_run column must find — while windows straddling the
+    * doc's own (unique) tail stay unique. */
+  private val P33Width = 8
+  private val P33Pass1 = "all models are wrong but some are useful in practice today"
+  private val P33Pass2 = "this report was generated automatically please do not reply to it"
+  private def p33FixtureText: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      lit(" " + P33Pass1)).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      lit(" " + P33Pass2)).otherwise(lit("")))
+
+  /** p33: span-level exact-duplicate statistics over the planted
+    * corpus — [[Dedup.spanDupStats]] with width 8 (see its scaladoc for
+    * the three-exchange scale shape). Completes the dedup ladder:
+    * document (p01) → near (p02/p05) → line (p26) → span. */
+  val p33SpanDup: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), p33FixtureText.as("t"))
+    Dedup.spanDupStats(aug, "t", "doc_id", width = P33Width)
+      .orderBy("doc_id")
+  }
+
+  /** p33 oracle: the same planted passages, window construction by
+    * 1-based inclusive list slices, occurrence count keyed on the
+    * window STRING (the hash-free restatement — a Spark-side xxhash64
+    * collision surfaces as a mismatch), and the longest consecutive
+    * run via the pos − row_number() gap-and-island form the Spark
+    * side's row-local fold must agree with. */
+  val p33Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' $P33Pass1' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' $P33Pass2' ELSE '' END AS t
+       |  FROM documents),
+       |tk AS (SELECT doc_id, string_split_regex(trim(lower(t)), '\\s+') AS tk FROM aug),
+       |w AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         array_to_string(tk[i:i+${P33Width - 1}], ' ') AS win
+       |  FROM tk, unnest(range(1, len(tk) - ${P33Width - 2})) AS r(i)),
+       |df AS (SELECT win, count(*) AS df FROM w GROUP BY win),
+       |m AS (SELECT w.doc_id, w.pos, (df.df > 1) AS dup FROM w JOIN df USING (win)),
+       |runs AS (
+       |  SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM m WHERE dup),
+       |rl AS (
+       |  SELECT doc_id, max(c) AS longest
+       |  FROM (SELECT doc_id, grp, count(*) AS c FROM runs GROUP BY doc_id, grp)
+       |  GROUP BY doc_id),
+       |tot AS (
+       |  SELECT doc_id, count(*) AS n_windows,
+       |         sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup
+       |  FROM m GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(tot.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(coalesce(rl.longest, 0) AS BIGINT) AS longest_dup_run
+       |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** p32 oracle: same whitespace tokens, 1-based inclusive list slices
     * for the bigrams, same total (count DESC, ngram ASC) order at the
     * k-boundary. */
@@ -1132,6 +1200,7 @@ object PipelineQueries {
     "p29_domain_stats" -> p29DomainStats,
     "p31_domain_cap" -> p31DomainCap,
     "p32_top_ngrams" -> p32TopNgrams,
+    "p33_span_dedup" -> p33SpanDup,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -1596,6 +1665,7 @@ object PipelineQueries {
     "p29_domain_stats" -> p29Sql,
     "p31_domain_cap" -> p31Sql,
     "p32_top_ngrams" -> p32Sql,
+    "p33_span_dedup" -> p33Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

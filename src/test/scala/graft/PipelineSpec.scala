@@ -419,6 +419,38 @@ class PipelineSpec extends AnyFunSuite {
       s"null-text doc must clean to empty, got $nr")
   }
 
+  test("spanDupStats: embedded passage found, run length exact, short/self-repeat edges") {
+    import spark.implicits._
+    // Hand-computed at width=3.
+    //   doc1 "a b c d e f g h"     → 6 windows; abc/bcd/cde shared with
+    //                                doc2 → n_dup=3, positions 0,1,2 → run 3
+    //   doc2 "x y a b c d e q r s" → 8 windows; dup at positions 2,3,4 → run 3
+    //   doc3 "m n"                 → shorter than width → all zeros, still a row
+    //   doc4 "a b c z z z a b c"   → 7 windows; the SELF-repeated abc at
+    //                                positions 0 and 6 (df=4 with docs 1/2)
+    //                                → n_dup=2, non-consecutive → run 1
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q r s"),
+      (3L, "m n"),
+      (4L, "a b c z z z a b c")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanDupStats(docs, "text", "doc_id", width = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 3L, 3L),
+      (2L, 8L, 3L, 3L),
+      (3L, 0L, 0L, 0L),
+      (4L, 7L, 2L, 1L)), s"got ${out.toSeq}")
+    // repartition invariance: corpus-wide df and the per-doc fold must
+    // not depend on physical layout
+    val out2 = graft.operators.Dedup.spanDupStats(
+      docs.repartition(7), "text", "doc_id", width = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out2.toSeq === out.toSeq)
+  }
+
   test("topNgrams n=1 ignores blank docs (no phantom '' unigram)") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")

@@ -343,6 +343,32 @@ class WidePopulationSpec extends AnyFunSuite {
       s"gram construction must stay native:\n$plan")
   }
 
+  test("spanDupStats: native window construction, partial-agg'd df count, bounded exchanges") {
+    // p33's scale shape: window construction must be row-local codegen
+    // (no ScalaUDF), the occurrence count must split into partial/final
+    // aggregates (the exchange carries distinct window hashes + partial
+    // counts, not token occurrences), and the whole plan is a fixed
+    // number of hash exchanges — never a corpus-wide global Sort (the
+    // per-doc run fold is row-local sort_array + aggregate, and any
+    // within-partition sort belongs to a join/agg, not an ordering).
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, s"alpha beta gamma token${i % 5} delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanDupStats(docs, "text", "doc_id", width = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"window construction must stay native:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final df aggregation:\n$plan")
+    // hash exchanges only (df agg, join sides, per-doc agg, left join
+    // back) — a global ordering exchange (rangepartitioning) would mean
+    // a corpus-wide sort snuck in
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort exchange expected:\n$plan")
+  }
+
   test("PII scan stays a native codegen'd expression — no ScalaUDF, no shuffle") {
     // p25's scale story IS this plan: one row-local projection inside
     // whole-stage codegen, nothing exchanges. Built over range() — a
