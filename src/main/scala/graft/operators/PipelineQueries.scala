@@ -593,6 +593,62 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN rl USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** p34: bigram-LM quality scoring ([[TextAnalysis.bigramLmScore]],
+    * the CCNet filter; see its scaladoc for the scale shape). The
+    * reference slice is the deterministic doc_id % 5 == 0 fifth of the
+    * corpus; add-1 smoothing. Buckets are CALIBRATED FIXED thresholds
+    * (what a production pipeline applies after tuning on the trained
+    * LM): head ≥ −3.40 > middle ≥ −3.55 > tail. At both test SFs every
+    * doc score sits ≥ 2.5e-5 from a threshold — far above the ~1e-13
+    * cross-engine libm/summation-order noise — so the bucket strings
+    * hash-match exactly; the score column itself compares under the
+    * gate's 1e-9 float tolerance. */
+  private val P34HeadMin = -3.40
+  private val P34MidMin = -3.55
+  val p34LmQuality: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.bigramLmScore(docs, "text", "doc_id",
+        refCond = pmod(col("doc_id"), lit(5)) === 0, k = 1.0)
+      .withColumn("bucket",
+        when(col("lm_logprob").isNull, lit("na"))
+          .when(col("lm_logprob") >= P34HeadMin, lit("head"))
+          .when(col("lm_logprob") >= P34MidMin, lit("middle"))
+          .otherwise(lit("tail")))
+      .orderBy("doc_id")
+  }
+
+  /** p34 oracle: the same reference slice, unigram/bigram counts,
+    * vocabulary size, add-1 arithmetic and ln, restated stage by
+    * stage; mean via avg over the same per-transition values. */
+  val p34Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |ref AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+       |uni AS (SELECT u AS w1, count(*) AS c1
+       |        FROM (SELECT unnest(tk) AS u FROM ref) GROUP BY u),
+       |v AS (SELECT count(*) AS vocab FROM uni),
+       |rb AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c2
+       |       FROM ref, unnest(range(1, len(tk))) r(i) GROUP BY 1, 2),
+       |db AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |       FROM tk, unnest(range(1, len(tk))) r(i)),
+       |s AS (SELECT db.doc_id,
+       |        ln((coalesce(rb.c2, 0) + 1.0) /
+       |           (coalesce(uni.c1, 0) + (SELECT vocab FROM v))) AS lp
+       |      FROM db LEFT JOIN rb USING (w1, w2)
+       |              LEFT JOIN uni ON db.w1 = uni.w1),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS lm_logprob
+       |        FROM s GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  agg.lm_logprob,
+       |  CASE WHEN agg.lm_logprob IS NULL THEN 'na'
+       |       WHEN agg.lm_logprob >= $P34HeadMin THEN 'head'
+       |       WHEN agg.lm_logprob >= $P34MidMin THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** p32 oracle: same whitespace tokens, 1-based inclusive list slices
     * for the bigrams, same total (count DESC, ngram ASC) order at the
     * k-boundary. */
@@ -1201,6 +1257,7 @@ object PipelineQueries {
     "p31_domain_cap" -> p31DomainCap,
     "p32_top_ngrams" -> p32TopNgrams,
     "p33_span_dedup" -> p33SpanDup,
+    "p34_lm_quality" -> p34LmQuality,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -1666,6 +1723,7 @@ object PipelineQueries {
     "p31_domain_cap" -> p31Sql,
     "p32_top_ngrams" -> p32Sql,
     "p33_span_dedup" -> p33Sql,
+    "p34_lm_quality" -> p34Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -275,4 +275,59 @@ object TextAnalysis {
       .select(col("id"), col("n_matched"), col("n_prints").cast("long").as("n_prints"),
         (col("n_matched").cast("double") / col("n_prints")).as("contamination"))
   }
+
+  /** N-gram LM quality scoring — the CCNet filter (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"; reference has no analogue): train an add-k-smoothed
+    * BIGRAM language model on a trusted reference slice of the corpus
+    * (CCNet trains on Wikipedia; here `refCond` picks the slice), then
+    * score every document by its mean per-transition log-probability
+    *   lp(w1→w2) = ln((c2(w1,w2) + k) / (c1(w1) + k·V))
+    * where c2/c1 are reference bigram/unigram counts and V the
+    * reference vocabulary size. Higher = more reference-like;
+    * perplexity = exp(−score). Unseen transitions back off to the
+    * uniform ln(k/(kV)) = −ln(V) floor — every value is defined, no
+    * OOV special-casing. Documents with fewer than two tokens report
+    * n_bigrams = 0 and a NULL score (present, not dropped).
+    *
+    * Scale shape (100 TB): the model is two aggregates over the
+    * REFERENCE slice only (map-side-combined; the exchanges carry
+    * distinct unigrams/bigrams + partial counts, never token
+    * occurrences). Scoring is a stream of (id, w1, w2) rows — one per
+    * corpus token — through two hash-co-partitioned LEFT joins against
+    * the count tables (build row per key is one count; a hot function
+    * word skews only the probe side, which AQE skew-split handles),
+    * then ONE per-doc aggregate. V rides along as a broadcast 1-row
+    * cross join, so the plan stays fully lazy — no driver-side
+    * collect. Token strings are the join keys; at petabyte scale the
+    * (w1, w2) exchange can be further shrunk by hashing the pair, at
+    * the cost of the oracle's string-keyed restatement. */
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String,
+      refCond: Column, k: Double = 1.0): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val prs = transform(sequence(lit(0), size(tk) - 2),
+      i => struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2")))
+    def bigrams(d: DataFrame) = d.filter(size(tk) >= 2)
+      .select(col(idCol), explode(prs).as("pr"))
+      .select(col(idCol), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val ref = docs.filter(refCond)
+    val uni = ref.select(explode(tk).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("__V"))
+    val refB = bigrams(ref).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val perDoc = bigrams(docs)
+      .join(refB, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(k) * col("__V"))).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("lm_logprob"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_logprob"))
+  }
 }

@@ -451,6 +451,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2.toSeq === out.toSeq)
   }
 
+  test("bigramLmScore: add-k arithmetic exact against hand computation, short-doc edge") {
+    import spark.implicits._
+    // Reference slice = even ids. Ref doc 0 "a b a c":
+    //   unigrams a:2 b:1 c:1 → V=3; bigrams (a,b):1 (b,a):1 (a,c):1.
+    // Hand-computed add-1 log-probs:
+    //   (a,b): ln((1+1)/(2+3)) = ln(0.4)
+    //   (b,a): ln((1+1)/(1+3)) = ln(0.5)
+    //   (a,c): ln((1+1)/(2+3)) = ln(0.4)
+    //   (b,d): ln((0+1)/(1+3)) = ln(0.25)   (unseen bigram, seen context)
+    //   (d,a): ln((0+1)/(0+3)) = ln(1.0/3)  (unseen context → uniform floor)
+    val docs = Seq(
+      (0L, "a b a c"),    // ref; score = (ln .4 + ln .5 + ln .4) / 3
+      (1L, "a b d"),      // (a,b) + (b,d) → (ln .4 + ln .25) / 2
+      (2L, "d a"),        // ref-selected but also scored: (d,a) → ln(1/3)
+      (3L, "z")).toDF("doc_id", "text")  // 1 token → 0 bigrams, NULL score
+    // doc 2 is even → joins the reference! Recompute: ref = docs 0, 2
+    //   tokens a,b,a,c,d,a → a:3 b:1 c:1 d:1 → V=4
+    //   bigrams (a,b):1 (b,a):1 (a,c):1 (d,a):1
+    //   doc0: (a,b)=ln(2/5) (b,a)=ln(2/5) (a,c)=ln(2/7)... recompute:
+    //     (a,b): (1+1)/(3+4)=2/7; (b,a): (1+1)/(1+4)=2/5; (a,c): 2/7
+    //   doc1: (a,b)=2/7; (b,d): (0+1)/(1+4)=1/5
+    //   doc2: (d,a): (1+1)/(1+4)=2/5
+    val out = graft.operators.TextAnalysis.bigramLmScore(
+        docs, "text", "doc_id",
+        refCond = org.apache.spark.sql.functions.pmod($"doc_id", org.apache.spark.sql.functions.lit(2)) === 0)
+      .orderBy("doc_id").collect()
+    def ln(x: Double) = math.log(x)
+    val expect = Seq(
+      (0L, 3L, Some((ln(2.0 / 7) + ln(2.0 / 5) + ln(2.0 / 7)) / 3)),
+      (1L, 2L, Some((ln(2.0 / 7) + ln(1.0 / 5)) / 2)),
+      (2L, 1L, Some(ln(2.0 / 5))),
+      (3L, 0L, None))
+    for (((id, n, s), r) <- expect.zip(out)) {
+      assert(r.getLong(0) === id && r.getLong(1) === n, s"row $r")
+      s match {
+        case Some(v) => assert(math.abs(r.getDouble(2) - v) < 1e-12,
+          s"doc $id score ${r.getDouble(2)} != $v")
+        case None => assert(r.isNullAt(2), s"doc $id must have NULL score")
+      }
+    }
+  }
+
   test("topNgrams n=1 ignores blank docs (no phantom '' unigram)") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
