@@ -27,6 +27,27 @@ object GraftFunctions {
   private def litInt(fname: String, arg: String, e: Expression): Int =
     litLong(fname, arg, e).toInt
 
+  private def litDouble(fname: String, arg: String, e: Expression): Double = e match {
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fname: $arg must be a numeric literal, got $other")
+  }
+
+  /** The [[graft.operators.Sampling.hash63]] tree from raw resolved
+    * Catalyst nodes (a registry builder cannot return the Column
+    * bridge's unresolved nodes — see graft_url_domain). */
+  private def hash63Expr(key: Expression, seed: Long): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseXor, Cast, ShiftRightUnsigned}
+    ShiftRightUnsigned(
+      Mix64(BitwiseXor(Cast(key, org.apache.spark.sql.types.LongType),
+        Literal(seed))),
+      Literal(1))
+  }
+
   private def badArity(fname: String, got: Int, want: String): Nothing =
     throw new IllegalArgumentException(
       s"$fname takes $want argument(s), got $got")
@@ -117,6 +138,38 @@ object GraftFunctions {
       {
         case Seq(k) => Mix64(k)
         case as => badArity("graft_mix64", as.length, "1")
+      }),
+    ("graft_fold",
+      "(key, seed, folds) - deterministic fold in [0, folds): the train/val/test primitive",
+      {
+        case Seq(k, s, f) =>
+          import org.apache.spark.sql.catalyst.expressions.Pmod
+          val folds = litLong("graft_fold", "folds", f)
+          if (folds <= 0) throw new IllegalArgumentException(
+            "graft_fold: folds must be positive")
+          Pmod(hash63Expr(k, litLong("graft_fold", "seed", s)), Literal(folds))
+        case as => badArity("graft_fold", as.length, "3")
+      }),
+    ("graft_split",
+      "(key, seed, w1, w2, ...) - 0-based weighted split index (e.g. 8,1,1 = 80/10/10 train/val/test)",
+      {
+        // same boundary derivation as Sampling.splitByWeights
+        // (Sampling.splitBounds), spec-pinned bit-equal
+        case as if as.length >= 3 =>
+          import org.apache.spark.sql.catalyst.expressions.{CaseWhen, LessThan}
+          val ws = as.drop(2).zipWithIndex.map { case (e, i) =>
+            val w = litDouble("graft_split", s"w${i + 1}", e)
+            if (w <= 0 || w.isInfinite || w.isNaN)
+              throw new IllegalArgumentException(
+                s"graft_split: weights must be positive and finite, got $w")
+            w
+          }
+          val u = hash63Expr(as.head, litLong("graft_split", "seed", as(1)))
+          val branches = graft.operators.Sampling.splitBounds(ws).zipWithIndex
+            .map { case (b, i) => (LessThan(u, Literal(b)), Literal(i)) }
+          if (branches.isEmpty) Literal(0)
+          else CaseWhen(branches, Some(Literal(ws.length - 1)))
+        case as => badArity("graft_split", as.length, "at least 3")
       }),
     ("graft_pii_scan",
       "(text) - struct(n_emails, n_phones, n_ipv4, redacted): PII counts + redacted text",

@@ -55,6 +55,38 @@ object Sampling {
     pmod(hash63(key, seed), lit(folds.toLong))
   }
 
+  /** Weighted split assignment: 0-based index of the cumulative-weight
+    * interval the key's seeded hash lands in — `splitByWeights(k, s,
+    * Seq(8, 1, 1))` is the 80/10/10 train/val/test split as ONE
+    * expression (the [[fold]]+thresholds composition p21 spells out,
+    * closed over arbitrary weights). Boundaries are
+    * floor(cum_i/total · 2⁶³) — the cum/total quotient rounds once per
+    * boundary identically on every engine, and the 2⁶³ multiply is a
+    * pure exponent shift (exact; the long cast saturates at 2⁶³−1 if a
+    * quotient rounds to exactly 1.0, which only makes that degenerate
+    * boundary unreachable). Deterministic in (key, seed): rerun-,
+    * retry-, and repartition-stable, like everything in this module.
+    * Also SQL-exposed as `graft_split` (spec-pinned bit-equal). */
+  def splitByWeights(key: Column, seed: Long, weights: Seq[Double]): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
+      "weights must be positive and finite")
+    val bounds = splitBounds(weights)
+    val u = hash63(key, seed)
+    bounds.zipWithIndex.foldRight(lit(weights.length - 1): Column) {
+      case ((b, i), rest) => when(u < b, lit(i)).otherwise(rest)
+    }
+  }
+
+  /** Shared boundary arithmetic for [[splitByWeights]] and the
+    * `graft_split` SQL registration — one derivation, so the two
+    * surfaces cannot drift. Returns the n−1 interior boundaries. */
+  private[graft] def splitBounds(weights: Seq[Double]): Seq[Long] = {
+    val total = weights.sum
+    weights.scanLeft(0.0)(_ + _).tail.init
+      .map(c => ((c / total) * 9223372036854775808.0).toLong)
+  }
+
   /** Greedy sequence packing — the pretraining step between filtering
     * and the tokenizer: concatenate documents in a deterministic order
     * and cut at a fixed token budget, so each `bin` is one training

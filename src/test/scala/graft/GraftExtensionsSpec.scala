@@ -185,6 +185,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("takes 2 argument"))
   }
 
+  test("graft_fold / graft_split match the Sampling layer bit-for-bit") {
+    registered.catalog
+    val keys = spark.range(0, 2000).toDF("k")
+    keys.createOrReplaceTempView("ext_keys")
+    val viaSql = registered.sql(
+      """SELECT k,
+        |       graft_fold(k, 42, 10) AS f,
+        |       graft_split(k, 7, 8, 1, 1) AS s3,
+        |       graft_split(k, 7, 0.5, 0.5) AS s2,
+        |       graft_split(k, 7, 5) AS s1
+        |FROM ext_keys""".stripMargin)
+    val viaCols = keys.select(col("k"),
+      operators.Sampling.fold(col("k"), 42L, 10).as("f"),
+      operators.Sampling.splitByWeights(col("k"), 7L, Seq(8, 1, 1)).as("s3"),
+      operators.Sampling.splitByWeights(col("k"), 7L, Seq(0.5, 0.5)).as("s2"),
+      operators.Sampling.splitByWeights(col("k"), 7L, Seq(5)).as("s1"))
+    assert(viaSql.exceptAll(viaCols).isEmpty && viaCols.exceptAll(viaSql).isEmpty)
+    // the realized 8/1/1 split must be near-proportional (seeded hash,
+    // not accidental constants) and a single weight must be all-zero
+    val counts = viaCols.groupBy("s3").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) > 1500 && counts(1) > 120 && counts(2) > 120, s"got $counts")
+    assert(viaCols.filter(col("s1") =!= 0).isEmpty)
+    // bad arguments fail loudly at registration-time analysis
+    val e = intercept[Exception](registered.sql(
+      "SELECT graft_split(k, 7, 1, -2) FROM ext_keys").collect())
+    assert(e.getMessage.contains("positive"), e.getMessage)
+    val e2 = intercept[Exception](registered.sql(
+      "SELECT graft_fold(k, 42, 0) FROM ext_keys").collect())
+    assert(e2.getMessage.contains("positive"), e2.getMessage)
+  }
+
   test("spark.sql.extensions injection registers on a fresh session") {
     // builder extensions apply only at session CREATION: park the default
     // session, build a sibling session over the same SparkContext with
