@@ -649,6 +649,68 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The HTML fixture for p35: the corpus has no markup, so the key
+    * wraps each doc in a page skeleton exercising every strip stage —
+    * a style block whose comment hides a fake tag, a script whose body
+    * contains `<` and a fake tag in a string, an HTML comment hiding a
+    * div, entities (incl. the &amp;lt; double-decode trap), and on even
+    * ids a CDATA section plus extra entity text. */
+  private def p35FixtureHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style type=\"text/css\">body { color: red; } /* <p>not text</p> */</style>" +
+      "<script>var x = 1; if (x < 2) { document.write(\"<b>no</b>\"); }</script></head><body>" +
+      "<!-- hidden <div>comment</div> --><h1 class=\"t\">Title &amp; &lt;subtitle&gt;</h1><p>"),
+    col("text"),
+    lit("</p>"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      lit("<![CDATA[raw <bytes> here]]><p>even&nbsp;extra &quot;quoted&quot; &amp;lt;escaped&amp;gt;</p>"))
+      .otherwise(lit("")),
+    lit("<br><div>footer</div></body></html>"))
+
+  /** p35: HTML → text extraction over the planted-markup corpus
+    * ([[TextAnalysis.htmlToText]]; see its scaladoc for the strip-chain
+    * contract — entirely row-local, no shuffle). */
+  val p35HtmlExtract: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"),
+        TextAnalysis.htmlToText(p35FixtureHtml).as("extracted"))
+      .withColumn("n_chars", length(col("extracted")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** p35 oracle: the same fixture and the same fixed-order strip chain
+    * — every pattern uses only syntax Java regex and RE2 interpret
+    * identically (inline (?is), lazy quantifiers, \b, no backrefs), and
+    * entity decode order (&amp; last) is restated verbatim. */
+  val p35Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title><style type="text/css">body { color: red; } /* <p>not text</p> */</style>'
+      |    || '<script>var x = 1; if (x < 2) { document.write("<b>no</b>"); }</script></head><body>'
+      |    || '<!-- hidden <div>comment</div> --><h1 class="t">Title &amp; &lt;subtitle&gt;</h1><p>'
+      |    || text || '</p>'
+      |    || CASE WHEN doc_id % 2 = 0
+      |            THEN '<![CDATA[raw <bytes> here]]><p>even&nbsp;extra &quot;quoted&quot; &amp;lt;escaped&amp;gt;</p>'
+      |            ELSE '' END
+      |    || '<br><div>footer</div></body></html>' AS t
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t FROM aug),
+      |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<!\[CDATA\[.*?\]\]>', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s4),
+      |e AS (SELECT doc_id,
+      |        replace(replace(replace(replace(replace(replace(replace(t,
+      |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+      |          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+      |      FROM s5)
+      |SELECT doc_id,
+      |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted,
+      |  CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+      |FROM e
+      |ORDER BY doc_id""".stripMargin
+
   /** p32 oracle: same whitespace tokens, 1-based inclusive list slices
     * for the bigrams, same total (count DESC, ngram ASC) order at the
     * k-boundary. */
@@ -1258,6 +1320,7 @@ object PipelineQueries {
     "p32_top_ngrams" -> p32TopNgrams,
     "p33_span_dedup" -> p33SpanDup,
     "p34_lm_quality" -> p34LmQuality,
+    "p35_html_extract" -> p35HtmlExtract,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -1724,6 +1787,7 @@ object PipelineQueries {
     "p32_top_ngrams" -> p32Sql,
     "p33_span_dedup" -> p33Sql,
     "p34_lm_quality" -> p34Sql,
+    "p35_html_extract" -> p35Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -276,6 +276,40 @@ object TextAnalysis {
         (col("n_matched").cast("double") / col("n_prints")).as("contamination"))
   }
 
+  /** HTML → text extraction — the first step of every web-crawl
+    * pipeline (reference has no analogue). A deterministic, fixed-order
+    * strip chain; each stage is a codegen'd regexp_replace/replace over
+    * patterns chosen so Java regex and RE2 agree (inline (?is) flags,
+    * lazy quantifiers, no backrefs — the PiiScan discipline), so a SQL
+    * engine restates the chain verbatim:
+    *   1. <script>/<style> elements drop WITH their content (lazy
+    *      match to the nearest closing tag; case-insensitive,
+    *      dot-matches-newline);
+    *   2. comments `<!-- … -->` and CDATA sections `<![CDATA[ … ]]>`
+    *      drop whole (a comment hiding a fake tag never resurfaces);
+    *   3. every remaining tag `<[^>]*>` becomes a SPACE (block
+    *      boundaries must not glue words: `a<br>b` → `a b`);
+    *   4. the named-entity subset decodes — &lt; &gt; &quot; &apos;
+    *      &#39; &nbsp; first, &amp; LAST (so `&amp;lt;` correctly
+    *      yields the literal text `&lt;`, never a double decode);
+    *   5. whitespace runs collapse to one space and the result trims.
+    * Unterminated script/style/comment blocks survive stage 1–2 and
+    * degrade to tag-stripping — deterministic, never an error. NULL in
+    * → NULL out. Entirely row-local: no shuffle, whole-stage codegen,
+    * linear in document bytes. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noCdata = regexp_replace(noComment, "(?s)<!\\[CDATA\\[.*?\\]\\]>", " ")
+    val noTags = regexp_replace(noCdata, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val decoded = replace(ent, lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** N-gram LM quality scoring — the CCNet filter (Wenzek et al.,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web
     * Crawl Data"; reference has no analogue): train an add-k-smoothed

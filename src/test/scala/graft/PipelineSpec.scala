@@ -493,6 +493,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlToText: adversarial markup — nested fakes, comments, CDATA, entities, unterminated blocks") {
+    import spark.implicits._
+    def extract(s: String): String = {
+      val r = Seq(Tuple1(s)).toDF("h")
+        .select(graft.operators.TextAnalysis.htmlToText(col("h")).as("t"))
+        .head()
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // script content (incl. a fake tag in a string and a bare <) drops whole
+    assert(extract("""a<script>if(x<2){s="<b>no</b>"}</script>b""") === "a b")
+    // style drops whole, even with a CSS comment hiding a tag
+    assert(extract("""a<style>p{/*<div>x</div>*/}</style>b""") === "a b")
+    // comment hiding a div never resurfaces; CDATA drops whole
+    assert(extract("a<!-- <div>hidden</div> -->b") === "a b")
+    assert(extract("a<![CDATA[raw <bytes> ]]>b") === "a b")
+    // tags become spaces (words never glue), attributes with > quirks aside
+    assert(extract("word1<br>word2<div class='x'>word3</div>") === "word1 word2 word3")
+    // entity decode order: &amp;lt; is the LITERAL text "&lt;", never '<'
+    assert(extract("x &amp;lt;y&amp;gt; z") === "x &lt;y&gt; z")
+    assert(extract("""q &lt;b&gt; &quot;w&quot; &apos;e&apos; &#39;r&#39; a&nbsp;b &amp; c""")
+      === """q <b> "w" 'e' 'r' a b & c""")
+    // unterminated script degrades to tag-strip (deterministic, no error)
+    assert(extract("a<script>var x=1; b") === "a var x=1; b")
+    // case-insensitive element match
+    assert(extract("a<SCRIPT>x</SCRIPT>b<STYLE>y</STYLE>c") === "a b c")
+    // whitespace collapse + trim; NULL propagates
+    assert(extract("  a\n\n<b> b </b>\t c  ") === "a b c")
+    val nr = Seq(Tuple1(null: String)).toDF("h")
+      .select(graft.operators.TextAnalysis.htmlToText(col("h")).as("t")).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("topNgrams n=1 ignores blank docs (no phantom '' unigram)") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
