@@ -356,6 +356,52 @@ object BqlQueries {
     """SIMULATE l_extendedprice, l_discount FROM lpop MODELED BY lloom
       |GIVEN rowid = 5 LIMIT 40""".stripMargin)
 
+  /** b42: the persistence contract — the reference's on-disk .bdb
+    * analogue ([[BayesDB.save]]/[[BayesDB.open]]; reference
+    * bayesdb_open/bayesdb_save, src/bayesdb.py:50-88) driven through
+    * the ORACLE gate: build a fresh engine, register a table, fit the
+    * troll_rng generator, SAVE, reOPEN from disk, and run b40's full
+    * closed-form estimator battery on the REOPENED engine plus a
+    * relational count on the RESTORED table snapshot. Pins that
+    * serialization preserves the catalog, fitted model states,
+    * registered tables (rowid included — no re-indexing on open), and
+    * the engine seed; any drift surfaces as a literal mismatch. */
+  val b42SaveReopen: Q = (spark, dir) => {
+    import spark.implicits._
+    val fresh = new BayesDB(spark, seed = 42L)
+    fresh.registerTable("customer", Tables.load(spark, dir, "customer"))
+    fresh.execute("create population tpop for customer (" +
+      "set stattypes of c_acctbal, c_nationkey to numerical; " +
+      "ignore c_name, c_mktsegment, c_custkey)")
+    fresh.execute("create generator tgen for tpop using troll_rng")
+    fresh.execute("initialize 2 models for tgen")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_b42_").toString
+    fresh.save(tmp)
+    val b = BayesDB.open(spark, tmp)
+    val sims = b.execute(
+      "SIMULATE c_acctbal, c_nationkey FROM tpop LIMIT 3")
+      .collect().toSeq.sortBy(r => (r.getDouble(0), r.getDouble(1)))
+      .zipWithIndex.flatMap { case (r, i) =>
+        Seq((s"sim${i}_acctbal", r.getDouble(0)),
+          (s"sim${i}_nation", r.getDouble(1)))
+      }
+    val pred = b.execute(
+      """INFER EXPLICIT PREDICT c_acctbal AS v CONFIDENCE conf
+        |FROM tpop LIMIT 1""".stripMargin)
+      .collect().head
+    val d9 = b.execute(
+      "ESTIMATE PROBABILITY DENSITY OF c_acctbal = 9 AS d BY tpop")
+      .collect().head.getDouble(0)
+    val n = b.execute("SELECT count(*) AS n FROM customer")
+      .collect().head.getLong(0)
+    (sims ++ Seq(
+      ("predict_value", pred.getDouble(0)),
+      ("predict_confidence", pred.getDouble(1)),
+      ("density_at_9", d9),
+      ("n_customer", n.toDouble)))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
   /** b15: CrossCat 2-row similarity over a bounded pairwise join. */
   val b15CrosscatSimilarity: Q = (spark, dir) => bdb(spark, dir).execute(
     """ESTIMATE SIMILARITY IN THE CONTEXT OF l_quantity
@@ -912,7 +958,8 @@ object BqlQueries {
     "b38_in_having" -> b38InHaving,
     "b39_loom_dependence" -> b39LoomDependence,
     "b40_troll_estimators" -> b40TrollEstimators,
-    "b41_loom_simulate_rowid" -> b41LoomSimulateRowid)
+    "b41_loom_simulate_rowid" -> b41LoomSimulateRowid,
+    "b42_save_reopen" -> b42SaveReopen)
 
   val oracles: Map[String, String] = Map(
     // nig_normal closed forms (reference src/backends/nig_normal.py:
@@ -946,6 +993,21 @@ object BqlQueries {
         |  ('sim1_acctbal', 9.0), ('sim1_nation', 9.0),
         |  ('sim2_acctbal', 9.0), ('sim2_nation', 9.0))
         |  AS t(metric, value)
+        |ORDER BY metric""".stripMargin,
+    // the reopened engine must reproduce b40's closed forms AND the
+    // restored customer snapshot's cardinality
+    "b42_save_reopen" ->
+      """SELECT * FROM (
+        |  SELECT metric, value FROM (VALUES
+        |    ('density_at_9', 1.0),
+        |    ('predict_confidence', 1.0),
+        |    ('predict_value', 9.0),
+        |    ('sim0_acctbal', 9.0), ('sim0_nation', 9.0),
+        |    ('sim1_acctbal', 9.0), ('sim1_nation', 9.0),
+        |    ('sim2_acctbal', 9.0), ('sim2_nation', 9.0))
+        |    AS t(metric, value)
+        |  UNION ALL
+        |  SELECT 'n_customer', CAST((SELECT count(*) FROM customer) AS DOUBLE))
         |ORDER BY metric""".stripMargin,
     "b37_exists_having" -> b37Sql,
     "b38_in_having" -> b38Sql,
