@@ -711,6 +711,71 @@ object PipelineQueries {
       |FROM e
       |ORDER BY doc_id""".stripMargin
 
+  /** p36: exact length-percentile filter, P10–P90
+    * ([[TextAnalysis.lengthQuantileFilter]]; see its scaladoc for the
+    * histogram-not-sort scale shape and the integer threshold
+    * arithmetic). */
+  val p36LengthFilter: Q = (spark, dir) =>
+    TextAnalysis.lengthQuantileFilter(
+        Tables.load(spark, dir, "documents"), "text", "doc_id",
+        loPct = 10, hiPct = 90)
+      .orderBy("doc_id")
+
+  /** p36 oracle: the same histogram → cumulative count → smallest-
+    * length-reaching-ceil(q·N) selection, thresholds in the identical
+    * integer arithmetic. */
+  val p36Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |hist AS (SELECT n_tokens AS len, count(*) AS c FROM n GROUP BY 1),
+      |cum AS (SELECT len, sum(c) OVER (ORDER BY len) AS cum FROM hist),
+      |tot AS (SELECT count(*) AS N FROM n),
+      |thr AS (SELECT
+      |    min(CASE WHEN cum >= (10 * N + 99) // 100 THEN len END) AS p_lo,
+      |    min(CASE WHEN cum >= (90 * N + 99) // 100 THEN len END) AS p_hi
+      |  FROM cum, tot)
+      |SELECT doc_id, n_tokens, p_lo, p_hi,
+      |       (n_tokens >= p_lo AND n_tokens <= p_hi) AS kept
+      |FROM n, thr
+      |ORDER BY doc_id""".stripMargin
+
+  /** p37: per-document TF-IDF top-3 terms
+    * ([[TextAnalysis.tfidfTopTerms]]; see its scaladoc for the
+    * three-exchange scale shape and the sklearn idf convention). */
+  val p37Tfidf: Q = (spark, dir) =>
+    TextAnalysis.tfidfTopTerms(
+        Tables.load(spark, dir, "documents"), "text", "doc_id", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** p37 oracle: same tokens, counts, smoothed idf and the identical
+    * (score DESC, term ASC) total order at the k-boundary. */
+  val p37Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |dt AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+      |  WHERE length(term) > 0
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+      |tot AS (SELECT count(*) AS N FROM documents),
+      |s AS (
+      |  SELECT dt.doc_id, dt.term,
+      |         dt.tf * (ln((N + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      |  FROM dt JOIN df USING (term), tot),
+      |r AS (
+      |  SELECT doc_id, term, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, term) AS rank
+      |  FROM s)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** p32 oracle: same whitespace tokens, 1-based inclusive list slices
     * for the bigrams, same total (count DESC, ngram ASC) order at the
     * k-boundary. */
@@ -1321,6 +1386,8 @@ object PipelineQueries {
     "p33_span_dedup" -> p33SpanDup,
     "p34_lm_quality" -> p34LmQuality,
     "p35_html_extract" -> p35HtmlExtract,
+    "p36_length_filter" -> p36LengthFilter,
+    "p37_tfidf_terms" -> p37Tfidf,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -1788,6 +1855,8 @@ object PipelineQueries {
     "p33_span_dedup" -> p33Sql,
     "p34_lm_quality" -> p34Sql,
     "p35_html_extract" -> p35Sql,
+    "p36_length_filter" -> p36Sql,
+    "p37_tfidf_terms" -> p37Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -276,6 +276,84 @@ object TextAnalysis {
         (col("n_matched").cast("double") / col("n_prints")).as("contamination"))
   }
 
+  /** Exact corpus-wide length-percentile filter — the Gopher/CCNet
+    * "drop the shortest and longest P%" hygiene rule, with EXACT
+    * discrete quantiles instead of approx_percentile (a filter
+    * boundary that drifts with sampling would make reruns
+    * non-reproducible). The q-quantile is the SMALLEST length v with
+    * ceil(q·N) rows of length ≤ v; thresholds use pure integer
+    * arithmetic ((pct·N + 99) div 100), so both engines agree exactly
+    * — no floating percentile interpolation anywhere.
+    *
+    * Scale shape (100 TB): NEVER a corpus sort. Pass 1 reduces the
+    * corpus to a length HISTOGRAM (map-side-combined groupBy; the
+    * exchange carries distinct lengths, bounded by the longest
+    * document, not by corpus rows). The cumulative sum then runs as an
+    * un-partitioned window over the histogram — single-partition by
+    * construction, and correct AT ANY CORPUS SCALE because its input
+    * is bounded by distinct lengths (~10³–10⁵ rows), not documents.
+    * The two thresholds collapse to ONE broadcast row and pass 2 is a
+    * row-local verdict over one corpus scan.
+    *
+    * Returns (id, n_tokens, p_lo, p_hi, kept). */
+  def lengthQuantileFilter(docs: DataFrame, textCol: String, idCol: String,
+      loPct: Int, hiPct: Int): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct <= 100,
+      "need 0 < loPct < hiPct <= 100")
+    val n = tokenCount(col(textCol)).cast("long")
+    val hist = docs.select(n.as("len"))
+      .groupBy("len").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("len")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val thr = hist.withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(hist.agg(sum("c").as("N"))))
+      .agg(
+        min(when(col("cum") >= expr(s"($loPct * N + 99) div 100"), col("len"))).as("p_lo"),
+        min(when(col("cum") >= expr(s"($hiPct * N + 99) div 100"), col("len"))).as("p_hi"))
+    docs.select(col(idCol), n.as("n_tokens"))
+      .crossJoin(broadcast(thr))
+      .withColumn("kept", col("n_tokens") >= col("p_lo") && col("n_tokens") <= col("p_hi"))
+  }
+
+  /** Per-document TF-IDF top-k terms — the keyword/topic-tagging pass
+    * of a corpus-analysis pipeline (and the classic relevance weight,
+    * Salton & Buckley). tf is the in-document term count, idf the
+    * smoothed ln((N+1)/(df+1)) + 1 (sklearn's convention: never zero,
+    * defined for unseen terms), score = tf·idf, and each document
+    * keeps its k highest-scoring terms under the TOTAL order
+    * (score DESC, term ASC) — the tie-break makes the k-boundary
+    * deterministic on every engine.
+    *
+    * Scale shape (100 TB): three linear, map-side-combined exchanges —
+    * (doc, term) counts (the exchange carries distinct pairs, not
+    * token occurrences); document frequency from those pairs (distinct
+    * terms); the df join back is hash-co-partitioned on term (build
+    * side is one (term, df) row per key — a stop-word's skew sits on
+    * the probe side, AQE-splittable); the per-doc top-k is a window
+    * rank over doc-vocabulary-sized groups, shuffled by doc id. N
+    * rides along as a broadcast 1-row cross join — fully lazy. */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val dt = docs.select(col(idCol), explode(tk).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("N"))
+    val scored = dt.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (log((col("N") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("term"), col("score"))
+  }
+
   /** HTML → text extraction — the first step of every web-crawl
     * pipeline (reference has no analogue). A deterministic, fixed-order
     * strip chain; each stage is a codegen'd regexp_replace/replace over

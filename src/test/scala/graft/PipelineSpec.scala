@@ -525,6 +525,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("lengthQuantileFilter: exact ceil-rank quantiles, boundary inclusivity, repartition-stable") {
+    import spark.implicits._
+    // 10 docs of lengths 1..10 (doc i has i tokens). N=10:
+    //   P10 rank = ceil(10*10/100) = 1  → p_lo = 1 (cum(1)=1 ≥ 1)
+    //   P90 rank = ceil(90*10/100) = 9  → p_hi = 9 (cum(9)=9)
+    // → doc 10 dropped, docs 1..9 kept (boundaries INCLUSIVE).
+    val docs = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .lengthQuantileFilter(docs, "text", "doc_id", 10, 90)
+      .orderBy("doc_id").collect()
+    assert(out.forall(r => r.getLong(2) === 1L && r.getLong(3) === 9L),
+      s"thresholds: ${out.head}")
+    assert(out.map(_.getBoolean(4)).toSeq === (Seq.fill(9)(true) :+ false))
+    // N=11 (one extra 5-token doc): P90 rank = ceil(9.9) = 10 → p_hi
+    // still 9 — the ceil arithmetic, not rounding, decides
+    val docs11 = docs.unionByName(Seq((11L, "w w w w w")).toDF("doc_id", "text"))
+    val hi11 = graft.operators.TextAnalysis
+      .lengthQuantileFilter(docs11, "text", "doc_id", 10, 90)
+      .select("p_hi").head().getLong(0)
+    assert(hi11 === 9L, s"p_hi with N=11 must be 9, got $hi11")
+    val again = graft.operators.TextAnalysis
+      .lengthQuantileFilter(docs.repartition(7), "text", "doc_id", 10, 90)
+      .orderBy("doc_id").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
+  test("tfidfTopTerms: sklearn-smoothed idf exact, score/term total order at the k-boundary") {
+    import spark.implicits._
+    // N=3. df: common→3, mid→2, rare→1, solo→1.
+    //   idf(common) = ln(4/4)+1 = 1
+    //   idf(mid)    = ln(4/3)+1
+    //   idf(rare)   = ln(4/2)+1 = ln 2 + 1
+    // doc1 "common common mid rare": common tf2 → 2.0; rare → ln2+1
+    //   ≈ 1.693; mid → ln(4/3)+1 ≈ 1.288 → order common, rare, mid.
+    // doc3 "common solo": tie-break — solo (ln2+1 ≈ 1.693) beats
+    //   common (1.0); both tf1.
+    val docs = Seq(
+      (1L, "common common mid rare"),
+      (2L, "common mid"),
+      (3L, "common solo")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    def idf(df: Int) = math.log(4.0 / (df + 1)) + 1
+    val expect = Seq(
+      (1L, 1L, "common", 2 * idf(3)),
+      (1L, 2L, "rare", idf(1)),
+      (2L, 1L, "mid", idf(2)),
+      (2L, 2L, "common", idf(3)),
+      (3L, 1L, "solo", idf(1)),
+      (3L, 2L, "common", idf(3)))
+    assert(out.length === expect.length, s"got ${out.toSeq}")
+    for ((o, e) <- out.zip(expect)) {
+      assert(o._1 === e._1 && o._2 === e._2 && o._3 === e._3, s"got $o want $e")
+      assert(math.abs(o._4 - e._4) < 1e-12, s"score ${o._4} != ${e._4}")
+    }
+    // equal-score tie breaks by term ASC: two df-1 tf-1 terms in one doc
+    val tie = Seq((1L, "zzz aaa")).toDF("doc_id", "text")
+    val t = graft.operators.TextAnalysis.tfidfTopTerms(tie, "text", "doc_id", k = 1)
+      .select("term").head().getString(0)
+    assert(t === "aaa")
+  }
+
   test("topNgrams n=1 ignores blank docs (no phantom '' unigram)") {
     import spark.implicits._
     val docs = Seq((1L, "a b a"), (2L, "   "), (3L, "")).toDF("doc_id", "text")

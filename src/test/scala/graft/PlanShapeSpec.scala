@@ -369,6 +369,44 @@ class WidePopulationSpec extends AnyFunSuite {
       s"no global sort exchange expected:\n$plan")
   }
 
+  test("lengthQuantileFilter: histogram pre-aggregation + broadcast thresholds — never a corpus sort") {
+    // p36's scale shape: the corpus reduces to a length histogram via
+    // partial/final aggregation (the exchange carries distinct lengths),
+    // the single-partition window runs over that bounded histogram only,
+    // and the thresholds come back as a BroadcastExchange — the corpus
+    // itself is never sorted or range-partitioned
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, Seq.fill((i % 37 + 1).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .lengthQuantileFilter(docs, "text", "doc_id", 10, 90)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final histogram aggregation:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"thresholds must broadcast back:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"the corpus must never range-shuffle for a sort:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"native only:\n$plan")
+  }
+
+  test("tfidfTopTerms: map-side-combined counts, broadcast N, no global sort") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, s"alpha beta common token${i % 11} gamma")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final (doc, term) aggregation:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"N must ride a broadcast cross join:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"per-doc top-k is a hash-partitioned window, never a global sort:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"), s"native only:\n$plan")
+  }
+
   test("PII scan stays a native codegen'd expression — no ScalaUDF, no shuffle") {
     // p25's scale story IS this plan: one row-local projection inside
     // whole-stage codegen, nothing exchanges. Built over range() — a
