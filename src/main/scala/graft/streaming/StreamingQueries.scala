@@ -635,7 +635,118 @@ object StreamingQueries {
       | AND c.ts >= p.ts - INTERVAL 12 HOUR AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** The st12 core, factored so StreamingSpec can drive fixtures
+    * through a MemoryStream: per incoming doc, n_windows `width`-token
+    * sliding windows (the p33 construction, row-local) and how many of
+    * them appear in `histHashes` — a static (h: bigint) table of the
+    * historical span set's 64-bit window hashes.
+    *
+    * Shape: windows explode to (id, ts, win) rows (posexplode_outer,
+    * so a shorter-than-width doc keeps its zero row), membership is a
+    * stream-static BROADCAST HASH left join on the window hash — O(1)
+    * probe per window; an earlier draft used a broadcast ARRAY +
+    * array_contains, whose O(|hist|) LINEAR scan per window the 100×
+    * probe exposed as quadratic (47 windows × 2.35 M-entry array per
+    * doc) — and the per-doc stats re-assemble in ONE watermarked
+    * event-time aggregation (append mode; state = docs in flight
+    * inside the watermark horizon, not corpus history). CONTRACT: the
+    * historical set must be broadcast-sized — the benchmark/eval-
+    * corpus contamination regime (p20's contract); for corpus-vs-
+    * corpus span overlap use the batch p33 path, whose df join
+    * shuffles both sides. */
+  private[graft] def spanOverlapStats(stream: DataFrame, histHashes: DataFrame,
+      textCol: String, idCol: String, tsCol: String, width: Int,
+      watermark: String = "5 minutes"): DataFrame = {
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val wins = when(size(tk) >= width,
+      transform(sequence(lit(0), size(tk) - width),
+        i => array_join(slice(tk, i + 1, lit(width)), " "))).otherwise(array())
+    stream
+      .select(col(idCol), col(tsCol),
+        posexplode_outer(wins).as(Seq("pos", "win")))
+      .join(broadcast(histHashes.withColumn("__hit", lit(1))),
+        xxhash64(col("win")) === col("h"), "left_outer")
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(idCol), col(tsCol))
+      .agg(count(col("win")).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_overlap_windows"))
+      .select(col(idCol), col("n_windows"), col("n_overlap_windows"))
+  }
+
+  /** st12: streaming span-level contamination audit against a
+    * HISTORICAL corpus — the span-granular companion to st10's
+    * whole-document anti-join (a fresh crawl rarely repeats a whole
+    * doc; it repeats PASSAGES): every tenth doc plays the historical
+    * corpus, the rest stream, and each streamed doc reports how many
+    * of its 8-token windows the historical span set already contains.
+    * The corpus has no cross-slice shared spans at oracle scale, so
+    * the key PLANTS them: historical docs ≡ 0 (mod 50) and streamed
+    * docs ≡ 1 (mod 10) share a 12-token passage → exactly 5 pure-
+    * passage windows per planted streamed doc must light up. APPEND
+    * mode with the real emission horizon: a doc's row emits once the
+    * event-time watermark passes its ts, so docs inside the final
+    * 5-minute watermark window stay in state at drain end — the oracle
+    * restates the horizon ((doc_id·37) % 600 ≤ max − 300, inclusive —
+    * Spark's rule, pinned by StreamingSpec's st07 end==watermark case)
+    * rather than pretending complete-mode emission. */
+  val st12StreamSpanAudit: Q = (spark, dir) => {
+    val passage = " shared passage tokens alpha beta gamma delta epsilon zeta eta theta iota"
+    val hist = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("t", when(col("doc_id") % 50 === 0,
+        concat(col("text"), lit(passage))).otherwise(col("text")))
+    val tk = split(trim(lower(col("t"))), "\\s+")
+    val histHashes = hist
+      .select(explode(when(size(tk) >= 8,
+        transform(sequence(lit(0), size(tk) - 8),
+          i => array_join(slice(tk, i + 1, lit(8)), " "))).otherwise(array()))
+        .as("win"))
+      .select(xxhash64(col("win")).as("h")).distinct()
+    val stream = boundedDocStream(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .withColumn("t", when(col("doc_id") % 10 === 1,
+        concat(col("text"), lit(passage))).otherwise(col("text")))
+    val out = spanOverlapStats(stream, histHashes, "t", "doc_id", "ts", width = 8)
+    drainToMemory(spark, "st12", out.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
+  /** st12 oracle: window construction on both slices (string-keyed —
+    * the hash-free restatement), overlap via a LEFT membership join,
+    * zero-window docs intact through the final left join, and the
+    * append emission horizon restated over the synthetic ts. */
+  val st12Sql: String =
+    """WITH hist AS (
+      |  SELECT CASE WHEN doc_id % 50 = 0
+      |    THEN text || ' shared passage tokens alpha beta gamma delta epsilon zeta eta theta iota'
+      |    ELSE text END AS t
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |htk AS (SELECT string_split_regex(trim(lower(t)), '\s+') AS tk FROM hist),
+      |hw AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS win
+      |       FROM htk, unnest(range(1, len(tk) - 6)) r(i)),
+      |s AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 10 = 1
+      |    THEN text || ' shared passage tokens alpha beta gamma delta epsilon zeta eta theta iota'
+      |    ELSE text END AS t
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |stk AS (SELECT doc_id, string_split_regex(trim(lower(t)), '\s+') AS tk FROM s),
+      |sw AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS win
+      |       FROM stk, unnest(range(1, len(tk) - 6)) r(i)),
+      |m AS (
+      |  SELECT sw.doc_id, count(*) AS n_windows,
+      |         sum(CASE WHEN hw.win IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+      |  FROM sw LEFT JOIN hw USING (win)
+      |  GROUP BY sw.doc_id),
+      |mx AS (SELECT max((doc_id * 37) % 600) AS mts FROM s)
+      |SELECT s.doc_id,
+      |  CAST(coalesce(m.n_windows, 0) AS BIGINT) AS n_windows,
+      |  CAST(coalesce(m.n_overlap, 0) AS BIGINT) AS n_overlap_windows
+      |FROM s LEFT JOIN m USING (doc_id), mx
+      |WHERE (s.doc_id * 37) % 600 <= mx.mts - 300
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st12_stream_span_audit" -> st12StreamSpanAudit,
     "st11_stream_stream_join" -> st11StreamStreamJoin,
     "st08_stream_contamination" -> st08StreamContamination,
     "st09_stream_pii" -> st09StreamPii,
@@ -697,6 +808,7 @@ object StreamingQueries {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "st12_stream_span_audit" -> st12Sql,
     "st11_stream_stream_join" -> st11Sql,
     // identical computation to batch p20 — the streaming path is the
     // stream-static semi-join + update-mode fold

@@ -461,4 +461,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Set((1L, 10L), (1L, 11L)), s"got $out")
     } finally q.stop()
   }
+
+  test("streaming span audit: exact overlap-window count via hash join, short docs intact") {
+    // st12's core on a hand fixture: historical holds ONE 12-token
+    // passage; width 3 → its windows are the 10 trigrams. A streamed
+    // doc embedding 5 consecutive passage tokens contains exactly 3
+    // pure-passage trigrams; a disjoint doc reports 0; a 2-token doc
+    // keeps its zero row (posexplode_outer). Docs arrive over two
+    // batches — the per-doc re-assembly is a watermarked event-time
+    // aggregation, so counts must not depend on batching.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val hist = Seq(Tuple1("p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"))
+      .toDF("t")
+    val tk3 = split(trim(lower(col("t"))), "\\s+")
+    val histHashes = hist
+      .select(explode(transform(sequence(lit(0), size(tk3) - 3),
+        i => array_join(slice(tk3, i + 1, lit(3)), " "))).as("win"))
+      .select(xxhash64(col("win")).as("h")).distinct()
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val docs = MemoryStream[(Long, String, Timestamp)]
+    val out = graft.streaming.StreamingQueries.spanOverlapStats(
+      docs.toDF.toDF("doc_id", "t", "ts"), histHashes,
+      "t", "doc_id", "ts", width = 3, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("span_audit_out")
+      .outputMode("append").start()
+    try {
+      docs.addData((1L, "u1 u2 p4 p5 p6 p7 p8 u3 u4", t(0)))  // 3 pure-passage trigrams
+      q.processAllAvailable()
+      docs.addData((2L, "x1 x2 x3 x4 x5", t(10)), (3L, "y1 y2", t(20)))
+      q.processAllAvailable()
+      // advance the watermark far past every doc so append mode emits
+      docs.addData((99L, "flush flush flush", t(100000)))
+      q.processAllAvailable()
+      val got = spark.table("span_audit_out")
+        .filter(col("doc_id") < 99).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 7L, 3L), (2L, 3L, 0L), (3L, 0L, 0L)), s"got $got")
+    } finally q.stop()
+  }
 }
