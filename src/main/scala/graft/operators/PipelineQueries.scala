@@ -678,12 +678,12 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** p35 oracle: the same fixture and the same fixed-order strip chain
-    * — every pattern uses only syntax Java regex and RE2 interpret
-    * identically (inline (?is), lazy quantifiers, \b, no backrefs), and
-    * entity decode order (&amp; last) is restated verbatim. */
-  val p35Sql: String =
-    """WITH aug AS (
+  /** The p35 fixture + strip chain as CTEs ending in
+    * `ex(doc_id, extracted)` — ONE generator shared by the p35 and p38
+    * oracles, so the fixture or a strip stage cannot silently diverge
+    * between them. */
+  private val htmlChainCtesSql: String =
+    """aug AS (
       |  SELECT doc_id,
       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
       |    || '</title><style type="text/css">body { color: red; } /* <p>not text</p> */</style>'
@@ -704,12 +704,22 @@ object PipelineQueries {
       |        replace(replace(replace(replace(replace(replace(replace(t,
       |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
       |          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
-      |      FROM s5)
-      |SELECT doc_id,
-      |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted,
-      |  CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
-      |FROM e
-      |ORDER BY doc_id""".stripMargin
+      |      FROM s5),
+      |ex AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted FROM e)""".stripMargin
+
+  /** p35 oracle: the same fixture and the same fixed-order strip chain
+    * — every pattern uses only syntax Java regex and RE2 interpret
+    * identically (inline (?is), lazy quantifiers, \b, no backrefs), and
+    * entity decode order (&amp; last) is restated verbatim. */
+  // concatenation, not interpolation-into-stripMargin: the chain's
+  // already-stripped `||` concat lines would lose a pipe to a second
+  // stripMargin pass
+  val p35Sql: String =
+    "WITH " + htmlChainCtesSql + "\n" +
+      """SELECT doc_id, extracted,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars
+        |FROM ex
+        |ORDER BY doc_id""".stripMargin
 
   /** p36: exact length-percentile filter, P10–P90
     * ([[TextAnalysis.lengthQuantileFilter]]; see its scaladoc for the
@@ -775,6 +785,112 @@ object PipelineQueries {
       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
       |FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  /** p38: the CRAWL-CURATION pipeline end-to-end — the r15 operators
+    * composed in CCNet order over the planted-markup corpus, proving
+    * they chain the way a pretraining ingest uses them (the crawl
+    * companion to p30's hygiene composition):
+    *   1. HTML → text ([[TextAnalysis.htmlToText]], p35's fixture);
+    *   2. exact P10–P90 length gate over the EXTRACTED corpus
+    *      ([[TextAnalysis.lengthQuantileFilter]]);
+    *   3. bigram-LM bucket, model trained on the doc_id % 5 == 0
+    *      reference slice of the length SURVIVORS
+    *      ([[TextAnalysis.bigramLmScore]]; thresholds recalibrated for
+    *      extracted text: head ≥ −3.55 > middle ≥ −3.85 > tail, every
+    *      score ≥ 7.8e-5 from a threshold at both SFs); tail drops;
+    *   4. span-dup statistics over the FINAL surviving corpus
+    *      ([[Dedup.spanDupStats]], width 8).
+    * Output: one row per surviving doc with its gate evidence. Every
+    * stage keeps its own operator's scale shape; the stage joins are
+    * id-keyed hash joins (co-partitioned at scale). */
+  val p38CrawlCuration: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val ex = docs.select(col("doc_id"),
+      TextAnalysis.htmlToText(p35FixtureHtml).as("extracted"))
+    val gate = TextAnalysis.lengthQuantileFilter(ex, "extracted", "doc_id", 10, 90)
+    val surv = ex.join(
+      gate.filter(col("kept")).select(col("doc_id"), col("n_tokens")),
+      Seq("doc_id"))
+    val lm = TextAnalysis.bigramLmScore(surv, "extracted", "doc_id",
+        refCond = pmod(col("doc_id"), lit(5)) === 0, k = 1.0)
+      .withColumn("bucket",
+        when(col("lm_logprob").isNull, lit("na"))
+          .when(col("lm_logprob") >= -3.55, lit("head"))
+          .when(col("lm_logprob") >= -3.85, lit("middle"))
+          .otherwise(lit("tail")))
+    val fin = surv.join(
+      lm.filter(col("bucket").isin("head", "middle"))
+        .select(col("doc_id"), col("lm_logprob"), col("bucket")),
+      Seq("doc_id"))
+    val span = Dedup.spanDupStats(fin, "extracted", "doc_id", width = 8)
+    fin.select(col("doc_id"), col("n_tokens"), col("lm_logprob"), col("bucket"))
+      .join(span, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** p38 oracle: every stage restated in one composed SQL — the shared
+    * [[htmlChainCtesSql]] extraction, the integer-arithmetic length
+    * thresholds, the add-1 LM over the surviving reference slice, the
+    * bucket CASE, and the string-keyed span windows with the
+    * gaps-and-islands run length. */
+  val p38Sql: String =
+    "WITH " + htmlChainCtesSql + ",\n" +
+      """n AS (SELECT doc_id, extracted,
+       |        CAST(CASE WHEN trim(extracted) = '' THEN 0
+       |             ELSE len(string_split_regex(trim(extracted), '\s+')) END AS BIGINT) AS n_tokens
+       |      FROM ex),
+       |hist AS (SELECT n_tokens AS len, count(*) AS c FROM n GROUP BY 1),
+       |cum AS (SELECT len, sum(c) OVER (ORDER BY len) AS cum FROM hist),
+       |tot AS (SELECT count(*) AS N FROM n),
+       |thr AS (SELECT
+       |    min(CASE WHEN cum >= (10 * N + 99) // 100 THEN len END) AS p_lo,
+       |    min(CASE WHEN cum >= (90 * N + 99) // 100 THEN len END) AS p_hi
+       |  FROM cum, tot),
+       |surv AS (SELECT doc_id, extracted, n_tokens FROM n, thr
+       |         WHERE n_tokens >= p_lo AND n_tokens <= p_hi),
+       |tk AS (SELECT doc_id, string_split_regex(trim(lower(extracted)), '\s+') AS tk FROM surv),
+       |ref AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
+       |uni AS (SELECT u AS w1, count(*) AS c1
+       |        FROM (SELECT unnest(tk) AS u FROM ref) GROUP BY u),
+       |v AS (SELECT count(*) AS vocab FROM uni),
+       |rb AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c2
+       |       FROM ref, unnest(range(1, len(tk))) r(i) GROUP BY 1, 2),
+       |db AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |       FROM tk, unnest(range(1, len(tk))) r(i)),
+       |sc AS (SELECT db.doc_id,
+       |        ln((coalesce(rb.c2, 0) + 1.0) /
+       |           (coalesce(uni.c1, 0) + (SELECT vocab FROM v))) AS lp
+       |      FROM db LEFT JOIN rb USING (w1, w2)
+       |              LEFT JOIN uni ON db.w1 = uni.w1),
+       |agg AS (SELECT doc_id, avg(lp) AS score FROM sc GROUP BY doc_id),
+       |bkt AS (SELECT surv.doc_id, surv.extracted, surv.n_tokens,
+       |          agg.score AS lm_logprob,
+       |          CASE WHEN agg.score IS NULL THEN 'na'
+       |               WHEN agg.score >= -3.55 THEN 'head'
+       |               WHEN agg.score >= -3.85 THEN 'middle'
+       |               ELSE 'tail' END AS bucket
+       |        FROM surv LEFT JOIN agg USING (doc_id)),
+       |fin AS (SELECT * FROM bkt WHERE bucket IN ('head', 'middle')),
+       |ftk AS (SELECT doc_id, string_split_regex(trim(lower(extracted)), '\s+') AS tk FROM fin),
+       |fw AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS win
+       |       FROM ftk, unnest(range(1, len(tk) - 6)) r(i)),
+       |fdf AS (SELECT win, count(*) AS df FROM fw GROUP BY win),
+       |fm AS (SELECT fw.doc_id, fw.pos, (fdf.df > 1) AS dup
+       |       FROM fw JOIN fdf USING (win)),
+       |fruns AS (SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |          FROM fm WHERE dup),
+       |frl AS (SELECT doc_id, max(c) AS longest
+       |        FROM (SELECT doc_id, grp, count(*) AS c FROM fruns GROUP BY doc_id, grp)
+       |        GROUP BY doc_id),
+       |ftot AS (SELECT doc_id, count(*) AS n_windows,
+       |                sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup
+       |         FROM fm GROUP BY doc_id)
+       |SELECT f.doc_id, f.n_tokens, f.lm_logprob, f.bucket,
+       |  CAST(coalesce(ftot.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(ftot.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(coalesce(frl.longest, 0) AS BIGINT) AS longest_dup_run
+       |FROM fin f LEFT JOIN ftot USING (doc_id) LEFT JOIN frl USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
 
   /** p32 oracle: same whitespace tokens, 1-based inclusive list slices
     * for the bigrams, same total (count DESC, ngram ASC) order at the
@@ -1388,6 +1504,7 @@ object PipelineQueries {
     "p35_html_extract" -> p35HtmlExtract,
     "p36_length_filter" -> p36LengthFilter,
     "p37_tfidf_terms" -> p37Tfidf,
+    "p38_crawl_curation" -> p38CrawlCuration,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -1857,6 +1974,7 @@ object PipelineQueries {
     "p35_html_extract" -> p35Sql,
     "p36_length_filter" -> p36Sql,
     "p37_tfidf_terms" -> p37Sql,
+    "p38_crawl_curation" -> p38Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
