@@ -171,6 +171,29 @@ object GraftFunctions {
           else CaseWhen(branches, Some(Literal(ws.length - 1)))
         case as => badArity("graft_split", as.length, "at least 3")
       }),
+    ("graft_html_to_text",
+      "(html) - deterministic HTML -> text extraction (strip chain, entity decode, whitespace collapse)",
+      {
+        // raw-node restatement of TextAnalysis.htmlToText (registry
+        // builders must return resolved trees); GraftExtensionsSpec
+        // pins bit-equality with the Column form
+        case Seq(h) =>
+          import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringReplace, StringTrim}
+          def re(c: Expression, pat: String, rep: String): Expression =
+            RegExpReplace(c, Literal(pat), Literal(rep))
+          def rep(c: Expression, from: String, to: String): Expression =
+            StringReplace(c, Literal(from), Literal(to))
+          val noScript = re(h, "(?is)<script\\b[^>]*>.*?</script>", " ")
+          val noStyle = re(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+          val noComment = re(noStyle, "(?s)<!--.*?-->", " ")
+          val noCdata = re(noComment, "(?s)<!\\[CDATA\\[.*?\\]\\]>", " ")
+          val noTags = re(noCdata, "<[^>]*>", " ")
+          val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+            "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ")
+            .foldLeft(noTags) { case (c, (f, t)) => rep(c, f, t) }
+          StringTrim(re(rep(ent, "&amp;", "&"), "\\s+", " "))
+        case as => badArity("graft_html_to_text", as.length, "1")
+      }),
     ("graft_pii_scan",
       "(text) - struct(n_emails, n_phones, n_ipv4, redacted): PII counts + redacted text",
       {

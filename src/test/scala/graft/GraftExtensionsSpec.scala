@@ -217,6 +217,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("positive"), e2.getMessage)
   }
 
+  test("graft_html_to_text matches the Column API bit-for-bit") {
+    registered.catalog
+    val pages = Seq(
+      (1L, """<html><head><style>p{/*<b>x</b>*/}</style><script>if(a<2){s="<i>no</i>"}</script></head>""" +
+        """<body><!-- <div>hidden</div> --><h1>T &amp; &lt;s&gt;</h1><p>body&nbsp;text &amp;lt;esc&amp;gt;</p>""" +
+        """<![CDATA[raw <x>]]><br>tail</body></html>"""),
+      (2L, "no markup at all"),
+      (3L, "a<script>unterminated b"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "h")
+    pages.createOrReplaceTempView("ext_pages")
+    val viaSql = registered.sql(
+      "SELECT id, graft_html_to_text(h) AS t FROM ext_pages")
+    val viaCols = pages.select(col("id"),
+      operators.TextAnalysis.htmlToText(col("h")).as("t"))
+    assert(viaSql.exceptAll(viaCols).isEmpty && viaCols.exceptAll(viaSql).isEmpty)
+    val got = viaSql.orderBy("id").collect()
+    assert(got(0).getString(1) === """T & <s> body text &lt;esc&gt; tail""")
+    assert(got(3).isNullAt(1))
+  }
+
   test("spark.sql.extensions injection registers on a fresh session") {
     // builder extensions apply only at session CREATION: park the default
     // session, build a sibling session over the same SparkContext with
