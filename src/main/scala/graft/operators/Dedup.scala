@@ -125,14 +125,19 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash
 
-  /** Word n-gram shingles as a native column (codegen). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val tokens = split(trim(lower(textCol)), "\\s+")
-    // sliding n-grams: transform over the index range, join words with 
-    val count = greatest(size(tokens) - (n - 1), lit(0))
-    transform(sequence(lit(0), count - 1),
-      i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
-  }
+  /** Word n-gram shingles as a native column (row-local; the transform
+    * itself is interpreted — higher-order functions don't codegen). */
+  def shingles(textCol: Column, n: Int): Column =
+    // bindArray: an unbound token array inside the window lambda
+    // re-splits the whole document once per shingle — O(tokens²)/row
+    graft.functions.BindOnce.bindArray(
+      split(trim(lower(textCol)), "\\s+"),
+      tokens => {
+        // sliding n-grams: transform over the index range, join words
+        val count = greatest(size(tokens) - (n - 1), lit(0))
+        transform(sequence(lit(0), count - 1),
+          i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))
+      })
 
   /** MinHash signature by one-permutation hashing (Li/Owen/Zhang: hash
     * each shingle ONCE, bin it by its hash, keep the per-bin minimum —
@@ -494,9 +499,12 @@ object Dedup {
       width: Int): DataFrame = {
     require(width > 0, "width must be positive")
     val tk = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
-    val wins = when(size(tk) >= width,
-      transform(sequence(lit(0), size(tk) - width),
-        i => array_join(slice(tk, i + 1, lit(width)), " "))).otherwise(array())
+    // bindArray: an unbound `tk` inside the window lambda re-splits the
+    // whole document once per window — O(tokens²) per row
+    val wins = graft.functions.BindOnce.bindArray(tk, tks =>
+      when(size(tks) >= width,
+        transform(sequence(lit(0), size(tks) - width),
+          i => array_join(slice(tks, i + 1, lit(width)), " "))).otherwise(array()))
     val w = docs.select(col(idCol), posexplode(wins).as(Seq("pos", "win")))
       .select(col(idCol), col("pos"), xxhash64(col("win")).as("h"))
     val df = w.groupBy("h").agg(count(lit(1)).as("df"))

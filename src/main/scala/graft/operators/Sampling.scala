@@ -218,6 +218,80 @@ object Sampling {
   private[graft] def cellOf(keyCol: Column, seed: Long, cells: Int): Column =
     pmod(shiftrightunsigned(xxhash64(keyCol, lit(seed)), 17), lit(cells.toLong))
 
+  /** Exact deterministic token-budget sampling — "take `budget` tokens'
+    * worth of each source", the step that realizes a training-mix
+    * recipe ("300 B tokens of crawl, 30 B of code") once
+    * [[weightedMix]] has chosen the ratios. A document is kept iff the
+    * total token count of the documents BEFORE it in the seeded
+    * per-group order (hash63(key, seed), key) is < `budget`: the kept
+    * set is a prefix of the hash order, the budget-crossing document is
+    * included, and the realized token count is the smallest prefix sum
+    * ≥ budget (the whole group when it is smaller). Pure function of
+    * (key, seed): retries, repartitions, and cluster layout cannot move
+    * a document in or out of the sample.
+    *
+    * Scale shape — an exact prefix WITHOUT a per-group corpus sort.
+    * A window cumsum over a Zipfian source would serialize the hot
+    * group on one reducer; but because the order IS the hash, the kept
+    * set is a hash-threshold set, and the threshold is found the way
+    * [[graft.operators.TextAnalysis.lengthQuantileFilter]] finds its
+    * quantiles — on a bounded histogram, never the corpus: rows reduce
+    * to a (group, bucket) token histogram over the top `bucketBits`
+    * hash bits (map-side combined; the exchange carries ≤ 2^bucketBits
+    * rows per group), the cumsum runs over that bounded histogram, and
+    * each group gets at most ONE boundary bucket with
+    * cum_start < budget ≤ cum_end. Rows join the histogram back on
+    * (group, bucket) (build side bounded; broadcast- or co-partition-
+    * able): below-boundary buckets are kept row-locally, above-boundary
+    * dropped row-locally, and only the boundary bucket's expected
+    * |group|/2^bucketBits rows pay an exact per-row prefix window.
+    * Identical to the one-window form for every bucketBits by prefix
+    * decomposition (`cum_start + prefix-within-bucket` IS the global
+    * prefix; the strict/inclusive split keeps zero-token documents
+    * exact at the boundary: full buckets need cum_end < budget, so
+    * every member's prefix is < budget even when its own count is 0).
+    *
+    * Returns the input plus `kept`. NULL token counts raise (a missing
+    * count is a broken upstream, not a 0-token document). */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, keyCol: String,
+      tokenCol: String, budget: Long, seed: Long,
+      bucketBits: Int = 16): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketBits >= 0 && bucketBits <= 32, "bucketBits must be in [0, 32]")
+    val tok = when(col(tokenCol).isNotNull, col(tokenCol).cast("long"))
+      .otherwise(raise_error(lit(
+        "graft tokenBudgetSample: NULL token count — broken upstream tokenization?"))
+        .cast("long"))
+    val base = df
+      .withColumn("__h", orderHash63(df, keyCol, seed))
+      .withColumn("__tok", tok)
+      .withColumn("__b", shiftright(col("__h"), 63 - bucketBits))
+    val wB = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = base.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__tok")).as("__btok"))
+      .withColumn("__cum_end", sum(col("__btok")).over(wB))
+      .withColumn("__cum_start", col("__cum_end") - col("__btok"))
+      .select(col(groupCol), col("__b"), col("__cum_start"), col("__cum_end"))
+    val joined = base.join(cum, Seq(groupCol, "__b"))
+    val wRow = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val full = joined.filter(col("__cum_end") < budget)
+      .withColumn("kept", lit(true))
+    val dropped = joined.filter(col("__cum_start") >= budget)
+      .withColumn("kept", lit(false))
+    // at most one bucket per group lands here, so the window partition
+    // is the boundary slice only — expected |group|/2^bucketBits rows
+    val boundary = joined
+      .filter(col("__cum_start") < budget && col("__cum_end") >= budget)
+      .withColumn("kept",
+        col("__cum_start") + coalesce(sum(col("__tok")).over(wRow), lit(0L))
+          < budget)
+    full.unionByName(dropped).unionByName(boundary)
+      .drop("__h", "__tok", "__b", "__cum_start", "__cum_end")
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
       cap: Int, seed: Long, cells: Int = 64): DataFrame = {
     require(cap > 0, "cap must be positive")

@@ -124,10 +124,14 @@ object TextAnalysis {
       // phantom empty "token" the n>=2 path's size guard never emits;
       // filter it so unigram counts aren't polluted by blank docs.
       if (n == 1) filter(tk, t => length(t) > 0)
-      else when(size(tk) >= n,
-        transform(sequence(lit(0), size(tk) - n),
-          i => array_join(slice(tk, i + lit(1), lit(n)), " ")))
-        .otherwise(array())
+      // bindArray: the window lambda must reference the token array as
+      // a BOUND variable — an expression reference re-splits the whole
+      // document once per window (O(tokens²) per row)
+      else graft.functions.BindOnce.bindArray(tk, tks =>
+        when(size(tks) >= n,
+          transform(sequence(lit(0), size(tks) - n),
+            i => array_join(slice(tks, i + lit(1), lit(n)), " ")))
+          .otherwise(array()))
     df.select(explode(grams).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
@@ -418,8 +422,12 @@ object TextAnalysis {
       refCond: Column, k: Double = 1.0): DataFrame = {
     require(k > 0, "smoothing k must be positive")
     val tk = split(trim(lower(col(textCol))), "\\s+")
-    val prs = transform(sequence(lit(0), size(tk) - 2),
-      i => struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2")))
+    // bindArray: an unbound `tk` inside the lambda re-splits the whole
+    // document once per TRANSITION — O(tokens²) per row (measured ~25×
+    // on the p38 LM stage)
+    val prs = graft.functions.BindOnce.bindArray(tk, tks =>
+      transform(sequence(lit(0), size(tks) - 2),
+        i => struct(element_at(tks, i + 1).as("w1"), element_at(tks, i + 2).as("w2"))))
     def bigrams(d: DataFrame) = d.filter(size(tk) >= 2)
       .select(col(idCol), explode(prs).as("pr"))
       .select(col(idCol), col("pr.w1").as("w1"), col("pr.w2").as("w2"))

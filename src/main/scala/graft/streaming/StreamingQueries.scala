@@ -658,9 +658,12 @@ object StreamingQueries {
       textCol: String, idCol: String, tsCol: String, width: Int,
       watermark: String = "5 minutes"): DataFrame = {
     val tk = split(trim(lower(col(textCol))), "\\s+")
-    val wins = when(size(tk) >= width,
-      transform(sequence(lit(0), size(tk) - width),
-        i => array_join(slice(tk, i + 1, lit(width)), " "))).otherwise(array())
+    // bindArray: an unbound `tk` inside the window lambda re-splits the
+    // whole document once per window — O(tokens²) per row
+    val wins = graft.functions.BindOnce.bindArray(tk, tks =>
+      when(size(tks) >= width,
+        transform(sequence(lit(0), size(tks) - width),
+          i => array_join(slice(tks, i + 1, lit(width)), " "))).otherwise(array()))
     stream
       .select(col(idCol), col(tsCol),
         posexplode_outer(wins).as(Seq("pos", "win")))
@@ -697,9 +700,10 @@ object StreamingQueries {
         concat(col("text"), lit(passage))).otherwise(col("text")))
     val tk = split(trim(lower(col("t"))), "\\s+")
     val histHashes = hist
-      .select(explode(when(size(tk) >= 8,
-        transform(sequence(lit(0), size(tk) - 8),
-          i => array_join(slice(tk, i + 1, lit(8)), " "))).otherwise(array()))
+      .select(explode(graft.functions.BindOnce.bindArray(tk, tks =>
+        when(size(tks) >= 8,
+          transform(sequence(lit(0), size(tks) - 8),
+            i => array_join(slice(tks, i + 1, lit(8)), " "))).otherwise(array())))
         .as("win"))
       .select(xxhash64(col("win")).as("h")).distinct()
     val stream = boundedDocStream(spark, dir)

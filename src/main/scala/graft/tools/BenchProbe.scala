@@ -26,12 +26,18 @@ object BenchProbe {
       graft.SparkEntry.queries(k)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // "cold" = reset the operator-algorithm caches between passes, the
+    // way Bench does — steady-state COLD cost, not warm-cache reuse
+    def reset(): Unit =
+      if (mode == "cold") graft.operators.PipelineQueries.resetOperatorCaches()
     val p1 = keys.map(k => k -> time(k))
     if (mode == "full")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+    reset()
     val p2 = keys.map(k => k -> time(k))
+    reset()
     val p3 = keys.map(k => k -> time(k))
     println("[probe] pass1 " + p1.map { case (k, t) => f"$k=$t%.2f" }.mkString(" "))
     println("[probe] pass2 " + p2.map { case (k, t) => f"$k=$t%.2f" }.mkString(" "))
