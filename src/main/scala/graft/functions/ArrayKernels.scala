@@ -359,3 +359,236 @@ object NearestCentroid {
   def apply(v: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), centroids))
 }
+
+/** Argmax-COSINE centroid assignment for semantic dedup
+  * ([[graft.operators.SimilaritySearch.semDedup]]): index of the
+  * expression-embedded centroid with the largest cosine similarity to an
+  * `array<double>` vector, ties broken to the SMALLEST index (a
+  * candidate wins only on strictly greater cosine). One codegen'd loop
+  * over the centroid table — the corpus-side assignment pass is a
+  * row-local projection, no shuffle, no UDF. Centroid L2 norms are
+  * precomputed once per expression instance (not per row); a zero-norm
+  * centroid has undefined cosine and can never win (NaN fails every
+  * strict comparison). NULL for empty/null vectors, null elements, a
+  * dimension mismatch, or a ZERO-NORM input vector — callers that want
+  * loud failure wrap the NULL (the operator layer raises). */
+case class NearestCentroidCosine(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    NearestCentroidCosine.normsOf(cents)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if centroids.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a non-empty centroid table")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid_cosine"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCentroidCosine.kernel(v.asInstanceOf[ArrayData], cents, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("cell")
+      s"""
+         |java.lang.Integer $r = graft.functions.NearestCentroidCosine.kernel($v, $centsRef, $normsRef);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidCosine {
+  private[graft] def normsOf(cents: Array[Array[Double]]): Array[Double] =
+    cents.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      math.sqrt(s)
+    }
+
+  def kernel(vec: ArrayData, cents: Array[Array[Double]],
+      norms: Array[Double]): java.lang.Integer = {
+    val n = vec.numElements()
+    if (n == 0 || cents.length == 0 || cents(0).length != n) return null
+    var i = 0
+    var vn = 0.0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      val x = vec.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    if (vn == 0.0) return null
+    val vnorm = math.sqrt(vn)
+    var best = -1
+    var bc = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += vec.getDouble(j) * cc(j); j += 1 }
+      val cos = dot / (vnorm * norms(c))
+      if (cos > bc) { bc = cos; best = c }
+      c += 1
+    }
+    if (best < 0) null else java.lang.Integer.valueOf(best)
+  }
+
+  def apply(v: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCentroidCosine(ColumnBridge.expression(v), centroids))
+}
+
+/** TWO-LEVEL argmax-cosine centroid assignment — the scale path for
+  * [[graft.operators.SimilaritySearch.semDedup]] when k grows with the
+  * corpus (k = n/B makes the flat argmax n·k·d = n²d/B FLOPs — a
+  * quadratic scale-killer the 100× probe measured at 52×). The centroid
+  * table is itself partitioned IVF-style: `superIdx` names a subset of
+  * centroids as super-centroids, `members(s)` lists (ascending) the
+  * global centroid indices whose nearest super (by the SAME
+  * strictly-greater/smallest-index argmax rule) is s. A row first picks
+  * its super (|supers|·d work), then argmaxes over that super's member
+  * group only (~B·d work) — n·d·(k/F + F·B/B) instead of n·k·d. The
+  * result is the nearest centroid WITHIN the probed group (IVF nProbe=1
+  * semantics — an approximation of the flat argmax that is itself
+  * exactly deterministic and independently restatable; with ONE super
+  * it reduces bit-exactly to the flat rule). Ties at both levels break
+  * to the smallest index (strictly-greater-wins). NULL under the same
+  * conditions as [[NearestCentroidCosine]]. Returns the GLOBAL centroid
+  * index. */
+case class NearestCentroidCosine2L(child: Expression,
+    centroids: Seq[Seq[Double]], superIdx: Seq[Int], members: Seq[Seq[Int]])
+    extends UnaryExpression {
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    NearestCentroidCosine.normsOf(cents)
+  @transient private lazy val supers: Array[Int] = superIdx.toArray
+  @transient private lazy val groups: Array[Array[Int]] =
+    members.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _)
+        if centroids.nonEmpty && superIdx.nonEmpty &&
+          members.length == superIdx.length =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs non-empty centroids/supers and |members| == |supers|")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid_cosine_2l"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCentroidCosine2L.kernel(
+      v.asInstanceOf[ArrayData], cents, norms, supers, groups)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("centroidNorms", norms, "double[]")
+    val supersRef = ctx.addReferenceObj("superIdx", supers, "int[]")
+    val groupsRef = ctx.addReferenceObj("memberGroups", groups, "int[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("cell")
+      s"""
+         |java.lang.Integer $r = graft.functions.NearestCentroidCosine2L.kernel($v, $centsRef, $normsRef, $supersRef, $groupsRef);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidCosine2L {
+  def kernel(vec: ArrayData, cents: Array[Array[Double]],
+      norms: Array[Double], supers: Array[Int],
+      groups: Array[Array[Int]]): java.lang.Integer = {
+    val n = vec.numElements()
+    if (n == 0 || cents.length == 0 || cents(0).length != n) return null
+    var i = 0
+    var vn = 0.0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      val x = vec.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    if (vn == 0.0) return null
+    val vnorm = math.sqrt(vn)
+    def cosTo(c: Int): Double = {
+      val cc = cents(c)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += vec.getDouble(j) * cc(j); j += 1 }
+      dot / (vnorm * norms(c))
+    }
+    var bestS = -1
+    var bs = Double.NegativeInfinity
+    var s = 0
+    while (s < supers.length) {
+      val cos = cosTo(supers(s))
+      if (cos > bs) { bs = cos; bestS = s }
+      s += 1
+    }
+    if (bestS < 0) return null
+    val group = groups(bestS)
+    var best = -1
+    var bc = Double.NegativeInfinity
+    var g = 0
+    while (g < group.length) {
+      val cos = cosTo(group(g))
+      if (cos > bc) { bc = cos; best = group(g) }
+      g += 1
+    }
+    if (best < 0) null else java.lang.Integer.valueOf(best)
+  }
+
+  /** Driver-side flat argmax over a plain array — used to build the
+    * centroid→super member groups with the SAME comparison rule the
+    * row kernel applies. */
+  def assignFlat(v: Array[Double], cents: Array[Array[Double]],
+      norms: Array[Double]): Int = {
+    var vn = 0.0
+    var i = 0
+    while (i < v.length) { vn += v(i) * v(i); i += 1 }
+    val vnorm = math.sqrt(vn)
+    var best = -1
+    var bc = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += v(j) * cc(j); j += 1 }
+      val cos = dot / (vnorm * norms(c))
+      if (cos > bc) { bc = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def apply(v: Column, centroids: Seq[Seq[Double]], superIdx: Seq[Int],
+      members: Seq[Seq[Int]]): Column =
+    ColumnBridge.column(NearestCentroidCosine2L(
+      ColumnBridge.expression(v), centroids, superIdx, members))
+}

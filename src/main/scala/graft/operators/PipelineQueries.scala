@@ -812,6 +812,88 @@ object PipelineQueries {
       |FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** p39: exact per-source token-budget sampling
+    * ([[Sampling.tokenBudgetSample]]; see its scaladoc for the
+    * histogram-threshold scale shape — the prefix is found on a bounded
+    * (source, bucket) token histogram, never a per-source corpus
+    * sort). Budget 600 tokens per source: the gate bites at every SF
+    * (sources carry ~1.4 k tokens at sf0.001/0.01, ~13 k at sf0.1). */
+  val p39TokenBudget: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
+        budget = 600L, seed = 17L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** p39 oracle: the naive one-window restatement — kept iff the token
+    * sum over rows before this one in (hash63(doc_id, 17), doc_id)
+    * order within the source is < 600. The [[mixChainSql]] SplitMix64
+    * chain reproduces the hash bit-exactly, so the oracle checks the
+    * histogram-threshold decomposition against the definitionally
+    * simple form. */
+  val p39Sql: String =
+    mixChainSql("SELECT doc_id, source, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, xor(CAST(doc_id AS UBIGINT), CAST(17 AS UBIGINT)) AS z FROM documents") + """
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY z, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM h)
+      |SELECT doc_id, source, n_tokens, (cum < 600) AS kept
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** p40: semantic deduplication (SemDedup) over the embeddings table
+    * ([[SimilaritySearch.semDedup]]; see its scaladoc for the
+    * cluster-bounds-the-quadratic scale shape). theta = 0.38 and
+    * seed = 7 are calibrated so every decision sits far from
+    * cross-engine float noise: min |cosine − θ| over all within-cluster
+    * pairs is 4.2e-5 (sf0.001) / 5.3e-4 (sf0.01), and the
+    * assignment argmax margin (best vs second-best centroid cosine)
+    * is ≥ 1.3e-5 / 4.9e-6 — both ≥ 10⁹× above double-rounding
+    * disagreement, so the integer/boolean outputs hash-match exactly.
+    * targetClusterSize 64 ⇒ k = 8 centroids at both oracle SFs. */
+  val p40SemDedup: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    SimilaritySearch.semDedup(emb, "vec_id", "embedding",
+        theta = 0.38, seed = 7L, targetClusterSize = 64)
+      .orderBy("vec_id")
+  }
+
+  /** p40 oracle: the same SplitMix64 centroid sample ([[mixChainSql]]),
+    * argmax-cosine assignment as a window over the vec × centroid cross
+    * join (ORDER BY cos DESC, centroid rank ASC ≡ the kernel's
+    * strictly-greater-wins / smallest-index tie-break), and the
+    * within-cluster smaller-id duplicate count via a conditional LEFT
+    * JOIN — the definitionally simple restatement of the whole
+    * operator. The SQL states the FLAT argmax: at both gate SFs
+    * k = 8 ≤ 64 ⇒ ONE super-group, where the engine's two-level
+    * assignment reduces bit-exactly to the flat rule (the >64-centroid
+    * two-level path is pinned by the PipelineSpec naive replay, which
+    * implements the two-level rule directly). */
+  val p40Sql: String =
+    mixChainSql("SELECT vec_id, embedding::DOUBLE[] AS v, xor(CAST(vec_id AS UBIGINT), CAST(7 AS UBIGINT)) AS z FROM embeddings") + """
+      |cent AS (
+      |  SELECT vec_id AS cent_id, v AS cv,
+      |         row_number() OVER (ORDER BY z, vec_id) AS rk
+      |  FROM h
+      |  QUALIFY rk <= ((SELECT count(*) FROM h) + 63) // 64),
+      |asg AS (
+      |  SELECT vec_id, v, cent_id FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.rk ASC) AS r
+      |    FROM h e, cent c)
+      |  WHERE r = 1)
+      |SELECT a.vec_id, a.cent_id AS cluster,
+      |       CAST(count(b.vec_id) AS BIGINT) AS n_dups,
+      |       (count(b.vec_id) = 0) AS kept
+      |FROM asg a LEFT JOIN asg b
+      |  ON b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+      | AND list_cosine_similarity(a.v, b.v) >= 0.38
+      |GROUP BY a.vec_id, a.cent_id
+      |ORDER BY a.vec_id""".stripMargin
+
   /** p38: the CRAWL-CURATION pipeline end-to-end — the r15 operators
     * composed in CCNet order over the planted-markup corpus, proving
     * they chain the way a pretraining ingest uses them (the crawl
@@ -1541,6 +1623,8 @@ object PipelineQueries {
     "p36_length_filter" -> p36LengthFilter,
     "p37_tfidf_terms" -> p37Tfidf,
     "p38_crawl_curation" -> p38CrawlCuration,
+    "p39_token_budget" -> p39TokenBudget,
+    "p40_semdedup" -> p40SemDedup,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2011,6 +2095,8 @@ object PipelineQueries {
     "p36_length_filter" -> p36Sql,
     "p37_tfidf_terms" -> p37Sql,
     "p38_crawl_curation" -> p38Sql,
+    "p39_token_budget" -> p39Sql,
+    "p40_semdedup" -> p40Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -205,6 +205,185 @@ class PipelineSpec extends AnyFunSuite {
     assert(sizes == Map("hot" -> 10, "tiny" -> 5), s"got $sizes")
   }
 
+  test("tokenBudgetSample: ≡ one-window form, invariant to bucketBits and partitioning, edge cases") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Zipf-shaped sources plus zero-token docs (i % 13 == 0 rows in
+    // "mid"): the histogram-threshold path must reproduce the naive
+    // window cumsum exactly, including zero-token rows whose own count
+    // cannot move the prefix
+    val rows = ((0L until 800L).map(i => (i, "hot", (i % 7) + 1)) ++
+      (800L until 880L).map(i => (i, "mid", i % 13)) ++
+      (880L until 885L).map(i => (i, "tiny", 50L))).toDF("id", "g", "tok")
+    def run(df: org.apache.spark.sql.DataFrame, bits: Int) =
+      Sampling.tokenBudgetSample(df, "g", "id", "tok",
+          budget = 200L, seed = 11L, bucketBits = bits)
+        .select("id", "kept").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val naive = {
+      val w = Window.partitionBy($"g")
+        .orderBy(Sampling.hash63($"id", 11L), $"id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.withColumn("cum", coalesce(sum($"tok").over(w), lit(0L)))
+        .select($"id", ($"cum" < 200L).as("kept")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    }
+    val base = run(rows, 16)
+    assert(base == naive, "histogram-threshold path must equal the one-window form")
+    // bucketBits=0 degenerates to a single bucket (everything through
+    // the boundary window); any bits and any partitioning must agree
+    assert(base == run(rows, 0), "bucketBits=0 must not change the sample")
+    assert(base == run(rows.repartition(13), 4), "partitioning+bits must not move rows")
+    // the kept set is a budget-crossing prefix: realized tokens ≥
+    // budget for every group whose total reaches it, and dropping the
+    // hash-order-last kept row goes back under budget (minimality)
+    val byGroup = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    for (g <- Seq("hot", "mid", "tiny")) {
+      val total = byGroup.filter(_._2 == g).map(_._3).sum
+      val kept = byGroup.filter(t => t._2 == g && base(t._1)).map(_._3).sum
+      if (total >= 200L) assert(kept >= 200L, s"$g realized $kept < budget")
+      else assert(kept == total, s"$g under budget must keep everything")
+    }
+    // budget above the group total: every row kept
+    val all = Sampling.tokenBudgetSample(rows.filter($"g" === "tiny"),
+        "g", "id", "tok", budget = 100000L, seed = 11L)
+      .select("kept").collect().map(_.getBoolean(0))
+    assert(all.forall(identity), "budget > total must keep all rows")
+    // NULL token counts must raise, not silently sample
+    val withNull = Seq((1L, "g", java.lang.Long.valueOf(3L)),
+      (2L, "g", null.asInstanceOf[java.lang.Long])).toDF("id", "g", "tok")
+    val ex = intercept[Exception] {
+      Sampling.tokenBudgetSample(withNull, "g", "id", "tok",
+        budget = 10L, seed = 1L).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("semDedup: ≡ naive in-JVM replay, min-id survives, auto-k, ties, loud failures") {
+    import spark.implicits._
+    import graft.operators.DetRngHash
+    // 130 deterministic 6-dim vectors + 10 planted EXACT duplicates
+    // (i ↔ i+200 identical ⇒ same cluster, cosine 1.0 ≥ θ ⇒ the larger
+    // id must be dropped). n=140, targetClusterSize=64 ⇒ k=3.
+    def vec(i: Long): Seq[Double] =
+      (0 until 6).map(j => (((i * 31 + j * 17) % 13) - 6).toDouble + 0.25)
+    val rows = ((0L until 130L).map(i => (i, vec(i))) ++
+      (0L until 10L).map(i => (i + 200L, vec(i))))
+    val df = rows.toDF("vec_id", "embedding")
+    val theta = 0.92
+    val out = SimilaritySearch.semDedup(df, "vec_id", "embedding",
+        theta = theta, seed = 7L, targetClusterSize = 64)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // naive replay: same hash, same argmax rule, same pair rule
+    def h63(id: Long) = DetRngHash.mix(id ^ 7L) >>> 1
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val k = (rows.size + 63) / 64
+    assert(k == 3, s"auto-k should be 3 for n=${rows.size}")
+    val cents = rows.sortBy { case (id, _) => (h63(id), id) }.take(k)
+    val assign = rows.map { case (id, v) =>
+      // strictly-greater-wins ⇒ smallest index on ties, like the kernel
+      val best = cents.zipWithIndex.minBy { case ((_, cv), i) => (-cos(v, cv), i) }
+      id -> best._1._1
+    }.toMap
+    val naive = rows.map { case (id, v) =>
+      val nd = rows.count { case (oid, ov) =>
+        oid < id && assign(oid) == assign(id) && cos(v, ov) >= theta }
+      id -> ((assign(id), nd.toLong, nd == 0))
+    }.toMap
+    assert(out == naive, "semDedup must equal the naive replay")
+    // planted exact duplicates: identical vectors share a cluster and
+    // the larger id is never kept
+    for (i <- 0L until 10L) {
+      assert(out(i + 200L)._1 == out(i)._1, s"dup $i split across clusters")
+      assert(!out(i + 200L)._3, s"planted dup ${i + 200L} must be dropped")
+    }
+    // the minimum id of every cluster is always kept (nothing smaller exists)
+    out.groupBy(_._2._1).foreach { case (c, members) =>
+      val minId = members.keys.min
+      assert(members(minId)._3, s"cluster $c min id $minId must be kept")
+    }
+    // partitioning cannot move a decision
+    val rep = SimilaritySearch.semDedup(df.repartition(7), "vec_id", "embedding",
+        theta = theta, seed = 7L, targetClusterSize = 64)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep == out, "repartition must not change the result")
+    // NULL vector raises; zero-norm vector raises; budget raises
+    val withNull = (rows :+ (999L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      SimilaritySearch.semDedup(withNull, "vec_id", "embedding", 0.9, 7L).collect()
+    }
+    val withZero = (rows :+ (999L, Seq.fill(6)(0.0))).toDF("vec_id", "embedding")
+    val exZ = intercept[Exception] {
+      SimilaritySearch.semDedup(withZero, "vec_id", "embedding", 0.9, 7L).collect()
+    }
+    assert(exZ.getMessage != null)
+    val exB = intercept[IllegalArgumentException] {
+      SimilaritySearch.semDedup(df, "vec_id", "embedding", 0.9, 7L,
+        targetClusterSize = 1, maxCentroidBytes = 16L)
+    }
+    assert(exB.getMessage.contains("budget"))
+  }
+
+  test("semDedup two-level assignment (k > 64): ≡ naive two-level replay; one super ≡ flat kernel") {
+    import spark.implicits._
+    import graft.operators.DetRngHash
+    import graft.functions.{NearestCentroidCosine, NearestCentroidCosine2L}
+    def vec(i: Long): Seq[Double] =
+      (0 until 6).map(j => (((i * i * 7 + i * 31 + j * (17 + i % 5)) % 97) - 48).toDouble / 7.0)
+    val rows = (0L until 600L).map(i => (i, vec(i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val theta = 0.9
+    // targetClusterSize=4 ⇒ k=150 ⇒ 3 super-groups: the two-level
+    // branch is genuinely exercised (not the one-super reduction)
+    val out = SimilaritySearch.semDedup(df, "vec_id", "embedding",
+        theta = theta, seed = 5L, targetClusterSize = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    def h63(id: Long) = DetRngHash.mix(id ^ 5L) >>> 1
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val k = (rows.size + 3) / 4
+    assert(k == 150)
+    val cents = rows.sortBy { case (id, _) => (h63(id), id) }.take(k)
+    val nSupers = (k + 63) / 64
+    assert(nSupers == 3, "two-level path must be active")
+    val supers = cents.take(nSupers)
+    // strictly-greater-wins argmax (⇒ smallest index on ties)
+    def argmaxIdx(v: Seq[Double], cands: Seq[Seq[Double]]): Int =
+      cands.zipWithIndex.minBy { case (cv, i) => (-cos(v, cv), i) }._2
+    val memberOf: Map[Int, Seq[Int]] = cents.indices
+      .groupBy(c => argmaxIdx(cents(c)._2, supers.map(_._2)))
+      .map { case (s, cs) => s -> cs.sorted }
+    val assign = rows.map { case (id, v) =>
+      val s = argmaxIdx(v, supers.map(_._2))
+      val grp = memberOf(s)
+      val fine = grp.minBy(c => (-cos(v, cents(c)._2), c))
+      id -> cents(fine)._1
+    }.toMap
+    val naive = rows.map { case (id, v) =>
+      val nd = rows.count { case (oid, ov) =>
+        oid < id && assign(oid) == assign(id) && cos(v, ov) >= theta }
+      id -> ((assign(id), nd.toLong, nd == 0))
+    }.toMap
+    assert(out == naive, "two-level semDedup must equal the naive two-level replay")
+    assert(memberOf.size > 1, "fixture must spread centroids over >1 super")
+    // with ONE super the two-level kernel reduces bit-exactly to flat
+    val someCents = rows.take(5).map(_._2)
+    val flatVs2l = df.select(
+      NearestCentroidCosine(transform(col("embedding"), _.cast("double")), someCents).as("f"),
+      NearestCentroidCosine2L(transform(col("embedding"), _.cast("double")), someCents,
+        Seq(0), Seq(someCents.indices)).as("t"))
+      .collect()
+    assert(flatVs2l.forall(r => r.getInt(0) == r.getInt(1)),
+      "one-super two-level must equal the flat kernel")
+  }
+
   test("winnowing containment guarantee holds at EVERY embedding offset (k+window-1 chars)") {
     import spark.implicits._
     // Schleimer et al.'s coverage theorem needs SLIDING windows: a
