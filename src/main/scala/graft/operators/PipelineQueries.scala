@@ -894,6 +894,270 @@ object PipelineQueries {
       |GROUP BY a.vec_id, a.cent_id
       |ORDER BY a.vec_id""".stripMargin
 
+  /** The adversarial fixture for p41: the corpus text is one clean line
+    * of lowercase words, so every Gopher rule would pass vacuously —
+    * plant rule-triggering structure per residue class: bullet-list
+    * docs (10 "- " lines → bullet fraction 10/11 > 0.9), ellipsis-line
+    * docs (2 of 3 lines end "..." → 2/3 > 0.3), and symbol/numeric
+    * docs (8 '#' chars + 12 digit tokens — fires the symbol and, on
+    * short docs, the alphabetic-word rule). Restated verbatim in SQL
+    * (repeat/chr(10)). */
+  private def p41FixtureText: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(13)) === 0,
+      lit("\n- bullet item" * 10)).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(17)) === 0,
+      lit("\nto be continued...\nloading more results...")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(19)) === 0,
+      lit(" #### #### 123 456 789 0 11 22 33 44 55 66 77 88")).otherwise(lit("")))
+
+  /** p41: the Gopher quality-rule battery over the planted corpus
+    * ([[TextAnalysis.gopherRules]]; see its scaladoc for the
+    * integer-arithmetic flag contract — one row-local codegen pass, no
+    * shuffle). Word-count bounds tuned to the corpus (30–80 tokens) so
+    * both outcomes occur at every SF. */
+  val p41GopherRules: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.gopherRules(
+        docs.select(col("doc_id"), p41FixtureText.as("t")),
+        "t", "doc_id", minTokens = 30L, maxTokens = 80L)
+      .orderBy("doc_id")
+  }
+
+  /** p41 oracle: the same planted fixture and the same seven rules in
+    * the identical integer cross-multiplied arithmetic; the stop-word
+    * lexicon is interpolated from the SAME Scala constant. */
+  val p41Sql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text
+       |    || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || '- bullet item', 10) ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'loading more results...' ELSE '' END
+       |    || CASE WHEN doc_id % 19 = 0 THEN ' #### #### 123 456 789 0 11 22 33 44 55 66 77 88' ELSE '' END AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN trim(t) = '' THEN 0 ELSE len(string_split_regex(trim(lower(t)), '\\s+')) END AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(trim(t), '\\s+', '', 'g')) AS BIGINT) AS sum_len,
+       |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(t, chr(10)), l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(string_split(t, chr(10)), l -> l LIKE '%...')) AS BIGINT) AS n_ell_line,
+       |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(t)), '\\s+'), w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(t)), '\\s+'), w -> w IN ($stops))) AS BIGINT) AS n_stop
+       |  FROM aug)
+       |SELECT doc_id, n_tokens, n_lines,
+       |  (n_tokens >= 30 AND n_tokens <= 80) AS r_word_count,
+       |  (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens) AS r_mean_word_len,
+       |  (10 * (n_hash + n_ellipsis) <= n_tokens) AS r_symbol_ratio,
+       |  (10 * n_bullet <= 9 * n_lines) AS r_bullet_lines,
+       |  (10 * n_ell_line <= 3 * n_lines) AS r_ellipsis_lines,
+       |  (5 * n_alpha >= 4 * n_tokens) AS r_alpha_words,
+       |  (n_stop >= 2) AS r_stopwords,
+       |  ((n_tokens >= 30 AND n_tokens <= 80)
+       |   AND (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
+       |   AND (10 * (n_hash + n_ellipsis) <= n_tokens)
+       |   AND (10 * n_bullet <= 9 * n_lines)
+       |   AND (10 * n_ell_line <= 3 * n_lines)
+       |   AND (5 * n_alpha >= 4 * n_tokens)
+       |   AND (n_stop >= 2)) AS gopher_pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private val P42Chunk = 32
+  private val P42Stride = 24
+
+  /** p42: fixed-size token-window chunking with stride
+    * ([[TextAnalysis.chunkTokens]], chunk 32 / stride 24 — the step
+    * that turns filtered documents into model-sized pieces; row-local
+    * explode, no shuffle). */
+  val p42DocChunks: Q = (spark, dir) =>
+    TextAnalysis.chunkTokens(Tables.load(spark, dir, "documents"),
+        "text", "doc_id", chunk = P42Chunk, stride = P42Stride)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** p42 oracle: the same start-count arithmetic
+    * (n ≤ chunk ? 1 : (n − chunk + stride − 1) // stride + 1), starts
+    * at i·stride, 1-based inclusive list slices. */
+  val p42Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, tk, n,
+       |    CASE WHEN n <= $P42Chunk THEN 1
+       |         ELSE (n - $P42Chunk + ${P42Stride - 1}) // $P42Stride + 1 END AS nstarts
+       |  FROM tk),
+       |c AS (
+       |  SELECT doc_id, tk, n, i AS chunk_idx, i * $P42Stride AS start_tok
+       |  FROM st, unnest(range(0, nstarts)) r(i))
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(least($P42Chunk, n - start_tok) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(tk[start_tok + 1 : start_tok + least($P42Chunk, n - start_tok)], ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** The planted-URL fixture for p43 (distinct from p29/p31's: this one
+    * exercises the CANONICALIZER — mixed-case scheme/host, fragments,
+    * tracking params, unsorted params, and a `refresh=1` near-miss the
+    * anchored tracking pattern must NOT strip). Residue classes make
+    * distinct raw URLs collapse to shared canonical forms, which is the
+    * point of the operator. */
+  private def p43FixtureUrl: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    when(pmod(d, lit(3)) === 0, concat(
+        lit("HTTPS://Example"), pmod(d, lit(5)).cast("string"),
+        lit(".COM/Path/"), pmod(d, lit(7)).cast("string"),
+        lit("?utm_source=feed&id="), pmod(d, lit(13)).cast("string"),
+        lit("&utm_campaign=x#sec")))
+      .when(pmod(d, lit(3)) === 1, concat(
+        lit("http://EXAMPLE"), pmod(d, lit(5)).cast("string"),
+        lit(".com/Path/"), pmod(d, lit(7)).cast("string"),
+        lit("?ref=tw&z=9&a=1&refresh=1")))
+      .otherwise(concat(
+        lit("https://cdn.Example"), pmod(d, lit(5)).cast("string"),
+        lit(".net/x?b=2&a="), pmod(d, lit(11)).cast("string"),
+        lit("&fbclid=abc")))
+  }
+
+  /** p43: URL canonicalization over the planted fixture
+    * ([[TextAnalysis.canonicalUrl]]; row-local regexp decomposition +
+    * param filter/sort). `n_same` counts the docs sharing each
+    * canonical form — the URL-dedup signal distinct raw URLs collapse
+    * into. */
+  val p43UrlCanonical: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))
+    docs.select(col("doc_id"), p43FixtureUrl.as("url"))
+      .withColumn("canonical", TextAnalysis.canonicalUrl(col("url")))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** p43 oracle: the same fixture; scheme/host lowercase, fragment
+    * dropped, tracking params removed via the SAME anchored pattern
+    * constant, survivors sorted byte-wise. */
+  val p43Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3
+       |      WHEN 0 THEN 'HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM/Path/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_campaign=x#sec'
+       |      WHEN 1 THEN 'http://EXAMPLE' || CAST(doc_id % 5 AS VARCHAR) || '.com/Path/' || CAST(doc_id % 7 AS VARCHAR) || '?ref=tw&z=9&a=1&refresh=1'
+       |      ELSE 'https://cdn.Example' || CAST(doc_id % 5 AS VARCHAR) || '.net/x?b=2&a=' || CAST(doc_id % 11 AS VARCHAR) || '&fbclid=abc'
+       |    END AS url
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+       |    regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS q
+       |  FROM aug),
+       |k AS (
+       |  SELECT doc_id, url, sch, host, path,
+       |    list_sort(list_filter(
+       |      CASE WHEN length(q) > 0 THEN string_split(q, '&') ELSE [] END,
+       |      pr -> length(pr) > 0 AND NOT regexp_matches(pr, '${TextAnalysis.TrackingParamPattern}'))) AS kept
+       |  FROM p),
+       |c AS (
+       |  SELECT doc_id, url,
+       |    sch || '://' || host || path ||
+       |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical
+       |  FROM k)
+       |SELECT doc_id, url, canonical,
+       |  count(*) OVER (PARTITION BY canonical) AS n_same
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  private[graft] val P44Terms = Seq("dup", "spark")
+
+  /** p44: BM25 top-10 retrieval for the two-term query (dup, spark) —
+    * one rare term (df ≈ 5 % of docs) and one common one
+    * ([[TextAnalysis.bm25TopK]]; see its scaladoc for the
+    * postings-only exchange and the two-term determinism argument).
+    * Adjacent distinct scores in the top ranks are separated by
+    * ≥ 7.9e-4 at every SF (audited), 10¹¹× above cross-engine libm
+    * noise; equal scores (identical tf/len) tie-break on doc_id
+    * identically on both engines. */
+  val p44Bm25: Q = (spark, dir) =>
+    TextAnalysis.bm25TopK(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", P44Terms, k = 10)
+
+  /** p44 oracle: same postings, idf, length normalization, and the
+    * (score DESC, doc_id) total order at the k-boundary. */
+  val p44Sql: String = {
+    val terms = P44Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+       |n AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS len FROM documents),
+       |tot AS (SELECT count(*) AS N, sum(len)::DOUBLE / count(*) AS avglen FROM n),
+       |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+       |       WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+       |s AS (SELECT dt.doc_id,
+       |        ln(1.0 + (N - df.df + 0.5) / (df.df + 0.5)) *
+       |        (dt.tf * 2.2) / (dt.tf + 1.2 * (0.25 + 0.75 * n.len / avglen)) AS c
+       |      FROM dt JOIN df USING (term) JOIN n USING (doc_id), tot),
+       |sc AS (SELECT doc_id, sum(c) AS score FROM s GROUP BY doc_id)
+       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** p45: pairwise n-gram containment decontamination
+    * ([[TextAnalysis.ngramContainment]], word 5-grams, θ = 0.1) — the
+    * fuzzy eval-leakage audit: WHICH benchmark item each training doc
+    * overlaps and by how much. The benchmark set is the doc_id % 91
+    * slice of the p33 planted-passage corpus (every member carries
+    * passage 1), so each benchmark item's passage grams recur in every
+    * other % 7 carrier — the planted leak the audit must find. The
+    * slice is bounded to the original id space (doc_id < 100000 — a
+    * no-op at every gate SF): a benchmark is a FIXED set that does not
+    * grow with the crawl, so under the 100× replication probe the ref
+    * side stays constant and the audit scales linearly in the corpus,
+    * exactly as production does. */
+  val p45PairContamination: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), p33FixtureText.as("t"))
+    val refs = aug.filter(pmod(col("doc_id"), lit(91)) === 0 &&
+        col("doc_id") < 100000L)
+      .select(col("doc_id").as("ref_id"), col("t"))
+    TextAnalysis.ngramContainment(aug, refs, "t", "doc_id", "ref_id",
+        n = 5, minContainment = 0.1)
+      .select(col("doc_id"), col("ref_id"), col("n_matched"),
+        col("n_ref_grams"), col("containment"))
+      .orderBy("doc_id", "ref_id")
+  }
+
+  /** p45 oracle: the same planted corpus, string-keyed distinct
+    * 5-gram sets, broadcast-shaped join restated as a plain gram join,
+    * and the identical count/size double division at the threshold. */
+  val p45Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' $P33Pass1' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' $P33Pass2' ELSE '' END AS t
+       |  FROM documents),
+       |tk AS (SELECT doc_id, string_split_regex(trim(lower(t)), '\\s+') AS tk FROM aug),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+       |      i -> array_to_string(tk[i:i+4], ' '))) AS grams
+       |  FROM tk),
+       |rg AS (SELECT doc_id AS ref_id, CAST(len(grams) AS BIGINT) AS n_ref_grams,
+       |              unnest(grams) AS gram
+       |       FROM g WHERE doc_id % 91 = 0 AND doc_id < 100000),
+       |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+       |SELECT dg.doc_id, rg.ref_id, CAST(count(*) AS BIGINT) AS n_matched,
+       |       rg.n_ref_grams,
+       |       count(*)::DOUBLE / rg.n_ref_grams AS containment
+       |FROM dg JOIN rg USING (gram)
+       |WHERE dg.doc_id <> rg.ref_id
+       |GROUP BY dg.doc_id, rg.ref_id, rg.n_ref_grams
+       |HAVING count(*)::DOUBLE / rg.n_ref_grams >= 0.1
+       |ORDER BY doc_id, ref_id""".stripMargin
+
   /** p38: the CRAWL-CURATION pipeline end-to-end — the r15 operators
     * composed in CCNet order over the planted-markup corpus, proving
     * they chain the way a pretraining ingest uses them (the crawl
@@ -1625,6 +1889,11 @@ object PipelineQueries {
     "p38_crawl_curation" -> p38CrawlCuration,
     "p39_token_budget" -> p39TokenBudget,
     "p40_semdedup" -> p40SemDedup,
+    "p41_gopher_rules" -> p41GopherRules,
+    "p42_doc_chunks" -> p42DocChunks,
+    "p43_url_canonical" -> p43UrlCanonical,
+    "p44_bm25" -> p44Bm25,
+    "p45_pair_contamination" -> p45PairContamination,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2097,6 +2366,11 @@ object PipelineQueries {
     "p38_crawl_curation" -> p38Sql,
     "p39_token_budget" -> p39Sql,
     "p40_semdedup" -> p40Sql,
+    "p41_gopher_rules" -> p41Sql,
+    "p42_doc_chunks" -> p42Sql,
+    "p43_url_canonical" -> p43Sql,
+    "p44_bm25" -> p44Sql,
+    "p45_pair_contamination" -> p45Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -392,6 +392,224 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Gopher quality-rule battery (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1;
+    * reference has no analogue) — the published repetition-free rule
+    * set a pretraining pipeline applies after extraction and before
+    * dedup. Every rule here is evaluated in INTEGER cross-multiplied
+    * arithmetic (`10·bullet_lines ≤ 9·n_lines`, never
+    * `bullet_lines/n_lines ≤ 0.9`), so the boolean flags are exact on
+    * any engine — no float-threshold boundary can drift between the
+    * JVM and a SQL oracle. One row-local pass: no shuffle, whole-stage
+    * codegen, linear in document bytes.
+    *
+    * Rules (flag TRUE = the document PASSES that rule):
+    *  - word count within [minTokens, maxTokens]  (Gopher: 50–100k)
+    *  - mean word length within [3, 10] chars
+    *  - symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1
+    *  - lines starting with a bullet ("- " / "* ") ≤ 90 %
+    *  - lines ending with an ellipsis ("...") ≤ 30 %
+    *  - words containing ≥ 1 alphabetic char ≥ 80 %
+    *  - ≥ 2 stop-word hits (the [[Stopwords]] lexicon)
+    * `gopher_pass` = all seven. Blank text fails the word-count rule
+    * and passes the vacuous ratios (0 ≤ bound). */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Long = 50L, maxTokens: Long = 100000L): DataFrame = {
+    require(0 < minTokens && minTokens <= maxTokens,
+      "need 0 < minTokens <= maxTokens")
+    val t = col(textCol)
+    val tokens = split(trim(lower(t)), "\\s+")
+    val nTok = tokenCount(t).cast("long")
+    val sumLen = length(regexp_replace(trim(t), "\\s+", "")).cast("long")
+    val lines = split(t, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.like("- %") || l.like("* %"))).cast("long")
+    val nEllLine = size(filter(lines, l => l.like("%..."))).cast("long")
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nEllipsis = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val nAlpha = size(filter(tokens, w => w.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(tokens, w => w.isin(Stopwords: _*))).cast("long")
+    df.select(col(idCol),
+      nTok.as("n_tokens"),
+      nLines.as("n_lines"),
+      (nTok >= minTokens && nTok <= maxTokens).as("r_word_count"),
+      (lit(3L) * nTok <= sumLen && sumLen <= lit(10L) * nTok).as("r_mean_word_len"),
+      (lit(10L) * (nHash + nEllipsis) <= nTok).as("r_symbol_ratio"),
+      (lit(10L) * nBullet <= lit(9L) * nLines).as("r_bullet_lines"),
+      (lit(10L) * nEllLine <= lit(3L) * nLines).as("r_ellipsis_lines"),
+      (lit(5L) * nAlpha >= lit(4L) * nTok).as("r_alpha_words"),
+      (nStop >= 2L).as("r_stopwords"))
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_stopwords"))
+  }
+
+  /** Fixed-size token-window chunking with stride — the step that turns
+    * filtered documents into model-sized pieces (embedding pipelines,
+    * long-document splitting before packing; reference has no
+    * analogue). Chunk i covers tokens [i·stride, i·stride + chunk); the
+    * last chunk may be short; a document emits chunks at starts 0,
+    * stride, 2·stride, … while more than `chunk` tokens remain past the
+    * previous start — exactly
+    * `n ≤ chunk ? 1 : 1 + ceil((n − chunk)/stride)` chunks, so no
+    * trailing chunk is a strict subrange of its predecessor. A blank
+    * document emits one empty chunk (present, not dropped).
+    *
+    * Scale shape: entirely row-local — the token array materializes
+    * once per document (a projection, not a re-split per chunk), starts
+    * are a generated sequence, and the explode multiplies rows by
+    * ~n/stride with no shuffle anywhere. Downstream repartitioning is
+    * the caller's choice. Returns (id, chunk_idx, start_tok,
+    * n_chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0, "chunk must be positive")
+    require(0 < stride && stride <= chunk, "need 0 < stride <= chunk")
+    val base = docs.select(col(idCol),
+      split(trim(lower(col(textCol))), "\\s+").as("__tk"),
+      tokenCount(col(textCol)).cast("long").as("__n"))
+    val nStarts = when(col("__n") <= chunk, lit(1L))
+      .otherwise(lit(1L) + expr(s"(__n - $chunk + ${stride - 1}) div $stride"))
+    base
+      .select(col(idCol), col("__tk"), col("__n"),
+        posexplode(transform(sequence(lit(0L), nStarts - 1),
+          i => i * stride)).as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(chunk.toLong), col("__n") - col("start_tok")).as("n_chunk_tokens"),
+        array_join(slice(col("__tk"), col("start_tok").cast("int") + 1,
+          least(lit(chunk.toLong), col("__n") - col("start_tok")).cast("int")), " ")
+          .as("chunk_text"))
+  }
+
+  /** Query-parameter names stripped by [[canonicalUrl]] — the tracking
+    * params a crawl URL-dedup pass removes (UTM suite, click ids, bare
+    * referrer tags). Anchored full-name match: `refresh=1` survives,
+    * `ref=tw` does not. Like [[UrlPattern]], only syntax Java regex and
+    * RE2 interpret identically (anchors, alternation of literals, one
+    * optional group — no backrefs, no lookaround). */
+  val TrackingParamPattern: String = "^(utm_[a-z0-9_]*|fbclid|gclid|ref)(=.*)?$"
+
+  /** URL canonicalization — the normalization step before URL-level
+    * dedup / frontier dedup in a crawl pipeline: scheme and host
+    * lowercase (case-insensitive per RFC 3986), fragment dropped,
+    * tracking query params ([[TrackingParamPattern]]) removed, the
+    * surviving params sorted byte-wise so param order cannot split one
+    * logical URL into many, and the '?' dropped when nothing survives.
+    * Path case and ports are preserved (path case is significant;
+    * default-port stripping is scheme-dependent policy, out of scope by
+    * design). Entirely row-local: regexp part extraction + an array
+    * filter/sort/join, no shuffle, no UDF. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
+    val params = when(length(query) > 0, split(query, "&", -1))
+      .otherwise(array().cast("array<string>"))
+    val kept = filter(params,
+      p => length(p) > 0 && !p.rlike(TrackingParamPattern))
+    concat(scheme, lit("://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(sort_array(kept), "&")))
+        .otherwise(lit("")))
+  }
+
+  /** BM25 top-k retrieval (Robertson & Spärck Jones; the Lucene
+    * `k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½))` form) —
+    * the ranked-search primitive over a corpus the TF-IDF pass (p37)
+    * tags. Scoring is restricted to `queryTerms` BEFORE the (doc, term)
+    * aggregate, so the exchange carries only query-term postings —
+    * O(docs containing a query term), not corpus vocabulary. Document
+    * length and N/avglen reduce map-side and ride a broadcast row; the
+    * top-k is TakeOrderedAndProject under the total (score DESC, id)
+    * order. Determinism note: the per-doc score sums one double per
+    * matched query term — with ≤ 2 query terms the sum is a single
+    * commutative addition, bit-identical under any aggregation order;
+    * callers passing 3+ terms accept last-ulp aggregation-order noise
+    * (fine under the gate's float tolerance, and rank-stable when
+    * adjacent scores are separated — audited ≥ 7e-4 here). */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val lens = docs.select(col(idCol), tokenCount(col(textCol)).cast("long").as("len"))
+    val tot = lens.agg(count(lit(1)).as("N"),
+      (sum("len").cast("double") / count(lit(1))).as("avglen"))
+    val dt = docs.select(col(idCol), explode(tk).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // df as a window over the postings, NOT a second aggregate joined
+    // back: a groupBy+join would re-derive the postings subtree (Spark
+    // does not share common sub-plans), paying a second corpus scan;
+    // the window re-partitions only the tiny query-term posting list
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val contrib = dt.withColumn("df", count(lit(1)).over(dfW))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("N") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avglen")))).as("c"))
+    contrib.groupBy(col(idCol)).agg(sum("c").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Pairwise n-gram containment decontamination — the fuzzy companion
+    * to [[contamination]]: instead of a per-doc flag against the whole
+    * benchmark, report WHICH benchmark item each training document
+    * overlaps and by how much (the eval-leakage audit format). For each
+    * (train, bench) pair sharing at least one word n-gram,
+    *   containment = |grams(bench) ∩ grams(train)| / |grams(bench)|
+    * over DISTINCT n-grams — asymmetric on purpose: a benchmark item
+    * fully embedded in a long document scores 1.0. Pairs with
+    * containment ≥ minContainment (and train ≠ bench when ids share a
+    * space) are returned as (id, ref_id, n_matched, n_ref_grams,
+    * containment).
+    *
+    * Scale shape (100 TB corpus, MB benchmark): the benchmark side
+    * reduces to distinct (ref_id, gram) rows — broadcast-sized by the
+    * same argument as [[contamination]] — so the corpus streams through
+    * ONE scan into a broadcast hash join; only MATCHED (id, ref_id)
+    * rows reach the pair aggregate, which is map-side combinable.
+    * Nothing grows with corpus × benchmark. Documents shorter than n
+    * tokens contribute no grams and appear in no pair. */
+  def ngramContainment(docs: DataFrame, refs: DataFrame,
+      textCol: String, idCol: String, refIdCol: String,
+      n: Int, minContainment: Double): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(minContainment >= 0, "minContainment must be >= 0")
+    def gramSet(c: Column): Column = {
+      val tk = split(trim(lower(c)), "\\s+")
+      // bindArray: an unbound token array inside the window lambda
+      // re-splits the document once per window — O(tokens²)/row
+      array_distinct(graft.functions.BindOnce.bindArray(tk, tks =>
+        when(size(tks) >= n,
+          transform(sequence(lit(0), size(tks) - n),
+            i => array_join(slice(tks, i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
+    }
+    val refGrams = refs.select(col(refIdCol).as("ref_id"),
+        gramSet(col(textCol)).as("__g"))
+      .select(col("ref_id"), size(col("__g")).cast("long").as("n_ref_grams"),
+        explode(col("__g")).as("gram"))
+    val docGrams = docs.select(col(idCol), explode(gramSet(col(textCol))).as("gram"))
+    docGrams.join(broadcast(refGrams), Seq("gram"))
+      .filter(col(idCol) =!= col("ref_id"))
+      .groupBy(col(idCol), col("ref_id"), col("n_ref_grams"))
+      .agg(count(lit(1)).as("n_matched"))
+      .withColumn("containment",
+        col("n_matched").cast("double") / col("n_ref_grams"))
+      .filter(col("containment") >= minContainment)
+      .select(col(idCol), col("ref_id"), col("n_matched"),
+        col("n_ref_grams"), col("containment"))
+  }
+
   /** N-gram LM quality scoring — the CCNet filter (Wenzek et al.,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web
     * Crawl Data"; reference has no analogue): train an add-k-smoothed

@@ -149,7 +149,12 @@ object ScaleProbe {
     "st07_sessionize_append" -> Set("events"),
     "st11_stream_stream_join" -> Set("events"),
     "p31_domain_cap" -> Set("documents"),
-    "p32_top_ngrams" -> Set("documents")
+    "p32_top_ngrams" -> Set("documents"),
+    "p41_gopher_rules" -> Set("documents"),
+    "p42_doc_chunks" -> Set("documents"),
+    "p43_url_canonical" -> Set("documents"),
+    "p44_bm25" -> Set("documents"),
+    "p45_pair_contamination" -> Set("documents")
   ).withDefaultValue(Set("documents", "embeddings"))
 
   def main(args: Array[String]): Unit = {

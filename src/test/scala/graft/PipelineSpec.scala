@@ -731,6 +731,139 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("gopherRules: each rule fires on its planted violation, integer boundaries exact") {
+    import spark.implicits._
+    val good = ((1 to 15).flatMap(_ => Seq("the", "quick", "brown", "fox"))).mkString(" ") // 60 tokens, stopwords, clean
+    val docs = Seq(
+      (1L, good),                                                    // passes all
+      (2L, "the a of"),                                              // word count < 30
+      (3L, good + ("\n- bullet item" * 10)),                         // 10/11 bullet lines
+      (4L, "the weather is a bit odd today...\nand the rest..."),    // 2/2 ellipsis lines (+short)
+      (5L, good + " #### ## #"),                                     // 7 '#' vs 63 tokens → 70 > 63
+      (6L, "1 2 3 4 5 6 7 8 9 10 11 12 the a"),                      // 2/14 alpha words
+      (7L, good.replace("the", "zzz")),                              // no stopwords
+      (8L, ""))                                                      // blank
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .gopherRules(docs, "text", "doc_id", minTokens = 30L, maxTokens = 80L)
+      .orderBy("doc_id").collect()
+    def flags(r: org.apache.spark.sql.Row): Seq[Boolean] =
+      (3 to 9).map(r.getBoolean) // r_word_count..r_stopwords
+    assert(flags(out(0)) === Seq(true, true, true, true, true, true, true))
+    assert(out(0).getBoolean(10), "good doc must pass overall")
+    assert(!out(1).getBoolean(3) && !out(1).getBoolean(10), "short doc fails word count")
+    assert(!out(2).getBoolean(6), "bullet doc fails bullet-lines (10/11 > 0.9)")
+    assert(out(2).getBoolean(7), "bullet doc's ellipsis rule unaffected")
+    assert(!out(3).getBoolean(7), "ellipsis doc fails ellipsis-lines (2/2 > 0.3)")
+    assert(!out(4).getBoolean(5), s"symbol doc fails symbol ratio: ${out(4)}")
+    assert(!out(5).getBoolean(8), "numeric doc fails alpha-words (2/14 < 0.8)")
+    assert(!out(6).getBoolean(9), "stopword-free doc fails stopword rule")
+    val blank = out(7)
+    assert(blank.getLong(1) === 0L && !blank.getBoolean(3) && blank.getBoolean(5),
+      "blank doc: zero tokens, fails word count, vacuous ratios pass")
+    // row-local: no exchange anywhere in the un-sorted plan
+    val plan = graft.operators.TextAnalysis
+      .gopherRules(docs, "text", "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
+  }
+
+  test("chunkTokens: start/length arithmetic exact, no redundant tail, blank doc emits one empty chunk") {
+    import spark.implicits._
+    def doc(n: Int): String = (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((10L, doc(10)), (9L, doc(9)), (8L, doc(8)), (4L, doc(4)),
+      (2L, doc(2)), (0L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .chunkTokens(docs, "text", "doc_id", chunk = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = out.groupBy(_._1)
+    // n=10 → starts 0,3,6; last chunk covers t6..t9 (full width)
+    assert(byDoc(10L).map(t => (t._3, t._4)).toSeq === Seq((0L, 4L), (3L, 4L), (6L, 4L)))
+    assert(byDoc(10L).last._5 === "t6 t7 t8 t9")
+    // n=9 → starts 0,3,6; tail short (3)
+    assert(byDoc(9L).map(t => (t._3, t._4)).toSeq === Seq((0L, 4L), (3L, 4L), (6L, 3L)))
+    // n=8 → starts 0,3,6; tail len 2, NOT a subrange of chunk@3 (covers t6,t7)
+    assert(byDoc(8L).map(t => (t._3, t._4)).toSeq === Seq((0L, 4L), (3L, 4L), (6L, 2L)))
+    // n <= chunk → exactly one chunk
+    assert(byDoc(4L).map(t => (t._3, t._4)).toSeq === Seq((0L, 4L)))
+    assert(byDoc(2L).map(t => (t._3, t._4)).toSeq === Seq((0L, 2L)))
+    // blank → one empty chunk, present not dropped
+    assert(byDoc(0L).toSeq === Seq((0L, 0L, 0L, 0L, "")))
+    // every token of every doc is covered by some chunk
+    for (n <- Seq(10, 9, 8, 4, 2); tok <- 0 until n)
+      assert(byDoc(n.toLong).exists(t => t._3 <= tok && tok < t._3 + t._4),
+        s"token $tok of doc $n uncovered")
+    val plan = graft.operators.TextAnalysis
+      .chunkTokens(docs, "text", "doc_id", 4, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkTokens must not shuffle:\n$plan")
+  }
+
+  test("canonicalUrl: case, fragment, tracking params, sort, and the refresh near-miss") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://ExAmple.COM/Path/Q?utm_source=a&id=3&ref=z#frag" -> "https://example.com/Path/Q?id=3",
+      "http://a.com/x?refresh=1&ref=tw" -> "http://a.com/x?refresh=1",
+      "https://a.com/x?b=2&a=1" -> "https://a.com/x?a=1&b=2",
+      "https://a.com/x?utm_campaign=z" -> "https://a.com/x",
+      "https://a.com" -> "https://a.com",
+      "https://a.com/x?ref&a=1" -> "https://a.com/x?a=1", // bare tracking name (no '=')
+      "https://a.com/x#sec" -> "https://a.com/x",
+      "https://a.com/x?a=1&&b=2" -> "https://a.com/x?a=1&b=2", // empty param dropped
+      "HTTP://U.COM:8080/A?z=1&utm_x=9" -> "http://u.com:8080/A?z=1") // port kept, host-lowered
+    val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "u")
+      .select(col("i"), graft.operators.TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .orderBy("i").collect().map(_.getString(1))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got === want)
+    }
+  }
+
+  test("bm25TopK: hand-computed scores, length normalization, rank order") {
+    import spark.implicits._
+    val docs = Seq((0L, "x x y"), (1L, "x z z z"), (2L, "w w w")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .bm25TopK(docs, "text", "doc_id", Seq("x", "y"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val avglen = 10.0 / 3
+    def part(tf: Long, dfT: Long, len: Long): Double =
+      math.log(1.0 + (3 - dfT + 0.5) / (dfT + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avglen))
+    val d0 = part(2, 2, 3) + part(1, 1, 3) // x twice + y once
+    val d1 = part(1, 2, 4)                 // x once
+    assert(out.map(_._1).toSeq === Seq(0L, 1L), "doc 2 matches nothing; d0 outranks d1")
+    assert(math.abs(out(0)._2 - d0) < 1e-12, s"${out(0)._2} vs $d0")
+    assert(math.abs(out(1)._2 - d1) < 1e-12, s"${out(1)._2} vs $d1")
+  }
+
+  test("ngramContainment: distinct-gram asymmetric containment, self-pair excluded, sub-n docs inert") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "z z a b c d q"),       // shares {a b c, b c d} with ref 100
+      (2L, "p q r s"),             // no overlap
+      (3L, "a b c a b c x"),       // duplicate gram counted ONCE
+      (100L, "a b c d e f"),       // the ref itself (also in docs → self-pair excluded)
+      (4L, "a b"))                 // shorter than n → no grams
+      .toDF("doc_id", "text")
+    val refs = docs.filter(col("doc_id") === 100L)
+      .select(col("doc_id").as("ref_id"), col("text"))
+    val out = graft.operators.TextAnalysis
+      .ngramContainment(docs, refs, "text", "doc_id", "ref_id",
+        n = 3, minContainment = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    // ref grams: "a b c","b c d","c d e","d e f" → 4
+    assert(out.toSeq === Seq(
+      (1L, 100L, 2L, 4L, 0.5),
+      (3L, 100L, 1L, 4L, 0.25)))
+    // a fully-embedded ref scores containment 1.0
+    val embedded = Seq((5L, "u v a b c d e f w")).toDF("doc_id", "text")
+    val full = graft.operators.TextAnalysis
+      .ngramContainment(embedded, refs, "text", "doc_id", "ref_id", 3, 0.2)
+      .head()
+    assert(full.getDouble(4) === 1.0)
+  }
+
   test("tfidfTopTerms: sklearn-smoothed idf exact, score/term total order at the k-boundary") {
     import spark.implicits._
     // N=3. df: common→3, mid→2, rare→1, solo→1.
