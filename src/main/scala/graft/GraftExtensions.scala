@@ -206,6 +206,38 @@ object GraftFunctions {
         case Seq(t) => RepetitionStats(t)
         case as => badArity("graft_repetition_stats", as.length, "1")
       }),
+    ("graft_canonical_url",
+      "(url) - canonical URL: scheme/host lowercased, fragment dropped, tracking params removed, params sorted",
+      {
+        // raw-node restatement of TextAnalysis.canonicalUrl (registry
+        // builders must return RESOLVED trees — the param filter lambda
+        // is built on a NamedLambdaVariable directly, the resolved
+        // form); GraftExtensionsSpec pins bit-equality with the Column
+        // form over the adversarial battery
+        case Seq(u) =>
+          import org.apache.spark.sql.catalyst.expressions.{And, ArrayFilter, ArrayJoin, Concat, GreaterThan, If, LambdaFunction, Length, Literal => L, Lower, NamedLambdaVariable, Not, RegExpExtract, RLike, Size, SortArray, StringSplit}
+          import org.apache.spark.sql.types.{ArrayType, StringType}
+          def rex(src: Expression, pat: String, group: Int): Expression =
+            RegExpExtract(src, L(pat), L(group))
+          val scheme = Lower(rex(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+          val host = Lower(rex(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+          val path = rex(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+          val query = rex(u, "^[^?#]*\\?([^#]*)", 1)
+          val params = If(GreaterThan(Length(query), L(0)),
+            StringSplit(query, L("&"), L(-1)),
+            L.create(Seq.empty[String], ArrayType(StringType)))
+          val p = NamedLambdaVariable("p", StringType, nullable = true)
+          val keep = LambdaFunction(
+            And(GreaterThan(Length(p), L(0)),
+              Not(RLike(p, L(graft.operators.TextAnalysis.TrackingParamPattern)))),
+            Seq(p))
+          val kept = ArrayFilter(params, keep)
+          Concat(Seq(scheme, L("://"), host, path,
+            If(GreaterThan(Size(kept), L(0)),
+              Concat(Seq(L("?"), ArrayJoin(SortArray(kept, L(true)), L("&"), None))),
+              L(""))))
+        case as => badArity("graft_canonical_url", as.length, "1")
+      }),
     ("graft_url_domain",
       "(text) - host of the first http(s) URL in text, NULL if none",
       {

@@ -135,6 +135,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
       (3L, Some("ok.example.net"))))
   }
 
+  test("graft_canonical_url matches the Column API over the adversarial battery") {
+    registered.catalog
+    val urls = Seq(
+      (1L, "HTTPS://ExAmple.COM/Path/Q?utm_source=a&id=3&ref=z#frag"),
+      (2L, "http://a.com/x?refresh=1&ref=tw"),
+      (3L, "https://a.com/x?b=2&a=1"),
+      (4L, "https://a.com/x?utm_campaign=z"),
+      (5L, "https://a.com"),
+      (6L, "https://a.com/x?ref&a=1"),
+      (7L, "HTTP://U.COM:8080/A?z=1&utm_x=9"),
+      (8L, "https://a.com/x?a=1&&b=2"))
+      .toDF("id", "u")
+    urls.createOrReplaceTempView("ext_canon")
+    val viaSql = registered.sql(
+        "SELECT id, graft_canonical_url(u) AS c FROM ext_canon").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val viaCols = urls.select(col("id"),
+        graft.operators.TextAnalysis.canonicalUrl(col("u")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaSql === viaCols)
+    assert(viaSql(1L) === "https://example.com/Path/Q?id=3")
+    assert(viaSql(2L) === "http://a.com/x?refresh=1")
+    assert(viaSql(3L) === "https://a.com/x?a=1&b=2")
+    assert(viaSql(7L) === "http://u.com:8080/A?z=1")
+  }
+
   test("the decontamination recipe is pure SQL — and keeps the broadcast plan shape") {
     // r13 verdict stretch: the p20 JOIN shape reachable from the REPL.
     // This IS the documented recipe (TextAnalysis.contamination scaladoc):
