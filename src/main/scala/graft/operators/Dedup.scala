@@ -531,6 +531,82 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("__run"), lit(0L)).as("longest_dup_run"))
   }
+
+  /** Span-level duplicate REMOVAL — the act step on [[spanDupStats]]'s
+    * audit (Lee et al. excise the duplicated passages, they don't just
+    * count them): every token covered by at least one corpus-duplicated
+    * `width`-token window is dropped, and the document re-assembles
+    * from the surviving tokens in order (single-space joined — the
+    * corpus-wide whitespace normalization the token convention already
+    * implies). Returns (id, n_tokens, n_removed, cleaned). A document
+    * that is entirely duplicated text cleans to ''; a doc shorter than
+    * `width` tokens passes through untouched (whitespace-normalized).
+    *
+    * Scale shape: the window-hash/df chain is [[spanDupStats]]'s (three
+    * linear fixed-width exchanges, never document text); the ONLY new
+    * aggregate state is each doc's DUPLICATED window positions —
+    * bounded by the doc's own length, and empty for the clean majority.
+    * Reconstruction is ROW-LOCAL: the sorted dup positions fold into
+    * disjoint covered intervals (overlap-or-adjacent merge), and the
+    * kept text is the concatenation of the inter-interval token slices
+    * — O(tokens + intervals) per row, never an O(tokens × dup) scan,
+    * and the corpus text itself never shuffles. The oracle restates the
+    * semantics definitionally (covered indices exploded, anti-joined,
+    * string_agg'd in index order), so the interval-merge reconstruction
+    * is checked against the simple form. */
+  def removeDupSpans(docs: DataFrame, textCol: String, idCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, "width must be positive")
+    val tk = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    val wins = graft.functions.BindOnce.bindArray(tk, tks =>
+      when(size(tks) >= width,
+        transform(sequence(lit(0), size(tks) - width),
+          i => array_join(slice(tks, i + 1, lit(width)), " "))).otherwise(array()))
+    val w = docs.select(col(idCol), posexplode(wins).as(Seq("pos", "win")))
+      .select(col(idCol), col("pos"), xxhash64(col("win")).as("h"))
+    val dfc = w.groupBy("h").agg(count(lit(1)).as("df"))
+    val dp = w.join(dfc, "h").filter(col("df") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__dp"))
+    val joined = docs.select(col(idCol), tk.as("__tk")).join(dp, Seq(idCol), "left")
+    // sorted dup positions → disjoint covered intervals [s, e]
+    // (overlap-or-adjacent merge; e = p + width − 1 ≤ n − 1 always).
+    // get() (never element_at: ANSI throws on out-of-bounds) + the
+    // short-circuit guard keep the empty-accumulator step safe.
+    val emptyIv = array().cast("array<struct<s:bigint,e:bigint>>")
+    val ivs = aggregate(coalesce(col("__dp"), array().cast("array<int>")),
+      emptyIv,
+      (acc, p) => {
+        val pl = p.cast("long")
+        val last = get(acc, size(acc) - 1)
+        when(size(acc) > 0 && pl <= last("e") + 1L,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last("s").as("s"),
+              greatest(last("e"), pl + (width - 1)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(pl.as("s"), (pl + (width - 1)).as("e")))))
+      })
+    // row-local reconstruction: cursor walks the token array, keeping
+    // the slice before each interval, then the tail
+    val kept = aggregate(col("__iv"),
+      struct(lit(0L).as("cur"), array().cast("array<string>").as("kept")),
+      (acc, iv) => struct(
+        (iv("e") + 1L).as("cur"),
+        concat(acc("kept"),
+          slice(col("__tk"), acc("cur").cast("int") + 1,
+            (iv("s") - acc("cur")).cast("int"))).as("kept")),
+      acc => concat(acc("kept"),
+        slice(col("__tk"), acc("cur").cast("int") + 1,
+          (size(col("__tk")) - acc("cur").cast("int")))))
+    val nRemoved = aggregate(col("__iv"), lit(0L),
+      (a, iv) => a + (iv("e") - iv("s") + 1L))
+    joined.withColumn("__iv", ivs)
+      .select(col(idCol),
+        when(size(col("__tk")) === 1 && element_at(col("__tk"), 1) === "", 0L)
+          .otherwise(size(col("__tk")).cast("long")).as("n_tokens"),
+        nRemoved.as("n_removed"),
+        array_join(kept, " ").as("cleaned"))
+  }
 }
 
 /** Shared row-local hash primitives (SplitMix64 finalizer + a simple

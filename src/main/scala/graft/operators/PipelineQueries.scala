@@ -1158,6 +1158,59 @@ object PipelineQueries {
        |HAVING count(*)::DOUBLE / rg.n_ref_grams >= 0.1
        |ORDER BY doc_id, ref_id""".stripMargin
 
+  /** p46: span-level duplicate REMOVAL over the p33 planted corpus
+    * ([[Dedup.removeDupSpans]], width 8 — the act step on p33's audit:
+    * excise every token covered by a corpus-duplicated window; see its
+    * scaladoc for the row-local interval-merge reconstruction). */
+  val p46SpanRemoval: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), p33FixtureText.as("t"))
+    Dedup.removeDupSpans(aug, "t", "doc_id", width = P33Width)
+      .orderBy("doc_id")
+  }
+
+  /** p46 oracle: the definitionally simple restatement — covered token
+    * indices exploded from STRING-keyed duplicated windows, anti-joined
+    * against the token stream, surviving tokens string_agg'd in index
+    * order (checks the engine's interval-merge reconstruction against
+    * the semantics, and a Spark-side xxhash64 window collision would
+    * surface as a mismatch). */
+  val p46Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' $P33Pass1' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' $P33Pass2' ELSE '' END AS t
+       |  FROM documents),
+       |tk AS (SELECT doc_id, string_split_regex(trim(lower(t)), '\\s+') AS tk FROM aug),
+       |w AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         array_to_string(tk[i:i+${P33Width - 1}], ' ') AS win
+       |  FROM tk, unnest(range(1, len(tk) - ${P33Width - 2})) AS r(i)),
+       |df AS (SELECT win, count(*) AS df FROM w GROUP BY win),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, w.pos + off AS idx
+       |  FROM w JOIN df USING (win), unnest(range(0, $P33Width)) r(off)
+       |  WHERE df.df > 1),
+       |toks AS (
+       |  SELECT doc_id, i - 1 AS idx, tk[i] AS tok
+       |  FROM tk, unnest(range(1, len(tk) + 1)) r(i)),
+       |keptagg AS (
+       |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS cleaned
+       |  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+       |  WHERE c.idx IS NULL
+       |  GROUP BY t.doc_id),
+       |ncov AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+       |n AS (SELECT doc_id,
+       |        CAST(CASE WHEN trim(t) = '' THEN 0
+       |             ELSE len(string_split_regex(trim(t), '\\s+')) END AS BIGINT) AS n_tokens
+       |      FROM aug)
+       |SELECT n.doc_id, n.n_tokens,
+       |  CAST(coalesce(ncov.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(keptagg.cleaned, '') AS cleaned
+       |FROM n LEFT JOIN keptagg USING (doc_id) LEFT JOIN ncov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** p38: the CRAWL-CURATION pipeline end-to-end — the r15 operators
     * composed in CCNet order over the planted-markup corpus, proving
     * they chain the way a pretraining ingest uses them (the crawl
@@ -1894,6 +1947,7 @@ object PipelineQueries {
     "p43_url_canonical" -> p43UrlCanonical,
     "p44_bm25" -> p44Bm25,
     "p45_pair_contamination" -> p45PairContamination,
+    "p46_span_removal" -> p46SpanRemoval,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2371,6 +2425,7 @@ object PipelineQueries {
     "p43_url_canonical" -> p43Sql,
     "p44_bm25" -> p44Sql,
     "p45_pair_contamination" -> p45Sql,
+    "p46_span_removal" -> p46Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -154,7 +154,8 @@ object ScaleProbe {
     "p42_doc_chunks" -> Set("documents"),
     "p43_url_canonical" -> Set("documents"),
     "p44_bm25" -> Set("documents"),
-    "p45_pair_contamination" -> Set("documents")
+    "p45_pair_contamination" -> Set("documents"),
+    "p46_span_removal" -> Set("documents")
   ).withDefaultValue(Set("documents", "embeddings"))
 
   def main(args: Array[String]): Unit = {

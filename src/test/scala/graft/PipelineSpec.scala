@@ -630,6 +630,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2.toSeq === out.toSeq)
   }
 
+  test("removeDupSpans: excision exact on hand fixture — overlap merge, full coverage, short/blank/self-repeat edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee"),                 // unique → untouched
+      (2L, "xxx yyy zzz qqq"),                     // shares "xxx yyy zzz" with 3
+      (3L, "ppp xxx yyy zzz rrr"),
+      (4L, "mmm mmm mmm mmm mmm"),                 // self-repetition → fully covered
+      (5L, "ss tt"),                               // shorter than width → pass through
+      (6L, "  ss   tt  "),                         // whitespace-normalized pass-through
+      (7L, ""),                                    // blank
+      (8L, "k1 k2 k3 k4 u1 u2 k1 k2 k3 k4"),       // two covered runs, interval merge
+      (9L, "k1 k2 k3 k4 z1 z2"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.removeDupSpans(docs, "text", "doc_id", width = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 5L, 0L, "aaa bbb ccc ddd eee")))
+    assert(out(1) === ((2L, 4L, 3L, "qqq")))
+    assert(out(2) === ((3L, 5L, 3L, "ppp rrr")))
+    assert(out(3) === ((4L, 5L, 5L, "")), "self-repeated doc cleans to empty")
+    assert(out(4) === ((5L, 2L, 0L, "ss tt")))
+    assert(out(5) === ((6L, 2L, 0L, "ss tt")), "whitespace normalizes on pass-through")
+    assert(out(6) === ((7L, 0L, 0L, "")))
+    // doc 8: "k1 k2 k3" @0+6 and "k2 k3 k4" @1+7 duplicate → covered
+    // [0,3] ∪ [6,9] (merged per run) → survivors u1 u2
+    assert(out(7) === ((8L, 10L, 8L, "u1 u2")))
+    assert(out(8) === ((9L, 6L, 4L, "z1 z2")))
+    // repartition cannot change the result
+    val again = graft.operators.Dedup
+      .removeDupSpans(docs.repartition(5), "text", "doc_id", width = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("bigramLmScore: add-k arithmetic exact against hand computation, short-doc edge") {
     import spark.implicits._
     // Reference slice = even ids. Ref doc 0 "a b a c":
