@@ -232,10 +232,14 @@ object GraftFunctions {
               Not(RLike(p, L(graft.operators.TextAnalysis.TrackingParamPattern)))),
             Seq(p))
           val kept = ArrayFilter(params, keep)
-          Concat(Seq(scheme, L("://"), host, path,
-            If(GreaterThan(Size(kept), L(0)),
-              Concat(Seq(L("?"), ArrayJoin(SortArray(kept, L(true)), L("&"), None))),
-              L(""))))
+          // no scheme://host shape → NULL, never a "://" fragment
+          If(And(GreaterThan(Length(scheme), L(0)),
+              GreaterThan(Length(host), L(0))),
+            Concat(Seq(scheme, L("://"), host, path,
+              If(GreaterThan(Size(kept), L(0)),
+                Concat(Seq(L("?"), ArrayJoin(SortArray(kept, L(true)), L("&"), None))),
+                L("")))),
+            L.create(null, StringType))
         case as => badArity("graft_canonical_url", as.length, "1")
       }),
     ("graft_url_domain",

@@ -1211,6 +1211,107 @@ object PipelineQueries {
        |FROM n LEFT JOIN keptagg USING (doc_id) LEFT JOIN ncov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** p47: the per-source corpus REPORT CARD — the dataset-card summary
+    * every pretraining run publishes (and the first thing a data owner
+    * asks for): per source, document and token totals, distinct-text
+    * count (exact-dup signal), Gopher-rule pass count (p41 kernel),
+    * language mix (p10 kernel), and mean quality score (p09 kernel) —
+    * proof the per-doc analysis kernels compose into corpus-level
+    * analytics in ONE group-by.
+    *
+    * Scale shape: both kernel passes are row-local projections over
+    * the corpus; the id-keyed join co-partitions, and the single
+    * (source) aggregate is map-side combinable with cardinality =
+    * distinct sources. countDistinct(sha256) is the only extra
+    * exchange — (source, hash) pairs, the p01 shape. */
+  val p47CorpusReport: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = TextAnalysis.qualityMetrics(docs, "text")
+      .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
+    val g = TextAnalysis.gopherRules(docs, "text", "doc_id",
+        minTokens = 30L, maxTokens = 80L)
+      .select(col("doc_id"), col("gopher_pass"))
+    scored.join(g, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(sha2(col("text").cast("binary"), 256)).as("n_unique_texts"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        avg(col("quality_score")).as("mean_quality"))
+      .orderBy("source")
+  }
+
+  /** p47 oracle: the p09 quality formula, p10 lexicon language id, and
+    * p41 integer rule battery (over the RAW corpus — no fixture)
+    * composed into the same per-source aggregate; all counts integer,
+    * mean_quality under the gate's float tolerance. */
+  lazy val p47Sql: String = {
+    val scoreCols = langScoreColsSql("nn", ",\n             ")
+    val best = langBestSql
+    val tieBreak = langTieBreakSql
+    val stops = stopwordsSql
+    s"""WITH m AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> list_contains([$stops], x))) AS n_stop,
+       |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS tk,
+       |    greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS nn,
+       |    regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(string_split(text, chr(10)), l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(string_split(text, chr(10)), l -> l LIKE '%...')) AS BIGINT) AS n_ell_line,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source, text, n_tokens, cjk,
+       |    round(greatest(0.0, least(1.0,
+       |      0.5 + 0.5 * least((CASE WHEN n_tokens = 0 THEN 0.0
+       |                         ELSE n_stop::DOUBLE / n_tokens END) * 2.5, 1.0)
+       |          - 0.5 * (CASE WHEN n_chars = 0 THEN 0.0
+       |                   ELSE n_punct::DOUBLE / n_chars END)
+       |          - CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+       |                       ELSE n_wordchars::DOUBLE / n_tokens END) < 2.0
+       |                   OR (CASE WHEN n_tokens = 0 THEN 0.0
+       |                       ELSE n_wordchars::DOUBLE / n_tokens END) > 12.0
+       |                 THEN 0.25 ELSE 0.0 END)), 6) AS quality_score,
+       |    ((n_tokens >= 30 AND n_tokens <= 80)
+       |     AND (3 * n_tokens <= n_wordchars AND n_wordchars <= 10 * n_tokens)
+       |     AND (10 * (n_hash + n_ellipsis) <= n_tokens)
+       |     AND (10 * n_bullet <= 9 * n_lines)
+       |     AND (10 * n_ell_line <= 3 * n_lines)
+       |     AND (5 * n_alpha >= 4 * n_tokens)
+       |     AND (n_stop >= 2)) AS gopher_pass,
+       |    $scoreCols
+       |  FROM m),
+       |pl AS (SELECT *, $best AS best FROM q),
+       |pred AS (
+       |  SELECT doc_id, source, text, n_tokens, quality_score, gopher_pass,
+       |    CASE WHEN cjk THEN 'zh'
+       |         WHEN best = 0 THEN 'und'
+       |         ELSE (CASE $tieBreak END)
+       |    END AS pred_lang
+       |  FROM pl)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique_texts,
+       |  CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+       |  CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  avg(quality_score) AS mean_quality
+       |FROM pred
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   /** p38: the CRAWL-CURATION pipeline end-to-end — the r15 operators
     * composed in CCNet order over the planted-markup corpus, proving
     * they chain the way a pretraining ingest uses them (the crawl
@@ -1948,6 +2049,7 @@ object PipelineQueries {
     "p44_bm25" -> p44Bm25,
     "p45_pair_contamination" -> p45PairContamination,
     "p46_span_removal" -> p46SpanRemoval,
+    "p47_corpus_report" -> p47CorpusReport,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2426,6 +2528,7 @@ object PipelineQueries {
     "p44_bm25" -> p44Sql,
     "p45_pair_contamination" -> p45Sql,
     "p46_span_removal" -> p46Sql,
+    "p47_corpus_report" -> p47Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -501,8 +501,11 @@ object TextAnalysis {
     * logical URL into many, and the '?' dropped when nothing survives.
     * Path case and ports are preserved (path case is significant;
     * default-port stripping is scheme-dependent policy, out of scope by
-    * design). Entirely row-local: regexp part extraction + an array
-    * filter/sort/join, no shuffle, no UDF. */
+    * design). A string with no `scheme://host` shape canonicalizes to
+    * NULL — never a silently-wrong fragment like "://" (a frontier
+    * dedup keyed on that would collapse every malformed URL into one
+    * group). NULL in → NULL out. Entirely row-local: regexp part
+    * extraction + an array filter/sort/join, no shuffle, no UDF. */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
@@ -512,9 +515,10 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
     val kept = filter(params,
       p => length(p) > 0 && !p.rlike(TrackingParamPattern))
-    concat(scheme, lit("://"), host, path,
-      when(size(kept) > 0, concat(lit("?"), array_join(sort_array(kept), "&")))
-        .otherwise(lit("")))
+    when(length(scheme) > 0 && length(host) > 0,
+      concat(scheme, lit("://"), host, path,
+        when(size(kept) > 0, concat(lit("?"), array_join(sort_array(kept), "&")))
+          .otherwise(lit(""))))
   }
 
   /** BM25 top-k retrieval (Robertson & Spärck Jones; the Lucene

@@ -155,7 +155,8 @@ object ScaleProbe {
     "p43_url_canonical" -> Set("documents"),
     "p44_bm25" -> Set("documents"),
     "p45_pair_contamination" -> Set("documents"),
-    "p46_span_removal" -> Set("documents")
+    "p46_span_removal" -> Set("documents"),
+    "p47_corpus_report" -> Set("documents")
   ).withDefaultValue(Set("documents", "embeddings"))
 
   def main(args: Array[String]): Unit = {

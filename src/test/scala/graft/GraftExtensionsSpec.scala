@@ -145,20 +145,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       (5L, "https://a.com"),
       (6L, "https://a.com/x?ref&a=1"),
       (7L, "HTTP://U.COM:8080/A?z=1&utm_x=9"),
-      (8L, "https://a.com/x?a=1&&b=2"))
+      (8L, "https://a.com/x?a=1&&b=2"),
+      (9L, "not a url at all"))
       .toDF("id", "u")
     urls.createOrReplaceTempView("ext_canon")
     val viaSql = registered.sql(
         "SELECT id, graft_canonical_url(u) AS c FROM ext_canon").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toMap
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
     val viaCols = urls.select(col("id"),
         graft.operators.TextAnalysis.canonicalUrl(col("u")).as("c")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toMap
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
     assert(viaSql === viaCols)
-    assert(viaSql(1L) === "https://example.com/Path/Q?id=3")
-    assert(viaSql(2L) === "http://a.com/x?refresh=1")
-    assert(viaSql(3L) === "https://a.com/x?a=1&b=2")
-    assert(viaSql(7L) === "http://u.com:8080/A?z=1")
+    assert(viaSql(1L) === Some("https://example.com/Path/Q?id=3"))
+    assert(viaSql(2L) === Some("http://a.com/x?refresh=1"))
+    assert(viaSql(3L) === Some("https://a.com/x?a=1&b=2"))
+    assert(viaSql(7L) === Some("http://u.com:8080/A?z=1"))
+    assert(viaSql(9L) === None, "malformed input must canonicalize to NULL")
   }
 
   test("the decontamination recipe is pure SQL — and keeps the broadcast plan shape") {

@@ -665,6 +665,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("corpus report card aggregates agree with the per-doc kernels (hand corpus)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "the quick brown fox jumps over a lazy dog"),
+      (2L, "srcA", "the quick brown fox jumps over a lazy dog"), // exact dup of 1
+      (3L, "srcA", "a completely different text about the weather"),
+      (4L, "srcB", "le chat est sur la table et il dort"),
+      (5L, "srcB", ""))
+      .toDF("doc_id", "source", "text")
+    // the key body, minus Tables.load
+    val scored = graft.operators.TextAnalysis.qualityMetrics(docs, "text")
+      .withColumn("pred_lang", graft.operators.TextAnalysis.languageId(col("text")))
+    val g = graft.operators.TextAnalysis.gopherRules(docs, "text", "doc_id", 3L, 80L)
+      .select(col("doc_id"), col("gopher_pass"))
+    val rep = scored.join(g, Seq("doc_id")).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(sha2(col("text").cast("binary"), 256)).as("n_unique_texts"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .orderBy("source").collect()
+    val a = rep(0); val b = rep(1)
+    assert(a.getString(0) === "srcA" && a.getLong(1) === 3L)
+    assert(a.getLong(2) === 9L + 9L + 7L, "total tokens srcA")
+    assert(a.getLong(3) === 2L, "two distinct texts in srcA (one exact dup)")
+    assert(a.getLong(5) === 3L, "all srcA docs are en")
+    assert(b.getString(0) === "srcB" && b.getLong(1) === 2L)
+    assert(b.getLong(2) === 9L, "fr doc 9 tokens + blank 0")
+    assert(b.getLong(3) === 2L)
+    assert(b.getLong(5) === 0L, "srcB is fr + blank, no en")
+    // gopher pass agrees with the kernel run standalone
+    val standalone = graft.operators.TextAnalysis
+      .gopherRules(docs, "text", "doc_id", 3L, 80L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(10))).toMap
+    val bySource = Map("srcA" -> Seq(1L, 2L, 3L), "srcB" -> Seq(4L, 5L))
+    for (r <- rep)
+      assert(r.getLong(4) ===
+        bySource(r.getString(0)).count(standalone(_)).toLong)
+  }
+
   test("bigramLmScore: add-k arithmetic exact against hand computation, short-doc edge") {
     import spark.implicits._
     // Reference slice = even ids. Ref doc 0 "a b a c":
@@ -844,7 +883,9 @@ class PipelineSpec extends AnyFunSuite {
       "https://a.com/x?ref&a=1" -> "https://a.com/x?a=1", // bare tracking name (no '=')
       "https://a.com/x#sec" -> "https://a.com/x",
       "https://a.com/x?a=1&&b=2" -> "https://a.com/x?a=1&b=2", // empty param dropped
-      "HTTP://U.COM:8080/A?z=1&utm_x=9" -> "http://u.com:8080/A?z=1") // port kept, host-lowered
+      "HTTP://U.COM:8080/A?z=1&utm_x=9" -> "http://u.com:8080/A?z=1", // port kept, host-lowered
+      "not a url at all" -> null,            // malformed → NULL, never "://"
+      "htp:/missing.example" -> null)
     val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
       .toDF("i", "u")
       .select(col("i"), graft.operators.TextAnalysis.canonicalUrl(col("u")).as("c"))
