@@ -1312,6 +1312,37 @@ object PipelineQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** p48: vocabulary coverage report, top-20 ranks
+    * ([[TextAnalysis.vocabCoverage]]; one map-side-combined count
+    * shuffle + a bounded-histogram rank/cumsum window — see its
+    * scaladoc). */
+  val p48VocabCoverage: Q = (spark, dir) =>
+    TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"),
+        "text", k = 20)
+      .orderBy("rank")
+
+  /** p48 oracle: same histogram, same (count DESC, token ASC) total
+    * order, same cumulative sums; coverage under the gate's float
+    * tolerance. */
+  val p48Sql: String =
+    """WITH tk AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+      |hist AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(tk) AS token FROM tk)
+      |  WHERE length(token) > 0
+      |  GROUP BY token),
+      |tot AS (SELECT sum(n) AS total_n FROM hist),
+      |r AS (
+      |  SELECT token, n,
+      |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+      |    CAST(sum(n) OVER (ORDER BY n DESC, token
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist)
+      |SELECT rank, token, n, cum, cum::DOUBLE / total_n AS coverage
+      |FROM r, tot
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
   /** p38: the CRAWL-CURATION pipeline end-to-end — the r15 operators
     * composed in CCNet order over the planted-markup corpus, proving
     * they chain the way a pretraining ingest uses them (the crawl
@@ -2050,6 +2081,7 @@ object PipelineQueries {
     "p45_pair_contamination" -> p45PairContamination,
     "p46_span_removal" -> p46SpanRemoval,
     "p47_corpus_report" -> p47CorpusReport,
+    "p48_vocab_coverage" -> p48VocabCoverage,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2529,6 +2561,7 @@ object PipelineQueries {
     "p45_pair_contamination" -> p45Sql,
     "p46_span_removal" -> p46Sql,
     "p47_corpus_report" -> p47Sql,
+    "p48_vocab_coverage" -> p48Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -614,6 +614,41 @@ object TextAnalysis {
         col("n_ref_grams"), col("containment"))
   }
 
+  /** Vocabulary coverage report — the tokenizer-planning analytics pass
+    * (what fraction of token OCCURRENCES does a top-k vocabulary
+    * cover?): the corpus token histogram ranked by (count DESC, token
+    * ASC), with each rank's cumulative occurrence count and coverage
+    * fraction; the top `k` ranks are returned. The (count, token) order
+    * is total, so ranks are deterministic on every engine.
+    *
+    * Scale shape: ONE map-side-combined count shuffle (the exchange
+    * carries distinct tokens + partial counts, never occurrences — the
+    * p32 shape); the rank/cumsum window is un-partitioned but runs over
+    * the VOCABULARY histogram, bounded by distinct tokens (10⁵–10⁷ at
+    * web scale), not corpus rows — the same bounded-histogram
+    * justification as [[lengthQuantileFilter]]. The occurrence total
+    * rides a broadcast row. Returns (rank, token, n, cum, coverage). */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val hist = docs.select(explode(tk).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    // "__tot", not "N": Spark resolves case-insensitively by default,
+    // so an "N" column would be ambiguous with the histogram's "n"
+    val tot = hist.agg(sum("n").as("__tot"))
+    hist
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("token"), col("n"), col("cum"),
+        (col("cum").cast("double") / col("__tot")).as("coverage"))
+  }
+
   /** N-gram LM quality scoring — the CCNet filter (Wenzek et al.,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web
     * Crawl Data"; reference has no analogue): train an add-k-smoothed

@@ -156,7 +156,8 @@ object ScaleProbe {
     "p44_bm25" -> Set("documents"),
     "p45_pair_contamination" -> Set("documents"),
     "p46_span_removal" -> Set("documents"),
-    "p47_corpus_report" -> Set("documents")
+    "p47_corpus_report" -> Set("documents"),
+    "p48_vocab_coverage" -> Set("documents")
   ).withDefaultValue(Set("documents", "embeddings"))
 
   def main(args: Array[String]): Unit = {

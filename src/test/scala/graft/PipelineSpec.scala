@@ -665,6 +665,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("vocabCoverage: rank order, tie-break, cumulative fractions exact on hand corpus") {
+    import spark.implicits._
+    // counts: bb=3, aa=2, zz=2, c=1 → order bb, aa, zz (tie → token ASC), c
+    val docs = Seq((1L, "bb aa zz"), (2L, "bb zz aa"), (3L, "bb c"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.vocabCoverage(docs, "text", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, "bb", 3L, 3L, 3.0 / 8),
+      (2L, "aa", 2L, 5L, 5.0 / 8),
+      (3L, "zz", 2L, 7L, 7.0 / 8)))
+  }
+
   test("corpus report card aggregates agree with the per-doc kernels (hand corpus)") {
     import spark.implicits._
     val docs = Seq(
