@@ -232,4 +232,56 @@ object StreamPipeline {
           }
       }.toDF()
   }
+
+  final case class AdmitOut(
+    doc_id: Long, source: String, n_tokens: Long, admitted: Boolean)
+
+  /** Streaming per-source token-budget admission — the LIVE-ingest
+    * analogue of [[graft.operators.Sampling.tokenBudgetSample]]: a
+    * training-mix recipe says "take `budget` tokens of each source",
+    * and the ingest must stop admitting a source's documents the
+    * moment its budget is reached — while the crawl is still running,
+    * not in a post-pass. Custom keyed state via flatMapGroupsWithState:
+    * ONE long per source (the admitted-token total — nothing grows
+    * with the stream), update mode, no timeout (a mix budget has no
+    * horizon).
+    *
+    * Admission order — the contract that makes the result
+    * deterministic: within a micro-batch a source's documents admit in
+    * (event-time, doc_id) order (the batch's rows are sorted in the
+    * fold — per-(source, batch) memory, the same bound every keyed
+    * fold here has); across batches, in batch order. A document is
+    * admitted iff the source's admitted-token total BEFORE it is
+    * < budget — the budget-crossing document is included and admission
+    * never resumes after crossing (the frozen total stays ≥ budget).
+    * With the bounded single-file replay the composite order is the
+    * global (event-time, doc_id) order, which is what the oracle
+    * restates. */
+  def tokenBudgetAdmit(stream: DataFrame, textCol: String,
+      sourceCol: String, idCol: String, tsCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = stream.select(col(idCol).cast("long"),
+        col(sourceCol).cast("string"),
+        col(tsCol).cast("timestamp"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, AdmitOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (src, it, state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(r => (r._3.getTime, r._1)).map { r =>
+            val admitted = cum < budget
+            if (admitted) cum += r._4
+            AdmitOut(r._1, src, r._4, admitted)
+          }
+          state.update(cum)
+          out.iterator
+      }.toDF()
+  }
 }

@@ -749,8 +749,44 @@ object StreamingQueries {
       |WHERE (s.doc_id * 37) % 600 <= mx.mts - 300
       |ORDER BY s.doc_id""".stripMargin
 
+  /** st13: streaming per-source token-budget admission
+    * ([[StreamPipeline.tokenBudgetAdmit]] — the live analogue of p39:
+    * stop admitting a source the moment its token budget is reached,
+    * state = ONE long per source). Budget 500 bites at every SF
+    * (sources carry ~1.4 k tokens at sf0.001/0.01). Update mode emits
+    * each document's verdict once, in its batch. */
+  val st13TokenBudget: Q = (spark, dir) => {
+    val out = StreamPipeline.tokenBudgetAdmit(
+      boundedDocStream(spark, dir), "text", "source", "doc_id", "ts",
+      budget = 500L)
+    drainToMemory(spark, "st13", out.writeStream.outputMode("update"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** st13 oracle: the (event-time, doc_id) admission order restated
+    * over the synthetic ts, with the all-prior cumulative form —
+    * provably the same verdicts as the engine's admitted-only total,
+    * because the two sums agree up to the budget crossing and both
+    * stay ≥ budget after it. */
+  val st13Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      |    (doc_id * 37) % 600 AS tkey
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY tkey, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM d)
+      |SELECT doc_id, source, n_tokens, (cum < 500) AS admitted
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st12_stream_span_audit" -> st12StreamSpanAudit,
+    "st13_stream_token_budget" -> st13TokenBudget,
     "st11_stream_stream_join" -> st11StreamStreamJoin,
     "st08_stream_contamination" -> st08StreamContamination,
     "st09_stream_pii" -> st09StreamPii,
@@ -813,6 +849,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "st12_stream_span_audit" -> st12Sql,
+    "st13_stream_token_budget" -> st13Sql,
     "st11_stream_stream_join" -> st11Sql,
     // identical computation to batch p20 — the streaming path is the
     // stream-static semi-join + update-mode fold

@@ -503,4 +503,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((1L, 7L, 3L), (2L, 3L, 0L), (3L, 0L, 0L)), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming token-budget admission: event-time order within a batch, budget carries across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = MemoryStream[(Long, String, String, Timestamp)]
+    val out = graft.streaming.StreamPipeline.tokenBudgetAdmit(
+      docs.toDF.toDF("doc_id", "source", "text", "ts"),
+      "text", "source", "doc_id", "ts", budget = 400L)
+    val q = out.writeStream.format("memory").queryName("budget_out")
+      .outputMode("update").start()
+    try {
+      // batch 1 — srcA arrives OUT of event-time order: doc 2 (earlier
+      // ts) must admit before doc 1; srcC proves the verdict follows
+      // ts order, not doc_id order: id 7 (earlier ts, 450 tokens) is
+      // the budget-crossing doc — included, and it exhausts the
+      // budget, so id 6 rejects; under id order id 6 would admit first
+      docs.addData(
+        (1L, "srcA", words(300), t(60)), (2L, "srcA", words(150), t(0)),
+        (6L, "srcC", words(390), t(60)), (7L, "srcC", words(450), t(0)))
+      q.processAllAvailable()
+      // batch 2 — srcA's budget crossed in batch 1 (150 + 300 >= 400):
+      // doc 3 must be rejected even though it is tiny; a fresh source
+      // admits independently
+      docs.addData(
+        (3L, "srcA", words(5), t(120)), (8L, "srcB", words(10), t(120)))
+      q.processAllAvailable()
+      val got = spark.table("budget_out").collect()
+        .map(r => (r.getLong(0), r.getBoolean(3))).toMap
+      assert(got === Map(1L -> true, 2L -> true, 3L -> false,
+        6L -> false, 7L -> true, 8L -> true), s"got $got")
+    } finally q.stop()
+  }
 }
