@@ -1343,6 +1343,48 @@ object PipelineQueries {
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  /** p49: split-leakage audit — near-duplicate pairs STRADDLING a
+    * train/val/test boundary after an iid document-key split: the
+    * number every leakage postmortem starts with, and the quantified
+    * reason [[Sampling.fold]] supports GROUP keys (split by the dedup
+    * cluster's keeper and these pairs vanish by construction). The
+    * pair list is p02's LSH candidate set (est_jaccard ≥ 0.2); each
+    * side's fold is the p21 10-fold assignment computed ROW-LOCALLY
+    * from the pair's own ids (fold is a pure function of (key, seed) —
+    * no corpus join, nothing beyond the LSH pair list is ever
+    * touched). Returns cross-fold pairs only. */
+  val p49SplitLeakage: Q = (spark, dir) => {
+    minhashCandsFor(spark, dir)
+      .filter(col("est_jaccard") >= 0.2)
+      .withColumn("fold0", Sampling.fold(col("id0"), 42L, 10))
+      .withColumn("fold1", Sampling.fold(col("id1"), 42L, 10))
+      .filter(col("fold0") =!= col("fold1"))
+      .select(col("id0"), col("id1"), col("fold0"), col("fold1"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("id0", "id1")
+  }
+
+  /** p49 oracle: the full bit-exact p02 MinHash chain composed with
+    * TWO SplitMix64 fold chains (one per pair side, renamed CTEs) —
+    * the leaked-pair set restated end-to-end in SQL. */
+  lazy val p49Sql: String = {
+    val prefix = p02Sql.substring(0, p02Sql.lastIndexOf("SELECT id0, id1,"))
+    prefix.stripTrailing() + ",\n" +
+      """pairs AS (SELECT id0, id1, ej FROM est WHERE ej >= 0.2),
+        |""".stripMargin +
+      mixChainSql(
+        "SELECT id0, id1, ej, xor(CAST(id0 AS UBIGINT), CAST(42 AS UBIGINT)) AS z FROM pairs",
+        p = "fa", hName = "fah", lead = "") + "\n" +
+      mixChainSql(
+        "SELECT id0, id1, ej, CAST(z % 10 AS BIGINT) AS fold0, xor(CAST(id1 AS UBIGINT), CAST(42 AS UBIGINT)) AS z FROM fah",
+        p = "fb", hName = "fbh", lead = "").stripSuffix(",") + "\n" +
+      """SELECT id0, id1, fold0, CAST(z % 10 AS BIGINT) AS fold1,
+        |       round(ej, 6) AS est_jaccard
+        |FROM fbh
+        |WHERE fold0 <> CAST(z % 10 AS BIGINT)
+        |ORDER BY id0, id1""".stripMargin
+  }
+
   /** p38: the CRAWL-CURATION pipeline end-to-end — the r15 operators
     * composed in CCNet order over the planted-markup corpus, proving
     * they chain the way a pretraining ingest uses them (the crawl
@@ -1819,15 +1861,19 @@ object PipelineQueries {
     * column seeded by `zeroCte` (same limb arithmetic as the g1..g6
     * winnowing stages); ends with `h` = z >> 1 — the [0, 2^63) hash
     * both engines order and mod identically. */
-  private def mixChainSql(zeroCte: String): String =
-    s"""|WITH m0 AS ($zeroCte),
-      |m1 AS (SELECT * REPLACE (CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z) FROM m0),
-      |m2 AS (SELECT * REPLACE (xor(z, z >> 30) AS z) FROM m1),
-      |m3 AS (SELECT * REPLACE (CAST(((CAST(z & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST(z >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z) FROM m2),
-      |m4 AS (SELECT * REPLACE (xor(z, z >> 27) AS z) FROM m3),
-      |m5 AS (SELECT * REPLACE (CAST(((CAST(z & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST(z >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z) FROM m4),
-      |m6 AS (SELECT * REPLACE (xor(z, z >> 31) AS z) FROM m5),
-      |h AS (SELECT * REPLACE ((z >> 1) AS z) FROM m6),""".stripMargin
+  /** `p`/`hName` rename the chain's CTEs so the fragment can compose
+    * into a WITH clause that already uses m1..m6/h (the p02 chain);
+    * `lead` drops the leading WITH for mid-clause composition. */
+  private def mixChainSql(zeroCte: String, p: String = "m",
+      hName: String = "h", lead: String = "WITH "): String =
+    s"""|$lead${p}0 AS ($zeroCte),
+      |${p}1 AS (SELECT * REPLACE (CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z) FROM ${p}0),
+      |${p}2 AS (SELECT * REPLACE (xor(z, z >> 30) AS z) FROM ${p}1),
+      |${p}3 AS (SELECT * REPLACE (CAST(((CAST(z & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST(z >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z) FROM ${p}2),
+      |${p}4 AS (SELECT * REPLACE (xor(z, z >> 27) AS z) FROM ${p}3),
+      |${p}5 AS (SELECT * REPLACE (CAST(((CAST(z & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST(z >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z) FROM ${p}4),
+      |${p}6 AS (SELECT * REPLACE (xor(z, z >> 31) AS z) FROM ${p}5),
+      |$hName AS (SELECT * REPLACE ((z >> 1) AS z) FROM ${p}6),""".stripMargin
 
   val p21Sql: String =
     mixChainSql("SELECT doc_id, xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT)) AS z FROM documents") + """
@@ -2082,6 +2128,7 @@ object PipelineQueries {
     "p46_span_removal" -> p46SpanRemoval,
     "p47_corpus_report" -> p47CorpusReport,
     "p48_vocab_coverage" -> p48VocabCoverage,
+    "p49_split_leakage" -> p49SplitLeakage,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2562,6 +2609,7 @@ object PipelineQueries {
     "p46_span_removal" -> p46Sql,
     "p47_corpus_report" -> p47Sql,
     "p48_vocab_coverage" -> p48Sql,
+    "p49_split_leakage" -> p49Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -665,6 +665,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("split-leakage audit flags exactly the cross-fold planted near-dup pairs") {
+    // the p49 body over the planted near-dup corpus: candidates with
+    // est_jaccard >= 0.5 are exactly the planted pairs (pinned above);
+    // the leaked subset must be those whose ids fold apart under the
+    // closed-form SplitMix64 replay
+    def foldOf(id: Long): Long =
+      ((graft.operators.DetRngHash.mix(id ^ 42L) >>> 1) % 10 + 10) % 10
+    val leaked = Dedup.minHashCandidates(docs, "text", "doc_id", minEstJaccard = 0.5)
+      .withColumn("fold0", graft.operators.Sampling.fold(col("id0"), 42L, 10))
+      .withColumn("fold1", graft.operators.Sampling.fold(col("id1"), 42L, 10))
+      .filter(col("fold0") =!= col("fold1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = plantedPairs.filter { case (a, b) => foldOf(a) != foldOf(b) }
+    assert(leaked.subsetOf(plantedPairs), s"non-planted leak rows: ${leaked -- plantedPairs}")
+    // the minhash recall pin above allows ONE planted pair to miss the
+    // candidate set, so at most one expected leak may be absent
+    assert((expected -- leaked).size <= 1,
+      s"missed leaked pairs: ${expected -- leaked}")
+    assert(leaked.forall { case (a, b) => foldOf(a) != foldOf(b) })
+  }
+
   test("vocabCoverage: rank order, tie-break, cumulative fractions exact on hand corpus") {
     import spark.implicits._
     // counts: bb=3, aa=2, zz=2, c=1 → order bb, aa, zz (tie → token ASC), c
