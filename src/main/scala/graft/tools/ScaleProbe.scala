@@ -157,7 +157,9 @@ object ScaleProbe {
     "p45_pair_contamination" -> Set("documents"),
     "p46_span_removal" -> Set("documents"),
     "p47_corpus_report" -> Set("documents"),
-    "p48_vocab_coverage" -> Set("documents")
+    "p48_vocab_coverage" -> Set("documents"),
+    "p49_split_leakage" -> Set("documents"),
+    "st13_stream_token_budget" -> Set("documents")
   ).withDefaultValue(Set("documents", "embeddings"))
 
   def main(args: Array[String]): Unit = {
