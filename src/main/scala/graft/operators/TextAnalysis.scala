@@ -412,12 +412,14 @@ object TextAnalysis {
     *  - words containing ≥ 1 alphabetic char ≥ 80 %
     *  - ≥ 2 stop-word hits (the [[Stopwords]] lexicon)
     * `gopher_pass` = all seven. Blank text fails the word-count rule
-    * and passes the vacuous ratios (0 ≤ bound). */
+    * and passes the vacuous ratios (0 ≤ bound); NULL text coalesces to
+    * blank (a null-text doc must FAIL the gate, not ride through with
+    * NULL flags that downstream filters silently drop or keep). */
   def gopherRules(df: DataFrame, textCol: String, idCol: String,
       minTokens: Long = 50L, maxTokens: Long = 100000L): DataFrame = {
     require(0 < minTokens && minTokens <= maxTokens,
       "need 0 < minTokens <= maxTokens")
-    val t = col(textCol)
+    val t = coalesce(col(textCol), lit(""))
     val tokens = split(trim(lower(t)), "\\s+")
     val nTok = tokenCount(t).cast("long")
     val sumLen = length(regexp_replace(trim(t), "\\s+", "")).cast("long")
@@ -461,16 +463,19 @@ object TextAnalysis {
     * Scale shape: entirely row-local — the token array materializes
     * once per document (a projection, not a re-split per chunk), starts
     * are a generated sequence, and the explode multiplies rows by
-    * ~n/stride with no shuffle anywhere. Downstream repartitioning is
-    * the caller's choice. Returns (id, chunk_idx, start_tok,
-    * n_chunk_tokens, chunk_text). */
+    * ~n/stride with no shuffle anywhere (the per-doc start array is
+    * O(n/stride) — a pathological multi-GB single document should be
+    * chunked upstream). NULL text coalesces to blank, so the doc still
+    * emits its one empty chunk instead of silently vanishing from the
+    * explode. Downstream repartitioning is the caller's choice.
+    * Returns (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text). */
   def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
       chunk: Int, stride: Int): DataFrame = {
     require(chunk > 0, "chunk must be positive")
     require(0 < stride && stride <= chunk, "need 0 < stride <= chunk")
     val base = docs.select(col(idCol),
-      split(trim(lower(col(textCol))), "\\s+").as("__tk"),
-      tokenCount(col(textCol)).cast("long").as("__n"))
+      split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+").as("__tk"),
+      tokenCount(coalesce(col(textCol), lit(""))).cast("long").as("__n"))
     val nStarts = when(col("__n") <= chunk, lit(1L))
       .otherwise(lit(1L) + expr(s"(__n - $chunk + ${stride - 1}) div $stride"))
     base
@@ -540,8 +545,12 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, "k must be positive")
-    val tk = split(trim(lower(col(textCol))), "\\s+")
-    val lens = docs.select(col(idCol), tokenCount(col(textCol)).cast("long").as("len"))
+    // NULL text coalesces to blank: the doc counts as length-0 in the
+    // avglen statistic instead of skewing it as a NULL the sum skips
+    // while the count still counts
+    val tk = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    val lens = docs.select(col(idCol),
+      tokenCount(coalesce(col(textCol), lit(""))).cast("long").as("len"))
     val tot = lens.agg(count(lit(1)).as("N"),
       (sum("len").cast("double") / count(lit(1))).as("avglen"))
     val dt = docs.select(col(idCol), explode(tk).as("term"))

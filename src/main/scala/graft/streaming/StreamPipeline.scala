@@ -265,10 +265,19 @@ object StreamPipeline {
     val spark = stream.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    // a NULL text would make the token count NULL, which the tuple
+    // encoder rejects with an opaque NPE mid-stream — fail loudly at
+    // the same contract p39's batch form states (broken upstream)
+    import org.apache.spark.sql.functions.{lit, raise_error, when}
+    val nTok = when(col(textCol).isNotNull,
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .otherwise(raise_error(lit(
+        "graft tokenBudgetAdmit: NULL text — broken upstream ingest?"))
+        .cast("long"))
     val rows = stream.select(col(idCol).cast("long"),
         col(sourceCol).cast("string"),
         col(tsCol).cast("timestamp"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        nTok)
       .as[(Long, String, java.sql.Timestamp, Long)]
     rows.groupByKey(_._2)
       .flatMapGroupsWithState[Long, AdmitOut](

@@ -851,7 +851,8 @@ class PipelineSpec extends AnyFunSuite {
       (5L, good + " #### ## #"),                                     // 7 '#' vs 63 tokens → 70 > 63
       (6L, "1 2 3 4 5 6 7 8 9 10 11 12 the a"),                      // 2/14 alpha words
       (7L, good.replace("the", "zzz")),                              // no stopwords
-      (8L, ""))                                                      // blank
+      (8L, ""),                                                      // blank
+      (9L, null.asInstanceOf[String]))                               // NULL ≡ blank
       .toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis
       .gopherRules(docs, "text", "doc_id", minTokens = 30L, maxTokens = 80L)
@@ -870,6 +871,8 @@ class PipelineSpec extends AnyFunSuite {
     val blank = out(7)
     assert(blank.getLong(1) === 0L && !blank.getBoolean(3) && blank.getBoolean(5),
       "blank doc: zero tokens, fails word count, vacuous ratios pass")
+    assert(out(8).toSeq === blank.toSeq.updated(0, 9L),
+      "NULL text must gate exactly like blank, never NULL flags")
     // row-local: no exchange anywhere in the un-sorted plan
     val plan = graft.operators.TextAnalysis
       .gopherRules(docs, "text", "doc_id").queryExecution.executedPlan.toString
@@ -880,7 +883,8 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     def doc(n: Int): String = (0 until n).map(i => s"t$i").mkString(" ")
     val docs = Seq((10L, doc(10)), (9L, doc(9)), (8L, doc(8)), (4L, doc(4)),
-      (2L, doc(2)), (0L, "")).toDF("doc_id", "text")
+      (2L, doc(2)), (0L, ""), (99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis
       .chunkTokens(docs, "text", "doc_id", chunk = 4, stride = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
@@ -896,8 +900,10 @@ class PipelineSpec extends AnyFunSuite {
     // n <= chunk → exactly one chunk
     assert(byDoc(4L).map(t => (t._3, t._4)).toSeq === Seq((0L, 4L)))
     assert(byDoc(2L).map(t => (t._3, t._4)).toSeq === Seq((0L, 2L)))
-    // blank → one empty chunk, present not dropped
+    // blank → one empty chunk, present not dropped; NULL ≡ blank
     assert(byDoc(0L).toSeq === Seq((0L, 0L, 0L, 0L, "")))
+    assert(byDoc(99L).toSeq === Seq((99L, 0L, 0L, 0L, "")),
+      "NULL-text doc must emit its empty chunk, not vanish")
     // every token of every doc is covered by some chunk
     for (n <- Seq(10, 9, 8, 4, 2); tok <- 0 until n)
       assert(byDoc(n.toLong).exists(t => t._3 <= tok && tok < t._3 + t._4),
