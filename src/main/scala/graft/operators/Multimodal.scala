@@ -202,6 +202,82 @@ object Multimodal {
       }
   }
 
+  /** Perceptual difference hash (dHash) of an image payload — the
+    * image-dedup analogue of SimHash: average-pool the decoded
+    * luminance onto a 9×8 grid (pixel (x, y) maps to cell
+    * (x·9 / W, y·8 / H) by integer division) and set bit (cy·8 + cx)
+    * iff the cell's mean luminance exceeds its right neighbor's. The
+    * comparison is EXACT integer cross-multiplication
+    * (sumₐ·n_b > sum_b·nₐ — never a float mean), so the hash is
+    * deterministic for any image size. Near-duplicate images (resizes,
+    * light recompression, small edits) land within a small Hamming
+    * distance; bucketing pairs by the pigeonhole machinery is
+    * [[Dedup.simHashPairs]]'s existing shape applied to this column.
+    * Images narrower than 9 px or shorter than 8 px have empty grid
+    * cells — undefined, None. Non-image payloads: None. */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.flatMap { im =>
+      val w = im.getWidth; val h = im.getHeight
+      if (w < 9 || h < 8) None
+      else {
+        val sum = Array.ofDim[Long](8, 9)
+        val cnt = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            val cx = x * 9 / w
+            sum(cy)(cx) += lum
+            cnt(cy)(cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (sum(cy)(cx) * cnt(cy)(cx + 1) > sum(cy)(cx + 1) * cnt(cy)(cx))
+              bits |= 1L << (cy * 8 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(bits)
+      }
+    }
+  }
+
+  /** Typed perceptual-hash record; `defined` = false (with dhash 0)
+    * for undecodable or sub-grid payloads — a sentinel-free encoding
+    * (an all-bits hash is a legal value, so NULL/−1 could collide). */
+  final case class PerceptualHash(doc_id: Long, defined: Boolean, dhash: Long)
+
+  /** dHash over a binary media column — row-local map, media bytes
+    * never shuffle (same scale shape as [[extractFeatures]]). */
+  def perceptualHashes(df: DataFrame, idCol: String, binCol: String): Dataset[PerceptualHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.collect { case (id, bytes) if bytes != null =>
+          dHash64(bytes) match {
+            case Some(v) => PerceptualHash(id, defined = true, v)
+            case None => PerceptualHash(id, defined = false, 0L)
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frameSize`-byte frames and keep every `stride`-th — the explode-
     * side shape (one row in, many typed rows out). */

@@ -2035,6 +2035,28 @@ object PipelineQueries {
        |FROM read_parquet('$MediaFixturePath/*.parquet')
        |ORDER BY doc_id""".stripMargin
 
+  /** p50: perceptual image hashing (dHash) against the checked-in media
+    * fixture — the image-dedup rung of the multimodal path
+    * ([[Multimodal.dHash64]]: 9×8 integer-binned luminance pooling,
+    * exact cross-multiplied neighbor comparisons). The fixture stores
+    * the ANALYTIC expectation computed from each pattern's closed-form
+    * luminance function (never from PNG bytes), so the decode + pooling
+    * pipeline is gated end-to-end; sub-grid images (w < 9 or h < 8)
+    * pin the undefined path. Near-dup IMAGE pairs are then
+    * [[Dedup.simHashPairs]]'s pigeonhole machinery over this column. */
+  val p50ImageDhash: Q = (spark, dir) => {
+    val fx = spark.read.parquet(MediaFixturePath)
+    Multimodal.perceptualHashes(fx, "doc_id", "media").toDF()
+      .select(col("doc_id"), col("defined"), col("dhash"))
+      .orderBy("doc_id")
+  }
+
+  /** p50 oracle: the stored pattern-derived expectations. */
+  val p50Sql: String =
+    s"""SELECT doc_id, dhash_defined AS defined, dhash
+       |FROM read_parquet('$MediaFixturePath/*.parquet')
+       |ORDER BY doc_id""".stripMargin
+
   /** p19: the p13 frame-sampling operator against the checked-in media
     * fixture — frame boundaries AND the FNV-1a-64+mix frame checksum
     * reproduced independently in DuckDB (UBIGINT limb arithmetic over
@@ -2129,6 +2151,7 @@ object PipelineQueries {
     "p47_corpus_report" -> p47CorpusReport,
     "p48_vocab_coverage" -> p48VocabCoverage,
     "p49_split_leakage" -> p49SplitLeakage,
+    "p50_image_dhash" -> p50ImageDhash,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2610,6 +2633,7 @@ object PipelineQueries {
     "p47_corpus_report" -> p47Sql,
     "p48_vocab_coverage" -> p48Sql,
     "p49_split_leakage" -> p49Sql,
+    "p50_image_dhash" -> p50Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -43,7 +43,31 @@ object MediaFixture {
   final case class Row(
       doc_id: Long, kind: String, media: Array[Byte],
       width: Int, height: Int, n_bytes: Long, mean_byte: Double,
-      h0: Long, h1: Long, h2: Long, h3: Long)
+      h0: Long, h1: Long, h2: Long, h3: Long,
+      dhash_defined: Boolean, dhash: Long)
+
+  /** Analytic dHash expectation, computed from the PATTERN's luminance
+    * function directly (never from PNG bytes — the independence p50's
+    * oracle rests on): 9×8 average-pool by integer binning
+    * (cx = x·9 / w, cy = y·8 / h), bit (cy·8 + cx) iff the cell's mean
+    * exceeds its right neighbor's under exact cross-multiplication —
+    * the contract `Multimodal.dHash64` documents. (w < 9 or h < 8 ⇒
+    * undefined.) */
+  private def analyticDHash(w: Int, h: Int, lumAt: (Int, Int) => Int): (Boolean, Long) =
+    if (w < 9 || h < 8) (false, 0L)
+    else {
+      val sum = Array.ofDim[Long](8, 9)
+      val cnt = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        sum(y * 8 / h)(x * 9 / w) += lumAt(x, y)
+        cnt(y * 8 / h)(x * 9 / w) += 1
+      }
+      var bits = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (sum(cy)(cx) * cnt(cy)(cx + 1) > sum(cy)(cx + 1) * cnt(cy)(cx))
+          bits |= 1L << (cy * 8 + cx)
+      (true, bits)
+    }
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -60,8 +84,9 @@ object MediaFixture {
       val n = w.toLong * h
       val hist = Array.fill(4)(0L); hist(l >> 6) = n
       val bytes = png(w, h)((_, _) => (r << 16) | (g << 8) | b)
+      val (dd, dh) = analyticDHash(w, h, (_, _) => l)
       Row(nextId(), "solid", bytes, w, h, bytes.length.toLong,
-        round6(l.toDouble), hist(0), hist(1), hist(2), hist(3))
+        round6(l.toDouble), hist(0), hist(1), hist(2), hist(3), dd, dh)
     }
     val checkers = for {
       ((r1, g1, b1), (r2, g2, b2)) <- Seq(
@@ -79,8 +104,10 @@ object MediaFixture {
       val c2 = (r2 << 16) | (g2 << 8) | b2
       val bytes = png(w, h)((x, y) => if ((x + y) % 2 == 0) c1 else c2)
       val mean = (l1.toLong * half + l2.toLong * half).toDouble / n
+      val (dd, dh) = analyticDHash(w, h,
+        (x, y) => if ((x + y) % 2 == 0) l1 else l2)
       Row(nextId(), "checker", bytes, w, h, bytes.length.toLong,
-        round6(mean), hist(0), hist(1), hist(2), hist(3))
+        round6(mean), hist(0), hist(1), hist(2), hist(3), dd, dh)
     }
     val gradients = for ((w, h) <- Seq((9, 5), (32, 8), (25, 25))) yield {
       // grayscale g(x) = x*255/(w-1) (integer division): lum(g,g,g) = g
@@ -92,8 +119,9 @@ object MediaFixture {
       g.foreach(v => hist(v >> 6) += h.toLong)
       val mean = g.map(_.toLong).sum.toDouble / w
       val bytes = png(w, h)((x, _) => (g(x) << 16) | (g(x) << 8) | g(x))
+      val (dd, dh) = analyticDHash(w, h, (x, _) => g(x))
       Row(nextId(), "gradient", bytes, w, h, bytes.length.toLong,
-        round6(mean), hist(0), hist(1), hist(2), hist(3))
+        round6(mean), hist(0), hist(1), hist(2), hist(3), dd, dh)
     }
     solids ++ checkers ++ gradients
   }

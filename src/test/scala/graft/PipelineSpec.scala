@@ -1195,6 +1195,42 @@ class PipelineSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("image dHash: hand-computed bits, integer-binned pooling, undefined below the grid, edit locality") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def pngOf(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      val out = new ByteArrayOutputStream(); ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    // 18×16: left half black, right half white → within a row, cells
+    // 0..3 are all-black, cell 4 straddles (mean 127.5), 5..8 white.
+    // left>right never holds on a non-decreasing profile → dhash 0;
+    // the mirrored image (white→black) sets every within-row
+    // comparison where left cell mean > right: cells 0..3 white,
+    // 4 straddle, 5..8 black → bits at cx ∈ {3, 4} per row
+    val split = pngOf(18, 16)((x, _) => if (x < 9) 0x000000 else 0xffffff)
+    val mirror = pngOf(18, 16)((x, _) => if (x < 9) 0xffffff else 0x000000)
+    val d1 = graft.operators.Multimodal.dHash64(split).get
+    val d2 = graft.operators.Multimodal.dHash64(mirror).get
+    assert(d1 === 0L, s"non-decreasing profile must hash to 0, got ${d1.toHexString}")
+    val expectMirror = (0 until 8).map(cy => (1L << (cy * 8 + 3)) | (1L << (cy * 8 + 4))).reduce(_ | _)
+    assert(d2 === expectMirror, s"${d2.toHexString} vs ${expectMirror.toHexString}")
+    // a small local edit flips few bits (the near-dup property LSH
+    // bucketing relies on): brighten one corner pixel block
+    val edited = pngOf(18, 16)((x, y) =>
+      if (x < 2 && y < 2) 0x808080 else if (x < 9) 0xffffff else 0x000000)
+    val d3 = graft.operators.Multimodal.dHash64(edited).get
+    assert(java.lang.Long.bitCount(d2 ^ d3) <= 4,
+      s"local edit flipped ${java.lang.Long.bitCount(d2 ^ d3)} bits")
+    // undefined below the pooling grid; non-image bytes undefined
+    assert(graft.operators.Multimodal.dHash64(pngOf(8, 16)((_, _) => 0)).isEmpty)
+    assert(graft.operators.Multimodal.dHash64(pngOf(18, 7)((_, _) => 0)).isEmpty)
+    assert(graft.operators.Multimodal.dHash64("not a png".getBytes).isEmpty)
+  }
+
   test("multimodal decode is a real PNG codec round-trip") {
     import graft.operators.Multimodal
     val media = Multimodal.syntheticMedia(docs.limit(5))
