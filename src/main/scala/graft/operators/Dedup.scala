@@ -372,17 +372,22 @@ object Dedup {
     labels
   }
 
-  /** Near-duplicate pairs by SimHash: Hamming(sig0, sig1) <= maxHamming.
-    * Bucketed on (maxHamming+1) disjoint chunks of the fingerprint —
-    * pigeonhole guarantees recall 1.0 wrt the fingerprint. */
-  def simHashPairs(
-      df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, seed: Long = 42L,
-      maxBucketSize: Int = 4096): DataFrame = {
+  /** Near-duplicate pairs over ANY 64-bit fingerprint column:
+    * Hamming(sig0, sig1) ≤ maxHamming, bucketed on (maxHamming+1)
+    * disjoint chunks of the fingerprint — by pigeonhole, a pair within
+    * distance maxHamming agrees on at least one chunk, so recall is
+    * 1.0 wrt the fingerprint. (64 need not divide evenly: the top
+    * 64 mod (maxHamming+1)·bits bits simply belong to no chunk, which
+    * can only ADD collisions — never lose a pair.) Works for SimHash
+    * (text — [[simHashPairs]]), dHash
+    * ([[Multimodal.perceptualHashes]] — image near-dup), or any other
+    * 64-bit locality-sensitive signature. */
+  def hammingPairs(signed0: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
     val chunks = maxHamming + 1
     val bits = 64 / chunks
-    val signed = spread(df).select(col(idCol).as("id"),
-        simHash(seed)(col(textCol)).as("sim"))
+    val signed = signed0.select(col(idCol).as("id"), col(sigCol).as("sim"))
       .filter(col("sim").isNotNull)
     val chunked = signed.select(col("id"), col("sim"),
       posexplode(array((0 until chunks).map(c =>
@@ -399,6 +404,16 @@ object Dedup {
           .filter(col("hamming") <= maxHamming))
       .select("id0", "id1", "hamming")
   }
+
+  /** Near-duplicate pairs by SimHash: [[hammingPairs]] over the
+    * [[simHash]] fingerprint of the token stream. */
+  def simHashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame =
+    hammingPairs(
+      spread(df).select(col(idCol).as("id"), simHash(seed)(col(textCol)).as("sim")),
+      "id", "sim", maxHamming, maxBucketSize)
 
   /** Line-level boilerplate dedup (CCNet/Dolma-style): drop every line
     * that occurs more than `maxDf` times across the whole corpus — nav

@@ -2057,6 +2057,36 @@ object PipelineQueries {
        |FROM read_parquet('$MediaFixturePath/*.parquet')
        |ORDER BY doc_id""".stripMargin
 
+  /** p51: image near-duplicate PAIRS — [[Dedup.hammingPairs]] (the
+    * SimHash pigeonhole machinery generalized to any 64-bit signature)
+    * over the p50 dHash column, Hamming ≤ 2, on the media fixture.
+    * Identical-pattern fixtures (all valid solids and the monotone
+    * gradients hash to 0; repeated checker patterns share their exact
+    * bit pattern) must pair up exactly; everything else is far apart.
+    * The oracle is the definitionally simple brute force: a self-join
+    * on the STORED pattern-derived hashes with bit_count(xor) ≤ 2 —
+    * the engine's bucketed emission must equal it exactly (recall 1.0
+    * by pigeonhole, precision by the Hamming prune). */
+  val p51ImageNearDup: Q = (spark, dir) => {
+    val fx = spark.read.parquet(MediaFixturePath)
+    val hashed = Multimodal.perceptualHashes(fx, "doc_id", "media").toDF()
+      .filter(col("defined"))
+    Dedup.hammingPairs(hashed, "doc_id", "dhash", maxHamming = 2)
+      .orderBy("id0", "id1")
+  }
+
+  /** p51 oracle: brute-force Hamming join over the stored analytic
+    * hashes (36 rows — the quadratic is the oracle's to pay). */
+  val p51Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, dhash FROM read_parquet('$MediaFixturePath/*.parquet')
+       |  WHERE dhash_defined)
+       |SELECT a.doc_id AS id0, b.doc_id AS id1,
+       |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+       |ORDER BY id0, id1""".stripMargin
+
   /** p19: the p13 frame-sampling operator against the checked-in media
     * fixture — frame boundaries AND the FNV-1a-64+mix frame checksum
     * reproduced independently in DuckDB (UBIGINT limb arithmetic over
@@ -2152,6 +2182,7 @@ object PipelineQueries {
     "p48_vocab_coverage" -> p48VocabCoverage,
     "p49_split_leakage" -> p49SplitLeakage,
     "p50_image_dhash" -> p50ImageDhash,
+    "p51_image_near_dup" -> p51ImageNearDup,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2634,6 +2665,7 @@ object PipelineQueries {
     "p48_vocab_coverage" -> p48Sql,
     "p49_split_leakage" -> p49Sql,
     "p50_image_dhash" -> p50Sql,
+    "p51_image_near_dup" -> p51Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -1119,6 +1119,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(plantedPairs.intersect(verified).size >= 9)
   }
 
+  test("hammingPairs on a raw signature column: pigeonhole recall incl. the uncovered top bits") {
+    import spark.implicits._
+    // maxHamming=2 → 3 chunks of 21 bits covering bits 0..62; bit 63
+    // belongs to NO chunk — a pair differing only there must STILL be
+    // found (they agree on every chunk; the gap adds collisions, never
+    // misses). Far-apart signatures must not pair.
+    val sigs = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdefL ^ (1L << 63)),            // Hamming 1, top bit
+      (3L, 0x0123456789abcdefL ^ 3L),                    // Hamming 2, low bits
+      (4L, -1L),                                         // far from everything
+      (5L, 0L)).toDF("doc_id", "sig")
+    val pairs = graft.operators.Dedup
+      .hammingPairs(sigs, "doc_id", "sig", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 3)).filter(_._3 <= 2),
+      s"got $pairs")
+  }
+
   test("simhash pigeonhole bucketing finds low-hamming pairs") {
     val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
