@@ -2006,7 +2006,7 @@ object PipelineQueries {
 
   /** Checked-in multimodal decode fixture (graft.tools.MediaFixture):
     * real PNGs with closed-form pixel statistics stored alongside. */
-  private val MediaFixturePath = sys.env.getOrElse("GRAFT_MEDIA_FIXTURE",
+  private[graft] val MediaFixturePath = sys.env.getOrElse("GRAFT_MEDIA_FIXTURE",
     "/root/repo/fixtures/media_fixture.parquet")
 
   /** p17: the p12 decode kernel against the checked-in fixture — the

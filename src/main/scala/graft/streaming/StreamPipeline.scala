@@ -181,6 +181,38 @@ object StreamPipeline {
     bucketStateFold(keyed, horizonMs)
   }
 
+  /** Streaming IMAGE near-duplicate collision buckets: dHash of each
+    * decoded payload ([[graft.operators.Multimodal.dHash64]] — the
+    * decode is row-local per micro-batch, media bytes never reach
+    * state) split into (maxHamming+1) disjoint bit-chunks (pigeonhole:
+    * images within the Hamming radius agree on some chunk), keyed into
+    * the same keeper/count state fold with the same horizon-bounded
+    * lifetime as the text/embedding paths. Sub-grid or undecodable
+    * payloads have no hash and flow past the near-dup state untouched. */
+  def imageNearDupBuckets(stream: DataFrame, binCol: String, idCol: String,
+      tsCol: String, suppressionHorizon: String = "30 minutes",
+      maxHamming: Int = 2): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val horizonMs = parseHorizonMs(suppressionHorizon)
+    val dh = udf((b: Array[Byte]) =>
+      if (b == null) None else graft.operators.Multimodal.dHash64(b))
+    val keyed = stream
+      .withWatermark(tsCol, suppressionHorizon)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        dh(col(binCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("ts"), posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("sig"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1))): _*))
+        .as(Seq("band", "bh")))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    bucketStateFold(keyed, horizonMs)
+  }
+
   /** Parse with the same interval grammar withWatermark uses, so every
     * delay string the watermark accepts (e.g. "1 hour 30 minutes") is
     * also a valid horizon; month units have no fixed millisecond length. */

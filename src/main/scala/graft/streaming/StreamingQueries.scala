@@ -749,6 +749,66 @@ object StreamingQueries {
       |WHERE (s.doc_id * 37) % 600 <= mx.mts - 300
       |ORDER BY s.doc_id""".stripMargin
 
+  /** The media fixture replayed as a bounded stream (36 real PNG
+    * payloads with stored pattern-derived dHash expectations), same
+    * synthetic event-time treatment as [[boundedDocStream]]. */
+  private def boundedMediaStream(spark: SparkSession): DataFrame = {
+    val path = graft.operators.PipelineQueries.MediaFixturePath
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts",
+        timestamp_seconds(lit(EpochBase) + (col("doc_id") * 37) % 600))
+  }
+
+  /** st14: streaming IMAGE near-dup collision buckets — the multimodal
+    * rung of the streaming dedup family (st04 text MinHash bands, st05
+    * embedding signature chunks, here decoded-image dHash chunks
+    * through [[StreamPipeline.imageNearDupBuckets]]): decode + hash are
+    * row-local per micro-batch (media bytes never reach state), the
+    * pigeonhole chunks key the shared keeper/count fold, and the final
+    * per-bucket state for buckets of size ≥ 2 equals the batch GROUP BY
+    * over the fixture's STORED pattern-derived hashes. */
+  val st14ImageNearDup: Q = (spark, dir) => {
+    val nd = StreamPipeline.imageNearDupBuckets(
+      boundedMediaStream(spark), "media", "doc_id", "ts", maxHamming = 2)
+    drainToMemory(spark, "st14", nd.writeStream.outputMode("update"))
+      .groupBy(col("band"), col("bucket_hash"))
+      .agg(min(col("keeper_id")).as("keeper_id"),
+        max(col("n_docs")).as("n_imgs"))
+      .filter(col("n_imgs") >= 2)
+      .select(col("band"), col("bucket_hash"), col("keeper_id"), col("n_imgs"))
+      .orderBy("band", "bucket_hash")
+  }
+
+  /** st14 oracle: the chunk expansion over the STORED analytic hashes —
+    * the unsigned reinterpretation (dhash < 0 ⇒ +2⁶⁴ in HUGEINT) makes
+    * DuckDB's division/modulo match shiftrightunsigned on the signed
+    * JVM long; 3 chunks of 21 bits (bit 63 uncovered, exactly like the
+    * kernel — it can only merge buckets it never splits). */
+  val st14Sql: String = {
+    val path = graft.operators.PipelineQueries.MediaFixturePath
+    s"""WITH h AS (
+       |  SELECT doc_id, dhash FROM read_parquet('$path/*.parquet')
+       |  WHERE dhash_defined),
+       |uh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN dhash < 0 THEN CAST(dhash AS HUGEINT) + 18446744073709551616
+       |         ELSE CAST(dhash AS HUGEINT) END AS u
+       |  FROM h),
+       |chunked AS (
+       |  SELECT doc_id, 0 AS band, CAST(u % 2097152 AS BIGINT) AS bucket_hash FROM uh
+       |  UNION ALL
+       |  SELECT doc_id, 1, CAST((u // 2097152) % 2097152 AS BIGINT) FROM uh
+       |  UNION ALL
+       |  SELECT doc_id, 2, CAST((u // 4398046511104) % 2097152 AS BIGINT) FROM uh)
+       |SELECT band, bucket_hash, min(doc_id) AS keeper_id,
+       |       CAST(count(*) AS BIGINT) AS n_imgs
+       |FROM chunked
+       |GROUP BY band, bucket_hash
+       |HAVING count(*) >= 2
+       |ORDER BY band, bucket_hash""".stripMargin
+  }
+
   /** st13: streaming per-source token-budget admission
     * ([[StreamPipeline.tokenBudgetAdmit]] — the live analogue of p39:
     * stop admitting a source the moment its token budget is reached,
@@ -787,6 +847,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "st12_stream_span_audit" -> st12StreamSpanAudit,
     "st13_stream_token_budget" -> st13TokenBudget,
+    "st14_stream_image_near_dup" -> st14ImageNearDup,
     "st11_stream_stream_join" -> st11StreamStreamJoin,
     "st08_stream_contamination" -> st08StreamContamination,
     "st09_stream_pii" -> st09StreamPii,
@@ -850,6 +911,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,
+    "st14_stream_image_near_dup" -> st14Sql,
     "st11_stream_stream_join" -> st11Sql,
     // identical computation to batch p20 — the streaming path is the
     // stream-static semi-join + update-mode fold

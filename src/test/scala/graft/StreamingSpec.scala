@@ -504,6 +504,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image near-dup buckets fold keeper/count across batches; sub-grid payloads inert") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def pngOf(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val checker = pngOf(18, 16)((x, y) => if ((x + y) % 2 == 0) 0 else 0xffffff)
+    val far = pngOf(18, 16)((x, _) => if (x < 9) 0xffffff else 0x000000)
+    val tiny = pngOf(4, 4)((_, _) => 0x808080) // sub-grid: no hash
+    val docs = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = graft.streaming.StreamPipeline.imageNearDupBuckets(
+      docs.toDF.toDF("doc_id", "media", "ts"), "media", "doc_id", "ts",
+      maxHamming = 2)
+    val q = out.writeStream.format("memory").queryName("img_nd_out")
+      .outputMode("update").start()
+    try {
+      docs.addData((2L, checker, t(0)), (9L, tiny, t(0)))
+      q.processAllAvailable()
+      docs.addData((1L, checker, t(10)), (5L, far, t(10)))
+      q.processAllAvailable()
+      val buckets = spark.table("img_nd_out")
+        .groupBy("band", "bucket_hash")
+        .agg(min("keeper_id").as("k"), max("n_docs").as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      // identical images must share all 3 chunk buckets with keeper =
+      // min id ACROSS batches; the dissimilar image never reaches
+      // count 2 with them; the sub-grid payload contributes nothing
+      val dupBuckets = buckets.filter(_._3 >= 2)
+      assert(dupBuckets.length === 3, s"got ${buckets.mkString(",")}")
+      assert(dupBuckets.forall(b => b._2 === 1L && b._3 === 2L))
+    } finally q.stop()
+  }
+
   test("streaming token-budget admission: event-time order within a batch, budget carries across batches") {
     val spark2 = spark
     import spark2.implicits._
