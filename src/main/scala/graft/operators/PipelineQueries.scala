@@ -1071,6 +1071,43 @@ object PipelineQueries {
        |  count(*) OVER (PARTITION BY canonical) AS n_same
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** p52: URL-frontier dedup — the step p43's canonicalization feeds:
+    * one document survives per CANONICAL URL (keeper = min doc_id —
+    * the earliest fetch), collapsing the mixed-case/fragment/
+    * tracking-param variants the fixture plants into one representative
+    * each. Scale shape: canonicalization is row-local; the keeper
+    * reduction is ONE map-side-combined (canonical → min id) aggregate
+    * whose exchange carries distinct canonical URLs, and the survivor
+    * check is a row-local equality against the joined-back keeper
+    * (hash-co-partitioned on canonical) — no document text ever
+    * shuffles. Returns every doc with its verdict (kept = is the
+    * keeper), so the drop set is auditable, not silent. */
+  val p52UrlFrontier: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val withCanon = docs.select(col("doc_id"), p43FixtureUrl.as("url"))
+      .withColumn("canonical", TextAnalysis.canonicalUrl(col("url")))
+    val keepers = withCanon.groupBy("canonical")
+      .agg(min(col("doc_id")).as("keeper_id"))
+    withCanon.join(keepers, Seq("canonical"))
+      .select(col("doc_id"), col("canonical"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** p52 oracle: p43's canonicalization chain composed with the
+    * min-per-canonical keeper — the frontier-dedup restatement. */
+  lazy val p52Sql: String = {
+    val cut = p43Sql.lastIndexOf("SELECT doc_id, url, canonical,")
+    require(cut >= 0,
+      "p52Sql composes on p43Sql's final SELECT — update both together")
+    p43Sql.substring(0, cut).stripTrailing() + "\n" +
+      """SELECT c.doc_id, c.canonical, k.keeper_id,
+        |       (c.doc_id = k.keeper_id) AS kept
+        |FROM c JOIN (SELECT canonical, min(doc_id) AS keeper_id
+        |             FROM c GROUP BY canonical) k USING (canonical)
+        |ORDER BY doc_id""".stripMargin
+  }
+
   private[graft] val P44Terms = Seq("dup", "spark")
 
   /** p44: BM25 top-10 retrieval for the two-term query (dup, spark) —
@@ -2183,6 +2220,7 @@ object PipelineQueries {
     "p49_split_leakage" -> p49SplitLeakage,
     "p50_image_dhash" -> p50ImageDhash,
     "p51_image_near_dup" -> p51ImageNearDup,
+    "p52_url_frontier" -> p52UrlFrontier,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2666,6 +2704,7 @@ object PipelineQueries {
     "p49_split_leakage" -> p49Sql,
     "p50_image_dhash" -> p50Sql,
     "p51_image_near_dup" -> p51Sql,
+    "p52_url_frontier" -> p52Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -159,6 +159,7 @@ object ScaleProbe {
     "p47_corpus_report" -> Set("documents"),
     "p48_vocab_coverage" -> Set("documents"),
     "p49_split_leakage" -> Set("documents"),
+    "p52_url_frontier" -> Set("documents"),
     "st13_stream_token_budget" -> Set("documents")
   ).withDefaultValue(Set("documents", "embeddings"))
 
