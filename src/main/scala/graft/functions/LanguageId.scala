@@ -30,9 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    array_max (score first, then lexicographically LARGEST lang);
   *  - any Han-script character in the raw text is decisive for "zh";
   *  - no hits → "und".
-  * One divergence: NULL text yields NULL (null-intolerant expression)
-  * where the composed form's three-valued `when` chain fell through to
-  * 'und'; the pipeline corpora have no NULL text.
+  * The raw expression is null-intolerant (NULL in → NULL out); the
+  * [[graft.operators.TextAnalysis.languageId]] wrapper coalesces NULL
+  * text to blank first, so the pipeline surface matches the composed
+  * form's 'und' fall-through (NULL ≡ blank contract).
   */
 case class LanguageIdExpr(child: Expression) extends UnaryExpression {
 

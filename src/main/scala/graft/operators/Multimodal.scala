@@ -257,7 +257,7 @@ object Multimodal {
   }
 
   /** Typed perceptual-hash record; `defined` = false (with dhash 0)
-    * for undecodable or sub-grid payloads — a sentinel-free encoding
+    * for NULL, undecodable, or sub-grid payloads — a sentinel-free encoding
     * (an all-bits hash is a legal value, so NULL/−1 could collide). */
   final case class PerceptualHash(doc_id: Long, defined: Boolean, dhash: Long)
 
@@ -269,8 +269,9 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.collect { case (id, bytes) if bytes != null =>
-          dHash64(bytes) match {
+        rows.map { case (id, bytes) =>
+          if (bytes == null) PerceptualHash(id, defined = false, 0L)
+          else dHash64(bytes) match {
             case Some(v) => PerceptualHash(id, defined = true, v)
             case None => PerceptualHash(id, defined = false, 0L)
           }

@@ -324,7 +324,7 @@ object PipelineQueries {
       |                          'was','were','it','that','this','with','for','on','as','at'], x)))
       |      AS n_stop,
       |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_wordchars
-      |  FROM documents),
+      |  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)),
       |r AS (
       |  SELECT doc_id, n_chars_m, n_tokens,
       |    CASE WHEN n_chars_m = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars_m END AS punct_ratio_raw,
@@ -558,8 +558,11 @@ object PipelineQueries {
   private val P33Width = 8
   private val P33Pass1 = "all models are wrong but some are useful in practice today"
   private val P33Pass2 = "this report was generated automatically please do not reply to it"
+  // NULL text coalesces to blank BEFORE the passage concat, so a
+  // NULL-text carrier still carries its planted passage (and the aug
+  // oracles restate the same coalesce).
   private def p33FixtureText: org.apache.spark.sql.Column = concat(
-    col("text"),
+    coalesce(col("text"), lit("")),
     when(pmod(col("doc_id"), lit(7)) === 0,
       lit(" " + P33Pass1)).otherwise(lit("")),
     when(pmod(col("doc_id"), lit(11)) === 0,
@@ -585,7 +588,7 @@ object PipelineQueries {
   val p33Sql: String =
     s"""WITH aug AS (
        |  SELECT doc_id,
-       |    text
+       |    coalesce(text, '')
        |    || CASE WHEN doc_id % 7 = 0 THEN ' $P33Pass1' ELSE '' END
        |    || CASE WHEN doc_id % 11 = 0 THEN ' $P33Pass2' ELSE '' END AS t
        |  FROM documents),
@@ -931,7 +934,7 @@ object PipelineQueries {
     val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH aug AS (
        |  SELECT doc_id,
-       |    text
+       |    coalesce(text, '')
        |    || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || '- bullet item', 10) ELSE '' END
        |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'loading more results...' ELSE '' END
        |    || CASE WHEN doc_id % 19 = 0 THEN ' #### #### 123 456 789 0 11 22 33 44 55 66 77 88' ELSE '' END AS t
@@ -983,8 +986,8 @@ object PipelineQueries {
     * at i·stride, 1-based inclusive list slices. */
   val p42Sql: String =
     s"""WITH tk AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk,
-       |    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n
+       |  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS tk,
+       |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n
        |  FROM documents),
        |st AS (
        |  SELECT doc_id, tk, n,
@@ -1126,8 +1129,8 @@ object PipelineQueries {
     * (score DESC, doc_id) total order at the k-boundary. */
   val p44Sql: String = {
     val terms = P44Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
-       |n AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS len FROM documents),
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS tk FROM documents),
+       |n AS (SELECT doc_id, CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS len FROM documents),
        |tot AS (SELECT count(*) AS N, sum(len)::DOUBLE / count(*) AS avglen FROM n),
        |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |       FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
@@ -1172,7 +1175,7 @@ object PipelineQueries {
   val p45Sql: String =
     s"""WITH aug AS (
        |  SELECT doc_id,
-       |    text
+       |    coalesce(text, '')
        |    || CASE WHEN doc_id % 7 = 0 THEN ' $P33Pass1' ELSE '' END
        |    || CASE WHEN doc_id % 11 = 0 THEN ' $P33Pass2' ELSE '' END AS t
        |  FROM documents),
@@ -1215,7 +1218,7 @@ object PipelineQueries {
   val p46Sql: String =
     s"""WITH aug AS (
        |  SELECT doc_id,
-       |    text
+       |    coalesce(text, '')
        |    || CASE WHEN doc_id % 7 = 0 THEN ' $P33Pass1' ELSE '' END
        |    || CASE WHEN doc_id % 11 = 0 THEN ' $P33Pass2' ELSE '' END AS t
        |  FROM documents),
@@ -1273,7 +1276,8 @@ object PipelineQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        countDistinct(sha2(col("text").cast("binary"), 256)).as("n_unique_texts"),
+        countDistinct(sha2(coalesce(col("text"), lit("")).cast("binary"), 256))
+          .as("n_unique_texts"),
         sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
         sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"),
         avg(col("quality_score")).as("mean_quality"))
@@ -1307,7 +1311,7 @@ object PipelineQueries {
        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
        |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha
-       |  FROM documents),
+       |  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)),
        |q AS (
        |  SELECT doc_id, source, text, n_tokens, cjk,
        |    round(greatest(0.0, least(1.0,
@@ -1654,7 +1658,7 @@ object PipelineQueries {
       |    string_split_regex(trim(lower(text)), '\\s+') AS tk,
       |    greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS nn,
       |    regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
-      |  FROM documents),
+      |  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)),
       |q AS (
       |  SELECT doc_id, cjk,
       |    round(greatest(0.0, least(1.0,
@@ -2245,7 +2249,7 @@ object PipelineQueries {
        |         string_split_regex(trim(lower(text)), '\\s+') AS tk,
        |         greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS n,
        |         regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
-       |  FROM documents),
+       |  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)),
        |s AS (
        |  SELECT lang, cjk,
        |         $scoreCols

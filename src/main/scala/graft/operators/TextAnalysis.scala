@@ -35,7 +35,11 @@ object TextAnalysis {
     * stopword presence and sane word lengths — the standard cheap
     * heuristics, cf. Gopher/C4-style quality rules). */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // NULL text ≡ blank — the uniform contract across the text-analysis
+    // surface (gopherRules/chunkTokens/bm25TopK do the same), so a NULL
+    // row scores like an empty document instead of nulling out every
+    // metric and silently dropping from downstream aggregates.
+    val t = coalesce(col(textCol), lit(""))
     val tokens = split(trim(lower(t)), "\\s+")
     val nTokens = tokenCount(t)
     val nChars = length(t)
@@ -73,7 +77,9 @@ object TextAnalysis {
     * ([[graft.functions.LanguageIdExpr]]) — the previous composed form
     * ran five interpreted ArrayFilter lambdas per row. */
   def languageId(text: Column): Column =
-    graft.functions.LanguageIdExpr(text)
+    // NULL ≡ blank → 'und' (matches the composed form's three-valued
+    // fall-through; the raw Expression stays null-intolerant).
+    graft.functions.LanguageIdExpr(coalesce(text, lit("")))
 
   /** The composed higher-order-function form [[languageId]] replaced,
     * kept as the independent semantics pin for the parity spec (and the
@@ -581,9 +587,12 @@ object TextAnalysis {
     *   containment = |grams(bench) ∩ grams(train)| / |grams(bench)|
     * over DISTINCT n-grams — asymmetric on purpose: a benchmark item
     * fully embedded in a long document scores 1.0. Pairs with
-    * containment ≥ minContainment (and train ≠ bench when ids share a
-    * space) are returned as (id, ref_id, n_matched, n_ref_grams,
-    * containment).
+    * containment ≥ minContainment are returned as (id, ref_id,
+    * n_matched, n_ref_grams, containment). `sameIdSpace` (default
+    * true) states that docs and refs share ONE id space (the benchmark
+    * is a slice of the corpus) and suppresses id-equal self-pairs;
+    * pass false when the two sides have unrelated id spaces, where an
+    * accidental id collision would otherwise hide a real leakage pair.
     *
     * Scale shape (100 TB corpus, MB benchmark): the benchmark side
     * reduces to distinct (ref_id, gram) rows — broadcast-sized by the
@@ -594,7 +603,8 @@ object TextAnalysis {
     * tokens contribute no grams and appear in no pair. */
   def ngramContainment(docs: DataFrame, refs: DataFrame,
       textCol: String, idCol: String, refIdCol: String,
-      n: Int, minContainment: Double): DataFrame = {
+      n: Int, minContainment: Double,
+      sameIdSpace: Boolean = true): DataFrame = {
     require(n > 0, "n must be positive")
     require(minContainment >= 0, "minContainment must be >= 0")
     def gramSet(c: Column): Column = {
@@ -612,8 +622,14 @@ object TextAnalysis {
       .select(col("ref_id"), size(col("__g")).cast("long").as("n_ref_grams"),
         explode(col("__g")).as("gram"))
     val docGrams = docs.select(col(idCol), explode(gramSet(col(textCol))).as("gram"))
-    docGrams.join(broadcast(refGrams), Seq("gram"))
-      .filter(col(idCol) =!= col("ref_id"))
+    val joined = docGrams.join(broadcast(refGrams), Seq("gram"))
+    // The self-pair exclusion only makes sense when docs and refs draw
+    // ids from ONE space (the benchmark is a slice of the corpus, the
+    // p45 shape); with sameIdSpace = false an accidental id collision
+    // between unrelated sides is a legitimate leakage pair and kept.
+    val nonSelf =
+      if (sameIdSpace) joined.filter(col(idCol) =!= col("ref_id")) else joined
+    nonSelf
       .groupBy(col(idCol), col("ref_id"), col("n_ref_grams"))
       .agg(count(lit(1)).as("n_matched"))
       .withColumn("containment",

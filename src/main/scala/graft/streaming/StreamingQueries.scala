@@ -153,7 +153,7 @@ object StreamingQueries {
        |    string_split_regex(trim(lower(text)), '\\s+') AS tk,
        |    greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS nn,
        |    regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
-       |  FROM documents),
+       |  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)),
        |q AS (
        |  SELECT doc_id, source, cjk, tk, nn,
        |    round(greatest(0.0, least(1.0,

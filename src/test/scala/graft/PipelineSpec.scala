@@ -979,6 +979,14 @@ class PipelineSpec extends AnyFunSuite {
       .ngramContainment(embedded, refs, "text", "doc_id", "ref_id", 3, 0.2)
       .head()
     assert(full.getDouble(4) === 1.0)
+    // sameIdSpace = false: an id-colliding pair between UNRELATED sides
+    // is a legitimate leakage pair and must be kept
+    val unrelated = graft.operators.TextAnalysis
+      .ngramContainment(docs, refs, "text", "doc_id", "ref_id",
+        n = 3, minContainment = 0.2, sameIdSpace = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).sortBy(_._1)
+    assert(unrelated.toSeq === Seq((1L, 0.5), (3L, 0.25), (100L, 1.0)),
+      "id collision 100↔100 must surface when id spaces are unrelated")
   }
 
   test("tfidfTopTerms: sklearn-smoothed idf exact, score/term total order at the k-boundary") {
@@ -1417,6 +1425,26 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     assert(mismatch.isEmpty,
       mismatch.take(5).mkString("fused != composed on: ", "; ", ""))
+  }
+
+  test("NULL text ≡ blank across qualityMetrics/languageId; NULL media keeps its pHash row") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    val q = graft.operators.TextAnalysis.qualityMetrics(docs, "text")
+      .withColumn("pred_lang", graft.operators.TextAnalysis.languageId(col("text")))
+      .select("doc_id", "n_chars_m", "n_tokens", "quality_score", "pred_lang")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).sortBy(_._1)
+    assert(q(0).copy(_1 = 2L) === q(1),
+      s"NULL doc must score exactly like the blank doc: ${q.toSeq}")
+    assert(q(0)._5 === "und")
+    // NULL media: auditable defined=false row, not a silent drop
+    val media = Seq((7L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "media")
+    val ph = graft.operators.Multimodal
+      .perceptualHashes(media, "doc_id", "media").collect()
+    assert(ph.toSeq === Seq(
+      graft.operators.Multimodal.PerceptualHash(7L, defined = false, 0L)))
   }
 
   test("subword count: alnum runs + punctuation as their own tokens") {
