@@ -81,24 +81,35 @@ trait Backend extends Serializable {
 
   /** Draw `numSamples` joint rows of the target columns. Model chosen
     * uniformly (constraint-likelihood weighting happens in the engine
-    * layer, reference: src/bqlfn.py:555-572). */
+    * layer, reference: src/bqlfn.py:555-572).
+    *
+    * `accuracy` is the `SIMULATE ... ACCURACY n` knob (reference:
+    * src/backend.py:263-266 — "a generic parameter which specifies the
+    * desired accuracy / compute time if the simulations are
+    * APPROXIMATELY distributed from the true target"). Backends whose
+    * constrained draw is exact/closed-form (nig_normal, loom's mixture
+    * draw, baseline CrossCat's per-view categorical) ignore it, exactly
+    * as the reference's nig_normal does; CrossCat's foreign-composition
+    * network multiplies its importance-sampling proposal width by it. */
   def simulateJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
       targets: Seq[Int], constraints: Seq[(Int, Double)],
-      numSamples: Int, rng: DetRng): Seq[Seq[Double]]
+      numSamples: Int, rng: DetRng,
+      accuracy: Option[Int] = None): Seq[Seq[Double]]
 
   /** Draw targets conditioned on an existing table row (reference:
     * `SIMULATE ... GIVEN rowid = r`, tests/test_simulate.py:79-260).
     * `rowValues` are the row's observed cells (targets excluded);
     * `constraints` are the explicit extra givens. Default: the observed
     * cells join the constraints (the unincorporated-row semantics);
-    * backends with per-row latent structure override to condition on it. */
+    * backends with per-row latent structure override to condition on it.
+    * `accuracy` as in [[simulateJoint]]. */
   def simulateJointGivenRow(state: GeneratorState, modelnos: Option[Seq[Int]],
       targets: Seq[Int], rowid: Long, rowValues: Seq[(Int, Double)],
       constraints: Seq[(Int, Double)], numSamples: Int,
-      rng: DetRng): Seq[Seq[Double]] = {
+      rng: DetRng, accuracy: Option[Int] = None): Seq[Seq[Double]] = {
     val merged = constraints ++ rowValues.filterNot { case (c, _) =>
       constraints.exists(_._1 == c) }
-    simulateJoint(state, modelnos, targets, merged, numSamples, rng)
+    simulateJoint(state, modelnos, targets, merged, numSamples, rng, accuracy)
   }
 
   /** Impute a value + confidence for one cell (reference:

@@ -278,16 +278,23 @@ class CrossCatBackend(
       logMeanExp(ms.map(m => networkLogpdf(st, m, targets, constraints)).toArray)
   }
 
+  /** `accuracy` reaches only the approximate path: the baseline draw is
+    * an exact per-view categorical + component sample, so extra compute
+    * cannot improve it (the reference's cgpm engine likewise spends
+    * accuracy only on its approximate constrained sampler); the
+    * foreign-composition network is importance sampling, where accuracy
+    * multiplies the proposal width ([[networkSimulate]]). */
   override def simulateJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
       targets: Seq[Int], constraints: Seq[(Int, Double)],
-      numSamples: Int, rng: DetRng): Seq[Seq[Double]] = {
+      numSamples: Int, rng: DetRng,
+      accuracy: Option[Int] = None): Seq[Seq[Double]] = {
     val st = state.asInstanceOf[CrossCatState]
     val ms = select(st, modelnos)
     val touchesForeign = (targets ++ constraints.map(_._1)).exists(st.foreignCols)
     (0 until numSamples).map { _ =>
       val m = ms(rng.nextInt(ms.length))
       if (!touchesForeign) simulateOne(st, m, targets, constraints, rng)
-      else networkSimulate(st, m, targets, constraints, rng)
+      else networkSimulate(st, m, targets, constraints, rng, accuracy)
     }
   }
 
@@ -299,12 +306,12 @@ class CrossCatBackend(
   override def simulateJointGivenRow(state: GeneratorState, modelnos: Option[Seq[Int]],
       targets: Seq[Int], rowid: Long, rowValues: Seq[(Int, Double)],
       constraints: Seq[(Int, Double)], numSamples: Int,
-      rng: DetRng): Seq[Seq[Double]] = {
+      rng: DetRng, accuracy: Option[Int] = None): Seq[Seq[Double]] = {
     val st = state.asInstanceOf[CrossCatState]
     val idx = st.rowIdx(rowid)
     if (idx < 0)
       return super.simulateJointGivenRow(state, modelnos, targets, rowid,
-        rowValues, constraints, numSamples, rng)
+        rowValues, constraints, numSamples, rng, accuracy)
     require(targets.forall(c => !st.foreignCols(c)),
       "SIMULATE GIVEN rowid supports baseline CrossCat targets" +
         " (foreign/latent outputs have no per-row cluster)")
@@ -343,9 +350,10 @@ class CrossCatBackend(
             throw new IllegalArgumentException(s"No foreign node produces colno $c"))
         }
       val tset = targets.toSet
+      val width = networkWidth(accuracy)
       (0 until numSamples).map { _ =>
         val m = ms(rng.nextInt(ms.length))
-        val draws = (0 until networkSamples).map { _ =>
+        val draws = (0 until width).map { _ =>
           // proposal: every baseline cell — observed value if present,
           // else a draw from the row's cluster component; TARGET cells
           // always redraw from the cluster (posterior predictive for the
@@ -945,6 +953,12 @@ class CrossCatBackend(
   /** Importance-sampling width for network queries. */
   private val networkSamples = 16
 
+  /** Proposal width under `SIMULATE ... ACCURACY n`: n× the base width
+    * (n proposals per base slot), bounded to keep a user-supplied
+    * ACCURACY 10^9 from freezing the driver. */
+  private def networkWidth(accuracy: Option[Int]): Int =
+    networkSamples * math.min(math.max(accuracy.getOrElse(1), 1), 4096)
+
   /** The foreign nodes whose outputs we must realize to produce `need`,
     * plus everything they transitively depend on. */
   private def involvedSpecs(st: CrossCatState, need: Set[Int]): IndexedSeq[ForeignSpec] = {
@@ -1010,9 +1024,12 @@ class CrossCatBackend(
     * forward samples are weighted by the constrained outputs' densities
     * and one is resampled in proportion. */
   private[backends] def networkSimulate(st: CrossCatState, m: CrossCatModel,
-      targets: Seq[Int], constraints: Seq[(Int, Double)], rng: DetRng): Seq[Double] = {
+      targets: Seq[Int], constraints: Seq[(Int, Double)], rng: DetRng,
+      accuracy: Option[Int] = None): Seq[Double] = {
     val (cFor, cBase) = constraints.partition { case (c, _) => st.foreignCols(c) }
     if (cFor.isEmpty) {
+      // pure forward draw (no foreign constraint to weight by) — exact
+      // ancestral sampling, accuracy spends nothing here
       val (acc, _) = networkForward(st, m, targets.toSet, cBase.toMap, Map.empty, rng)
       targets.map(acc)
     } else {
@@ -1022,7 +1039,7 @@ class CrossCatBackend(
             throw new IllegalArgumentException(s"No foreign node produces colno $c"))
         }
       val fixed = cBase.toMap
-      val draws = (0 until networkSamples).map { _ =>
+      val draws = (0 until networkWidth(accuracy)).map { _ =>
         networkForward(st, m, targets.toSet, fixed, evalByNode, rng)
       }
       val pick = rng.logCategorical(draws.map(_._2).toIndexedSeq)

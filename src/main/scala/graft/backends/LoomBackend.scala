@@ -118,7 +118,7 @@ class LoomBackend extends CrossCatBackend(foreigns = Nil) {
   override def simulateJointGivenRow(state: GeneratorState, modelnos: Option[Seq[Int]],
       targets: Seq[Int], rowid: Long, rowValues: Seq[(Int, Double)],
       constraints: Seq[(Int, Double)], numSamples: Int,
-      rng: DetRng): Seq[Seq[Double]] = {
+      rng: DetRng, accuracy: Option[Int] = None): Seq[Seq[Double]] = {
     val st = state.asInstanceOf[CrossCat.CrossCatState]
     val idx = st.rowIdx(rowid)
     val observed = rowValues.map(_._1).toSet
@@ -132,7 +132,7 @@ class LoomBackend extends CrossCatBackend(foreigns = Nil) {
       throw new IllegalArgumentException(
         "Overlap between constraints and target row in simulate.")
     simulateJoint(state, modelnos, targets, constraints ++ rowValues,
-      numSamples, rng)
+      numSamples, rng, accuracy)
   }
 
   /** One pooled ensemble estimate, as loom's query server returns

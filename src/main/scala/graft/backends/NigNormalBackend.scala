@@ -143,9 +143,12 @@ class NigNormalBackend(
     logMeanExp(modelwise)
   }
 
+  // `accuracy` ignored: the NIG posterior-predictive draw is exact
+  // (reference nig_normal.py:271-283 likewise ignores it).
   override def simulateJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
       targets: Seq[Int], constraints: Seq[(Int, Double)],
-      numSamples: Int, rng: DetRng): Seq[Seq[Double]] = {
+      numSamples: Int, rng: DetRng,
+      accuracy: Option[Int] = None): Seq[Seq[Double]] = {
     val s = state.asInstanceOf[State]
     val which = modelnos.getOrElse(s.modelNumbers)
     val params = s.models(rng.choice(which))
@@ -217,7 +220,8 @@ class StdNormalBackend extends Backend {
 
   override def simulateJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
       targets: Seq[Int], constraints: Seq[(Int, Double)],
-      numSamples: Int, rng: DetRng): Seq[Seq[Double]] =
+      numSamples: Int, rng: DetRng,
+      accuracy: Option[Int] = None): Seq[Seq[Double]] =
     Seq.fill(numSamples)(targets.map(_ => rng.nextGaussian()))
 
   override def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],
@@ -265,7 +269,8 @@ class TrollBackend extends Backend {
 
   override def simulateJoint(state: GeneratorState, modelnos: Option[Seq[Int]],
       targets: Seq[Int], constraints: Seq[(Int, Double)],
-      numSamples: Int, rng: DetRng): Seq[Seq[Double]] =
+      numSamples: Int, rng: DetRng,
+      accuracy: Option[Int] = None): Seq[Seq[Double]] =
     Seq.fill(numSamples)(targets.map(_ => 9.0))
 
   override def predictConfidence(state: GeneratorState, modelnos: Option[Seq[Int]],

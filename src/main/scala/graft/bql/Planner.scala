@@ -478,9 +478,13 @@ object Planner {
           }
     }
     val n = s.nsamples.map(e => evalConstInt(bdb, e, binds)).getOrElse(0)
-    // ACCURACY is a cgpm likelihood-weighting knob (reference:
-    // src/bqlfn.py:585-600); exact conjugate backends ignore it.
-    Estimators.simulate(bdb.spark, pm, targets, constraints, n, givenRowid, rowValues)
+    // ACCURACY reaches the backend (reference: src/backend.py:263-266,
+    // compiler.py:718 → simulate_joint(..., accuracy)); exact conjugate
+    // samplers ignore it, CrossCat's foreign-composition importance
+    // sampler widens its proposal pool by it.
+    s.accuracy.foreach(a => require(a > 0, s"ACCURACY must be positive: $a"))
+    Estimators.simulate(bdb.spark, pm, targets, constraints, n, givenRowid,
+      rowValues, s.accuracy)
   }
 
   // ----------------------------------------------------------- assembly

@@ -188,7 +188,8 @@ object Estimators {
       targets: Seq[String], constraints: Seq[(String, Double)],
       numPredictions: Int,
       givenRowid: Option[Long] = None,
-      rowValues: Seq[(Int, Double)] = Nil): DataFrame = {
+      rowValues: Seq[(Int, Double)] = Nil,
+      accuracy: Option[Int] = None): DataFrame = {
     val tColnos = targets.map(pm.colno)
     val c = constraints.map { case (v, x) => (pm.colno(v), x) }
     val rng = DetRng(pm.seed, 0x51ed1a7eL, numPredictions.toLong)
@@ -213,8 +214,9 @@ object Estimators {
       if (n == 0) Nil
       else givenRowid match {
         case Some(r) => g.backend.simulateJointGivenRow(
-          g.state, mnos, tColnos, r, rowValues, c, n, rng)
-        case None => g.backend.simulateJoint(g.state, mnos, tColnos, c, n, rng)
+          g.state, mnos, tColnos, r, rowValues, c, n, rng, accuracy)
+        case None => g.backend.simulateJoint(g.state, mnos, tColnos, c, n, rng,
+          accuracy)
       }
     }
     // nominal targets decode from category codes to labels

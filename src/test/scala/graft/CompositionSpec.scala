@@ -256,4 +256,37 @@ class CompositionSpec extends AnyFunSuite {
     assert(hi > lo + 0.5,
       s"y=25 implies x~12, y=-25 implies x~-13; got E[x|y=25]=$hi <= E[x|y=-25]=$lo")
   }
+
+  test("SIMULATE ... ACCURACY widens the foreign-constraint importance pool") {
+    // ACCURACY n (reference: src/backend.py:263-266 → simulate_joint's
+    // accuracy argument) multiplies the network sampler's proposal
+    // width. The token must CHANGE the draw (same seed, different
+    // proposal pool → different resampled values), and the conditioning
+    // direction must survive at high accuracy.
+    val base = bdb.execute("simulate x from pc modeled by gc given y = 25 limit 40")
+      .collect().map(_.getDouble(0)).toSeq
+    val sharp = bdb.execute("simulate x from pc modeled by gc given y = 25 limit 40 accuracy 8")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(base != sharp,
+      "ACCURACY 8 must change the importance-resampled draw, not be dropped")
+    val hi = simMean("simulate x from pc modeled by gc given y = 25 limit 60 accuracy 8")
+    val lo = simMean("simulate x from pc modeled by gc given y = -25 limit 60 accuracy 8")
+    assert(hi > lo + 0.5,
+      s"conditioning direction must hold under ACCURACY: $hi <= $lo")
+    // determinism: the same ACCURACY query replays bit-identically
+    val again = bdb.execute("simulate x from pc modeled by gc given y = 25 limit 40 accuracy 8")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(sharp == again, "ACCURACY draw must be seed-deterministic")
+    // exact samplers ignore ACCURACY (reference nig_normal does too):
+    // no foreign column touched → identical draw with and without it
+    val exact0 = bdb.execute("simulate z from pc modeled by gc limit 20")
+      .collect().map(_.getDouble(0)).toSeq
+    val exact1 = bdb.execute("simulate z from pc modeled by gc limit 20 accuracy 8")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(exact0 == exact1,
+      "ACCURACY must be a no-op on the exact baseline draw")
+    val err = intercept[IllegalArgumentException](
+      bdb.execute("simulate x from pc modeled by gc limit 5 accuracy 0"))
+    assert(err.getMessage.contains("ACCURACY"))
+  }
 }
