@@ -606,3 +606,110 @@ object NgramHashSet {
   def apply(text: Column, shingleSize: Int): Column =
     ColumnBridge.column(NgramHashSet(ColumnBridge.expression(text), shingleSize))
 }
+
+/** Hashed-feature bucket of a single token: unsigned
+  * `mix(fnv1a64(utf8 bytes)) mod dim` — the feature-hashing step of the
+  * trained quality classifier (p53; the hashing-trick of
+  * fastText/DCLM-style filters). Shared verbatim between the training
+  * aggregate and the scoring kernel ([[HashedLogOdds]]), and restated
+  * in the DuckDB oracle through the p03 FNV/splitmix limb chain
+  * (`z % dim` over the t6 state). NULL in → NULL out. */
+case class TokenBucket(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if dim > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a positive dimension, got $dim")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_bucket"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TokenBucket.kernel(v.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TokenBucket.kernel($v, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenBucket {
+  // xx already ends in the splitmix finalizer — no second mix
+  def kernel(tok: UTF8String, dim: Int): Int =
+    java.lang.Long.remainderUnsigned(
+      DetRngHash.xx(tok.getBytes), dim.toLong).toInt
+
+  def apply(tok: Column, dim: Int): Column =
+    ColumnBridge.column(TokenBucket(ColumnBridge.expression(tok), dim))
+}
+
+/** Mean per-token hashed-bucket log-odds of the whitespace token stream
+  * — the SCORING pass of the trained quality classifier (p53).
+  * `logOdds(b)` is the per-bucket `ln P(b|pos) − ln P(b|neg)` learned
+  * by the training aggregate; tokens bucket through the identical
+  * [[TokenBucket]] kernel; the mean normalizes out document length
+  * (the DCLM/CCNet normalized-score convention). One codegen'd
+  * row-local pass, weights embedded as a plan reference object — the
+  * corpus-wide scoring stage carries ZERO exchanges. NULL for NULL
+  * text or an empty token stream. */
+case class HashedLogOdds(child: Expression, logOdds: Seq[Double])
+    extends UnaryExpression {
+
+  @transient private lazy val w: Array[Double] = logOdds.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if logOdds.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a non-empty weight table")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hashed_log_odds"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashedLogOdds.kernel(v.asInstanceOf[UTF8String].toString, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("logOdds", w, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("lo")
+      s"""
+         |java.lang.Double $r = graft.functions.HashedLogOdds.kernel($v.toString(), $wRef);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedLogOdds {
+  def kernel(text: String, w: Array[Double]): java.lang.Double = {
+    val tokens = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (tokens.isEmpty) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < tokens.length) {
+        s += w(java.lang.Long.remainderUnsigned(
+          DetRngHash.xx(tokens(i).getBytes("UTF-8")),
+          w.length.toLong).toInt)
+        i += 1
+      }
+      java.lang.Double.valueOf(s / tokens.length)
+    }
+  }
+
+  def apply(text: Column, logOdds: Seq[Double]): Column =
+    ColumnBridge.column(HashedLogOdds(ColumnBridge.expression(text), logOdds))
+}

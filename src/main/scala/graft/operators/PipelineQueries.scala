@@ -905,8 +905,10 @@ object PipelineQueries {
     * docs (8 '#' chars + 12 digit tokens — fires the symbol and, on
     * short docs, the alphabetic-word rule). Restated verbatim in SQL
     * (repeat/chr(10)). */
+  // NULL text coalesces BEFORE the junk concat (the p33FixtureText
+  // convention), so a NULL-text carrier still carries its planted junk
   private def p41FixtureText: org.apache.spark.sql.Column = concat(
-    col("text"),
+    coalesce(col("text"), lit("")),
     when(pmod(col("doc_id"), lit(13)) === 0,
       lit("\n- bullet item" * 10)).otherwise(lit("")),
     when(pmod(col("doc_id"), lit(17)) === 0,
@@ -1110,6 +1112,112 @@ object PipelineQueries {
         |             FROM c GROUP BY canonical) k USING (canonical)
         |ORDER BY doc_id""".stripMargin
   }
+
+  /** p53: TRAINED quality classifier (the DCLM/fastText-style
+    * model-based filter the rule batteries feed) — closed-form
+    * multinomial naive Bayes over 256 hashed unigram buckets
+    * ([[TextAnalysis.nbQualityClassifier]]; see its scaladoc for why
+    * closed-form training is what makes the MODEL oracle-restatable
+    * and for the 2·dim-row exchange / zero-exchange scoring shape).
+    * Corpus: the p41 boilerplate-planted fixture; label: clean =
+    * carries NO planted junk (doc_id coprime to 13/17/19 — the
+    * planting rule itself, i.e. an editorial label, never a text
+    * feature); train slice: the deterministic doc_id % 3 == 0 third;
+    * the whole corpus is then scored as mean per-token log-odds.
+    * The model genuinely LEARNS the junk vocabulary: clean/junk
+    * separation is total at both gate SFs, held-out included (min
+    * clean score 0.2725 > max junk score 0.2110 — AUC 1.0;
+    * PipelineSpec pins the separation). Verdict buckets are CALIBRATED
+    * FIXED thresholds (p34's discipline): keep ≥ 0.25 > borderline ≥
+    * −0.25 > drop; all three verdicts occur at both gate SFs
+    * (411/30/59), every score ≥ 2.7e-3 from a threshold — 10⁶× above
+    * cross-engine float noise. */
+  private val P53KeepMin = 0.25
+  private val P53BorderMin = -0.25
+  val p53QualityClassifier: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), p41FixtureText.as("t"))
+    val clean = pmod(col("doc_id"), lit(13)) =!= 0 &&
+      pmod(col("doc_id"), lit(17)) =!= 0 && pmod(col("doc_id"), lit(19)) =!= 0
+    TextAnalysis.nbQualityClassifier(docs, "t", "doc_id",
+        posCond = clean,
+        trainCond = pmod(col("doc_id"), lit(3)) === 0,
+        dim = 256, k = 1.0)
+      .withColumn("verdict",
+        when(col("score").isNull, lit("na"))
+          .when(col("score") >= P53KeepMin, lit("keep"))
+          .when(col("score") >= P53BorderMin, lit("borderline"))
+          .otherwise(lit("drop")))
+      .orderBy("doc_id")
+  }
+
+  /** p53 oracle: the classifier RETRAINED and re-scored in DuckDB —
+    * the p41 planted fixture, per-token FNV-1a+splitmix bucket (the
+    * p03 limb chain, mod 256), exact per-(class, bucket) occurrence
+    * counts over the same train slice, identical add-1 smoothing
+    * arithmetic, mean log-odds per doc, same rounding and thresholds.
+    * Nothing reads engine state: training is closed-form, so the whole
+    * model is independently restated. */
+  val p53Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '')
+      |    || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || '- bullet item', 10) ELSE '' END
+      |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'loading more results...' ELSE '' END
+      |    || CASE WHEN doc_id % 19 = 0 THEN ' #### #### 123 456 789 0 11 22 33 44 55 66 77 88' ELSE '' END AS t
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    (doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0) AS clean,
+      |    trim(lower(t)) AS s FROM aug),
+      |tk AS (
+      |  SELECT doc_id, clean,
+      |    list_filter(regexp_split_to_array(s, '\s+'), x -> x <> '') AS toks
+      |  FROM d),
+      |tok AS (
+      |  SELECT doc_id, clean, toks[CAST(i.i AS INTEGER)] AS tok
+      |  FROM tk, unnest(range(1, len(toks) + 1)) AS i(i)),
+      |f0 AS (
+      |  SELECT doc_id, clean,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(tok) + 1),
+      |          j -> CAST(ascii(substr(tok, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
+      |  FROM tok),
+      |t1 AS (SELECT doc_id, clean, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT doc_id, clean, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT doc_id, clean, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT doc_id, clean, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT doc_id, clean, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT doc_id, clean, xor(z, z >> 31) AS z FROM t5),
+      |occ AS (SELECT doc_id, clean, CAST(z % 256 AS INTEGER) AS b FROM t6),
+      |cnt AS (
+      |  SELECT clean AS pos, b, CAST(count(*) AS BIGINT) AS c
+      |  FROM occ WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT coalesce(sum(CASE WHEN pos THEN c END), 0) AS tp,
+      |         coalesce(sum(CASE WHEN NOT pos THEN c END), 0) AS tn
+      |  FROM cnt),
+      |lo AS (
+      |  SELECT CAST(bb.b AS INTEGER) AS b,
+      |    ln((coalesce(cp.c, 0) + 1.0) / (tot.tp + 256.0))
+      |      - ln((coalesce(cn.c, 0) + 1.0) / (tot.tn + 256.0)) AS w
+      |  FROM range(0, 256) AS bb(b)
+      |  LEFT JOIN (SELECT b, c FROM cnt WHERE pos) cp ON cp.b = bb.b
+      |  LEFT JOIN (SELECT b, c FROM cnt WHERE NOT pos) cn ON cn.b = bb.b, tot),
+      |sc AS (
+      |  SELECT occ.doc_id, round(avg(lo.w), 6) AS score
+      |  FROM occ JOIN lo USING (b) GROUP BY occ.doc_id),
+      |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk)
+      |SELECT n.doc_id, n.n_tokens, sc.score,
+      |  CASE WHEN sc.score IS NULL THEN 'na'
+      |       WHEN sc.score >= 0.25 THEN 'keep'
+      |       WHEN sc.score >= -0.25 THEN 'borderline'
+      |       ELSE 'drop' END AS verdict
+      |FROM n LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
 
   private[graft] val P44Terms = Seq("dup", "spark")
 
@@ -2225,6 +2333,7 @@ object PipelineQueries {
     "p50_image_dhash" -> p50ImageDhash,
     "p51_image_near_dup" -> p51ImageNearDup,
     "p52_url_frontier" -> p52UrlFrontier,
+    "p53_quality_classifier" -> p53QualityClassifier,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2709,6 +2818,7 @@ object PipelineQueries {
     "p50_image_dhash" -> p50Sql,
     "p51_image_near_dup" -> p51Sql,
     "p52_url_frontier" -> p52Sql,
+    "p53_quality_classifier" -> p53Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -732,4 +732,63 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("lm_logprob"))
   }
+
+  /** Trained hashed-feature quality classifier — the model-based filter
+    * modern pretraining pipelines layer on top of rule batteries
+    * (fastText/DCLM-style: label a curated reference class against the
+    * rest of the crawl, learn token features, score the whole corpus).
+    * Training is CLOSED-FORM multinomial naive Bayes with add-`k`
+    * smoothing over `dim` hashed unigram buckets
+    * ([[graft.functions.TokenBucket]]): per-class bucket occurrence
+    * counts from the `trainCond` slice, class membership by `posCond`.
+    * A document's score is its mean per-token log-odds
+    * `ln P(b|pos) − ln P(b|neg)` ([[graft.functions.HashedLogOdds]] —
+    * the length-normalized convention of the DCLM/CCNet filters); the
+    * class prior is a corpus constant and deliberately not folded in
+    * (scores rank documents; thresholds are calibrated downstream).
+    *
+    * Closed-form training (vs. iterative logistic regression) is what
+    * makes the whole model oracle-restatable: the DuckDB oracle
+    * RETRAINS from the same slice (exact integer counts through the
+    * p03 FNV/splitmix limb chain) and re-scores — nothing depends on a
+    * stored-weights side channel, and there is no float-iteration
+    * drift to tolerate.
+    *
+    * Scale shape (100 TB): training is ONE map-side-combined aggregate
+    * whose exchange carries ≤ 2·`dim` (class, bucket) partial counts
+    * per partition — never token occurrences; the learned table
+    * (2·`dim` longs) collects to the driver and embeds in the scoring
+    * expression as a plan reference object, so the corpus-wide scoring
+    * pass is a row-local codegen'd projection with zero exchanges.
+    * Both classes must appear in the training slice (named error
+    * otherwise — a silent one-class fit would score everything 0).
+    * NULL text ≡ blank (no tokens): NULL score, 'na' verdict. */
+  def nbQualityClassifier(docs: DataFrame, textCol: String, idCol: String,
+      posCond: Column, trainCond: Column,
+      dim: Int = 256, k: Double = 1.0): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    require(k > 0, "smoothing k must be positive")
+    val toks = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    val counts = docs.filter(trainCond)
+      .select(posCond.as("pos"), explode(toks).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("pos"), graft.functions.TokenBucket(col("t"), dim).as("b"))
+      .groupBy("pos", "b").agg(count(lit(1)).as("c"))
+      .collect()
+    val cnt = Array.fill(2, dim)(0L) // 0 = neg, 1 = pos
+    counts.foreach { r =>
+      cnt(if (r.getBoolean(0)) 1 else 0)(r.getInt(1)) = r.getLong(2) }
+    val Array(totNeg, totPos) = cnt.map(_.sum)
+    require(totPos > 0 && totNeg > 0,
+      s"training slice must contain tokens of BOTH classes " +
+        s"(pos=$totPos, neg=$totNeg occurrences)")
+    val logOdds: Seq[Double] = (0 until dim).map { b =>
+      math.log((cnt(1)(b) + k) / (totPos + k * dim)) -
+        math.log((cnt(0)(b) + k) / (totNeg + k * dim))
+    }
+    val nTok = size(filter(toks, t => length(t) > 0)).cast("long")
+    docs.select(col(idCol), nTok.as("n_tokens"),
+      round(graft.functions.HashedLogOdds(col(textCol), logOdds), 6).as("score"))
+  }
 }
+

@@ -1427,6 +1427,73 @@ class PipelineSpec extends AnyFunSuite {
       mismatch.take(5).mkString("fused != composed on: ", "; ", ""))
   }
 
+  test("nbQualityClassifier: hand-computed NB log-odds, NULL/blank → NULL score, one-class error, repartition-stable") {
+    import spark.implicits._
+    import graft.operators.{DetRngHash, TextAnalysis}
+    def bucket(t: String, d: Int): Int =
+      java.lang.Long.remainderUnsigned(DetRngHash.xx(t.getBytes("UTF-8")), d).toInt
+    // dim 8 keeps the hand computation honest; labels by id parity
+    val docs = Seq(
+      (0L, "good good text"), (2L, "good text"),        // pos (even), train
+      (1L, "junk junk spam"), (3L, "spam junk"),        // neg (odd), train
+      (4L, "good junk"),                                 // scored only (but id%1==0 train? trainCond below = id < 4)
+      (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dim = 8
+    val out = TextAnalysis.nbQualityClassifier(docs, "text", "doc_id",
+        posCond = pmod(col("doc_id"), lit(2)) === 0,
+        trainCond = col("doc_id") < 4, dim = dim, k = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    // manual counts over the 4 train docs
+    val posToks = Seq("good", "good", "text", "good", "text")
+    val negToks = Seq("junk", "junk", "spam", "spam", "junk")
+    val cp = posToks.groupBy(bucket(_, dim)).view.mapValues(_.size).toMap
+    val cn = negToks.groupBy(bucket(_, dim)).view.mapValues(_.size).toMap
+    def lo(t: String): Double = {
+      val b = bucket(t, dim)
+      math.log((cp.getOrElse(b, 0) + 1.0) / (posToks.size + dim)) -
+        math.log((cn.getOrElse(b, 0) + 1.0) / (negToks.size + dim))
+    }
+    def exp(ts: String*): Double =
+      BigDecimal(ts.map(lo).sum / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) === ((3L, exp("good", "good", "text"))))
+    assert(out(4L) === ((2L, exp("good", "junk"))))
+    assert(out(0L)._2.asInstanceOf[Double] > 0 &&
+      out(1L)._2.asInstanceOf[Double] < 0,
+      s"pos doc must score positive, neg negative: ${out(0L)} ${out(1L)}")
+    // NULL and blank: 0 tokens, NULL score
+    assert(out(5L) === ((0L, null)) && out(6L) === ((0L, null)))
+    // repartition must not change anything (fixed-order driver fit)
+    val out2 = TextAnalysis.nbQualityClassifier(docs.repartition(7), "text",
+        "doc_id", pmod(col("doc_id"), lit(2)) === 0, col("doc_id") < 4, dim, 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out2 === out)
+    // a one-class training slice must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.nbQualityClassifier(docs, "text", "doc_id",
+        posCond = lit(true), trainCond = col("doc_id") < 4, dim, 1.0)
+        .collect()
+    }
+    assert(e.getMessage.contains("BOTH classes"))
+  }
+
+  test("p53 classifier separates planted boilerplate totally on held-out docs") {
+    val out = graft.operators.PipelineQueries
+      .p53QualityClassifier(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val heldout = out.filter(_._1 % 3 != 0)
+    def clean(id: Long) = id % 13 != 0 && id % 17 != 0 && id % 19 != 0
+    val minClean = heldout.filter(p => clean(p._1)).map(_._2).min
+    val maxJunk = heldout.filter(p => !clean(p._1)).map(_._2).max
+    assert(minClean > maxJunk,
+      s"held-out separation must be total: minClean=$minClean <= maxJunk=$maxJunk")
+    assert(minClean >= 0.25 && maxJunk < 0.25,
+      s"the calibrated keep threshold must split the classes: $minClean / $maxJunk")
+  }
+
   test("NULL text ≡ blank across qualityMetrics/languageId; NULL media keeps its pHash row") {
     import spark.implicits._
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""))
