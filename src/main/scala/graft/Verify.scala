@@ -119,9 +119,18 @@ object Verify {
     if (only.isEmpty) {
       val round = RoundInference.current("CORRECTNESS")
       val wrapped = s"""{"sf": ${q(sfDir)}, "det_match": $detJson, "failures": $failJson}"""
-      try Files.writeString(Paths.get(f"det_match_r$round%02d.json"), wrapped)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] could not write det_match_r$round: ${e.getMessage}")
+      // r15 verdict #5: one artifact PER SF (a second-SF run previously
+      // overwrote the first, so "gated at both SFs" was prose, not an
+      // artifact). The sf-suffixed file is always written; the legacy
+      // unsuffixed name is kept for the driver's own sf0.01 run.
+      val sfBase = Paths.get(sfDir).getFileName.toString
+      val names = Seq(f"det_match_r$round%02d_$sfBase.json") ++
+        (if (sfBase == "sf0.01") Seq(f"det_match_r$round%02d.json") else Nil)
+      names.foreach { n =>
+        try Files.writeString(Paths.get(n), wrapped)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] could not write $n: ${e.getMessage}")
+        }
       }
     }
     spark.stop()

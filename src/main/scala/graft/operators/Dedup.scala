@@ -123,6 +123,49 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Incremental corpus-version dedup — the RECURRING production job at
+    * 100 TB: given snapshot N (`prior`) and snapshot N+1 (`curr`),
+    * audit every NEW document (id absent from the prior snapshot)
+    * against the full union: `dup_of_prior` (content already in
+    * snapshot N — keeper is the earliest prior holder), `dup_in_
+    * increment` (content first appears in this increment but an
+    * earlier new doc holds it), or `new` (keeper = itself). Content
+    * identity is the same 256-bit hash as [[exactGroups]], NULL ≡
+    * blank. One row per new doc, so the drop set is auditable
+    * (the p52 discipline).
+    *
+    * Scale shape: BOTH sides are corpus-sized — a daily web-crawl
+    * increment is terabytes, the prior snapshot tens of them — so
+    * every join is declared SHUFFLE_MERGE (hash-co-partitioned
+    * sort-merge; broadcasting either side would be a scale-killer,
+    * st10's stream-static anti-join generalized to batch). The
+    * increment keeper comes from a window min over the SAME
+    * content-hash partitioning the prior-registry join shuffles on —
+    * Catalyst reuses the exchange instead of aggregating the
+    * increment twice. The prior registry is one map-side-combined
+    * (hash → min id) aggregate, carrying distinct contents, not
+    * corpus rows. */
+  def incrementalDedup(prior: DataFrame, curr: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def contentHash = sha2(coalesce(col(textCol), lit("")).cast("binary"), 256)
+    val inc = curr
+      .join(prior.select(col(idCol)).hint("shuffle_merge"), Seq(idCol), "left_anti")
+      .select(col(idCol), contentHash.as("content_hash"))
+    val priorContent = prior
+      .select(contentHash.as("content_hash"), col(idCol).as("__pid"))
+      .groupBy("content_hash").agg(min("__pid").as("prior_keeper"))
+    inc
+      .withColumn("inc_keeper",
+        min(col(idCol)).over(Window.partitionBy("content_hash")))
+      .join(priorContent.hint("shuffle_merge"), Seq("content_hash"), "left")
+      .select(col(idCol), col("content_hash"),
+        when(col("prior_keeper").isNotNull, lit("dup_of_prior"))
+          .when(col("inc_keeper") < col(idCol), lit("dup_in_increment"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("prior_keeper"), col("inc_keeper")).as("keeper_id"))
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** Word n-gram shingles as a native column (row-local; the transform

@@ -1218,6 +1218,152 @@ object PipelineQueries {
       |FROM n LEFT JOIN sc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** p54 merge count: 32 covers the corpus comfortably (the fixture
+    * vocabulary supports 40+ at every SF — [[TextAnalysis.bpeTrain]]
+    * raises a named error if a corpus ever exhausts earlier) and the
+    * learned table is SF-sensitive from step 6 on, so the gate tests
+    * real training, not a charset artifact. */
+  private val P54Merges = 32
+
+  /** p54: BPE vocabulary TRAINING over the documents corpus
+    * ([[TextAnalysis.bpeTrain]]; see its scaladoc for the
+    * one-corpus-pass / vocab-bounded-loop 100-TB shape and the
+    * (count DESC, left, right) deterministic argmax). Output is the
+    * learned merge table itself — step, fused pair, and the exact
+    * weighted pair count that won the step. */
+  val p54BpeTrain: Q = (spark, dir) =>
+    TextAnalysis.bpeMergesDf(Tables.load(spark, dir, "documents"),
+      "text", P54Merges).orderBy("step")
+
+  /** p54 segmentation gate: the learned merges applied to every
+    * distinct corpus word (word, word_count, n_pieces, pieces) —
+    * pins the greedy left-to-right application semantics, not just
+    * the argmax sequence. */
+  val p54BpeSegment: Q = (spark, dir) =>
+    TextAnalysis.bpeSegmentsDf(Tables.load(spark, dir, "documents"),
+      "text", P54Merges).orderBy("word")
+
+  /** p54 oracle: the ENTIRE training loop restated in SQL — one CTE
+    * triple per merge step, mechanically unrolled: `pc_k` recounts
+    * weighted adjacent pairs from the step-(k−1) segmentation, `m_k`
+    * takes the (count DESC, left, right) argmax, `seg_k` re-applies
+    * the merge via a list_reduce fold whose accumulator is the
+    * chr(31)-delimited symbol string (append `r` without a delimiter
+    * iff the accumulator's LAST symbol is exactly `l` and the next
+    * symbol is `r` — provably the greedy left-to-right scan, because
+    * a symbol fused in this pass is `l||r` ≠ `l`, so a fresh merge
+    * can never chain onto itself within the pass). Nothing reads
+    * engine state: DuckDB retrains the whole vocabulary from the raw
+    * corpus. Every CTE is MATERIALIZED — each seg_k is referenced
+    * twice (pair recount + next segmentation), so default inlining
+    * would expand the plan 2^32-fold. */
+  private def p54OracleCtes(m: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH tok AS MATERIALIZED (
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |seg0 AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c,
+      |         list_aggregate(string_split_regex(w, ''), 'string_agg', chr(31)) AS seg
+      |  FROM tok GROUP BY w)""".stripMargin
+    for (k <- 1 to m) {
+      val p = k - 1
+      sb ++= s""",
+      |pr$k AS MATERIALIZED (
+      |  SELECT unnest(list_zip(string_split(seg, chr(31)), string_split(seg, chr(31))[2:])) AS z, c
+      |  FROM seg$p),
+      |pc$k AS MATERIALIZED (
+      |  SELECT z[1] AS l, z[2] AS r, CAST(sum(c) AS BIGINT) AS pc
+      |  FROM pr$k WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+      |m$k AS MATERIALIZED (
+      |  SELECT $k AS step, l, r, pc FROM pc$k ORDER BY pc DESC, l, r LIMIT 1),
+      |seg$k AS MATERIALIZED (
+      |  SELECT s.w, s.c,
+      |    list_reduce(string_split(s.seg, chr(31)),
+      |      (acc, x) -> CASE WHEN x = m.r AND (acc = m.l OR ends_with(acc, chr(31) || m.l))
+      |                  THEN acc || m.r ELSE acc || chr(31) || x END) AS seg
+      |  FROM seg$p s CROSS JOIN m$k m)""".stripMargin
+    }
+    sb.result()
+  }
+
+  val p54TrainSql: String =
+    p54OracleCtes(P54Merges) + "\n" +
+      (1 to P54Merges)
+        .map(k => s"SELECT step, l AS left, r AS right, pc AS pair_count FROM m$k")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY step"
+
+  val p54SegmentSql: String =
+    p54OracleCtes(P54Merges) + s"""
+      |SELECT w AS word, c AS word_count,
+      |       CAST(len(string_split(seg, chr(31))) AS BIGINT) AS n_pieces,
+      |       replace(seg, chr(31), ' ') AS pieces
+      |FROM seg$P54Merges ORDER BY word""".stripMargin
+
+  /** The p55 fixture: the corpus has NO exact duplicate texts (every
+    * p01 group is a singleton), so an unplanted run would emit only
+    * 'new' verdicts — plant the two duplicate regimes the operator
+    * exists for (the p41/p53 planting discipline). Paywall stubs
+    * (doc_id % 16 ∈ {1,13} — BOTH residues ≡ 1 mod 4, so each
+    * floor(id/16) family lives entirely in the increment →
+    * dup_in_increment); mirror pages (doc_id % 12 ∈ {0,1} — 12k sits
+    * in the prior snapshot, 12k+1 in the increment → dup_of_prior
+    * with the prior holder as keeper). Paywall wins residue overlaps
+    * so each doc has ONE deterministic content. */
+  private def p55FixtureText: org.apache.spark.sql.Column =
+    when(pmod(col("doc_id"), lit(16)).isin(1, 13),
+      concat(lit("paywall stub "), floor(col("doc_id") / 16).cast("long")))
+      .when(pmod(col("doc_id"), lit(12)).isin(0, 1),
+        concat(lit("mirror page "), floor(col("doc_id") / 12).cast("long")))
+      .otherwise(coalesce(col("text"), lit("")))
+
+  /** p55: incremental corpus-version dedup ([[Dedup.incrementalDedup]];
+    * see its scaladoc for the both-sides-large SHUFFLE_MERGE shape).
+    * Snapshot N = the doc_id % 4 ≠ 1 three-quarters of the corpus;
+    * snapshot N+1 = the full corpus — the % 4 = 1 quarter is the
+    * day's crawl increment, audited against the union. The
+    * [[p55FixtureText]] planting makes all three verdicts occur at
+    * both gate SFs (20 dup_of_prior / 31 dup_in_increment / 74 new —
+    * documents is 500 rows at both sf0.001 and sf0.01). */
+  val p55IncrementalDedup: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), p55FixtureText.as("t"))
+    val prior = docs.filter(pmod(col("doc_id"), lit(4)) =!= 1)
+    Dedup.incrementalDedup(prior, docs, "t", "doc_id").orderBy("doc_id")
+  }
+
+  /** p55 oracle: the same planting, snapshot split, sha256 content
+    * identity, and three-way verdict restated relationally. */
+  val p55Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 16 IN (1, 13)
+      |           THEN 'paywall stub ' || CAST(doc_id // 16 AS BIGINT)
+      |         WHEN doc_id % 12 IN (0, 1)
+      |           THEN 'mirror page ' || CAST(doc_id // 12 AS BIGINT)
+      |         ELSE coalesce(text, '') END AS text
+      |  FROM documents),
+      |prior AS (SELECT * FROM aug WHERE doc_id % 4 <> 1),
+      |inc AS (
+      |  SELECT doc_id, sha256(coalesce(text, '')) AS content_hash
+      |  FROM aug WHERE doc_id % 4 = 1),
+      |pk AS (
+      |  SELECT sha256(coalesce(text, '')) AS content_hash,
+      |         min(doc_id) AS prior_keeper
+      |  FROM prior GROUP BY 1),
+      |ik AS (
+      |  SELECT content_hash, min(doc_id) AS inc_keeper
+      |  FROM inc GROUP BY 1)
+      |SELECT i.doc_id, i.content_hash,
+      |  CASE WHEN pk.prior_keeper IS NOT NULL THEN 'dup_of_prior'
+      |       WHEN ik.inc_keeper < i.doc_id THEN 'dup_in_increment'
+      |       ELSE 'new' END AS verdict,
+      |  coalesce(pk.prior_keeper, ik.inc_keeper) AS keeper_id
+      |FROM inc i
+      |LEFT JOIN pk USING (content_hash)
+      |JOIN ik USING (content_hash)
+      |ORDER BY i.doc_id""".stripMargin
 
   private[graft] val P44Terms = Seq("dup", "spark")
 
@@ -2334,6 +2480,9 @@ object PipelineQueries {
     "p51_image_near_dup" -> p51ImageNearDup,
     "p52_url_frontier" -> p52UrlFrontier,
     "p53_quality_classifier" -> p53QualityClassifier,
+    "p54_bpe_train" -> p54BpeTrain,
+    "p54_bpe_segment" -> p54BpeSegment,
+    "p55_incremental_dedup" -> p55IncrementalDedup,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2819,6 +2968,9 @@ object PipelineQueries {
     "p51_image_near_dup" -> p51Sql,
     "p52_url_frontier" -> p52Sql,
     "p53_quality_classifier" -> p53Sql,
+    "p54_bpe_train" -> p54TrainSql,
+    "p54_bpe_segment" -> p54SegmentSql,
+    "p55_incremental_dedup" -> p55Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -790,5 +790,109 @@ object TextAnalysis {
     docs.select(col(idCol), nTok.as("n_tokens"),
       round(graft.functions.HashedLogOdds(col(textCol), logOdds), 6).as("score"))
   }
-}
 
+  /** One learned BPE merge: at `step`, the adjacent symbol pair
+    * (`left`, `right`) had the highest corpus occurrence count
+    * (`pair_count`, ties broken lexicographically) and was fused. */
+  final case class BpeMerge(step: Int, left: String, right: String,
+    pair_count: Long)
+
+  /** BPE vocabulary TRAINING (Sennrich et al. 2016) — the
+    * tokenizer-prep step a training-data engine owns: `merges` greedy
+    * iterations of fuse-the-most-frequent-adjacent-symbol-pair over
+    * the corpus word histogram, every pair occurrence weighted by word
+    * frequency. Returns the merge table and the final per-word
+    * segmentation, which are a PURE function of the histogram:
+    * the argmax total order is (count DESC, left ASC, right ASC) and
+    * merge application is the standard left-to-right greedy scan, so
+    * identical corpora give bit-identical vocabularies on any cluster
+    * layout.
+    *
+    * Scale shape (100 TB): the ONLY corpus pass is the word-count
+    * aggregate (map-side combined — the exchange carries distinct
+    * words + partial counts, the p32/p48 bounded-histogram shape).
+    * The merge loop runs over the VOCABULARY, bounded by distinct
+    * words (10⁵–10⁷ at web scale), collected under an explicit row
+    * budget with a named error — the same single-node reduction
+    * sentencepiece/fastText training performs after their own corpus
+    * scan. Running out of mergeable pairs (every word fully fused) is
+    * a named error, never a silent truncation of the requested merge
+    * count. NULL text ≡ blank (the corpus-wide contract). */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+      maxVocab: Int = 1 << 22): (Seq[BpeMerge], Seq[(String, Long, Seq[String])]) = {
+    require(merges > 0, "merges must be positive")
+    require(maxVocab > 0, "maxVocab must be positive")
+    val tk = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    val hist = docs.select(explode(tk).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val rows = hist.limit(maxVocab + 1).collect()
+    if (rows.length > maxVocab)
+      throw new IllegalArgumentException(
+        s"BPE vocabulary histogram exceeds the $maxVocab-row driver " +
+          "budget; raise maxVocab or pre-filter the corpus")
+    val words: Array[(String, Long)] =
+      rows.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var seg: Array[Array[String]] =
+      words.map(_._1.map(_.toString).toArray)
+    val out = Seq.newBuilder[BpeMerge]
+    var step = 1
+    while (step <= merges) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < seg.length) {
+        val sy = seg(wi); val c = words(wi)._2
+        var i = 0
+        while (i + 1 < sy.length) {
+          val k = (sy(i), sy(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          i += 1
+        }
+        wi += 1
+      }
+      if (pc.isEmpty)
+        throw new IllegalArgumentException(
+          s"BPE ran out of mergeable pairs at step $step of $merges " +
+            "(every word fully fused); request fewer merges")
+      // order-independent argmax: max count, then lexicographically
+      // smallest (left, right) — HashMap iteration order cannot leak
+      val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+      out += BpeMerge(step, l, r, c)
+      seg = seg.map { sy =>
+        val b = Array.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == l && sy(i + 1) == r) {
+            b += l + r; i += 2
+          } else { b += sy(i); i += 1 }
+        }
+        b.result()
+      }
+      step += 1
+    }
+    (out.result(), words.toSeq.zip(seg.toSeq).map { case ((w, c), sy) =>
+      (w, c, sy.toSeq) })
+  }
+
+  /** The [[bpeTrain]] merge table as a DataFrame — p54's merge-table
+    * gate: (step, left, right, pair_count). */
+  def bpeMergesDf(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, textCol, merges)._1.toDF()
+  }
+
+  /** The learned merge list applied to every distinct corpus word —
+    * the segmentation side of the p54 gate: (word, word_count,
+    * n_pieces, pieces). Reuses the training run final
+    * segmentation state (segmentation is per-VOCABULARY-WORD,
+    * never per occurrence; corpus text re-tokenizes by a broadcast
+    * word→pieces join, the standard vocab-bounded shape). */
+  def bpeSegmentsDf(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, textCol, merges)._2
+      .map { case (w, c, sy) => (w, c, sy.length.toLong, sy.mkString(" ")) }
+      .toDF("word", "word_count", "n_pieces", "pieces")
+  }
+}

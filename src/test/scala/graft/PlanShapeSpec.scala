@@ -479,4 +479,28 @@ class WidePopulationSpec extends AnyFunSuite {
         s"expected native expressions only:\n$plan")
     }
   }
+
+  test("incremental dedup: both sides large — every join SortMergeJoin, nothing broadcasts") {
+    // p55's scale shape made checkable: a daily crawl increment and the
+    // prior snapshot are BOTH corpus-sized, so the id anti-join and the
+    // content-registry join must hash-co-partition (SMJ), never
+    // broadcast — and the increment keeper must come from a Window over
+    // the same content_hash partitioning, not a second aggregate+join.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 400L).map(i => (i, s"content ${i % 150}"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 4 =!= 1), docs, "text", "doc_id")
+    out.count() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert("SortMergeJoin".r.findAllIn(plan).size == 2,
+      s"expected exactly the id anti-join + content registry join as SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"neither corpus-sized side may broadcast:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"increment keeper must be ONE window pass:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"content hashing must stay native:\n$plan")
+  }
 }
