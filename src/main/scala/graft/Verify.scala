@@ -30,6 +30,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same suite-scale codegen-cache sizing as Bench (the det-gate
+      // second pass re-plans every rows-only key — recompiling ~150
+      // keys' stages through a 100-entry cache was pure waste)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1301,6 +1301,38 @@ object PipelineQueries {
       |       replace(seg, chr(31), ' ') AS pieces
       |FROM seg$P54Merges ORDER BY word""".stripMargin
 
+  /** p56: corpus tokenization under the p54-LEARNED vocabulary
+    * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
+    * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
+    * piece counts and chars-per-piece compression, the numbers a
+    * token-budgeted pretraining mix is actually planned with. */
+  val p56BpeTokenize: Q = (spark, dir) =>
+    TextAnalysis.bpeTokenizeCorpus(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", P54Merges).orderBy("doc_id")
+
+  /** p56 oracle: the full p54 retrain chain composed with the
+    * word-join tokenization — DuckDB re-learns the vocabulary and
+    * re-counts every doc's pieces independently. */
+  val p56Sql: String =
+    p54OracleCtes(P54Merges) + s""",
+      |wk AS MATERIALIZED (
+      |  SELECT w, CAST(len(string_split(seg, chr(31))) AS BIGINT) AS ppw
+      |  FROM seg$P54Merges),
+      |tok2 AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |agg AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |         CAST(sum(wk.ppw) AS BIGINT) AS n_pieces,
+      |         CAST(sum(length(t.w)) AS BIGINT) AS nc
+      |  FROM tok2 t JOIN wk USING (w) GROUP BY t.doc_id)
+      |SELECT d.doc_id, coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+      |       coalesce(a.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
+      |       round(a.nc::DOUBLE / a.n_pieces, 6) AS chars_per_piece
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** The p55 fixture: the corpus has NO exact duplicate texts (every
     * p01 group is a singleton), so an unplanted run would emit only
     * 'new' verdicts — plant the two duplicate regimes the operator
@@ -2483,6 +2515,7 @@ object PipelineQueries {
     "p54_bpe_train" -> p54BpeTrain,
     "p54_bpe_segment" -> p54BpeSegment,
     "p55_incremental_dedup" -> p55IncrementalDedup,
+    "p56_bpe_tokenize" -> p56BpeTokenize,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -2971,6 +3004,7 @@ object PipelineQueries {
     "p54_bpe_train" -> p54TrainSql,
     "p54_bpe_segment" -> p54SegmentSql,
     "p55_incremental_dedup" -> p55Sql,
+    "p56_bpe_tokenize" -> p56Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

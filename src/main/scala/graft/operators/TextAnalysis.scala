@@ -895,4 +895,41 @@ object TextAnalysis {
       .map { case (w, c, sy) => (w, c, sy.length.toLong, sy.mkString(" ")) }
       .toDF("word", "word_count", "n_pieces", "pieces")
   }
+
+  /** Corpus tokenization under the LEARNED [[bpeTrain]] vocabulary —
+    * the step pretraining-data budgeting actually runs with a trained
+    * tokenizer (p39/p16 count whitespace/heuristic tokens; this counts
+    * TRUE subword pieces): per document, whitespace words, total BPE
+    * pieces, and chars-per-piece compression. Empty/NULL docs keep a
+    * row (0, 0, NULL ratio) — the p47 report-card contract.
+    *
+    * Scale shape: the vocabulary (word → piece count) is
+    * vocab-bounded, so it BROADCASTS — the corpus streams through one
+    * scan into a broadcast hash join keyed by word; the only exchange
+    * is the per-doc sum (map-side combined on doc id). Tokenizing by
+    * vocabulary join instead of re-running merges per occurrence is
+    * the standard trick: segmentation cost is paid once per DISTINCT
+    * word at train time. */
+  def bpeTokenizeCorpus(docs: DataFrame, textCol: String, idCol: String,
+      merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = bpeTrain(docs, textCol, merges)._2
+      .map { case (w, _, sy) => (w, sy.length.toLong) }
+      .toDF("w", "pieces_per_word")
+    val tk = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
+    val perDoc = docs.select(col(idCol), explode(tk).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("pieces_per_word")).as("n_pieces"),
+        sum(length(col("w"))).cast("long").as("n_word_chars"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        round(col("n_word_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+  }
 }

@@ -108,4 +108,33 @@ class BpeSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq === Seq("low", "lower"))
     assert(rows.map(_.getLong(2)).toSeq.forall(_ >= 1))
   }
+
+  test("corpus tokenization under the learned vocab: counts, compression, empty-doc row") {
+    import org.apache.spark.sql.functions.lit
+    val docs = corpus("ab ab cd", "ab")
+      .union(corpus("ignored").select(lit(2L).as("doc_id"),
+        lit(null).cast("string").as("text")))
+    // merges=1 learns (a,b): ab -> [ab] (1 piece), cd -> [c,d] (2)
+    val out = TextAnalysis.bpeTokenizeCorpus(docs, "text", "doc_id", merges = 1)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getDouble(3)) ===
+      ((3L, 4L, 1.5))) // 6 chars / 4 pieces
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getDouble(3)) ===
+      ((1L, 1L, 2.0)))
+    assert((out(2).getLong(1), out(2).getLong(2)) === ((0L, 0L)))
+    assert(out(2).isNullAt(3), "empty doc has NULL compression, not a fake 0")
+  }
+
+  test("corpus tokenization plans as a broadcast vocab join — the corpus never shuffles for it") {
+    import org.apache.spark.sql.functions.lit
+    val docs = corpus((0 until 50).map(i => s"w$i common").mkString(" "))
+    val out = TextAnalysis.bpeTokenizeCorpus(docs, "text", "doc_id", merges = 2)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle against the vocabulary:\n$plan")
+  }
 }
