@@ -42,18 +42,30 @@ object MediaScaleProbe {
     out.toByteArray
   }
 
-  /** n diverse real PNGs: pattern by i%3, colors/sizes a deterministic
-    * function of i (sizes cycle 16..47 × 8..39 — all dHash-defined). */
+  /** n diverse real PNGs: pattern by i%3, colors/sizes/phases a
+    * deterministic function of i (sizes cycle 16..47 × 8..39 — all
+    * dHash-defined). Patterns are phase-shifted per index so hashes
+    * SPREAD (a solid/fixed-gradient corpus collapses to a handful of
+    * identical hashes and the pair count degenerates to complete
+    * graphs — measuring output size, not join work). */
   def corpus(n: Int): Seq[(Long, Array[Byte])] =
     (0 until n).map { i =>
       val w = 16 + (i * 7) % 32
       val h = 8 + (i * 11) % 32
       val c1 = ((i * 2654435761L) & 0xffffff).toInt
-      val c2 = ((i * 0x9e3779b97f4aL >>> 16) & 0xffffff).toInt
+      val c2 = (~c1) & 0xffffff
       val bytes = (i % 3) match {
-        case 0 => png(w, h)((_, _) => c1)
-        case 1 => png(w, h)((x, y) => if ((x + y) % 2 == 0) c1 else c2)
-        case _ => png(w, h)((x, _) => { val g = x * 255 / (w - 1); (g << 16) | (g << 8) | g })
+        case 0 => // vertical two-tone, split position varies with i
+          val sx = 2 + (i * 5) % (w - 4)
+          png(w, h)((x, _) => if (x < sx) c1 else c2)
+        case 1 => // checkerboard, period varies with i
+          val p = 1 + (i / 3) % 4
+          png(w, h)((x, y) => if ((x / p + y / p) % 2 == 0) c1 else c2)
+        case _ => // gray gradient with per-index phase shift
+          png(w, h)((x, _) => {
+            val g = (x * 255 / (w - 1) + i * 13) % 256
+            (g << 16) | (g << 8) | g
+          })
       }
       (i.toLong, bytes)
     }
