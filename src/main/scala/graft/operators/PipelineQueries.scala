@@ -1301,6 +1301,67 @@ object PipelineQueries {
       |       replace(seg, chr(31), ' ') AS pieces
       |FROM seg$P54Merges ORDER BY word""".stripMargin
 
+  /** p57: quality-aware duplicate-cluster keeper selection — the act
+    * step production dedup actually wants: within each near-dup
+    * component (the p18 closure over the p02 LSH pair graph), keep the
+    * HIGHEST-QUALITY member (p09's quality_score), not the arbitrary
+    * min-id one; ties break to the smallest doc_id. One auditable row
+    * per clustered doc (the p52 verdict discipline).
+    *
+    * Scale shape: the cluster-member table is orders of magnitude
+    * smaller than the corpus (LSH candidates only), so it BROADCASTS
+    * against the corpus-side quality scan — the corpus streams through
+    * once and never shuffles; the keeper argmax is a window over the
+    * component partitioning of the tiny clustered slice. */
+  val p57QualityKeeper: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashCandsFor(spark, dir)
+      .filter(col("est_jaccard") >= 0.2)
+      .select(col("id0"), col("id1"))
+    val comp = Dedup.connectedComponents(pairs, "id0", "id1")
+      .select(col("id").as("doc_id"), col("component"))
+    val qual = TextAnalysis.qualityMetrics(
+        Tables.load(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("quality_score"))
+    qual.join(broadcast(comp), Seq("doc_id"))
+      .withColumn("keeper_id", first(col("doc_id")).over(
+        Window.partitionBy("component")
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("component"), col("quality_score"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** p57 oracle: p18's recursive component closure composed (guarded
+    * substring, the p28/p52 pattern) with p09's quality restatement as
+    * a nested-WITH CTE and the same (quality DESC, doc_id) keeper
+    * window. Scores are round(·, 6) on both engines — p09's
+    * hash-match gate — so the argmax can only flip on a true ≥1e-6
+    * quality difference, never a cross-engine ulp. */
+  lazy val p57Sql: String = {
+    val cut = p18Sql.lastIndexOf("SELECT component::BIGINT")
+    require(cut >= 0,
+      "p57Sql composes on p18Sql's final SELECT — update both together")
+    val p09body = p09Sql.stripTrailing.stripSuffix("ORDER BY doc_id").stripTrailing
+    require(p09Sql.stripTrailing.endsWith("ORDER BY doc_id"),
+      "p57Sql embeds p09Sql minus its ORDER BY — update both together")
+    p18Sql.substring(0, cut).stripTrailing + ",\n" +
+      s"q AS (\n$p09body\n),\n" +
+      """j AS (
+        |  SELECT c.doc_id, c.component, q.quality_score
+        |  FROM comp c JOIN q USING (doc_id)),
+        |k AS (
+        |  SELECT doc_id, component, quality_score,
+        |    first_value(doc_id) OVER (
+        |      PARTITION BY component
+        |      ORDER BY quality_score DESC, doc_id) AS keeper_id
+        |  FROM j)
+        |SELECT doc_id, component::BIGINT AS component, quality_score,
+        |       keeper_id::BIGINT AS keeper_id,
+        |       (doc_id = keeper_id) AS kept
+        |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -2516,6 +2577,7 @@ object PipelineQueries {
     "p54_bpe_segment" -> p54BpeSegment,
     "p55_incremental_dedup" -> p55IncrementalDedup,
     "p56_bpe_tokenize" -> p56BpeTokenize,
+    "p57_quality_keeper" -> p57QualityKeeper,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3005,6 +3067,7 @@ object PipelineQueries {
     "p54_bpe_segment" -> p54SegmentSql,
     "p55_incremental_dedup" -> p55Sql,
     "p56_bpe_tokenize" -> p56Sql,
+    "p57_quality_keeper" -> p57Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

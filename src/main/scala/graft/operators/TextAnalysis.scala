@@ -33,12 +33,53 @@ object TextAnalysis {
   /** Quality metrics: length, tokens, punctuation ratio, stopword ratio,
     * mean word length, and a composite [0,1] score (monotone in
     * stopword presence and sane word lengths — the standard cheap
-    * heuristics, cf. Gopher/C4-style quality rules). */
+    * heuristics, cf. Gopher/C4-style quality rules). The four counting
+    * stats come from ONE codegen'd pass
+    * ([[graft.functions.QualityStats]]; see its scaladoc for the
+    * bit-parity contract with the composed form it replaced — the
+    * previous shape paid two regexp_replace rewrites, a token-array
+    * split, and an interpreted higher-order stopword lambda per row,
+    * which read 7× over linear at the 100× probe). */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     // NULL text ≡ blank — the uniform contract across the text-analysis
     // surface (gopherRules/chunkTokens/bm25TopK do the same), so a NULL
     // row scores like an empty document instead of nulling out every
     // metric and silently dropping from downstream aggregates.
+    val t = coalesce(col(textCol), lit(""))
+    val stats = graft.functions.QualityStats(t)
+    // one named column, then derive — whole-stage codegen's
+    // subexpression elimination keeps the kernel at one call per row
+    // even after CollapseProject inlines the reference
+    val nTokens = col("__qstats").getItem(0)
+    val nChars = length(t)
+    df
+      .withColumn("__qstats", stats)
+      .withColumn("n_chars_m", nChars.cast("long"))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("punct_ratio",
+        when(nChars === 0, 0.0)
+          .otherwise(col("__qstats").getItem(1).cast("double") / nChars))
+      .withColumn("stopword_ratio",
+        when(nTokens === 0, 0.0)
+          .otherwise(col("__qstats").getItem(2).cast("double") / nTokens))
+      .withColumn("mean_word_len",
+        when(nTokens === 0, 0.0)
+          .otherwise(col("__qstats").getItem(3).cast("double") / nTokens))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(0.5)
+            + lit(0.5) * least(col("stopword_ratio") * 2.5, lit(1.0))
+            - lit(0.5) * col("punct_ratio")
+            - when(col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0, 0.25)
+              .otherwise(0.0))), 6))
+      .drop("__qstats")
+  }
+
+  /** The composed higher-order-function form [[qualityMetrics]]
+    * replaced, kept as the independent semantics pin for the parity
+    * spec (and the template the p09/p30/p47/st03 DuckDB oracles
+    * mirror). */
+  private[graft] def composedQualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val tokens = split(trim(lower(t)), "\\s+")
     val nTokens = tokenCount(t)

@@ -1538,4 +1538,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a / 50 == b / 50 },
       "cross-cluster vectors must not pass the cosine threshold")
   }
+
+  test("fused quality-stats expression matches the composed-operator form") {
+    import spark.implicits._
+    // adversarial: tabs/newlines the ASCII-space-only trim keeps, a
+    // vertical tab, leading/trailing separators (split keeps the empty
+    // tokens), every stopword, punctuation runs, unicode text, NULL,
+    // empty, and whitespace-only rows
+    val texts: Seq[String] = Seq(
+      "the quick brown fox, it was HERE!",
+      "\tthe and of to\n", "a  b\u000Bc", " ", "", "\n\n", "...!?;:",
+      "als die Straße naß war — naïve café ¡hola! 中文 टेस्ट",
+      "THE AND OF TO IN IS ARE WAS WERE IT THAT THIS WITH FOR ON AS AT an or",
+      "word " * 50, null, "x", "  padded  ", "a-b_c~d`e", "12 34.5 6,7")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, Option(t)) }
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_chars_m", "n_tokens", "punct_ratio",
+      "stopword_ratio", "mean_word_len", "quality_score").map(org.apache.spark.sql.functions.col)
+    val fused = graft.operators.TextAnalysis.qualityMetrics(df, "text")
+      .select(cols: _*).orderBy("doc_id").collect()
+    val composed = graft.operators.TextAnalysis.composedQualityMetrics(df, "text")
+      .select(cols: _*).orderBy("doc_id").collect()
+    assert(fused.toSeq === composed.toSeq)
+    val plan = graft.operators.TextAnalysis.qualityMetrics(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ArrayFilter") && !plan.contains("regexp_replace"),
+      s"the interpreted lambda and regex rewrites must be gone:\n$plan")
+  }
 }
