@@ -20,8 +20,18 @@ object TextAnalysis {
 
   /** BPE-ish subword count: word-boundary pieces + digits + punctuation
     * as separate tokens (a cheap, deterministic stand-in for a real BPE
-    * vocabulary; same plan shape). */
+    * vocabulary; same plan shape — [[bpeTrain]]/[[bpeTokenizeCorpus]]
+    * are the LEARNED counterpart). One codegen'd pass
+    * ([[graft.functions.SubwordCountExpr]]) — the lookaround split +
+    * interpreted filter lambda it replaced read 114 s at the 100×
+    * probe; parity pinned by PipelineSpec. */
   def subwordCount(text: Column): Column =
+    graft.functions.SubwordCountExpr(text)
+
+  /** The composed form [[subwordCount]] replaced, kept as the
+    * independent semantics pin for the parity spec (and the template
+    * the p16 oracle's closed form mirrors). */
+  private[graft] def composedSubwordCount(text: Column): Column =
     size(filter(
       split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
       t => length(trim(t)) > 0))
@@ -463,6 +473,41 @@ object TextAnalysis {
     * blank (a null-text doc must FAIL the gate, not ride through with
     * NULL flags that downstream filters silently drop or keep). */
   def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Long = 50L, maxTokens: Long = 100000L): DataFrame = {
+    require(0 < minTokens && minTokens <= maxTokens,
+      "need 0 < minTokens <= maxTokens")
+    // all nine counting stats in ONE codegen'd pass
+    // ([[graft.functions.GopherStats]]; see its scaladoc for the
+    // bit-parity contract with the composed form it replaced, which
+    // paid four interpreted lambdas — one running a regex per token)
+    val t = coalesce(col(textCol), lit(""))
+    val g = col("__gstats")
+    val nTok = g.getItem(0); val sumLen = g.getItem(1)
+    val nLines = g.getItem(2); val nBullet = g.getItem(3)
+    val nEllLine = g.getItem(4); val nHash = g.getItem(5)
+    val nEllipsis = g.getItem(6); val nAlpha = g.getItem(7)
+    val nStop = g.getItem(8)
+    df.withColumn("__gstats", graft.functions.GopherStats(t))
+      .select(col(idCol),
+        nTok.as("n_tokens"),
+        nLines.as("n_lines"),
+        (nTok >= minTokens && nTok <= maxTokens).as("r_word_count"),
+        (lit(3L) * nTok <= sumLen && sumLen <= lit(10L) * nTok).as("r_mean_word_len"),
+        (lit(10L) * (nHash + nEllipsis) <= nTok).as("r_symbol_ratio"),
+        (lit(10L) * nBullet <= lit(9L) * nLines).as("r_bullet_lines"),
+        (lit(10L) * nEllLine <= lit(3L) * nLines).as("r_ellipsis_lines"),
+        (lit(5L) * nAlpha >= lit(4L) * nTok).as("r_alpha_words"),
+        (nStop >= 2L).as("r_stopwords"))
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_stopwords"))
+  }
+
+  /** The composed form [[gopherRules]] replaced, kept as the
+    * independent semantics pin for the parity spec (and the template
+    * the p41 oracle mirrors). */
+  private[graft] def composedGopherRules(df: DataFrame, textCol: String, idCol: String,
       minTokens: Long = 50L, maxTokens: Long = 100000L): DataFrame = {
     require(0 < minTokens && minTokens <= maxTokens,
       "need 0 < minTokens <= maxTokens")

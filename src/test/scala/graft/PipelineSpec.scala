@@ -1565,4 +1565,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("ArrayFilter") && !plan.contains("regexp_replace"),
       s"the interpreted lambda and regex rewrites must be gone:\n$plan")
   }
+
+  test("fused gopher-stats and subword-count expressions match their composed forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts: Seq[String] = Seq(
+      "- bullet one\n* bullet two\nplain line\nto be continued...",
+      "#### #### 123 456 789 0 11 22 33 44 55 66 77 88",
+      "the and of to in is are was were it that this with for on as at",
+      "....... ... .. . ...", "a\nb\nc\n", "", " ", "\n\n", "- ", "* x",
+      "mixed CASE Text-With_Punct!and#hash ...", "\t tab\u000Bvt",
+      "unicode naïve café 中文 — txt", null, "word " * 40,
+      "...\n...\nline", "-no space bullet", "0 1 2", "a1b2c3 x!y?z")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, Option(t)) }
+      .toDF("doc_id", "text")
+    // gopher parity (bounds tight so both outcomes occur)
+    val gcols = Seq("doc_id", "n_tokens", "n_lines", "r_word_count",
+      "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+      "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "gopher_pass").map(col)
+    val gf = graft.operators.TextAnalysis.gopherRules(df, "text", "doc_id", 2L, 30L)
+      .select(gcols: _*).orderBy("doc_id").collect()
+    val gc = graft.operators.TextAnalysis.composedGopherRules(df, "text", "doc_id", 2L, 30L)
+      .select(gcols: _*).orderBy("doc_id").collect()
+    assert(gf.toSeq === gc.toSeq)
+    // subword parity (null in -> null out preserved)
+    val sf = df.select(col("doc_id"),
+        graft.operators.TextAnalysis.subwordCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    val sc = df.select(col("doc_id"),
+        graft.operators.TextAnalysis.composedSubwordCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(sf.toSeq === sc.toSeq)
+    // plan guards: the interpreted lambdas and regex passes are gone
+    val gplan = graft.operators.TextAnalysis.gopherRules(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!gplan.contains("ArrayFilter") && !gplan.contains("regexp_replace"),
+      s"gopher lambdas/regexes must be gone:\n$gplan")
+    val splan = df.select(graft.operators.TextAnalysis.subwordCount(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!splan.contains("ArrayFilter") && !splan.toLowerCase.contains("split"),
+      s"subword lookaround split must be gone:\n$splan")
+  }
 }
