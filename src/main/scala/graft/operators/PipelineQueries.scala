@@ -1301,6 +1301,80 @@ object PipelineQueries {
       |       replace(seg, chr(31), ' ') AS pieces
       |FROM seg$P54Merges ORDER BY word""".stripMargin
 
+  /** p58: SQ8 scalar-quantized ANN ([[SimilaritySearch.sq8TopK]]; see
+    * its and [[graft.functions.Sq8Quantize]]'s scaladocs for the
+    * 4×-compression scale path and the fixed-order double arithmetic
+    * that makes every code and approx score bit-reproducible). Query =
+    * vec 0; k = 10; output carries BOTH the quantized score the index
+    * ranks by and the exact cosine of the re-ranked survivors. */
+  val p58Sq8Ann: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val params = SimilaritySearch.sq8Params(emb, "embedding")
+    SimilaritySearch.sq8TopK(emb, "embedding", "vec_id", q, 10, params)
+      .select(col("neighbor_id"),
+        round(col("approx_cosine"), 6).as("approx_cosine"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** p58 oracle: DuckDB RETRAINS the quantizer (per-dim FLOAT min/max,
+    * scale = (max−min)/255 in DOUBLE), re-derives every code with the
+    * same floor/clamp arithmetic, and replays the dot/norm
+    * accumulations as ORDERED list_reduce folds (ascending dimension —
+    * the engine's two accumulators never interact, so two separate
+    * folds reproduce both bit-exactly; the p05 sequential-fold
+    * discipline). The top-k boundary orders by the RAW approx score,
+    * which is bit-identical across engines, then vec_id. */
+  val p58Sql: String =
+    """WITH mm AS MATERIALIZED (
+      |  SELECT d, min(x)::DOUBLE AS mn,
+      |         (max(x)::DOUBLE - min(x)::DOUBLE) / 255.0 AS s
+      |  FROM (SELECT unnest(embedding) AS x,
+      |               generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)
+      |  GROUP BY d),
+      |cd AS (
+      |  SELECT e.vec_id, p.d, p.mn, p.s,
+      |    CASE WHEN p.s = 0 THEN 0
+      |         ELSE least(greatest(CAST(floor((e.embedding[p.d]::DOUBLE - p.mn) / p.s) AS BIGINT), 0), 255)
+      |    END AS c
+      |  FROM embeddings e CROSS JOIN mm p),
+      |vecs AS MATERIALIZED (
+      |  SELECT vec_id, list(mn + c * s ORDER BY d) AS xh
+      |  FROM cd GROUP BY vec_id),
+      |q AS MATERIALIZED (
+      |  SELECT list_transform(embedding, v -> v::DOUBLE) AS qv
+      |  FROM embeddings WHERE vec_id = 0),
+      |nq AS (
+      |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+      |           list_transform(qv, v -> v * v)), (a, b) -> a + b) AS nq
+      |  FROM q),
+      |sc AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1, len(xh) + 1),
+      |        i -> xh[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])),
+      |      (a, b) -> a + b) AS dot,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(xh, v -> v * v)), (a, b) -> a + b) AS nx
+      |  FROM vecs, q),
+      |ac AS (
+      |  SELECT vec_id,
+      |    CASE WHEN nx = 0 OR nq.nq = 0 THEN NULL
+      |         ELSE dot / (sqrt(nx) * sqrt(nq.nq)) END AS a
+      |  FROM sc, nq),
+      |top AS (
+      |  SELECT vec_id AS neighbor_id, a FROM ac
+      |  WHERE a IS NOT NULL
+      |  ORDER BY a DESC, vec_id LIMIT 10)
+      |SELECT t.neighbor_id, round(t.a, 6) AS approx_cosine,
+      |       round(list_cosine_similarity(e.embedding::DOUBLE[], q2.embedding::DOUBLE[]), 6) AS cosine
+      |FROM top t
+      |JOIN embeddings e ON e.vec_id = t.neighbor_id,
+      |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q2
+      |ORDER BY t.a DESC, t.neighbor_id""".stripMargin
+
   /** p57: quality-aware duplicate-cluster keeper selection — the act
     * step production dedup actually wants: within each near-dup
     * component (the p18 closure over the p02 LSH pair graph), keep the
@@ -2578,6 +2652,7 @@ object PipelineQueries {
     "p55_incremental_dedup" -> p55IncrementalDedup,
     "p56_bpe_tokenize" -> p56BpeTokenize,
     "p57_quality_keeper" -> p57QualityKeeper,
+    "p58_sq8_ann" -> p58Sq8Ann,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3068,6 +3143,7 @@ object PipelineQueries {
     "p55_incremental_dedup" -> p55Sql,
     "p56_bpe_tokenize" -> p56Sql,
     "p57_quality_keeper" -> p57Sql,
+    "p58_sq8_ann" -> p58Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

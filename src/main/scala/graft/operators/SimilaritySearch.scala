@@ -41,6 +41,49 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** The SQ8 quantizer's per-dimension model state: reconstruction is
+    * `x̂_d = mins(d) + code_d · scales(d)`. */
+  final case class Sq8Params(mins: Seq[Double], scales: Seq[Double])
+
+  /** SQ8 scalar-quantizer training — per-dimension corpus ranges, the
+    * FAISS-SQ discipline: ONE posexplode aggregate whose map-side
+    * combined exchange carries (dim × partitions) partial rows, never
+    * vectors; the result is dimension-sized and lives on the driver
+    * like the IVF centroid table (quantizer = model state). */
+  def sq8Params(df: DataFrame, vecCol: String): Sq8Params = {
+    val rows = df.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("d").collect()
+    require(rows.nonEmpty, "sq8Params needs a non-empty corpus")
+    val mins = rows.map(_.getFloat(1).toDouble).toSeq
+    val scales = rows.map(r =>
+      (r.getFloat(2).toDouble - r.getFloat(1).toDouble) / 255.0).toSeq
+    Sq8Params(mins, scales)
+  }
+
+  /** SQ8 asymmetric top-k: quantize the corpus row-locally
+    * ([[graft.functions.Sq8Quantize]] — at 100 TB the codes are the
+    * stored index, 4× smaller than the float corpus), score CODES
+    * against the float query ([[graft.functions.Sq8CosineQuery]], one
+    * codegen'd pass, floats never touched at query time), take top-k
+    * as TakeOrderedAndProject on the bit-deterministic
+    * (approx DESC, id) order, then exact-rerank only the k survivors
+    * with the full-precision cosine. Returns
+    * (neighbor_id, approx_cosine, cosine). */
+  def sq8TopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, params: Sq8Params): DataFrame = {
+    val codes = graft.functions.Sq8Quantize(col(vecCol), params.mins, params.scales)
+    df.select(col(idCol).as("neighbor_id"),
+        graft.functions.Sq8CosineQuery(codes, query, params.mins, params.scales)
+          .as("approx_cosine"),
+        col(vecCol).as("__v"))
+      .filter(col("approx_cosine").isNotNull)
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
+      .limit(k)
+      .select(col("neighbor_id"), col("approx_cosine"),
+        cosine(asDoubles(col("__v")), typedLit(query)).as("cosine"))
+  }
+
   /** 64-bit random-hyperplane signature: bit i = sign(v · r_i) where r_i
     * is a deterministic pseudo-random ±1 hyperplane. Row-local, no
     * shuffle — a native Catalyst expression reading the raw float array
