@@ -1448,8 +1448,10 @@ object PipelineQueries {
   /** p56 oracle: the full p54 retrain chain composed with the
     * word-join tokenization — DuckDB re-learns the vocabulary and
     * re-counts every doc's pieces independently. */
-  val p56Sql: String =
-    p54OracleCtes(P54Merges) + s""",
+  /** The per-doc piece-count CTE tail over the p54 retrain chain
+    * (wk/tok2/agg) — shared by the p56 and p59 oracles. */
+  private lazy val p56TailCtes: String =
+    s""",
       |wk AS MATERIALIZED (
       |  SELECT w, CAST(len(string_split(seg, chr(31))) AS BIGINT) AS ppw
       |  FROM seg$P54Merges),
@@ -1457,16 +1459,82 @@ object PipelineQueries {
       |  SELECT doc_id,
       |    unnest(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS w
       |  FROM documents),
-      |agg AS (
+      |agg AS MATERIALIZED (
       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
       |         CAST(sum(wk.ppw) AS BIGINT) AS n_pieces,
       |         CAST(sum(length(t.w)) AS BIGINT) AS nc
-      |  FROM tok2 t JOIN wk USING (w) GROUP BY t.doc_id)
+      |  FROM tok2 t JOIN wk USING (w) GROUP BY t.doc_id)""".stripMargin
+
+  val p56Sql: String =
+    p54OracleCtes(P54Merges) + p56TailCtes + """
       |SELECT d.doc_id, coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
       |       coalesce(a.n_pieces, CAST(0 AS BIGINT)) AS n_pieces,
       |       round(a.nc::DOUBLE / a.n_pieces, 6) AS chars_per_piece
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** p59: per-LANGUAGE tokenizer-fertility report — the multilingual
+    * audit a tokenizer team runs before freezing a vocabulary: for
+    * each predicted language ([[TextAnalysis.languageId]], one
+    * codegen'd pass), document count, corpus words, learned-BPE pieces
+    * ([[TextAnalysis.bpeTokenizeCorpus]]), and fertility (pieces per
+    * word — languages a vocabulary underserves read high). Two
+    * per-doc row-local passes joined doc_id-co-partitioned, then a
+    * 5-group aggregate: exchanges carry per-doc stat rows and the
+    * language groups, never text. */
+  val p59LangFertility: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val perDoc = TextAnalysis.bpeTokenizeCorpus(docs, "text", "doc_id", P54Merges)
+    val langs = docs.select(col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("pred_lang"))
+    perDoc.join(langs, Seq("doc_id"))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_pieces").as("n_pieces"))
+      .withColumn("fertility",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_pieces").cast("double") / col("n_words"), 6)))
+      .orderBy("pred_lang")
+  }
+
+  /** p59 oracle: the p54 retrain chain + per-doc piece counts composed
+    * with the p10 language-ID restatement (same lexicons, same
+    * struct-array_max tie-break), regrouped by predicted language. */
+  // lazy: langBestSql/langTieBreakSql are object vals defined further
+  // down — an eager val here would capture nulls at object init
+  lazy val p59Sql: String = {
+    val scoreCols = langScoreColsSql("n", ",\n      |         ").stripMargin
+    p54OracleCtes(P54Merges) + p56TailCtes + s""",
+      |lt AS (
+      |  SELECT doc_id,
+      |         string_split_regex(trim(lower(text)), '\\s+') AS tk,
+      |         greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS n,
+      |         regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
+      |  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)),
+      |ls AS (
+      |  SELECT doc_id, cjk,
+      |         $scoreCols
+      |  FROM lt),
+      |lb AS (
+      |  SELECT doc_id, cjk, $langBestSql AS best, * FROM ls),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN cjk THEN 'zh'
+      |         WHEN best = 0 THEN 'und'
+      |         ELSE (CASE $langTieBreakSql END)
+      |    END AS pred_lang
+      |  FROM lb)
+      |SELECT p.pred_lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(coalesce(a.n_words, 0)) AS BIGINT) AS n_words,
+      |  CAST(sum(coalesce(a.n_pieces, 0)) AS BIGINT) AS n_pieces,
+      |  CASE WHEN sum(coalesce(a.n_words, 0)) = 0 THEN NULL
+      |       ELSE round(sum(coalesce(a.n_pieces, 0))::DOUBLE /
+      |                  sum(coalesce(a.n_words, 0)), 6) END AS fertility
+      |FROM lp p LEFT JOIN agg a USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** The p55 fixture: the corpus has NO exact duplicate texts (every
     * p01 group is a singleton), so an unplanted run would emit only
@@ -2653,6 +2721,7 @@ object PipelineQueries {
     "p56_bpe_tokenize" -> p56BpeTokenize,
     "p57_quality_keeper" -> p57QualityKeeper,
     "p58_sq8_ann" -> p58Sq8Ann,
+    "p59_lang_fertility" -> p59LangFertility,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3144,6 +3213,7 @@ object PipelineQueries {
     "p56_bpe_tokenize" -> p56Sql,
     "p57_quality_keeper" -> p57Sql,
     "p58_sq8_ann" -> p58Sql,
+    "p59_lang_fertility" -> p59Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
