@@ -342,7 +342,12 @@ object Dedup {
     * `maxIter` is an error, not a silent partial answer. Returns
     * (id, component). */
   def connectedComponents(pairs: DataFrame, col0: String, col1: String,
-      maxIter: Int = 20, driverMaxEdges: Long = 1L << 20): DataFrame = {
+      // 4M edges ≈ 128 MB collected — comfortably inside the driver
+      // heap, and it keeps the adversarial 100×-replica probe dir
+      // (1.52M edges measured, EdgeCountProbe r16) on the O(E·α)
+      // union-find path instead of the straggler-noisy label-prop
+      // loop it tipped into at the old 1M bound
+      maxIter: Int = 20, driverMaxEdges: Long = 1L << 22): DataFrame = {
     val edges = pairs.select(col(col0).cast("long").as("a"),
       col(col1).cast("long").as("b"))
     // The pair graph is orders of magnitude smaller than the corpus

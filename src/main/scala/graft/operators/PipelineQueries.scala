@@ -68,6 +68,10 @@ object PipelineQueries {
   private def resetP38Stages(): Unit =
     p38Stages.getAndSet(Nil).foreach(_.unpersist(blocking = false))
 
+  /** Probe-tool access to the shared candidate pipeline. */
+  private[graft] def minhashCandsForProbe(spark: SparkSession, dir: String): DataFrame =
+    minhashCandsFor(spark, dir)
+
   private def minhashCandsFor(spark: SparkSession, dir: String): DataFrame =
     candsCache.getOrElseUpdate(dir, {
       val c = Dedup.minHashCandidates(Tables.load(spark, dir, "documents"),
