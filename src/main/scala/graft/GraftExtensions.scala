@@ -59,6 +59,24 @@ object GraftFunctions {
         case Seq(t) => LanguageIdExpr(t)
         case as => badArity("graft_language_id", as.length, "1")
       }),
+    ("graft_quality_stats",
+      "(text) - [n_tokens, n_punct, n_stop, n_wordchars] in one pass",
+      {
+        case Seq(t) => QualityStats(t)
+        case as => badArity("graft_quality_stats", as.length, "1")
+      }),
+    ("graft_gopher_stats",
+      "(text) - the nine Gopher-rule counting stats in one pass",
+      {
+        case Seq(t) => GopherStats(t)
+        case as => badArity("graft_gopher_stats", as.length, "1")
+      }),
+    ("graft_subword_count",
+      "(text) - BPE-ish subword piece count (alnum runs + non-space symbols)",
+      {
+        case Seq(t) => SubwordCountExpr(t)
+        case as => badArity("graft_subword_count", as.length, "1")
+      }),
     ("graft_simhash", "(text[, seed]) - 64-bit SimHash of the token stream",
       {
         case Seq(t) => SimHash64(t, 42L)

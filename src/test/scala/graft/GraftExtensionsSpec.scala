@@ -319,4 +319,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"n=$n seed=$seed")
     }
   }
+
+  test("SQL counting kernels match their Column-API forms bit-for-bit") {
+    registered.catalog // force registration
+    val tricky = Seq((1L, "- b\nthe AND of...\n#x 12!"), (2L, ""), (3L, " "),
+      (4L, "a\tb\u000Bc"), (5L, "word " * 30)).toDF("doc_id", "text")
+    tricky.createOrReplaceTempView("ext_cnt")
+    val viaSql = registered.sql(
+      """SELECT doc_id, graft_quality_stats(text) AS q,
+        |       graft_gopher_stats(text) AS g,
+        |       graft_subword_count(text) AS sw
+        |FROM ext_cnt ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = tricky.select(col("doc_id"),
+        graft.functions.QualityStats(col("text")).as("q"),
+        graft.functions.GopherStats(col("text")).as("g"),
+        graft.functions.SubwordCountExpr(col("text")).as("sw"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
+  }
 }
