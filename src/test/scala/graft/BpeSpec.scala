@@ -137,4 +137,24 @@ class BpeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus must not shuffle against the vocabulary:\n$plan")
   }
+
+  test("merge table is a pure function of the corpus: invariant to partition layout, 2k-word vocab") {
+    import org.apache.spark.sql.functions.col
+    // a richer synthetic vocabulary than the fixture's 31 words: 2,000
+    // distinct pseudo-words with Zipf-ish weights via repetition
+    val rng = graft.backends.DetRng(77L)
+    def word(): String = {
+      val len = 3 + rng.nextInt(8)
+      (0 until len).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    }
+    val vocab = Seq.fill(2000)(word()).distinct
+    val texts = (0 until 400).map { i =>
+      (0 until 50).map(_ => vocab(rng.nextInt(1 + (vocab.size - 1) * (1 + rng.nextInt(3)) / 3 % vocab.size))).mkString(" ")
+    }
+    val docs = corpus(texts: _*)
+    val one = TextAnalysis.bpeTrain(docs.repartition(1), "text", merges = 48)
+    val many = TextAnalysis.bpeTrain(docs.repartition(32, col("doc_id")), "text", merges = 48)
+    assert(one._1 === many._1, "merge tables must be layout-invariant")
+    assert(one._2 === many._2, "segmentations must be layout-invariant")
+  }
 }
