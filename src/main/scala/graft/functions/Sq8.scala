@@ -62,7 +62,13 @@ object Sq8Quantize {
     val n = vec.numElements()
     if (n != mn.length) return null
     var i = 0
-    while (i < n) { if (vec.isNullAt(i)) return null; i += 1 }
+    // NaN is a misfit like a null element: coding it silently to 0
+    // would diverge from the oracle (whose CAST(floor(NaN)) errors) —
+    // NULL keeps the row auditable and out of the ranking
+    while (i < n) {
+      if (vec.isNullAt(i) || java.lang.Float.isNaN(vec.getFloat(i))) return null
+      i += 1
+    }
     val out = new Array[Int](n)
     i = 0
     while (i < n) {

@@ -503,4 +503,29 @@ class WidePopulationSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"),
       s"content hashing must stay native:\n$plan")
   }
+
+  test("quality keeper: cluster members broadcast — the corpus never shuffles for the keeper") {
+    // p57's scale shape made checkable: the clustered slice is tiny
+    // relative to the corpus, so it must be the BROADCAST side of the
+    // quality join; the keeper window partitions only that slice.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, min, first}
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 300L).map(i => (i, s"text of document number $i with words"))
+      .toDF("doc_id", "text")
+    val comp = Seq((3L, 3L), (7L, 3L), (13L, 13L), (14L, 13L))
+      .toDF("doc_id", "component")
+    val qual = graft.operators.TextAnalysis.qualityMetrics(docs, "text")
+      .select(col("doc_id"), col("quality_score"))
+    val out = qual.join(broadcast(comp), Seq("doc_id"))
+      .withColumn("keeper_id", first(col("doc_id")).over(
+        Window.partitionBy("component")
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cluster members must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle against the cluster slice:\n$plan")
+  }
 }

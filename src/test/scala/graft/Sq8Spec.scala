@@ -80,6 +80,12 @@ class Sq8Spec extends AnyFunSuite {
     val out = bad.select(graft.functions.Sq8Quantize(col("embedding"),
       params.mins, params.scales).as("c")).head()
     assert(out.isNullAt(0))
+    // NaN is a misfit too — coding it silently to 0 would rank a
+    // malformed vector instead of surfacing it
+    val nan = Seq((2L, Seq.fill(dim)(Float.NaN))).toDF("vec_id", "embedding")
+    val out2 = nan.select(graft.functions.Sq8Quantize(col("embedding"),
+      params.mins, params.scales).as("c")).head()
+    assert(out2.isNullAt(0))
   }
 
   test("scoring scans codes row-locally: no UDF, no shuffle before the top-k") {
