@@ -1305,6 +1305,48 @@ object PipelineQueries {
       |       replace(seg, chr(31), ' ') AS pieces
       |FROM seg$P54Merges ORDER BY word""".stripMargin
 
+  /** Checked-in JSONL ingest fixture (graft.tools.JsonlFixture): 113
+    * valid newline-delimited records exercising missing/null fields,
+    * key reorder, unknown extras, unicode escapes, and embedded
+    * escapes. */
+  private[graft] val JsonlFixturePath = sys.env.getOrElse(
+    "GRAFT_JSONL_FIXTURE", "/root/repo/fixtures/docs.jsonl")
+
+  /** p60: JSONL ingest ([[graft.sources.Jsonl]]; see its scaladoc for
+    * the explicit-schema / FAILFAST-vs-audited contract) — the
+    * newline-delimited interchange format training corpora ship in.
+    * The gate reads the checked-in fixture with an explicit schema and
+    * emits the ingest audit (has_text, token and char counts), so
+    * missing-field NULLs, key reorder, ignored extras, \\uXXXX
+    * escapes, and embedded quote/backslash/newline escapes are all
+    * cross-engine-pinned against DuckDB's independent JSON reader. */
+  val p60JsonlIngest: Q = (spark, _) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    graft.sources.Jsonl.read(spark, JsonlFixturePath, schema)
+      .select(col("doc_id"), col("source"),
+        col("text").isNotNull.as("has_text"),
+        TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** p60 oracle: DuckDB's own newline-delimited JSON reader over the
+    * same file with the same explicit columns — nothing shared with
+    * the engine's parser. */
+  val p60Sql: String =
+    s"""SELECT doc_id, source, text IS NOT NULL AS has_text,
+      |  CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+      |       END AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM read_json('$JsonlFixturePath', format = 'newline_delimited',
+      |     columns = {doc_id: 'BIGINT', source: 'VARCHAR', text: 'VARCHAR'})
+      |ORDER BY doc_id""".stripMargin
+
   /** p58: SQ8 scalar-quantized ANN ([[SimilaritySearch.sq8TopK]]; see
     * its and [[graft.functions.Sq8Quantize]]'s scaladocs for the
     * 4×-compression scale path and the fixed-order double arithmetic
@@ -2726,6 +2768,7 @@ object PipelineQueries {
     "p57_quality_keeper" -> p57QualityKeeper,
     "p58_sq8_ann" -> p58Sq8Ann,
     "p59_lang_fertility" -> p59LangFertility,
+    "p60_jsonl_ingest" -> p60JsonlIngest,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3218,6 +3261,7 @@ object PipelineQueries {
     "p57_quality_keeper" -> p57Sql,
     "p58_sq8_ann" -> p58Sql,
     "p59_lang_fertility" -> p59Sql,
+    "p60_jsonl_ingest" -> p60Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
