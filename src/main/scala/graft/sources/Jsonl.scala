@@ -43,6 +43,25 @@ object Jsonl {
         s"jsonl read of $path failed: ${e.getMessage}", e)
     }
 
+  /** The audited parse as a FILE STREAM over a landing directory — the
+    * continuous-ingest form (new JSONL drops are picked up per
+    * micro-batch; the parse itself is stateless, so no state store).
+    * Same verdict columns as [[readAudited]]. */
+  def readAuditedStream(spark: SparkSession, dir: String, glob: String,
+      schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(Corrupt),
+      s"schema may not claim the reserved corrupt-record column $Corrupt")
+    val withCorrupt = schema.add(Corrupt, "string")
+    spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .option("pathGlobFilter", glob)
+      .json(dir)
+      .withColumn("ok", col(Corrupt).isNull)
+      .withColumnRenamed(Corrupt, "bad_line")
+  }
+
   def readAudited(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(Corrupt),
       s"schema may not claim the reserved corrupt-record column $Corrupt")

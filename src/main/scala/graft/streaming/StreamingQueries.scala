@@ -844,7 +844,49 @@ object StreamingQueries {
       |SELECT doc_id, source, n_tokens, (cum < 500) AS admitted
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** st15: streaming JSONL ingest audit — the landing-zone form of
+    * p60: the checked-in fixture streams through the audited JSON file
+    * source ([[graft.sources.Jsonl.readAuditedStream]] — the parse is
+    * STATELESS, so this key holds zero state-store rows), one audit
+    * row per line lands in the sink, and the per-source rollup of the
+    * drained sink must equal DuckDB's independent batch read of the
+    * same file. NULL source is a real group (doc 110), not a drop. */
+  val st15JsonlIngest: Q = (spark, _) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val fixture = new java.io.File(graft.operators.PipelineQueries.JsonlFixturePath)
+    val audited = graft.sources.Jsonl.readAuditedStream(
+      spark, fixture.getParent, fixture.getName, schema)
+    val rows = audited.select(col("doc_id"), col("source"), col("ok"),
+      TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+        .cast("long").as("n_tokens"))
+    drainToMemory(spark, "st15", rows.writeStream.outputMode("append"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ok"), 1)).as("n_ok"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  /** st15 oracle: DuckDB's batch read_json over the same file,
+    * regrouped per source (every fixture line is valid JSON, so n_ok
+    * = n_docs — the malformed-line path is JsonlSpec-pinned, since no
+    * SQL engine can parse a corrupt line to compare against). */
+  val st15Sql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_ok,
+      |  CAST(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+      |       END) AS BIGINT) AS n_tokens
+      |FROM read_json('${graft.operators.PipelineQueries.JsonlFixturePath}',
+      |     format = 'newline_delimited',
+      |     columns = {doc_id: 'BIGINT', source: 'VARCHAR', text: 'VARCHAR'})
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st15_stream_jsonl_ingest" -> st15JsonlIngest,
     "st12_stream_span_audit" -> st12StreamSpanAudit,
     "st13_stream_token_budget" -> st13TokenBudget,
     "st14_stream_image_near_dup" -> st14ImageNearDup,
@@ -912,6 +954,7 @@ object StreamingQueries {
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,
     "st14_stream_image_near_dup" -> st14Sql,
+    "st15_stream_jsonl_ingest" -> st15Sql,
     "st11_stream_stream_join" -> st11Sql,
     // identical computation to batch p20 — the streaming path is the
     // stream-static semi-join + update-mode fold
