@@ -70,36 +70,13 @@ object QualityStats {
   def apply(text: Column): Column =
     ColumnBridge.column(QualityStats(ColumnBridge.expression(text)))
 
-  /** Java regex \s, exactly: space, tab, LF, vertical tab, FF, CR. */
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  import TextKernelUtil.{isWs, splitCount, stopwords}
 
   /** Java regex \p{Punct}: the 32 ASCII punctuation characters. */
   private val punctMask: Array[Boolean] = {
     val m = new Array[Boolean](128)
     "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".foreach(c => m(c) = true)
     m
-  }
-
-  private val stopwords: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    graft.operators.TextAnalysis.Stopwords.foreach(s.add)
-    s
-  }
-
-  /** split("\\s+", -1).length on a non-empty string = 1 + number of
-    * maximal whitespace runs (a leading run yields the leading empty
-    * token, a trailing run the trailing one — both kept by limit -1). */
-  private def splitCount(s: String): Long = {
-    var runs = 0L
-    var inRun = false
-    var i = 0
-    while (i < s.length) {
-      if (isWs(s.charAt(i))) { if (!inRun) { runs += 1; inRun = true } }
-      else inRun = false
-      i += 1
-    }
-    1L + runs
   }
 
   def kernel(text: UTF8String): ArrayData = {

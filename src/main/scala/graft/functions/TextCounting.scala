@@ -61,26 +61,7 @@ object GopherStats {
   def apply(text: Column): Column =
     ColumnBridge.column(GopherStats(ColumnBridge.expression(text)))
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
-  private val stopwords: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    graft.operators.TextAnalysis.Stopwords.foreach(s.add)
-    s
-  }
-
-  private def splitCount(s: String): Long = {
-    var runs = 0L
-    var inRun = false
-    var i = 0
-    while (i < s.length) {
-      if (isWs(s.charAt(i))) { if (!inRun) { runs += 1; inRun = true } }
-      else inRun = false
-      i += 1
-    }
-    1L + runs
-  }
+  import TextKernelUtil.{isWs, splitCount, stopwords}
 
   def kernel(text: UTF8String): ArrayData = {
     val raw = text.toString

@@ -342,8 +342,9 @@ object Dedup {
     * `maxIter` is an error, not a silent partial answer. Returns
     * (id, component). */
   def connectedComponents(pairs: DataFrame, col0: String, col1: String,
-      // 4M edges ≈ 128 MB collected — comfortably inside the driver
-      // heap, and it keeps the adversarial 100×-replica probe dir
+      // 4M edges collect as boxed Rows (~80-100 B/edge) ≈ 400 MB plus
+      // the distinct-ids array — comfortably inside the 24g driver —
+      // and the bound keeps the adversarial 100×-replica probe dir
       // (1.52M edges measured, EdgeCountProbe r16) on the O(E·α)
       // union-find path instead of the straggler-noisy label-prop
       // loop it tipped into at the old 1M bound

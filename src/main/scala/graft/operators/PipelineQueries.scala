@@ -43,6 +43,7 @@ object PipelineQueries {
     ivfCache.clear()
     mediaCache.values.foreach(_.unpersist())
     mediaCache.clear()
+    bpeCache.clear()
     Dedup.resetCaches() // the one-slot signature cache
     Relational.resetSkewProbeCache() // q18's memoized skew stat
     resetP38Stages()
@@ -1159,7 +1160,11 @@ object PipelineQueries {
     * the p41 planted fixture, per-token FNV-1a+splitmix bucket (the
     * p03 limb chain, mod 256), exact per-(class, bucket) occurrence
     * counts over the same train slice, identical add-1 smoothing
-    * arithmetic, mean log-odds per doc, same rounding and thresholds.
+    * arithmetic, and the per-doc mean as a TOKEN-ORDERED list_reduce
+    * fold over the weights divided by the count (the engine kernel
+    * sums in token order; an unordered avg() would let DuckDB's
+    * parallel partial-sum combining reassociate the doubles — the p58
+    * sequential-fold discipline), same rounding and thresholds.
     * Nothing reads engine state: training is closed-form, so the whole
     * model is independently restated. */
   val p53Sql: String =
@@ -1179,23 +1184,23 @@ object PipelineQueries {
       |    list_filter(regexp_split_to_array(s, '\s+'), x -> x <> '') AS toks
       |  FROM d),
       |tok AS (
-      |  SELECT doc_id, clean, toks[CAST(i.i AS INTEGER)] AS tok
+      |  SELECT doc_id, clean, i.i AS i, toks[CAST(i.i AS INTEGER)] AS tok
       |  FROM tk, unnest(range(1, len(toks) + 1)) AS i(i)),
       |f0 AS (
-      |  SELECT doc_id, clean,
+      |  SELECT doc_id, clean, i,
       |    list_reduce(
       |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
       |        list_transform(range(1, length(tok) + 1),
       |          j -> CAST(ascii(substr(tok, CAST(j AS INTEGER), 1)) AS UBIGINT))),
       |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
       |  FROM tok),
-      |t1 AS (SELECT doc_id, clean, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
-      |t2 AS (SELECT doc_id, clean, xor(z, z >> 30) AS z FROM t1),
-      |t3 AS (SELECT doc_id, clean, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
-      |t4 AS (SELECT doc_id, clean, xor(z, z >> 27) AS z FROM t3),
-      |t5 AS (SELECT doc_id, clean, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
-      |t6 AS (SELECT doc_id, clean, xor(z, z >> 31) AS z FROM t5),
-      |occ AS (SELECT doc_id, clean, CAST(z % 256 AS INTEGER) AS b FROM t6),
+      |t1 AS (SELECT doc_id, clean, i, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT doc_id, clean, i, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT doc_id, clean, i, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT doc_id, clean, i, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT doc_id, clean, i, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT doc_id, clean, i, xor(z, z >> 31) AS z FROM t5),
+      |occ AS (SELECT doc_id, clean, i, CAST(z % 256 AS INTEGER) AS b FROM t6),
       |cnt AS (
       |  SELECT clean AS pos, b, CAST(count(*) AS BIGINT) AS c
       |  FROM occ WHERE doc_id % 3 = 0 GROUP BY 1, 2),
@@ -1211,7 +1216,9 @@ object PipelineQueries {
       |  LEFT JOIN (SELECT b, c FROM cnt WHERE pos) cp ON cp.b = bb.b
       |  LEFT JOIN (SELECT b, c FROM cnt WHERE NOT pos) cn ON cn.b = bb.b, tot),
       |sc AS (
-      |  SELECT occ.doc_id, round(avg(lo.w), 6) AS score
+      |  SELECT occ.doc_id, round(
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lo.w ORDER BY occ.i)),
+      |                (a, b) -> a + b) / count(*), 6) AS score
       |  FROM occ JOIN lo USING (b) GROUP BY occ.doc_id),
       |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk)
       |SELECT n.doc_id, n.n_tokens, sc.score,
@@ -1229,6 +1236,18 @@ object PipelineQueries {
     * real training, not a charset artifact. */
   private val P54Merges = 32
 
+  // train once per dir: p54 (two keys), p56, and p59 all consume the
+  // same P54Merges model — without this cache the suite retrained the
+  // identical vocabulary four times per pass (the candsCache
+  // discipline applied to model state). Cleared by BOTH reset hooks:
+  // the det gate must refit from raw parquet, and the bench's second
+  // pass measures cold training (it IS p54's measured work).
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), TextAnalysis.BpeModel]
+  private def bpeModelFor(spark: SparkSession, dir: String): TextAnalysis.BpeModel =
+    bpeCache.getOrElseUpdate((dir, P54Merges),
+      TextAnalysis.bpeTrain(Tables.load(spark, dir, "documents"), "text", P54Merges))
+
   /** p54: BPE vocabulary TRAINING over the documents corpus
     * ([[TextAnalysis.bpeTrain]]; see its scaladoc for the
     * one-corpus-pass / vocab-bounded-loop 100-TB shape and the
@@ -1236,16 +1255,16 @@ object PipelineQueries {
     * learned merge table itself — step, fused pair, and the exact
     * weighted pair count that won the step. */
   val p54BpeTrain: Q = (spark, dir) =>
-    TextAnalysis.bpeMergesDf(Tables.load(spark, dir, "documents"),
-      "text", P54Merges).orderBy("step")
+    TextAnalysis.bpeMergesDfFromModel(spark, bpeModelFor(spark, dir))
+      .orderBy("step")
 
   /** p54 segmentation gate: the learned merges applied to every
     * distinct corpus word (word, word_count, n_pieces, pieces) —
     * pins the greedy left-to-right application semantics, not just
     * the argmax sequence. */
   val p54BpeSegment: Q = (spark, dir) =>
-    TextAnalysis.bpeSegmentsDf(Tables.load(spark, dir, "documents"),
-      "text", P54Merges).orderBy("word")
+    TextAnalysis.bpeSegmentsDfFromModel(spark, bpeModelFor(spark, dir))
+      .orderBy("word")
 
   /** p54 oracle: the ENTIRE training loop restated in SQL — one CTE
     * triple per merge step, mechanically unrolled: `pc_k` recounts
@@ -1488,8 +1507,8 @@ object PipelineQueries {
     * piece counts and chars-per-piece compression, the numbers a
     * token-budgeted pretraining mix is actually planned with. */
   val p56BpeTokenize: Q = (spark, dir) =>
-    TextAnalysis.bpeTokenizeCorpus(Tables.load(spark, dir, "documents"),
-      "text", "doc_id", P54Merges).orderBy("doc_id")
+    TextAnalysis.bpeTokenizeCorpusWith(Tables.load(spark, dir, "documents"),
+      "text", "doc_id", bpeModelFor(spark, dir)).orderBy("doc_id")
 
   /** p56 oracle: the full p54 retrain chain composed with the
     * word-join tokenization — DuckDB re-learns the vocabulary and
@@ -1530,7 +1549,8 @@ object PipelineQueries {
     * language groups, never text. */
   val p59LangFertility: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
-    val perDoc = TextAnalysis.bpeTokenizeCorpus(docs, "text", "doc_id", P54Merges)
+    val perDoc = TextAnalysis.bpeTokenizeCorpusWith(docs, "text", "doc_id",
+      bpeModelFor(spark, dir))
     val langs = docs.select(col("doc_id"),
       TextAnalysis.languageId(col("text")).as("pred_lang"))
     perDoc.join(langs, Seq("doc_id"))
@@ -2560,6 +2580,7 @@ object PipelineQueries {
     candsCache.clear()
     ivfCache.values.foreach(_.cells.unpersist(blocking = false))
     ivfCache.clear()
+    bpeCache.clear()
     Dedup.resetCaches()
     Relational.resetSkewProbeCache()
     resetP38Stages()

@@ -51,10 +51,20 @@ object SimilaritySearch {
     * vectors; the result is dimension-sized and lives on the driver
     * like the IVF centroid table (quantizer = model state). */
   def sq8Params(df: DataFrame, vecCol: String): Sq8Params = {
+    // NaN elements are excluded from range fitting: Spark's max sorts
+    // NaN above +Inf, so ONE bad element would otherwise poison that
+    // dimension's scale to NaN and corrupt every CLEAN vector's codes
+    // (the bad vector itself quantizes to NULL — Sq8Quantize's
+    // NaN-as-misfit contract). A dimension with no finite value at all
+    // has no usable range and fails loudly.
     val rows = df.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .filter(!isnan(col("x")))
       .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("d").collect()
     require(rows.nonEmpty, "sq8Params needs a non-empty corpus")
+    val dims: Seq[Int] = rows.map(_.getInt(0)).toSeq
+    require(dims == dims.indices,
+      s"sq8Params: dimensions ${(dims.indices.toSet -- dims.toSet).toSeq.sorted} have no finite values")
     val mins = rows.map(_.getFloat(1).toDouble).toSeq
     val scales = rows.map(r =>
       (r.getFloat(2).toDouble - r.getFloat(1).toDouble) / 255.0).toSeq
@@ -73,15 +83,23 @@ object SimilaritySearch {
   def sq8TopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, params: Sq8Params): DataFrame = {
     val codes = graft.functions.Sq8Quantize(col(vecCol), params.mins, params.scales)
-    df.select(col(idCol).as("neighbor_id"),
+    // the top-k heap carries ONLY (id, approx) — 16 bytes/row; the
+    // float corpus is touched again solely by the k-row join-back for
+    // the exact rerank (carrying the vectors through the sort would
+    // ship the whole float corpus through the heap, defeating the
+    // scan-codes-only story)
+    val top = df.select(col(idCol).as("neighbor_id"),
         graft.functions.Sq8CosineQuery(codes, query, params.mins, params.scales)
-          .as("approx_cosine"),
-        col(vecCol).as("__v"))
+          .as("approx_cosine"))
       .filter(col("approx_cosine").isNotNull)
       .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
       .limit(k)
+    broadcast(top)
+      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+        Seq("neighbor_id"))
       .select(col("neighbor_id"), col("approx_cosine"),
         cosine(asDoubles(col("__v")), typedLit(query)).as("cosine"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
   }
 
   /** 64-bit random-hyperplane signature: bit i = sign(v · r_i) where r_i

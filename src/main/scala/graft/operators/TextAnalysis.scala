@@ -919,8 +919,21 @@ object TextAnalysis {
           "budget; raise maxVocab or pre-filter the corpus")
     val words: Array[(String, Long)] =
       rows.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // seed symbols are CODEPOINTS, not UTF-16 units: an astral char
+    // must seed ONE symbol (a per-char split would seed two unpaired
+    // surrogate halves — invalid strings that mangle on materialization
+    // and diverge from the oracle's per-codepoint string_split)
     var seg: Array[Array[String]] =
-      words.map(_._1.map(_.toString).toArray)
+      words.map { case (w, _) =>
+        val b = Array.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          val n = Character.charCount(w.codePointAt(i))
+          b += w.substring(i, i + n)
+          i += n
+        }
+        b.result()
+      }
     val out = Seq.newBuilder[BpeMerge]
     var step = 1
     while (step <= merges) {
@@ -960,12 +973,19 @@ object TextAnalysis {
       (w, c, sy.toSeq) })
   }
 
+  /** A trained BPE model: the merge table and the final per-word
+    * segmentation, exactly [[bpeTrain]]'s result. */
+  type BpeModel = (Seq[BpeMerge], Seq[(String, Long, Seq[String])])
+
   /** The [[bpeTrain]] merge table as a DataFrame — p54's merge-table
     * gate: (step, left, right, pair_count). */
-  def bpeMergesDf(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def bpeMergesDf(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeMergesDfFromModel(docs.sparkSession, bpeTrain(docs, textCol, merges))
+
+  def bpeMergesDfFromModel(spark: org.apache.spark.sql.SparkSession,
+      model: BpeModel): DataFrame = {
     import spark.implicits._
-    bpeTrain(docs, textCol, merges)._1.toDF()
+    model._1.toDF()
   }
 
   /** The learned merge list applied to every distinct corpus word —
@@ -974,10 +994,13 @@ object TextAnalysis {
     * segmentation state (segmentation is per-VOCABULARY-WORD,
     * never per occurrence; corpus text re-tokenizes by a broadcast
     * word→pieces join, the standard vocab-bounded shape). */
-  def bpeSegmentsDf(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def bpeSegmentsDf(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeSegmentsDfFromModel(docs.sparkSession, bpeTrain(docs, textCol, merges))
+
+  def bpeSegmentsDfFromModel(spark: org.apache.spark.sql.SparkSession,
+      model: BpeModel): DataFrame = {
     import spark.implicits._
-    bpeTrain(docs, textCol, merges)._2
+    model._2
       .map { case (w, c, sy) => (w, c, sy.length.toLong, sy.mkString(" ")) }
       .toDF("word", "word_count", "n_pieces", "pieces")
   }
@@ -997,10 +1020,19 @@ object TextAnalysis {
     * the standard trick: segmentation cost is paid once per DISTINCT
     * word at train time. */
   def bpeTokenizeCorpus(docs: DataFrame, textCol: String, idCol: String,
-      merges: Int): DataFrame = {
+      merges: Int): DataFrame =
+    bpeTokenizeCorpusWith(docs, textCol, idCol, bpeTrain(docs, textCol, merges))
+
+  /** [[bpeTokenizeCorpus]] with an ALREADY-trained model — the
+    * train-once path (the p54/p56/p59 keys share one training per
+    * dir). The model's vocabulary must come from the same corpus
+    * contract (same tokenization), or unknown words silently drop from
+    * the counts. */
+  def bpeTokenizeCorpusWith(docs: DataFrame, textCol: String, idCol: String,
+      model: BpeModel): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = bpeTrain(docs, textCol, merges)._2
+    val vocab = model._2
       .map { case (w, _, sy) => (w, sy.length.toLong) }
       .toDF("w", "pieces_per_word")
     val tk = split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")

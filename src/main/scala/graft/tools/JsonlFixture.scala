@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 /** One-shot generator for the checked-in JSONL ingest fixture
-  * (`fixtures/docs.jsonl`): 120 valid newline-delimited JSON records
+  * (`fixtures/docs.jsonl`): 113 valid newline-delimited JSON records
   * exercising the ingest edge surface — missing optional fields,
   * explicit nulls, reordered keys, extra unknown fields, unicode
   * escapes and raw UTF-8, numbers in strings vs numbers, and

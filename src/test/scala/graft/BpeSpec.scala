@@ -157,4 +157,17 @@ class BpeSpec extends AnyFunSuite {
     assert(one._1 === many._1, "merge tables must be layout-invariant")
     assert(one._2 === many._2, "segmentations must be layout-invariant")
   }
+
+  test("astral characters seed ONE symbol, never unpaired surrogate halves") {
+    val smile = new String(Character.toChars(0x1F600))
+    val docs = corpus(s"${smile}x ${smile}x ${smile}y")
+    val (merges, segs) = TextAnalysis.bpeTrain(docs, "text", merges = 1)
+    // seg0 of "<smile>x" must be [<smile>, x]: the (smile, x) pair wins 2:1
+    assert((merges.head.left, merges.head.right) === ((smile, "x")))
+    val sy = segs.find(_._1 == s"${smile}y").get._3
+    assert(sy === Seq(smile, "y"))
+    assert(sy.forall(sym => !sym.exists(Character.isSurrogate) ||
+      sym.codePointCount(0, sym.length) * 2 == sym.length),
+      s"no unpaired surrogate symbols: $sy")
+  }
 }

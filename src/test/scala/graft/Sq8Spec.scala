@@ -100,4 +100,22 @@ class Sq8Spec extends AnyFunSuite {
     assert(!plan.contains("Exchange") || plan.contains("TakeOrderedAndProject"),
       s"no shuffle before the top-k:\n$plan")
   }
+
+  test("one NaN element cannot poison the quantizer ranges for clean vectors") {
+    import spark.implicits._
+    val poisoned = df.union(
+      Seq((999L, Seq.tabulate(dim)(d => if (d == 3) Float.NaN else 0.1f)))
+        .toDF("vec_id", "embedding"))
+    val clean = SimilaritySearch.sq8Params(df, "embedding")
+    val p = SimilaritySearch.sq8Params(poisoned, "embedding")
+    assert(!p.scales.exists(_.isNaN) && !p.mins.exists(_.isNaN))
+    // dim 3's range only sees the poisoned vector's finite siblings
+    assert(p.mins(3) <= clean.mins(3) && p.scales(3) > 0)
+    // and the poisoned vector itself quantizes to NULL, staying out of
+    // any ranking, while clean vectors still code normally
+    val codes = poisoned.select(col("vec_id"),
+      graft.functions.Sq8Quantize(col("embedding"), p.mins, p.scales).as("c"))
+    assert(codes.filter(col("vec_id") === 999L).head().isNullAt(1))
+    assert(codes.filter(col("vec_id") =!= 999L).filter(col("c").isNull).count() === 0)
+  }
 }
