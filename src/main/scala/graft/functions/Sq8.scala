@@ -152,6 +152,10 @@ object Sq8CosineQuery {
     var nx = 0.0
     var i = 0
     while (i < n) {
+      // a null code element is a misfit like Sq8Quantize's null/NaN
+      // input elements: reading it as 0 would silently score a
+      // corrupted vector — NULL keeps the row out of the ranking
+      if (codes.isNullAt(i)) return null
       val x = mn(i) + codes.getInt(i) * sc(i)
       dot += x * q(i)
       nx += x * x

@@ -693,21 +693,28 @@ case class HashedLogOdds(child: Expression, logOdds: Seq[Double])
 }
 
 object HashedLogOdds {
+  // Tokenization MUST mirror the training pass (Spark trim/split in
+  // nbQualityClassifier): maximal non-\s runs. Java String.trim strips
+  // every char <= U+0020, so text bordered by control chars like 
+  // would bucket differently at train vs score time — walk the string
+  // with the shared TextKernelUtil.isWs class instead.
   def kernel(text: String, w: Array[Double]): java.lang.Double = {
-    val tokens = text.trim.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty)
-    if (tokens.isEmpty) null
-    else {
-      var s = 0.0
-      var i = 0
-      while (i < tokens.length) {
-        s += w(java.lang.Long.remainderUnsigned(
-          DetRngHash.xx(tokens(i).getBytes("UTF-8")),
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    var sum = 0.0
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      if (TextKernelUtil.isWs(s.charAt(i))) i += 1
+      else {
+        val start = i
+        while (i < s.length && !TextKernelUtil.isWs(s.charAt(i))) i += 1
+        sum += w(java.lang.Long.remainderUnsigned(
+          DetRngHash.xx(s.substring(start, i).getBytes("UTF-8")),
           w.length.toLong).toInt)
-        i += 1
+        n += 1L
       }
-      java.lang.Double.valueOf(s / tokens.length)
     }
+    if (n == 0L) null else java.lang.Double.valueOf(sum / n)
   }
 
   def apply(text: Column, logOdds: Seq[Double]): Column =

@@ -421,6 +421,43 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware duplicate-cluster keeper join — the act step on a
+    * component table (the p18 closure): each clustered doc joins its
+    * quality score and the component keeper is the highest-quality
+    * member (ties to the smallest id). Returns one auditable row per
+    * clustered doc: (idCol, component, scoreCol, keeper_id, kept).
+    *
+    * Scale shape is a measured TWO-PATH GATE, not an assumption: on a
+    * curated corpus the clustered slice is orders of magnitude smaller
+    * than the corpus and BROADCASTS, so the corpus-side quality scan
+    * streams through without shuffling — but on a raw web crawl
+    * near-dup clusters cover 30–50 % of documents (the RefinedWeb/CCNet
+    * regime), where a forced broadcast of a billions-of-rows component
+    * table is an executor-OOM scale-killer. The gate counts the
+    * component table (one cheap action over an already-materialized
+    * closure — [[connectedComponents]]' driver path is a local
+    * relation, its distributed path a cached label table) and above
+    * `maxBroadcastRows` declares a hash-co-partitioned SortMergeJoin
+    * on the id instead ([[incrementalDedup]]'s both-sides-large
+    * discipline); the keeper window then re-partitions only the
+    * clustered rows by component. Both plan shapes are spec-pinned
+    * (PlanShapeSpec guards the GATE, not one branch). */
+  def qualityKeeper(qual: DataFrame, scoreCol: String, comp: DataFrame,
+      idCol: String, maxBroadcastRows: Long = 4L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBroadcastRows >= 0, "maxBroadcastRows must be >= 0")
+    val clustered = comp.count()
+    val side =
+      if (clustered <= maxBroadcastRows) broadcast(comp)
+      else comp.hint("shuffle_merge")
+    qual.join(side, Seq(idCol))
+      .withColumn("keeper_id", first(col(idCol)).over(
+        Window.partitionBy("component")
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .select(col(idCol), col("component"), col(scoreCol),
+        col("keeper_id"), (col(idCol) === col("keeper_id")).as("kept"))
+  }
+
   /** Near-duplicate pairs over ANY 64-bit fingerprint column:
     * Hamming(sig0, sig1) ≤ maxHamming, bucketed on (maxHamming+1)
     * disjoint chunks of the fingerprint — by pigeonhole, a pair within

@@ -1383,7 +1383,9 @@ object PipelineQueries {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** p58 oracle: DuckDB RETRAINS the quantizer (per-dim FLOAT min/max,
+  /** p58 oracle: DuckDB RETRAINS the quantizer (per-dim FLOAT min/max
+    * over non-NaN elements — mirroring sq8Params' documented NaN-safe
+    * ranges, so a NaN element can't poison the oracle's max/scale —
     * scale = (max−min)/255 in DOUBLE), re-derives every code with the
     * same floor/clamp arithmetic, and replays the dot/norm
     * accumulations as ORDERED list_reduce folds (ascending dimension —
@@ -1398,6 +1400,7 @@ object PipelineQueries {
       |  FROM (SELECT unnest(embedding) AS x,
       |               generate_subscripts(embedding, 1) AS d
       |        FROM embeddings)
+      |  WHERE NOT isnan(x)
       |  GROUP BY d),
       |cd AS (
       |  SELECT e.vec_id, p.d, p.mn, p.s,
@@ -1447,13 +1450,14 @@ object PipelineQueries {
     * min-id one; ties break to the smallest doc_id. One auditable row
     * per clustered doc (the p52 verdict discipline).
     *
-    * Scale shape: the cluster-member table is orders of magnitude
-    * smaller than the corpus (LSH candidates only), so it BROADCASTS
-    * against the corpus-side quality scan — the corpus streams through
-    * once and never shuffles; the keeper argmax is a window over the
-    * component partitioning of the tiny clustered slice. */
+    * Scale shape: [[Dedup.qualityKeeper]]'s MEASURED two-path gate —
+    * on this curated fixture the clustered slice is tiny and
+    * broadcasts (the corpus streams through once and never shuffles
+    * for the join); on a dup-heavy crawl (RefinedWeb regime, 30–50 %
+    * of docs clustered) the gate declares a hash-co-partitioned
+    * SortMergeJoin instead of an executor-OOM broadcast. Both branches
+    * are plan-guarded and 100×-probed (STATUS.md p57 rows). */
   val p57QualityKeeper: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashCandsFor(spark, dir)
       .filter(col("est_jaccard") >= 0.2)
       .select(col("id0"), col("id1"))
@@ -1462,12 +1466,7 @@ object PipelineQueries {
     val qual = TextAnalysis.qualityMetrics(
         Tables.load(spark, dir, "documents"), "text")
       .select(col("doc_id"), col("quality_score"))
-    qual.join(broadcast(comp), Seq("doc_id"))
-      .withColumn("keeper_id", first(col("doc_id")).over(
-        Window.partitionBy("component")
-          .orderBy(col("quality_score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("component"), col("quality_score"),
-        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("kept"))
+    Dedup.qualityKeeper(qual, "quality_score", comp, "doc_id")
       .orderBy("doc_id")
   }
 

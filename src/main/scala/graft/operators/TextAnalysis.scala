@@ -848,7 +848,9 @@ object TextAnalysis {
     * pass is a row-local codegen'd projection with zero exchanges.
     * Both classes must appear in the training slice (named error
     * otherwise — a silent one-class fit would score everything 0).
-    * NULL text ≡ blank (no tokens): NULL score, 'na' verdict. */
+    * NULL text ≡ blank (no tokens): NULL score — verdict bucketing
+    * (e.g. p53's 'keep'/'drop'/'na') is the caller's concern; this
+    * method returns only (id, n_tokens, score). */
   def nbQualityClassifier(docs: DataFrame, textCol: String, idCol: String,
       posCond: Column, trainCond: Column,
       dim: Int = 256, k: Double = 1.0): DataFrame = {

@@ -504,28 +504,57 @@ class WidePopulationSpec extends AnyFunSuite {
       s"content hashing must stay native:\n$plan")
   }
 
-  test("quality keeper: cluster members broadcast — the corpus never shuffles for the keeper") {
-    // p57's scale shape made checkable: the clustered slice is tiny
-    // relative to the corpus, so it must be the BROADCAST side of the
-    // quality join; the keeper window partitions only that slice.
+  test("quality keeper gate, small-cluster branch: members broadcast — the corpus never shuffles for the join") {
+    // p57's scale shape made checkable — BOTH branches of the measured
+    // gate, not one assumed shape. Curated-corpus regime: the clustered
+    // slice is tiny relative to the corpus, so it must be the BROADCAST
+    // side of the quality join; the keeper window partitions only that
+    // slice.
     import spark.implicits._
-    import org.apache.spark.sql.functions.{broadcast, col, min, first}
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.col
     val docs = (0L until 300L).map(i => (i, s"text of document number $i with words"))
       .toDF("doc_id", "text")
     val comp = Seq((3L, 3L), (7L, 3L), (13L, 13L), (14L, 13L))
       .toDF("doc_id", "component")
     val qual = graft.operators.TextAnalysis.qualityMetrics(docs, "text")
       .select(col("doc_id"), col("quality_score"))
-    val out = qual.join(broadcast(comp), Seq("doc_id"))
-      .withColumn("keeper_id", first(col("doc_id")).over(
-        Window.partitionBy("component")
-          .orderBy(col("quality_score").desc, col("doc_id"))))
+    val out = graft.operators.Dedup.qualityKeeper(
+      qual, "quality_score", comp, "doc_id")
     out.count()
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
-      s"cluster members must broadcast:\n$plan")
+      s"cluster members must broadcast below the gate threshold:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
-      s"the corpus must not shuffle against the cluster slice:\n$plan")
+      s"the corpus must not shuffle against a tiny cluster slice:\n$plan")
+  }
+
+  test("quality keeper gate, dup-heavy branch: above the threshold the join is SortMergeJoin, never a forced broadcast") {
+    // RefinedWeb regime: near-dup clusters cover 30-50% of a raw crawl,
+    // so the component table is corpus-scale and a forced broadcast is
+    // an executor-OOM scale-killer — above maxBroadcastRows the gate
+    // must declare a hash-co-partitioned SortMergeJoin on the id.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 300L).map(i => (i, s"text of document number $i with words"))
+      .toDF("doc_id", "text")
+    // 40% of docs clustered — and the gate forced shut (threshold 0)
+    // so the test pins the SMJ branch without a multi-GB fixture
+    val comp = (0L until 120L).map(i => (i, i / 4 * 4)).toDF("doc_id", "component")
+    val qual = graft.operators.TextAnalysis.qualityMetrics(docs, "text")
+      .select(col("doc_id"), col("quality_score"))
+    val out = graft.operators.Dedup.qualityKeeper(
+      qual, "quality_score", comp, "doc_id", maxBroadcastRows = 0L)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"a corpus-scale cluster table must hash-co-partition (SMJ):\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"neither corpus-sized side may broadcast above the gate threshold:\n$plan")
+    // semantics are branch-invariant: same keepers either way
+    val viaBroadcast = graft.operators.Dedup.qualityKeeper(
+        qual, "quality_score", comp, "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val viaSmj = out.orderBy("doc_id").collect().toSeq
+    assert(viaBroadcast == viaSmj, "gate branches must agree row-for-row")
   }
 }
