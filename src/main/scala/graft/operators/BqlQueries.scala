@@ -84,6 +84,24 @@ object BqlQueries {
         "ignore c_name, c_mktsegment, c_custkey)")
       b.execute("create generator tgen for tpop using troll_rng")
       b.execute("initialize 2 models for tgen")
+      // restricted-ANALYZE ensemble (b43): its ONLY analysis passes run
+      // under VARIABLES / ROWS / SUBPROBLEMS programs, so the fitted
+      // state b43 hashes is a pure function of the restriction
+      // machinery (CrossCatBackend's plan restriction) — over NATION
+      // (25 rows, entirely inside the 500-row MCMC subsample, so the
+      // literal ROWS list is guaranteed incorporated; a larger table's
+      // seeded subsample won't deterministically contain named rowids
+      // — the named-error path BqlExecSpec pins)
+      b.execute("create population nrpop for nation (" +
+        "set stattypes of n_nationkey, n_regionkey to numerical; " +
+        "ignore n_name)")
+      b.execute("create generator nrgen for nrpop using cgpm")
+      b.execute("initialize 2 models for nrgen")
+      b.execute("analyze nrgen for 2 iterations " +
+        "(variables n_nationkey, n_regionkey; " +
+        "rows 1, 2, 3, 4, 5, 6, 7, 8; " +
+        "subproblems (row clustering, variable hyperparameters))")
+      b.execute("analyze nrgen for 1 iteration (skip n_regionkey)")
       b
     })
 
@@ -355,6 +373,21 @@ object BqlQueries {
   val b41LoomSimulateRowid: Q = (spark, dir) => bdb(spark, dir).execute(
     """SIMULATE l_extendedprice, l_discount FROM lpop MODELED BY lloom
       |GIVEN rowid = 5 LIMIT 40""".stripMargin)
+
+  /** b43: restricted-ANALYZE determinism — the ONLY analysis lrgen ever
+    * receives runs under explicit ANALYZE programs (VARIABLES + ROWS +
+    * SUBPROBLEMS, then SKIP), so the ensemble state this key reflects
+    * is a pure function of the restriction machinery
+    * (CrossCatBackend's kernel/row/variable plan restriction — the
+    * reference's `bayesdb_generator_analyze` program surface). The
+    * det_match gate re-fits from scratch under the same seed and
+    * hash-compares: a map-iteration-order or RNG leak ANYWHERE in the
+    * restricted Gibbs path flips it. Rows-only by the same argument as
+    * b14–b16 (sampler output no SQL engine restates). */
+  val b43RestrictedAnalyze: Q = (spark, dir) => bdb(spark, dir).execute(
+    """ESTIMATE DEPENDENCE PROBABILITY
+      |FROM PAIRWISE VARIABLES OF nrpop MODELED BY nrgen
+      |ORDER BY name0, name1""".stripMargin)
 
   /** b42: the persistence contract — the reference's on-disk .bdb
     * analogue ([[BayesDB.save]]/[[BayesDB.open]]; reference
@@ -959,7 +992,8 @@ object BqlQueries {
     "b39_loom_dependence" -> b39LoomDependence,
     "b40_troll_estimators" -> b40TrollEstimators,
     "b41_loom_simulate_rowid" -> b41LoomSimulateRowid,
-    "b42_save_reopen" -> b42SaveReopen)
+    "b42_save_reopen" -> b42SaveReopen,
+    "b43_restricted_analyze" -> b43RestrictedAnalyze)
 
   val oracles: Map[String, String] = Map(
     // nig_normal closed forms (reference src/backends/nig_normal.py:

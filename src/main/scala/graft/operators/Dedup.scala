@@ -166,6 +166,108 @@ object Dedup {
         coalesce(col("prior_keeper"), col("inc_keeper")).as("keeper_id"))
   }
 
+  /** Incremental NEAR-duplicate dedup — [[incrementalDedup]]'s MinHash
+    * rung, the actual recurring crawl-refresh job: a new snapshot is
+    * mostly *near* duplicates of the prior one (template drift, ad
+    * rotation, timestamps), which the exact-hash increment audit
+    * cannot see. Every NEW document (id absent from the prior
+    * snapshot) is near-dup-checked against the prior snapshot's
+    * MinHash signature table: verdict `near_dup_of_prior` with the
+    * best-matching prior keeper (highest signature-estimated Jaccard
+    * ≥ `minEstJaccard`, ties to the smallest prior id) or `new`
+    * (keeper = itself, NULL estimate). One row per new doc — the
+    * auditable drop set, the p52/p55 discipline.
+    *
+    * Scale shape: BOTH sides are corpus-sized (a daily increment is
+    * terabytes, the prior snapshot tens of them), so NOTHING
+    * broadcasts — every join is declared SHUFFLE_MERGE:
+    *  1. the id anti-join finding new docs (co-partitioned on id);
+    *  2. the band join: both sides reduce row-locally to (id, band,
+    *     band_hash) 24-byte rows — signatures are computed once per
+    *     row ([[graft.functions.MinHashSignature]], codegen) and the
+    *     1 KB sig arrays stay OUT of the bucket exchange — and meet
+    *     hash-co-partitioned on (band, band_hash), the st10
+    *     stream-static band state generalized to batch;
+    *  3. the signature rejoin of surviving (new, prior) candidate
+    *     pairs (deduped across bands first, so the agreement kernel
+    *     runs once per pair, not once per colliding band).
+    * The keeper argmax is ONE map-side-combinable max(struct) — the
+    * (est DESC, prior_id ASC) total order packed into one struct —
+    * never a window over all matches. Hot band buckets (boilerplate)
+    * are capped on the PRIOR side: an over-`maxBucketSize` bucket
+    * keeps three deterministic hub rows (min id, max id, min salted
+    * id-hash — [[inBucketPairs]]'s star discipline), so a degenerate
+    * bucket emits O(new) pairs instead of O(new × prior); every new
+    * doc still gets its verdict row, recall above the cap is the same
+    * three-hub approximation callers already accept. */
+  def incrementalNearDedup(prior: DataFrame, curr: DataFrame,
+      textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+      minEstJaccard: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val newDocs = curr
+      .join(prior.select(col(idCol)).hint("shuffle_merge"), Seq(idCol), "left_anti")
+    def sigOf(df: DataFrame, side: Int): DataFrame = spread(df).select(
+        col(idCol).as("id"),
+        minHashSignature(numHashes, shingleSize, seed)(col(textCol)).as("sig"),
+        lit(side).as("side"))
+      .filter(col("sig").isNotNull)
+    // one cached signature table for both sides: banding reads it once,
+    // the est rejoin twice (the one-slot registry evicts the previous
+    // call's cache, same lifecycle as minHashCandidates)
+    val signed = cacheSigned(
+      sigOf(newDocs, 1).unionByName(sigOf(prior, 0)))
+    def banded(side: Int, idName: String): DataFrame = signed
+      .filter(col("side") === side)
+      .select(col("id").as(idName),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(b))): _*))
+          .as(Seq("band", "band_hash")))
+    val w = Window.partitionBy("band", "band_hash")
+    val saltedHash = xxhash64(col("prior_id"), lit(0x517cc1b7L))
+    val priorBands = banded(0, "prior_id")
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__is_hub",
+        col("prior_id") === min(col("prior_id")).over(w) ||
+          col("prior_id") === max(col("prior_id")).over(w) ||
+          saltedHash === min(saltedHash).over(w))
+      .filter(col("__n") <= maxBucketSize || col("__is_hub"))
+      .select("band", "band_hash", "prior_id")
+    val cand = banded(1, "new_id").hint("shuffle_merge")
+      .join(priorBands, Seq("band", "band_hash"))
+      .select("new_id", "prior_id")
+      .dropDuplicates("new_id", "prior_id")
+    val matches = cand
+      .hint("shuffle_merge")
+      .join(signed.filter(col("side") === 1)
+        .select(col("id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
+      .hint("shuffle_merge")
+      .join(signed.filter(col("side") === 0)
+        .select(col("id").as("prior_id"), col("sig").as("sig_p")), Seq("prior_id"))
+      .withColumn("est_jaccard",
+        graft.functions.SignatureAgreement(col("sig_n"), col("sig_p"))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    // keeper argmax as ONE combinable aggregate: lexicographic struct
+    // max = (highest est, then smallest prior id via the negated key)
+    val best = matches.groupBy(col("new_id"))
+      .agg(max(struct(col("est_jaccard").as("e"), (-col("prior_id")).as("np"),
+        col("prior_id").as("pid"))).as("b"))
+      .select(col("new_id").as(idCol), col("b.pid").as("__keeper"),
+        col("b.e").as("__est"))
+    newDocs.select(col(idCol))
+      .hint("shuffle_merge")
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__keeper").isNotNull, lit("near_dup_of_prior"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("__keeper"), col(idCol)).as("keeper_id"),
+        col("__est").as("est_jaccard"))
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** Word n-gram shingles as a native column (row-local; the transform
@@ -329,18 +431,15 @@ object Dedup {
 
   /** Connected components of a near-duplicate pair graph — the step
     * that turns pairwise candidates into dedup CLUSTERS (keep one doc
-    * per component). Iterative min-label propagation: every node starts
-    * labeled with its own id; each round, a node takes the minimum of
-    * its label and its neighbors' labels; fixpoint = components labeled
-    * by their minimum member.
+    * per component). Components are labeled by their minimum member.
     *
-    * Scale design: each round is ONE shuffle (edge–label join + min
-    * aggregate) over the EDGE list, never all-pairs; labels only
-    * decrease, so convergence needs at most `diameter` rounds — near-dup
-    * clusters are dense and shallow (LSH links most members directly),
-    * so 3–5 rounds cover real corpora. A non-converged graph after
-    * `maxIter` is an error, not a silent partial answer. Returns
-    * (id, component). */
+    * Scale design: up to `driverMaxEdges` the closure runs as driver
+    * union-find (O(E·α), one collect); beyond it, the distributed path
+    * is alternating large-star/small-star contraction (Kiveris et al.
+    * 2014) — O(log² n) rounds on any topology, a few shuffles per
+    * round over the EDGE list (which shrinks as it contracts), never
+    * all-pairs. A non-converged graph after `maxIter` rounds is an
+    * error, not a silent partial answer. Returns (id, component). */
   def connectedComponents(pairs: DataFrame, col0: String, col1: String,
       // 4M edges collect as boxed Rows (~80-100 B/edge) ≈ 400 MB plus
       // the distinct-ids array — comfortably inside the 24g driver —
@@ -359,7 +458,9 @@ object Dedup {
     // the scale path. Both label components by their minimum member;
     // PipelineSpec pins path equality.
     val bounded = edges
-      .limit(math.min(driverMaxEdges + 1, Int.MaxValue.toLong - 8L).toInt)
+      // +1 AFTER the clamp: a Long.MaxValue bound must not overflow to
+      // a negative limit
+      .limit((math.min(driverMaxEdges, Int.MaxValue.toLong - 9L) + 1L).toInt)
       .collect()
     if (bounded.length <= driverMaxEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -380,45 +481,89 @@ object Dedup {
       import spark.implicits._
       return rows.toSeq.toDF("id", "component")
     }
-    val sym = edges.unionByName(
-      edges.select(col("b").as("a"), col("a").as("b"))).cache()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    labels.count()
-    // the cache backing the current labels — labels itself becomes an
-    // uncached projection of it after the first round, so unpersisting
-    // labels directly would be a no-op and pin every round's cache
-    var labelsCache: DataFrame = labels
+    // Distributed fallback: alternating LARGE-STAR / SMALL-STAR
+    // contraction (Kiveris et al., "Connected Components in MapReduce
+    // and Beyond", 2014) — the r16 label-propagation loop needed up to
+    // `diameter` rounds and its probe record was straggler-noisy at
+    // 1.5M edges; star contraction converges in O(log² n) rounds on
+    // ANY topology (a long path that cost label-prop `diameter` rounds
+    // halves every round here; dense LSH clusters collapse in 1–2),
+    // and the edge list SHRINKS toward one star edge per non-root node
+    // as it runs. Each round is two groupBy+rejoin passes over the
+    // edge list — the rejoin reuses the groupBy's hash exchange — plus
+    // one exact fixpoint check (count + anti-join; no probabilistic
+    // signature can stop the loop early on a collision). Per-round
+    // caches release as soon as the next round materializes; self-loop
+    // rows ride outside the contraction (large-star would silently
+    // drop a degree-0 node) and label themselves.
+    //
+    //   large-star: every node links its LARGER neighbors to
+    //               min(Γ(u) ∪ {u})   — emits (v, m) for v > u
+    //   small-star: every node links its smaller neighbors and itself
+    //               to the minimum    — emits (v, m), v ≠ m, and (u, m)
+    //
+    // Fixpoint = star forests rooted at each component's minimum
+    // member, which is exactly the driver union-find's labeling
+    // (PipelineSpec pins path equality).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input arrives oriented a > b (large-star output), so Γ(a) here
+      // is exactly the smaller-neighbor set the operator contracts
+      val m = e.groupBy("a").agg(min("b").as("m"))
+      e.join(m, "a").filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(m.select(col("a"), col("m").as("b")))
+    }
+    // Each star round references the previous round's frame ~10 times
+    // (sym union + min-rejoin, twice), so an un-truncated logical plan
+    // grows EXPONENTIALLY with rounds — round 5 is a gigabyte-scale
+    // plan tree before a single task runs. Every round therefore hops
+    // through a cached RDD: the hop pins the round's data (so the next
+    // round reads materialized partitions, and stragglers can't
+    // re-climb the whole lineage) and resets the plan to a leaf — the
+    // public-API form of per-round localCheckpoint.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def pin(df: DataFrame): (org.apache.spark.rdd.RDD[(Long, Long)], Long, DataFrame) = {
+      val rdd = df.as[(Long, Long)].rdd.cache()
+      (rdd, rdd.count(), rdd.toDF("a", "b"))
+    }
+    var (curRdd, curCount, cur) = pin(edges.dropDuplicates("a", "b"))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("b"), col("component").as("nc")), "b")
-        .groupBy(col("a").as("id")).agg(min("nc").as("nmin"))
-      // carry the previous label through the update so convergence is
-      // ONE action on the cached result, not an extra self-join pass
-      val updated = labels.withColumnRenamed("component", "old")
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("component"),
-          col("old"))
-        .cache()
-      val changed = updated.filter(col("component") =!= col("old"))
-        .limit(1).count()
-      labelsCache.unpersist()
-      labelsCache = updated
-      labels = updated.select("id", "component")
-      converged = changed == 0L
+      val (nextRdd, nextCount, next) = pin(
+        smallStar(largeStar(cur.filter(col("a") =!= col("b"))))
+          .unionByName(cur.filter(col("a") === col("b")))
+          .dropDuplicates("a", "b"))
+      // exact fixpoint: same cardinality and next ⊆ cur ⇒ equal sets
+      val changed = nextCount != curCount ||
+        next.join(cur, Seq("a", "b"), "left_anti").limit(1).count() > 0L
+      curRdd.unpersist(blocking = false)
+      curRdd = nextRdd
+      cur = next
+      curCount = nextCount
+      converged = !changed
       it += 1
     }
-    sym.unpersist()
-    require(converged,
-      s"connectedComponents did not converge within $maxIter rounds" +
-        " — graph diameter exceeds the bound; raise maxIter")
-    // the last round's cache stays live until the caller materializes
-    // the result; localCheckpoint-free by design — it is one (id,
-    // component) table, small relative to the corpus
-    labels
+    if (!converged) {
+      curRdd.unpersist(blocking = false)
+      require(converged,
+        s"connectedComponents did not converge within $maxIter rounds" +
+          " — raise maxIter")
+    }
+    // star edges: (member, root); every root appears as b (and an
+    // isolated self-loop node as its own (x, x) row) — the min-agg is
+    // a no-op at fixpoint but keeps the assembly deterministic
+    cur.select(col("a").as("id"), col("b").as("component"))
+      .unionByName(cur.select(col("b").as("id"), col("b").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
   }
 
   /** Quality-aware duplicate-cluster keeper join — the act step on a

@@ -279,6 +279,19 @@ object Multimodal {
       }
   }
 
+  /** Audio spectral fingerprints over WAV/PCM binary payloads — the
+    * audio rung of the media ladder ([[graft.functions.AudioSpectralHash]];
+    * see its scaladoc for the RIFF-parse/Goertzel/floored-bit kernel).
+    * Unlike the image path this is a NATIVE codegen'd expression, not
+    * mapPartitions — the parse is pure JVM byte math, no codec library.
+    * NULL payloads keep an auditable defined=false row (the p50
+    * contract). Returns (idCol, defined, fp). */
+  def audioFingerprints(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.AudioSpectralHash(
+          coalesce(col(binCol), lit(Array.emptyByteArray))).as("__a"))
+      .select(col(idCol), col("__a.defined").as("defined"), col("__a.fp").as("fp"))
+
   /** Frame sampling for video-like payloads: split the payload into
     * `frameSize`-byte frames and keep every `stride`-th — the explode-
     * side shape (one row in, many typed rows out). */

@@ -1443,6 +1443,114 @@ object PipelineQueries {
       |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q2
       |ORDER BY t.a DESC, t.neighbor_id""".stripMargin
 
+  /** p62: IVF × SQ8 composite ANN ([[SimilaritySearch.ivfSq8Index]] /
+    * [[SimilaritySearch.ivfSq8TopK]]) — the index FAISS actually ships
+    * at scale: the coarse quantizer prunes the scan to nProbe cells,
+    * the scalar codes compress the surviving scan 4×. Probed
+    * EXHAUSTIVELY here
+    * (nProbe = nCentroids, the p15 discipline): every cell is scanned,
+    * so the ranking is independent of the k-means fit and the whole
+    * composite (routing, per-cell code storage, code scan, rerank)
+    * sits behind p58's flat-SQ8 oracle — if the cell routing dropped
+    * or misrouted one vector, the top-k would differ. The pruned
+    * production shape is recall-pinned in PipelineSpec. */
+  val p62IvfSq8Ann: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val ivf = ivfIndexFor(spark, dir)
+    val params = SimilaritySearch.sq8Params(emb, "embedding")
+    val idx = SimilaritySearch.ivfSq8Index(emb, "embedding", "vec_id", ivf, params)
+    SimilaritySearch.ivfSq8TopK(idx, emb, "embedding", "vec_id", q, 10,
+        nProbe = ivf.centroids.length)
+      .select(col("neighbor_id"),
+        round(col("approx_cosine"), 6).as("approx_cosine"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** p63: sharded training-mix sink ([[graft.sources.ShardedSink]];
+    * see its scaladoc for the deterministic-shard/manifest contract) —
+    * the export writes 8 seeded-fold shards of the corpus to a scratch
+    * dir and the gate hashes the READ-BACK manifest, so shard routing,
+    * the parquet round-trip, and all four manifest aggregates sit
+    * behind the oracle. Round-trip row equality is spec-pinned
+    * (ShardedSinkSpec). */
+  val p63ShardedSink: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("graft_p63_").toString
+    graft.sources.ShardedSink.write(docs, "text", "doc_id", out,
+        nShards = 8, seed = 17L)
+      .orderBy("shard")
+  }
+
+  /** p63 oracle: the shared SplitMix64 fold chain (shard = h % 8, the
+    * p21 discipline), the corpus whitespace token count (p60's CASE
+    * form), UTF-8 byte lengths (DuckDB strlen counts octets, as
+    * Spark's octet_length does), and the id digest as
+    * sha256(string_agg(id, ',' ORDER BY id)) — numeric order, the
+    * same ascending-long order the engine sorts before joining. */
+  val p63Sql: String =
+    mixChainSql("SELECT doc_id, text, xor(CAST(doc_id AS UBIGINT), CAST(17 AS UBIGINT)) AS z FROM documents") + """
+      |s AS (SELECT doc_id, text, CAST(z % 8 AS BIGINT) AS shard FROM h)
+      |SELECT shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+      |       END) AS BIGINT) AS n_tokens,
+      |  CAST(sum(coalesce(strlen(text), 0)) AS BIGINT) AS n_bytes,
+      |  sha256(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_sha256
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  private[graft] val AudioFixturePath = sys.env.getOrElse(
+    "GRAFT_AUDIO_FIXTURE", "/root/repo/fixtures/audio_fixture.parquet")
+
+  /** p64: audio spectral fingerprints over the checked-in WAV fixture
+    * ([[Multimodal.audioFingerprints]] /
+    * [[graft.functions.AudioSpectralHash]]) — the audio rung of the
+    * media ladder. The fixture's expected fingerprints are analytic
+    * (a pure tone on probe bin b is exactly `1 << (b-1)` at ANY
+    * amplitude/channel count thanks to the kernel's relative floor;
+    * square/saw contribute their harmonic bins; malformed payloads pin
+    * defined=false), so the gate checks the full RIFF parse + Goertzel
+    * + floored-bit chain against independently-stated values. */
+  val p64AudioFingerprint: Q = (spark, _) =>
+    Multimodal.audioFingerprints(
+        spark.read.parquet(AudioFixturePath), "doc_id", "media")
+      .orderBy("doc_id")
+
+  /** p64 oracle: the fixture's stored analytic expectations. */
+  val p64Sql: String =
+    s"""SELECT doc_id, fp_defined AS defined, fp
+       |FROM read_parquet('$AudioFixturePath/*.parquet')
+       |ORDER BY doc_id""".stripMargin
+
+  /** p65: audio near-duplicate PAIRS — [[Dedup.hammingPairs]] over the
+    * p64 fingerprints, Hamming ≤ 1 (the amplitude-scaled, sub-floor-
+    * noisy, stereo-encoded, and bit-identical variants must all pair;
+    * tones on different bins sit at Hamming 2 and must not). Oracle is
+    * the brute-force Hamming self-join over the stored fingerprints —
+    * the p51 discipline. */
+  val p65AudioNearDup: Q = (spark, _) => {
+    val hashed = Multimodal.audioFingerprints(
+        spark.read.parquet(AudioFixturePath), "doc_id", "media")
+      .filter(col("defined"))
+    Dedup.hammingPairs(hashed, "doc_id", "fp", maxHamming = 1)
+      .orderBy("id0", "id1")
+  }
+
+  /** p65 oracle: brute force over the stored fingerprints (11 defined
+    * rows — the quadratic is the oracle's to pay). */
+  val p65Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, fp FROM read_parquet('$AudioFixturePath/*.parquet')
+       |  WHERE fp_defined)
+       |SELECT a.doc_id AS id0, b.doc_id AS id1,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 1
+       |ORDER BY id0, id1""".stripMargin
+
   /** p57: quality-aware duplicate-cluster keeper selection — the act
     * step production dedup actually wants: within each near-dup
     * component (the p18 closure over the p02 LSH pair graph), keep the
@@ -1664,6 +1772,63 @@ object PipelineQueries {
       |LEFT JOIN pk USING (content_hash)
       |JOIN ik USING (content_hash)
       |ORDER BY i.doc_id""".stripMargin
+
+  /** p61: incremental NEAR-dup dedup ([[Dedup.incrementalNearDedup]];
+    * see its scaladoc for the all-SHUFFLE_MERGE both-sides-large
+    * shape) — p55's exact-hash increment audit generalized to the
+    * MinHash rung: a crawl refresh is mostly *near* duplicates of the
+    * prior snapshot, which byte-identity cannot see. Same snapshot
+    * split as p55 (prior = doc_id % 4 ≠ 1, increment = % 4 = 1); the
+    * corpus's natural near-dups put both verdicts at both gate SFs
+    * (8 near_dup_of_prior at sf0.01, 12 at sf0.001). */
+  val p61NearDupIncrement: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val prior = docs.filter(pmod(col("doc_id"), lit(4)) =!= 1)
+    Dedup.incrementalNearDedup(prior, docs, "text", "doc_id",
+        minEstJaccard = 0.2)
+      .select(col("doc_id"), col("verdict"), col("keeper_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** p61 oracle: p02's bit-exact signature/band restatement (guarded
+    * substring composition, the p28/p52/p57 pattern) with the band
+    * self-join re-aimed ACROSS the snapshot split (new × prior instead
+    * of id0 < id1), the same agreement/128 estimate, and the keeper
+    * argmax restated as a (ej DESC, prior_id) row_number — exactly the
+    * total order the engine packs into its struct max. The 64-entry
+    * prior-side bucket cap never binds at gate scale (the p02
+    * argument), so the brute-force band join is the same pair set. */
+  lazy val p61Sql: String = {
+    val cut = p02Sql.lastIndexOf("cand AS (")
+    require(cut >= 0,
+      "p61Sql composes on p02Sql's signature/band CTEs — update both together")
+    p02Sql.substring(0, cut) +
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS prior_id
+        |  FROM bands a JOIN bands b ON a.t = b.t AND a.bs = b.bs
+        |  WHERE a.doc_id % 4 = 1 AND b.doc_id % 4 <> 1),
+        |est AS (
+        |  SELECT c.new_id, c.prior_id,
+        |    len(list_filter(range(1, 129),
+        |      i -> sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)])) / 128.0 AS ej
+        |  FROM cand c
+        |  JOIN sigs sa ON sa.doc_id = c.new_id
+        |  JOIN sigs sb ON sb.doc_id = c.prior_id),
+        |best AS (
+        |  SELECT new_id, prior_id, ej,
+        |    row_number() OVER (PARTITION BY new_id ORDER BY ej DESC, prior_id) AS rn
+        |  FROM est WHERE ej >= 0.2)
+        |SELECT n.doc_id,
+        |  CASE WHEN b.prior_id IS NOT NULL THEN 'near_dup_of_prior'
+        |       ELSE 'new' END AS verdict,
+        |  coalesce(b.prior_id, n.doc_id) AS keeper_id,
+        |  round(b.ej, 6) AS est_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 1) n
+        |LEFT JOIN (SELECT new_id, prior_id, ej FROM best WHERE rn = 1) b
+        |  ON b.new_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin
+  }
 
   private[graft] val P44Terms = Seq("dup", "spark")
 
@@ -2789,6 +2954,11 @@ object PipelineQueries {
     "p58_sq8_ann" -> p58Sq8Ann,
     "p59_lang_fertility" -> p59LangFertility,
     "p60_jsonl_ingest" -> p60JsonlIngest,
+    "p61_near_dup_increment" -> p61NearDupIncrement,
+    "p62_ivf_sq8_ann" -> p62IvfSq8Ann,
+    "p63_sharded_sink" -> p63ShardedSink,
+    "p64_audio_fingerprint" -> p64AudioFingerprint,
+    "p65_audio_near_dup" -> p65AudioNearDup,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3282,6 +3452,12 @@ object PipelineQueries {
     "p58_sq8_ann" -> p58Sql,
     "p59_lang_fertility" -> p59Sql,
     "p60_jsonl_ingest" -> p60Sql,
+    "p61_near_dup_increment" -> p61Sql,
+    // exhaustive probing makes the composite exactly the flat SQ8 scan
+    "p62_ivf_sq8_ann" -> p58Sql,
+    "p63_sharded_sink" -> p63Sql,
+    "p64_audio_fingerprint" -> p64Sql,
+    "p65_audio_near_dup" -> p65Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

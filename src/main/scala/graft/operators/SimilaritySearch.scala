@@ -331,23 +331,95 @@ object SimilaritySearch {
     }
   }
 
+  /** The `nProbe` cells nearest the query by centroid cosine — the
+    * driver-side routing step every IVF search starts with (the
+    * centroid table is model state, broadcast-sized by construction). */
+  private def nearestCells(centroids: Array[(Int, Array[Double])],
+      query: Seq[Double], nProbe: Int): Seq[Int] = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    centroids.map { case (cid, c) =>
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (cid, if (cn == 0 || qn == 0) -2.0 else dot / (cn * qn))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+  }
+
   /** IVF two-stage search: rank the query against the (broadcast-sized)
     * centroid table, then exact cosine only inside the `nProbe` nearest
     * cells — the scan prunes to ~nProbe/nCentroids of the data, and the
     * cell filter pushes down to the (cell-partitioned) index at scale. */
   def ivfTopK(index: IvfIndex, query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    val probeCells = index.centroids.map { case (cid, c) =>
-      val dot = c.zip(query).map { case (a, b) => a * b }.sum
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      (cid, if (cn == 0 || qn == 0) -2.0 else dot / (cn * qn))
-    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    val probeCells = nearestCells(index.centroids, query, nProbe)
     index.cells
       .filter(col("cell").isin(probeCells: _*))
       .select(col("id").as("neighbor_id"), cosine(col("v"), typedLit(query)).as("cosine"))
       .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
       .limit(k)
+  }
+
+  /** An IVF-SQ8 composite index — the shape FAISS actually ships at
+    * scale (`IVF<n>,SQ8`): the coarse quantizer prunes the scan to
+    * `nProbe` cells and the scalar codes compress what remains 4×. The
+    * stored index is (id, cell, codes) — one byte per dimension plus
+    * the routing key; the float corpus is NOT part of it and is only
+    * touched by the k-row exact rerank. */
+  final case class IvfSq8Index(centroids: Array[(Int, Array[Double])],
+    params: Sq8Params, cells: DataFrame)
+
+  /** Build the composite index from a fitted coarse quantizer and a
+    * trained scalar quantizer: ONE row-local corpus pass computes each
+    * vector's cell (NearestCentroid, codegen) and its SQ8 codes
+    * (Sq8Quantize, codegen) — no shuffle; at scale the result is
+    * written partitioned by `cell` so a probe reads only its cells.
+    * Rows the scalar quantizer rejects (null/NaN/misfit vectors) keep
+    * NULL codes and are dropped — the same rows sq8TopK's flat scan
+    * drops, which is what keeps the exhaustive-probe search exactly
+    * equal to the flat scan (the p15 oracle discipline). */
+  def ivfSq8Index(df: DataFrame, vecCol: String, idCol: String,
+      index: IvfIndex, params: Sq8Params): IvfSq8Index = {
+    val cells = df.select(
+        col(idCol).as("id"),
+        graft.functions.NearestCentroid(asDoubles(col(vecCol)),
+          index.centroids.map(_._2.toSeq).toSeq).as("cell"),
+        graft.functions.Sq8Quantize(col(vecCol), params.mins, params.scales)
+          .as("codes"))
+      .filter(col("cell").isNotNull && col("codes").isNotNull)
+    IvfSq8Index(index.centroids, params, cells)
+  }
+
+  /** Probe-tool access to the composite's cell routing (scan-volume
+    * accounting in `graft.tools.IvfSq8Probe`). */
+  private[graft] def probeCellsFor(index: IvfSq8Index, query: Seq[Double],
+      nProbe: Int): Seq[Int] = nearestCells(index.centroids, query, nProbe)
+
+  /** IVF-SQ8 search: route to the `nProbe` nearest cells, scan ONLY
+    * those cells' CODES against the float query
+    * ([[graft.functions.Sq8CosineQuery]], one codegen'd pass — scan
+    * volume scales with nProbe, not the corpus), take the top-k on the
+    * bit-deterministic (approx DESC, id) order, then exact-rerank just
+    * the k survivors against the float corpus (broadcast k-row join).
+    * With nProbe = nCentroids this is EXACTLY the flat SQ8 scan
+    * ([[sq8TopK]]) — every cell scanned, ranking independent of the
+    * quantizer fit — which is what puts the whole composite behind the
+    * p58 oracle. Returns (neighbor_id, approx_cosine, cosine). */
+  def ivfSq8TopK(index: IvfSq8Index, corpus: DataFrame, vecCol: String,
+      idCol: String, query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val probeCells = nearestCells(index.centroids, query, nProbe)
+    val top = index.cells
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("id").as("neighbor_id"),
+        graft.functions.Sq8CosineQuery(col("codes"), query,
+          index.params.mins, index.params.scales).as("approx_cosine"))
+      .filter(col("approx_cosine").isNotNull)
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
+      .limit(k)
+    broadcast(top)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+        Seq("neighbor_id"))
+      .select(col("neighbor_id"), col("approx_cosine"),
+        cosine(asDoubles(col("__v")), typedLit(query)).as("cosine"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)
   }
 
   /** Semantic deduplication (SemDedup, Abbas et al. 2023): cluster the

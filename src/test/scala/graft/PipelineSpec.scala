@@ -86,6 +86,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(comp.count() == 120L)
   }
 
+  test("incremental near-dup dedup: prior matches, in-increment blindness, tie-break, short docs") {
+    import spark.implicits._
+    // prior snapshot: two byte-identical docs (0, 4 — tie-break target)
+    // plus an unrelated one
+    // 60 DISTINCT words: a 3-word mutation then moves ~9 of ~58
+    // shingles (jaccard ≈ 0.85), safely above the 0.3 gate — a
+    // repeated-phrase base would collapse to ~10 distinct shingles and
+    // push the same edit below it
+    val base = (0 until 60).map(i => s"word$i").mkString(" ")
+    val prior = Seq(
+      (0L, base), (4L, base),
+      (8L, "completely different prior content about oranges and rivers " * 6))
+      .toDF("doc_id", "text")
+    // increment: 101 = exact copy of prior content, 102 = near-dup of
+    // it (3 words changed), 103 = genuinely new, 104 = too short for
+    // a 3-shingle signature
+    val near = base.replace("word5 ", "changedA ")
+      .replace("word25 ", "changedB ").replace("word45 ", "changedC ")
+    val curr = prior.unionByName(Seq(
+      (101L, base), (102L, near),
+      (103L, "entirely novel increment text about mountains and code " * 6),
+      (104L, "hi there")).toDF("doc_id", "text"))
+    val out = Dedup.incrementalNearDedup(prior, curr, "text", "doc_id",
+        minEstJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(101L, 102L, 103L, 104L),
+      "one row per NEW doc, nothing else")
+    // exact copy: est 1.0 against BOTH prior holders — keeper is the
+    // smallest prior id (the argmax tie-break)
+    assert(out(101L) == ("near_dup_of_prior", 0L))
+    assert(out(102L) == ("near_dup_of_prior", 0L))
+    assert(out(103L) == ("new", 103L))
+    // < 3 tokens: no signature, auditable 'new' row rather than a drop
+    assert(out(104L) == ("new", 104L))
+  }
+
   test("contamination surfaces an embedded benchmark passage position-independently") {
     import spark.implicits._
     // winnowing's coverage guarantee: any shared substring of length
@@ -1400,6 +1436,34 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(full.toSeq == exact.toSeq,
       "exhaustive probes must reproduce the exact ranking — a mismatch means cell routing lost a vector")
+  }
+
+  test("IVF-SQ8 composite: exhaustive probing equals the flat SQ8 scan; pruned probes keep recall") {
+    val q = embeddings.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val params = SimilaritySearch.sq8Params(embeddings, "embedding")
+    val ivf = SimilaritySearch.ivfIndex(embeddings, "embedding", "vec_id",
+      nCentroids = 8)
+    val idx = SimilaritySearch.ivfSq8Index(embeddings, "embedding", "vec_id",
+      ivf, params)
+    // nProbe = all cells: the composite must reproduce sq8TopK's flat
+    // scan BIT-EXACTLY (same codes, same approx order, same rerank) —
+    // a mismatch means the cell routing dropped or misrouted a vector
+    val flat = SimilaritySearch.sq8TopK(embeddings, "embedding", "vec_id",
+        q, 10, params)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val full = SimilaritySearch.ivfSq8TopK(idx, embeddings, "embedding",
+        "vec_id", q, 10, nProbe = ivf.centroids.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(full == flat,
+      "exhaustive IVF-SQ8 must equal the flat SQ8 scan exactly")
+    // the production shape: 2 of 8 cells scanned, recall vs the flat
+    // scan's top-10 stays high on the well-separated cluster fixture
+    val pruned = SimilaritySearch.ivfSq8TopK(idx, embeddings, "embedding",
+        "vec_id", q, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = flat.map(_._1).toSet.intersect(pruned).size.toDouble / 10
+    assert(recall >= 0.9, s"IVF-SQ8 recall $recall < 0.9")
   }
 
   test("fused language-ID expression matches the composed-operator form") {

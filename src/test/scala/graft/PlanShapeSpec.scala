@@ -504,6 +504,30 @@ class WidePopulationSpec extends AnyFunSuite {
       s"content hashing must stay native:\n$plan")
   }
 
+  test("incremental near-dup dedup: both sides large — SMJ everywhere, zero broadcast, native kernels") {
+    // p61's scale shape: increment AND prior snapshot are corpus-sized,
+    // so the id anti-join, the (band, band_hash) bucket join, the two
+    // signature rejoins, and the final verdict join must all
+    // hash-co-partition — nothing may broadcast — and the signature /
+    // agreement kernels must stay native codegen expressions.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 400L)
+      .map(i => (i, s"some words repeated here ${i % 150} alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalNearDedup(
+      docs.filter(col("doc_id") % 4 =!= 1), docs, "text", "doc_id",
+      minEstJaccard = 0.2)
+    out.count() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert("SortMergeJoin".r.findAllIn(plan).size >= 5,
+      s"anti-join + band join + 2 sig rejoins + verdict join must be SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"neither corpus-sized side may broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"signature/agreement kernels must stay native:\n$plan")
+  }
+
   test("quality keeper gate, small-cluster branch: members broadcast — the corpus never shuffles for the join") {
     // p57's scale shape made checkable — BOTH branches of the measured
     // gate, not one assumed shape. Curated-corpus regime: the clustered
