@@ -127,27 +127,31 @@ object AudioSpectralHash {
     def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-    var off = 12
+    // the chunk walk is LONG arithmetic throughout: a crafted size
+    // field near Int.MaxValue would overflow an Int offset negative,
+    // turning the documented defined=false contract into an
+    // ArrayIndexOutOfBounds task failure
+    var off = 12L
     var fmt = -1
     var channels = -1
     var bits = -1
     var dataOff = -1
     var dataLen = 0L
     while (off + 8 <= b.length) {
-      val size = u32(off + 4)
-      if (size > Int.MaxValue - 8) return null
+      val o = off.toInt
+      val size = u32(o + 4)
       val body = off + 8
-      if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ') {
+      if (b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' && b(o + 3) == ' ') {
         if (body + 16 > b.length) return null
-        fmt = u16(body)
-        channels = u16(body + 2)
-        bits = u16(body + 14)
-      } else if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a') {
-        dataOff = body
+        fmt = u16(body.toInt)
+        channels = u16(body.toInt + 2)
+        bits = u16(body.toInt + 14)
+      } else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' && b(o + 3) == 'a') {
+        dataOff = body.toInt
         dataLen = size
       }
       // chunks are word-aligned
-      off = body + size.toInt + (size.toInt & 1)
+      off = body + size + (size & 1L)
     }
     if (fmt != 1 || bits != 16 || channels < 1) return null
     if (dataOff < 0 || dataOff + dataLen > b.length) return null

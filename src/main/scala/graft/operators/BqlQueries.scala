@@ -374,7 +374,7 @@ object BqlQueries {
     """SIMULATE l_extendedprice, l_discount FROM lpop MODELED BY lloom
       |GIVEN rowid = 5 LIMIT 40""".stripMargin)
 
-  /** b43: restricted-ANALYZE determinism — the ONLY analysis lrgen ever
+  /** b43: restricted-ANALYZE determinism — the ONLY analysis nrgen ever
     * receives runs under explicit ANALYZE programs (VARIABLES + ROWS +
     * SUBPROBLEMS, then SKIP), so the ensemble state this key reflects
     * is a pure function of the restriction machinery

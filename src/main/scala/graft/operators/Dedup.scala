@@ -321,12 +321,26 @@ object Dedup {
     cached
   }
 
-  /** Bench/test hook: drop the one-slot signature cache so the next
-    * minHashCandidates call measures a cold build (a warm slot made the
-    * second bench pass understate the operator's true cost). */
+  /** One-slot cache for [[qualityKeeper]]'s component table (same
+    * lifecycle as the signature slot — at most one cached closure). */
+  private val lastKeeperComp = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def cacheKeeperComp(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val prev = lastKeeperComp.getAndSet(cached)
+    if (prev != null && !prev.queryExecution.analyzed
+          .sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
+    cached
+  }
+
+  /** Bench/test hook: drop the one-slot signature + keeper-component
+    * caches so the next call measures a cold build (a warm slot made
+    * the second bench pass understate the operator's true cost). */
   private[graft] def resetCaches(): Unit = {
     val prev = lastSigned.getAndSet(null)
     if (prev != null) prev.unpersist(blocking = false)
+    val prevK = lastKeeperComp.getAndSet(null)
+    if (prevK != null) prevK.unpersist(blocking = false)
   }
 
   /** Profiling hook: the signature stage alone (cached), for stage-level
@@ -531,7 +545,12 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     def pin(df: DataFrame): (org.apache.spark.rdd.RDD[(Long, Long)], Long, DataFrame) = {
-      val rdd = df.as[(Long, Long)].rdd.cache()
+      // MEMORY_AND_DISK, not the MEMORY_ONLY cache default: evicting a
+      // round's partitions would recompute through the chain of prior
+      // rounds all the way back to the (expensive) input pair plan —
+      // spilling 16-byte pairs is strictly cheaper
+      val rdd = df.as[(Long, Long)].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (rdd, rdd.count(), rdd.toDF("a", "b"))
     }
     var (curRdd, curCount, cur) = pin(edges.dropDuplicates("a", "b"))
@@ -578,10 +597,12 @@ object Dedup {
     * streams through without shuffling — but on a raw web crawl
     * near-dup clusters cover 30–50 % of documents (the RefinedWeb/CCNet
     * regime), where a forced broadcast of a billions-of-rows component
-    * table is an executor-OOM scale-killer. The gate counts the
-    * component table (one cheap action over an already-materialized
-    * closure — [[connectedComponents]]' driver path is a local
-    * relation, its distributed path a cached label table) and above
+    * table is an executor-OOM scale-killer. The gate CACHES the
+    * component table and counts the cache (so the closure assembly is
+    * computed once, not once for the gate and once for the join —
+    * [[connectedComponents]]' driver path is a local relation where
+    * this is free; its distributed output is an aggregation that is
+    * not) and above
     * `maxBroadcastRows` declares a hash-co-partitioned SortMergeJoin
     * on the id instead ([[incrementalDedup]]'s both-sides-large
     * discipline); the keeper window then re-partitions only the
@@ -591,10 +612,16 @@ object Dedup {
       idCol: String, maxBroadcastRows: Long = 4L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxBroadcastRows >= 0, "maxBroadcastRows must be >= 0")
-    val clustered = comp.count()
+    // cache BEFORE the gate count: a distributed-path component table
+    // is an uncached aggregation, and counting it uncached would
+    // compute the whole closure assembly twice (once for the gate,
+    // once for the join) — exactly in the dup-heavy regime the gate
+    // exists for. One-slot lifecycle, same as the signature cache.
+    val cached = cacheKeeperComp(comp)
+    val clustered = cached.count()
     val side =
-      if (clustered <= maxBroadcastRows) broadcast(comp)
-      else comp.hint("shuffle_merge")
+      if (clustered <= maxBroadcastRows) broadcast(cached)
+      else cached.hint("shuffle_merge")
     qual.join(side, Seq(idCol))
       .withColumn("keeper_id", first(col(idCol)).over(
         Window.partitionBy("component")

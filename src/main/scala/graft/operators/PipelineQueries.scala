@@ -1478,7 +1478,12 @@ object PipelineQueries {
   val p63ShardedSink: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val out = java.nio.file.Files.createTempDirectory("graft_p63_").toString
+    // ONE deterministic scratch path per source dir (overwrite mode):
+    // a fresh temp dir per invocation would leave a full corpus copy
+    // behind on every bench/probe repetition until /tmp fills
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_p63_" +
+      java.lang.Long.toHexString(
+        graft.operators.DetRngHash.xx(dir.getBytes("UTF-8")))
     graft.sources.ShardedSink.write(docs, "text", "doc_id", out,
         nShards = 8, seed = 17L)
       .orderBy("shard")

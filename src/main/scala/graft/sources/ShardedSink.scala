@@ -39,7 +39,11 @@ object ShardedSink {
     docs.select(col(idCol), col(textCol),
         Sampling.fold(col(idCol), seed, nShards).as("shard"))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col(idCol))
+      // shard FIRST: partitionBy requires task rows ordered by the
+      // partition column — sorting by id alone would make the writer
+      // insert its own shard-only sort (double sort, and the id order
+      // inside each file would rest on that sort's tie stability)
+      .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     manifest(docs.sparkSession.read.parquet(outDir), textCol, idCol)
   }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming forms of the training-data pipeline operators —
@@ -166,19 +166,30 @@ object StreamPipeline {
     val spark = stream.sparkSession
     import spark.implicits._
     require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
-    val bits = 64 / chunks
     val horizonMs = parseHorizonMs(suppressionHorizon)
     val keyed = stream
       .withWatermark(tsCol, suppressionHorizon)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         graft.functions.HyperplaneSignature64(col(vecCol), seed).as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col("id"), col("ts"), posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("sig"), c * bits)
-          .bitwiseAND(lit((1L << bits) - 1))): _*))
-        .as(Seq("band", "bh")))
+      .select(col("id"), col("ts"),
+        sigChunks(col("sig"), chunks).as(Seq("band", "bh")))
       .as[(Long, java.sql.Timestamp, Int, Long)]
     bucketStateFold(keyed, horizonMs)
+  }
+
+  /** (band, chunk-value) explode of a 64-bit signature into `chunks`
+    * disjoint low-to-high bit slices — ONE definition shared by the
+    * embedding/image/audio near-dup paths so the mask arithmetic
+    * cannot diverge per copy: a one-chunk caller means bits = 64,
+    * where the naive `(1L << 64) - 1` mask wraps to 0 and would
+    * collide EVERY signature into bucket 0. */
+  private def sigChunks(sig: Column, chunks: Int): Column = {
+    val bits = 64 / chunks
+    posexplode(array((0 until chunks).map { c =>
+      val shifted = shiftrightunsigned(sig, c * bits)
+      if (bits == 64) shifted else shifted.bitwiseAND(lit((1L << bits) - 1))
+    }: _*))
   }
 
   /** Streaming IMAGE near-duplicate collision buckets: dHash of each
@@ -196,7 +207,6 @@ object StreamPipeline {
     import spark.implicits._
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
     val chunks = maxHamming + 1
-    val bits = 64 / chunks
     val horizonMs = parseHorizonMs(suppressionHorizon)
     val dh = udf((b: Array[Byte]) =>
       if (b == null) None else graft.operators.Multimodal.dHash64(b))
@@ -205,10 +215,36 @@ object StreamPipeline {
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         dh(col(binCol)).as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col("id"), col("ts"), posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("sig"), c * bits)
-          .bitwiseAND(lit((1L << bits) - 1))): _*))
-        .as(Seq("band", "bh")))
+      .select(col("id"), col("ts"),
+        sigChunks(col("sig"), chunks).as(Seq("band", "bh")))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    bucketStateFold(keyed, horizonMs)
+  }
+
+  /** Streaming AUDIO near-dup collision buckets — the audio rung of
+    * the streaming dedup family (st04 text bands, st05 embedding
+    * chunks, st14 image dHash chunks, here WAV spectral fingerprints):
+    * unlike the image path the fingerprint
+    * ([[graft.functions.AudioSpectralHash]]) is a NATIVE codegen'd
+    * expression, so the per-micro-batch projection stays in
+    * whole-stage codegen and the audio bytes never reach state — only
+    * (band, chunk) keys and the 16-byte keeper/count fold do. */
+  def audioNearDupBuckets(stream: DataFrame, binCol: String, idCol: String,
+      tsCol: String, suppressionHorizon: String = "30 minutes",
+      maxHamming: Int = 1): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
+    val chunks = maxHamming + 1
+    val horizonMs = parseHorizonMs(suppressionHorizon)
+    val keyed = stream
+      .withWatermark(tsCol, suppressionHorizon)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.functions.AudioSpectralHash(
+          coalesce(col(binCol), lit(Array.emptyByteArray))).as("__a"))
+      .filter(col("__a.defined"))
+      .select(col("id"), col("ts"),
+        sigChunks(col("__a.fp"), chunks).as(Seq("band", "bh")))
       .as[(Long, java.sql.Timestamp, Int, Long)]
     bucketStateFold(keyed, horizonMs)
   }

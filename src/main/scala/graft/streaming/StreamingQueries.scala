@@ -809,6 +809,62 @@ object StreamingQueries {
        |ORDER BY band, bucket_hash""".stripMargin
   }
 
+  /** The audio fixture replayed as a bounded stream (14 real WAV
+    * payloads with stored analytic fingerprint expectations), same
+    * synthetic event-time treatment as [[boundedDocStream]]. */
+  private def boundedAudioStream(spark: SparkSession): DataFrame = {
+    val path = graft.operators.PipelineQueries.AudioFixturePath
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts",
+        timestamp_seconds(lit(EpochBase) + (col("doc_id") * 37) % 600))
+  }
+
+  /** st16: streaming AUDIO near-dup collision buckets — the audio rung
+    * of the streaming dedup family
+    * ([[StreamPipeline.audioNearDupBuckets]]): the spectral
+    * fingerprint is a native row-local expression per micro-batch
+    * (audio bytes never reach state), its 2×32-bit pigeonhole chunks
+    * key the shared keeper/count fold, and the final per-bucket state
+    * for buckets of size ≥ 2 equals the batch GROUP BY over the
+    * fixture's STORED analytic fingerprints. */
+  val st16AudioNearDup: Q = (spark, dir) => {
+    val nd = StreamPipeline.audioNearDupBuckets(
+      boundedAudioStream(spark), "media", "doc_id", "ts", maxHamming = 1)
+    drainToMemory(spark, "st16", nd.writeStream.outputMode("update"))
+      .groupBy(col("band"), col("bucket_hash"))
+      .agg(min(col("keeper_id")).as("keeper_id"),
+        max(col("n_docs")).as("n_audio"))
+      .filter(col("n_audio") >= 2)
+      .select(col("band"), col("bucket_hash"), col("keeper_id"), col("n_audio"))
+      .orderBy("band", "bucket_hash")
+  }
+
+  /** st16 oracle: the 2-chunk expansion over the STORED analytic
+    * fingerprints (st14's unsigned-reinterpretation discipline — 32-bit
+    * chunks cover all 64 bits exactly like the kernel). */
+  val st16Sql: String = {
+    val path = graft.operators.PipelineQueries.AudioFixturePath
+    s"""WITH h AS (
+       |  SELECT doc_id, fp FROM read_parquet('$path/*.parquet')
+       |  WHERE fp_defined),
+       |uh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN fp < 0 THEN CAST(fp AS HUGEINT) + 18446744073709551616
+       |         ELSE CAST(fp AS HUGEINT) END AS u
+       |  FROM h),
+       |chunked AS (
+       |  SELECT doc_id, 0 AS band, CAST(u % 4294967296 AS BIGINT) AS bucket_hash FROM uh
+       |  UNION ALL
+       |  SELECT doc_id, 1, CAST((u // 4294967296) % 4294967296 AS BIGINT) FROM uh)
+       |SELECT band, bucket_hash, min(doc_id) AS keeper_id,
+       |       CAST(count(*) AS BIGINT) AS n_audio
+       |FROM chunked
+       |GROUP BY band, bucket_hash
+       |HAVING count(*) >= 2
+       |ORDER BY band, bucket_hash""".stripMargin
+  }
+
   /** st13: streaming per-source token-budget admission
     * ([[StreamPipeline.tokenBudgetAdmit]] — the live analogue of p39:
     * stop admitting a source the moment its token budget is reached,
@@ -890,6 +946,7 @@ object StreamingQueries {
     "st12_stream_span_audit" -> st12StreamSpanAudit,
     "st13_stream_token_budget" -> st13TokenBudget,
     "st14_stream_image_near_dup" -> st14ImageNearDup,
+    "st16_stream_audio_near_dup" -> st16AudioNearDup,
     "st11_stream_stream_join" -> st11StreamStreamJoin,
     "st08_stream_contamination" -> st08StreamContamination,
     "st09_stream_pii" -> st09StreamPii,
@@ -954,6 +1011,7 @@ object StreamingQueries {
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,
     "st14_stream_image_near_dup" -> st14Sql,
+    "st16_stream_audio_near_dup" -> st16Sql,
     "st15_stream_jsonl_ingest" -> st15Sql,
     "st11_stream_stream_join" -> st11Sql,
     // identical computation to batch p20 — the streaming path is the
