@@ -528,6 +528,50 @@ class WidePopulationSpec extends AnyFunSuite {
       s"signature/agreement kernels must stay native:\n$plan")
   }
 
+  test("IVF-SQ8 cells written partitioned by cell: a probe is PARTITION PRUNING, not a filter scan") {
+    // the p62 scale claim made checkable: at 100 TB the code table is
+    // stored partitioned by `cell`, so an nProbe query must prune at
+    // the source — the scan's PartitionFilters carry the cell
+    // predicate and only the probed cells' files are read.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = (0L until 400L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(8)(d => (if (d == c * 2) 5f else 0.1f) + i * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    val params = graft.operators.SimilaritySearch.sq8Params(emb, "embedding")
+    val ivf = graft.operators.SimilaritySearch.ivfIndex(
+      emb, "embedding", "vec_id", nCentroids = 4)
+    val idx = graft.operators.SimilaritySearch.ivfSq8Index(
+      emb, "embedding", "vec_id", ivf, params)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_").toString
+    idx.cells.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val probed = back.filter(col("cell").isin(0, 1))
+    // collect(), not count(): count wraps in a NEW aggregate plan, so
+    // this dataset's own scan (whose metrics we read below) never runs
+    assert(probed.collect().length == 200)
+    val plan = probed.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"the cell predicate must reach PartitionFilters (pruning), not remain a data filter:\n$plan")
+    // file accounting: the executed scan's numFiles metric must equal
+    // the files under the TWO probed cell directories, not all four
+    // (inputFiles is relation-level and would list everything)
+    assert(back.select(col("cell")).distinct().count() == 4,
+      "fixture must land 4 cell directories")
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the probe plan"))
+    def filesUnder(cells: Set[String]): Long =
+      new java.io.File(dir).listFiles.filter(d => cells.contains(d.getName))
+        .flatMap(_.listFiles).count(_.getName.endsWith(".parquet")).toLong
+    val read = scan.metrics("numFiles").value
+    assert(read == filesUnder(Set("cell=0", "cell=1")) &&
+      read < filesUnder(Set("cell=0", "cell=1", "cell=2", "cell=3")),
+      s"the scan must read exactly the probed cells' files, read=$read")
+  }
+
   test("quality keeper gate, small-cluster branch: members broadcast — the corpus never shuffles for the join") {
     // p57's scale shape made checkable — BOTH branches of the measured
     // gate, not one assumed shape. Curated-corpus regime: the clustered
