@@ -333,6 +333,13 @@ object Dedup {
     cached
   }
 
+  /** Release the one-slot operator caches (MinHash signature table,
+    * [[qualityKeeper]]'s component table) — the PUBLIC eviction hook
+    * for long sessions: a keeper run over a crawl-scale component
+    * table otherwise stays pinned (one slot, memory-and-disk) until
+    * the next call replaces it. */
+  def releaseCaches(): Unit = resetCaches()
+
   /** Bench/test hook: drop the one-slot signature + keeper-component
     * caches so the next call measures a cold build (a warm slot made
     * the second bench pass understate the operator's true cost). */
@@ -630,6 +637,21 @@ object Dedup {
         col("keeper_id"), (col(idCol) === col("keeper_id")).as("kept"))
   }
 
+  /** The `chunks` disjoint low-to-high bit slices of a 64-bit
+    * signature — THE canonical definition, shared by the batch
+    * [[hammingPairs]] and the streaming near-dup paths
+    * (StreamPipeline.sigChunks), so the mask arithmetic cannot diverge
+    * per copy: one chunk means bits = 64, where the naive
+    * `(1L << 64) - 1` mask wraps to 0 and would collide EVERY
+    * signature into bucket 0. */
+  private[graft] def sigChunkValues(sig: Column, chunks: Int): Seq[Column] = {
+    val bits = 64 / chunks
+    (0 until chunks).map { c =>
+      val shifted = shiftrightunsigned(sig, c * bits)
+      if (bits == 64) shifted else shifted.bitwiseAND(lit((1L << bits) - 1))
+    }
+  }
+
   /** Near-duplicate pairs over ANY 64-bit fingerprint column:
     * Hamming(sig0, sig1) ≤ maxHamming, bucketed on (maxHamming+1)
     * disjoint chunks of the fingerprint — by pigeonhole, a pair within
@@ -644,13 +666,11 @@ object Dedup {
       maxHamming: Int, maxBucketSize: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
     val chunks = maxHamming + 1
-    val bits = 64 / chunks
     val signed = signed0.select(col(idCol).as("id"), col(sigCol).as("sim"))
       .filter(col("sim").isNotNull)
     val chunked = signed.select(col("id"), col("sim"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("sim"), c * bits)
-          .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "chunk_val")))
+      posexplode(array(sigChunkValues(col("sim"), chunks): _*))
+        .as(Seq("chunk", "chunk_val")))
     // distributed in-bucket pair emission (capped); the 64-bit
     // fingerprint rides along both join sides (16 bytes/row), so the
     // Hamming verify needs no rejoin and prunes pairs as they stream out

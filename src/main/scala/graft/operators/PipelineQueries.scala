@@ -1478,10 +1478,14 @@ object PipelineQueries {
   val p63ShardedSink: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    // ONE deterministic scratch path per source dir (overwrite mode):
-    // a fresh temp dir per invocation would leave a full corpus copy
-    // behind on every bench/probe repetition until /tmp fills
+    // ONE scratch path per (process, source dir), overwrite mode: a
+    // fresh temp dir per invocation would leave a full corpus copy
+    // behind on every bench/probe repetition until /tmp fills, while a
+    // path keyed on the dir ALONE would let two concurrent processes
+    // overwrite each other's files mid-read — the pid keeps processes
+    // disjoint, repetition within one process reuses the slot
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_p63_" +
+      s"${ProcessHandle.current().pid()}_" +
       java.lang.Long.toHexString(
         graft.operators.DetRngHash.xx(dir.getBytes("UTF-8")))
     graft.sources.ShardedSink.write(docs, "text", "doc_id", out,

@@ -163,33 +163,36 @@ object StreamPipeline {
   def embedNearDupBuckets(stream: DataFrame, vecCol: String, idCol: String,
       tsCol: String, suppressionHorizon: String = "30 minutes",
       chunks: Int = 4, seed: Long = 42L): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    sigNearDupBuckets(stream,
+      graft.functions.HyperplaneSignature64(col(vecCol), seed),
+      idCol, tsCol, suppressionHorizon, chunks)
+  }
+
+  /** The shared signature near-dup kernel the embedding/image/audio
+    * paths all instantiate (ONE definition — this family's chunk-mask
+    * arithmetic diverged per copy once already): signature expression →
+    * watermark → non-null filter → pigeonhole chunk explode
+    * ([[graft.operators.Dedup.sigChunkValues]], the batch-shared
+    * slices) → the keyed keeper/count fold. Only the signature column
+    * differs between modalities. */
+  private def sigNearDupBuckets(stream: DataFrame, sig: Column,
+      idCol: String, tsCol: String, suppressionHorizon: String,
+      chunks: Int): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     val horizonMs = parseHorizonMs(suppressionHorizon)
     val keyed = stream
       .withWatermark(tsCol, suppressionHorizon)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
-        graft.functions.HyperplaneSignature64(col(vecCol), seed).as("sig"))
+        sig.as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("id"), col("ts"),
-        sigChunks(col("sig"), chunks).as(Seq("band", "bh")))
+        posexplode(array(
+          graft.operators.Dedup.sigChunkValues(col("sig"), chunks): _*))
+          .as(Seq("band", "bh")))
       .as[(Long, java.sql.Timestamp, Int, Long)]
     bucketStateFold(keyed, horizonMs)
-  }
-
-  /** (band, chunk-value) explode of a 64-bit signature into `chunks`
-    * disjoint low-to-high bit slices — ONE definition shared by the
-    * embedding/image/audio near-dup paths so the mask arithmetic
-    * cannot diverge per copy: a one-chunk caller means bits = 64,
-    * where the naive `(1L << 64) - 1` mask wraps to 0 and would
-    * collide EVERY signature into bucket 0. */
-  private def sigChunks(sig: Column, chunks: Int): Column = {
-    val bits = 64 / chunks
-    posexplode(array((0 until chunks).map { c =>
-      val shifted = shiftrightunsigned(sig, c * bits)
-      if (bits == 64) shifted else shifted.bitwiseAND(lit((1L << bits) - 1))
-    }: _*))
   }
 
   /** Streaming IMAGE near-duplicate collision buckets: dHash of each
@@ -206,19 +209,10 @@ object StreamPipeline {
     val spark = stream.sparkSession
     import spark.implicits._
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
-    val chunks = maxHamming + 1
-    val horizonMs = parseHorizonMs(suppressionHorizon)
     val dh = udf((b: Array[Byte]) =>
       if (b == null) None else graft.operators.Multimodal.dHash64(b))
-    val keyed = stream
-      .withWatermark(tsCol, suppressionHorizon)
-      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
-        dh(col(binCol)).as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col("id"), col("ts"),
-        sigChunks(col("sig"), chunks).as(Seq("band", "bh")))
-      .as[(Long, java.sql.Timestamp, Int, Long)]
-    bucketStateFold(keyed, horizonMs)
+    sigNearDupBuckets(stream, dh(col(binCol)), idCol, tsCol,
+      suppressionHorizon, maxHamming + 1)
   }
 
   /** Streaming AUDIO near-dup collision buckets — the audio rung of
@@ -235,18 +229,13 @@ object StreamPipeline {
     val spark = stream.sparkSession
     import spark.implicits._
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
-    val chunks = maxHamming + 1
-    val horizonMs = parseHorizonMs(suppressionHorizon)
-    val keyed = stream
-      .withWatermark(tsCol, suppressionHorizon)
-      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
-        graft.functions.AudioSpectralHash(
-          coalesce(col(binCol), lit(Array.emptyByteArray))).as("__a"))
-      .filter(col("__a.defined"))
-      .select(col("id"), col("ts"),
-        sigChunks(col("__a.fp"), chunks).as(Seq("band", "bh")))
-      .as[(Long, java.sql.Timestamp, Int, Long)]
-    bucketStateFold(keyed, horizonMs)
+    // undefined payloads carry fp = 0 in the struct; map them to a
+    // NULL signature so the shared kernel's non-null filter drops them
+    // (the same flow-past-state contract as an undecodable image)
+    val a = graft.functions.AudioSpectralHash(
+      coalesce(col(binCol), lit(Array.emptyByteArray)))
+    sigNearDupBuckets(stream, when(a.getField("defined"), a.getField("fp")),
+      idCol, tsCol, suppressionHorizon, maxHamming + 1)
   }
 
   /** Parse with the same interval grammar withWatermark uses, so every

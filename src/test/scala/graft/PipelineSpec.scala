@@ -86,6 +86,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(comp.count() == 120L)
   }
 
+  test("hammingPairs maxHamming=0: the one-chunk mask must not wrap and collide the corpus into bucket 0") {
+    import spark.implicits._
+    // 5002 signatures, two identical: with the (1L << 64) - 1 == 0
+    // mask wrap, every row keys bucket (0, 0) — over the 4096 cap, so
+    // only hub-star edges emit and the identical non-hub pair is LOST,
+    // breaking the pigeonhole recall-1.0 contract. With the guarded
+    // mask each signature keys its own bucket and the twins pair.
+    val sigs = ((0 until 5000).map(i => (i.toLong, i.toLong * 1000L + 7L)) ++
+      Seq((9001L, -42L), (9002L, -42L))).toDF("id", "sim")
+    val pairs = Dedup.hammingPairs(sigs, "id", "sim", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((9001L, 9002L)),
+      s"expected exactly the identical twins, got ${pairs.size} pairs")
+  }
+
   test("incremental near-dup dedup: prior matches, in-increment blindness, tie-break, short docs") {
     import spark.implicits._
     // prior snapshot: two byte-identical docs (0, 4 — tie-break target)
