@@ -1560,6 +1560,74 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 1
        |ORDER BY id0, id1""".stripMargin
 
+  /** p66: incremental EMBEDDING near-dup dedup
+    * ([[SimilaritySearch.incrementalEmbedDedup]]; see its scaladoc for
+    * the all-SHUFFLE_MERGE both-sides-large shape) — the semantic rung
+    * of the snapshot-refresh family (p55 exact, p61 text MinHash).
+    * Same split discipline (prior = vec_id % 4 ≠ 1, increment =
+    * % 4 = 1); the corpus's natural cross-split near-dups put both
+    * verdicts at both gate SFs (4 matched new vectors at sf0.01, 9 at
+    * sf0.001). */
+  val p66EmbedIncrement: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val prior = emb.filter(pmod(col("vec_id"), lit(4)) =!= 1)
+    SimilaritySearch.incrementalEmbedDedup(prior, emb, "embedding", "vec_id",
+        minCosine = 0.4)
+      .select(col("vec_id"), col("verdict"), col("keeper_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** p66 oracle: p05's bit-exact hyperplane-signature restatement
+    * (guarded substring composition) with the candidate self-join
+    * re-aimed ACROSS the snapshot split, the same chunk-collision
+    * (multi-probe on both sides ⟺ chunk-Hamming ≤ 2) and +4σ
+    * full-signature prefilter, the same ordered-fold cosine, and the
+    * keeper argmax as a (cosine DESC, prior_id) row_number — the
+    * engine's struct-max total order. The 4096-entry prior-side bucket
+    * cap never binds at gate scale (the p05 argument). */
+  lazy val p66Sql: String = {
+    val cut = p05Sql.lastIndexOf("cand AS (")
+    require(cut >= 0,
+      "p66Sql composes on p05Sql's signature CTEs — update both together")
+    p05Sql.substring(0, cut) +
+      """cand AS (
+        |  SELECT sa.vec_id AS new_id, sb.vec_id AS prior_id
+        |  FROM sigs sa, sigs sb
+        |  WHERE sa.vec_id % 4 = 1 AND sb.vec_id % 4 <> 1
+        |    AND len(list_filter(range(0, 8),
+        |          c -> bit_count(xor(
+        |                 CASE WHEN c < 4 THEN (sa.sig0 >> CAST(16*c AS INTEGER)) & 65535
+        |                      ELSE (sa.sig1 >> CAST(16*(c-4) AS INTEGER)) & 65535 END,
+        |                 CASE WHEN c < 4 THEN (sb.sig0 >> CAST(16*c AS INTEGER)) & 65535
+        |                      ELSE (sb.sig1 >> CAST(16*(c-4) AS INTEGER)) & 65535 END)) <= 2)) > 0
+        |    AND bit_count(xor(sa.sig0, sb.sig0)) + bit_count(xor(sa.sig1, sb.sig1))
+        |        <= 128.0 * acos(0.4) / pi() + 2.0 * sqrt(128.0)),
+        |cosv AS (
+        |  SELECT c.new_id, c.prior_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, 65),
+        |        j -> na.v[CAST(j AS INTEGER)] * nb.v[CAST(j AS INTEGER)])),
+        |      (acc, x) -> acc + x) / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+        |  FROM cand c
+        |  JOIN norms na ON na.vec_id = c.new_id
+        |  JOIN norms nb ON nb.vec_id = c.prior_id
+        |  WHERE na.nn <> 0 AND nb.nn <> 0),
+        |best AS (
+        |  SELECT new_id, prior_id, cosine,
+        |    row_number() OVER (PARTITION BY new_id ORDER BY cosine DESC, prior_id) AS rn
+        |  FROM cosv WHERE cosine >= 0.4)
+        |SELECT n.vec_id,
+        |  CASE WHEN b.prior_id IS NOT NULL THEN 'near_dup_of_prior'
+        |       ELSE 'new' END AS verdict,
+        |  coalesce(b.prior_id, n.vec_id) AS keeper_id,
+        |  round(b.cosine, 6) AS cosine
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 1) n
+        |LEFT JOIN (SELECT new_id, prior_id, cosine FROM best WHERE rn = 1) b
+        |  ON b.new_id = n.vec_id
+        |ORDER BY n.vec_id""".stripMargin
+  }
+
   /** p57: quality-aware duplicate-cluster keeper selection — the act
     * step production dedup actually wants: within each near-dup
     * component (the p18 closure over the p02 LSH pair graph), keep the
@@ -2968,6 +3036,7 @@ object PipelineQueries {
     "p63_sharded_sink" -> p63ShardedSink,
     "p64_audio_fingerprint" -> p64AudioFingerprint,
     "p65_audio_near_dup" -> p65AudioNearDup,
+    "p66_embed_increment" -> p66EmbedIncrement,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3467,6 +3536,7 @@ object PipelineQueries {
     "p63_sharded_sink" -> p63Sql,
     "p64_audio_fingerprint" -> p64Sql,
     "p65_audio_near_dup" -> p65Sql,
+    "p66_embed_increment" -> p66Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

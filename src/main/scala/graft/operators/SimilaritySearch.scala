@@ -189,6 +189,98 @@ object SimilaritySearch {
       .select("id0", "id1", "cosine")
   }
 
+  /** Incremental EMBEDDING near-dup dedup — the semantic rung of the
+    * snapshot-refresh family ([[graft.operators.Dedup.incrementalDedup]]
+    * exact hashes, [[graft.operators.Dedup.incrementalNearDedup]] text
+    * MinHash, here embedding cosine): every NEW vector (id absent from
+    * the prior snapshot) is checked against the prior snapshot's
+    * hyperplane-signature table; verdict `near_dup_of_prior` with the
+    * best-matching prior keeper (highest exact cosine ≥ `minCosine`,
+    * ties to the smallest prior id) or `new` (keeper = itself, NULL
+    * cosine). One auditable row per new vector.
+    *
+    * Scale shape mirrors the text rung: BOTH snapshots are
+    * corpus-sized, so every join is declared SHUFFLE_MERGE — the id
+    * anti-join, the bipartite (chunk, chunk_val) bucket join (both
+    * sides multi-probe, so a collision ⟺ chunk-Hamming ≤ 2·probe — the
+    * p05 oracle form), and the two vector rejoins on the surviving
+    * deduped candidates. The full-signature Hamming prefilter prunes
+    * AS PAIRS STREAM out of the bucket join (the +4σ slack above the
+    * threshold angle, [[cosineNearDupPairs]]'s bound), hot prior-side
+    * buckets keep three deterministic hubs, and the keeper argmax is
+    * one combinable max(struct). */
+  def incrementalEmbedDedup(prior: DataFrame, curr: DataFrame,
+      vecCol: String, idCol: String, minCosine: Double,
+      chunks: Int = 8, bits: Int = 128, probeHamming: Int = 1,
+      seed: Long = 42L, maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    require(bits % chunks == 0, "chunks must divide bits")
+    val chunkBits = bits / chunks
+    require(chunkBits <= 64 && 64 % chunkBits == 0,
+      "a chunk must fit one limb (bits/chunks <= 64 dividing 64)")
+    require(probeHamming == 0 || probeHamming == 1,
+      "probeHamming supports 0 (exact) or 1 (single-bit multi-probe)")
+    val nLimbs = bits / 64
+    val newDocs = curr
+      .join(prior.select(col(idCol)).hint("shuffle_merge"), Seq(idCol), "left_anti")
+    def signedOf(df: DataFrame): DataFrame = Dedup.spread(df)
+      .select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
+        graft.functions.HyperplaneSignatures(col(vecCol), seed, bits).as("sig"))
+      .filter(col("sig").isNotNull)
+    val sigNew = signedOf(newDocs)
+    val sigPrior = signedOf(prior)
+    val nb = hyperplaneBuckets(sigNew.select(col("id"), col("sig")),
+        chunks, chunkBits, probeHamming)
+      .select(col("id").as("new_id"), col("sig").as("sig_n"),
+        col("chunk"), col("chunk_val"))
+    val w = Window.partitionBy("chunk", "chunk_val")
+    val salted = xxhash64(col("prior_id"), lit(0x517cc1b7L))
+    val pb = hyperplaneBuckets(sigPrior.select(col("id"), col("sig")),
+        chunks, chunkBits, probeHamming)
+      .select(col("id").as("prior_id"), col("sig").as("sig_p"),
+        col("chunk"), col("chunk_val"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__is_hub",
+        col("prior_id") === min(col("prior_id")).over(w) ||
+          col("prior_id") === max(col("prior_id")).over(w) ||
+          salted === min(salted).over(w))
+      .filter(col("__n") <= maxBucketSize || col("__is_hub"))
+      .select("chunk", "chunk_val", "prior_id", "sig_p")
+    val theta = math.acos(math.max(-1.0, math.min(1.0, minCosine)))
+    val maxHamming = math.min(bits.toDouble,
+      bits * theta / math.Pi + 2.0 * math.sqrt(bits.toDouble))
+    val hamming = (0 until nLimbs).map(k =>
+      bit_count(element_at(col("sig_n"), k + 1)
+        .bitwiseXOR(element_at(col("sig_p"), k + 1))))
+      .reduce(_ + _)
+    val cand = nb.hint("shuffle_merge")
+      .join(pb, Seq("chunk", "chunk_val"))
+      .filter(hamming <= maxHamming)
+      .select("new_id", "prior_id")
+      .dropDuplicates("new_id", "prior_id")
+    val matches = cand
+      .hint("shuffle_merge")
+      .join(sigNew.select(col("id").as("new_id"), col("v").as("__vn")), Seq("new_id"))
+      .hint("shuffle_merge")
+      .join(sigPrior.select(col("id").as("prior_id"), col("v").as("__vp")), Seq("prior_id"))
+      .withColumn("cosine", cosine(col("__vn"), col("__vp")))
+      .filter(col("cosine").isNotNull && col("cosine") >= minCosine)
+    val best = matches.groupBy(col("new_id"))
+      .agg(max(struct(col("cosine").as("c"), (-col("prior_id")).as("np"),
+        col("prior_id").as("pid"))).as("b"))
+      .select(col("new_id").as(idCol), col("b.pid").as("__keeper"),
+        col("b.c").as("__cos"))
+    newDocs.select(col(idCol))
+      .hint("shuffle_merge")
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__keeper").isNotNull, lit("near_dup_of_prior"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("__keeper"), col(idCol)).as("keeper_id"),
+        col("__cos").as("cosine"))
+  }
+
   /** The LSH bucket table from a `(id, sig)` signed frame — narrow
     * relation for the bucket machinery: ids + limb array (8·limbs
     * bytes) + chunk values; the vectors stay out of the shuffle.
@@ -203,17 +295,28 @@ object SimilaritySearch {
       if (chunkBits == 64) shifted
       else shifted.bitwiseAND(lit((1L << chunkBits) - 1))
     }
-    def probeVals(c: Int): Seq[Column] = {
-      val v = chunkVal(c)
-      v +: (if (probeHamming == 0) Seq.empty
-            else (0 until chunkBits).map(b => v.bitwiseXOR(lit(1L << b))))
+    // two-stage explode, NOT one flat (chunks × (1+chunkBits)) array:
+    // the flat form's generated code grows linearly in the probe-key
+    // count and at 32-bit chunks with multi-probe (264 keys) blows the
+    // JVM's 64 KB method limit, silently dropping the whole projection
+    // out of codegen. Stage 1 explodes the chunk bases (chunks-sized
+    // array); stage 2 expands each base's single-bit probe flips with
+    // one transform-over-sequence loop — O(1) generated code at any
+    // chunkBits. Same (chunk, chunk_val) multiset as the flat form.
+    val base = signed.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).map(chunkVal): _*))
+        .as(Seq("chunk", "__base")))
+    if (probeHamming == 0) base.withColumnRenamed("__base", "chunk_val")
+    else {
+      import org.apache.spark.sql.graft.ColumnBridge
+      def shl(one: Column, by: Column): Column = ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+          ColumnBridge.expression(one), ColumnBridge.expression(by)))
+      base.select(col("id"), col("sig"), col("chunk"),
+        explode(concat(array(col("__base")),
+          transform(sequence(lit(0), lit(chunkBits - 1)),
+            b => col("__base").bitwiseXOR(shl(lit(1L), b))))).as("chunk_val"))
     }
-    val keysPerChunk = 1 + (if (probeHamming == 0) 0 else chunkBits)
-    signed.select(col("id"), col("sig"),
-      posexplode(array((0 until chunks).flatMap(probeVals): _*))
-        .as(Seq("probe_idx", "chunk_val")))
-      .withColumn("chunk", (col("probe_idx") / keysPerChunk).cast("int"))
-      .drop("probe_idx")
   }
 
   /** A fitted IVF coarse quantizer: k-means centroids + the cell-assigned

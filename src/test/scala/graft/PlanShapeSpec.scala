@@ -528,6 +528,29 @@ class WidePopulationSpec extends AnyFunSuite {
       s"signature/agreement kernels must stay native:\n$plan")
   }
 
+  test("incremental embed dedup: both snapshots large — SMJ everywhere, zero broadcast, native kernels") {
+    // p66's scale shape: the id anti-join, the bipartite
+    // (chunk, chunk_val) bucket join, the two vector rejoins, and the
+    // verdict join must all hash-co-partition; signatures and cosine
+    // stay native codegen expressions.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = (0L until 400L)
+      .map(i => (i, Seq.tabulate(8)(d => ((i % 40) * (d + 1)).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.SimilaritySearch.incrementalEmbedDedup(
+      emb.filter(col("vec_id") % 4 =!= 1), emb, "embedding", "vec_id",
+      minCosine = 0.4)
+    out.count() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert("SortMergeJoin".r.findAllIn(plan).size >= 5,
+      s"anti-join + bucket join + 2 vector rejoins + verdict join must be SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"neither snapshot may broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"signature/cosine kernels must stay native:\n$plan")
+  }
+
   test("IVF-SQ8 cells written partitioned by cell: a probe is PARTITION PRUNING, not a filter scan") {
     // the p62 scale claim made checkable: at 100 TB the code table is
     // stored partitioned by `cell`, so an nProbe query must prune at
