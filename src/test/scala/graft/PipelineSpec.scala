@@ -137,6 +137,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(104L) == ("new", 104L))
   }
 
+  test("incremental embed dedup: prior matches, tie-break, new vectors, degenerate embeddings") {
+    import spark.implicits._
+    val rng = DetRng(123L)
+    val base = Array.fill(16)(rng.nextGaussian()).map(_.toFloat)
+    val far = Array.fill(16)(rng.nextGaussian()).map(_.toFloat)
+    def seqOf(a: Array[Float]) = a.toSeq
+    // prior: two identical vectors (0, 4 — the tie-break target) and an
+    // unrelated one
+    val prior = Seq(
+      (0L, seqOf(base)), (4L, seqOf(base)), (8L, seqOf(far)))
+      .toDF("vec_id", "embedding")
+    // increment: 101 = exact copy (cosine 1 to BOTH prior holders),
+    // 102 = scaled copy (cosine 1 — scale-invariant), 103 = genuinely
+    // new direction, 104 = zero vector (no cosine is defined)
+    val curr = prior.unionByName(Seq(
+      (101L, seqOf(base)),
+      (102L, seqOf(base.map(_ * 3f))),
+      (103L, seqOf(Array.fill(16)(rng.nextGaussian()).map(_.toFloat))),
+      (104L, Seq.fill(16)(0f))).toDF("vec_id", "embedding"))
+    val out = SimilaritySearch.incrementalEmbedDedup(
+        prior, curr, "embedding", "vec_id", minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(101L, 102L, 103L, 104L),
+      "one row per NEW vector, nothing else")
+    // identical cosines against prior 0 and 4: keeper = smallest id
+    assert(out(101L) == ("near_dup_of_prior", 0L))
+    assert(out(102L) == ("near_dup_of_prior", 0L))
+    assert(out(103L) == ("new", 103L))
+    // zero norm: no defined cosine — auditable 'new', never a drop
+    assert(out(104L) == ("new", 104L))
+  }
+
   test("contamination surfaces an embedded benchmark passage position-independently") {
     import spark.implicits._
     // winnowing's coverage guarantee: any shared substring of length
