@@ -71,6 +71,12 @@ object GraftFunctions {
         case Seq(t) => GopherStats(t)
         case as => badArity("graft_gopher_stats", as.length, "1")
       }),
+    ("graft_gopher_repetition",
+      "(text) - the 13 Gopher repetition-filter fractions in one pass",
+      {
+        case Seq(t) => GopherRepetition(t)
+        case as => badArity("graft_gopher_repetition", as.length, "1")
+      }),
     ("graft_subword_count",
       "(text) - BPE-ish subword piece count (alnum runs + non-space symbols)",
       {

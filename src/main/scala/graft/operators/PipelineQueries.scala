@@ -1628,6 +1628,233 @@ object PipelineQueries {
         |ORDER BY n.vec_id""".stripMargin
   }
 
+  /** The duplicated-phrase plant for p67: 12 lowercase words appended
+    * TWICE to every fifth doc, so its interior {5..10}-grams occur ≥ 2
+    * times and the dup-n-gram coverage fractions fire. */
+  private val P67Phrase =
+    "spark merge window batch stream filter join sort hash scan table row"
+
+  /** The adversarial fixture for p67: the corpus is single-line word
+    * salad (natural n-gram repetition, but NO line/paragraph structure),
+    * so plant it per residue class — every 7th doc gets the same
+    * 50-char prefix as TWO extra lines (duplicate lines), every 11th
+    * doc its 80-char prefix as TWO extra paragraphs (duplicate
+    * paragraphs), every 5th doc the [[P67Phrase]] twice (duplicated
+    * {5..10}-grams). Restated verbatim in SQL (substr/chr(10)). */
+  private def p67FixtureText: org.apache.spark.sql.Column = {
+    val base = coalesce(col("text"), lit(""))
+    concat(
+      base,
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("\n"), substring(base, 1, 50), lit("\n"), substring(base, 1, 50)))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit("\n\n"), substring(base, 1, 80), lit("\n\n"), substring(base, 1, 80)))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit(" " + P67Phrase + " " + P67Phrase)).otherwise(lit("")))
+  }
+
+  /** p67: the FULL Gopher repetition-filter battery
+    * ([[TextAnalysis.gopherRepetition]]; see its scaladoc for the
+    * zero-shuffle one-kernel-pass shape) over the planted corpus —
+    * 13 fractions + the Table A1 keep/drop verdict. */
+  val p67GopherRepetition: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.gopherRepetition(
+        docs.select(col("doc_id"), p67FixtureText.as("t")), "t", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** p67 oracle: the same planted fixture; lines/paragraphs as
+    * non-empty pieces of the literal chr(10) / chr(10)chr(10) splits
+    * with the Σ(c−1)/Σc and Σ((c−1)·len)/Σ(c·len) duplicate fractions;
+    * tokens as the empty-filtered '\s+' split of lower(t); top-n-gram
+    * chosen by (count DESC, gram ASC — binary collation, the kernel's
+    * codepoint compare); dup-n-gram coverage as DISTINCT marked token
+    * positions. All sums exact BIGINTs with one final DOUBLE division,
+    * so the hashes are bit-identical. The verdict CASE is generated
+    * from the SAME Scala threshold constants the engine applies. */
+  lazy val p67Sql: String = {
+    val topN = Seq(2, 3, 4).map { n =>
+      s"""g$n AS (
+         |  SELECT doc_id, array_to_string(tk[i:i+${n - 1}], ' ') AS g
+         |  FROM tok, unnest(range(1, len(tk) - ${n - 2})) AS r(i)),
+         |top$n AS (
+         |  SELECT doc_id, CAST(c * (len(g) - ${n - 1}) AS BIGINT) AS ch
+         |  FROM (SELECT doc_id, g, count(*) AS c,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY count(*) DESC, g ASC) AS rn
+         |        FROM g$n GROUP BY doc_id, g)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val dupN = Seq(5, 6, 7, 8, 9, 10).map { n =>
+      s"""w$n AS (
+         |  SELECT doc_id, i, array_to_string(tk[i:i+${n - 1}], ' ') AS g
+         |  FROM tok, unnest(range(1, len(tk) - ${n - 2})) AS r(i)),
+         |d$n AS (
+         |  SELECT DISTINCT w.doc_id, p AS pos
+         |  FROM w$n w
+         |  JOIN (SELECT doc_id, g FROM w$n
+         |        GROUP BY doc_id, g HAVING count(*) >= 2) x
+         |    ON w.doc_id = x.doc_id AND w.g = x.g,
+         |    unnest(range(w.i, w.i + $n)) AS rr(p)),
+         |dc$n AS (
+         |  SELECT d.doc_id, CAST(sum(len(t.tk[d.pos])) AS BIGINT) AS ch
+         |  FROM d$n d JOIN tok t ON d.doc_id = t.doc_id
+         |  GROUP BY d.doc_id)""".stripMargin
+    }
+    val fracCols =
+      """  coalesce(CAST(l.dl AS DOUBLE) / nullif(l.nl, 0), 0.0) AS dup_line_frac,
+        |  coalesce(CAST(l.dlc AS DOUBLE) / nullif(l.nlc, 0), 0.0) AS dup_line_char_frac,
+        |  coalesce(CAST(p.dl AS DOUBLE) / nullif(p.nl, 0), 0.0) AS dup_para_frac,
+        |  coalesce(CAST(p.dlc AS DOUBLE) / nullif(p.nlc, 0), 0.0) AS dup_para_char_frac,
+        |  coalesce(CAST(t2.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS top_2gram_char_frac,
+        |  coalesce(CAST(t3.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS top_3gram_char_frac,
+        |  coalesce(CAST(t4.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS top_4gram_char_frac,
+        |  coalesce(CAST(c5.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS dup_5gram_char_frac,
+        |  coalesce(CAST(c6.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS dup_6gram_char_frac,
+        |  coalesce(CAST(c7.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS dup_7gram_char_frac,
+        |  coalesce(CAST(c8.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS dup_8gram_char_frac,
+        |  coalesce(CAST(c9.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS dup_9gram_char_frac,
+        |  coalesce(CAST(c10.ch AS DOUBLE) / nullif(tt.tch, 0), 0.0) AS dup_10gram_char_frac""".stripMargin
+    val verdict = TextAnalysis.RepetitionColumns
+      .zip(TextAnalysis.RepetitionThresholds)
+      .map { case (c, t) => s"$c > CAST($t AS DOUBLE)" }
+      .mkString(" OR ")
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '')
+       |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || substr(coalesce(text, ''), 1, 50) || chr(10) || substr(coalesce(text, ''), 1, 50) ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) || substr(coalesce(text, ''), 1, 80) || chr(10) || chr(10) || substr(coalesce(text, ''), 1, 80) ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' $P67Phrase $P67Phrase' ELSE '' END AS t
+       |  FROM documents),
+       |ln AS (
+       |  SELECT doc_id, l FROM aug, unnest(string_split(t, chr(10))) AS u(l)
+       |  WHERE l <> ''),
+       |lst AS (
+       |  SELECT doc_id,
+       |    CAST(sum(c - 1) AS BIGINT) AS dl, CAST(sum(c) AS BIGINT) AS nl,
+       |    CAST(sum((c - 1) * cl) AS BIGINT) AS dlc, CAST(sum(c * cl) AS BIGINT) AS nlc
+       |  FROM (SELECT doc_id, l, count(*) AS c, len(l) AS cl FROM ln GROUP BY doc_id, l)
+       |  GROUP BY doc_id),
+       |pg AS (
+       |  SELECT doc_id, l FROM aug, unnest(string_split(t, chr(10) || chr(10))) AS u(l)
+       |  WHERE l <> ''),
+       |pst AS (
+       |  SELECT doc_id,
+       |    CAST(sum(c - 1) AS BIGINT) AS dl, CAST(sum(c) AS BIGINT) AS nl,
+       |    CAST(sum((c - 1) * cl) AS BIGINT) AS dlc, CAST(sum(c * cl) AS BIGINT) AS nlc
+       |  FROM (SELECT doc_id, l, count(*) AS c, len(l) AS cl FROM pg GROUP BY doc_id, l)
+       |  GROUP BY doc_id),
+       |tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS tk
+       |  FROM aug),
+       |tot AS (
+       |  SELECT doc_id, CAST(len(array_to_string(tk, '')) AS BIGINT) AS tch FROM tok),
+       |${topN.mkString(",\n")},
+       |${dupN.mkString(",\n")},
+       |m AS (
+       |  SELECT a.doc_id,
+       |$fracCols
+       |  FROM aug a
+       |  LEFT JOIN lst l USING (doc_id)
+       |  LEFT JOIN pst p USING (doc_id)
+       |  LEFT JOIN tot tt USING (doc_id)
+       |  LEFT JOIN top2 t2 USING (doc_id)
+       |  LEFT JOIN top3 t3 USING (doc_id)
+       |  LEFT JOIN top4 t4 USING (doc_id)
+       |  LEFT JOIN dc5 c5 USING (doc_id)
+       |  LEFT JOIN dc6 c6 USING (doc_id)
+       |  LEFT JOIN dc7 c7 USING (doc_id)
+       |  LEFT JOIN dc8 c8 USING (doc_id)
+       |  LEFT JOIN dc9 c9 USING (doc_id)
+       |  LEFT JOIN dc10 c10 USING (doc_id))
+       |SELECT doc_id, ${TextAnalysis.RepetitionColumns.mkString(", ")},
+       |  CASE WHEN $verdict THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** The adversarial fixture for p68: plant lines exercising every C4
+    * predicate independently — a 3-sentence keepable line (every 3rd
+    * doc), a too-short punct line (every 4th), a javascript line that
+    * passes length+punct (every 6th), a keepable lorem-ipsum line that
+    * dooms the DOC while surviving as a LINE (every 9th), and an
+    * inline curly brace (doc_id % 10 = 3). The base word-salad line
+    * itself fails the terminal-punct rule. */
+  private def p68FixtureText: org.apache.spark.sql.Column = {
+    val base = coalesce(col("text"), lit(""))
+    concat(
+      base,
+      when(pmod(col("doc_id"), lit(10)) === 3,
+        lit(" config { json } block")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("\nthe quick brown fox jumps. it runs far. we watch it go."))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("\ntiny line.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        lit("\nthis page uses javascript heavily and renders fine today."))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        lit("\nlorem ipsum dolor sit amet goes here now then."))
+        .otherwise(lit("")))
+  }
+
+  /** p68: C4-style line/document cleaning
+    * ([[TextAnalysis.c4LineFilter]]; see its scaladoc for the
+    * row-local one-scan shape and the last-char-vs-regex parity note)
+    * over the planted corpus. */
+  val p68C4Filter: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.c4LineFilter(
+        docs.select(col("doc_id"), p68FixtureText.as("t")), "t", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** p68 oracle: the same plants; KEEP = last char of the trimmed line
+    * in the terminal set AND ≥ 5 empty-filtered '\s+' words AND no
+    * 'javascript'; n_sentences by replace-diff over the kept join; the
+    * doc verdict from the ORIGINAL text's lorem/brace plus the
+    * sentence floor. */
+  val p68Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '')
+       |    || CASE WHEN doc_id % 10 = 3 THEN ' config { json } block' ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'the quick brown fox jumps. it runs far. we watch it go.' ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'tiny line.' ELSE '' END
+       |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'this page uses javascript heavily and renders fine today.' ELSE '' END
+       |    || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet goes here now then.' ELSE '' END AS t
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, t,
+       |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+       |    list_filter(string_split(t, chr(10)), l ->
+       |      substr(trim(l), -1, 1) IN ('.', '!', '?', '"')
+       |      AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5
+       |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+       |  FROM aug),
+       |m AS (
+       |  SELECT doc_id, t, n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       |    -- array_to_string is NULL on an empty list; Spark's
+       |    -- array_join is '' — coalesce to the engine's contract
+       |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+       |  FROM k),
+       |s AS (
+       |  SELECT *, CAST(
+       |      (length(clean_text) - length(replace(clean_text, '.', '')))
+       |    + (length(clean_text) - length(replace(clean_text, '!', '')))
+       |    + (length(clean_text) - length(replace(clean_text, '?', ''))) AS BIGINT) AS n_sentences
+       |  FROM m)
+       |SELECT doc_id, n_lines, n_lines_kept, n_sentences,
+       |  CASE WHEN contains(lower(t), 'lorem ipsum') OR contains(t, '{')
+       |         OR n_sentences < 3
+       |       THEN 'drop' ELSE 'keep' END AS verdict,
+       |  clean_text
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** p57: quality-aware duplicate-cluster keeper selection — the act
     * step production dedup actually wants: within each near-dup
     * component (the p18 closure over the p02 LSH pair graph), keep the
@@ -3037,6 +3264,8 @@ object PipelineQueries {
     "p64_audio_fingerprint" -> p64AudioFingerprint,
     "p65_audio_near_dup" -> p65AudioNearDup,
     "p66_embed_increment" -> p66EmbedIncrement,
+    "p67_gopher_repetition" -> p67GopherRepetition,
+    "p68_c4_filter" -> p68C4Filter,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3537,6 +3766,8 @@ object PipelineQueries {
     "p64_audio_fingerprint" -> p64Sql,
     "p65_audio_near_dup" -> p65Sql,
     "p66_embed_increment" -> p66Sql,
+    "p67_gopher_repetition" -> p67Sql,
+    "p68_c4_filter" -> p68Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -222,6 +222,102 @@ object TextAnalysis {
       .drop("__rep")
   }
 
+  /** The 13 [[graft.functions.GopherRepetition]] fraction columns, in
+    * kernel output order. */
+  val RepetitionColumns: Seq[String] = Seq(
+    "dup_line_frac", "dup_line_char_frac",
+    "dup_para_frac", "dup_para_char_frac",
+    "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+    "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+    "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+
+  /** Gopher Table A1's published drop thresholds, aligned with
+    * [[RepetitionColumns]]: a document is dropped when ANY fraction
+    * STRICTLY exceeds its threshold. */
+  val RepetitionThresholds: Seq[Double] = Seq(
+    0.30, 0.20, 0.30, 0.20,
+    0.20, 0.18, 0.16,
+    0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+
+  /** The FULL Gopher repetition-filter battery (Rae et al. 2021,
+    * Table A1) — duplicate line/paragraph fractions (count and
+    * character), top-{2,3,4}-gram character fraction, duplicated-
+    * {5..10}-gram character fraction, and the keep/drop verdict under
+    * the published thresholds. The within-document excessive-repetition
+    * gate every Gopher/RefinedWeb/Dolma-class curation pipeline runs;
+    * complements [[repetitionMetrics]]' two cheap signals.
+    *
+    * Scale shape: ONE row-local codegen'd kernel
+    * ([[graft.functions.GopherRepetition]]) — zero shuffle, zero state;
+    * the 13 extractions + verdict collapse to one kernel call per row
+    * under subexpression elimination (the [[repetitionMetrics]]
+    * argument). At 100 TB this is embarrassingly parallel scan work.
+    * NULL text is scored as blank (all-zero fractions, 'keep'). */
+  def gopherRepetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val stats = graft.functions.GopherRepetition(
+      coalesce(col(textCol), lit("")))
+    val base = df.select(col(idCol), stats.as("__rep"))
+    val withCols = RepetitionColumns.zipWithIndex.foldLeft(base) {
+      case (d, (name, i)) => d.withColumn(name, col("__rep").getItem(i))
+    }
+    val dropCond = RepetitionColumns.zip(RepetitionThresholds)
+      .map { case (c, t) => col(c) > lit(t) }
+      .reduce(_ || _)
+    withCols
+      .withColumn("verdict", when(dropCond, lit("drop")).otherwise(lit("keep")))
+      .drop("__rep")
+  }
+
+  /** C4-style line/document cleaning (Raffel et al. 2020 §2.2 — the
+    * OTHER canonical filter family next to [[gopherRepetition]]'s
+    * Gopher battery; C4/Dolma/FineWeb-class pipelines run exactly this
+    * line-level pass before quality scoring). Per line of the literal
+    * '\n' split, KEEP iff the space-trimmed line (a) ends in terminal
+    * punctuation (. ! ? "), (b) has ≥ 5 whitespace-run words, and
+    * (c) does not contain "javascript" (case-insensitive). Per
+    * document: `clean_text` = kept lines joined with '\n',
+    * `n_sentences` = count of [.!?] codepoints in the kept text, and
+    * verdict 'drop' iff the ORIGINAL text contains "lorem ipsum"
+    * (case-insensitive) or '{', or fewer than 3 sentences survive.
+    * NULL text cleans as blank.
+    *
+    * The terminal-punctuation test is a LAST-CHAR set membership, not
+    * a `[.!?"]$` regex — Java's `$` also matches before a final \r
+    * (line-terminator semantics) where RE2's does not, so the regex
+    * form would silently diverge from the oracle on \r-bearing lines.
+    *
+    * Scale shape: entirely row-local (split → higher-order filter →
+    * join — native collection expressions, no UDF, no shuffle); the
+    * per-line predicates are arithmetic on the line, so the whole
+    * clean is one scan pass at any corpus size. */
+  def c4LineFilter(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n", -1)
+    val kept = filter(lines, l => {
+      val l2 = trim(l)
+      substring(l2, -1, 1).isin(".", "!", "?", "\"") &&
+        (size(filter(split(l2, "\\s+"), w => length(w) > 0)) >= 5) &&
+        !lower(l2).contains("javascript")
+    })
+    def nOcc(c: Column, ch: String): Column =
+      length(c) - length(replace(c, lit(ch), lit("")))
+    df.select(
+        col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_lines_kept"),
+        array_join(kept, "\n").as("clean_text"),
+        t.as("__t"))
+      .withColumn("n_sentences",
+        (nOcc(col("clean_text"), ".") + nOcc(col("clean_text"), "!") +
+          nOcc(col("clean_text"), "?")).cast("long"))
+      .withColumn("verdict",
+        when(lower(col("__t")).contains("lorem ipsum") ||
+          col("__t").contains("{") || col("n_sentences") < 3, lit("drop"))
+          .otherwise(lit("keep")))
+      .select(col(idCol), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("verdict"), col("clean_text"))
+  }
+
   /** The URL shape [[domainStats]] extracts — http/https, dotted host
     * ending alphanumeric, optional safe-charset path. Like
     * [[graft.functions.PiiScan]]'s patterns, chosen so Java regex and

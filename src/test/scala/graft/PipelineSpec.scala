@@ -542,6 +542,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(6L) == ((0.25, 0.0)))
   }
 
+  test("gopher repetition: hand-computed fractions on planted structures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x\ny\nx"),                          // dup line, no paras
+      (2L, "p\n\nq\n\np"),                       // dup para (and dup line)
+      (3L, "c d e f g h c d e f g h"),           // period-6 token stream
+      (4L, ""),                                  // token-less -> all zeros
+      (5L, (0 until 40).map(i => f"w$i%02d").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cols = graft.operators.TextAnalysis.RepetitionColumns
+    val got = graft.operators.TextAnalysis.gopherRepetition(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (cols.map(c => r.getDouble(r.fieldIndex(c))), r.getString(r.fieldIndex("verdict")))).toMap
+
+    val (f1, _) = got(1L)
+    assert(f1(0) == 1.0 / 3 && f1(1) == 1.0 / 3, "dup line fracs")
+    assert(f1(2) == 0.0 && f1(3) == 0.0, "single paragraph -> no para dups")
+    assert(f1(4) == 2.0 / 3, "top-2gram 'x y' c=1, 2 chars of 3")
+    assert(f1(5) == 1.0 && f1(6) == 0.0, "top-3gram whole doc; <4 tokens")
+
+    val (f2, _) = got(2L)
+    assert(f2(2) == 1.0 / 3 && f2(3) == 1.0 / 3, "dup para fracs")
+    assert(f2(0) == 1.0 / 3, "empty split pieces dropped from line dups")
+
+    val (f3, v3) = got(3L)
+    assert(f3(4) == 1.0 / 3 && f3(5) == 0.5 && f3(6) == 2.0 / 3,
+      "top-{2,3,4}gram on the period-6 stream")
+    assert(f3(7) == 1.0 && f3(8) == 1.0, "dup-5/6-grams cover every token")
+    assert(f3(9) == 0.0 && f3(12) == 0.0, "period 6 -> no 7..10-gram repeats")
+    assert(v3 == "drop")
+
+    val (f4, v4) = got(4L)
+    assert(f4.forall(_ == 0.0) && v4 == "keep", "blank doc scores zeros")
+
+    val (f5, v5) = got(5L)
+    assert(f5(4) == 6.0 / 120 && v5 == "keep",
+      "40 distinct 3-char tokens: top bigram c=1, 6 of 120 chars")
+  }
+
+  test("c4 line filter: hand-computed line keeps and doc verdicts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four five.\nshort line.\nno punct here at all\nuses javascript in this line."),
+      (2L, "lorem ipsum dolor sit amet.\na b c d e. f g. h i."),
+      (3L, "a b { c }"),
+      (4L, "alpha beta gamma delta eps. second one here now done! third query sentence ends well?"),
+      (5L, "he said \"yes it is done today\"")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.c4LineFilter(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    // doc 1: only the 5-word terminal line survives (short / no-punct /
+    // javascript all dropped); 1 sentence < 3 -> drop
+    assert(got(1L) == ((4L, 1L, 1L, "drop", "one two three four five.")))
+    // doc 2: BOTH lines keep (the lorem line passes the LINE rules) but
+    // the doc drops on the lorem phrase; 4 sentences counted
+    assert(got(2L)._2 == 2L && got(2L)._3 == 4L && got(2L)._4 == "drop")
+    // doc 3: brace doc-kill + the line fails terminal punct
+    assert(got(3L) == ((1L, 0L, 0L, "drop", "")))
+    // doc 4: one kept line carrying . ! ? -> 3 sentences -> keep
+    assert(got(4L)._2 == 1L && got(4L)._3 == 3L && got(4L)._4 == "keep")
+    // doc 5: closing quote is terminal punctuation; 0 sentences -> drop
+    assert(got(5L)._2 == 1L && got(5L)._3 == 0L && got(5L)._4 == "drop")
+  }
+
   test("sequence packing: bins are exact cumulative-budget cuts within hash shards") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -455,6 +455,32 @@ class WidePopulationSpec extends AnyFunSuite {
     assert(!exec.toLowerCase.contains("scalaudf"), s"native only:\n$exec")
   }
 
+  test("gopher repetition battery stays row-local — no shuffle, no UDF, one codegen span") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold a
+    // LocalRelation input into a pre-computed LocalTableScan and there
+    // would be no executed projection to assert on
+    val df = spark.range(10).select(col("id").as("doc_id"),
+      concat(lit("a b a b x\ny\nx "), col("id").cast("string")).as("text"))
+    val out = graft.operators.TextAnalysis.gopherRepetition(df, "text", "doc_id")
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"),
+      s"13 fractions + verdict must be one scan pass:\n$exec")
+    assert(!exec.toLowerCase.contains("scalaudf"), s"native only:\n$exec")
+    // the simpleString marks WholeStageCodegen stages with a "*(n)" prefix
+    assert(exec.contains("*(1) Project"), s"kernel must codegen:\n$exec")
+  }
+
+  test("c4 line filter stays row-local — no shuffle, no UDF") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = spark.range(10).select(col("id").as("doc_id"),
+      concat(lit("a b c d e.\nshort."), col("id").cast("string")).as("text"))
+    val out = graft.operators.TextAnalysis.c4LineFilter(df, "text", "doc_id")
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), s"clean must be one scan pass:\n$exec")
+    assert(!exec.toLowerCase.contains("scalaudf"), s"native only:\n$exec")
+  }
+
   test("dedup/similarity kernels run as native expressions, not ScalaUDFs") {
     // round 6: the signature/agreement/fingerprint kernels are Catalyst
     // expressions with doGenCode — a ScalaUDF in these plans means a
