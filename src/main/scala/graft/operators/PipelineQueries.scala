@@ -1641,7 +1641,7 @@ object PipelineQueries {
     * doc its 80-char prefix as TWO extra paragraphs (duplicate
     * paragraphs), every 5th doc the [[P67Phrase]] twice (duplicated
     * {5..10}-grams). Restated verbatim in SQL (substr/chr(10)). */
-  private def p67FixtureText: org.apache.spark.sql.Column = {
+  private[graft] def p67FixtureText: org.apache.spark.sql.Column = {
     val base = coalesce(col("text"), lit(""))
     concat(
       base,
@@ -1782,7 +1782,7 @@ object PipelineQueries {
     * dooms the DOC while surviving as a LINE (every 9th), and an
     * inline curly brace (doc_id % 10 = 3). The base word-salad line
     * itself fails the terminal-punct rule. */
-  private def p68FixtureText: org.apache.spark.sql.Column = {
+  private[graft] def p68FixtureText: org.apache.spark.sql.Column = {
     val base = coalesce(col("text"), lit(""))
     concat(
       base,

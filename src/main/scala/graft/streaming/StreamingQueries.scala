@@ -941,7 +941,39 @@ object StreamingQueries {
       |     columns = {doc_id: 'BIGINT', source: 'VARCHAR', text: 'VARCHAR'})
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** st17: streaming C4 cleaning gate — the live-ingest form of p68
+    * ([[TextAnalysis.c4LineFilter]]): every micro-batch's documents
+    * are line-cleaned and verdicted ROW-LOCALLY (a pure append-mode
+    * projection — no watermark, no aggregation, ZERO state-store
+    * rows), which is exactly how a landing-zone cleaner runs in front
+    * of a streaming ingest at scale. Same planted fixture as p68, so
+    * the drained sink must equal the batch answer verbatim and the
+    * oracle IS p68's (the st08 → p20Sql discipline). */
+  val st17StreamC4: Q = (spark, dir) => {
+    val docs = boundedDocStream(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.PipelineQueries.p68FixtureText.as("t"))
+    val cleaned = TextAnalysis.c4LineFilter(docs, "t", "doc_id")
+    drainToMemory(spark, "st17", cleaned.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
+  /** st18: streaming Gopher repetition filter — the live-ingest form
+    * of p67 ([[TextAnalysis.gopherRepetition]]): the 13-fraction
+    * battery + verdict per micro-batch, stateless append projection
+    * (zero state rows), same planted fixture, oracle IS p67's. */
+  val st18StreamRepetition: Q = (spark, dir) => {
+    val docs = boundedDocStream(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.PipelineQueries.p67FixtureText.as("t"))
+    val rep = TextAnalysis.gopherRepetition(docs, "t", "doc_id")
+    drainToMemory(spark, "st18", rep.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st17_stream_c4_clean" -> st17StreamC4,
+    "st18_stream_repetition_filter" -> st18StreamRepetition,
     "st15_stream_jsonl_ingest" -> st15JsonlIngest,
     "st12_stream_span_audit" -> st12StreamSpanAudit,
     "st13_stream_token_budget" -> st13TokenBudget,
@@ -1008,6 +1040,10 @@ object StreamingQueries {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical computation to batch p68/p67 — the streaming path is a
+    // stateless append-mode projection over the same planted fixture
+    "st17_stream_c4_clean" -> graft.operators.PipelineQueries.p68Sql,
+    "st18_stream_repetition_filter" -> graft.operators.PipelineQueries.p67Sql,
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,
     "st14_stream_image_near_dup" -> st14Sql,

@@ -151,6 +151,10 @@ object ScaleProbe {
     "p31_domain_cap" -> Set("documents"),
     "p32_top_ngrams" -> Set("documents"),
     "p41_gopher_rules" -> Set("documents"),
+    "p67_gopher_repetition" -> Set("documents"),
+    "p68_c4_filter" -> Set("documents"),
+    "st17_stream_c4_clean" -> Set("documents"),
+    "st18_stream_repetition_filter" -> Set("documents"),
     "p42_doc_chunks" -> Set("documents"),
     "p43_url_canonical" -> Set("documents"),
     "p44_bm25" -> Set("documents"),
