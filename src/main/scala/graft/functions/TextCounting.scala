@@ -217,8 +217,9 @@ object SubwordCountExpr {
   * 0.0; a token-less document returns all zeros, NULL text returns
   * NULL. All sums are exact longs with ONE final double division, so
   * the DuckDB oracle's restatement is bit-identical. Like the other
-  * counting kernels, the Java-\s vs RE2-\s vertical-tab divergence is
-  * out of corpus by the p41 convention. */
+  * counting kernels, the Java-\s vs RE2-\s vertical-tab divergence and
+  * the JDK-vs-DuckDB lowercase divergence on exotic case mappings
+  * (Turkish İ, ß) are out of corpus by the p41/p32 convention. */
 case class GopherRepetition(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -618,23 +618,57 @@ object Dedup {
   def qualityKeeper(qual: DataFrame, scoreCol: String, comp: DataFrame,
       idCol: String, maxBroadcastRows: Long = 4L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(maxBroadcastRows >= 0, "maxBroadcastRows must be >= 0")
-    // cache BEFORE the gate count: a distributed-path component table
-    // is an uncached aggregation, and counting it uncached would
-    // compute the whole closure assembly twice (once for the gate,
-    // once for the join) — exactly in the dup-heavy regime the gate
-    // exists for. One-slot lifecycle, same as the signature cache.
-    val cached = cacheKeeperComp(comp)
-    val clustered = cached.count()
-    val side =
-      if (clustered <= maxBroadcastRows) broadcast(cached)
-      else cached.hint("shuffle_merge")
+    val side = gatedCompSide(comp, maxBroadcastRows)
     qual.join(side, Seq(idCol))
       .withColumn("keeper_id", first(col(idCol)).over(
         Window.partitionBy("component")
           .orderBy(col(scoreCol).desc, col(idCol))))
       .select(col(idCol), col("component"), col(scoreCol),
         col("keeper_id"), (col(idCol) === col("keeper_id")).as("kept"))
+  }
+
+  /** The measured broadcast/SortMergeJoin cardinality gate over a
+    * CACHED component table — shared by [[qualityKeeper]] and
+    * [[groupKeyedSplit]]. Caching BEFORE the gate count matters: a
+    * distributed-path component table is an uncached aggregation, and
+    * counting it uncached would compute the whole closure assembly
+    * twice (once for the gate, once for the join) — exactly in the
+    * dup-heavy regime the gate exists for. One-slot lifecycle, same
+    * as the signature cache. */
+  private def gatedCompSide(comp: DataFrame, maxBroadcastRows: Long): DataFrame = {
+    require(maxBroadcastRows >= 0, "maxBroadcastRows must be >= 0")
+    val cached = cacheKeeperComp(comp)
+    val clustered = cached.count()
+    if (clustered <= maxBroadcastRows) broadcast(cached)
+    else cached.hint("shuffle_merge")
+  }
+
+  /** Group-keyed fold split — the leakage FIX the split-leakage audit
+    * motivates: each row's fold is [[Sampling.fold]] of its GROUP
+    * key — its near-dup component label (from
+    * [[connectedComponents]]) when clustered, its own id otherwise —
+    * so a near-dup pair can never straddle folds: both members carry
+    * the same component, hence the same key, hence the same fold.
+    * Returns one row per input row: (idCol, group_key, fold).
+    *
+    * Scale shape: ONE left join of the corpus against the component
+    * table behind the same measured broadcast/SMJ cardinality gate as
+    * [[qualityKeeper]] (curated corpus → tiny clustered slice
+    * broadcasts and the corpus never shuffles; raw-crawl regime →
+    * hash-co-partitioned SortMergeJoin); the fold itself is row-local
+    * SplitMix64 arithmetic — no further exchange, and the assignment
+    * is rerun-, retry-, and repartition-stable like everything keyed
+    * by [[Sampling.fold]]. */
+  def groupKeyedSplit(df: DataFrame, idCol: String, comp: DataFrame,
+      seed: Long, folds: Int, maxBroadcastRows: Long = 4L << 20): DataFrame = {
+    // comp is keyed by idCol with a `component` label (the caller
+    // renames connectedComponents' `id`), the qualityKeeper contract
+    val side = gatedCompSide(comp, maxBroadcastRows)
+    df.select(col(idCol))
+      .join(side, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("component"), col(idCol)))
+      .withColumn("fold", Sampling.fold(col("group_key"), seed, folds))
+      .select(col(idCol), col("group_key"), col("fold"))
   }
 
   /** The `chunks` disjoint low-to-high bit slices of a 64-bit

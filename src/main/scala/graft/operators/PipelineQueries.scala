@@ -1912,6 +1912,45 @@ object PipelineQueries {
         |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  /** p69: GROUP-KEYED train/val/test split — the leakage FIX p49's
+    * audit quantifies the need for ([[Dedup.groupKeyedSplit]]; see its
+    * scaladoc for the gated-join one-scan shape): every doc folds by
+    * its near-dup component label (p18's closure over the p02 pair
+    * graph) instead of its own id, so the cross-fold near-dup pairs
+    * p49 counts vanish BY CONSTRUCTION — pinned in PipelineSpec, while
+    * this key gates the assignment itself. */
+  val p69GroupSplit: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = minhashCandsFor(spark, dir)
+      .filter(col("est_jaccard") >= 0.2)
+      .select(col("id0"), col("id1"))
+    val comp = Dedup.connectedComponents(pairs, "id0", "id1")
+      .select(col("id").as("doc_id"), col("component"))
+    Dedup.groupKeyedSplit(docs, "doc_id", comp, 42L, 10)
+      .orderBy("doc_id")
+  }
+
+  /** p69 oracle: p18's recursive component closure (guarded substring,
+    * the p28/p57 pattern) left-joined onto the corpus for the group
+    * key, then the p21 SplitMix64 fold chain re-seeded from the GROUP
+    * key instead of the doc id. */
+  lazy val p69Sql: String = {
+    val cut = p18Sql.lastIndexOf("SELECT component::BIGINT")
+    require(cut >= 0,
+      "p69Sql composes on p18Sql's final SELECT — update both together")
+    p18Sql.substring(0, cut).stripTrailing + ",\n" +
+      """g AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |""".stripMargin +
+      mixChainSql(
+        "SELECT doc_id, group_key, xor(CAST(group_key AS UBIGINT), CAST(42 AS UBIGINT)) AS z FROM g",
+        p = "fa", hName = "fah", lead = "").stripSuffix(",") + "\n" +
+      """SELECT doc_id, group_key::BIGINT AS group_key,
+        |  CAST(z % 10 AS BIGINT) AS fold
+        |FROM fah ORDER BY doc_id""".stripMargin
+  }
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -3266,6 +3305,7 @@ object PipelineQueries {
     "p66_embed_increment" -> p66EmbedIncrement,
     "p67_gopher_repetition" -> p67GopherRepetition,
     "p68_c4_filter" -> p68C4Filter,
+    "p69_group_split" -> p69GroupSplit,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3768,6 +3808,7 @@ object PipelineQueries {
     "p66_embed_increment" -> p66Sql,
     "p67_gopher_repetition" -> p67Sql,
     "p68_c4_filter" -> p68Sql,
+    "p69_group_split" -> p69Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -153,6 +153,7 @@ object ScaleProbe {
     "p41_gopher_rules" -> Set("documents"),
     "p67_gopher_repetition" -> Set("documents"),
     "p68_c4_filter" -> Set("documents"),
+    "p69_group_split" -> Set("documents"),
     "st17_stream_c4_clean" -> Set("documents"),
     "st18_stream_repetition_filter" -> Set("documents"),
     "p42_doc_chunks" -> Set("documents"),

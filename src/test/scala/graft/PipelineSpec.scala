@@ -581,6 +581,34 @@ class PipelineSpec extends AnyFunSuite {
       "40 distinct 3-char tokens: top bigram c=1, 6 of 120 chars")
   }
 
+  test("group-keyed split: cross-fold near-dup pairs vanish by construction") {
+    import graft.operators.Sampling
+    val pairs = Dedup.minHashCandidates(docs, "text", "doc_id", minEstJaccard = 0.5)
+      .select(col("id0"), col("id1"))
+    val comp = Dedup.connectedComponents(pairs, "id0", "id1")
+      .select(col("id").as("doc_id"), col("component"))
+    val split = Dedup.groupKeyedSplit(docs, "doc_id", comp, 42L, 10)
+    val folds = split.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the p49 audit on THIS split finds nothing: both pair members
+    // share a component, hence a group key, hence a fold
+    val straddling = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => folds(a)._2 != folds(b)._2 }
+    assert(straddling.isEmpty, s"cross-fold near-dup pairs: $straddling")
+    // unclustered docs keep the plain iid fold of their own id
+    val clustered = comp.collect().map(_.getLong(0)).toSet
+    val iid = docs.select(col("doc_id"),
+        Sampling.fold(col("doc_id"), 42L, 10).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    folds.foreach { case (id, (gk, f)) =>
+      if (!clustered.contains(id)) {
+        assert(gk == id && f == iid(id), s"unclustered doc $id must fold iid")
+      }
+    }
+    assert(clustered.nonEmpty, "fixture sanity: some docs must cluster")
+  }
+
   test("c4 line filter: hand-computed line keeps and doc verdicts") {
     import spark.implicits._
     val df = Seq(

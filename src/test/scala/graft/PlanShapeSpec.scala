@@ -471,6 +471,29 @@ class WidePopulationSpec extends AnyFunSuite {
     assert(exec.contains("*(1) Project"), s"kernel must codegen:\n$exec")
   }
 
+  test("group-keyed split gate: tiny cluster table broadcasts, forced-shut gate goes SMJ, branches agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val comp = (0L until 120L).map(i => (i, i / 4 * 4)).toDF("doc_id", "component")
+    val small = graft.operators.Dedup.groupKeyedSplit(docs, "doc_id", comp, 42L, 10)
+    small.count()
+    val planSmall = small.queryExecution.executedPlan.toString
+    assert(planSmall.contains("BroadcastHashJoin"),
+      s"a tiny cluster table must broadcast (corpus never shuffles):\n$planSmall")
+    val forced = graft.operators.Dedup.groupKeyedSplit(
+      docs, "doc_id", comp, 42L, 10, maxBroadcastRows = 0L)
+    forced.count()
+    val planForced = forced.queryExecution.executedPlan.toString
+    assert(planForced.contains("SortMergeJoin"),
+      s"above the gate the join must hash-co-partition (SMJ):\n$planForced")
+    assert(!planForced.contains("BroadcastHashJoin"),
+      s"no forced broadcast above the gate:\n$planForced")
+    assert(small.orderBy("doc_id").collect().toSeq ==
+      forced.orderBy("doc_id").collect().toSeq,
+      "gate branches must agree row-for-row")
+  }
+
   test("c4 line filter stays row-local — no shuffle, no UDF") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val df = spark.range(10).select(col("id").as("doc_id"),
