@@ -1951,6 +1951,86 @@ object PipelineQueries {
         |FROM fah ORDER BY doc_id""".stripMargin
   }
 
+  private[graft] val WarcFixtureDir = sys.env.getOrElse(
+    "GRAFT_WARC_FIXTURE", "/root/repo/fixtures/warc")
+  private[graft] val WarcExpectedPath = sys.env.getOrElse(
+    "GRAFT_WARC_EXPECTED", "/root/repo/fixtures/warc_expected.parquet")
+
+  /** p70: WARC crawl ingest ([[graft.sources.Warc.readAudited]]; see
+    * its scaladoc for the one-task-per-file shape and the
+    * abandon-on-corrupt audit contract) over the checked-in fixture —
+    * real gzip-member-per-record layout, payloads embedding CRLF CRLF
+    * and raw binary (only Content-Length discipline parses them), a
+    * bad-magic file and a truncated-payload file producing audited
+    * ok=false rows. The oracle reads the INDEPENDENTLY CONSTRUCTED
+    * expectations parquet ([[graft.tools.WarcFixture]] builds both
+    * derivations without ever running the parser — the p64 analytic-
+    * fixture discipline). */
+  val p70WarcIngest: Q = (spark, _) => {
+    graft.sources.Warc.readAudited(spark, WarcFixtureDir, "*.warc.gz")
+      .select(col("file"), col("rec_idx"), col("ok"), col("warc_type"),
+        col("record_id"), col("target_uri"), col("content_length"),
+        sha2(col("payload"), 256).as("payload_sha256"))
+      .orderBy("file", "rec_idx")
+  }
+
+  /** p70 oracle: the stored expectations, verbatim. */
+  val p70Sql: String =
+    s"""SELECT file, rec_idx, ok, warc_type, record_id, target_uri,
+       |  content_length, payload_sha256
+       |FROM read_parquet('$WarcExpectedPath/*.parquet')
+       |ORDER BY file, rec_idx""".stripMargin
+
+  /** p71: the crawl HEAD end-to-end — WARC records to clean text:
+    * [[graft.sources.Warc.readAudited]] → ok response records →
+    * ISO-8859-1 payload decode (a lossless byte↔char bijection, so
+    * binary payload bytes survive into the string domain identically
+    * on both engines) → [[TextAnalysis.htmlToText]] strip chain →
+    * per-record char/token counts. The step between p70's raw ingest
+    * and the p35/p38 curation chain. Row-local after the one-task-per-
+    * file parse; no shuffle but the output sort. */
+  val p71WarcCuration: Q = (spark, _) => {
+    val recs = graft.sources.Warc.readAudited(spark, WarcFixtureDir, "*.warc.gz")
+      .filter(col("ok") && col("warc_type") === "response")
+      .select(col("file"), col("rec_idx"), col("target_uri"),
+        decode(col("payload"), "ISO-8859-1").as("raw"))
+    recs
+      .withColumn("extracted", TextAnalysis.htmlToText(col("raw")))
+      .withColumn("n_chars", length(col("extracted")).cast("long"))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("extracted")).cast("long"))
+      .select(col("file"), col("rec_idx"), col("target_uri"),
+        col("extracted"), col("n_chars"), col("n_tokens"))
+      .orderBy("file", "rec_idx")
+  }
+
+  /** p71 oracle: the stored `payload_text` (the same ISO-8859-1
+    * decode, written by the fixture generator from the same bytes)
+    * pushed through the p35 strip chain restated verbatim (the
+    * fixture payloads avoid the Java-\s ∖ RE2-\s bytes, see
+    * [[graft.tools.WarcFixture]]), then the st15 token-count
+    * restatement. */
+  val p71Sql: String =
+    s"""WITH r AS (
+       |  SELECT file, rec_idx, target_uri, payload_text AS t
+       |  FROM read_parquet('$WarcExpectedPath/*.parquet')
+       |  WHERE ok AND warc_type = 'response'),
+       |s1 AS (SELECT * REPLACE (regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t) FROM r),
+       |s2 AS (SELECT * REPLACE (regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t) FROM s1),
+       |s3 AS (SELECT * REPLACE (regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t) FROM s2),
+       |s4 AS (SELECT * REPLACE (regexp_replace(t, '(?s)<!\\[CDATA\\[.*?\\]\\]>', ' ', 'g') AS t) FROM s3),
+       |s5 AS (SELECT * REPLACE (regexp_replace(t, '<[^>]*>', ' ', 'g') AS t) FROM s4),
+       |e AS (SELECT * REPLACE (replace(replace(replace(replace(replace(replace(replace(t,
+       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+       |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t) FROM s5),
+       |ex AS (SELECT file, rec_idx, target_uri,
+       |         trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted FROM e)
+       |SELECT file, rec_idx, target_uri, extracted,
+       |  CAST(length(extracted) AS BIGINT) AS n_chars,
+       |  CAST(CASE WHEN trim(extracted) = '' THEN 0
+       |       ELSE len(string_split_regex(trim(extracted), '\\s+')) END AS BIGINT) AS n_tokens
+       |FROM ex ORDER BY file, rec_idx""".stripMargin
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -3306,6 +3386,8 @@ object PipelineQueries {
     "p67_gopher_repetition" -> p67GopherRepetition,
     "p68_c4_filter" -> p68C4Filter,
     "p69_group_split" -> p69GroupSplit,
+    "p70_warc_ingest" -> p70WarcIngest,
+    "p71_warc_curation" -> p71WarcCuration,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3809,6 +3891,8 @@ object PipelineQueries {
     "p67_gopher_repetition" -> p67Sql,
     "p68_c4_filter" -> p68Sql,
     "p69_group_split" -> p69Sql,
+    "p70_warc_ingest" -> p70Sql,
+    "p71_warc_curation" -> p71Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
