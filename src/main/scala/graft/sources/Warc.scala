@@ -77,7 +77,16 @@ object Warc {
     var done = false
     try {
       while (!done) {
-        parseRecord(in) match {
+        // mid-stream gzip corruption (a truncated upload, a bad tail
+        // member) surfaces as an IOException from read() — that is an
+        // audit row like any other malformed record, never a task
+        // failure that kills the whole ingest job over one file
+        val parsed =
+          try parseRecord(in)
+          catch { case e: java.io.IOException =>
+            Left(s"gzip stream error: ${e.getMessage}")
+          }
+        parsed match {
           case null => done = true // clean EOF between records
           case Right((headers, payload)) =>
             out += WarcRow(file, idx, ok = true, null,
@@ -95,6 +104,14 @@ object Warc {
     } finally in.close()
     out.toSeq
   }
+
+  /** Hard caps: a "header line" of megabytes of non-LF bytes, or a
+    * Content-Length near 2³¹, are corrupt-or-hostile input — audit
+    * them instead of buffering unbounded (the line cap) or allocating
+    * the claim up front (the record cap; 256 MiB sits far above any
+    * real response record while keeping a lying length harmless). */
+  private val MaxHeaderLine = 64 * 1024
+  private val MaxRecordBytes = 256 * 1024 * 1024
 
   /** One record: Right((headers, payload)), Left(error), or null at a
     * clean end-of-stream. */
@@ -128,7 +145,9 @@ object Warc {
       case None => return Left("missing Content-Length")
       case Some(v) => try {
         val n = java.lang.Long.parseLong(v)
-        if (n < 0 || n > Int.MaxValue) return Left(s"invalid Content-Length: $v")
+        if (n < 0) return Left(s"invalid Content-Length: $v")
+        if (n > MaxRecordBytes)
+          return Left(s"record exceeds $MaxRecordBytes bytes: $v")
         n.toInt
       } catch { case _: NumberFormatException =>
         return Left(s"invalid Content-Length: '$v'")
@@ -146,12 +165,17 @@ object Warc {
 
   /** Read one CRLF-terminated ASCII header line; null at EOF before
     * any byte. A bare LF terminates too (lenient, like real parsers);
-    * the CR is stripped. */
+    * the CR is stripped. Throws (caught by the record loop's audit
+    * wrapper) past [[MaxHeaderLine]] bytes — binary garbage where a
+    * header should be must not buffer unbounded. */
   private def readLine(in: InputStream): String = {
     val sb = new java.lang.StringBuilder()
     var b = in.read()
     if (b < 0) return null
     while (b >= 0 && b != '\n') {
+      if (sb.length() >= MaxHeaderLine)
+        throw new java.io.IOException(
+          s"header line exceeds $MaxHeaderLine bytes")
       sb.append(b.toChar)
       b = in.read()
     }
