@@ -343,4 +343,119 @@ object Multimodal {
     docs.select(col(idCol), encodePng(col(idCol), col(textCol)).as("media"),
       struct(lit("image/png").as("mime"), length(col(textCol)).as("n_chars"))
         .as("media_meta"))
+
+  // ------------------------------------------------------------ video
+
+  /** One perceptual hash per container frame; `frame_idx = -1` with
+    * defined = false is a CONTAINER-level failure (bad magic / null),
+    * a defined = false row at a real index is that frame failing to
+    * decode or the container truncating there (parse stops — past a
+    * corrupt length field there is no boundary to resync on, the WARC
+    * discipline). */
+  final case class VideoFrameHash(video_id: Long, frame_idx: Int,
+      defined: Boolean, dhash: Long)
+
+  /** Maximum frames per container the near-dup composite key encodes
+    * (video_id · 1024 + frame_idx); [[parseGvid]] audits past it. */
+  private[graft] val MaxVideoFrames = 1024
+
+  /** Walk a GVID container: magic "GVID", u32be frame count, then per
+    * frame u32be length + PNG bytes. The minimalist deterministic
+    * stand-in for a real video container — the SPARK-side plumbing
+    * (schema, explode shape, per-frame hashing, near-dup composition)
+    * is the thing under test; a production codec slots into the same
+    * walk. */
+  private[graft] def parseGvid(id: Long, bytes: Array[Byte]): Seq[VideoFrameHash] = {
+    if (bytes == null || bytes.length < 8 || bytes(0) != 'G' ||
+        bytes(1) != 'V' || bytes(2) != 'I' || bytes(3) != 'D')
+      return Seq(VideoFrameHash(id, -1, defined = false, 0L))
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    val n = be32(4)
+    if (n > MaxVideoFrames)
+      return Seq(VideoFrameHash(id, -1, defined = false, 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[VideoFrameHash]
+    var off = 8L
+    var i = 0
+    while (i < n) {
+      if (off + 4 > bytes.length) {
+        out += VideoFrameHash(id, i, defined = false, 0L)
+        return out.toSeq
+      }
+      val len = be32(off.toInt)
+      if (off + 4 + len > bytes.length) {
+        out += VideoFrameHash(id, i, defined = false, 0L)
+        return out.toSeq
+      }
+      val frame = java.util.Arrays.copyOfRange(
+        bytes, (off + 4).toInt, (off + 4 + len).toInt)
+      out += (dHash64(frame) match {
+        case Some(v) => VideoFrameHash(id, i, defined = true, v)
+        case None => VideoFrameHash(id, i, defined = false, 0L)
+      })
+      off += 4 + len
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Per-frame perceptual hashes over a video (GVID) binary column —
+    * the video rung of the media ladder. Row-local flatMap (media
+    * bytes never shuffle; one row in, ≤ frames rows out — the
+    * [[sampleFrames]] explode shape with the image path's decode). */
+  def videoFrameHashes(df: DataFrame, idCol: String, binCol: String): Dataset[VideoFrameHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) => parseGvid(id, bytes) }
+  }
+
+  /** Video near-duplicate pairs: two videos match when ≥ `minMatches`
+    * DISTINCT FRAMES ON EACH SIDE participate in frame pairs within
+    * Hamming `maxHamming` — alignment-free, so a trimmed or re-cut
+    * video still pairs with its source (the frame-level analogue of
+    * document n-gram containment). Requiring distinct frames on BOTH
+    * sides (not just k matched pairs) is what keeps one degenerate
+    * low-texture frame — every flat/solid frame pools to the same
+    * dHash — from gaming the threshold by matching k copies of
+    * itself. Returns (video0, video1, n_matched, n_frames0,
+    * n_frames1), video0 < video1, n_framesX = distinct matched frames
+    * of videoX.
+    *
+    * Scale shape: frames ride [[graft.operators.Dedup.hammingPairs]]'
+    * pigeonhole buckets on a composite (video·1024 + frame) key — the
+    * only corpus-wide exchanges carry 16-byte (key, hash) rows, never
+    * media bytes, and nothing quadratic materializes; the final count
+    * is one map-side-combinable aggregate on the surviving pairs. */
+  def videoNearDupPairs(hashes: Dataset[VideoFrameHash],
+      minMatches: Int, maxHamming: Int = 1): DataFrame = {
+    require(minMatches >= 1, "minMatches must be >= 1")
+    val frames = hashes.toDF()
+      .filter(col("defined"))
+      .select((col("video_id") * MaxVideoFrames + col("frame_idx")).as("fid"),
+        col("dhash"))
+    val pairs = graft.operators.Dedup.hammingPairs(
+      frames, "fid", "dhash", maxHamming)
+    val k = lit(MaxVideoFrames.toLong)
+    pairs
+      .withColumn("v0", floor(col("id0") / k).cast("long"))
+      .withColumn("v1", floor(col("id1") / k).cast("long"))
+      .filter(col("v0") =!= col("v1"))
+      // normalize so fa always belongs to the LESSER video
+      .select(least(col("v0"), col("v1")).as("video0"),
+        greatest(col("v0"), col("v1")).as("video1"),
+        when(col("v0") <= col("v1"), col("id0")).otherwise(col("id1")).as("fa"),
+        when(col("v0") <= col("v1"), col("id1")).otherwise(col("id0")).as("fb"))
+      .groupBy("video0", "video1")
+      .agg(count(lit(1)).as("n_matched"),
+        countDistinct(col("fa")).as("n_frames0"),
+        countDistinct(col("fb")).as("n_frames1"))
+      .filter(least(col("n_frames0"), col("n_frames1")) >= minMatches)
+      .select(col("video0"), col("video1"),
+        col("n_matched").cast("long").as("n_matched"),
+        col("n_frames0").cast("long").as("n_frames0"),
+        col("n_frames1").cast("long").as("n_frames1"))
+  }
 }

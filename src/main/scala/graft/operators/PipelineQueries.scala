@@ -2031,6 +2031,75 @@ object PipelineQueries {
        |       ELSE len(string_split_regex(trim(extracted), '\\s+')) END AS BIGINT) AS n_tokens
        |FROM ex ORDER BY file, rec_idx""".stripMargin
 
+  private[graft] val VideoFixturePath = sys.env.getOrElse(
+    "GRAFT_VIDEO_FIXTURE", "/root/repo/fixtures/video_fixture.parquet")
+
+  /** p72: per-frame video perceptual hashes
+    * ([[Multimodal.videoFrameHashes]]; GVID container walk + the p50
+    * dHash per frame, one row-local flatMap) against the fixture's
+    * ANALYTIC expectations — per-frame hashes computed from the
+    * pattern functions, never from PNG bytes
+    * ([[graft.tools.VideoFixture]], the p64 discipline). Covers the
+    * decode-partial (sub-grid frame) and container-level (bad magic)
+    * audit rows. */
+  val p72VideoFrameHashes: Q = (spark, _) =>
+    Multimodal.videoFrameHashes(
+        spark.read.parquet(VideoFixturePath), "video_id", "media")
+      .toDF()
+      .orderBy("video_id", "frame_idx")
+
+  /** p72 oracle: the stored per-frame expectations, unnested. */
+  val p72Sql: String =
+    s"""SELECT video_id,
+       |  unnest(frame_idx) AS frame_idx,
+       |  unnest(defined) AS defined,
+       |  unnest(dhash) AS dhash
+       |FROM read_parquet('$VideoFixturePath/*.parquet')
+       |ORDER BY video_id, frame_idx""".stripMargin
+
+  /** p73: video NEAR-DUP pairs ([[Multimodal.videoNearDupPairs]]:
+    * alignment-free — ≥ 4 DISTINCT FRAMES PER SIDE within Hamming 1,
+    * so the brightness-shifted re-encode AND the trimmed re-cut both
+    * pair with their source, while a single degenerate flat frame
+    * shared with an unrelated clip does not game the threshold; see
+    * the operator scaladoc for the pigeonhole-bucket 16-byte-exchange
+    * shape). Oracle = brute force over the stored frame hashes (the
+    * p65/p51 discipline — the quadratic is the oracle's to pay). */
+  val p73VideoNearDup: Q = (spark, _) => {
+    val hashes = Multimodal.videoFrameHashes(
+      spark.read.parquet(VideoFixturePath), "video_id", "media")
+    Multimodal.videoNearDupPairs(hashes, minMatches = 4, maxHamming = 1)
+      .orderBy("video0", "video1")
+  }
+
+  /** p73 oracle: the same composite-key ordered brute force, with the
+    * per-side distinct-frame floor. */
+  val p73Sql: String =
+    s"""WITH f AS (
+       |  SELECT video_id, unnest(frame_idx) AS i, unnest(defined) AS d,
+       |         unnest(dhash) AS h
+       |  FROM read_parquet('$VideoFixturePath/*.parquet')),
+       |fd AS (SELECT video_id, i, h FROM f WHERE d),
+       |p AS (
+       |  SELECT least(a.video_id, b.video_id) AS video0,
+       |         greatest(a.video_id, b.video_id) AS video1,
+       |         CASE WHEN a.video_id <= b.video_id
+       |              THEN a.video_id * 1024 + a.i
+       |              ELSE b.video_id * 1024 + b.i END AS fa,
+       |         CASE WHEN a.video_id <= b.video_id
+       |              THEN b.video_id * 1024 + b.i
+       |              ELSE a.video_id * 1024 + a.i END AS fb
+       |  FROM fd a JOIN fd b
+       |    ON (a.video_id * 1024 + a.i) < (b.video_id * 1024 + b.i)
+       |   AND a.video_id <> b.video_id
+       |   AND bit_count(xor(a.h, b.h)) <= 1)
+       |SELECT video0, video1, CAST(count(*) AS BIGINT) AS n_matched,
+       |  CAST(count(DISTINCT fa) AS BIGINT) AS n_frames0,
+       |  CAST(count(DISTINCT fb) AS BIGINT) AS n_frames1
+       |FROM p GROUP BY video0, video1
+       |HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= 4
+       |ORDER BY video0, video1""".stripMargin
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -3388,6 +3457,8 @@ object PipelineQueries {
     "p69_group_split" -> p69GroupSplit,
     "p70_warc_ingest" -> p70WarcIngest,
     "p71_warc_curation" -> p71WarcCuration,
+    "p72_video_frame_hashes" -> p72VideoFrameHashes,
+    "p73_video_near_dup" -> p73VideoNearDup,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3893,6 +3964,8 @@ object PipelineQueries {
     "p69_group_split" -> p69Sql,
     "p70_warc_ingest" -> p70Sql,
     "p71_warc_curation" -> p71Sql,
+    "p72_video_frame_hashes" -> p72Sql,
+    "p73_video_near_dup" -> p73Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -25,9 +25,9 @@ import javax.imageio.ImageIO
 object MediaFixture {
 
   /** Integer luminance exactly as the decode kernel computes it. */
-  private def lum(r: Int, g: Int, b: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
+  private[tools] def lum(r: Int, g: Int, b: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
 
-  private def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+  private[tools] def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
     val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -53,7 +53,7 @@ object MediaFixture {
     * exceeds its right neighbor's under exact cross-multiplication —
     * the contract `Multimodal.dHash64` documents. (w < 9 or h < 8 ⇒
     * undefined.) */
-  private def analyticDHash(w: Int, h: Int, lumAt: (Int, Int) => Int): (Boolean, Long) =
+  private[tools] def analyticDHash(w: Int, h: Int, lumAt: (Int, Int) => Int): (Boolean, Long) =
     if (w < 9 || h < 8) (false, 0L)
     else {
       val sum = Array.ofDim[Long](8, 9)
