@@ -656,8 +656,15 @@ object TokenBucket {
   * (the DCLM/CCNet normalized-score convention). One codegen'd
   * row-local pass, weights embedded as a plan reference object — the
   * corpus-wide scoring stage carries ZERO exchanges. NULL for NULL
-  * text or an empty token stream. */
-case class HashedLogOdds(child: Expression, logOdds: Seq[Double])
+  * text or an empty token stream.
+  *
+  * `mean = false` returns the per-token SUM instead — the document's
+  * log importance weight under the two hashed unigram models (the
+  * DSIR convention, p74: a weight is a product of per-token ratios,
+  * so its log is the un-normalized sum; an empty token stream is an
+  * empty product, i.e. 0.0, not NULL). */
+case class HashedLogOdds(child: Expression, logOdds: Seq[Double],
+    mean: Boolean = true)
     extends UnaryExpression {
 
   @transient private lazy val w: Array[Double] = logOdds.toArray
@@ -674,14 +681,14 @@ case class HashedLogOdds(child: Expression, logOdds: Seq[Double])
   override def prettyName: String = "graft_hashed_log_odds"
 
   override protected def nullSafeEval(v: Any): Any =
-    HashedLogOdds.kernel(v.asInstanceOf[UTF8String].toString, w)
+    HashedLogOdds.kernel(v.asInstanceOf[UTF8String].toString, w, mean)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("logOdds", w, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
       val r = ctx.freshName("lo")
       s"""
-         |java.lang.Double $r = graft.functions.HashedLogOdds.kernel($v.toString(), $wRef);
+         |java.lang.Double $r = graft.functions.HashedLogOdds.kernel($v.toString(), $wRef, $mean);
          |if ($r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
@@ -698,7 +705,7 @@ object HashedLogOdds {
   // every char <= U+0020, so text bordered by control chars like 
   // would bucket differently at train vs score time — walk the string
   // with the shared TextKernelUtil.isWs class instead.
-  def kernel(text: String, w: Array[Double]): java.lang.Double = {
+  def kernel(text: String, w: Array[Double], mean: Boolean): java.lang.Double = {
     val s = text.toLowerCase(java.util.Locale.ROOT)
     var sum = 0.0
     var n = 0L
@@ -714,9 +721,15 @@ object HashedLogOdds {
         n += 1L
       }
     }
-    if (n == 0L) null else java.lang.Double.valueOf(sum / n)
+    if (!mean) java.lang.Double.valueOf(sum)
+    else if (n == 0L) null
+    else java.lang.Double.valueOf(sum / n)
   }
 
   def apply(text: Column, logOdds: Seq[Double]): Column =
     ColumnBridge.column(HashedLogOdds(ColumnBridge.expression(text), logOdds))
+
+  def apply(text: Column, logOdds: Seq[Double], mean: Boolean): Column =
+    ColumnBridge.column(
+      HashedLogOdds(ColumnBridge.expression(text), logOdds, mean))
 }

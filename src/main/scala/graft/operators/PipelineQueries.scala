@@ -2100,6 +2100,111 @@ object PipelineQueries {
        |HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= 4
        |ORDER BY video0, video1""".stripMargin
 
+  /** p74: DSIR data selection ([[TextAnalysis.dsirSelect]]; see its
+    * scaladoc for the importance-resampling semantics, the exact
+    * (id, seed)-pure Gumbel derandomization, and the
+    * bucket-decomposed top-n that avoids both the global
+    * single-partition window and a driver heap). Corpus: the p41/p53
+    * boilerplate-planted fixture; TARGET distribution: the junk-free
+    * slice (doc_id coprime to 13/17/19 — p53's editorial label);
+    * frac = 25 %. The resampling genuinely tracks the target AND
+    * genuinely resamples: at both gate SFs junk weights sit 10–230
+    * nats below the clean mass (≫ the Gumbel scale), so zero junk
+    * selects — yet the selected set is NOT the hard top-n by weight
+    * (91/125 overlap at sf0.01: the Gumbel draw shuffles within the
+    * clean mass — the paper's diversity argument). Both properties
+    * pinned in PipelineSpec. */
+  private val P74Seed = 74L
+  val p74DsirSelect: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), p41FixtureText.as("t"))
+    val clean = pmod(col("doc_id"), lit(13)) =!= 0 &&
+      pmod(col("doc_id"), lit(17)) =!= 0 && pmod(col("doc_id"), lit(19)) =!= 0
+    TextAnalysis.dsirSelect(docs, "t", "doc_id",
+        targetCond = clean, frac = 0.25, dim = 256, k = 1.0,
+        seed = P74Seed)
+      .orderBy("doc_id")
+  }
+
+  /** p74 oracle: the whole selection restated — the p53 FNV/splitmix
+    * token-bucket chain re-counted as (raw, target) distributions,
+    * identical add-1 smoothing, per-doc TOKEN-ORDERED fold of the
+    * log-ratios (sum, not mean — the importance weight; the p53/p58
+    * sequential-fold discipline), the Gumbel key from the shared
+    * mix chain ((z >> 11 + 0.5) / 2⁵² is exact in both engines), and
+    * selection as a global (key DESC, doc_id) row_number ≤
+    * greatest(1, N // 4) — equivalent to the engine's
+    * bucket-decomposed rank because ⌊key·g⌋ is monotone in key. */
+  val p74Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '')
+      |    || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || '- bullet item', 10) ELSE '' END
+      |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'loading more results...' ELSE '' END
+      |    || CASE WHEN doc_id % 19 = 0 THEN ' #### #### 123 456 789 0 11 22 33 44 55 66 77 88' ELSE '' END AS t
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    (doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0) AS tgt,
+      |    trim(lower(t)) AS s FROM aug),
+      |tk AS (
+      |  SELECT doc_id, tgt,
+      |    list_filter(regexp_split_to_array(s, '\s+'), x -> x <> '') AS toks
+      |  FROM d),
+      |tok AS (
+      |  SELECT doc_id, tgt, i.i AS i, toks[CAST(i.i AS INTEGER)] AS tok
+      |  FROM tk, unnest(range(1, len(toks) + 1)) AS i(i)),
+      |f0 AS (
+      |  SELECT doc_id, tgt, i,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(tok) + 1),
+      |          j -> CAST(ascii(substr(tok, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
+      |  FROM tok),
+      |t1 AS (SELECT doc_id, tgt, i, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT doc_id, tgt, i, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT doc_id, tgt, i, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT doc_id, tgt, i, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT doc_id, tgt, i, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT doc_id, tgt, i, xor(z, z >> 31) AS z FROM t5),
+      |occ AS (SELECT doc_id, tgt, i, CAST(z % 256 AS INTEGER) AS b FROM t6),
+      |cnt AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS raw,
+      |         CAST(coalesce(sum(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS BIGINT) AS tgtc
+      |  FROM occ GROUP BY b),
+      |tot AS (
+      |  SELECT coalesce(sum(raw), 0) AS tr, coalesce(sum(tgtc), 0) AS tt
+      |  FROM cnt),
+      |lr AS (
+      |  SELECT CAST(bb.b AS INTEGER) AS b,
+      |    ln((coalesce(c.tgtc, 0) + 1.0) / (tot.tt + 256.0))
+      |      - ln((coalesce(c.raw, 0) + 1.0) / (tot.tr + 256.0)) AS w
+      |  FROM range(0, 256) AS bb(b)
+      |  LEFT JOIN cnt c ON c.b = bb.b, tot),
+      |lw AS (
+      |  SELECT occ.doc_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lr.w ORDER BY occ.i)),
+      |                (a, b) -> a + b) AS lw
+      |  FROM occ JOIN lr USING (b) GROUP BY occ.doc_id),
+      |""".stripMargin +
+    mixChainSql(
+      "SELECT doc_id, xor(CAST(doc_id AS UBIGINT), CAST(74 AS UBIGINT)) AS z FROM documents",
+      p = "gm", hName = "gh", lead = "") + """
+      |gu AS (SELECT doc_id, (CAST(z >> 11 AS DOUBLE) + 0.5) / power(2.0, 52) AS u FROM gh),
+      |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk),
+      |ky AS (
+      |  SELECT n.doc_id, n.n_tokens, coalesce(lw.lw, 0.0) AS lw,
+      |         coalesce(lw.lw, 0.0) + (-ln(-ln(gu.u))) AS key
+      |  FROM n LEFT JOIN lw ON lw.doc_id = n.doc_id
+      |  JOIN gu ON gu.doc_id = n.doc_id),
+      |sel AS (
+      |  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rk FROM ky),
+      |ns AS (SELECT greatest(1, count(*) // 4) AS n FROM documents)
+      |SELECT sel.doc_id, sel.n_tokens, round(sel.lw, 6) AS log_weight,
+      |       round(sel.key, 6) AS gumbel_key, (sel.rk <= ns.n) AS selected
+      |FROM sel, ns ORDER BY sel.doc_id""".stripMargin
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -3459,6 +3564,7 @@ object PipelineQueries {
     "p71_warc_curation" -> p71WarcCuration,
     "p72_video_frame_hashes" -> p72VideoFrameHashes,
     "p73_video_near_dup" -> p73VideoNearDup,
+    "p74_dsir_select" -> p74DsirSelect,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -3966,6 +4072,7 @@ object PipelineQueries {
     "p71_warc_curation" -> p71Sql,
     "p72_video_frame_hashes" -> p72Sql,
     "p73_video_near_dup" -> p73Sql,
+    "p74_dsir_select" -> p74Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -975,6 +975,118 @@ object TextAnalysis {
       round(graft.functions.HashedLogOdds(col(textCol), logOdds), 6).as("score"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023;
+    * reference has no analogue): select `frac` of the corpus so the
+    * SELECTED distribution matches a small target slice, not by
+    * hard-thresholding a quality score but by RESAMPLING with
+    * probability proportional to the importance weight
+    * `w(doc) = p_target(doc) / p_raw(doc)` under two hashed unigram
+    * bucket models (the paper's hashed n-gram features; add-`k`
+    * smoothing over `dim` buckets of the shared [[TokenBucket]]
+    * kernel). A document's log weight is the per-token SUM of bucket
+    * log-ratios ([[graft.functions.HashedLogOdds]] with `mean=false`
+    * — a weight is a product of per-token ratios). Sampling without
+    * replacement ∝ w is the Gumbel-top-k trick, derandomized the
+    * [[Sampling.hash63]] way: key = log w + Gumbel(0,1) where the
+    * Gumbel draw is `−ln(−ln(u))`, `u = ((hash63(id, seed) >>> 11) +
+    * 0.5) / 2⁵²` — a pure function of (id, seed), u ∈ (0,1) strictly,
+    * and EXACT in both engines (52-bit numerator, power-of-two
+    * divisor: no rounding before the ln). The top-n keys are the
+    * sample (n = max(1, ⌊frac·N⌋), ties impossible up to hash
+    * collisions and then broken by id).
+    *
+    * Scale shape (100 TB): model training is ONE map-side-combined
+    * aggregate whose exchange carries ≤ `dim` (bucket, raw, target)
+    * partial-count rows per partition; the learned log-ratio table
+    * embeds in the scoring expression as a plan reference object, so
+    * weighting + Gumbel keying is a row-local codegen'd projection
+    * with zero exchanges. Selection avoids both the global
+    * single-partition window AND a driver top-n heap via bucket
+    * decomposition: keys histogram into `⌊key·granularity⌋` integer
+    * buckets (ONE map-side-combined count exchange, bounded by the
+    * key range × granularity — hundreds of rows), the cutoff bucket
+    * and its remaining quota resolve on the collected histogram, and
+    * only the CUTOFF bucket's rows (≈ N/buckets, tuned by
+    * `granularity`) pay a within-bucket rank; every other row's
+    * verdict is a row-local bucket comparison. Exact top-n semantics,
+    * exchanges bounded by histogram + one bucket.
+    *
+    * Returns every doc: (id, n_tokens, log_weight, gumbel_key,
+    * selected). NULL text ≡ blank (empty product: log weight 0). */
+  def dsirSelect(docs: DataFrame, textCol: String, idCol: String,
+      targetCond: Column, frac: Double, dim: Int = 256, k: Double = 1.0,
+      seed: Long = 0L, granularity: Double = 8.0): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    require(dim > 0, "dim must be positive")
+    require(k > 0, "smoothing k must be positive")
+    require(granularity > 0.0, "granularity must be positive")
+    val text = coalesce(col(textCol), lit(""))
+    val toks = split(trim(lower(text)), "\\s+")
+    // ONE pass over the corpus: raw counts with target-slice counts
+    // riding the same exchange (dim-bounded) — never two corpus scans
+    val counts = docs
+      .select(targetCond.as("tgt"), explode(toks).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("tgt"), graft.functions.TokenBucket(col("t"), dim).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("raw"),
+        count(when(col("tgt"), 1)).as("tgtc"))
+      .collect()
+    val raw = Array.fill(dim)(0L)
+    val tgt = Array.fill(dim)(0L)
+    counts.foreach { r =>
+      raw(r.getInt(0)) = r.getLong(1); tgt(r.getInt(0)) = r.getLong(2) }
+    val totRaw = raw.sum
+    val totTgt = tgt.sum
+    require(totTgt > 0, "target slice has no tokens — nothing to match")
+    require(totRaw > 0, "corpus has no tokens — nothing to select from")
+    val logRatio: Seq[Double] = (0 until dim).map { b =>
+      math.log((tgt(b) + k) / (totTgt + k * dim)) -
+        math.log((raw(b) + k) / (totRaw + k * dim))
+    }
+    val n = docs.count()
+    val nSel = math.max(1L, math.floor(frac * n).toLong)
+    val nTok = size(filter(toks, t => length(t) > 0)).cast("long")
+    val logW = graft.functions.HashedLogOdds(text, logRatio, mean = false)
+    // u exact in both engines: 52-bit numerator + 0.5, power-of-two divisor
+    val u = (shiftrightunsigned(Sampling.hash63(col(idCol), seed), 11)
+      .cast("double") + lit(0.5)) / lit(math.pow(2, 52))
+    val keyCol = logW + -log(-log(u))
+    val scored = docs.select(col(idCol), nTok.as("n_tokens"),
+        logW.as("__lw"), keyCol.as("__key"))
+      .withColumn("__bkt", floor(col("__key") * granularity).cast("long"))
+    // histogram collect: bounded by key-range × granularity (the
+    // nbQualityClassifier bounded-collect discipline)
+    val hist = scored.groupBy("__bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    // walk buckets from the top: find the cutoff bucket + its quota
+    var cumBefore = 0L
+    var cutoff = Long.MinValue
+    var quota = 0L
+    val it = hist.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (b, c) = it.next()
+      if (cumBefore + c >= nSel) { cutoff = b; quota = nSel - cumBefore; done = true }
+      else cumBefore += c
+    }
+    if (!done) { cutoff = Long.MinValue; quota = 0L } // nSel ≥ N: all selected
+    val above = scored.filter(col("__bkt") > cutoff || lit(!done))
+      .withColumn("selected", lit(true))
+    val below = scored.filter(col("__bkt") < cutoff && lit(done))
+      .withColumn("selected", lit(false))
+    // only the cutoff bucket pays a rank, and only over ITS rows
+    val wIn = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__key").desc, col(idCol))
+    val boundary = scored.filter(col("__bkt") === cutoff && lit(done))
+      .withColumn("selected", row_number().over(wIn) <= quota)
+    above.unionByName(below).unionByName(boundary)
+      .select(col(idCol), col("n_tokens"),
+        round(col("__lw"), 6).as("log_weight"),
+        round(col("__key"), 6).as("gumbel_key"),
+        col("selected"))
+  }
+
   /** One learned BPE merge: at `step`, the adjacent symbol pair
     * (`left`, `right`) had the highest corpus occurrence count
     * (`pair_count`, ties broken lexicographically) and was fused. */

@@ -1698,6 +1698,53 @@ class PipelineSpec extends AnyFunSuite {
       s"the calibrated keep threshold must split the classes: $minClean / $maxJunk")
   }
 
+  test("p74 DSIR: exact quota, target tracked, and genuinely resampled") {
+    val out = graft.operators.PipelineQueries
+      .p74DsirSelect(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val n = out.length
+    val sel = out.filter(_._4)
+    assert(sel.length === math.max(1, n / 4),
+      s"quota must be exact: ${sel.length} of $n")
+    def clean(id: Long) = id % 13 != 0 && id % 17 != 0 && id % 19 != 0
+    // target tracked: junk weights sit ≫ a Gumbel scale below the
+    // clean mass, so nothing junk gets resampled in at the gate SFs
+    assert(sel.forall(p => clean(p._1)),
+      s"junk selected: ${sel.filterNot(p => clean(p._1)).take(3).toSeq}")
+    // ...but the selection is NOT the hard top-n by weight — the
+    // Gumbel draw shuffles within the clean mass (the resampling
+    // property that distinguishes DSIR from a threshold filter)
+    val topByWeight = out.sortBy(p => (-p._2, p._1)).take(sel.length)
+      .map(_._1).toSet
+    assert(!sel.map(_._1).toSet.subsetOf(topByWeight),
+      "selection must differ from the hard top-n by weight")
+    // the engine/oracle agreement at the cutoff rides on the key gap
+    // there being far above cross-engine libm drift (~1e-13)
+    val keys = out.map(_._3).sortBy(-_)
+    val gap = keys(sel.length - 1) - keys(sel.length)
+    assert(gap > 1e-5, s"cutoff key gap too small for the gate: $gap")
+  }
+
+  test("p74 DSIR: NULL text ≡ blank (empty product, weight 0) and named empty-target error") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "alpha alpha")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.dsirSelect(
+        docs, "text", "doc_id", targetCond = col("doc_id") === 1L,
+        frac = 0.5, dim = 64, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out(1)._2 === 0L && out(2)._2 === 0L)
+    assert(out(1)._3 === 0.0 && out(2)._3 === 0.0,
+      s"empty/NULL docs carry the empty-product weight 0: ${out.toSeq}")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.dsirSelect(
+        docs, "text", "doc_id", targetCond = lit(false), frac = 0.5)
+    }
+    assert(e.getMessage.contains("target slice has no tokens"))
+  }
+
   test("NULL text ≡ blank across qualityMetrics/languageId; NULL media keeps its pHash row") {
     import spark.implicits._
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""))
