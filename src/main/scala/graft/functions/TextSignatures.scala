@@ -733,3 +733,163 @@ object HashedLogOdds {
     ColumnBridge.column(
       HashedLogOdds(ColumnBridge.expression(text), logOdds, mean))
 }
+
+/** Shared kernel of the Bloom-filter membership gate (p75/st19): token
+  * n-grams of the lowercased whitespace token stream (the
+  * [[HashedLogOdds]] walk), each gram string hashed once with the
+  * corpus-standard FNV-1a+splitmix chain ([[graft.operators.DetRngHash.xx]])
+  * and probed at `probes` bit positions by Kirsch–Mitzenmacher double
+  * hashing: pos_j = (h1 + j·h2) mod m with h2 = mix(h1) | 1 (odd, so
+  * the probe stride never degenerates). Wrapping 64-bit adds ≡ mod 2⁶⁴
+  * — the whole position computation restates in DuckDB through the
+  * shared limb chain, so the filter's FALSE POSITIVES are bit-identical
+  * across engines, not just its true hits. */
+object BloomKernel {
+  /** One gram's j-th probe position in [0, mBits). */
+  def posOf(h1: Long, j: Int, mBits: Int): Int = {
+    val h2 = DetRngHash.mix(h1) | 1L
+    java.lang.Long.remainderUnsigned(h1 + j.toLong * h2, mBits.toLong).toInt
+  }
+
+  /** Lowercased maximal-non-\s-run tokens (the HashedLogOdds walk). */
+  private def tokens(text: String): java.util.ArrayList[String] = {
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      if (TextKernelUtil.isWs(s.charAt(i))) i += 1
+      else {
+        val start = i
+        while (i < s.length && !TextKernelUtil.isWs(s.charAt(i))) i += 1
+        out.add(s.substring(start, i))
+      }
+    }
+    out
+  }
+
+  private def gramHash(tk: java.util.ArrayList[String], start: Int,
+      n: Int): Long = {
+    val sb = new java.lang.StringBuilder(tk.get(start))
+    var j = 1
+    while (j < n) { sb.append(' ').append(tk.get(start + j)); j += 1 }
+    DetRngHash.xx(sb.toString.getBytes("UTF-8"))
+  }
+
+  /** Every probe position of every n-gram (build side; duplicates kept
+    * — the builder distincts). Empty for fewer than n tokens. */
+  def gramPositions(text: UTF8String, n: Int, probes: Int,
+      mBits: Int): UnsafeArrayData = {
+    val tk = tokens(text.toString)
+    val grams = math.max(0, tk.size - n + 1)
+    val out = new Array[Long](grams * probes)
+    var g = 0
+    while (g < grams) {
+      val h1 = gramHash(tk, g, n)
+      var j = 0
+      while (j < probes) { out(g * probes + j) = posOf(h1, j, mBits).toLong; j += 1 }
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Number of the text's n-grams whose `probes` positions are ALL set
+    * in `bits` (the membership test, FPs included by design). */
+  def countHits(text: UTF8String, n: Int, probes: Int,
+      bits: Array[Long]): Long = {
+    val mBits = bits.length * 64
+    val tk = tokens(text.toString)
+    val grams = math.max(0, tk.size - n + 1)
+    var hits = 0L
+    var g = 0
+    while (g < grams) {
+      val h1 = gramHash(tk, g, n)
+      var all = true
+      var j = 0
+      while (all && j < probes) {
+        val p = posOf(h1, j, mBits)
+        if ((bits(p >>> 6) & (1L << (p & 63))) == 0L) all = false
+        j += 1
+      }
+      if (all) hits += 1L
+      g += 1
+    }
+    hits
+  }
+}
+
+/** Build-side Bloom positions of a text's token n-grams (array of
+  * longs; the filter builder explodes + distincts these — the exchange
+  * is position rows, bounded by m after the distinct). NULL in → NULL
+  * out (a NULL ref doc contributes nothing). */
+case class BloomGramPositions(child: Expression, n: Int, probes: Int,
+    mBits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 && probes > 0 && mBits > 0 && mBits % 64 == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs n/probes > 0 and mBits a positive multiple of 64")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bloom_gram_positions"
+
+  override protected def nullSafeEval(v: Any): Any =
+    BloomKernel.gramPositions(v.asInstanceOf[UTF8String], n, probes, mBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BloomKernel.gramPositions($v, $n, $probes, $mBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Probe-side Bloom membership count: how many of the text's n-grams
+  * hit the filter (all `probes` bits set). The bitset embeds as a plan
+  * reference object — the corpus-wide probe is one row-local codegen'd
+  * projection with ZERO exchanges (the whole point of the Bloom gate
+  * vs. the exact-join decontamination path). NULL in → NULL out. */
+case class BloomCountHits(child: Expression, n: Int, probes: Int,
+    bits: Seq[Long]) extends UnaryExpression {
+
+  @transient private lazy val b: Array[Long] = bits.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 && probes > 0 && bits.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs n/probes > 0 and a non-empty bitset")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bloom_count_hits"
+
+  override protected def nullSafeEval(v: Any): Any =
+    BloomKernel.countHits(v.asInstanceOf[UTF8String], n, probes, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bloomBits", b, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BloomKernel.countHits($v, $n, $probes, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomCountHits {
+  def apply(text: Column, n: Int, probes: Int, bits: Seq[Long]): Column =
+    ColumnBridge.column(
+      BloomCountHits(ColumnBridge.expression(text), n, probes, bits))
+}
+
+object BloomGramPositions {
+  def apply(text: Column, n: Int, probes: Int, mBits: Int): Column =
+    ColumnBridge.column(
+      BloomGramPositions(ColumnBridge.expression(text), n, probes, mBits))
+}

@@ -2205,6 +2205,89 @@ object PipelineQueries {
       |       round(sel.key, 6) AS gumbel_key, (sel.rk <= ns.n) AS selected
       |FROM sel, ns ORDER BY sel.doc_id""".stripMargin
 
+  /** p75: Bloom-filter decontamination gate
+    * ([[TextAnalysis.bloomDecontaminate]]; see its scaladoc for the
+    * m-bounded build exchange and the zero-exchange row-local probe —
+    * the constant-memory rung under p20/p45's exact joins). Reference
+    * slice: doc_id % 10 = 0 (the p20 benchmark convention); 5-token
+    * grams, m = 65536 bits (8 KB), 4 probes — a ~0.14-load operating
+    * point whose gate output is perfectly bimodal: reference docs
+    * self-hit on every gram, the corpus's PLANTED near-duplicates of
+    * reference docs flag with n_hits ≈ n_grams (true contamination
+    * caught through the membership gate), ~11 docs flag with exactly
+    * ONE hit (genuine Bloom false positives, each reproduced
+    * bit-exactly by the oracle), and the clean bulk passes.
+    * Discrimination + FP-reproduction in one key, pinned in
+    * PipelineSpec. */
+  val p75BloomDecontaminate: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.bloomDecontaminate(docs, "text", "doc_id",
+        refCond = pmod(col("doc_id"), lit(10)) === 0,
+        shingle = 5, mBits = 65536, probes = 4)
+      .orderBy("doc_id")
+  }
+
+  /** p75 oracle: the FILTER ITSELF restated — 5-gram strings, the
+    * shared FNV/splitmix chain for h1, a second splitmix pass for the
+    * double-hash stride h2 = mix(h1) | 1, positions (h1 + j·h2) mod m
+    * in HUGEINT (≡ the kernel's wrapping 64-bit adds), the reference
+    * slice's DISTINCT position set, and per-gram all-probes-hit
+    * membership — so DuckDB reproduces every false positive, not just
+    * every true hit. */
+  val p75Sql: String =
+    """|WITH d AS (
+      |  SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
+      |tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(s, '\s+'), x -> x <> '') AS toks
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id, CAST(i.i AS INTEGER) AS gi,
+      |    array_to_string(toks[CAST(i.i AS INTEGER):CAST(i.i + 4 AS INTEGER)], ' ') AS gram
+      |  FROM tk, unnest(range(1, len(toks) - 3)) AS i(i)),
+      |f0 AS (
+      |  SELECT doc_id, gi,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(gram) + 1),
+      |          j -> CAST(ascii(substr(gram, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
+      |  FROM g),
+      |t1 AS (SELECT doc_id, gi, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT doc_id, gi, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT doc_id, gi, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT doc_id, gi, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT doc_id, gi, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT doc_id, gi, xor(z, z >> 31) AS z FROM t5),
+      |h1 AS (SELECT doc_id, gi, z AS a FROM t6),
+      |s1 AS (SELECT doc_id, gi, a, CAST((CAST(a AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM h1),
+      |s2 AS (SELECT doc_id, gi, a, xor(z, z >> 30) AS z FROM s1),
+      |s3 AS (SELECT doc_id, gi, a, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM s2),
+      |s4 AS (SELECT doc_id, gi, a, xor(z, z >> 27) AS z FROM s3),
+      |s5 AS (SELECT doc_id, gi, a, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM s4),
+      |s6 AS (SELECT doc_id, gi, a, xor(z, z >> 31) AS z FROM s5),
+      |hh AS (SELECT doc_id, gi, a AS h1, (z | 1) AS h2 FROM s6),
+      |pos AS (
+      |  SELECT doc_id, gi,
+      |    CAST((CAST(h1 AS HUGEINT) + j.j * CAST(h2 AS HUGEINT))
+      |         % 18446744073709551616 AS UBIGINT) % 65536 AS p
+      |  FROM hh, unnest(range(0, 4)) AS j(j)),
+      |bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 10 = 0),
+      |ph AS (
+      |  SELECT pos.doc_id, pos.gi, (bits.p IS NOT NULL) AS hit
+      |  FROM pos LEFT JOIN bits ON bits.p = pos.p),
+      |gh AS (SELECT doc_id, gi, bool_and(hit) AS all_hit FROM ph GROUP BY doc_id, gi),
+      |nh AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(sum(CASE WHEN all_hit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+      |  FROM gh GROUP BY doc_id),
+      |n AS (SELECT doc_id, CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_grams FROM tk)
+      |SELECT n.doc_id, n.n_grams,
+      |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+      |  (coalesce(nh.n_hits, 0) > 0) AS flagged
+      |FROM n LEFT JOIN nh ON nh.doc_id = n.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -3565,6 +3648,7 @@ object PipelineQueries {
     "p72_video_frame_hashes" -> p72VideoFrameHashes,
     "p73_video_near_dup" -> p73VideoNearDup,
     "p74_dsir_select" -> p74DsirSelect,
+    "p75_bloom_decontaminate" -> p75BloomDecontaminate,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4073,6 +4157,7 @@ object PipelineQueries {
     "p72_video_frame_hashes" -> p72Sql,
     "p73_video_near_dup" -> p73Sql,
     "p74_dsir_select" -> p74Sql,
+    "p75_bloom_decontaminate" -> p75Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

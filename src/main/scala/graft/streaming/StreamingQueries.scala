@@ -971,7 +971,29 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st19: streaming Bloom decontamination gate — the live-ingest form
+    * of p75 ([[TextAnalysis.bloomDecontaminate]]): the 8 KB filter
+    * builds ONCE from the STATIC reference slice (the
+    * ship-a-benchmark-filter-to-the-ingest pattern), embeds in the
+    * probe expression as a plan reference object, and every
+    * micro-batch's documents test it ROW-LOCALLY — a pure append-mode
+    * projection: no stream-static join (st08's exact-path shape), no
+    * watermark, ZERO state-store rows. Same fixture and params as p75,
+    * so the drained sink equals the batch answer and the oracle IS
+    * p75's. */
+  val st19BloomGate: Q = (spark, dir) => {
+    val bits = TextAnalysis.bloomBuild(
+      Tables.load(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0),
+      "text", shingle = 5, mBits = 65536, probes = 4)
+    val gated = TextAnalysis.bloomProbe(boundedDocStream(spark, dir),
+      "text", "doc_id", bits, shingle = 5, probes = 4)
+    drainToMemory(spark, "st19", gated.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st19_stream_bloom_gate" -> st19BloomGate,
     "st17_stream_c4_clean" -> st17StreamC4,
     "st18_stream_repetition_filter" -> st18StreamRepetition,
     "st15_stream_jsonl_ingest" -> st15JsonlIngest,
@@ -1043,6 +1065,10 @@ object StreamingQueries {
     // identical computation to batch p68/p67 — the streaming path is a
     // stateless append-mode projection over the same planted fixture
     "st17_stream_c4_clean" -> graft.operators.PipelineQueries.p68Sql,
+    // identical computation to batch p75 — the filter builds from the
+    // static reference and the streaming probe is a stateless
+    // append-mode projection
+    "st19_stream_bloom_gate" -> graft.operators.PipelineQueries.p75Sql,
     "st18_stream_repetition_filter" -> graft.operators.PipelineQueries.p67Sql,
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,

@@ -1745,6 +1745,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("target slice has no tokens"))
   }
 
+  test("p75 Bloom gate: self-hit, planted near-dup catch, and ≥1 reproduced FP") {
+    val out = graft.operators.PipelineQueries
+      .p75BloomDecontaminate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val ref = out.filter(_._1 % 10 == 0)
+    assert(ref.forall(r => r._3 === r._2),
+      "every reference doc must self-hit on every gram")
+    val flaggedNonRef = out.filter(r => r._1 % 10 != 0 && r._4)
+    // the corpus plants near-duplicates of some reference docs — the
+    // gate must catch them as bulk-hit docs (true contamination)...
+    assert(flaggedNonRef.exists(r => r._3 >= r._2 - 2 && r._2 >= 5),
+      s"no near-dup contamination caught: ${flaggedNonRef.toSeq}")
+    // ...and at this load a few single-gram false positives are the
+    // price of the 8 KB filter (the oracle reproduces them bit-exactly;
+    // this pin is that they EXIST, i.e. the gate genuinely runs at a
+    // lossy operating point rather than degenerating to an exact set)
+    assert(flaggedNonRef.exists(_._3 == 1L),
+      "expected at least one single-gram false positive at this load")
+    // the clean bulk passes
+    assert(flaggedNonRef.length * 10 < out.length,
+      s"too many flagged non-ref docs: ${flaggedNonRef.length}")
+  }
+
+  test("bloom kernel: positions match the contains test; empty ref is a named error") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "x y z w v u"),
+      (3L, "a b c d e")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bloomDecontaminate(
+        docs, "text", "doc_id", refCond = col("doc_id") === 1L,
+        shingle = 5, mBits = 64, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // doc 1: both its grams are members; doc 3: its single gram is
+    // doc 1's first gram — a true cross-doc hit
+    assert(out(0) === ((1L, 2L, 2L)))
+    assert(out(2) === ((3L, 1L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.bloomDecontaminate(
+        docs, "text", "doc_id", refCond = lit(false))
+    }
+    assert(e.getMessage.contains("reference slice has no grams"))
+  }
+
   test("NULL text ≡ blank across qualityMetrics/languageId; NULL media keeps its pHash row") {
     import spark.implicits._
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""))

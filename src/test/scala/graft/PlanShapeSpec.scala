@@ -471,6 +471,20 @@ class WidePopulationSpec extends AnyFunSuite {
     assert(exec.contains("*(1) Project"), s"kernel must codegen:\n$exec")
   }
 
+  test("bloom probe stays row-local — no shuffle, no UDF, one codegen span") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val bits = Array.fill(64)(-1L) // all-set filter: shape test only
+    val df = spark.range(10).select(col("id").as("doc_id"),
+      concat(lit("a b c d e f "), col("id").cast("string")).as("text"))
+    val out = graft.operators.TextAnalysis.bloomProbe(
+      df, "text", "doc_id", bits, shingle = 5, probes = 4)
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"),
+      s"the probe must be a zero-exchange projection:\n$exec")
+    assert(!exec.toLowerCase.contains("scalaudf"), s"native only:\n$exec")
+    assert(exec.contains("*(1) Project"), s"kernel must codegen:\n$exec")
+  }
+
   test("group-keyed split gate: tiny cluster table broadcasts, forced-shut gate goes SMJ, branches agree") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
