@@ -2288,6 +2288,190 @@ object PipelineQueries {
       |FROM n LEFT JOIN nh ON nh.doc_id = n.doc_id
       |ORDER BY n.doc_id""".stripMargin
 
+  /** p76: HyperLogLog distinct-URL cardinality per source + a merged
+    * corpus-wide rollup ([[Sketches.hllRegisters]] /
+    * [[Sketches.hllMergeRegisters]] / [[Sketches.hllEstimate]]) over
+    * the p43 URL fixture, at TWO precisions (p = 4 and p = 8) so both
+    * estimator branches are driver-gated: every per-source group and
+    * the p=8 rollup land in the linear-counting correction, while the
+    * p=4 rollup (257 distinct keys into 16 registers, v_zero = 0)
+    * exercises the raw harmonic-mean estimator. The '*' rollup is the
+    * register-wise MERGE of the per-source sketches — the property
+    * that makes HLL composable across shards/days at 100 TB — not a
+    * second scan of the corpus. `exact_distinct`/`rel_error` columns
+    * are the gate's comparison surface (the exact COUNT(DISTINCT) the
+    * sketch replaces at scale — computed here because the fixture is
+    * tiny, skipped in production, which is the point).
+    *
+    * The DuckDB oracle reproduces every register and both correction
+    * branches bit-exactly (FNV+splitmix chain, bin()-length rho, exact
+    * integer harmonic sum) — the approximation is GATED, not trusted. */
+  val p76HllCardinality: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val urls = docs.select(col("source"), p43FixtureUrl.as("url"))
+    val both = urls.unionAll(urls.select(lit("*").as("source"), col("url")))
+    val exact = both.groupBy("source")
+      .agg(countDistinct(col("url")).as("exact_distinct"))
+    val est = Seq(4, 8).map { p =>
+      val perSrc = Sketches.hllRegisters(urls, "source", "url", p)
+      val regs = perSrc.unionAll(
+        Sketches.hllMergeRegisters(perSrc, "source", "*"))
+      Sketches.hllEstimate(regs, "source", p)
+        .select(lit(p).as("p_bits"), col("source"), col("m"), col("v_zero"),
+          col("raw_estimate"), col("estimate"))
+    }.reduce(_ unionAll _)
+    est.join(exact, Seq("source"))
+      .withColumn("rel_error",
+        round((col("estimate") - col("exact_distinct")) / col("exact_distinct"), 6))
+      .select(col("p_bits"), col("source"), col("m"), col("v_zero"),
+        round(col("raw_estimate"), 6).as("raw_estimate"),
+        round(col("estimate"), 6).as("estimate"),
+        col("exact_distinct"), col("rel_error"))
+      .orderBy("p_bits", "source")
+  }
+
+  /** p76 oracle: the SKETCH ITSELF restated — the p43 fixture URLs
+    * hashed through the shared FNV/splitmix chain, register = top
+    * p_bits bits, rho = 1-based leading-one rank of the remainder via
+    * bin()-length (exact integer logic, no float log2), the '*' row as
+    * a UNION ALL re-aggregation (≡ the engine's register merge by max
+    * associativity), the harmonic sum in exact HUGEINT 2^(61-rho)
+    * scaling with ONE double rounding at the final cast, and the same
+    * literal arithmetic for alpha/branch constants — so DuckDB
+    * reproduces every register, both correction branches, and every
+    * estimate digit. */
+  val p76Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id, source,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 'HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM/Path/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_campaign=x#sec'
+      |      WHEN 1 THEN 'http://EXAMPLE' || CAST(doc_id % 5 AS VARCHAR) || '.com/Path/' || CAST(doc_id % 7 AS VARCHAR) || '?ref=tw&z=9&a=1&refresh=1'
+      |      ELSE 'https://cdn.Example' || CAST(doc_id % 5 AS VARCHAR) || '.net/x?b=2&a=' || CAST(doc_id % 11 AS VARCHAR) || '&fbclid=abc'
+      |    END AS url
+      |  FROM documents),
+      |f0 AS (
+      |  SELECT source, url,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(url) + 1),
+      |          j -> CAST(ascii(substr(url, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
+      |  FROM aug),
+      |t1 AS (SELECT source, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT source, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT source, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT source, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT source, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT source, xor(z, z >> 31) AS z FROM t5),
+      |u2 AS (SELECT source, z FROM t6 UNION ALL SELECT '*' AS source, z FROM t6),
+      |pp AS (SELECT CAST(p.p AS INTEGER) AS p_bits FROM unnest([4, 8]) AS p(p)),
+      |rr AS (
+      |  SELECT pp.p_bits, u2.source,
+      |    CAST(z >> (64 - pp.p_bits) AS BIGINT) AS reg,
+      |    z & ((CAST(1 AS UBIGINT) << (64 - pp.p_bits)) - 1) AS rest
+      |  FROM u2, pp),
+      |rho AS (
+      |  SELECT p_bits, source, reg,
+      |    CASE WHEN rest = 0 THEN 64 - p_bits + 1
+      |         ELSE 64 - p_bits - length(bin(rest)) + 1 END AS rho
+      |  FROM rr),
+      |mx AS (
+      |  SELECT p_bits, source, reg, max(rho) AS mrho
+      |  FROM rho GROUP BY p_bits, source, reg),
+      |agg AS (
+      |  SELECT p_bits, source,
+      |    CAST(count(*) AS BIGINT) AS nreg,
+      |    sum(CAST(1 AS HUGEINT) << CAST(61 - mrho AS INTEGER)) AS sp
+      |  FROM mx GROUP BY p_bits, source),
+      |ex AS (
+      |  SELECT source, CAST(count(DISTINCT url) AS BIGINT) AS exact_distinct
+      |  FROM (SELECT source, url FROM aug UNION ALL SELECT '*' AS source, url FROM aug)
+      |  GROUP BY source),
+      |est AS (
+      |  SELECT a.p_bits, a.source,
+      |    CAST(1 AS BIGINT) << a.p_bits AS m,
+      |    (CAST(1 AS BIGINT) << a.p_bits) - a.nreg AS v_zero,
+      |    (CASE WHEN a.p_bits = 4 THEN 0.673 ELSE 0.7213 / (1.0 + 1.079 / 256.0) END)
+      |      * CAST((CAST(1 AS BIGINT) << a.p_bits) * (CAST(1 AS BIGINT) << a.p_bits) AS DOUBLE)
+      |      * 2305843009213693952.0
+      |      / CAST(a.sp + CAST((CAST(1 AS BIGINT) << a.p_bits) - a.nreg AS HUGEINT) * (CAST(1 AS HUGEINT) << 61) AS DOUBLE) AS raw
+      |  FROM agg a),
+      |fin AS (
+      |  SELECT p_bits, source, m, v_zero, raw,
+      |    CASE WHEN raw <= 2.5 * m AND v_zero > 0
+      |         THEN m * ln(CAST(m AS DOUBLE) / v_zero) ELSE raw END AS est
+      |  FROM est)
+      |SELECT f.p_bits, f.source, f.m, f.v_zero,
+      |  round(f.raw, 6) AS raw_estimate,
+      |  round(f.est, 6) AS estimate,
+      |  ex.exact_distinct,
+      |  round((f.est - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_error
+      |FROM fin f JOIN ex ON ex.source = f.source
+      |ORDER BY f.p_bits, f.source""".stripMargin
+
+  /** The p77 blocklist: chosen to exercise the Aho–Corasick contract's
+    * corners, not just disjoint literals — 'free money' is a prefix of
+    * 'free money now' whose suffix 'money now' is a third pattern
+    * (nested + suffix-dictionary reporting), 'aa' self-overlaps
+    * ('aaaa' holds THREE occurrences), 'casino' repeats. */
+  private[graft] val P77Patterns = Seq(
+    "free money", "free money now", "money now", "click here", "casino", "aa")
+
+  /** p77: banned-phrase blocklist gate
+    * ([[TextAnalysis.blocklistFilter]]; see its scaladoc for the
+    * one-automaton-walk / zero-exchange shape). The fixture plants
+    * three contamination regimes on residue classes (the p41/p75
+    * discipline): %7 docs gain the nested 'Free MONEY now… click here'
+    * phrase cluster (case-folded catch + suffix-pattern counting), %11
+    * docs a tripled 'casino', %13 docs the self-overlapping 'aaaa';
+    * the clean bulk must pass untouched. */
+  /** The p77/st20 planted-contamination text (see [[p77BlocklistFilter]]). */
+  private[graft] def p77FixtureText: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    concat(coalesce(col("text"), lit("")),
+      when(pmod(d, lit(7)) === 0,
+        lit(" Free MONEY now! click here to claim")).otherwise(lit("")),
+      when(pmod(d, lit(11)) === 0,
+        lit(" visit the casino casino casino tonight")).otherwise(lit("")),
+      when(pmod(d, lit(13)) === 0, lit(" aaaa")).otherwise(lit("")))
+  }
+
+  val p77BlocklistFilter: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val aug = docs.select(col("doc_id"), p77FixtureText.as("text"))
+    TextAnalysis.blocklistFilter(aug, "text", "doc_id", P77Patterns)
+      .orderBy("doc_id")
+  }
+
+  /** p77 oracle: per-(doc, pattern) overlapping-occurrence counts by
+    * brute-force position scan over the lowercased augmented text —
+    * every start position tested — then summed/counted per doc. The
+    * engine's automaton must reproduce the naive quadratic answer
+    * exactly (overlaps, nested patterns, suffix dictionary and all)
+    * in its single linear walk. */
+  val p77Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id,
+      |    lower(coalesce(text, '')
+      |      || CASE WHEN doc_id % 7 = 0 THEN ' Free MONEY now! click here to claim' ELSE '' END
+      |      || CASE WHEN doc_id % 11 = 0 THEN ' visit the casino casino casino tonight' ELSE '' END
+      |      || CASE WHEN doc_id % 13 = 0 THEN ' aaaa' ELSE '' END) AS s
+      |  FROM documents),
+      |pats AS (
+      |  SELECT * FROM (VALUES ('free money'), ('free money now'),
+      |    ('money now'), ('click here'), ('casino'), ('aa')) AS t(p)),
+      |cnt AS (
+      |  SELECT a.doc_id, t.p,
+      |    len(list_filter(range(1, length(a.s) - length(t.p) + 2),
+      |        i -> substr(a.s, CAST(i AS INTEGER), length(t.p)) = t.p)) AS n
+      |  FROM aug a, pats t),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_matches,
+      |    CAST(count(CASE WHEN n > 0 THEN 1 END) AS BIGINT) AS n_patterns
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_matches, n_patterns, n_matches > 0 AS flagged
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -3649,6 +3833,8 @@ object PipelineQueries {
     "p73_video_near_dup" -> p73VideoNearDup,
     "p74_dsir_select" -> p74DsirSelect,
     "p75_bloom_decontaminate" -> p75BloomDecontaminate,
+    "p76_hll_cardinality" -> p76HllCardinality,
+    "p77_blocklist_filter" -> p77BlocklistFilter,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4158,6 +4344,8 @@ object PipelineQueries {
     "p73_video_near_dup" -> p73Sql,
     "p74_dsir_select" -> p74Sql,
     "p75_bloom_decontaminate" -> p75Sql,
+    "p76_hll_cardinality" -> p76Sql,
+    "p77_blocklist_filter" -> p77Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-counting sketches for corpus analytics at 100 TB —
+  * operations where the EXACT answer forces an exchange proportional to
+  * the number of distinct values (every distinct URL, every distinct
+  * n-gram), but the sketch's exchange is bounded by the register file.
+  *
+  * Everything here is deterministic in the input (the hash is the
+  * corpus-standard FNV-1a+splitmix chain), so unlike typical sketch
+  * libraries the OUTPUT is oracle-gateable: DuckDB reproduces every
+  * register and therefore every estimate bit-for-bit (p76). Reference
+  * has no sketch surface; pipeline extension.
+  */
+object Sketches {
+
+  /** Per-group HyperLogLog register file: one row per (group, register)
+    * carrying the max leading-one rank observed. This IS the sketch —
+    * 2^p rows per group at most, mergeable by `max` (see
+    * [[hllMergeRegisters]]), estimable by [[hllEstimate]].
+    *
+    * Scale shape: the observation pass is row-local codegen
+    * ([[graft.functions.HllRegRho]]); the aggregate is map-side
+    * combined, so the exchange carries at most (groups × 2^p) partial
+    * rows per mapper — never a distinct-key stream. At 100 TB this
+    * replaces the COUNT(DISTINCT url)-per-domain shuffle whose exchange
+    * is the distinct-URL set itself. */
+  def hllRegisters(df: DataFrame, grpCol: String, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision must be in [4, 16], got $p")
+    val pk = graft.functions.HllRegRho(col(keyCol), p)
+    df.select(col(grpCol), pk.as("pk"))
+      .filter(col("pk").isNotNull)
+      .groupBy(col(grpCol), shiftright(col("pk"), 8).as("reg"))
+      .agg(max(col("pk").bitwiseAND(lit(255))).as("mrho"))
+  }
+
+  /** Merge a register file down to a single rollup group — the HLL
+    * merge property (register-wise max), i.e. the union sketch. The
+    * input is already register-bounded, so this exchange carries at
+    * most 2^p rows per mapper. */
+  def hllMergeRegisters(regs: DataFrame, grpCol: String, rollupName: String): DataFrame =
+    regs.groupBy(col("reg")).agg(max(col("mrho")).as("mrho"))
+      .select(lit(rollupName).as(grpCol), col("reg"), col("mrho"))
+
+  /** Cardinality estimate from a register file: the Flajolet et al.
+    * raw estimator alpha_m * m^2 / sum(2^-M_j) with the standard
+    * small-range linear-counting correction (est = m * ln(m / V) when
+    * raw <= 2.5m and V = empty registers > 0). No large-range
+    * correction is needed with a 64-bit hash.
+    *
+    * The harmonic sum is computed in EXACT integer arithmetic —
+    * sum(2^(61-M_j)) as DECIMAL(38,0), absent registers contributing
+    * 2^61 — with ONE double rounding at the final cast, so the
+    * estimate is reproducible across engines regardless of register
+    * visit order (a naive sum(pow(2.0,-M_j)) is order-sensitive once
+    * exponents spread past the 52-bit mantissa). Returns one row per
+    * group: (grp, m, v_zero, raw_estimate, estimate), estimates
+    * unrounded. */
+  def hllEstimate(regs: DataFrame, grpCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision must be in [4, 16], got $p")
+    val m = 1 << p
+    // Standard bias constants (Flajolet et al. §4); identical literal
+    // arithmetic on the oracle side so the doubles agree bit-for-bit.
+    val alpha: Column =
+      if (m == 16) lit(0.673)
+      else if (m == 32) lit(0.697)
+      else if (m == 64) lit(0.709)
+      else lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val scale = 1L << 61 // covers rho <= 61 (p >= 4)
+    val per = regs.groupBy(grpCol).agg(
+      count(lit(1)).as("nreg"),
+      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mrho) AS DECIMAL(38,0))")).as("sp"))
+    val vZero = lit(m.toLong) - col("nreg")
+    val sumScaled =
+      (col("sp") + vZero.cast("decimal(38,0)") * lit(scale).cast("decimal(38,0)"))
+        .cast("double")
+    val raw = alpha * lit(m.toDouble * m.toDouble) * lit(scale.toDouble) / sumScaled
+    per.select(
+        col(grpCol), lit(m.toLong).as("m"), vZero.as("v_zero"), raw.as("raw"))
+      .withColumn("estimate",
+        when(col("raw") <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+          .otherwise(col("raw")))
+      .withColumnRenamed("raw", "raw_estimate")
+  }
+}

@@ -851,6 +851,31 @@ object TextAnalysis {
     * grams) fits comfortably — beyond that, shard the filter by
     * gram-hash prefix or fall back to the exact join. Returns every
     * doc: (id, n_grams, n_hits, flagged). NULL text ≡ blank. */
+  /** Banned-phrase blocklist gate — the C4 §2.2 "List of Dirty, Naughty
+    * … Words" step (Raffel et al. drop any page with a blocklist hit)
+    * generalized to COUNTED, auditable verdicts: one Aho–Corasick
+    * automaton walk per document ([[graft.functions.AcScan]]) reports
+    * the total occurrence count (overlaps and nested matches included —
+    * the AC contract) and the number of distinct patterns present, so a
+    * curation run can threshold, not just drop. Matching is case-folded
+    * substring match; NULL text ≡ blank.
+    *
+    * Scale shape (100 TB): the automaton is a pure function of the
+    * bounded blocklist, built ONCE driver-side under explicit budgets
+    * (named errors) and shipped as a plan reference object — the
+    * corpus scan is row-local codegen with ZERO exchanges, vs
+    * |patterns| LIKE/regex passes or an exploded token join. Returns
+    * every doc: (id, n_matches, n_patterns, flagged). */
+  def blocklistFilter(docs: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val ac = graft.functions.AcScan(coalesce(col(textCol), lit("")), patterns)
+    docs.select(col(idCol), ac.as("__ac"))
+      .select(col(idCol),
+        element_at(col("__ac"), 1).as("n_matches"),
+        element_at(col("__ac"), 2).as("n_patterns"))
+      .withColumn("flagged", col("n_matches") > 0L)
+  }
+
   def bloomDecontaminate(docs: DataFrame, textCol: String, idCol: String,
       refCond: Column, shingle: Int = 5, mBits: Int = 4096,
       probes: Int = 2): DataFrame = {

@@ -992,7 +992,26 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st20: streaming blocklist gate — the live-ingest form of p77
+    * ([[TextAnalysis.blocklistFilter]]): the Aho–Corasick automaton
+    * builds ONCE from the bounded blocklist, embeds in the scan
+    * expression as a plan reference object, and every micro-batch's
+    * documents are verdicted ROW-LOCALLY — a pure append-mode
+    * projection: no join, no watermark, ZERO state-store rows. Same
+    * planted fixture and pattern list as p77, so the drained sink
+    * equals the batch answer and the oracle IS p77's. */
+  val st20BlocklistGate: Q = (spark, dir) => {
+    val docs = boundedDocStream(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.PipelineQueries.p77FixtureText.as("text"))
+    val gated = TextAnalysis.blocklistFilter(docs, "text", "doc_id",
+      graft.operators.PipelineQueries.P77Patterns)
+    drainToMemory(spark, "st20", gated.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st20_stream_blocklist_gate" -> st20BlocklistGate,
     "st19_stream_bloom_gate" -> st19BloomGate,
     "st17_stream_c4_clean" -> st17StreamC4,
     "st18_stream_repetition_filter" -> st18StreamRepetition,
@@ -1069,6 +1088,7 @@ object StreamingQueries {
     // static reference and the streaming probe is a stateless
     // append-mode projection
     "st19_stream_bloom_gate" -> graft.operators.PipelineQueries.p75Sql,
+    "st20_stream_blocklist_gate" -> graft.operators.PipelineQueries.p77Sql,
     "st18_stream_repetition_filter" -> graft.operators.PipelineQueries.p67Sql,
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,

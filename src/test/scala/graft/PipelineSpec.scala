@@ -1769,6 +1769,121 @@ class PipelineSpec extends AnyFunSuite {
       s"too many flagged non-ref docs: ${flaggedNonRef.length}")
   }
 
+  test("HLL kernel packing pinned against an independent bit-level restatement") {
+    import org.apache.spark.unsafe.types.UTF8String
+    for (s <- Seq("a", "hello", "https://Example0.com/Path/3?id=7", "",
+                  "éclair 中文");
+         p <- Seq(4, 8, 12)) {
+      val z = graft.operators.DetRngHash.xx(s.getBytes("UTF-8"))
+      val rest = z & ((1L << (64 - p)) - 1L)
+      // independent rho: 1-based leading-one rank via the binary-string
+      // length (what the DuckDB oracle's bin() restatement computes)
+      val expRho =
+        if (rest == 0L) 64 - p + 1
+        else (64 - p) - java.lang.Long.toBinaryString(rest).length + 1
+      val expReg = (z >>> (64 - p)).toInt
+      val pk = graft.functions.HllRegRho.kernel(UTF8String.fromString(s), p)
+      assert(pk === ((expReg << 8) | expRho), s"key '$s' p=$p")
+      assert((pk & 255) >= 1 && (pk & 255) <= 64 - p + 1, "rho range")
+    }
+  }
+
+  test("HLL: merge ≡ direct sketch, calibrated error, NULL keys ignored") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => ("g", s"key-$i")) ++
+      (0 until 200).map(i => ("h", s"other-$i"))
+    val df = rows.toDF("grp", "key")
+    val regs = graft.operators.Sketches.hllRegisters(df, "grp", "key", 8)
+    val est = graft.operators.Sketches.hllEstimate(regs, "grp", 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(est("g") - 1000.0) / 1000.0 < 0.2,
+      s"p=8 estimate for n=1000 out of envelope: ${est("g")}")
+    assert(math.abs(est("h") - 200.0) / 200.0 < 0.2,
+      s"p=8 estimate for n=200 out of envelope: ${est("h")}")
+    // the union sketch by register-wise max ≡ sketching the union
+    val merged = graft.operators.Sketches
+      .hllMergeRegisters(regs, "grp", "*")
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    val direct = graft.operators.Sketches
+      .hllRegisters(df.withColumn("grp", lit("*")), "grp", "key", 8)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(merged === direct, "register merge must equal the union sketch")
+    // NULLs contribute no register (COUNT(DISTINCT) semantics)
+    val withNull = (rows ++ Seq(("g", null.asInstanceOf[String])))
+      .toDF("grp", "key")
+    val regsN = graft.operators.Sketches.hllRegisters(withNull, "grp", "key", 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val regs0 = regs.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(regsN === regs0, "NULL keys must not perturb the register file")
+  }
+
+  test("p76: both correction branches live; estimates track exact within the envelope") {
+    val out = graft.operators.PipelineQueries
+      .p76HllCardinality(spark, "/root/testdata/sf0.001").collect()
+    val p4star = out.find(r => r.getInt(0) == 4 && r.getString(1) == "*").get
+    assert(p4star.getLong(3) === 0L, "p=4 rollup must saturate every register")
+    assert(p4star.getDouble(4) === p4star.getDouble(5),
+      "saturated rollup must take the RAW estimator branch")
+    val p8 = out.filter(r => r.getInt(0) == 8)
+    assert(p8.exists(r => r.getDouble(4) != r.getDouble(5)),
+      "linear-counting branch must fire at p=8")
+    p8.foreach { r =>
+      val rel = math.abs(r.getDouble(5) - r.getLong(6)) / r.getLong(6).toDouble
+      assert(rel < 0.25, s"p=8 estimate out of envelope: $r")
+    }
+  }
+
+  test("Aho–Corasick: hand-computed counts — overlap, nesting, suffix dictionary, case fold") {
+    val auto = graft.functions.AcAutomaton.build(graft.operators
+      .PipelineQueries.P77Patterns)
+    // 'free money now' holds 'free money' + 'free money now' + 'money
+    // now' (nested + suffix-link reporting); 'aaaa' holds THREE
+    // overlapping 'aa'; 'casino casino' two; case-folded catch.
+    assert(auto.scan("xFREE Money nowx aaaa casino casino").toSeq ===
+      Seq(8L, 5L))
+    assert(auto.scan("").toSeq === Seq(0L, 0L))
+    assert(auto.scan("nothing objectionable here").toSeq === Seq(0L, 0L))
+    // a pattern that is a strict INFIX of matched text still counts
+    assert(auto.scan("aa").toSeq === Seq(1L, 1L))
+    assert(auto.scan("free money").toSeq === Seq(1L, 1L))
+    // partial prefixes do not count
+    assert(auto.scan("free mone").toSeq === Seq(0L, 0L))
+  }
+
+  test("Aho–Corasick build: named errors for empty list, empty pattern, duplicates, budget") {
+    import graft.functions.AcAutomaton
+    assert(intercept[IllegalArgumentException](AcAutomaton.build(Nil))
+      .getMessage.contains("blocklist is empty"))
+    assert(intercept[IllegalArgumentException](
+        AcAutomaton.build(Seq("ok", "")))
+      .getMessage.contains("empty pattern"))
+    assert(intercept[IllegalArgumentException](
+        AcAutomaton.build(Seq("Spam", "spam")))
+      .getMessage.contains("duplicate patterns"))
+    assert(intercept[IllegalArgumentException](
+        AcAutomaton.build(Seq("a", "b", "c"), maxPatterns = 2))
+      .getMessage.contains("over the 2"))
+    assert(intercept[IllegalArgumentException](
+        AcAutomaton.build(Seq("abcdefgh"), maxNodes = 3))
+      .getMessage.contains("node budget"))
+  }
+
+  test("blocklistFilter: NULL text ≡ blank; verdicts match per-row scans") {
+    import spark.implicits._
+    val docs = Seq((1L, "win FREE MONEY NOW friends"),
+      (2L, null.asInstanceOf[String]), (3L, "casino aaaa casino"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .blocklistFilter(docs, "text", "doc_id", graft.operators
+        .PipelineQueries.P77Patterns)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out(0) === ((1L, 3L, 3L, true)))
+    assert(out(1) === ((2L, 0L, 0L, false)))
+    assert(out(2) === ((3L, 5L, 2L, true)))
+  }
+
   test("bloom kernel: positions match the contains test; empty ref is a named error") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "x y z w v u"),

@@ -518,6 +518,33 @@ class WidePopulationSpec extends AnyFunSuite {
     assert(!exec.toLowerCase.contains("scalaudf"), s"native only:\n$exec")
   }
 
+  test("HLL register pass: native kernel, map-side-combined aggregate — the exchange is register-bounded") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = spark.range(100).select(lit("g").as("grp"),
+      concat(lit("k"), col("id").cast("string")).as("key"))
+    val regs = graft.operators.Sketches.hllRegisters(df, "grp", "key", 8)
+    val exec = regs.queryExecution.executedPlan.toString
+    assert(!exec.toLowerCase.contains("scalaudf"), s"native kernel only:\n$exec")
+    assert(exec.contains("graft_hll_reg_rho"), s"expected the HLL kernel:\n$exec")
+    assert(exec.contains("partial_max"),
+      s"register max must combine map-side so the exchange carries register partials, not observations:\n$exec")
+    val est = graft.operators.Sketches.hllEstimate(regs, "grp", 8)
+    val estExec = est.queryExecution.executedPlan.toString
+    assert(!estExec.toLowerCase.contains("scalaudf"), s"estimate stays native:\n$estExec")
+  }
+
+  test("blocklist gate stays row-local — automaton as plan reference, no shuffle, no UDF") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("some text free money "), col("id").cast("string")).as("text"))
+    val out = graft.operators.TextAnalysis.blocklistFilter(
+      df, "text", "doc_id", graft.operators.PipelineQueries.P77Patterns)
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange"), s"gate must be one scan pass:\n$exec")
+    assert(!exec.toLowerCase.contains("scalaudf"), s"native kernel only:\n$exec")
+    assert(exec.contains("graft_ac_scan"), s"expected the AC kernel:\n$exec")
+  }
+
   test("dedup/similarity kernels run as native expressions, not ScalaUDFs") {
     // round 6: the signature/agreement/fingerprint kernels are Catalyst
     // expressions with doGenCode — a ScalaUDF in these plans means a
