@@ -1511,6 +1511,120 @@ object PipelineQueries {
       |  sha256(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_sha256
       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Per-document ORDERED token-id sequences under the p54-learned
+    * vocabulary — the input a binary training export consumes. Piece
+    * ids are frequency ranks ((weighted count DESC, piece ASC), the
+    * vocabCoverage total order) over the model's segmentation; the
+    * word → id-array table is vocab-bounded and BROADCASTS, the
+    * per-doc assembly is one aggregate whose collect_list is bounded
+    * by document length (array_sort on the (pos, ids) structs makes
+    * the flatten order deterministic regardless of arrival order). */
+  private def tokenIdsFor(spark: SparkSession, dir: String): DataFrame = {
+    val model = bpeModelFor(spark, dir)
+    val pieceCounts = model._2
+      .flatMap { case (_, c, sy) => sy.map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val pid: Map[String, Int] = pieceCounts
+      .sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, _), i) => p -> i }.toMap
+    val wordIds = model._2.map { case (w, _, sy) => (w, sy.map(pid)) }
+    import spark.implicits._
+    val wp = wordIds.toDF("w", "wids")
+    val docs = Tables.load(spark, dir, "documents")
+    val tk = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
+    val words = docs.select(col("doc_id"), posexplode(tk).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val ids = words.join(broadcast(wp), Seq("w"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        s => s.getField("wids"))).as("ids"))
+    docs.select(col("doc_id")).join(ids, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<int>")).as("ids"))
+  }
+
+  /** p78: tokenized BINARY shard export ([[graft.sources.TokenBin]];
+    * see its scaladoc for the .bin/.idx layout and the read-back
+    * manifest contract) — the [[tokenIdsFor]] sequences land as 8
+    * seeded-fold u32 shards in a scratch dir, and the gate hashes the
+    * manifest parsed back FROM THE WRITTEN BYTES: shard routing, the
+    * learned vocabulary's id assignment, per-doc token order (via the
+    * order-sensitive per-doc FNV inside the checksum), and both file
+    * widths (n_bytes = 4·tokens / 12·docs) all sit behind the oracle,
+    * which re-derives everything from the p54 retrain chain. Byte
+    * layout and round-trip equality are TokenBinSpec-pinned. */
+  val p78TokenBinExport: Q = (spark, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_p78_" +
+      s"${ProcessHandle.current().pid()}_" +
+      java.lang.Long.toHexString(DetRngHash.xx(dir.getBytes("UTF-8")))
+    graft.sources.TokenBin.write(tokenIdsFor(spark, dir), "doc_id", "ids",
+      out, nShards = 8, seed = 78L)
+    graft.sources.TokenBin.readManifest(spark, out).orderBy("shard")
+  }
+
+  /** p78 oracle: the p54 retrain chain → frequency-ranked piece ids →
+    * per-doc ORDERED id lists (word order × within-word piece order) →
+    * the per-doc FNV-limb fold over ids, splitmix-finalized XOR doc_id
+    * — summed per seeded-fold shard in HUGEINT mod 2^64. Every stage
+    * of the export (vocabulary, id ranks, token order, shard routing,
+    * file widths) is restated independently. */
+  val p78Sql: String =
+    p54OracleCtes(P54Merges) + s""",
+      |vocab AS MATERIALIZED (
+      |  SELECT p AS piece, CAST(sum(c) AS BIGINT) AS pc
+      |  FROM (SELECT c, unnest(string_split(seg, chr(31))) AS p FROM seg$P54Merges)
+      |  GROUP BY p),
+      |vid AS MATERIALIZED (
+      |  SELECT piece, CAST(row_number() OVER (ORDER BY pc DESC, piece) - 1 AS INTEGER) AS pid
+      |  FROM vocab),
+      |wpp AS (
+      |  SELECT w, CAST(i.i AS BIGINT) AS pi,
+      |    string_split(seg, chr(31))[CAST(i.i AS INTEGER)] AS piece
+      |  FROM seg$P54Merges, unnest(range(1, len(string_split(seg, chr(31))) + 1)) AS i(i)),
+      |wid AS MATERIALIZED (
+      |  SELECT wpp.w, list(vid.pid ORDER BY wpp.pi) AS ids
+      |  FROM wpp JOIN vid USING (piece) GROUP BY wpp.w),
+      |dtok AS (
+      |  SELECT doc_id, CAST(i.i AS BIGINT) AS wi, toks[CAST(i.i AS INTEGER)] AS w
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '') AS toks
+      |        FROM documents),
+      |       unnest(range(1, len(toks) + 1)) AS i(i)),
+      |dids AS MATERIALIZED (
+      |  SELECT d.doc_id, flatten(list(wid.ids ORDER BY d.wi)) AS ids
+      |  FROM dtok d JOIN wid ON wid.w = d.w GROUP BY d.doc_id),
+      |dall AS (
+      |  SELECT doc.doc_id, coalesce(dids.ids, []) AS ids
+      |  FROM documents doc LEFT JOIN dids ON dids.doc_id = doc.doc_id),
+      |fnv AS (
+      |  SELECT doc_id, len(ids) AS n,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(ids, x -> CAST(x AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z0
+      |  FROM dall),
+      |g0 AS (SELECT doc_id, n, xor(z0, CAST(doc_id AS UBIGINT)) AS z FROM fnv),
+      |g1 AS (SELECT doc_id, n, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM g0),
+      |g2 AS (SELECT doc_id, n, xor(z, z >> 30) AS z FROM g1),
+      |g3 AS (SELECT doc_id, n, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM g2),
+      |g4 AS (SELECT doc_id, n, xor(z, z >> 27) AS z FROM g3),
+      |g5 AS (SELECT doc_id, n, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM g4),
+      |g6 AS (SELECT doc_id, n, xor(z, z >> 31) AS z FROM g5),
+      |""".stripMargin +
+    mixChainSql(
+      "SELECT doc_id, xor(CAST(doc_id AS UBIGINT), CAST(78 AS UBIGINT)) AS z FROM documents",
+      p = "sm", hName = "sh", lead = "") + """
+      |shards AS (SELECT doc_id, CAST(z % 8 AS BIGINT) AS shard FROM sh)
+      |SELECT s.shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(g.n) AS BIGINT) AS n_tokens,
+      |  CAST(4 * sum(g.n) AS BIGINT) AS n_bytes_bin,
+      |  CAST(12 * count(*) AS BIGINT) AS n_bytes_idx,
+      |  CAST(CAST(sum(CAST(g.z AS HUGEINT)) % 18446744073709551616 AS UBIGINT) AS VARCHAR) AS checksum
+      |FROM g6 g JOIN shards s USING (doc_id)
+      |GROUP BY s.shard ORDER BY s.shard""".stripMargin
+
   private[graft] val AudioFixturePath = sys.env.getOrElse(
     "GRAFT_AUDIO_FIXTURE", "/root/repo/fixtures/audio_fixture.parquet")
 
@@ -3488,6 +3602,10 @@ object PipelineQueries {
   /** `p`/`hName` rename the chain's CTEs so the fragment can compose
     * into a WITH clause that already uses m1..m6/h (the p02 chain);
     * `lead` drops the leading WITH for mid-clause composition. */
+  /** [[mixChainSql]] for cross-module oracle reuse (st21). */
+  private[graft] def mixChainSqlPublic(zeroCte: String): String =
+    mixChainSql(zeroCte)
+
   private def mixChainSql(zeroCte: String, p: String = "m",
       hName: String = "h", lead: String = "WITH "): String =
     s"""|$lead${p}0 AS ($zeroCte),
@@ -3835,6 +3953,7 @@ object PipelineQueries {
     "p75_bloom_decontaminate" -> p75BloomDecontaminate,
     "p76_hll_cardinality" -> p76HllCardinality,
     "p77_blocklist_filter" -> p77BlocklistFilter,
+    "p78_token_bin_export" -> p78TokenBinExport,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4346,6 +4465,7 @@ object PipelineQueries {
     "p75_bloom_decontaminate" -> p75Sql,
     "p76_hll_cardinality" -> p76Sql,
     "p77_blocklist_filter" -> p77Sql,
+    "p78_token_bin_export" -> p78Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

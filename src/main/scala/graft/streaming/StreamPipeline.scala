@@ -293,6 +293,60 @@ object StreamPipeline {
   final case class AdmitOut(
     doc_id: Long, source: String, n_tokens: Long, admitted: Boolean)
 
+  final case class PackOut(
+    doc_id: Long, shard: Long, n_tokens: Long, bin: Long, bin_offset: Long)
+
+  /** Streaming greedy sequence packing — the LIVE-ingest analogue of
+    * [[graft.operators.Sampling.packBins]]: as documents arrive, each
+    * shard's packing stream assigns (bin, bin_offset) by cutting the
+    * running token total at `budgetTokens`, so training sequences fill
+    * while the crawl is still running. Custom keyed state via
+    * flatMapGroupsWithState: ONE long per shard (the cumulative token
+    * total — nothing grows with the stream), update mode, no timeout
+    * (a packing run has no horizon).
+    *
+    * Packing order — the determinism contract, st13's: the shard is a
+    * pure seeded fold of the id; within a micro-batch a shard's
+    * documents pack in (event-time, doc_id) order (the batch's rows
+    * sort in the fold — per-(shard, batch) memory); across batches,
+    * batch order. With the bounded single-file replay the composite
+    * order is the global (event-time, doc_id) order, which the oracle
+    * restates as a window cumsum. Unlike the batch form's hash order,
+    * arrival order is the HONEST streaming semantic: a bin must close
+    * when the budget fills, not wait for hash-earlier stragglers. */
+  def streamPackBins(stream: DataFrame, textCol: String, idCol: String,
+      tsCol: String, budgetTokens: Long, shards: Int, seed: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val nTok = when(col(textCol).isNotNull,
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .otherwise(raise_error(lit(
+        "graft streamPackBins: NULL text — broken upstream ingest?"))
+        .cast("long"))
+    val rows = stream.select(col(idCol).cast("long"),
+        graft.operators.Sampling.fold(col(idCol), seed, shards),
+        col(tsCol).cast("timestamp"),
+        nTok)
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, PackOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (shard, it, state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(r => (r._3.getTime, r._1)).map { r =>
+            val rec = PackOut(r._1, shard, r._4,
+              cum / budgetTokens, cum % budgetTokens)
+            cum += r._4
+            rec
+          }
+          state.update(cum)
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming per-source token-budget admission — the LIVE-ingest
     * analogue of [[graft.operators.Sampling.tokenBudgetSample]]: a
     * training-mix recipe says "take `budget` tokens of each source",

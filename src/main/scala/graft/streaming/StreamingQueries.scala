@@ -1010,7 +1010,48 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st21: streaming sequence packing — the live-ingest form of p23
+    * ([[StreamPipeline.streamPackBins]]): 4 seeded-fold packing
+    * streams cut at a 500-token budget as documents arrive, state =
+    * ONE long per shard. Budget 500 closes multiple bins per shard at
+    * every SF (shards carry ~7k tokens at sf0.001/0.01). Update mode
+    * emits each document's placement once, in its batch; the oracle
+    * restates the (event-time, doc_id) arrival order as an exact
+    * integer window cumsum per shard. */
+  val st21StreamPack: Q = (spark, dir) => {
+    val out = StreamPipeline.streamPackBins(
+      boundedDocStream(spark, dir), "text", "doc_id", "ts",
+      budgetTokens = 500L, shards = 4, seed = 23L)
+    drainToMemory(spark, "st21", out.writeStream.outputMode("update"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("bin"), col("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** st21 oracle: the shared SplitMix64 fold chain for the shard, the
+    * whitespace token count, and the packing cumsum in the synthetic
+    * (event-time, doc_id) arrival order — exact integer division, the
+    * p23 discipline. */
+  val st21Sql: String =
+    graft.operators.PipelineQueries.mixChainSqlPublic(
+      "SELECT doc_id, text, (doc_id * 37) % 600 AS tkey, xor(CAST(doc_id AS UBIGINT), CAST(23 AS UBIGINT)) AS z FROM documents") + """
+      |d AS (
+      |  SELECT doc_id, tkey, CAST(z % 4 AS BIGINT) AS shard,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM h),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY tkey, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM d)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(cum // 500 AS BIGINT) AS bin,
+      |  CAST(cum % 500 AS BIGINT) AS bin_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st21_stream_pack" -> st21StreamPack,
     "st20_stream_blocklist_gate" -> st20BlocklistGate,
     "st19_stream_bloom_gate" -> st19BloomGate,
     "st17_stream_c4_clean" -> st17StreamC4,
@@ -1089,6 +1130,7 @@ object StreamingQueries {
     // append-mode projection
     "st19_stream_bloom_gate" -> graft.operators.PipelineQueries.p75Sql,
     "st20_stream_blocklist_gate" -> graft.operators.PipelineQueries.p77Sql,
+    "st21_stream_pack" -> st21Sql,
     "st18_stream_repetition_filter" -> graft.operators.PipelineQueries.p67Sql,
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,

@@ -582,4 +582,36 @@ class StreamingSpec extends AnyFunSuite {
         6L -> false, 7L -> true, 8L -> true), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming sequence packing: event-time order within a batch, offsets carry across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = MemoryStream[(Long, String, Timestamp)]
+    // shards = 1 so every doc packs in one stream: the bin math is then
+    // a pure function of the (ts, doc_id) arrival order
+    val out = graft.streaming.StreamPipeline.streamPackBins(
+      docs.toDF.toDF("doc_id", "text", "ts"),
+      "text", "doc_id", "ts", budgetTokens = 100L, shards = 1, seed = 5L)
+    val q = out.writeStream.format("memory").queryName("pack_out")
+      .outputMode("update").start()
+    try {
+      // batch 1 arrives OUT of event-time order: doc 2 (earlier ts, 60
+      // tokens) packs first at offset 0; doc 1 (70 tokens) starts at
+      // cum 60 → bin 0, offset 60; doc 3 at cum 130 → bin 1, offset 30
+      docs.addData((1L, words(70), t(60)), (2L, words(60), t(0)),
+        (3L, words(40), t(120)))
+      q.processAllAvailable()
+      // batch 2: cum 170 carries — doc 4 (50 tokens) → bin 1, offset 70
+      docs.addData((4L, words(50), t(180)))
+      q.processAllAvailable()
+      val got = spark.table("pack_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+      assert(got === Map(1L -> ((0L, 60L)), 2L -> ((0L, 0L)),
+        3L -> ((1L, 30L)), 4L -> ((1L, 70L))), s"got $got")
+    } finally q.stop()
+  }
 }
