@@ -281,6 +281,25 @@ object GraftFunctions {
             RegExpExtract(url, Literal("https?://([^/]+)"), Literal(1)),
             Literal(null, org.apache.spark.sql.types.StringType))
         case as => badArity("graft_url_domain", as.length, "1")
+      }),
+    ("graft_hll_reg_rho",
+      "(key, p) - packed HyperLogLog register observation (reg << 8 | rho) at precision p",
+      {
+        case Seq(k, p) => HllRegRho(k, litInt("graft_hll_reg_rho", "p", p))
+        case as => badArity("graft_hll_reg_rho", as.length, "2")
+      }),
+    ("graft_ac_count",
+      "(text, pattern1, ...) - [total_matches, distinct_patterns] Aho-Corasick blocklist counts",
+      {
+        case as if as.length >= 2 =>
+          val pats = as.tail.zipWithIndex.map {
+            case (Literal(s: org.apache.spark.unsafe.types.UTF8String, _), _)
+              if s != null => s.toString
+            case (other, i) => throw new IllegalArgumentException(
+              s"graft_ac_count: pattern${i + 1} must be a string literal, got $other")
+          }
+          AcScan(as.head, pats)
+        case as => badArity("graft_ac_count", as.length, "at least 2")
       }))
 
   private[graft] def info(name: String, usage: String): ExpressionInfo =

@@ -56,6 +56,39 @@ case class HllRegRho(child: Expression, p: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The corpus-standard 64-bit string hash ([[graft.operators
+  * .DetRngHash.xx]]: FNV-1a over UTF-8 bytes, splitmix-finalized) as a
+  * native expression — the shared primitive under the sketch family
+  * (HLL registers, Count–Min cells). Exposed so sketch cell math stays
+  * plain column arithmetic over ONE hash evaluation instead of a
+  * per-row kernel per derived value. NULL-propagating. */
+case class Xx64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_xx64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    DetRngHash.xx(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.operators.DetRngHash.xx($v.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Xx64 {
+  def apply(c: Column): Column =
+    ColumnBridge.column(Xx64(ColumnBridge.expression(c)))
+}
+
 object HllRegRho {
 
   def kernel(key: UTF8String, p: Int): Int = {

@@ -1016,6 +1016,10 @@ object PipelineQueries {
     * anchored tracking pattern must NOT strip). Residue classes make
     * distinct raw URLs collapse to shared canonical forms, which is the
     * point of the operator. */
+  /** [[p43FixtureUrl]] for cross-module reuse (st22). */
+  private[graft] def p43FixtureUrlPublic: org.apache.spark.sql.Column =
+    p43FixtureUrl
+
   private def p43FixtureUrl: org.apache.spark.sql.Column = {
     val d = col("doc_id")
     when(pmod(d, lit(3)) === 0, concat(
@@ -2586,6 +2590,128 @@ object PipelineQueries {
       |SELECT doc_id, n_matches, n_patterns, n_matches > 0 AS flagged
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** p79: Count–Min heavy hitters ([[Sketches.cmsBuild]] /
+    * [[Sketches.cmsEstimate]]) — the bounded-memory frequency rung
+    * next to p76's cardinality rung: a 4×512-cell sketch over the
+    * corpus token stream, point-queried for the top-16 exact tokens
+    * plus four planted ABSENT probes (whose estimates are pure
+    * collision noise — the sketch's ε·N overestimate, reproduced
+    * bit-exactly by the oracle since counters are exact sums). The
+    * `overestimate` column certifies the one-sided CM guarantee on
+    * every row; the exact counts are the gate's comparison surface
+    * (computed here because the fixture is tiny — at 100 TB the
+    * sketch's d×w exchange replaces the distinct-token shuffle). */
+  val p79CmsHeavyHitters: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val tk = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
+    val toks = docs.select(explode(tk).as("token"))
+      .filter(length(col("token")) > 0)
+    val cells = Sketches.cmsBuild(toks, "token", d = 4, w = 512)
+    val hist = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    val top = hist.orderBy(col("exact_count").desc, col("token")).limit(16)
+    import spark.implicits._
+    val rare = Seq("zzgraftprobe1", "zzgraftprobe2", "zzgraftprobe3",
+        "zzgraftprobe4").toDF("token")
+      .join(hist, Seq("token"), "left")
+      .select(col("token"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+    val q = top.unionByName(rare)
+    Sketches.cmsEstimate(cells, q, "token", d = 4, w = 512)
+      .join(q, Seq("token"))
+      .select(col("token"), col("exact_count"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_count")).as("overestimate"))
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
+  /** The 6-stage splitmix restatement over a carried column set —
+    * `SELECT <carry>, <stages on y> FROM <prev>`, the p75 t1..t6
+    * pattern parametrized for reuse inside one oracle. */
+  private def mixStagesOn(prefix: String, src: String, carry: String): String = {
+    val stages = Seq(
+      "CAST((CAST(y AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT)",
+      "xor(y, y >> 30)",
+      "CAST(((CAST((y) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((y) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)",
+      "xor(y, y >> 27)",
+      "CAST(((CAST((y) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((y) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)",
+      "xor(y, y >> 31)")
+    stages.zipWithIndex.map { case (s, i) =>
+      val from = if (i == 0) src else s"$prefix${i}"
+      s"$prefix${i + 1} AS (SELECT $carry, $s AS y FROM $from)"
+    }.mkString(",\n")
+  }
+
+  /** The FNV-1a + splitmix token hash as CTEs (z per row of `src`,
+    * which must expose a `token` column plus `carry` columns) — the
+    * shared f0..t6 pattern. ASCII fixture assumption: ascii() yields
+    * the byte value (the corpus is ASCII; the engine kernel is
+    * byte-level, which is the honest 100-TB form). */
+  private def fnvMixCtes(prefix: String, src: String, carry: String): String =
+    s"""${prefix}f AS (
+      |  SELECT ${carry}token,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(token) + 1),
+      |          j -> CAST(ascii(substr(token, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS y
+      |  FROM $src),
+      |""".stripMargin +
+      mixStagesOn(prefix, s"${prefix}f", s"${carry}token") + s""",
+      |${prefix}z AS (SELECT ${carry}token, y AS z FROM ${prefix}6),""".stripMargin
+
+  /** p79 oracle: the sketch restated cell by cell — the token
+    * histogram hashed through the shared FNV/splitmix chain, each of
+    * the 4 rows' cells via a SECOND splitmix pass on xor(z, r) folded
+    * to 63 bits mod 512, counters as exact sums; the same chain
+    * re-runs for the probe side and the estimate is the min over the
+    * probed cells with empty cells reading 0. */
+  val p79Sql: String =
+    """|WITH tok AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |hist AS MATERIALIZED (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+      |""".stripMargin +
+    fnvMixCtes("h", "hist", "c, ") + """
+      |rare AS (
+      |  SELECT t.token, CAST(0 AS BIGINT) AS c
+      |  FROM (VALUES ('zzgraftprobe1'), ('zzgraftprobe2'),
+      |        ('zzgraftprobe3'), ('zzgraftprobe4')) AS t(token)),
+      |""".stripMargin +
+    fnvMixCtes("r", "rare", "c, ") + """
+      |b0 AS (
+      |  SELECT hz.c, CAST(r.r AS INTEGER) AS r,
+      |    xor(hz.z, CAST(r.r AS UBIGINT)) AS y
+      |  FROM hz, unnest(range(0, 4)) AS r(r)),
+      |""".stripMargin +
+    mixStagesOn("b", "b0", "c, r") + """,
+      |bc AS (
+      |  SELECT r, CAST((y >> 1) % 512 AS BIGINT) AS cell,
+      |    CAST(sum(c) AS BIGINT) AS n
+      |  FROM b6 GROUP BY r, cell),
+      |topq AS (
+      |  SELECT token, c AS exact_count, z FROM hz
+      |  ORDER BY c DESC, token LIMIT 16),
+      |q AS (
+      |  SELECT token, exact_count, z FROM topq
+      |  UNION ALL SELECT token, c AS exact_count, z FROM rz),
+      |p0 AS (
+      |  SELECT q.token, q.exact_count, CAST(r.r AS INTEGER) AS r,
+      |    xor(q.z, CAST(r.r AS UBIGINT)) AS y
+      |  FROM q, unnest(range(0, 4)) AS r(r)),
+      |""".stripMargin +
+    mixStagesOn("p", "p0", "token, exact_count, r") + """,
+      |pc AS (
+      |  SELECT token, exact_count, r, CAST((y >> 1) % 512 AS BIGINT) AS cell
+      |  FROM p6),
+      |est AS (
+      |  SELECT pc.token, pc.exact_count,
+      |    CAST(min(coalesce(bc.n, 0)) AS BIGINT) AS cm_estimate
+      |  FROM pc LEFT JOIN bc ON bc.r = pc.r AND bc.cell = pc.cell
+      |  GROUP BY pc.token, pc.exact_count)
+      |SELECT token, exact_count, cm_estimate,
+      |  CAST(cm_estimate - exact_count AS BIGINT) AS overestimate
+      |FROM est ORDER BY exact_count DESC, token""".stripMargin
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -3954,6 +4080,7 @@ object PipelineQueries {
     "p76_hll_cardinality" -> p76HllCardinality,
     "p77_blocklist_filter" -> p77BlocklistFilter,
     "p78_token_bin_export" -> p78TokenBinExport,
+    "p79_cms_heavy_hitters" -> p79CmsHeavyHitters,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4466,6 +4593,7 @@ object PipelineQueries {
     "p76_hll_cardinality" -> p76Sql,
     "p77_blocklist_filter" -> p77Sql,
     "p78_token_bin_export" -> p78Sql,
+    "p79_cms_heavy_hitters" -> p79Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

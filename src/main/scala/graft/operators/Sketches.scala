@@ -44,6 +44,58 @@ object Sketches {
     regs.groupBy(col("reg")).agg(max(col("mrho")).as("mrho"))
       .select(lit(rollupName).as(grpCol), col("reg"), col("mrho"))
 
+  /** One Count–Min cell index: hash row `r`'s cell for a token —
+    * mix(xx(token) XOR r) folded to 63 bits (the hash63 shift, so the
+    * signed mod equals the oracle's unsigned one) mod `w`. */
+  private def cmsCell(z: Column, r: Int, w: Int): Column =
+    pmod(shiftrightunsigned(
+      graft.functions.Mix64(z.bitwiseXOR(lit(r.toLong))), 1), lit(w.toLong))
+
+  /** Count–Min sketch build (Cormode & Muthukrishnan 2005): d×w
+    * counters over a token stream — the bounded-memory frequency
+    * structure under heavy-hitter detection. Each occurrence increments
+    * one cell per hash row; a point query reads the MIN over its d
+    * cells, which can only OVERestimate (by ≤ εN with ε = e/w, the
+    * classic bound).
+    *
+    * Scale shape (100 TB): the build is ONE map-side-combined
+    * aggregate whose exchange is bounded by d×w partial cells per
+    * mapper — never the distinct-token stream (the p76 register
+    * argument, for frequencies instead of cardinalities). Counters are
+    * EXACT sums, so the whole sketch — including every collision — is
+    * reproduced bit-identically by the DuckDB oracle (p79). Returns
+    * (r, cell, n). */
+  def cmsBuild(toks: DataFrame, tokCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"CMS depth must be in [1, 8], got $d")
+    require(w > 0, s"CMS width must be positive, got $w")
+    val withZ = toks.select(graft.functions.Xx64(col(tokCol)).as("__z"))
+      .filter(col("__z").isNotNull)
+    withZ.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cmsCell(col("__z"), r, w).as("cell"))): _*))
+        .as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point queries against a built sketch: min over the d cells, 0 for
+    * a token whose cells were never touched. The cell table is d×w
+    * rows, so the join broadcasts — the probe side never shuffles. */
+  def cmsEstimate(cells: DataFrame, queries: DataFrame, tokCol: String,
+      d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"CMS depth must be in [1, 8], got $d")
+    require(w > 0, s"CMS width must be positive, got $w")
+    val z = graft.functions.Xx64(col(tokCol))
+    queries.select(col(tokCol), z.as("__z"))
+      .select(col(tokCol), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cmsCell(col("__z"), r, w).as("cell"))): _*))
+        .as("rc"))
+      .join(broadcast(cells),
+        col("rc.r") === cells("r") && col("rc.cell") === cells("cell"),
+        "left")
+      .groupBy(col(tokCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cm_estimate"))
+  }
+
   /** Cardinality estimate from a register file: the Flajolet et al.
     * raw estimator alpha_m * m^2 / sum(2^-M_j) with the standard
     * small-range linear-counting correction (est = m * ln(m / V) when

@@ -293,6 +293,62 @@ object StreamPipeline {
   final case class AdmitOut(
     doc_id: Long, source: String, n_tokens: Long, admitted: Boolean)
 
+  final case class HllUpdate(source: String, m: Long, v_zero: Long,
+    raw_estimate: Double, estimate: Double)
+
+  /** Streaming HyperLogLog distinct-count — the live form of the p76
+    * sketch ([[graft.operators.Sketches]]): each micro-batch folds its
+    * key observations into a per-group register array (custom keyed
+    * state: 2^p ints per group — CONSTANT in the stream length, the
+    * whole point vs streaming COUNT(DISTINCT), whose state is the
+    * distinct-key set itself) and emits the group's refreshed estimate.
+    * Update mode, no timeout (a cardinality dashboard has no horizon).
+    * The estimate arithmetic is the exact-integer-harmonic-sum
+    * discipline of [[graft.operators.Sketches.hllEstimate]] scalar-form
+    * (BigInt 2^(61-rho) sum, ONE double rounding), so a drained stream
+    * equals the batch sketch bit-for-bit and the oracle restates it. */
+  def streamHllDistinct(stream: DataFrame, grpCol: String, keyCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"HLL precision must be in [4, 16], got $p")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val rows = stream.select(col(grpCol).cast("string"),
+        graft.functions.HllRegRho(col(keyCol), p).as("pk"))
+      .filter(col("pk").isNotNull)
+      .as[(String, Int)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Int], HllUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (src, it, state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(new Array[Int](m))
+          it.foreach { case (_, pk) =>
+            val r = pk >>> 8
+            val rho = pk & 255
+            if (rho > regs(r)) regs(r) = rho
+          }
+          state.update(regs)
+          var v0 = 0L
+          var sum = BigInt(0)
+          regs.foreach { rho =>
+            if (rho == 0) v0 += 1L
+            sum += BigInt(1) << (61 - rho)
+          }
+          val alpha =
+            if (m == 16) 0.673
+            else if (m == 32) 0.697
+            else if (m == 64) 0.709
+            else 0.7213 / (1.0 + 1.079 / m.toDouble)
+          val raw = alpha * (m.toDouble * m.toDouble) *
+            (1L << 61).toDouble / sum.toDouble
+          val est =
+            if (raw <= 2.5 * m && v0 > 0) m.toDouble * math.log(m.toDouble / v0)
+            else raw
+          Iterator.single(HllUpdate(src, m.toLong, v0, raw, est))
+      }.toDF()
+  }
+
   final case class PackOut(
     doc_id: Long, shard: Long, n_tokens: Long, bin: Long, bin_offset: Long)
 

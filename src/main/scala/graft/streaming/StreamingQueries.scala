@@ -1050,7 +1050,81 @@ object StreamingQueries {
       |  CAST(cum % 500 AS BIGINT) AS bin_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** st22: streaming HLL distinct-URL estimate — the live form of p76
+    * ([[StreamPipeline.streamHllDistinct]]): per-source register
+    * arrays as keyed state (256 ints per source — constant in stream
+    * length, unlike a streaming COUNT(DISTINCT) whose state is the
+    * distinct-key set), refreshed estimates per micro-batch. Same URL
+    * fixture as p76 at p = 8; with the bounded single-file replay the
+    * drained sink is one update per source, equal to the batch sketch,
+    * and the oracle restates registers and estimate bit-exactly. */
+  val st22StreamHll: Q = (spark, dir) => {
+    val docs = boundedDocStream(spark, dir)
+      .select(col("source"),
+        graft.operators.PipelineQueries.p43FixtureUrlPublic.as("url"))
+    val out = StreamPipeline.streamHllDistinct(docs, "source", "url", p = 8)
+    drainToMemory(spark, "st22", out.writeStream.outputMode("update"))
+      .select(col("source"), col("m"), col("v_zero"),
+        round(col("raw_estimate"), 6).as("raw_estimate"),
+        round(col("estimate"), 6).as("estimate"))
+      .orderBy("source")
+  }
+
+  /** st22 oracle: the p76 restatement narrowed to per-source rows at
+    * p = 8 — registers from the shared FNV/splitmix chain, bin()-length
+    * rho, the exact HUGEINT harmonic sum, and the same literal
+    * arithmetic for alpha and the correction branch. */
+  val st22Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id, source,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 'HTTPS://Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM/Path/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_campaign=x#sec'
+      |      WHEN 1 THEN 'http://EXAMPLE' || CAST(doc_id % 5 AS VARCHAR) || '.com/Path/' || CAST(doc_id % 7 AS VARCHAR) || '?ref=tw&z=9&a=1&refresh=1'
+      |      ELSE 'https://cdn.Example' || CAST(doc_id % 5 AS VARCHAR) || '.net/x?b=2&a=' || CAST(doc_id % 11 AS VARCHAR) || '&fbclid=abc'
+      |    END AS url
+      |  FROM documents),
+      |f0 AS (
+      |  SELECT source,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, length(url) + 1),
+      |          j -> CAST(ascii(substr(url, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+      |      (acc, c) -> CAST(((CAST((xor(acc, c)) & 4294967295 AS HUGEINT) * 1099511628211) + ((CAST((xor(acc, c)) >> 32 AS HUGEINT) * 1099511628211) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT)) AS z
+      |  FROM aug),
+      |t1 AS (SELECT source, CAST((CAST(z AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM f0),
+      |t2 AS (SELECT source, xor(z, z >> 30) AS z FROM t1),
+      |t3 AS (SELECT source, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 13787848793156543929) + ((CAST((z) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t2),
+      |t4 AS (SELECT source, xor(z, z >> 27) AS z FROM t3),
+      |t5 AS (SELECT source, CAST(((CAST((z) & 4294967295 AS HUGEINT) * 10723151780598845931) + ((CAST((z) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296) % 18446744073709551616 AS UBIGINT) AS z FROM t4),
+      |t6 AS (SELECT source, xor(z, z >> 31) AS z FROM t5),
+      |rr AS (
+      |  SELECT source, CAST(z >> 56 AS BIGINT) AS reg,
+      |    z & 72057594037927935 AS rest
+      |  FROM t6),
+      |rho AS (
+      |  SELECT source, reg,
+      |    CASE WHEN rest = 0 THEN 57 ELSE 57 - length(bin(rest)) END AS rho
+      |  FROM rr),
+      |mx AS (SELECT source, reg, max(rho) AS mrho FROM rho GROUP BY source, reg),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS nreg,
+      |    sum(CAST(1 AS HUGEINT) << CAST(61 - mrho AS INTEGER)) AS sp
+      |  FROM mx GROUP BY source),
+      |est AS (
+      |  SELECT source,
+      |    CAST(256 AS BIGINT) - nreg AS v_zero,
+      |    (0.7213 / (1.0 + 1.079 / 256.0))
+      |      * CAST(256 * 256 AS DOUBLE) * 2305843009213693952.0
+      |      / CAST(sp + CAST(CAST(256 AS BIGINT) - nreg AS HUGEINT) * (CAST(1 AS HUGEINT) << 61) AS DOUBLE) AS raw
+      |  FROM agg)
+      |SELECT source, CAST(256 AS BIGINT) AS m, v_zero,
+      |  round(raw, 6) AS raw_estimate,
+      |  round(CASE WHEN raw <= 640.0 AND v_zero > 0
+      |        THEN 256 * ln(CAST(256 AS DOUBLE) / v_zero) ELSE raw END, 6) AS estimate
+      |FROM est ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st22_stream_hll" -> st22StreamHll,
     "st21_stream_pack" -> st21StreamPack,
     "st20_stream_blocklist_gate" -> st20BlocklistGate,
     "st19_stream_bloom_gate" -> st19BloomGate,
@@ -1131,6 +1205,7 @@ object StreamingQueries {
     "st19_stream_bloom_gate" -> graft.operators.PipelineQueries.p75Sql,
     "st20_stream_blocklist_gate" -> graft.operators.PipelineQueries.p77Sql,
     "st21_stream_pack" -> st21Sql,
+    "st22_stream_hll" -> st22Sql,
     "st18_stream_repetition_filter" -> graft.operators.PipelineQueries.p67Sql,
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,

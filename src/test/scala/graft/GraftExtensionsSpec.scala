@@ -337,4 +337,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
   }
+
+  test("graft_hll_reg_rho / graft_ac_count match their Column-API forms bit-for-bit") {
+    registered.catalog // force registration
+    val rows = Seq((1L, "free money now aaaa"), (2L, ""), (3L, "casino x casino"))
+      .toDF("doc_id", "text")
+    rows.createOrReplaceTempView("ext_sketch")
+    val viaSql = registered.sql(
+      """SELECT doc_id, graft_hll_reg_rho(text, 8) AS h,
+        |       graft_ac_count(text, 'free money', 'casino', 'aa') AS ac
+        |FROM ext_sketch ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = rows.select(col("doc_id"),
+        graft.functions.HllRegRho(col("text"), 8).as("h"),
+        graft.functions.AcScan(col("text"),
+          Seq("free money", "casino", "aa")).as("ac"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
+    // non-literal pattern is a named error
+    val e = intercept[Exception] {
+      registered.sql("SELECT graft_ac_count(text, text) FROM ext_sketch").collect()
+    }
+    assert(e.getMessage.contains("must be a string literal"))
+  }
 }

@@ -1884,6 +1884,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 5L, 2L, true)))
   }
 
+  test("Count–Min: one-sided guarantee under forced collisions; exact when uncollided; absent probes read noise") {
+    import spark.implicits._
+    // heavy-tail stream: token t0 × 64, t1 × 32, ..., t6 × 1
+    val occurrences = (0 until 7).flatMap(i =>
+      Seq.fill(64 >> i)(s"t$i")) ++ Seq.fill(5)("pad")
+    val toks = occurrences.toDF("token")
+    val exact = occurrences.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // w = 4 forces collisions: estimates must NEVER underestimate, and
+    // with 8 distinct tokens in 4 cells at least one must overestimate
+    val cellsSmall = graft.operators.Sketches.cmsBuild(toks, "token", d = 2, w = 4)
+    val qs = exact.keys.toSeq.toDF("token")
+    val estSmall = graft.operators.Sketches
+      .cmsEstimate(cellsSmall, qs, "token", d = 2, w = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(estSmall(t) >= n, s"CM underestimated $t: ${estSmall(t)} < $n")
+    }
+    assert(exact.exists { case (t, n) => estSmall(t) > n },
+      "w=4 over 8 tokens must collide somewhere")
+    // a wide sketch resolves every query exactly on this tiny stream
+    val cellsWide = graft.operators.Sketches.cmsBuild(toks, "token", d = 4, w = 512)
+    val estWide = graft.operators.Sketches
+      .cmsEstimate(cellsWide, qs.unionByName(Seq("absent-token").toDF("token")),
+        "token", d = 4, w = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) => assert(estWide(t) === n) }
+    assert(estWide("absent-token") >= 0L)
+    // the shared hash primitive is DetRngHash.xx bit-for-bit
+    val viaExpr = toks.limit(1).select(
+      graft.functions.Xx64(lit("t0"))).head().getLong(0)
+    assert(viaExpr === graft.operators.DetRngHash.xx("t0".getBytes("UTF-8")))
+  }
+
   test("bloom kernel: positions match the contains test; empty ref is a named error") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "x y z w v u"),

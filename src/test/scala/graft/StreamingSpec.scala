@@ -614,4 +614,35 @@ class StreamingSpec extends AnyFunSuite {
         3L -> ((1L, 30L)), 4L -> ((1L, 70L))), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming HLL: registers fold across batches — the final update equals the batch sketch of the union") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val keys = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamPipeline.streamHllDistinct(
+      keys.toDF.toDF("grp", "key"), "grp", "key", p = 8)
+    val q = out.writeStream.format("memory").queryName("hll_out")
+      .outputMode("update").start()
+    try {
+      keys.addData((0 until 300).map(i => ("g", s"k$i")): _*)
+      q.processAllAvailable()
+      // batch 2 overlaps batch 1 (150 repeats) and adds 150 new keys:
+      // the refreshed estimate must reflect the UNION (450 distinct),
+      // not the batch alone — state registers fold by max
+      keys.addData((150 until 600).map(i => ("g", s"k$i")): _*)
+      q.processAllAvailable()
+      val updates = spark.table("hll_out").collect()
+        .map(r => r.getDouble(4)).sorted
+      assert(updates.length === 2, "one update per batch")
+      // batch sketch over the union, computed by the BATCH operator
+      val union = (0 until 600).map(i => ("g", s"k$i")).toDF("grp", "key")
+      val expected = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(union, "grp", "key", 8),
+        "grp", 8).head().getDouble(4)
+      assert(updates.last === expected,
+        "final streaming update must equal the batch sketch bit-for-bit")
+      assert(math.abs(updates.last - 600.0) / 600.0 < 0.2, "estimate envelope")
+    } finally q.stop()
+  }
 }
