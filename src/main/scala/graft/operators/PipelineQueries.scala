@@ -2601,13 +2601,19 @@ object PipelineQueries {
     * every row; the exact counts are the gate's comparison surface
     * (computed here because the fixture is tiny — at 100 TB the
     * sketch's d×w exchange replaces the distinct-token shuffle). */
-  val p79CmsHeavyHitters: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
-    val tk = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
-    val toks = docs.select(explode(tk).as("token"))
+  /** The corpus token stream shared by p79/st23. */
+  private[graft] def corpusTokens(docs: DataFrame): DataFrame =
+    docs.select(explode(
+        split(trim(lower(coalesce(col("text"), lit("")))), "\\s+"))
+        .as("token"))
       .filter(length(col("token")) > 0)
-    val cells = Sketches.cmsBuild(toks, "token", d = 4, w = 512)
-    val hist = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+
+  /** The p79/st23 probe list: top-16 exact tokens + 4 planted absent
+    * probes, each with its exact count (the gate's comparison
+    * surface). */
+  private[graft] def cmsQueriesFor(spark: SparkSession, dir: String): DataFrame = {
+    val hist = corpusTokens(Tables.load(spark, dir, "documents"))
+      .groupBy("token").agg(count(lit(1)).as("exact_count"))
     val top = hist.orderBy(col("exact_count").desc, col("token")).limit(16)
     import spark.implicits._
     val rare = Seq("zzgraftprobe1", "zzgraftprobe2", "zzgraftprobe3",
@@ -2615,12 +2621,23 @@ object PipelineQueries {
       .join(hist, Seq("token"), "left")
       .select(col("token"),
         coalesce(col("exact_count"), lit(0L)).as("exact_count"))
-    val q = top.unionByName(rare)
+    top.unionByName(rare)
+  }
+
+  /** The p79/st23 shared probe tail: estimates for the query list
+    * against a built (r, cell, n) table, with the overestimate
+    * certificate. */
+  private[graft] def cmsProbe(cells: DataFrame, q: DataFrame): DataFrame =
     Sketches.cmsEstimate(cells, q, "token", d = 4, w = 512)
       .join(q, Seq("token"))
       .select(col("token"), col("exact_count"), col("cm_estimate"),
         (col("cm_estimate") - col("exact_count")).as("overestimate"))
       .orderBy(col("exact_count").desc, col("token"))
+
+  val p79CmsHeavyHitters: Q = (spark, dir) => {
+    val toks = corpusTokens(Tables.load(spark, dir, "documents"))
+    cmsProbe(Sketches.cmsBuild(toks, "token", d = 4, w = 512),
+      cmsQueriesFor(spark, dir))
   }
 
   /** The 6-stage splitmix restatement over a carried column set —
@@ -2664,6 +2681,8 @@ object PipelineQueries {
     * to 63 bits mod 512, counters as exact sums; the same chain
     * re-runs for the probe side and the estimate is the min over the
     * probed cells with empty cells reading 0. */
+  private[graft] def p79SqlPublic: String = p79Sql
+
   val p79Sql: String =
     """|WITH tok AS (
       |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), x -> x <> '')) AS token
@@ -2711,6 +2730,45 @@ object PipelineQueries {
       |SELECT token, exact_count, cm_estimate,
       |  CAST(cm_estimate - exact_count AS BIGINT) AS overestimate
       |FROM est ORDER BY exact_count DESC, token""".stripMargin
+
+  /** p80: token-exact sequence packing ([[Sampling.packSplit]]; see
+    * its scaladoc for the concat-and-cut contract vs p23's
+    * whole-document bins) — every bin except each shard's last is
+    * EXACTLY 512 tokens, long documents split across bins, and the
+    * per-piece layout (piece_no, bin, start_offset, piece_tokens) is
+    * what a trainer's sample loader indexes. Same window-cumsum shape
+    * as p23; the explode adds one row per crossed boundary. */
+  val p80PackSplit: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tokens"))
+    Sampling.packSplit(docs, "doc_id", "n_tokens",
+        budgetTokens = 512L, shards = 8, seed = 80L)
+      .orderBy("doc_id", "piece_no")
+  }
+
+  /** p80 oracle: the p23 chain (one SplitMix64 hash drives shard AND
+    * order) at seed 80, pieces generated per crossed 512-boundary with
+    * exact integer interval intersection. */
+  val p80Sql: String =
+    mixChainSql("SELECT doc_id, CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) AS n_tokens, xor(CAST(doc_id AS UBIGINT), CAST(80 AS UBIGINT)) AS z FROM documents") + """
+      |s AS (SELECT doc_id, n_tokens, z, CAST(z % 8 AS BIGINT) AS shard FROM h),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY z, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      |  FROM s),
+      |p AS (
+      |  SELECT doc_id, shard, n_tokens, cum,
+      |    CAST(b.b AS BIGINT) AS bin, cum // 512 AS first
+      |  FROM c, unnest(range(cum // 512,
+      |    greatest(cum // 512, (cum + n_tokens - 1) // 512) + 1)) AS b(b))
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(bin - first AS BIGINT) AS piece_no, bin,
+      |  CAST(greatest(cum, bin * 512) - bin * 512 AS BIGINT) AS start_offset,
+      |  CAST(least(cum + n_tokens, (bin + 1) * 512) - greatest(cum, bin * 512) AS BIGINT) AS piece_tokens
+      |FROM p ORDER BY doc_id, piece_no""".stripMargin
 
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
@@ -4081,6 +4139,7 @@ object PipelineQueries {
     "p77_blocklist_filter" -> p77BlocklistFilter,
     "p78_token_bin_export" -> p78TokenBinExport,
     "p79_cms_heavy_hitters" -> p79CmsHeavyHitters,
+    "p80_pack_split" -> p80PackSplit,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4594,6 +4653,7 @@ object PipelineQueries {
     "p77_blocklist_filter" -> p77Sql,
     "p78_token_bin_export" -> p78Sql,
     "p79_cms_heavy_hitters" -> p79Sql,
+    "p80_pack_split" -> p80Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

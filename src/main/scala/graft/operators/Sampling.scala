@@ -122,6 +122,47 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Token-EXACT sequence packing — the concat-and-cut form a GPT-class
+    * trainer actually consumes: documents concatenate in the seeded
+    * deterministic order and CUT at every multiple of `budgetTokens`,
+    * so a long document SPLITS across bins and every bin except each
+    * shard's last holds exactly the budget (no padding waste —
+    * [[packBins]] assigns whole documents and leaves ragged bins; this
+    * emits the per-piece layout). One row per (document, piece):
+    * (id, shard, tokens, piece_no, bin, start_offset, piece_tokens),
+    * with Σ piece_tokens = the document's token count and pieces after
+    * the first starting at offset 0 by construction. Zero-token
+    * documents keep one empty piece row (the p47 contract).
+    *
+    * Scale shape: [[packBins]]'s — ONE shuffle on the seeded shard
+    * key, a window cumsum per shard, then a row-local explode over
+    * each document's crossed bin boundaries (rows out = docs + cuts,
+    * linear in corpus tokens / budget). All arithmetic is exact
+    * integer, so the layout restates relationally at any scale. */
+  def packSplit(df: DataFrame, idCol: String, tokenCol: String,
+      budgetTokens: Long, shards: Int, seed: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hash63(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = budgetTokens
+    val first = expr(s"__cum div ${b}L")
+    val last = greatest(first,
+      expr(s"(__cum + $tokenCol - 1) div ${b}L"))
+    df.withColumn("shard", fold(col(idCol), seed, shards))
+      .withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("__first", first)
+      .withColumn("bin", explode(sequence(col("__first"), last)))
+      .withColumn("__pstart", greatest(col("__cum"), col("bin") * b))
+      .withColumn("__pend",
+        least(col("__cum") + col(tokenCol), (col("bin") + 1) * b))
+      .select(col(idCol), col("shard"), col(tokenCol),
+        (col("bin") - col("__first")).as("piece_no"), col("bin"),
+        (col("__pstart") - col("bin") * b).as("start_offset"),
+        (col("__pend") - col("__pstart")).as("piece_tokens"))
+  }
+
   /** Weighted source mixing: deterministic up/down-sampling by a
     * per-row weight w ≥ 0 — the epoch-mixing step after [[fold]]/
     * [[stratifiedSample]] (e.g. repeat wiki 3.2×, subsample crawl to

@@ -1123,7 +1123,29 @@ object StreamingQueries {
       |        THEN 256 * ln(CAST(256 AS DOUBLE) / v_zero) ELSE raw END, 6) AS estimate
       |FROM est ORDER BY source""".stripMargin
 
+  /** st23: streaming Count–Min build — the heavy-hitter dashboard's
+    * ingest half: the d×w cell counters accumulate as a STANDARD
+    * streaming aggregation (update mode — no custom state; the state
+    * store holds only touched cells, ≤ 2048 rows regardless of stream
+    * length, and counters are SUMS, so the result is batching- and
+    * order-independent, stronger than the st13/st21 order contracts).
+    * The drained cell table (latest update per cell = max, since
+    * update-mode counts are cumulative) is then point-queried
+    * batch-side exactly as p79 — so the oracle IS p79's. */
+  val st23StreamCms: Q = (spark, dir) => {
+    val toks = graft.operators.PipelineQueries
+      .corpusTokens(boundedDocStream(spark, dir))
+    val cellsStream = graft.operators.Sketches
+      .cmsBuild(toks, "token", d = 4, w = 512)
+    val drained = drainToMemory(spark, "st23",
+      cellsStream.writeStream.outputMode("update"))
+    val cells = drained.groupBy("r", "cell").agg(max(col("n")).as("n"))
+    graft.operators.PipelineQueries.cmsProbe(cells,
+      graft.operators.PipelineQueries.cmsQueriesFor(spark, dir))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st23_stream_cms" -> st23StreamCms,
     "st22_stream_hll" -> st22StreamHll,
     "st21_stream_pack" -> st21StreamPack,
     "st20_stream_blocklist_gate" -> st20BlocklistGate,
@@ -1206,6 +1228,7 @@ object StreamingQueries {
     "st20_stream_blocklist_gate" -> graft.operators.PipelineQueries.p77Sql,
     "st21_stream_pack" -> st21Sql,
     "st22_stream_hll" -> st22Sql,
+    "st23_stream_cms" -> graft.operators.PipelineQueries.p79SqlPublic,
     "st18_stream_repetition_filter" -> graft.operators.PipelineQueries.p67Sql,
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,

@@ -1917,6 +1917,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaExpr === graft.operators.DetRngHash.xx("t0".getBytes("UTF-8")))
   }
 
+  test("packSplit: token conservation, exact bin fullness, contiguous pieces, empty docs keep a row") {
+    val out = graft.operators.PipelineQueries
+      .p80PackSplit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // conservation: per doc, Σ piece_tokens = n_tokens
+    out.groupBy(_._1).foreach { case (id, ps) =>
+      assert(ps.map(_._7).sum === ps.head._3, s"doc $id loses tokens")
+      // piece_no dense from 0; pieces after the first start at offset 0
+      assert(ps.map(_._4).sorted.toSeq === (0L until ps.length).toSeq)
+      ps.filter(_._4 > 0).foreach(p =>
+        assert(p._6 === 0L, s"doc $id piece ${p._4} starts mid-bin"))
+    }
+    // exact fullness: every bin except each shard's LAST holds 512
+    out.groupBy(r => (r._2, r._5)).foreach { case ((shard, bin), ps) =>
+      val lastBin = out.filter(_._2 == shard).map(_._5).max
+      if (bin < lastBin)
+        assert(ps.map(_._7).sum === 512L,
+          s"shard $shard bin $bin not full: ${ps.map(_._7).sum}")
+    }
+    // at least one document actually splits (long docs exist), and the
+    // split is what p23 cannot express
+    assert(out.exists(_._4 > 0), "no document crossed a bin boundary")
+    // a zero-token doc keeps exactly one empty piece row
+    out.filter(_._3 == 0L).groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.length === 1 && ps.head._7 === 0L)
+    }
+  }
+
   test("bloom kernel: positions match the contains test; empty ref is a named error") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "x y z w v u"),

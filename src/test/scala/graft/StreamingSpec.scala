@@ -645,4 +645,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(updates.last - 600.0) / 600.0 < 0.2, "estimate envelope")
     } finally q.stop()
   }
+
+  test("streaming CMS: counters accumulate across batches; latest update per cell equals the batch sketch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val toks = MemoryStream[String]
+    val cellsStream = graft.operators.Sketches.cmsBuild(
+      toks.toDF.toDF("token"), "token", d = 2, w = 64)
+    val q = cellsStream.writeStream.format("memory").queryName("cms_out")
+      .outputMode("update").start()
+    try {
+      val b1 = (0 until 50).map(i => s"t${i % 5}")
+      val b2 = (0 until 30).map(i => s"t${i % 3}")
+      toks.addData(b1: _*); q.processAllAvailable()
+      toks.addData(b2: _*); q.processAllAvailable()
+      val latest = spark.table("cms_out").groupBy("r", "cell")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      val batch = graft.operators.Sketches.cmsBuild(
+          (b1 ++ b2).toDF("token"), "token", d = 2, w = 64)
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(latest === batch,
+        "cumulative streaming counters must equal the batch sketch of the union")
+    } finally q.stop()
+  }
 }
