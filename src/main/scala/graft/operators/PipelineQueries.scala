@@ -2770,6 +2770,78 @@ object PipelineQueries {
       |  CAST(least(cum + n_tokens, (bin + 1) * 512) - greatest(cum, bin * 512) AS BIGINT) AS piece_tokens
       |FROM p ORDER BY doc_id, piece_no""".stripMargin
 
+  /** p81: robots.txt fetch gate ([[TextAnalysis.robotsGate]] /
+    * [[graft.functions.RobotsKernel]]) — the decision a crawl makes
+    * BEFORE p70 ever stores a page. Five synthesized per-host robots
+    * files exercise the RFC 9309 corners: blanket Disallow, the
+    * longest-match Allow/Disallow interplay, a `*` wildcard beating a
+    * shorter Allow, a named-agent group the queried agent must SKIP
+    * (falling through to the `*` group), and a `$`-anchored pattern
+    * plus an empty Disallow no-op. The oracle restates the RULE SETS
+    * (deterministic per host by construction) as literal regex rows
+    * and replays the longest/allow/first tie-break as a window — the
+    * text→rules parse itself is RobotsSpec-pinned. */
+  val p81RobotsGate: Q = (spark, dir) => {
+    val d = col("doc_id")
+    val urls = Tables.load(spark, dir, "documents").select(d,
+      concat(lit("example"), pmod(d, lit(5)).cast("string"), lit(".com"))
+        .as("host"),
+      when(pmod(d, lit(3)) === 0,
+        concat(lit("/path/"), pmod(d, lit(7)).cast("string")))
+        .when(pmod(d, lit(3)) === 1,
+          concat(lit("/x/"), pmod(d, lit(11)).cast("string")))
+        .otherwise(lit("/")).as("path"))
+    val robots = spark.range(5).select(
+      concat(lit("example"), col("id").cast("string"), lit(".com"))
+        .as("host"),
+      when(col("id") === 0, "User-agent: *\nDisallow: /")
+        .when(col("id") === 1,
+          "User-agent: *\nDisallow: /path/\nAllow: /path/3\n# comment\nCrawl-delay: 5")
+        .when(col("id") === 2, "User-agent: *\nDisallow: /x/*1\nAllow: /x/")
+        .when(col("id") === 3,
+          "User-agent: graftbot\nDisallow: /\nUser-agent: *\nDisallow: /x/")
+        .otherwise("User-agent: *\nDisallow: /path/2$\nDisallow:")
+        .as("rules"))
+    TextAnalysis.robotsGate(urls, "doc_id", "host", "path",
+        robots, "host", "rules", agent = "graftcrawler")
+      .orderBy("doc_id")
+  }
+
+  /** p81 oracle: the per-host rule sets as literal (allow, pattern,
+    * regex) rows — including the named-agent group's EXCLUSION for
+    * host 3 and the dropped empty Disallow for host 4 — with prefix
+    * match via anchored regex, specificity by raw pattern length,
+    * Allow preferred on ties, earliest rule thereafter, and
+    * allow-by-default when nothing matches. */
+  val p81Sql: String =
+    """|WITH u AS (
+      |  SELECT doc_id,
+      |    'example' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+      |    doc_id % 5 AS k,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN '/path/' || CAST(doc_id % 7 AS VARCHAR)
+      |      WHEN 1 THEN '/x/' || CAST(doc_id % 11 AS VARCHAR)
+      |      ELSE '/' END AS path
+      |  FROM documents),
+      |r(k, rule_no, allow, pat, rx) AS (VALUES
+      |  (0, 1, false, '/', '^/'),
+      |  (1, 1, false, '/path/', '^/path/'),
+      |  (1, 2, true,  '/path/3', '^/path/3'),
+      |  (2, 1, false, '/x/*1', '^/x/.*1'),
+      |  (2, 2, true,  '/x/', '^/x/'),
+      |  (3, 1, false, '/x/', '^/x/'),
+      |  (4, 1, false, '/path/2$', '^/path/2$')),
+      |m AS (
+      |  SELECT u.doc_id, r.allow, r.pat,
+      |    row_number() OVER (PARTITION BY u.doc_id
+      |      ORDER BY length(r.pat) DESC, r.allow DESC, r.rule_no) AS rn
+      |  FROM u JOIN r ON r.k = u.k AND regexp_matches(u.path, r.rx)),
+      |b AS (SELECT doc_id, allow, pat FROM m WHERE rn = 1)
+      |SELECT u.doc_id, u.host, u.path,
+      |  coalesce(b.allow, true) AS allowed, b.pat AS rule
+      |FROM u LEFT JOIN b USING (doc_id)
+      |ORDER BY u.doc_id""".stripMargin
+
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
     * broadcast-vocab / one-corpus-scan shape) — per-doc true subword
@@ -4140,6 +4212,7 @@ object PipelineQueries {
     "p78_token_bin_export" -> p78TokenBinExport,
     "p79_cms_heavy_hitters" -> p79CmsHeavyHitters,
     "p80_pack_split" -> p80PackSplit,
+    "p81_robots_gate" -> p81RobotsGate,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4654,6 +4727,7 @@ object PipelineQueries {
     "p78_token_bin_export" -> p78Sql,
     "p79_cms_heavy_hitters" -> p79Sql,
     "p80_pack_split" -> p80Sql,
+    "p81_robots_gate" -> p81Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

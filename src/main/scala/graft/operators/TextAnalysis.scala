@@ -876,6 +876,32 @@ object TextAnalysis {
       .withColumn("flagged", col("n_matches") > 0L)
   }
 
+  /** robots.txt fetch gate (RFC 9309 core — see
+    * [[graft.functions.RobotsKernel]] for the group-selection and
+    * longest-match contract): every URL row gets (allowed, rule) for
+    * `agent` against its host's robots text. A host with no robots row
+    * allows everything (the crawl convention for a missing file).
+    *
+    * Scale shape: the parse is paid once per DOMAIN (the robots table
+    * is bounded far below the URL corpus) and the verdict is one
+    * codegen'd array walk per URL after a host join — the frontier
+    * never shuffles beyond that join, and when the domain table is
+    * small it broadcasts. */
+  def robotsGate(urls: DataFrame, idCol: String, hostCol: String,
+      pathCol: String, robots: DataFrame, robotsHostCol: String,
+      rulesCol: String, agent: String): DataFrame = {
+    val parsed = robots.select(col(robotsHostCol).as("__rhost"),
+      graft.functions.RobotsParse(coalesce(col(rulesCol), lit("")), agent)
+        .as("__rules"))
+    val noRules = graft.functions.RobotsParse(lit(""), agent)
+    val verdict = graft.functions.RobotsMatch(
+      coalesce(col("__rules"), noRules), col(pathCol))
+    urls.join(parsed, col(hostCol) === col("__rhost"), "left")
+      .select(col(idCol), col(hostCol), col(pathCol), verdict.as("__v"))
+      .select(col(idCol), col(hostCol), col(pathCol),
+        col("__v.allowed").as("allowed"), col("__v.rule").as("rule"))
+  }
+
   def bloomDecontaminate(docs: DataFrame, textCol: String, idCol: String,
       refCond: Column, shingle: Int = 5, mBits: Int = 4096,
       probes: Int = 2): DataFrame = {

@@ -38,9 +38,9 @@ object TokenBin {
 
   /** Write `docs` (idCol: long, idsCol: array<int>) as `nShards`
     * deterministic binary shards under `outDir`. NULL id arrays write
-    * as empty documents (the p47 keep-the-row contract); negative ids
-    * and ids over u32 are named errors — silently truncating a token
-    * id would corrupt the corpus undetectably. */
+    * as empty documents (the p47 keep-the-row contract); a negative id
+    * is a named error — silently wrapping it into u32 range would
+    * corrupt the corpus undetectably (non-negative Ints always fit). */
   def write(docs: DataFrame, idCol: String, idsCol: String, outDir: String,
       nShards: Int, seed: Long): Unit = {
     require(nShards > 0, "nShards must be positive")
