@@ -1793,7 +1793,19 @@ object PipelineQueries {
     * positions. All sums exact BIGINTs with one final DOUBLE division,
     * so the hashes are bit-identical. The verdict CASE is generated
     * from the SAME Scala threshold constants the engine applies. */
-  lazy val p67Sql: String = {
+  lazy val p67Sql: String = p67RulesSql(
+    s"""|  SELECT doc_id,
+       |    coalesce(text, '')
+       |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || substr(coalesce(text, ''), 1, 50) || chr(10) || substr(coalesce(text, ''), 1, 50) ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) || substr(coalesce(text, ''), 1, 80) || chr(10) || chr(10) || substr(coalesce(text, ''), 1, 80) ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' $P67Phrase $P67Phrase' ELSE '' END AS t
+       |  FROM documents""".stripMargin)
+
+  /** The p67 Gopher-repetition restatement over a pluggable text CTE
+    * body (`SELECT doc_id, … AS t FROM documents`) — p67 plants its
+    * adversarial fixture, p82's ablation runs the SAME rules over the
+    * raw text. */
+  private def p67RulesSql(augBody: String): String = {
     val topN = Seq(2, 3, 4).map { n =>
       s"""g$n AS (
          |  SELECT doc_id, array_to_string(tk[i:i+${n - 1}], ' ') AS g
@@ -1841,12 +1853,7 @@ object PipelineQueries {
       .map { case (c, t) => s"$c > CAST($t AS DOUBLE)" }
       .mkString(" OR ")
     s"""WITH aug AS (
-       |  SELECT doc_id,
-       |    coalesce(text, '')
-       |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || substr(coalesce(text, ''), 1, 50) || chr(10) || substr(coalesce(text, ''), 1, 50) ELSE '' END
-       |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) || substr(coalesce(text, ''), 1, 80) || chr(10) || chr(10) || substr(coalesce(text, ''), 1, 80) ELSE '' END
-       |    || CASE WHEN doc_id % 5 = 0 THEN ' $P67Phrase $P67Phrase' ELSE '' END AS t
-       |  FROM documents),
+       |__AUG_BODY__),
        |ln AS (
        |  SELECT doc_id, l FROM aug, unnest(string_split(t, chr(10))) AS u(l)
        |  WHERE l <> ''),
@@ -1891,6 +1898,7 @@ object PipelineQueries {
        |SELECT doc_id, ${TextAnalysis.RepetitionColumns.mkString(", ")},
        |  CASE WHEN $verdict THEN 'drop' ELSE 'keep' END AS verdict
        |FROM m ORDER BY doc_id""".stripMargin
+      .replace("__AUG_BODY__", augBody)
   }
 
   /** The adversarial fixture for p68: plant lines exercising every C4
@@ -1935,16 +1943,23 @@ object PipelineQueries {
     * 'javascript'; n_sentences by replace-diff over the kept join; the
     * doc verdict from the ORIGINAL text's lorem/brace plus the
     * sentence floor. */
-  val p68Sql: String =
-    s"""WITH aug AS (
-       |  SELECT doc_id,
+  val p68Sql: String = p68RulesSql(
+    """|  SELECT doc_id,
        |    coalesce(text, '')
        |    || CASE WHEN doc_id % 10 = 3 THEN ' config { json } block' ELSE '' END
        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'the quick brown fox jumps. it runs far. we watch it go.' ELSE '' END
        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'tiny line.' ELSE '' END
        |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'this page uses javascript heavily and renders fine today.' ELSE '' END
        |    || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet goes here now then.' ELSE '' END AS t
-       |  FROM documents),
+       |  FROM documents""".stripMargin)
+
+  /** The p68 C4 restatement over a pluggable text CTE body — p68
+    * plants its fixture, p82's ablation runs the rules on raw text. */
+  // the aug body splices in AFTER stripMargin: its own lines begin
+  // with the || concat operator, which a second margin strip would eat
+  private def p68RulesSql(augBody: String): String =
+    s"""WITH aug AS (
+       |__AUG_BODY__),
        |k AS (
        |  SELECT doc_id, t,
        |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
@@ -1972,6 +1987,7 @@ object PipelineQueries {
        |       THEN 'drop' ELSE 'keep' END AS verdict,
        |  clean_text
        |FROM s ORDER BY doc_id""".stripMargin
+      .replace("__AUG_BODY__", augBody)
 
   /** p57: quality-aware duplicate-cluster keeper selection — the act
     * step production dedup actually wants: within each near-dup
@@ -2791,7 +2807,14 @@ object PipelineQueries {
         .when(pmod(d, lit(3)) === 1,
           concat(lit("/x/"), pmod(d, lit(11)).cast("string")))
         .otherwise(lit("/")).as("path"))
-    val robots = spark.range(5).select(
+    TextAnalysis.robotsGate(urls, "doc_id", "host", "path",
+        p81RobotsFixture(spark), "host", "rules", agent = "graftcrawler")
+      .orderBy("doc_id")
+  }
+
+  /** The five synthesized per-host robots files (shared by p81/st24). */
+  private[graft] def p81RobotsFixture(spark: SparkSession): DataFrame =
+    spark.range(5).select(
       concat(lit("example"), col("id").cast("string"), lit(".com"))
         .as("host"),
       when(col("id") === 0, "User-agent: *\nDisallow: /")
@@ -2802,10 +2825,6 @@ object PipelineQueries {
           "User-agent: graftbot\nDisallow: /\nUser-agent: *\nDisallow: /x/")
         .otherwise("User-agent: *\nDisallow: /path/2$\nDisallow:")
         .as("rules"))
-    TextAnalysis.robotsGate(urls, "doc_id", "host", "path",
-        robots, "host", "rules", agent = "graftcrawler")
-      .orderBy("doc_id")
-  }
 
   /** p81 oracle: the per-host rule sets as literal (allow, pattern,
     * regex) rows — including the named-agent group's EXCLUSION for
@@ -2813,6 +2832,8 @@ object PipelineQueries {
     * match via anchored regex, specificity by raw pattern length,
     * Allow preferred on ties, earliest rule thereafter, and
     * allow-by-default when nothing matches. */
+  private[graft] def p81SqlPublic: String = p81Sql
+
   val p81Sql: String =
     """|WITH u AS (
       |  SELECT doc_id,
@@ -2841,6 +2862,92 @@ object PipelineQueries {
       |  coalesce(b.allow, true) AS allowed, b.pat AS rule
       |FROM u LEFT JOIN b USING (doc_id)
       |ORDER BY u.doc_id""".stripMargin
+
+  /** p82: filter-ablation report — the audit a curation team runs
+    * BEFORE freezing thresholds: both document-level filter families
+    * (the C4 line/document rules, p68, and the full Gopher repetition
+    * battery, p67) run over the SAME raw text, cross-tabbed per
+    * source plus a '*' rollup — how much does each filter drop, how
+    * much do they agree, and is one subsumed by the other (the
+    * kept_both / kept_either overlap). Unlike p67/p68's rule-corner
+    * fixtures, BOTH filters see the SAME text: the raw corpus plus
+    * one minimal plant (a three-sentence punctuated line on every
+    * second doc) — without it the synthetic word-salad corpus has a
+    * 0 % C4 keep rate and the cross-tab's joint cells never fire; the
+    * plant makes every cell of the report live while keeping the two
+    * filters' inputs identical, which is the property an ablation
+    * needs.
+    *
+    * Scale shape: two row-local verdict scans (both plan-pinned
+    * zero-shuffle kernels) joined doc_id-co-partitioned, then ONE
+    * map-side-combined rollup whose exchange carries a row per
+    * source. The oracle re-runs BOTH rule restatements over the raw
+    * text (the pluggable-fixture forms of the p67/p68 oracles) and
+    * re-tabulates. */
+  val p82FilterAblation: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val raw = docs.select(col("doc_id"), col("source"),
+      concat(coalesce(col("text"), lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nthe small cat sat on the mat today. it was a good day. we kept on reading."))
+          .otherwise(lit(""))).as("t"))
+    val c4 = TextAnalysis.c4LineFilter(raw, "t", "doc_id")
+      .select(col("doc_id"), (col("verdict") === "keep").as("kc"))
+    val rep = TextAnalysis.gopherRepetition(raw, "t", "doc_id")
+      .select(col("doc_id"), (col("verdict") === "keep").as("kr"))
+    val j = raw.select(col("doc_id"), col("source"))
+      .join(c4, Seq("doc_id")).join(rep, Seq("doc_id"))
+    val u = j.unionByName(j.withColumn("source", lit("*")))
+    u.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kc").cast("long")).as("kept_c4"),
+        sum(col("kr").cast("long")).as("kept_repetition"),
+        sum((col("kc") && col("kr")).cast("long")).as("kept_both"),
+        sum((col("kc") || col("kr")).cast("long")).as("kept_either"))
+      .withColumn("overlap",
+        when(col("kept_either") === 0, lit(null).cast("double"))
+          .otherwise(round(col("kept_both").cast("double") / col("kept_either"), 6)))
+      .orderBy("source")
+  }
+
+  /** p82 oracle: the p67 and p68 rule restatements instantiated over
+    * RAW text (the same pluggable CTE bodies the fixture keys use),
+    * joined and cross-tabbed with the identical overlap arithmetic. */
+  lazy val p82Sql: String = {
+    val rawBody =
+      "  SELECT doc_id,\n" +
+      "    coalesce(text, '')\n" +
+      "    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || " +
+      "'the small cat sat on the mat today. it was a good day. we kept on reading.' " +
+      "ELSE '' END AS t\n  FROM documents"
+    s"""|WITH c4 AS (
+       |  SELECT doc_id, verdict FROM (
+       |__C4_SUB__
+       |  ) c4sub),
+       |rep AS (
+       |  SELECT doc_id, verdict FROM (
+       |__REP_SUB__
+       |  ) repsub),
+       |j AS (
+       |  SELECT d.source, (c4.verdict = 'keep') AS kc, (rep.verdict = 'keep') AS kr
+       |  FROM documents d
+       |  JOIN c4 ON c4.doc_id = d.doc_id
+       |  JOIN rep ON rep.doc_id = d.doc_id),
+       |u AS (SELECT * FROM j UNION ALL SELECT '*' AS source, kc, kr FROM j),
+       |a AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN kc THEN 1 ELSE 0 END) AS BIGINT) AS kept_c4,
+       |    CAST(sum(CASE WHEN kr THEN 1 ELSE 0 END) AS BIGINT) AS kept_repetition,
+       |    CAST(sum(CASE WHEN kc AND kr THEN 1 ELSE 0 END) AS BIGINT) AS kept_both,
+       |    CAST(sum(CASE WHEN kc OR kr THEN 1 ELSE 0 END) AS BIGINT) AS kept_either
+       |  FROM u GROUP BY source)
+       |SELECT *, CASE WHEN kept_either = 0 THEN NULL
+       |  ELSE round(CAST(kept_both AS DOUBLE) / kept_either, 6) END AS overlap
+       |FROM a ORDER BY source""".stripMargin
+      .replace("__C4_SUB__", p68RulesSql(rawBody))
+      .replace("__REP_SUB__", p67RulesSql(rawBody))
+  }
 
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
     * ([[TextAnalysis.bpeTokenizeCorpus]]; see its scaladoc for the
@@ -4213,6 +4320,7 @@ object PipelineQueries {
     "p79_cms_heavy_hitters" -> p79CmsHeavyHitters,
     "p80_pack_split" -> p80PackSplit,
     "p81_robots_gate" -> p81RobotsGate,
+    "p82_filter_ablation" -> p82FilterAblation,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4728,6 +4836,7 @@ object PipelineQueries {
     "p79_cms_heavy_hitters" -> p79Sql,
     "p80_pack_split" -> p80Sql,
     "p81_robots_gate" -> p81Sql,
+    "p82_filter_ablation" -> p82Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -1144,7 +1144,32 @@ object StreamingQueries {
       graft.operators.PipelineQueries.cmsQueriesFor(spark, dir))
   }
 
+  /** st24: streaming robots frontier gate — the live form of p81
+    * ([[TextAnalysis.robotsGate]] run on a streaming URL frame): the
+    * bounded domain table parses once and the verdict join is
+    * STREAM-STATIC (stateless — zero state-store rows), which is how
+    * a crawl frontier filters fetch candidates as they are
+    * discovered. Same fixture and agent as p81, so the oracle IS
+    * p81's. */
+  val st24RobotsGate: Q = (spark, dir) => {
+    val d = col("doc_id")
+    val urls = boundedDocStream(spark, dir).select(d,
+      concat(lit("example"), pmod(d, lit(5)).cast("string"), lit(".com"))
+        .as("host"),
+      when(pmod(d, lit(3)) === 0,
+        concat(lit("/path/"), pmod(d, lit(7)).cast("string")))
+        .when(pmod(d, lit(3)) === 1,
+          concat(lit("/x/"), pmod(d, lit(11)).cast("string")))
+        .otherwise(lit("/")).as("path"))
+    val robots = graft.operators.PipelineQueries.p81RobotsFixture(spark)
+    val gated = TextAnalysis.robotsGate(urls, "doc_id", "host", "path",
+      robots, "host", "rules", agent = "graftcrawler")
+    drainToMemory(spark, "st24", gated.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st24_stream_robots_gate" -> st24RobotsGate,
     "st23_stream_cms" -> st23StreamCms,
     "st22_stream_hll" -> st22StreamHll,
     "st21_stream_pack" -> st21StreamPack,
@@ -1229,6 +1254,7 @@ object StreamingQueries {
     "st21_stream_pack" -> st21Sql,
     "st22_stream_hll" -> st22Sql,
     "st23_stream_cms" -> graft.operators.PipelineQueries.p79SqlPublic,
+    "st24_stream_robots_gate" -> graft.operators.PipelineQueries.p81SqlPublic,
     "st18_stream_repetition_filter" -> graft.operators.PipelineQueries.p67Sql,
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,
