@@ -266,6 +266,26 @@ object PipelineQueries {
       .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** p83: incremental IVF maintenance ([[SimilaritySearch.ivfAdd]] —
+    * the FAISS `add` path): the index fits on the 90 % base snapshot,
+    * the 10 % increment (which contains the query vector) is assigned
+    * into the FROZEN quantizer's cells with no refit, and the merged
+    * index probed EXHAUSTIVELY must equal brute force over the FULL
+    * corpus (the p15 discipline — a lost, duplicated, or misrouted
+    * increment vector changes the top-k). The no-refit and
+    * base-untouched contracts are spec-pinned. */
+  val p83IvfIncrement: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val inc = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val baseIdx = SimilaritySearch.ivfIndex(base, "embedding", "vec_id")
+    val merged = SimilaritySearch.ivfAdd(baseIdx, inc, "embedding", "vec_id")
+    SimilaritySearch.ivfTopK(merged, q, 10, nProbe = merged.centroids.length)
+      .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** p16: BPE-ish subword counting — word pieces split at every
     * alnum/non-alnum boundary (digits and punctuation as their own
     * tokens), the cheap deterministic stand-in for a real BPE vocabulary.
@@ -4321,6 +4341,7 @@ object PipelineQueries {
     "p80_pack_split" -> p80PackSplit,
     "p81_robots_gate" -> p81RobotsGate,
     "p82_filter_ablation" -> p82FilterAblation,
+    "p83_ivf_increment" -> p83IvfIncrement,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4837,6 +4858,7 @@ object PipelineQueries {
     "p80_pack_split" -> p80Sql,
     "p81_robots_gate" -> p81Sql,
     "p82_filter_ablation" -> p82Sql,
+    "p83_ivf_increment" -> p06Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -360,6 +360,27 @@ object SimilaritySearch {
     IvfIndex(centroids.zipWithIndex.map { case (c, i) => (i, c) }, cells)
   }
 
+  /** Incremental index maintenance — the FAISS `add` path: assign NEW
+    * vectors into an EXISTING index's cells (NearestCentroid against
+    * the frozen coarse quantizer — no refit, which is the operational
+    * point: a crawl refresh must not move the ten-billion-row base
+    * corpus between cells) and union the cell tables. Base assignments
+    * are untouched by construction; the increment pays one row-local
+    * codegen pass. Quantizer drift under a shifted increment
+    * distribution is the operator's documented trade-off (FAISS's
+    * too) — re-fit on a schedule, not per increment. */
+  def ivfAdd(index: IvfIndex, df: DataFrame, vecCol: String,
+      idCol: String): IvfIndex = {
+    val data = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val added = data.withColumn("cell",
+        graft.functions.NearestCentroid(col("v"),
+          index.centroids.map(_._2.toSeq).toSeq))
+      .filter(col("cell").isNotNull)
+      .select(col("id"), col("v"), col("cell"))
+    IvfIndex(index.centroids, index.cells.unionByName(added))
+  }
+
   /** Driver-side k-means (k-means++ init, Lloyd refinement) for the IVF
     * coarse quantizer — the fit input is a bounded sample, so local
     * arrays beat a per-iteration distributed job by orders of magnitude

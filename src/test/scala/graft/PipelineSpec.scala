@@ -1946,6 +1946,91 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Aho–Corasick fuzz: 300 random corpora agree with the naive per-pattern position scan") {
+    val rng = DetRng(7717L)
+    def randStr(len: Int, alpha: Int): String =
+      (0 until len).map(_ => ('a' + rng.nextInt(alpha)).toChar).mkString
+    for (_ <- 0 until 300) {
+      // small alphabet → dense overlaps, nested matches, shared prefixes
+      val pats = (0 until 2 + rng.nextInt(5))
+        .map(_ => randStr(1 + rng.nextInt(4), 2)).distinct
+      val auto = graft.functions.AcAutomaton.build(pats)
+      val text = randStr(rng.nextInt(60), 2)
+      var naiveTotal = 0L
+      var naiveDistinct = 0L
+      pats.foreach { p =>
+        val n = (0 to text.length - p.length)
+          .count(i => text.regionMatches(i, p, 0, p.length))
+        naiveTotal += n
+        if (n > 0) naiveDistinct += 1
+      }
+      assert(auto.scan(text).toSeq === Seq(naiveTotal, naiveDistinct),
+        s"pats=$pats text=$text")
+    }
+  }
+
+  test("robots glob fuzz: 500 random patterns agree with a regex reference") {
+    val rng = DetRng(9241L)
+    def randPat(): String = {
+      val body = (0 until 1 + rng.nextInt(6)).map(_ =>
+        rng.nextInt(3) match {
+          case 0 => "a"
+          case 1 => "b"
+          case _ => "*"
+        }).mkString
+      if (rng.nextInt(3) == 0) body + "$" else body
+    }
+    def randPath(): String =
+      (0 until rng.nextInt(8)).map(_ => ('a' + rng.nextInt(2)).toChar).mkString
+    for (_ <- 0 until 500) {
+      val pat = randPat()
+      val path = randPath()
+      val anchored = pat.endsWith("$")
+      val core = (if (anchored) pat.dropRight(1) else pat).replace("*", ".*")
+      val rx = ("^" + core + (if (anchored) "$" else "")).r
+      val expected =
+        if (anchored) rx.matches(path)
+        else rx.findPrefixOf(path).isDefined ||
+          // a '*' can consume past any prefix: regex prefix search on
+          // the pattern against every path prefix
+          (0 to path.length).exists(k => ("^" + core + "$").r.matches(path.take(k)))
+      assert(graft.functions.RobotsKernel.patMatches(pat, path) === expected,
+        s"pat=$pat path=$path")
+    }
+  }
+
+  test("ivfAdd: frozen quantizer, base assignments untouched, increment routed like a refit-free FAISS add") {
+    import spark.implicits._
+    val rng = DetRng(4242L)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") % 10 =!= 0)
+    val inc = vecs.filter(col("vec_id") % 10 === 0)
+    val idx = graft.operators.SimilaritySearch
+      .ivfIndex(base, "embedding", "vec_id", nCentroids = 4)
+    val merged = graft.operators.SimilaritySearch
+      .ivfAdd(idx, inc, "embedding", "vec_id")
+    // no refit: the centroid table is the SAME object graph
+    assert(merged.centroids eq idx.centroids)
+    // base rows keep their cells; increment rows appear exactly once,
+    // assigned by the same frozen NearestCentroid rule
+    val before = idx.cells.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val after = merged.cells.select("id", "cell").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSeq).toMap
+    before.foreach { case (id, c) => assert(after(id) === Seq(c)) }
+    val incIds = inc.select("vec_id").collect().map(_.getLong(0)).toSet
+    incIds.foreach { id => assert(after(id).length === 1, s"vec $id") }
+    assert(after.keySet === before.keySet ++ incIds)
+    val reassigned = graft.operators.SimilaritySearch
+      .ivfAdd(idx, inc, "embedding", "vec_id").cells
+      .filter(col("id").isin(incIds.toSeq: _*))
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(incIds.map(id => id -> after(id).head).toMap === reassigned,
+      "increment assignment must be deterministic")
+  }
+
   test("bloom kernel: positions match the contains test; empty ref is a named error") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "x y z w v u"),
