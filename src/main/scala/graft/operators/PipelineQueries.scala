@@ -669,10 +669,17 @@ object PipelineQueries {
   /** p34 oracle: the same reference slice, unigram/bigram counts,
     * vocabulary size, add-1 arithmetic and ln, restated stage by
     * stage; mean via avg over the same per-transition values. */
-  val p34Sql: String =
+  val p34Sql: String = p34RulesSql(
+    "  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk\n" +
+    "  FROM documents")
+
+  /** The p34 bigram-LM restatement over a pluggable token-list CTE
+    * body — p34 scores raw text, p82's ablation scores the shared
+    * ablation text (the same post-stripMargin splice as the p67/p68
+    * builders). */
+  private def p34RulesSql(tkBody: String): String =
     s"""WITH tk AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
-       |  FROM documents),
+       |__TK_BODY__),
        |ref AS (SELECT * FROM tk WHERE doc_id % 5 = 0),
        |uni AS (SELECT u AS w1, count(*) AS c1
        |        FROM (SELECT unnest(tk) AS u FROM ref) GROUP BY u),
@@ -697,6 +704,7 @@ object PipelineQueries {
        |       ELSE 'tail' END AS bucket
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+      .replace("__TK_BODY__", tkBody)
 
   /** The HTML fixture for p35: the corpus has no markup, so the key
     * wraps each doc in a page skeleton exercising every strip stage —
@@ -2884,12 +2892,12 @@ object PipelineQueries {
       |ORDER BY u.doc_id""".stripMargin
 
   /** p82: filter-ablation report — the audit a curation team runs
-    * BEFORE freezing thresholds: both document-level filter families
-    * (the C4 line/document rules, p68, and the full Gopher repetition
-    * battery, p67) run over the SAME raw text, cross-tabbed per
-    * source plus a '*' rollup — how much does each filter drop, how
-    * much do they agree, and is one subsumed by the other (the
-    * kept_both / kept_either overlap). Unlike p67/p68's rule-corner
+    * BEFORE freezing thresholds: THREE document-level filter families
+    * (the C4 line/document rules p68, the full Gopher repetition
+    * battery p67, and the CCNet-style bigram-LM bucket p34) run over
+    * the SAME text, cross-tabbed per source plus a '*' rollup — how
+    * much does each filter drop, how much do they agree (the
+    * kept_all / kept_any consensus). Unlike p67/p68's rule-corner
     * fixtures, BOTH filters see the SAME text: the raw corpus plus
     * one minimal plant (a three-sentence punctuated line on every
     * second doc) — without it the synthetic word-salad corpus has a
@@ -2915,31 +2923,42 @@ object PipelineQueries {
       .select(col("doc_id"), (col("verdict") === "keep").as("kc"))
     val rep = TextAnalysis.gopherRepetition(raw, "t", "doc_id")
       .select(col("doc_id"), (col("verdict") === "keep").as("kr"))
+    // the CCNet-style LM rung (p34's model, thresholds, and reference
+    // slice) over the SAME shared text: keep = head-or-middle bucket
+    val lm = TextAnalysis.bigramLmScore(raw, "t", "doc_id",
+        refCond = pmod(col("doc_id"), lit(5)) === 0, k = 1.0)
+      .select(col("doc_id"),
+        (col("lm_logprob").isNotNull &&
+          col("lm_logprob") >= P34MidMin).as("kl"))
     val j = raw.select(col("doc_id"), col("source"))
       .join(c4, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
     val u = j.unionByName(j.withColumn("source", lit("*")))
     u.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(col("kc").cast("long")).as("kept_c4"),
         sum(col("kr").cast("long")).as("kept_repetition"),
-        sum((col("kc") && col("kr")).cast("long")).as("kept_both"),
-        sum((col("kc") || col("kr")).cast("long")).as("kept_either"))
-      .withColumn("overlap",
-        when(col("kept_either") === 0, lit(null).cast("double"))
-          .otherwise(round(col("kept_both").cast("double") / col("kept_either"), 6)))
+        sum(col("kl").cast("long")).as("kept_lm"),
+        sum((col("kc") && col("kr") && col("kl")).cast("long")).as("kept_all"),
+        sum((col("kc") || col("kr") || col("kl")).cast("long")).as("kept_any"))
+      .withColumn("consensus",
+        when(col("kept_any") === 0, lit(null).cast("double"))
+          .otherwise(round(col("kept_all").cast("double") / col("kept_any"), 6)))
       .orderBy("source")
   }
 
-  /** p82 oracle: the p67 and p68 rule restatements instantiated over
-    * RAW text (the same pluggable CTE bodies the fixture keys use),
-    * joined and cross-tabbed with the identical overlap arithmetic. */
+  /** p82 oracle: the p67, p68, AND p34 restatements instantiated over
+    * the shared ablation text (the pluggable CTE bodies the fixture
+    * keys use), joined and cross-tabbed with the identical consensus
+    * arithmetic — three independent rule engines re-derived in DuckDB
+    * against one corpus pass. */
   lazy val p82Sql: String = {
-    val rawBody =
-      "  SELECT doc_id,\n" +
-      "    coalesce(text, '')\n" +
-      "    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || " +
+    val sharedTextSql =
+      "coalesce(text, '') || CASE WHEN doc_id % 2 = 0 THEN chr(10) || " +
       "'the small cat sat on the mat today. it was a good day. we kept on reading.' " +
-      "ELSE '' END AS t\n  FROM documents"
+      "ELSE '' END"
+    val rawBody =
+      "  SELECT doc_id,\n    " + sharedTextSql + " AS t\n  FROM documents"
     s"""|WITH c4 AS (
        |  SELECT doc_id, verdict FROM (
        |__C4_SUB__
@@ -2948,25 +2967,35 @@ object PipelineQueries {
        |  SELECT doc_id, verdict FROM (
        |__REP_SUB__
        |  ) repsub),
+       |lm AS (
+       |  SELECT doc_id, lm_logprob FROM (
+       |__LM_SUB__
+       |  ) lmsub),
        |j AS (
-       |  SELECT d.source, (c4.verdict = 'keep') AS kc, (rep.verdict = 'keep') AS kr
+       |  SELECT d.source, (c4.verdict = 'keep') AS kc, (rep.verdict = 'keep') AS kr,
+       |    (lm.lm_logprob IS NOT NULL AND lm.lm_logprob >= $P34MidMin) AS kl
        |  FROM documents d
        |  JOIN c4 ON c4.doc_id = d.doc_id
-       |  JOIN rep ON rep.doc_id = d.doc_id),
-       |u AS (SELECT * FROM j UNION ALL SELECT '*' AS source, kc, kr FROM j),
+       |  JOIN rep ON rep.doc_id = d.doc_id
+       |  JOIN lm ON lm.doc_id = d.doc_id),
+       |u AS (SELECT * FROM j UNION ALL SELECT '*' AS source, kc, kr, kl FROM j),
        |a AS (
        |  SELECT source,
        |    CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(CASE WHEN kc THEN 1 ELSE 0 END) AS BIGINT) AS kept_c4,
        |    CAST(sum(CASE WHEN kr THEN 1 ELSE 0 END) AS BIGINT) AS kept_repetition,
-       |    CAST(sum(CASE WHEN kc AND kr THEN 1 ELSE 0 END) AS BIGINT) AS kept_both,
-       |    CAST(sum(CASE WHEN kc OR kr THEN 1 ELSE 0 END) AS BIGINT) AS kept_either
+       |    CAST(sum(CASE WHEN kl THEN 1 ELSE 0 END) AS BIGINT) AS kept_lm,
+       |    CAST(sum(CASE WHEN kc AND kr AND kl THEN 1 ELSE 0 END) AS BIGINT) AS kept_all,
+       |    CAST(sum(CASE WHEN kc OR kr OR kl THEN 1 ELSE 0 END) AS BIGINT) AS kept_any
        |  FROM u GROUP BY source)
-       |SELECT *, CASE WHEN kept_either = 0 THEN NULL
-       |  ELSE round(CAST(kept_both AS DOUBLE) / kept_either, 6) END AS overlap
+       |SELECT *, CASE WHEN kept_any = 0 THEN NULL
+       |  ELSE round(CAST(kept_all AS DOUBLE) / kept_any, 6) END AS consensus
        |FROM a ORDER BY source""".stripMargin
       .replace("__C4_SUB__", p68RulesSql(rawBody))
       .replace("__REP_SUB__", p67RulesSql(rawBody))
+      .replace("__LM_SUB__", p34RulesSql(
+        "  SELECT doc_id, string_split_regex(trim(lower(" + sharedTextSql +
+          ")), '\\s+') AS tk\n  FROM documents"))
   }
 
   /** p56: corpus tokenization under the p54-LEARNED vocabulary
