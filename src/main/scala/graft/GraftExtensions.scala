@@ -282,6 +282,12 @@ object GraftFunctions {
             Literal(null, org.apache.spark.sql.types.StringType))
         case as => badArity("graft_url_domain", as.length, "1")
       }),
+    ("graft_nfc_normalize",
+      "(text) - Unicode NFC canonical composition (the pre-tokenization normalization floor)",
+      {
+        case Seq(t) => NfcNormalize(t)
+        case as => badArity("graft_nfc_normalize", as.length, "1")
+      }),
     ("graft_hll_reg_rho",
       "(key, p) - packed HyperLogLog register observation (reg << 8 | rho) at precision p",
       {

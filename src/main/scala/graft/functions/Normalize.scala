@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native expression — the
+  * pre-tokenization normalization step every real pipeline runs
+  * (sentencepiece defaults to an NFKC variant; NFC is the
+  * byte-stability floor): combining sequences compose to their
+  * canonical precomposed forms, so visually identical text hashes,
+  * dedups, and tokenizes identically. Row-local, zero exchange;
+  * `java.text.Normalizer` implements the same Unicode canonical
+  * composition DuckDB's utf8proc does, which is what makes the p84
+  * gate's full-text comparison possible. NULL-propagating. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc_normalize"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NfcNormalize.kernel(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.NfcNormalize.kernel($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def kernel(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: quick-check avoids materializing a copy of the (at
+    // 100 TB overwhelmingly already-NFC) corpus
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+}

@@ -286,6 +286,60 @@ object PipelineQueries {
       .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** p84: Unicode NFC normalization
+    * ([[graft.functions.NfcNormalize]]) — the pre-tokenization
+    * normalization step (sentencepiece's NMT-NFKC slot at its NFC
+    * floor): the fixture plants decomposed combining sequences
+    * (e + U+0301, A + U+030A, n + U+0303) on residue classes of the
+    * otherwise-ASCII corpus, and the gate compares the FULL normalized
+    * text, the changed flag, and codepoint counts before/after —
+    * Java's Normalizer and DuckDB's utf8proc implement the same
+    * canonical composition, which this key proves on every row.
+    * Row-local with an isNormalized fast path (the 100-TB corpus is
+    * overwhelmingly already NFC; only the decomposed tail pays the
+    * copy). */
+  val p84NfcNormalize: Q = (spark, dir) => {
+    val d = col("doc_id")
+    // DECOMPOSED plants (base char + combining mark, spelled as
+    // escapes so nothing can silently precompose them): e+U+0301,
+    // i+U+0308, A+U+030A, o+U+0308, n+U+0303
+    val aug = concat(coalesce(col("text"), lit("")),
+      when(pmod(d, lit(4)) === 0, lit(" cafe\u0301 nai\u0308ve"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(6)) === 0, lit(" A\u030Angstro\u0308m ring"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(9)) === 0, lit(" man\u0303ana plain"))
+        .otherwise(lit("")))
+    Tables.load(spark, dir, "documents")
+      .select(d, aug.as("__t"))
+      .select(d, col("__t"),
+        graft.functions.NfcNormalize(col("__t")).as("normalized"))
+      .select(d,
+        (col("normalized") =!= col("__t")).as("changed"),
+        length(col("__t")).as("n_chars_before"),
+        length(col("normalized")).as("n_chars_after"),
+        col("normalized"))
+      .orderBy("doc_id")
+  }
+
+  /** p84 oracle: the same decomposed plants via chr() codepoints,
+    * normalized by DuckDB's utf8proc nfc_normalize — full-text
+    * equality across two independent Unicode implementations. */
+  val p84Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '')
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've' ELSE '' END
+      |    || CASE WHEN doc_id % 6 = 0 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm ring' ELSE '' END
+      |    || CASE WHEN doc_id % 9 = 0 THEN ' man' || chr(771) || 'ana plain' ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  nfc_normalize(t) <> t AS changed,
+      |  CAST(length(t) AS BIGINT) AS n_chars_before,
+      |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_after,
+      |  nfc_normalize(t) AS normalized
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   /** p16: BPE-ish subword counting — word pieces split at every
     * alnum/non-alnum boundary (digits and punctuation as their own
     * tokens), the cheap deterministic stand-in for a real BPE vocabulary.
@@ -4371,6 +4425,7 @@ object PipelineQueries {
     "p81_robots_gate" -> p81RobotsGate,
     "p82_filter_ablation" -> p82FilterAblation,
     "p83_ivf_increment" -> p83IvfIncrement,
+    "p84_nfc_normalize" -> p84NfcNormalize,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4888,6 +4943,7 @@ object PipelineQueries {
     "p81_robots_gate" -> p81Sql,
     "p82_filter_ablation" -> p82Sql,
     "p83_ivf_increment" -> p06Sql,
+    "p84_nfc_normalize" -> p84Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

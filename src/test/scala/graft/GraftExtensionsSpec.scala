@@ -353,6 +353,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           Seq("free money", "casino", "aa")).as("ac"))
       .orderBy("doc_id").collect()
     assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
+    // NB Spark's chr() wraps at 256 (unlike DuckDB's) \u2014 spell the
+    // combining mark as a \u literal instead
+    assert(registered.sql(
+      "SELECT graft_nfc_normalize('cafe\\u0301') AS n").head().getString(0)
+      === "caf\u00e9")
     // non-literal pattern is a named error
     val e = intercept[Exception] {
       registered.sql("SELECT graft_ac_count(text, text) FROM ext_sketch").collect()

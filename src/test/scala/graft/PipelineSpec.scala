@@ -2031,6 +2031,18 @@ class PipelineSpec extends AnyFunSuite {
       "increment assignment must be deterministic")
   }
 
+  test("NFC kernel: combining sequences compose, already-NFC text returns the SAME buffer") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dec = UTF8String.fromString("cafe\u0301 A\u030A n\u0303")
+    val out = graft.functions.NfcNormalize.kernel(dec)
+    assert(out.toString === "caf\u00e9 \u00c5 \u00f1")
+    // the fast path: an already-normalized input must not copy
+    val nfc = UTF8String.fromString("caf\u00e9 plain ascii")
+    assert(graft.functions.NfcNormalize.kernel(nfc) eq nfc)
+    // codepoint counts shrink by exactly the composed marks
+    assert(dec.numChars() - out.numChars() === 3)
+  }
+
   test("bloom kernel: positions match the contains test; empty ref is a named error") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "x y z w v u"),
