@@ -298,20 +298,24 @@ object PipelineQueries {
     * Row-local with an isNormalized fast path (the 100-TB corpus is
     * overwhelmingly already NFC; only the decomposed tail pays the
     * copy). */
-  val p84NfcNormalize: Q = (spark, dir) => {
+  /** The p84/st25 DECOMPOSED plants (base char + combining mark,
+    * spelled as escapes so nothing can silently precompose them):
+    * e+U+0301, i+U+0308, A+U+030A, o+U+0308, n+U+0303. */
+  private[graft] def p84FixtureText: org.apache.spark.sql.Column = {
     val d = col("doc_id")
-    // DECOMPOSED plants (base char + combining mark, spelled as
-    // escapes so nothing can silently precompose them): e+U+0301,
-    // i+U+0308, A+U+030A, o+U+0308, n+U+0303
-    val aug = concat(coalesce(col("text"), lit("")),
+    concat(coalesce(col("text"), lit("")),
       when(pmod(d, lit(4)) === 0, lit(" cafe\u0301 nai\u0308ve"))
         .otherwise(lit("")),
       when(pmod(d, lit(6)) === 0, lit(" A\u030Angstro\u0308m ring"))
         .otherwise(lit("")),
       when(pmod(d, lit(9)) === 0, lit(" man\u0303ana plain"))
         .otherwise(lit("")))
+  }
+
+  val p84NfcNormalize: Q = (spark, dir) => {
+    val d = col("doc_id")
     Tables.load(spark, dir, "documents")
-      .select(d, aug.as("__t"))
+      .select(d, p84FixtureText.as("__t"))
       .select(d, col("__t"),
         graft.functions.NfcNormalize(col("__t")).as("normalized"))
       .select(d,
@@ -325,6 +329,8 @@ object PipelineQueries {
   /** p84 oracle: the same decomposed plants via chr() codepoints,
     * normalized by DuckDB's utf8proc nfc_normalize — full-text
     * equality across two independent Unicode implementations. */
+  private[graft] def p84SqlPublic: String = p84Sql
+
   val p84Sql: String =
     """|WITH aug AS (
       |  SELECT doc_id,

@@ -1168,7 +1168,29 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st25: streaming NFC normalization — the live-ingest form of p84
+    * ([[graft.functions.NfcNormalize]]): every micro-batch's text
+    * normalizes ROW-LOCALLY (stateless append projection, zero
+    * state-store rows, isNormalized fast path), which is where a
+    * landing zone normalizes — before hashing/dedup ever sees the
+    * bytes. Same planted fixture as p84, so the oracle IS p84's. */
+  val st25NfcGate: Q = (spark, dir) => {
+    val d = col("doc_id")
+    val docs = boundedDocStream(spark, dir)
+      .select(d, graft.operators.PipelineQueries.p84FixtureText.as("__t"))
+      .select(d, col("__t"),
+        graft.functions.NfcNormalize(col("__t")).as("normalized"))
+      .select(d,
+        (col("normalized") =!= col("__t")).as("changed"),
+        length(col("__t")).as("n_chars_before"),
+        length(col("normalized")).as("n_chars_after"),
+        col("normalized"))
+    drainToMemory(spark, "st25", docs.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st25_stream_nfc" -> st25NfcGate,
     "st24_stream_robots_gate" -> st24RobotsGate,
     "st23_stream_cms" -> st23StreamCms,
     "st22_stream_hll" -> st22StreamHll,
@@ -1255,6 +1277,7 @@ object StreamingQueries {
     "st22_stream_hll" -> st22Sql,
     "st23_stream_cms" -> graft.operators.PipelineQueries.p79SqlPublic,
     "st24_stream_robots_gate" -> graft.operators.PipelineQueries.p81SqlPublic,
+    "st25_stream_nfc" -> graft.operators.PipelineQueries.p84SqlPublic,
     "st18_stream_repetition_filter" -> graft.operators.PipelineQueries.p67Sql,
     "st12_stream_span_audit" -> st12Sql,
     "st13_stream_token_budget" -> st13Sql,
