@@ -61,22 +61,34 @@ object Warc {
       .toDF()
   }
 
-  /** Parse one warc file's raw (gzipped) bytes into audit rows. The
+  /** Parse one warc file's raw (gzipped) bytes into a LAZY iterator of
+    * audit rows — only the record currently being pulled is ever
+    * materialized, so rows stream straight to the shuffle/writer as
+    * they parse and per-task heap stays O(one record), not O(file).
+    * (The compressed bytes themselves still arrive whole via
+    * binaryFile; the multi-GiB decompressed payloads never do.) The
     * basename is kept as `file` so fixtures and oracles are
     * path-independent. */
-  private[graft] def parseFile(path: String, raw: Array[Byte]): Seq[WarcRow] = {
-    val file = path.substring(path.lastIndexOf('/') + 1)
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRow]
+  private[graft] def parseFile(path: String, raw: Array[Byte]): Iterator[WarcRow] =
+    parseRaw(path.substring(path.lastIndexOf('/') + 1),
+      new ByteArrayInputStream(raw))
+
+  /** Iterator core over a raw (still-compressed) stream; split out so
+    * WarcSpec can wrap the input in a byte-counting stream and prove
+    * laziness (a take(1) must not consume later records' bytes). */
+  private[graft] def parseRaw(file: String, rawIn: InputStream): Iterator[WarcRow] = {
     val in: InputStream =
-      try new GZIPInputStream(new ByteArrayInputStream(raw))
+      try new GZIPInputStream(rawIn)
       catch { case e: java.io.IOException =>
-        return Seq(WarcRow(file, 0L, ok = false,
+        return Iterator.single(WarcRow(file, 0L, ok = false,
           s"not a gzip stream: ${e.getMessage}", null, null, null, null, null))
       }
-    var idx = 0L
-    var done = false
-    try {
-      while (!done) {
+    new Iterator[WarcRow] {
+      private var idx = 0L
+      private var finished = false       // no more records after `pending`
+      private var pending: WarcRow = null
+      private def fetch(): Unit = {
+        if (finished || pending != null) return
         // mid-stream gzip corruption (a truncated upload, a bad tail
         // member) surfaces as an IOException from read() — that is an
         // audit row like any other malformed record, never a task
@@ -87,22 +99,33 @@ object Warc {
             Left(s"gzip stream error: ${e.getMessage}")
           }
         parsed match {
-          case null => done = true // clean EOF between records
+          case null => // clean EOF between records
+            finished = true
+            in.close()
           case Right((headers, payload)) =>
-            out += WarcRow(file, idx, ok = true, null,
+            pending = WarcRow(file, idx, ok = true, null,
               headers.getOrElse("warc-type", null),
               headers.getOrElse("warc-record-id", null),
               headers.getOrElse("warc-target-uri", null),
               java.lang.Long.valueOf(payload.length.toLong), payload)
             idx += 1
           case Left(err) =>
-            out += WarcRow(file, idx, ok = false, err,
+            pending = WarcRow(file, idx, ok = false, err,
               null, null, null, null, null)
-            done = true // no in-band boundary to resync on
+            finished = true // no in-band boundary to resync on
+            in.close()
         }
       }
-    } finally in.close()
-    out.toSeq
+      override def hasNext: Boolean = { fetch(); pending != null }
+      override def next(): WarcRow = {
+        fetch()
+        if (pending == null)
+          throw new NoSuchElementException("WARC record iterator exhausted")
+        val r = pending
+        pending = null
+        r
+      }
+    }
   }
 
   /** Hard caps: a "header line" of megabytes of non-LF bytes, or a
