@@ -462,28 +462,40 @@ object Dedup {
     * all-pairs. A non-converged graph after `maxIter` rounds is an
     * error, not a silent partial answer. Returns (id, component). */
   def connectedComponents(pairs: DataFrame, col0: String, col1: String,
-      // 4M edges collect as boxed Rows (~80-100 B/edge) ≈ 400 MB plus
-      // the distinct-ids array — comfortably inside the 24g driver —
-      // and the bound keeps the adversarial 100×-replica probe dir
-      // (1.52M edges measured, EdgeCountProbe r16) on the O(E·α)
-      // union-find path instead of the straggler-noisy label-prop
-      // loop it tipped into at the old 1M bound
+      // 4M edges collect as (Long, Long) tuples (~48 B/edge) ≈ 200 MB
+      // plus the distinct-ids array — comfortably inside the 24g
+      // driver — and the bound keeps the adversarial 100×-replica
+      // probe dir (1.52M edges measured, EdgeCountProbe r16) on the
+      // O(E·α) union-find path instead of the straggler-noisy
+      // label-prop loop it tipped into at the old 1M bound
       maxIter: Int = 20, driverMaxEdges: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col(col0).cast("long").as("a"),
       col(col1).cast("long").as("b"))
     // The pair graph is orders of magnitude smaller than the corpus
     // (LSH emits only colliding candidates, bucket-capped), so up to an
     // explicit bound the closure runs as driver union-find — O(E·α) and
     // a single collect, instead of per-iteration scheduler latency.
-    // Beyond the bound, the distributed label-propagation loop below is
+    // Beyond the bound, the distributed star-contraction loop below is
     // the scale path. Both label components by their minimum member;
     // PipelineSpec pins path equality.
-    val bounded = edges
-      // +1 AFTER the clamp: a Long.MaxValue bound must not overflow to
-      // a negative limit
-      .limit((math.min(driverMaxEdges, Int.MaxValue.toLong - 9L) + 1L).toInt)
-      .collect()
-    if (bounded.length <= driverMaxEdges) {
+    //
+    // The edge list is PINNED before the path gate so the (expensive)
+    // candidate-pair plan computes at most once per partition: the
+    // gate's bounded count, the driver collect, and the distributed
+    // round-0 pin all read the same cached partitions — the dup-heavy
+    // regime neither collects a driver array only to discard it nor
+    // recomputes the pair plan from scratch (the r17 double-scan).
+    val edgesRdd = edges.as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgesPinned = edgesRdd.toDF("a", "b")
+    // +1 AFTER the clamp: a Long.MaxValue bound must not overflow to
+    // a negative limit
+    val bound = math.min(driverMaxEdges, Int.MaxValue.toLong - 9L)
+    val overflow = edgesPinned.limit((bound + 1L).toInt).count() > bound
+    if (!overflow) {
+      val bounded = edgesRdd.collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -492,14 +504,13 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      bounded.foreach { e =>
-        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+      bounded.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val ids = bounded.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+      val ids = bounded.flatMap(e => Seq(e._1, e._2)).distinct
       val rows = ids.map(id => (id, find(id)))
-      val spark = pairs.sparkSession
-      import spark.implicits._
+      edgesRdd.unpersist(blocking = false)
       return rows.toSeq.toDF("id", "component")
     }
     // Distributed fallback: alternating LARGE-STAR / SMALL-STAR
@@ -549,8 +560,6 @@ object Dedup {
     // round reads materialized partitions, and stragglers can't
     // re-climb the whole lineage) and resets the plan to a leaf — the
     // public-API form of per-round localCheckpoint.
-    val spark = pairs.sparkSession
-    import spark.implicits._
     def pin(df: DataFrame): (org.apache.spark.rdd.RDD[(Long, Long)], Long, DataFrame) = {
       // MEMORY_AND_DISK, not the MEMORY_ONLY cache default: evicting a
       // round's partitions would recompute through the chain of prior
@@ -560,7 +569,10 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (rdd, rdd.count(), rdd.toDF("a", "b"))
     }
-    var (curRdd, curCount, cur) = pin(edges.dropDuplicates("a", "b"))
+    var (curRdd, curCount, cur) = pin(edgesPinned.dropDuplicates("a", "b"))
+    // round 0 is materialized off the cache by pin's count — the raw
+    // edge pin has served both its readers and can go
+    edgesRdd.unpersist(blocking = false)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {

@@ -1362,6 +1362,20 @@ class PipelineSpec extends AnyFunSuite {
       plantedPairs.toSeq.toDF("id0", "id1"), "id0", "id1")
       .groupBy("component").count().collect()
     assert(planted.length == 10 && planted.forall(_.getLong(1) == 2L))
+    // the input pair plan computes EXACTLY ONCE on both paths (r17
+    // finding: the gate used to collect-and-discard, then the fallback
+    // recomputed the pair plan from scratch) — an accumulator in the
+    // pair plan counts per-row computations
+    val acc = spark.sparkContext.longAccumulator("ccEdgeScans")
+    val bump = udf { (a: Long) => { acc.add(1L); a } }
+    val counted = pairs.select(bump(col("id0")).as("id0"), col("id1"))
+    Dedup.connectedComponents(counted, "id0", "id1").collect()
+    assert(acc.value == 8L, s"driver path scanned pairs ${acc.value}/8 times")
+    acc.reset()
+    Dedup.connectedComponents(counted, "id0", "id1", driverMaxEdges = 0L)
+      .collect()
+    assert(acc.value == 8L,
+      s"distributed path scanned pairs ${acc.value}/8 times")
     // non-convergence is loud: a 30-node path with maxIter 2
     val long = (0L until 30L).map(i => (i, i + 1)).toDF("id0", "id1")
     val e = intercept[IllegalArgumentException] {
