@@ -288,6 +288,12 @@ object GraftFunctions {
         case Seq(t) => NfcNormalize(t)
         case as => badArity("graft_nfc_normalize", as.length, "1")
       }),
+    ("graft_nfkc_normalize",
+      "(text) - Unicode NFKC compatibility composition (ligature/width/super-script folds, the tokenizer-trainer default)",
+      {
+        case Seq(t) => NfkcNormalize(t)
+        case as => badArity("graft_nfkc_normalize", as.length, "1")
+      }),
     ("graft_hll_reg_rho",
       "(key, p) - packed HyperLogLog register observation (reg << 8 | rho) at precision p",
       {

@@ -37,13 +37,35 @@ final class AcAutomaton private (
     private val endsHere: Array[Array[Int]],
     val nPatterns: Int) extends Serializable {
 
+  /** Generation-stamped distinct-pattern marks: `stamp(pid) == gen`
+    * means "seen in the CURRENT scan", so a scan costs one counter
+    * bump instead of zeroing an nPatterns-sized array per row (~1 MB
+    * per document at the 2^20-pattern budget, which dominated the
+    * linear walk). One scratch per thread — the automaton is a shared
+    * plan reference object scanned by many tasks concurrently. */
+  private final class Scratch(n: Int) {
+    val stamp = new Array[Int](n)
+    var gen = 0
+  }
+  @transient private lazy val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch(nPatterns)
+  }
+
   /** Scan `text` (case-folded) and return {total matches, distinct
     * patterns matched}. Total counts every (pattern, end position)
     * pair — overlapping occurrences and patterns nested inside longer
     * matches included, the AC reporting contract. */
   def scan(text: String): Array[Long] = {
     val s = text.toLowerCase(java.util.Locale.ROOT)
-    val seen = new Array[Boolean](nPatterns)
+    val sc = scratch.get()
+    // wrap-safe: on Int exhaustion (2^31 scans on one thread) re-zero
+    // once — a stale stamp must never alias a fresh generation
+    if (sc.gen == Int.MaxValue) {
+      java.util.Arrays.fill(sc.stamp, 0); sc.gen = 0
+    }
+    sc.gen += 1
+    val gen = sc.gen
+    val seen = sc.stamp
     var distinct = 0L
     var total = 0L
     var st = 0
@@ -61,7 +83,7 @@ final class AcAutomaton private (
           val ends = endsHere(o)
           var j = 0
           while (j < ends.length) {
-            if (!seen(ends(j))) { seen(ends(j)) = true; distinct += 1L }
+            if (seen(ends(j)) != gen) { seen(ends(j)) = gen; distinct += 1L }
             j += 1
           }
           o = outLink(o)

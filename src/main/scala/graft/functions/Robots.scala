@@ -16,12 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * match once per URL:
   *
   *  - [[RobotsParse]](rulesText, agent): the rule group for `agent` —
-  *    consecutive `User-agent:` lines stack onto one group; a group
-  *    naming the agent exactly (case-insensitive) takes precedence
-  *    over `*` groups (RFC 9309 §2.2.1: most specific user-agent
-  *    wins); `Allow:`/`Disallow:` values are kept verbatim (empty
-  *    Disallow = nothing disallowed, dropped); unknown directives
-  *    (Crawl-delay, Sitemap, …) are ignored.
+  *    consecutive `User-agent:` lines stack onto one group; groups
+  *    naming the agent's product token EXACTLY (case-insensitive)
+  *    take precedence over `*` groups, and all matching groups'
+  *    rules combine (RFC 9309 §2.2.1 — exact product-token matching;
+  *    the LONGEST-match rule in the RFC is for path rules, not agent
+  *    selection); `Allow:`/`Disallow:` values are kept verbatim
+  *    (empty Disallow = nothing disallowed, dropped); unknown
+  *    directives (Crawl-delay, Sitemap, …) are fully ignored and do
+  *    not sever an agent run (§2.2.4).
   *  - [[RobotsMatch]](rules, path): RFC 9309 §2.2.2 — a rule matches
   *    if its pattern matches a PREFIX of the path, with `*` matching
   *    any run and a trailing `$` anchoring the pattern to the path
@@ -67,7 +70,13 @@ object RobotsKernel {
               groups.last._2 += Rule(key == "allow", value)
           // empty Disallow (nothing disallowed) and empty Allow are
           // both no-ops; rules before any User-agent line are ignored
-          case _ => inAgentRun = false // Crawl-delay, Sitemap, ...
+          //
+          // unknown directives (Crawl-delay, Sitemap, …) are FULLY
+          // ignored — in particular one between two User-agent lines
+          // must not sever the agent run (RFC 9309 §2.2.4: lines with
+          // unrecognized keys are skipped, so `ua: a / Crawl-delay /
+          // ua: b / rules` is ONE group naming both agents)
+          case _ =>
         }
       }
     }

@@ -267,12 +267,16 @@ object PipelineQueries {
   }
 
   /** p83: incremental IVF maintenance ([[SimilaritySearch.ivfAdd]] —
-    * the FAISS `add` path): the index fits on the 90 % base snapshot,
-    * the 10 % increment (which contains the query vector) is assigned
-    * into the FROZEN quantizer's cells with no refit, and the merged
-    * index probed EXHAUSTIVELY must equal brute force over the FULL
-    * corpus (the p15 discipline — a lost, duplicated, or misrouted
-    * increment vector changes the top-k). The no-refit and
+    * the FAISS `add` path) ACROSS A SESSION BOUNDARY: the index fits
+    * on the 90 % base snapshot, round-trips through storage
+    * ([[SimilaritySearch.ivfSave]]/[[SimilaritySearch.ivfLoad]] — the
+    * reload reads only parquet, nothing from the fitted object, which
+    * is what a recurring crawl-refresh job in a NEW session does), the
+    * 10 % increment (which contains the query vector) is assigned into
+    * the RELOADED frozen quantizer's cells with no refit, and the
+    * merged index probed EXHAUSTIVELY must equal brute force over the
+    * FULL corpus (the p15 discipline — a lost, duplicated, or
+    * misrouted increment vector changes the top-k). The no-refit and
     * base-untouched contracts are spec-pinned. */
   val p83IvfIncrement: Q = (spark, dir) => {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -281,7 +285,11 @@ object PipelineQueries {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val baseIdx = SimilaritySearch.ivfIndex(base, "embedding", "vec_id")
-    val merged = SimilaritySearch.ivfAdd(baseIdx, inc, "embedding", "vec_id")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_p83_idx")
+      .toFile.getAbsolutePath
+    SimilaritySearch.ivfSave(baseIdx, idxDir)
+    val reloaded = SimilaritySearch.ivfLoad(spark, idxDir)
+    val merged = SimilaritySearch.ivfAdd(reloaded, inc, "embedding", "vec_id")
     SimilaritySearch.ivfTopK(merged, q, 10, nProbe = merged.centroids.length)
       .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
@@ -344,6 +352,73 @@ object PipelineQueries {
       |  CAST(length(t) AS BIGINT) AS n_chars_before,
       |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_after,
       |  nfc_normalize(t) AS normalized
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  /** The p85/st27 COMPATIBILITY plants: a ligature+superscript+squared-
+    * unit suffix, a fullwidth-forms suffix, and a canonical-decomposed
+    * + enclosed-numeric suffix — each on its own residue class so the
+    * classes overlap (doc 0 gets all three) and most docs get none
+    * (the isNormalized fast path stays the hot path). */
+  private[graft] def p85FixtureText: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    concat(coalesce(col("text"), lit("")),
+      when(pmod(d, lit(4)) === 0, lit(" \uFB01le \u00B2nd \u339E"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(6)) === 0,
+          lit(" \uFF26\uFF55\uFF4C\uFF4C \uFF57\uFF49\uFF44\uFF54\uFF48\uFF15"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(9)) === 0, lit(" cafe\u0301 \u2116\u2466"))
+        .otherwise(lit("")))
+  }
+
+  /** p85: Unicode NFKC normalization
+    * ([[graft.functions.NfkcNormalize]]) — the tokenizer-trainer form
+    * of p84: compatibility characters (ligature ﬁ, superscript ²,
+    * squared unit ㎞, fullwidth letters/digits, numero sign №,
+    * circled digit ⑦) fold to their plain forms, canonical combining
+    * sequences compose as in NFC. Row-local, zero exchange. */
+  val p85NfkcNormalize: Q = (spark, dir) => {
+    val d = col("doc_id")
+    Tables.load(spark, dir, "documents")
+      .select(d, p85FixtureText.as("__t"))
+      .select(d, col("__t"),
+        graft.functions.NfkcNormalize(col("__t")).as("normalized"))
+      .select(d,
+        (col("normalized") =!= col("__t")).as("changed"),
+        length(col("__t")).as("n_chars_before"),
+        length(col("normalized")).as("n_chars_after"),
+        col("normalized"))
+      .orderBy("doc_id")
+  }
+
+  /** p85 oracle: DuckDB's utf8proc has NFC only, so the gate is the
+    * WARC-expectations discipline instead of a second normalizer run:
+    * the planted compatibility characters' NFKC images are stated as
+    * INDEPENDENT literals from the Unicode standard (ﬁ→fi ²→2 ㎞→km
+    * fullwidth→ASCII №→No ⑦→7), the canonical-composition slice rides
+    * utf8proc's nfc_normalize (NFKC ⊇ NFC on it), and the base corpus
+    * is ASCII (verified at every SF), hence NFKC-invariant — full-text
+    * equality still compares the engine against an independent
+    * derivation. */
+  private[graft] def p85SqlPublic: String = p85Sql
+
+  val p85Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '')
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(64257) || 'le ' || chr(178) || 'nd ' || chr(13214) ELSE '' END
+      |    || CASE WHEN doc_id % 6 = 0 THEN ' ' || chr(65318) || chr(65365) || chr(65356) || chr(65356) || ' ' || chr(65367) || chr(65353) || chr(65348) || chr(65364) || chr(65352) || chr(65301) ELSE '' END
+      |    || CASE WHEN doc_id % 9 = 0 THEN ' cafe' || chr(769) || ' ' || chr(8470) || chr(9318) ELSE '' END AS t,
+      |    coalesce(text, '')
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' file 2nd km' ELSE '' END
+      |    || CASE WHEN doc_id % 6 = 0 THEN ' Full width5' ELSE '' END
+      |    || CASE WHEN doc_id % 9 = 0 THEN nfc_normalize(' cafe' || chr(769)) || ' No7' ELSE '' END AS expected
+      |  FROM documents)
+      |SELECT doc_id,
+      |  expected <> t AS changed,
+      |  CAST(length(t) AS BIGINT) AS n_chars_before,
+      |  CAST(length(expected) AS BIGINT) AS n_chars_after,
+      |  expected AS normalized
       |FROM aug ORDER BY doc_id""".stripMargin
 
   /** p16: BPE-ish subword counting — word pieces split at every
@@ -4432,6 +4507,7 @@ object PipelineQueries {
     "p82_filter_ablation" -> p82FilterAblation,
     "p83_ivf_increment" -> p83IvfIncrement,
     "p84_nfc_normalize" -> p84NfcNormalize,
+    "p85_nfkc_normalize" -> p85NfkcNormalize,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -4950,6 +5026,7 @@ object PipelineQueries {
     "p82_filter_ablation" -> p82Sql,
     "p83_ivf_increment" -> p06Sql,
     "p84_nfc_normalize" -> p84Sql,
+    "p85_nfkc_normalize" -> p85Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

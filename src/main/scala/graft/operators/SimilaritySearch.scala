@@ -360,6 +360,96 @@ object SimilaritySearch {
     IvfIndex(centroids.zipWithIndex.map { case (c, i) => (i, c) }, cells)
   }
 
+  // ----------------------------------------------- index persistence
+  //
+  // The p83 `add` path's whole point is a RECURRING crawl-refresh job,
+  // which runs in a NEW session: the frozen coarse quantizer and the
+  // cell table must round-trip through storage (the BayesDB.save
+  // catalog discipline applied to ANN model state) or every refresh
+  // refits the quantizer — exactly the drift ivfAdd's contract forbids.
+  // Formats are pure data-plane (parquet), so a reload is bit-identical
+  // (doubles round-trip exactly through parquet) and any engine can
+  // read the index. Cell tables write PARTITIONED BY cell, so a
+  // probe's cell filter prunes at the file level on the reloaded index
+  // — the "written partitioned by cell" scale story made literal.
+
+  /** Persist a fitted IVF index under `dir` (centroid table +
+    * cell-partitioned data parquet). */
+  def ivfSave(index: IvfIndex, dir: String): Unit = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells.parquet")
+  }
+
+  /** Reload an IVF index saved by [[ivfSave]] — reads only storage, so
+    * a fresh session resumes `ivfAdd`/`ivfTopK` against the FROZEN
+    * quantizer (no refit). */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .select(col("cell").cast("int"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"ivfLoad: no centroids under $dir")
+    val cells = spark.read.parquet(s"$dir/cells.parquet")
+      .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+    IvfIndex(cents, cells)
+  }
+
+  /** Persist a trained SQ8 scalar quantizer (per-dimension rows —
+    * readable by any engine, ordered reload). */
+  def sq8Save(params: Sq8Params, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    params.mins.indices.map(d => (d, params.mins(d), params.scales(d)))
+      .toDF("d", "mn", "scale")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/sq8.parquet")
+  }
+
+  /** Reload SQ8 params saved by [[sq8Save]]. */
+  def sq8Load(spark: org.apache.spark.sql.SparkSession, dir: String): Sq8Params = {
+    val rows = spark.read.parquet(s"$dir/sq8.parquet")
+      .select(col("d").cast("int"), col("mn"), col("scale"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"sq8Load: no params under $dir")
+    val dims = rows.map(_.getInt(0)).toSeq
+    require(dims == dims.indices, s"sq8Load: non-contiguous dimensions under $dir")
+    Sq8Params(rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Persist an IVF-SQ8 composite index (centroids + scalar-quantizer
+    * params + cell-partitioned code table — the floats are NOT part of
+    * the stored index, same as the in-memory contract). */
+  def ivfSq8Save(index: IvfSq8Index, dir: String): Unit = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    sq8Save(index.params, spark, dir)
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells.parquet")
+  }
+
+  /** Reload a composite index saved by [[ivfSq8Save]]. */
+  def ivfSq8Load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfSq8Index = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .select(col("cell").cast("int"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"ivfSq8Load: no centroids under $dir")
+    val cells = spark.read.parquet(s"$dir/cells.parquet")
+      .select(col("id"), col("codes"), col("cell").cast("int").as("cell"))
+    IvfSq8Index(cents, sq8Load(spark, dir), cells)
+  }
+
   /** Incremental index maintenance — the FAISS `add` path: assign NEW
     * vectors into an EXISTING index's cells (NearestCentroid against
     * the frozen coarse quantizer — no refit, which is the operational

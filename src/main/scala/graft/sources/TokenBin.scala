@@ -97,6 +97,27 @@ object TokenBin {
       .select(regexp_extract(col("path"), "shard-(\\d+)\\." + ext + "$", 1)
         .cast("long").as("shard"), col("content"))
 
+  /** The .bin and .idx listings FULL-OUTER joined by shard: a shard
+    * with a missing or orphaned counterpart file is a NAMED error, not
+    * a silently vanished row — parseShard's fail-loud contract covers
+    * corruption WITHIN a pair; this covers a lost file of the pair. */
+  private def pairedShards(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    filesBy(spark, dir, "bin").withColumnRenamed("content", "bin")
+      .join(filesBy(spark, dir, "idx").withColumnRenamed("content", "idx"),
+        Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("bin").isNull, raise_error(concat(
+            lit("token-bin export shard "), col("shard"),
+            lit(" has an .idx but no .bin — orphaned/truncated export")))
+          .cast("binary")).otherwise(col("bin")).as("bin"),
+        when(col("idx").isNull, raise_error(concat(
+            lit("token-bin export shard "), col("shard"),
+            lit(" has a .bin but no .idx — orphaned/truncated export")))
+          .cast("binary")).otherwise(col("idx")).as("idx"))
+      .as[(Long, Array[Byte], Array[Byte])]
+  }
+
   /** Parse one shard's idx+bin into (doc_id, ids) tuples; a length
     * mismatch between the two files is a named error (a truncated or
     * interleaved export must fail loudly, the WARC abandon
@@ -134,10 +155,7 @@ object TokenBin {
     * oracle's GROUP BY. */
   def readManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    filesBy(spark, dir, "bin").withColumnRenamed("content", "bin")
-      .join(filesBy(spark, dir, "idx").withColumnRenamed("content", "idx"),
-        Seq("shard"))
-      .as[(Long, Array[Byte], Array[Byte])]
+    pairedShards(spark, dir)
       .map { case (shard, binB, idxB) =>
         var nDocs = 0L
         var nTokens = 0L
@@ -159,10 +177,7 @@ object TokenBin {
   /** Full round-trip read: every (doc_id, ids) across all shards. */
   def readDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    filesBy(spark, dir, "bin").withColumnRenamed("content", "bin")
-      .join(filesBy(spark, dir, "idx").withColumnRenamed("content", "idx"),
-        Seq("shard"))
-      .as[(Long, Array[Byte], Array[Byte])]
+    pairedShards(spark, dir)
       .flatMap { case (shard, binB, idxB) =>
         parseShard(shard, idxB, binB).map { case (d, ids) => (shard, d, ids) }
       }

@@ -61,6 +61,38 @@ object Warc {
       .toDF()
   }
 
+  /** The audited parse as a FILE STREAM over a crawl landing zone —
+    * `.warc.gz` drops are consumed as they arrive (one micro-batch
+    * entry per new file, one streaming parse per file — the same
+    * file = unit-of-work shape as the batch read), with the same
+    * audit-row contract. The parse is STATELESS: no watermark, no
+    * aggregation, zero state-store rows — downstream decides what to
+    * aggregate. The st15 JSONL landing-zone discipline applied to the
+    * crawl head itself. */
+  def readAuditedStream(spark: SparkSession, dir: String, glob: String): DataFrame = {
+    import spark.implicits._
+    // the file-stream planner demands an explicit schema; binaryFile's
+    // is FIXED (path, modificationTime, length, content) and the format
+    // verifies the passed schema matches it
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => parseFile(path, bytes) }
+      .toDF()
+  }
+
   /** Parse one warc file's raw (gzipped) bytes into a LAZY iterator of
     * audit rows — only the record currently being pulled is ever
     * materialized, so rows stream straight to the shuffle/writer as

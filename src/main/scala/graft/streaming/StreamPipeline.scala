@@ -377,11 +377,12 @@ object StreamPipeline {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
-    val nTok = when(col(textCol).isNotNull,
-      TextAnalysis.tokenCount(col(textCol)).cast("long"))
-      .otherwise(raise_error(lit(
-        "graft streamPackBins: NULL text — broken upstream ingest?"))
-        .cast("long"))
+    // NULL text ≡ blank (the p47 contract every other key applies):
+    // the pre-r18 loud guard here diverged from the oracle's silent
+    // NULL n_tokens — an engine/oracle failure-mode mismatch waiting
+    // for the first NULL-text testdata generation
+    val nTok = TextAnalysis.tokenCount(coalesce(col(textCol), lit("")))
+      .cast("long")
     val rows = stream.select(col(idCol).cast("long"),
         graft.operators.Sampling.fold(col(idCol), seed, shards),
         col(tsCol).cast("timestamp"),

@@ -1037,8 +1037,8 @@ object StreamingQueries {
       "SELECT doc_id, text, (doc_id * 37) % 600 AS tkey, xor(CAST(doc_id AS UBIGINT), CAST(23 AS UBIGINT)) AS z FROM documents") + """
       |d AS (
       |  SELECT doc_id, tkey, CAST(z % 4 AS BIGINT) AS shard,
-      |    CAST(CASE WHEN trim(text) = '' THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS BIGINT) AS n_tokens
       |  FROM h),
       |c AS (
       |  SELECT doc_id, shard, n_tokens,
@@ -1189,7 +1189,48 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st27: streaming NFKC normalization — the live-ingest form of p85
+    * ([[graft.functions.NfkcNormalize]]): compatibility folds
+    * (ligatures, widths, superscripts) per micro-batch, ROW-LOCALLY
+    * (stateless append projection, zero state-store rows, isNormalized
+    * fast path). Same planted fixture as p85, so the oracle IS p85's. */
+  val st27NfkcGate: Q = (spark, dir) => {
+    val d = col("doc_id")
+    val docs = boundedDocStream(spark, dir)
+      .select(d, graft.operators.PipelineQueries.p85FixtureText.as("__t"))
+      .select(d, col("__t"),
+        graft.functions.NfkcNormalize(col("__t")).as("normalized"))
+      .select(d,
+        (col("normalized") =!= col("__t")).as("changed"),
+        length(col("__t")).as("n_chars_before"),
+        length(col("normalized")).as("n_chars_after"),
+        col("normalized"))
+    drainToMemory(spark, "st27", docs.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
+  /** st26: streaming WARC landing zone — the crawl head as a live
+    * ingest ([[graft.sources.Warc.readAuditedStream]]): `.warc.gz`
+    * files stream through the binaryFile file source, each file
+    * lazily parsed to audit rows (one record live at a time — the
+    * batch p70 memory contract holds per micro-batch task), stateless
+    * append projection with ZERO state-store rows. Same checked-in
+    * fixture as p70, so the drained sink must equal the batch answer
+    * verbatim and the oracle IS p70's (the independently constructed
+    * expectations parquet). */
+  val st26WarcIngest: Q = (spark, _) => {
+    val audited = graft.sources.Warc.readAuditedStream(spark,
+      graft.operators.PipelineQueries.WarcFixtureDir, "*.warc.gz")
+      .select(col("file"), col("rec_idx"), col("ok"), col("warc_type"),
+        col("record_id"), col("target_uri"), col("content_length"),
+        sha2(col("payload"), 256).as("payload_sha256"))
+    drainToMemory(spark, "st26", audited.writeStream.outputMode("append"))
+      .orderBy("file", "rec_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st27_stream_nfkc" -> st27NfkcGate,
+    "st26_stream_warc_ingest" -> st26WarcIngest,
     "st25_stream_nfc" -> st25NfcGate,
     "st24_stream_robots_gate" -> st24RobotsGate,
     "st23_stream_cms" -> st23StreamCms,
@@ -1265,6 +1306,10 @@ object StreamingQueries {
       |ORDER BY user_id, session_start""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical computation to batch p70 — the streaming path is a
+    // stateless append-mode parse of the same fixture files
+    "st26_stream_warc_ingest" -> graft.operators.PipelineQueries.p70Sql,
+    "st27_stream_nfkc" -> graft.operators.PipelineQueries.p85SqlPublic,
     // identical computation to batch p68/p67 — the streaming path is a
     // stateless append-mode projection over the same planted fixture
     "st17_stream_c4_clean" -> graft.operators.PipelineQueries.p68Sql,

@@ -1620,6 +1620,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF-SQ8 recall $recall < 0.9")
   }
 
+  test("IVF and IVF-SQ8 indexes round-trip through storage bit-identically") {
+    val q = embeddings.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble)
+    val ivf = SimilaritySearch.ivfIndex(embeddings, "embedding", "vec_id",
+      nCentroids = 8)
+    val params = SimilaritySearch.sq8Params(embeddings, "embedding")
+    val comp = SimilaritySearch.ivfSq8Index(embeddings, "embedding", "vec_id",
+      ivf, params)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toFile
+    SimilaritySearch.ivfSave(ivf, s"$dir/ivf")
+    SimilaritySearch.ivfSq8Save(comp, s"$dir/comp")
+    val rIvf = SimilaritySearch.ivfLoad(spark, s"$dir/ivf")
+    val rComp = SimilaritySearch.ivfSq8Load(spark, s"$dir/comp")
+    // the model state reloads exactly: centroid table, SQ8 params
+    assert(rIvf.centroids.map(_._1).toSeq == ivf.centroids.map(_._1).toSeq)
+    assert(rIvf.centroids.map(_._2.toSeq).toSeq ==
+      ivf.centroids.map(_._2.toSeq).toSeq, "centroids drifted through parquet")
+    assert(rComp.params == params, "SQ8 params drifted through parquet")
+    // search results off the reloaded indexes are bit-identical, both
+    // pruned (the production shape) and exhaustive
+    for (nProbe <- Seq(2, 8)) {
+      val a = SimilaritySearch.ivfTopK(ivf, q, 10, nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = SimilaritySearch.ivfTopK(rIvf, q, 10, nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"IVF search diverged after reload at nProbe=$nProbe")
+      val c = SimilaritySearch.ivfSq8TopK(comp, embeddings, "embedding",
+        "vec_id", q, 10, nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val d = SimilaritySearch.ivfSq8TopK(rComp, embeddings, "embedding",
+        "vec_id", q, 10, nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(c == d, s"IVF-SQ8 search diverged after reload at nProbe=$nProbe")
+    }
+    // the reloaded cell table is cell-partitioned on disk: a probe's
+    // cell filter prunes whole files, not rows
+    assert(new java.io.File(s"$dir/ivf/cells.parquet").listFiles()
+      .exists(_.getName.startsWith("cell=")),
+      "cells.parquet is not partitioned by cell")
+    // and ivfAdd composes with the reloaded (frozen) quantizer
+    val added = SimilaritySearch.ivfAdd(rIvf,
+      embeddings.withColumn("vec_id", col("vec_id") + 1000000L),
+      "embedding", "vec_id")
+    assert(added.centroids.map(_._2.toSeq).toSeq ==
+      ivf.centroids.map(_._2.toSeq).toSeq, "ivfAdd refit the quantizer")
+    assert(added.cells.count() == 2 * ivf.cells.count())
+  }
+
   test("fused language-ID expression matches the composed-operator form") {
     import spark.implicits._
     // real corpus: every document at sf0.001, all five labeled languages
@@ -2055,6 +2103,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.functions.NfcNormalize.kernel(nfc) eq nfc)
     // codepoint counts shrink by exactly the composed marks
     assert(dec.numChars() - out.numChars() === 3)
+  }
+
+  test("NFKC kernel: compatibility folds + canonical composition; already-NFKC returns the SAME buffer") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // ligature, superscript, squared unit, fullwidth, numero, circled
+    // digit — each folds to its Unicode-standard compatibility image —
+    // plus a combining sequence that composes (the NFC subset)
+    val in = UTF8String.fromString(
+      "\uFB01le \u00B2nd \u339E \uFF26\uFF15 \u2116\u2466 cafe\u0301")
+    assert(graft.functions.NfkcNormalize.kernel(in).toString ===
+      "file 2nd km F5 No7 caf\u00E9")
+    // NFC leaves compatibility characters ALONE — the two forms must
+    // disagree exactly there (the reason p85 exists beside p84)
+    assert(graft.functions.NfcNormalize.kernel(in).toString ===
+      "\uFB01le \u00B2nd \u339E \uFF26\uFF15 \u2116\u2466 caf\u00E9")
+    // fast path: an already-NFKC input must not copy
+    val plain = UTF8String.fromString("plain ascii caf\u00E9")
+    assert(graft.functions.NfkcNormalize.kernel(plain) eq plain)
   }
 
   test("bloom kernel: positions match the contains test; empty ref is a named error") {

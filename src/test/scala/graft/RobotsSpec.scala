@@ -40,6 +40,48 @@ class RobotsSpec extends AnyFunSuite {
     assert(RobotsKernel.parse("", "y").isEmpty)
   }
 
+  test("parse: unknown directive between UA lines does not sever the group; agent match is exact product token") {
+    // RFC 9309 §2.2.4: unrecognized records are skipped entirely, so
+    // a Crawl-delay BETWEEN two User-agent lines leaves them stacking
+    // onto ONE group — the pre-r18 parser started a fresh group and
+    // left `a` with an empty rule set
+    val severed =
+      """|User-agent: a
+        |Crawl-delay: 5
+        |User-agent: b
+        |Disallow: /blocked
+        |""".stripMargin
+    assert(RobotsKernel.parse(severed, "a").toSeq ===
+      Seq(Rule(false, "/blocked")))
+    assert(RobotsKernel.parse(severed, "b").toSeq ===
+      Seq(Rule(false, "/blocked")))
+    // ALL matching named groups combine (RFC: combine multiple
+    // matching groups)
+    val two =
+      """|User-agent: a
+        |Disallow: /one
+        |User-agent: *
+        |Disallow: /star
+        |User-agent: a
+        |Disallow: /two
+        |""".stripMargin
+    assert(RobotsKernel.parse(two, "a").toSeq ===
+      Seq(Rule(false, "/one"), Rule(false, "/two")))
+    // agent selection is EXACT product-token match (RFC 9309 §2.2.1;
+    // the longest-match rule is for PATH rules): a group naming a
+    // prefix or extension of the crawler's token is NOT selected
+    val near =
+      """|User-agent: graft
+        |Disallow: /prefix
+        |User-agent: graftcrawler-news
+        |Disallow: /extension
+        |User-agent: *
+        |Disallow: /star
+        |""".stripMargin
+    assert(RobotsKernel.parse(near, "graftcrawler").toSeq ===
+      Seq(Rule(false, "/star")))
+  }
+
   test("patMatches: prefix semantics, * backtracking, $ anchor") {
     assert(RobotsKernel.patMatches("/path/", "/path/3"))
     assert(!RobotsKernel.patMatches("/path/3", "/path/"))

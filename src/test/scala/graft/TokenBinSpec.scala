@@ -118,6 +118,33 @@ class TokenBinSpec extends AnyFunSuite {
         String.valueOf(e4.getCause.getMessage).contains("12-byte records")))
   }
 
+  test("orphaned shard file: a .bin or .idx with no counterpart is a named error, not a vanished shard") {
+    import spark.implicits._
+    val dir = freshDir()
+    val docs = Seq((1L, Seq(7)), (2L, Seq(8)), (3L, Seq(9)),
+      (4L, Seq(10))).toDF("doc_id", "ids")
+    graft.sources.TokenBin.write(docs, "doc_id", "ids", dir, 2, seed = 1L)
+    // delete one side of one pair: the read must FAIL naming the
+    // orphan, not silently drop the shard from the manifest
+    val victims = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".idx")).sortBy(_.getName)
+    assert(victims.nonEmpty)
+    victims.head.delete()
+    def msg(t: Throwable): String = {
+      var c = t; var m = String.valueOf(t.getMessage)
+      while (c.getCause != null) { c = c.getCause; m += " | " + c.getMessage }
+      m
+    }
+    val e = intercept[Exception] {
+      graft.sources.TokenBin.readManifest(spark, dir).collect()
+    }
+    assert(msg(e).contains("no .idx"), msg(e))
+    val e2 = intercept[Exception] {
+      graft.sources.TokenBin.readDocs(spark, dir).collect()
+    }
+    assert(msg(e2).contains("no .idx"), msg(e2))
+  }
+
   test("p78 token ids: empty/NULL docs keep a row with an empty sequence") {
     val out = graft.operators.PipelineQueries
       .p78TokenBinExport(spark, "/root/testdata/sf0.001").collect()
