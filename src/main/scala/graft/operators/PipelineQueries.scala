@@ -2328,6 +2328,289 @@ object PipelineQueries {
        |       ELSE len(string_split_regex(trim(extracted), '\\s+')) END AS BIGINT) AS n_tokens
        |FROM ex ORDER BY file, rec_idx""".stripMargin
 
+  /** The p86 per-host robots files — the chain's fetch-policy fixture:
+    * a named-agent group shadowing a block-everything `*` group, an
+    * anchored + a plain pattern, and an Allow/Disallow specificity tie
+    * under a wildcard; bad.test deliberately has NO row (missing
+    * robots.txt allows everything — the crawl convention). */
+  private[graft] def p86RobotsFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("site-0.test",
+        "User-agent: graftcrawler\nDisallow: /page/3\nUser-agent: *\nDisallow: /"),
+      ("site-1.test",
+        "User-agent: *\nDisallow: /page/1$\nDisallow: /page/4"),
+      ("site-2.test",
+        "User-agent: *\nAllow: /page/2\nDisallow: /page/*"))
+      .toDF("host", "rules")
+  }
+
+  /** The p86 plant: appended to even record keys AFTER extraction so
+    * the filter stage's joint cells stay live (the p82 discipline).
+    * Sized so the binary payload token no longer dominates the Gopher
+    * top-n-gram character fractions (all n-grams distinct, 9 terminal
+    * sentences for the C4 line/sentence rules). */
+  private[graft] val P86Plant: String =
+    "the quick brown fox jumped over a lazy dog near the river bank today. " +
+    "every careful reader will notice small details hidden inside long documents. " +
+    "good pipelines measure quality before training begins. " +
+    "we keep clean pages and drop noisy ones early. " +
+    "curation teams audit each stage with simple counts. " +
+    "honest reports make silent failures visible to everyone involved. " +
+    "distinct sentences avoid any repeated phrasing by design here. " +
+    "steady growth in corpus size demands careful accounting everywhere. " +
+    "final checks confirm that totals add up across stages."
+
+  /** p86: the crawl head END-TO-END — every stage of the funnel the
+    * repo ships composed into ONE chain over the checked-in WARC
+    * fixture, gated on per-host row counts at every stage boundary
+    * (the p38/p82 discipline):
+    *
+    *   robots fetch gate (p81: [[TextAnalysis.robotsGate]], named
+    *   agent > `*`, anchors, wildcards, missing-host default-allow)
+    *   → WARC ingest (p70: [[graft.sources.Warc.readAudited]])
+    *   → HTML extraction (p71: [[TextAnalysis.htmlToText]] over the
+    *     ISO-8859-1 payload decode)
+    *   → NFC normalization (p84: [[graft.functions.NfcNormalize]])
+    *   → quality filters (p68 C4 × p67 Gopher; the p82 plant on even
+    *     record keys keeps the joint cells live)
+    *   → recrawl dedup (p55: [[Dedup.incrementalDedup]] — a second
+    *     snapshot of the same pages under fresh record keys must come
+    *     back 100 % `dup_of_prior`)
+    *   → leakage-safe split (p69: [[Dedup.groupKeyedSplit]] keyed by
+    *     host, so one origin never straddles folds)
+    *   → sequence packing of the train fold (p23:
+    *     [[Sampling.packBins]], budget 30).
+    *
+    * One row per host plus a `*` rollup: n_responses → n_allowed →
+    * n_kept → n_recrawl_dup plus the host's fold and its train-fold
+    * doc/token contribution; the rollup row carries the packed bin
+    * count. The record key is file×100+rec_idx (the fixture's five
+    * files mapped to 0–4), numeric so every split/pack hash restates
+    * relationally.
+    *
+    * Scale shape: every stage keeps its own operator's shape (one task
+    * per warc file, row-local gates/extraction/filters, the measured
+    * broadcast-vs-SMJ component gate in the split, ONE window cumsum
+    * in the pack); the report itself is three map-side-combined
+    * host rollups joined host-co-partitioned. */
+  val p86CrawlChain: Q = (spark, _) => {
+    val fileKey = when(col("file") === "crawl-00.warc.gz", lit(0L))
+      .when(col("file") === "crawl-01.warc.gz", lit(1L))
+      .when(col("file") === "crawl-02.warc.gz", lit(2L))
+      .when(col("file") === "crawl-bad0.warc.gz", lit(3L))
+      .otherwise(lit(4L))
+    crawlChain(spark, WarcFixtureDir, fileKey)
+  }
+
+  /** The p86 chain body over any landing dir — `fileKey` derives the
+    * numeric record-key prefix from the warc file name (the oracle key
+    * uses the fixture's literal five-name map; the 100× probe hashes
+    * arbitrary replicated names). */
+  private[graft] def crawlChain(spark: SparkSession, warcDir: String,
+      fileKey: org.apache.spark.sql.Column): DataFrame = {
+    val responses = graft.sources.Warc
+      .readAudited(spark, warcDir, "*.warc.gz")
+      .filter(col("ok") && col("warc_type") === "response" &&
+        col("target_uri").isNotNull)
+      .select((fileKey * 100 + col("rec_idx")).as("doc_key"),
+        regexp_extract(col("target_uri"), "https?://([^/]+)", 1).as("host"),
+        when(length(regexp_extract(col("target_uri"),
+            "https?://[^/]+(/.*)", 1)) > 0,
+          regexp_extract(col("target_uri"), "https?://[^/]+(/.*)", 1))
+          .otherwise(lit("/")).as("path"),
+        decode(col("payload"), "ISO-8859-1").as("raw"))
+    val hostDigits = regexp_extract(col("host"), "(\\d+)", 1)
+    val hostKey = when(length(hostDigits) > 0, hostDigits.cast("long"))
+      .otherwise(lit(99L))
+    val gate = TextAnalysis.robotsGate(
+      responses.select("doc_key", "host", "path"), "doc_key", "host", "path",
+      p86RobotsFixture(spark), "host", "rules", agent = "graftcrawler")
+    val allowed = responses
+      .join(gate.filter(col("allowed")).select("doc_key"), Seq("doc_key"))
+    val planted = allowed
+      .withColumn("t", concat(
+        graft.functions.NfcNormalize(TextAnalysis.htmlToText(col("raw"))),
+        when(pmod(col("doc_key"), lit(2)) === 0, lit("\n" + P86Plant))
+          .otherwise(lit(""))))
+      .select("doc_key", "host", "t")
+    val kc = TextAnalysis.c4LineFilter(planted, "t", "doc_key")
+      .select(col("doc_key"), (col("verdict") === "keep").as("kc"))
+    val kr = TextAnalysis.gopherRepetition(planted, "t", "doc_key")
+      .select(col("doc_key"), (col("verdict") === "keep").as("kr"))
+    val kept = planted.join(kc, Seq("doc_key")).join(kr, Seq("doc_key"))
+      .filter(col("kc") && col("kr"))
+      .select("doc_key", "host", "t")
+    // recrawl: the same pages fetched again under fresh record keys —
+    // the incremental exact-dedup audit must mark every one
+    // the fresh-key offset sits above any hash-derived probe key
+    val snapOffset = 1L << 60
+    val recrawl = Dedup.incrementalDedup(
+      kept.select("doc_key", "t"),
+      kept.select((col("doc_key") + snapOffset).as("doc_key"), col("t")),
+      "t", "doc_key")
+    val dupPerHost = recrawl.filter(col("verdict") === "dup_of_prior")
+      .select((col("doc_key") - snapOffset).as("doc_key"))
+      .join(kept.select("doc_key", "host"), Seq("doc_key"))
+      .groupBy("host").agg(count(lit(1)).as("n_recrawl_dup"))
+    val comp = kept.select(col("doc_key"), hostKey.as("component"))
+    val folds = Dedup.groupKeyedSplit(kept, "doc_key", comp,
+      seed = 86L, folds = 2)
+    val withFold = kept.join(folds.select("doc_key", "fold"), Seq("doc_key"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("t")).cast("long"))
+    val packed = Sampling.packBins(
+      withFold.filter(col("fold") === 0L).select("doc_key", "n_tokens"),
+      "doc_key", "n_tokens", budgetTokens = 30L, shards = 1, seed = 86L)
+    val binsDf = packed.agg((max(col("bin")) + 1L).cast("long").as("n_bins"))
+    val perFold = withFold.groupBy("host").agg(
+      min(col("fold")).as("fold"),
+      sum(when(col("fold") === 0L, 1L).otherwise(0L)).as("n_train_docs"),
+      sum(when(col("fold") === 0L, col("n_tokens")).otherwise(0L))
+        .as("n_train_tokens"))
+    val hosts = responses.groupBy("host").agg(count(lit(1)).as("n_responses"))
+      .join(allowed.groupBy("host").agg(count(lit(1)).as("n_allowed")),
+        Seq("host"), "left")
+      .join(kept.groupBy("host").agg(count(lit(1)).as("n_kept")),
+        Seq("host"), "left")
+      .join(dupPerHost, Seq("host"), "left")
+      .join(perFold, Seq("host"), "left")
+      .select(col("host"), col("n_responses"),
+        coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_recrawl_dup"), lit(0L)).as("n_recrawl_dup"),
+        col("fold"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_train_tokens"), lit(0L)).as("n_train_tokens"),
+        lit(null).cast("long").as("n_bins"))
+    val star = hosts.agg(
+        sum(col("n_responses")).as("n_responses"),
+        sum(col("n_allowed")).as("n_allowed"),
+        sum(col("n_kept")).as("n_kept"),
+        sum(col("n_recrawl_dup")).as("n_recrawl_dup"),
+        sum(col("n_train_docs")).as("n_train_docs"),
+        sum(col("n_train_tokens")).as("n_train_tokens"))
+      .crossJoin(broadcast(binsDf))
+      .select(lit("*").as("host"), col("n_responses"), col("n_allowed"),
+        col("n_kept"), col("n_recrawl_dup"),
+        lit(null).cast("long").as("fold"),
+        col("n_train_docs"), col("n_train_tokens"), col("n_bins"))
+    hosts.unionByName(star).orderBy("host")
+  }
+
+  /** p86 oracle: the WHOLE chain re-derived in DuckDB — expectations
+    * parquet for the records, literal robots rules with regex prefix
+    * match (the p81 restatement), the p71 strip chain, utf8proc NFC,
+    * the pluggable p68/p67 rule restatements over the chain's text,
+    * recrawl dups = kept (every re-fetched page has an identical-text
+    * prior twin), and the shared SplitMix64 chain for both the host
+    * fold and the pack order cumsum. */
+  lazy val p86Sql: String = {
+    s"""|WITH resp AS (
+       |  SELECT (CASE file
+       |      WHEN 'crawl-00.warc.gz' THEN 0 WHEN 'crawl-01.warc.gz' THEN 1
+       |      WHEN 'crawl-02.warc.gz' THEN 2 WHEN 'crawl-bad0.warc.gz' THEN 3
+       |      ELSE 4 END) * 100 + rec_idx AS doc_key,
+       |    regexp_extract(target_uri, 'https?://([^/]+)', 1) AS host,
+       |    CASE WHEN length(regexp_extract(target_uri, 'https?://[^/]+(/.*)', 1)) > 0
+       |         THEN regexp_extract(target_uri, 'https?://[^/]+(/.*)', 1)
+       |         ELSE '/' END AS path,
+       |    payload_text
+       |  FROM read_parquet('$WarcExpectedPath/*.parquet')
+       |  WHERE ok AND warc_type = 'response' AND target_uri IS NOT NULL),
+       |hk AS (
+       |  SELECT *, CASE WHEN length(regexp_extract(host, '(\\d+)', 1)) > 0
+       |    THEN CAST(regexp_extract(host, '(\\d+)', 1) AS BIGINT)
+       |    ELSE 99 END AS host_key
+       |  FROM resp),
+       |rb(k, rule_no, allow, pat, rx) AS (VALUES
+       |  (0, 1, false, '/page/3', '^/page/3'),
+       |  (1, 1, false, '/page/1$$', '^/page/1$$'),
+       |  (1, 2, false, '/page/4', '^/page/4'),
+       |  (2, 1, true,  '/page/2', '^/page/2'),
+       |  (2, 2, false, '/page/*', '^/page/.*')),
+       |rm AS (
+       |  SELECT h.doc_key, r.allow,
+       |    row_number() OVER (PARTITION BY h.doc_key
+       |      ORDER BY length(r.pat) DESC, r.allow DESC, r.rule_no) AS rn
+       |  FROM hk h JOIN rb r ON r.k = h.host_key AND regexp_matches(h.path, r.rx)),
+       |alw AS (
+       |  SELECT hk.* FROM hk
+       |  LEFT JOIN (SELECT doc_key, allow FROM rm WHERE rn = 1) b USING (doc_key)
+       |  WHERE coalesce(b.allow, true)),
+       |s1 AS (SELECT doc_key, host, host_key, regexp_replace(payload_text, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t FROM alw),
+       |s2 AS (SELECT * REPLACE (regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t) FROM s1),
+       |s3 AS (SELECT * REPLACE (regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t) FROM s2),
+       |s4 AS (SELECT * REPLACE (regexp_replace(t, '(?s)<!\\[CDATA\\[.*?\\]\\]>', ' ', 'g') AS t) FROM s3),
+       |s5 AS (SELECT * REPLACE (regexp_replace(t, '<[^>]*>', ' ', 'g') AS t) FROM s4),
+       |e1 AS (SELECT * REPLACE (replace(replace(replace(replace(replace(replace(replace(t,
+       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+       |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t) FROM s5),
+       |pl AS (
+       |  SELECT doc_key AS doc_id, host, host_key,
+       |    nfc_normalize(trim(regexp_replace(t, '\\s+', ' ', 'g')))
+       |    || CASE WHEN doc_key % 2 = 0 THEN chr(10) || '$P86Plant'
+       |       ELSE '' END AS t
+       |  FROM e1),
+       |c4v AS (SELECT doc_id, verdict FROM (
+       |__C4_SUB__
+       |) c4sub),
+       |repv AS (SELECT doc_id, verdict FROM (
+       |__REP_SUB__
+       |) repsub),
+       |kept AS (
+       |  SELECT pl.doc_id AS doc_key, pl.host, pl.host_key, pl.t,
+       |    CAST(CASE WHEN trim(pl.t) = '' THEN 0
+       |      ELSE len(regexp_split_to_array(trim(pl.t), '\\s+')) END AS BIGINT) AS n_tokens
+       |  FROM pl JOIN c4v ON c4v.doc_id = pl.doc_id
+       |  JOIN repv ON repv.doc_id = pl.doc_id
+       |  WHERE c4v.verdict = 'keep' AND repv.verdict = 'keep'),
+       |""".stripMargin +
+    mixChainSql(
+      "SELECT doc_key, host, host_key, t, n_tokens, xor(CAST(host_key AS UBIGINT), CAST(86 AS UBIGINT)) AS z FROM kept",
+      p = "fh", hName = "fhh", lead = "") + "\n" +
+    """|kf AS (SELECT doc_key, host, host_key, t, n_tokens,
+       |  CAST(z % 2 AS BIGINT) AS fold FROM fhh),
+       |""".stripMargin +
+    mixChainSql(
+      "SELECT doc_key, n_tokens, xor(CAST(doc_key AS UBIGINT), CAST(86 AS UBIGINT)) AS z FROM kf WHERE fold = 0",
+      p = "pk", hName = "pkh", lead = "") + "\n" +
+    """|pcum AS (
+       |  SELECT doc_key, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY z, doc_key
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM pkh),
+       |bins AS (SELECT CAST(max(cum // 30) + 1 AS BIGINT) AS n_bins FROM pcum),
+       |hosts AS (
+       |  SELECT r.host,
+       |    CAST(count(*) AS BIGINT) AS n_responses,
+       |    CAST(count(a.doc_key) AS BIGINT) AS n_allowed,
+       |    CAST(count(k.doc_key) AS BIGINT) AS n_kept,
+       |    CAST(count(k.doc_key) AS BIGINT) AS n_recrawl_dup,
+       |    min(k.fold) AS fold,
+       |    CAST(sum(CASE WHEN k.fold = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_docs,
+       |    CAST(coalesce(sum(CASE WHEN k.fold = 0 THEN k.n_tokens ELSE 0 END), 0) AS BIGINT) AS n_train_tokens,
+       |    CAST(NULL AS BIGINT) AS n_bins
+       |  FROM resp r
+       |  LEFT JOIN alw a ON a.doc_key = r.doc_key
+       |  LEFT JOIN kf k ON k.doc_key = r.doc_key
+       |  GROUP BY r.host)
+       |SELECT host, n_responses, n_allowed, n_kept, n_recrawl_dup, fold,
+       |  coalesce(n_train_docs, 0) AS n_train_docs,
+       |  coalesce(n_train_tokens, 0) AS n_train_tokens, n_bins
+       |FROM hosts
+       |UNION ALL
+       |SELECT '*', CAST(sum(n_responses) AS BIGINT), CAST(sum(n_allowed) AS BIGINT),
+       |  CAST(sum(n_kept) AS BIGINT), CAST(sum(n_recrawl_dup) AS BIGINT),
+       |  CAST(NULL AS BIGINT),
+       |  CAST(sum(coalesce(n_train_docs, 0)) AS BIGINT),
+       |  CAST(sum(coalesce(n_train_tokens, 0)) AS BIGINT),
+       |  (SELECT n_bins FROM bins)
+       |FROM hosts
+       |ORDER BY host""".stripMargin
+  }
+    .replace("__C4_SUB__", p68RulesSql("  SELECT doc_id, t FROM pl"))
+    .replace("__REP_SUB__", p67RulesSql("  SELECT doc_id, t FROM pl"))
+
   private[graft] val VideoFixturePath = sys.env.getOrElse(
     "GRAFT_VIDEO_FIXTURE", "/root/repo/fixtures/video_fixture.parquet")
 
@@ -4508,6 +4791,7 @@ object PipelineQueries {
     "p83_ivf_increment" -> p83IvfIncrement,
     "p84_nfc_normalize" -> p84NfcNormalize,
     "p85_nfkc_normalize" -> p85NfkcNormalize,
+    "p86_crawl_chain" -> p86CrawlChain,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5027,6 +5311,7 @@ object PipelineQueries {
     "p83_ivf_increment" -> p06Sql,
     "p84_nfc_normalize" -> p84Sql,
     "p85_nfkc_normalize" -> p85Sql,
+    "p86_crawl_chain" -> p86Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
