@@ -685,6 +685,43 @@ class WidePopulationSpec extends AnyFunSuite {
       s"the scan must read exactly the probed cells' files, read=$read")
   }
 
+  test("ivfTopK on a RELOADED index partition-prunes to the probed cells") {
+    // the r18 persistence path must keep the p62 pruning story: ivfSave
+    // writes cells partitioned by cell, so a pruned search off ivfLoad
+    // reads only the probed cells' files — model state round-tripping
+    // through storage must not demote the cell filter to a data filter.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = (0L until 400L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(8)(d => (if (d == c * 2) 5f else 0.1f) + i * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    val ivf = graft.operators.SimilaritySearch.ivfIndex(
+      emb, "embedding", "vec_id", nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prune_").toString
+    graft.operators.SimilaritySearch.ivfSave(ivf, dir)
+    val reloaded = graft.operators.SimilaritySearch.ivfLoad(spark, dir)
+    val q = emb.filter(col("vec_id") === 0L).head().getSeq[Float](1)
+      .map(_.toDouble)
+    val top = graft.operators.SimilaritySearch.ivfTopK(reloaded, q, 5, nProbe = 2)
+    assert(top.collect().length == 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"the reloaded index's cell routing must reach PartitionFilters:\n$plan")
+    val scan = top.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the reloaded-search plan"))
+    val cellDirs = new java.io.File(s"$dir/cells.parquet").listFiles
+      .filter(_.getName.startsWith("cell=")).length
+    assert(cellDirs == 4, s"expected 4 cell directories, got $cellDirs")
+    val read = scan.metrics("numFiles").value
+    val total = new java.io.File(s"$dir/cells.parquet").listFiles
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(_.listFiles).count(_.getName.endsWith(".parquet")).toLong
+    assert(read < total,
+      s"a 2-of-4-cell probe must read fewer than all $total files, read=$read")
+  }
+
   test("quality keeper gate, small-cluster branch: members broadcast — the corpus never shuffles for the join") {
     // p57's scale shape made checkable — BOTH branches of the measured
     // gate, not one assumed shape. Curated-corpus regime: the clustered
