@@ -49,7 +49,8 @@ object PipelineQueries {
     resetP38Stages()
   }
 
-  /** p38 stage-boundary caches (see [[p38CrawlCuration]]). The result
+  /** Stage-boundary caches (p38's curation chain, p86's crawl chain —
+    * see [[p38CrawlCuration]]/[[crawlChain]]). The result
     * frame is lazy, so entries cannot be unpersisted inside the call;
     * the registry holds each distinct stage plan once (the cache
     * manager is keyed by analyzed plan, so a repeated p38 build on the
@@ -2409,7 +2410,11 @@ object PipelineQueries {
     * arbitrary replicated names). */
   private[graft] def crawlChain(spark: SparkSession, warcDir: String,
       fileKey: org.apache.spark.sql.Column): DataFrame = {
-    val responses = graft.sources.Warc
+    // stage-boundary caches (the p38 registry): the parsed-response and
+    // post-filter frames feed several report branches each — without a
+    // cache the lineage recomputes the WARC parse + filter kernels once
+    // per branch (6x the head at 100x)
+    val responses = p38Stage(graft.sources.Warc
       .readAudited(spark, warcDir, "*.warc.gz")
       .filter(col("ok") && col("warc_type") === "response" &&
         col("target_uri").isNotNull)
@@ -2419,7 +2424,7 @@ object PipelineQueries {
             "https?://[^/]+(/.*)", 1)) > 0,
           regexp_extract(col("target_uri"), "https?://[^/]+(/.*)", 1))
           .otherwise(lit("/")).as("path"),
-        decode(col("payload"), "ISO-8859-1").as("raw"))
+        decode(col("payload"), "ISO-8859-1").as("raw")))
     val hostDigits = regexp_extract(col("host"), "(\\d+)", 1)
     val hostKey = when(length(hostDigits) > 0, hostDigits.cast("long"))
       .otherwise(lit(99L))
@@ -2438,9 +2443,9 @@ object PipelineQueries {
       .select(col("doc_key"), (col("verdict") === "keep").as("kc"))
     val kr = TextAnalysis.gopherRepetition(planted, "t", "doc_key")
       .select(col("doc_key"), (col("verdict") === "keep").as("kr"))
-    val kept = planted.join(kc, Seq("doc_key")).join(kr, Seq("doc_key"))
+    val kept = p38Stage(planted.join(kc, Seq("doc_key")).join(kr, Seq("doc_key"))
       .filter(col("kc") && col("kr"))
-      .select("doc_key", "host", "t")
+      .select("doc_key", "host", "t"))
     // recrawl: the same pages fetched again under fresh record keys —
     // the incremental exact-dedup audit must mark every one
     // the fresh-key offset sits above any hash-derived probe key
