@@ -2925,6 +2925,53 @@ object PipelineQueries {
     * literal arithmetic for alpha/branch constants — so DuckDB
     * reproduces every register, both correction branches, and every
     * estimate digit. */
+  /** p87: per-source token-length quantiles by deterministic sample
+    * sketch ([[Sketches.sampleQuantiles]] — the rank member of the
+    * sketch family beside p76's HLL and p79's CMS): expected-16-row
+    * seeded-hash sample per source, discrete lower quantile of the
+    * sample at p50/p90/p99. The exchange carries the sample, never
+    * the corpus; the whole estimate is a pure function of (doc_id,
+    * seed), which is what lets DuckDB restate the sample membership
+    * AND the rank arithmetic bit-for-bit (a KLL/t-digest's
+    * merge-order dependence could never sit behind this gate). k=16
+    * keeps the THRESHOLD branch live at every SF (sources carry ~25
+    * docs at sf0.001). */
+  val p87QuantileSketch: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+    Sketches.sampleQuantiles(docs, "source", "doc_id", "v",
+        k = 16, seed = 87L, qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+      .withColumnRenamed("est", "est_tokens")
+      .orderBy("source", "quantile")
+  }
+
+  /** p87 oracle: the shared SplitMix64 chain for the sample
+    * membership (the weightedMix threshold arithmetic — one double
+    * rounding, identical IEEE-754), then the discrete-quantile rank
+    * selection restated as a row_number join. */
+  val p87Sql: String =
+    mixChainSql(
+      """SELECT doc_id, source,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS v,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(87 AS UBIGINT)) AS z FROM documents""".stripMargin) + """
+      |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY source),
+      |samp AS (
+      |  SELECT h.source, h.v FROM h JOIN cnt USING (source)
+      |  WHERE cnt.n <= 16
+      |     OR h.z < CAST(floor(16.0 / cnt.n * power(2.0, 63)) AS UBIGINT)),
+      |sm AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM samp GROUP BY source),
+      |r AS (SELECT source, v,
+      |        row_number() OVER (PARTITION BY source ORDER BY v) AS rk
+      |      FROM samp),
+      |q(label, q) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99))
+      |SELECT r.source, cnt.n AS n_rows, sm.m AS n_sampled,
+      |  q.label AS quantile, r.v AS est_tokens
+      |FROM r JOIN sm USING (source) JOIN cnt USING (source) JOIN q
+      |  ON r.rk = least(sm.m - 1, CAST(floor(q.q * sm.m) AS BIGINT)) + 1
+      |ORDER BY source, quantile""".stripMargin
+
   val p76Sql: String =
     """|WITH aug AS (
       |  SELECT doc_id, source,
@@ -4797,6 +4844,7 @@ object PipelineQueries {
     "p84_nfc_normalize" -> p84NfcNormalize,
     "p85_nfkc_normalize" -> p85NfkcNormalize,
     "p86_crawl_chain" -> p86CrawlChain,
+    "p87_quantile_sketch" -> p87QuantileSketch,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5317,6 +5365,7 @@ object PipelineQueries {
     "p84_nfc_normalize" -> p84Sql,
     "p85_nfkc_normalize" -> p85Sql,
     "p86_crawl_chain" -> p86Sql,
+    "p87_quantile_sketch" -> p87Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

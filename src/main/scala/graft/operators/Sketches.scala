@@ -96,6 +96,64 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("cm_estimate"))
   }
 
+  /** Deterministic sample-based quantile estimation — the RANK member
+    * of the sketch family (HLL = distinct count, CMS = frequency,
+    * this = quantiles): per group, the estimator is the discrete
+    * quantile of a seeded-hash uniform sample of expected size `k`,
+    * so the group aggregate's exchange carries ≈ k values per group
+    * instead of the corpus, and the whole estimate is a pure function
+    * of (ids, seed) — rerun-, retry-, and repartition-stable, and
+    * exactly restatable by an independent SQL engine. (KLL/t-digest
+    * give tighter guarantees per byte, but their compaction depends
+    * on merge order, which a shuffle does not fix — a non-starter for
+    * the oracle discipline and for bit-stable retries.)
+    *
+    * Sampling rule: a row enters the sample iff n ≤ k (small group —
+    * the estimate is exact) or hash63(id, seed) < floor(k/n · 2⁶³)
+    * (the weightedMix threshold discipline: one double rounding,
+    * identical IEEE-754 on every engine). Quantile rule: sorted
+    * sample v[0..m), q ↦ v[min(m−1, floor(q·m))] — the discrete
+    * lower quantile. Rank error is O(n/√k) whp (binomial tail); k
+    * trades accuracy for exchange width.
+    *
+    * Scale shape: ONE map-combined count per group (broadcast back —
+    * group-cardinality-bounded), a row-local threshold filter, then
+    * one group aggregate whose collect_list is ≈ k values (the only
+    * per-group state; sorted row-locally after the combine). A group
+    * whose sample is empty (possible only when n ≫ k, with
+    * probability (1−k/n)ⁿ ≈ e⁻ᵏ) has no output row on either engine.
+    *
+    * Returns one row per (group, quantile label): (grpCol, n_rows,
+    * n_sampled, quantile, est). */
+  def sampleQuantiles(df: DataFrame, grpCol: String, idCol: String,
+      valCol: String, k: Int, seed: Long,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q < 1.0 },
+      "quantiles must lie in [0, 1)")
+    val counts = df.groupBy(grpCol).agg(count(lit(1)).as("__n"))
+    val withN = df.join(broadcast(counts), Seq(grpCol))
+    // the small-group branch guards the threshold arithmetic: k/n > 1
+    // would push floor(k/n · 2⁶³) past Long.MaxValue and ANSI-throw
+    val thresh = when(col("__n") <= k, lit(0L))
+      .otherwise(floor(lit(k.toDouble) / col("__n") * lit(math.pow(2, 63)))
+        .cast("long"))
+    val sampled = withN.filter(col("__n") <= k ||
+      Sampling.hash63(col(idCol), seed) < thresh)
+    val agg = sampled.groupBy(grpCol).agg(
+      first(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_sampled"),
+      sort_array(collect_list(col(valCol))).as("__vs"))
+    agg.select(col(grpCol), col("n_rows"), col("n_sampled"), col("__vs"),
+        explode(typedLit(qs)).as("__qq"))
+      .withColumn("quantile", col("__qq._1"))
+      .withColumn("__q", col("__qq._2"))
+      .withColumn("est", element_at(col("__vs"),
+        least(col("n_sampled") - 1,
+          floor(col("__q") * col("n_sampled")).cast("long")).cast("int") + 1))
+      .select(grpCol, "n_rows", "n_sampled", "quantile", "est")
+  }
+
   /** Cardinality estimate from a register file: the Flajolet et al.
     * raw estimator alpha_m * m^2 / sum(2^-M_j) with the standard
     * small-range linear-counting correction (est = m * ln(m / V) when

@@ -2105,6 +2105,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(dec.numChars() - out.numChars() === 3)
   }
 
+  test("sample-quantile sketch: small groups exact, rank error bounded, repartition-stable") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i < 10) "small" else "big", i))
+      .toDF("id", "grp", "v")
+    val qs = Seq(("p50", 0.5), ("p90", 0.9))
+    val out = graft.operators.Sketches
+      .sampleQuantiles(df, "grp", "id", "v", k = 64, seed = 5L, qs)
+      .collect().map(r => (r.getString(0), r.getString(3)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // a group with n <= k samples EVERYTHING: the estimate is the exact
+    // discrete quantile (values 0..9 -> p50 = v[5] = 5, p90 = v[9] = 9)
+    assert(out(("small", "p50")) == ((10L, 10L, 5L)), out(("small", "p50")))
+    assert(out(("small", "p90")) == ((10L, 10L, 9L)), out(("small", "p90")))
+    // the large group samples ~k of 1990 uniform values; the sample
+    // quantile's rank error is O(n/sqrt(k)) whp — assert a generous 2x
+    val (nB, mB, p50B) = out(("big", "p50"))
+    assert(nB == 1990L && mB > 32L && mB < 128L, s"sample size $mB off")
+    assert(math.abs(p50B - 1004L) < 2 * 1990 / 8,
+      s"big p50 estimate $p50B too far from 1004")
+    // pure function of (ids, seed): a different partitioning must
+    // reproduce every estimate bit-for-bit
+    val out2 = graft.operators.Sketches
+      .sampleQuantiles(df.repartition(17), "grp", "id", "v", k = 64, seed = 5L, qs)
+      .collect().map(r => (r.getString(0), r.getString(3)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out2 == out, "estimates moved under repartitioning")
+  }
+
   test("NFKC kernel: compatibility folds + canonical composition; already-NFKC returns the SAME buffer") {
     import org.apache.spark.unsafe.types.UTF8String
     // ligature, superscript, squared unit, fullwidth, numero, circled
