@@ -349,6 +349,55 @@ object StreamPipeline {
       }.toDF()
   }
 
+  final case class QuantOut(source: String, n_rows: Long, n_sampled: Long,
+    quantile: String, est_tokens: Long)
+  final case class QuantState(n: Long, keep: Seq[(Long, Long, Long)])
+
+  /** Streaming per-group quantile sketch — the live form of
+    * [[graft.operators.Sketches.sampleQuantiles]], with the sample rule
+    * adapted to arrival semantics: batch mode can two-pass a count and
+    * threshold, a stream cannot know its final n, so the state is the
+    * DETERMINISTIC BOTTOM-K — the k rows smallest in (hash63(id, seed),
+    * id) order seen so far. Bottom-k is order-independent (the same set
+    * regardless of arrival or merge order — the property reservoir
+    * sampling by RNG does NOT have), so the drained answer is a pure
+    * function of (ids, seed) and an independent SQL engine restates it
+    * as a row_number ≤ k. State per group: k (z, id, value) triples
+    * plus one count — nothing grows with the stream. Each micro-batch
+    * re-emits the group's refreshed quantile rows (update mode). */
+  def streamSampleQuantiles(stream: DataFrame, grpCol: String, idCol: String,
+      valCol: String, k: Int, seed: Long,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q < 1.0 },
+      "quantiles must lie in [0, 1)")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rows = stream.select(col(grpCol).cast("string"),
+        graft.operators.Sampling.hash63(col(idCol), seed),
+        col(idCol).cast("long"), col(valCol).cast("long"))
+      .as[(String, Long, Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[QuantState, QuantOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (src, it, state: GroupState[QuantState]) =>
+          val prev = state.getOption.getOrElse(QuantState(0L, Nil))
+          var n = prev.n
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          buf ++= prev.keep
+          it.foreach { case (_, z, id, v) => n += 1; buf += ((z, id, v)) }
+          val keep = buf.sortBy(t => (t._1, t._2)).take(k).toSeq
+          state.update(QuantState(n, keep))
+          val vs = keep.map(_._3).sorted
+          val m = vs.length
+          qs.iterator.map { case (label, q) =>
+            QuantOut(src, n, m.toLong, label,
+              vs(math.min(m - 1, (q * m).toInt)))
+          }
+      }.toDF()
+  }
+
   final case class PackOut(
     doc_id: Long, shard: Long, n_tokens: Long, bin: Long, bin_offset: Long)
 

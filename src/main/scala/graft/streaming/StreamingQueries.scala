@@ -1209,6 +1209,49 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st28: streaming quantile sketch — the live form of p87
+    * ([[StreamPipeline.streamSampleQuantiles]]): per-source
+    * token-length p50/p90/p99 from a deterministic bottom-k sample
+    * (k=16 triples of state per source — constant in stream length),
+    * refreshed per micro-batch. Bottom-k is order-independent, so the
+    * bounded replay's drained answer restates as a row_number ≤ k in
+    * DuckDB — the st22/st23 sketch discipline extended to ranks. */
+  val st28QuantileSketch: Q = (spark, dir) => {
+    val docs = boundedDocStream(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+    val out = StreamPipeline.streamSampleQuantiles(docs, "source", "doc_id",
+      "v", k = 16, seed = 87L,
+      qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+    drainToMemory(spark, "st28", out.writeStream.outputMode("update"))
+      .orderBy("source", "quantile")
+  }
+
+  /** st28 oracle: the shared SplitMix64 chain for the (z, doc_id)
+    * order, bottom-k via row_number ≤ 16, then the p87 discrete-
+    * quantile rank selection. */
+  val st28Sql: String =
+    graft.operators.PipelineQueries.mixChainSqlPublic(
+      """SELECT doc_id, source,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS v,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(87 AS UBIGINT)) AS z FROM documents""".stripMargin) + """
+      |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY source),
+      |bk AS (SELECT source, v,
+      |         row_number() OVER (PARTITION BY source ORDER BY z, doc_id) AS rk
+      |       FROM h),
+      |samp AS (SELECT source, v FROM bk WHERE rk <= 16),
+      |sm AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM samp GROUP BY source),
+      |r AS (SELECT source, v,
+      |        row_number() OVER (PARTITION BY source ORDER BY v) AS rk2
+      |      FROM samp),
+      |q(label, q) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99))
+      |SELECT r.source, cnt.n AS n_rows, sm.m AS n_sampled,
+      |  q.label AS quantile, r.v AS est_tokens
+      |FROM r JOIN sm USING (source) JOIN cnt USING (source) JOIN q
+      |  ON r.rk2 = least(sm.m - 1, CAST(floor(q.q * sm.m) AS BIGINT)) + 1
+      |ORDER BY source, quantile""".stripMargin
+
   /** st26: streaming WARC landing zone — the crawl head as a live
     * ingest ([[graft.sources.Warc.readAuditedStream]]): `.warc.gz`
     * files stream through the binaryFile file source, each file
@@ -1229,6 +1272,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "st28_stream_quantile" -> st28QuantileSketch,
     "st27_stream_nfkc" -> st27NfkcGate,
     "st26_stream_warc_ingest" -> st26WarcIngest,
     "st25_stream_nfc" -> st25NfcGate,
@@ -1310,6 +1354,7 @@ object StreamingQueries {
     // stateless append-mode parse of the same fixture files
     "st26_stream_warc_ingest" -> graft.operators.PipelineQueries.p70Sql,
     "st27_stream_nfkc" -> graft.operators.PipelineQueries.p85SqlPublic,
+    "st28_stream_quantile" -> st28Sql,
     // identical computation to batch p68/p67 — the streaming path is a
     // stateless append-mode projection over the same planted fixture
     "st17_stream_c4_clean" -> graft.operators.PipelineQueries.p68Sql,
