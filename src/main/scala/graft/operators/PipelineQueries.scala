@@ -3531,6 +3531,81 @@ object PipelineQueries {
       .orderBy("pred_lang")
   }
 
+  /** p88: temperature-balanced multilingual mixing — the XLM-R/mT5
+    * upsampling rule at T = 0.5: each document repeats with weight
+    * √(N / n_lang), so rare languages upsample by inverse-sqrt
+    * frequency while the head stays near 1× (α = 0.5 exactly because
+    * IEEE-754 sqrt is correctly rounded on EVERY engine — a pow(p, 0.7)
+    * temperature would not restate bit-identically across libm
+    * implementations, so it could never sit behind this gate). The
+    * weights are DATA-DERIVED (the p10 language-ID kernel → per-lang
+    * counts broadcast back), composing detection → statistics →
+    * [[Sampling.weightedMix]] in one key.
+    *
+    * Scale shape: one map-combined lang count (exchange = languages),
+    * a broadcast join of that dimension, then weightedMix's row-local
+    * explode — no corpus shuffle anywhere. */
+  val p88TemperatureMix: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("pred_lang"))
+    val counts = docs.groupBy("pred_lang").agg(count(lit(1)).as("__nl"))
+    val withW = docs
+      .join(broadcast(counts), Seq("pred_lang"))
+      .crossJoin(broadcast(counts.agg(sum(col("__nl")).as("__N"))))
+      .withColumn("w", sqrt(col("__N").cast("double") / col("__nl")))
+    Sampling.weightedMix(withW, "doc_id", col("w"), seed = 88L)
+      .select(col("doc_id"), col("pred_lang"), round(col("w"), 6).as("weight"),
+        col("copy_no"))
+      .orderBy("doc_id", "copy_no")
+  }
+
+  /** p88 oracle: the p10 per-doc language restatement → per-lang
+    * counts → the same √(N/n) weight (sqrt and the one division are
+    * both correctly rounded IEEE ops) → the p27 weightedMix
+    * restatement (floor copies + the fractional 2⁶³ threshold). */
+  lazy val p88Sql: String = {
+    val scoreCols = langScoreColsSql("n", ",\n      |         ").stripMargin
+    s"""|WITH lt AS (
+      |  SELECT doc_id,
+      |         string_split_regex(trim(lower(text)), '\\s+') AS tk,
+      |         greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS n,
+      |         regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
+      |  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)),
+      |ls AS (
+      |  SELECT doc_id, cjk,
+      |         $scoreCols
+      |  FROM lt),
+      |lb AS (
+      |  SELECT doc_id, cjk, $langBestSql AS best, * FROM ls),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN cjk THEN 'zh'
+      |         WHEN best = 0 THEN 'und'
+      |         ELSE (CASE $langTieBreakSql END)
+      |    END AS pred_lang
+      |  FROM lb),
+      |cnt AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS nl
+      |        FROM lp GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM lp),
+      |wt AS (
+      |  SELECT lp.doc_id, lp.pred_lang,
+      |    sqrt(CAST(tot.nn AS DOUBLE) / cnt.nl) AS w
+      |  FROM lp JOIN cnt USING (pred_lang), tot),
+      |""".stripMargin +
+    mixChainSql(
+      "SELECT doc_id, pred_lang, w, xor(CAST(doc_id AS UBIGINT), CAST(88 AS UBIGINT)) AS z FROM wt",
+      lead = "") + """
+      |c AS (SELECT doc_id, pred_lang, w,
+      |  CAST(floor(w) AS BIGINT) +
+      |  CASE WHEN z < CAST(floor((w - floor(w)) * power(2.0, 63)) AS UBIGINT)
+      |       THEN 1 ELSE 0 END AS n
+      |  FROM h)
+      |SELECT doc_id, pred_lang, round(w, 6) AS weight, CAST(u.u AS BIGINT) AS copy_no
+      |FROM c, unnest(range(n)) AS u(u)
+      |WHERE n >= 1
+      |ORDER BY doc_id, copy_no""".stripMargin
+  }
+
   /** p59 oracle: the p54 retrain chain + per-doc piece counts composed
     * with the p10 language-ID restatement (same lexicons, same
     * struct-array_max tie-break), regrouped by predicted language. */
@@ -4845,6 +4920,7 @@ object PipelineQueries {
     "p85_nfkc_normalize" -> p85NfkcNormalize,
     "p86_crawl_chain" -> p86CrawlChain,
     "p87_quantile_sketch" -> p87QuantileSketch,
+    "p88_temperature_mix" -> p88TemperatureMix,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5366,6 +5442,7 @@ object PipelineQueries {
     "p85_nfkc_normalize" -> p85Sql,
     "p86_crawl_chain" -> p86Sql,
     "p87_quantile_sketch" -> p87Sql,
+    "p88_temperature_mix" -> p88Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
