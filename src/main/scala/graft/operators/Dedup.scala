@@ -443,6 +443,56 @@ object Dedup {
       .select("id0", "id1", "jaccard")
   }
 
+  /** Measured LSH recall audit — the tuning report a dedup owner reads
+    * before freezing banding parameters: on a BOUNDED audit slice,
+    * compute the exact n-gram-Jaccard truth over ALL slice pairs
+    * (quadratic BY DESIGN — auditing recall exactly is the O(n²) the
+    * LSH exists to avoid at corpus scale, so the slice size is a hard
+    * budget with a named error), compare against the production
+    * MinHash band candidates over the FULL corpus, and roll up
+    * caught/true per similarity band — the empirical S-curve to hold
+    * against the 1−(1−s⁴)³² theory curve. Returns one row per band
+    * plus a '*' rollup: (band, n_true, n_caught, recall). */
+  def lshRecallAudit(docs: DataFrame, textCol: String, idCol: String,
+      auditCond: Column, minJaccard: Double = 0.2,
+      minEstJaccard: Double = 0.2, shingleSize: Int = 3,
+      bandEdges: Seq[Double] = Seq(0.4, 0.6, 0.8),
+      maxAuditDocs: Long = 4096): DataFrame = {
+    require(bandEdges.nonEmpty && bandEdges == bandEdges.sorted &&
+      bandEdges.head > minJaccard && bandEdges.last < 1.0,
+      "bandEdges must be sorted strictly inside (minJaccard, 1)")
+    val slice = docs.filter(auditCond)
+      .select(col(idCol).as("id"))
+    val n = slice.count()
+    require(n > 1, "audit slice needs at least two documents")
+    require(n <= maxAuditDocs,
+      s"audit slice has $n documents over the $maxAuditDocs budget — " +
+        "a recall audit is quadratic by design; narrow auditCond")
+    val cands = slice.select(col("id").as("id0"))
+      .crossJoin(slice.select(col("id").as("id1")))
+      .filter(col("id0") < col("id1"))
+    val truth = ngramJaccard(docs, cands, textCol, idCol,
+      shingleSize, minJaccard)
+    val caught = minHashCandidates(docs, textCol, idCol,
+        minEstJaccard = minEstJaccard)
+      .select(col("id0"), col("id1"), lit(1L).as("__c"))
+    val edges = bandEdges
+    val bounds = (minJaccard +: edges).zip(edges :+ 1.0)
+    val labels = bounds.map { case (lo, hi) => f"j_$lo%.2f_$hi%.2f" }
+    var bandCol: Column = lit(labels.last)
+    for (i <- edges.indices.reverse)
+      bandCol = when(col("jaccard") < edges(i), lit(labels(i)))
+        .otherwise(bandCol)
+    val marked = truth.join(caught, Seq("id0", "id1"), "left")
+      .select(bandCol.as("band"), coalesce(col("__c"), lit(0L)).as("c"))
+    val u = marked.unionByName(marked.withColumn("band", lit("*")))
+    u.groupBy("band").agg(
+        count(lit(1)).as("n_true"),
+        sum(col("c")).as("n_caught"))
+      .withColumn("recall",
+        round(col("n_caught").cast("double") / col("n_true"), 6))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token stream (row-local, native Catalyst

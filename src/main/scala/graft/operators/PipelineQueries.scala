@@ -4921,6 +4921,7 @@ object PipelineQueries {
     "p86_crawl_chain" -> p86CrawlChain,
     "p87_quantile_sketch" -> p87QuantileSketch,
     "p88_temperature_mix" -> p88TemperatureMix,
+    "p89_lsh_recall" -> p89LshRecall,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5085,9 +5086,100 @@ object PipelineQueries {
     * signature agreement / 128 as the estimate. The 64-entry bucket
     * cap never binds at this scale, so the brute-force band join is
     * the same candidate set. */
-  val p02Sql: String =
+  /** The p89 plant: documents on the % 5 == 0 class get SYNTHETIC
+    * 20-token texts with ANALYTIC pairwise Jaccard — doc 10m and doc
+    * 10m+5 share their first sh(m) tokens (sh cycles 10/14/16/18 by
+    * decade), so each pair's exact 3-gram Jaccard is
+    * (sh−2)/(36−(sh−2)) = 0.286/0.5/0.636/0.8 — one planted value per
+    * similarity band, tokens namespaced per decade so cross-decade
+    * pairs sit at 0. The natural corpus has too few ≥0.2 pairs to
+    * exercise every band (measured: 25–28 corpus-wide), which is why
+    * the audit's fixture is planted (the p51/p65 analytic-fixture
+    * discipline). */
+  private[graft] def p89FixtureText: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val g = expr("doc_id div 10")
+    val sh = element_at(typedLit(Seq(10, 14, 16, 18)),
+      pmod(g, lit(4)).cast("int") + 1)
+    val tok = transform(sequence(lit(0), lit(19)), j =>
+      concat(
+        when(pmod(d, lit(10)) === 5 && j >= sh, lit("v")).otherwise(lit("w")),
+        g.cast("string"), lit("x"), j.cast("string")))
+    when(pmod(d, lit(5)) === 0, array_join(tok, " "))
+      .otherwise(coalesce(col("text"), lit("")))
+  }
+
+  /** p89: LSH recall audit ([[Dedup.lshRecallAudit]]) — the measured
+    * recall S-curve of the production MinHash banding (32 bands × 4
+    * rows, est ≥ 0.2) against exact n-gram-Jaccard truth on the
+    * planted audit slice: per similarity band, how many true pairs
+    * the bucketing actually caught. The number a curation team tunes
+    * b × r against — theory says 1−(1−s⁴)³² ≈ 0.19/0.87/0.996/1.0 at
+    * the four planted similarities; the audit MEASURES it behind an
+    * exact oracle. */
+  // lazy: defined after the queries map in object-init order
+  lazy val p89LshRecall: Q = (spark, dir) => {
+    val aug = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), p89FixtureText.as("t"))
+    // the slice bound keeps the deliberate quadratic truth stage a
+    // SAMPLE at every SF (500 docs -> 125k exact pairs at sf0.1)
+    Dedup.lshRecallAudit(aug, "t", "doc_id",
+        pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 2500)
+      .orderBy("band")
+  }
+
+  /** p89 oracle: the planted texts reconstructed in SQL, the FULL p02
+    * signature/banding chain over the same augmented corpus (the
+    * pluggable [[p02ChainSql]]), exact 3-gram Jaccard truth over the
+    * slice pairs (the p14 restatement), and the band cross-tab. */
+  lazy val p89Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN
+      |      array_to_string(list_transform(range(0, 20), j ->
+      |        (CASE WHEN doc_id % 10 = 5
+      |              AND j >= ([10, 14, 16, 18])[CAST((doc_id // 10) % 4 AS INTEGER) + 1]
+      |         THEN 'v' ELSE 'w' END)
+      |        || CAST(doc_id // 10 AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ')
+      |    ELSE coalesce(text, '') END AS t
+      |  FROM documents),
+      |ca AS (
+      |  SELECT id0, id1 FROM (
+      |""".stripMargin +
+    p02ChainSql("  SELECT doc_id, lower(trim(t)) AS s FROM aug WHERE trim(t) <> ''") + """
+      |SELECT id0, id1 FROM est WHERE ej >= 0.2
+      |  ) cs),
+      |gd AS (SELECT doc_id, string_split_regex(trim(lower(t)), '\s+') AS gtk
+      |       FROM aug WHERE doc_id % 5 = 0 AND doc_id < 2500),
+      |gg AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(gtk) - 2, 0) + 1),
+      |           i -> gtk[i] || ' ' || gtk[i + 1] || ' ' || gtk[i + 2])) AS grams
+      |       FROM gd WHERE len(gtk) >= 3),
+      |tr0 AS (
+      |  SELECT a.doc_id AS id0, b.doc_id AS id1,
+      |    len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |    len(list_distinct(list_concat(a.grams, b.grams))) AS j
+      |  FROM gg a JOIN gg b ON a.doc_id < b.doc_id),
+      |tr AS (SELECT * FROM tr0 WHERE j >= 0.2),
+      |jn AS (SELECT tr.j, (ca.id0 IS NOT NULL) AS c
+      |       FROM tr LEFT JOIN ca USING (id0, id1)),
+      |bd AS (SELECT CASE WHEN j < 0.4 THEN 'j_0.20_0.40'
+      |                   WHEN j < 0.6 THEN 'j_0.40_0.60'
+      |                   WHEN j < 0.8 THEN 'j_0.60_0.80'
+      |                   ELSE 'j_0.80_1.00' END AS band, c FROM jn),
+      |u AS (SELECT * FROM bd UNION ALL SELECT '*' AS band, c FROM bd)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+      |  round(sum(CASE WHEN c THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS recall
+      |FROM u GROUP BY band ORDER BY band""".stripMargin
+
+  /** The full p02 MinHash signature + banding chain over a pluggable
+    * doc body (`SELECT doc_id, <text expr> AS s …`) — p02 runs it on
+    * the raw corpus, p89's recall audit on its planted one. Ends with
+    * `est` (id0, id1, ej = signature-agreement estimate). */
+  private[graft] def p02ChainSql(dBody: String): String =
     """|WITH d AS (
-      |  SELECT doc_id, lower(trim(text)) AS s FROM documents WHERE trim(text) <> ''),
+      |__D_BODY__),
       |tk AS (
       |  SELECT doc_id, regexp_split_to_array(s, '\s+') AS toks FROM d),
       |tok AS (
@@ -5166,7 +5258,11 @@ object PipelineQueries {
       |      i -> sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)])) / 128.0 AS ej
       |  FROM cand c
       |  JOIN sigs sa ON sa.doc_id = c.id0
-      |  JOIN sigs sb ON sb.doc_id = c.id1)
+      |  JOIN sigs sb ON sb.doc_id = c.id1)""".stripMargin
+      .replace("__D_BODY__", dBody)
+
+  val p02Sql: String = p02ChainSql(
+    "  SELECT doc_id, lower(trim(text)) AS s FROM documents WHERE trim(text) <> ''") + """
       |SELECT id0, id1, round(ej, 6) AS est_jaccard
       |FROM est WHERE ej >= 0.2
       |ORDER BY id0, id1""".stripMargin
@@ -5443,6 +5539,7 @@ object PipelineQueries {
     "p86_crawl_chain" -> p86Sql,
     "p87_quantile_sketch" -> p87Sql,
     "p88_temperature_mix" -> p88Sql,
+    "p89_lsh_recall" -> p89Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -131,15 +131,23 @@ object Sketches {
     require(k > 0, "k must be positive")
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q < 1.0 },
       "quantiles must lie in [0, 1)")
-    val counts = df.groupBy(grpCol).agg(count(lit(1)).as("__n"))
-    val withN = df.join(broadcast(counts), Seq(grpCol))
+    // a NULL id would silently fall out of the threshold branch (NULL
+    // hash compares to nothing) while still counting toward n — fail
+    // loudly instead, the semDedup broken-upstream discipline
+    val guarded = df.withColumn("__sqid",
+      when(col(idCol).isNotNull, col(idCol).cast("long"))
+        .otherwise(raise_error(lit(
+          s"graft sampleQuantiles: NULL $idCol — broken upstream corpus?"))
+          .cast("long")))
+    val counts = guarded.groupBy(grpCol).agg(count(lit(1)).as("__n"))
+    val withN = guarded.join(broadcast(counts), Seq(grpCol))
     // the small-group branch guards the threshold arithmetic: k/n > 1
     // would push floor(k/n · 2⁶³) past Long.MaxValue and ANSI-throw
     val thresh = when(col("__n") <= k, lit(0L))
       .otherwise(floor(lit(k.toDouble) / col("__n") * lit(math.pow(2, 63)))
         .cast("long"))
     val sampled = withN.filter(col("__n") <= k ||
-      Sampling.hash63(col(idCol), seed) < thresh)
+      Sampling.hash63(col("__sqid"), seed) < thresh)
     val agg = sampled.groupBy(grpCol).agg(
       first(col("__n")).as("n_rows"),
       count(lit(1)).as("n_sampled"),

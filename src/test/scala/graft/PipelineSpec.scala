@@ -2131,6 +2131,20 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(3)) ->
         (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
     assert(out2 == out, "estimates moved under repartitioning")
+    // NULL ids fail loudly, never silently bias the sample
+    val withNull = df.union(Seq((0L, "big", 1L)).toDF("id", "grp", "v")
+      .select(lit(null).cast("long").as("id"), col("grp"), col("v")))
+    val e = intercept[Exception] {
+      graft.operators.Sketches
+        .sampleQuantiles(withNull, "grp", "id", "v", k = 64, seed = 5L, qs)
+        .collect()
+    }
+    def msg(t: Throwable): String = {
+      var c: Throwable = t; var m = String.valueOf(t.getMessage)
+      while (c.getCause != null) { c = c.getCause; m += " | " + c.getMessage }
+      m
+    }
+    assert(msg(e).contains("NULL id"), msg(e))
   }
 
   test("NFKC kernel: compatibility folds + canonical composition; already-NFKC returns the SAME buffer") {
