@@ -478,17 +478,32 @@ object Dedup {
       .select(col("id0"), col("id1"), lit(1L).as("__c"))
     val edges = bandEdges
     val bounds = (minJaccard +: edges).zip(edges :+ 1.0)
-    val labels = bounds.map { case (lo, hi) => f"j_$lo%.2f_$hi%.2f" }
+    val labels = bounds.map { case (lo, hi) =>
+      String.format(java.util.Locale.ROOT, "j_%.2f_%.2f",
+        Double.box(lo), Double.box(hi)) }
     var bandCol: Column = lit(labels.last)
     for (i <- edges.indices.reverse)
       bandCol = when(col("jaccard") < edges(i), lit(labels(i)))
         .otherwise(bandCol)
     val marked = truth.join(caught, Seq("id0", "id1"), "left")
       .select(bandCol.as("band"), coalesce(col("__c"), lit(0L)).as("c"))
-    val u = marked.unionByName(marked.withColumn("band", lit("*")))
-    u.groupBy("band").agg(
+    // ONE pass over the (deliberately expensive) truth×candidates
+    // plan: aggregate per band, collect the ≤|bands|-row result, and
+    // assemble the '*' rollup driver-side — a unionByName of the
+    // marked plan would re-run the quadratic truth stage twice
+    val perBand = marked.groupBy("band").agg(
         count(lit(1)).as("n_true"),
         sum(col("c")).as("n_caught"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // an empty truth set yields an empty report (no '*' row either —
+    // the grouped form's behavior, and 0/0 is not a recall)
+    val rows =
+      if (perBand.isEmpty) Seq.empty[(String, Long, Long)]
+      else perBand.toSeq :+
+        (("*", perBand.map(_._2).sum, perBand.map(_._3).sum))
+    rows.toDF("band", "n_true", "n_caught")
       .withColumn("recall",
         round(col("n_caught").cast("double") / col("n_true"), 6))
   }

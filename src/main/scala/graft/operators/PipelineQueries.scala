@@ -279,6 +279,9 @@ object PipelineQueries {
     * FULL corpus (the p15 discipline — a lost, duplicated, or
     * misrouted increment vector changes the top-k). The no-refit and
     * base-untouched contracts are spec-pinned. */
+  private val p83IdxDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val p83IvfIncrement: Q = (spark, dir) => {
     val emb = Tables.load(spark, dir, "embeddings")
     val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
@@ -286,8 +289,11 @@ object PipelineQueries {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
     val baseIdx = SimilaritySearch.ivfIndex(base, "embedding", "vec_id")
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_p83_idx")
-      .toFile.getAbsolutePath
+    // ONE scratch dir per source dir per JVM (overwrite-mode save), so
+    // repeated bench/verify runs do not accumulate index copies in /tmp
+    val idxDir = p83IdxDirs.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft_p83_idx")
+        .toFile.getAbsolutePath)
     SimilaritySearch.ivfSave(baseIdx, idxDir)
     val reloaded = SimilaritySearch.ivfLoad(spark, idxDir)
     val merged = SimilaritySearch.ivfAdd(reloaded, inc, "embedding", "vec_id")
@@ -2487,19 +2493,27 @@ object PipelineQueries {
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
         coalesce(col("n_train_tokens"), lit(0L)).as("n_train_tokens"),
         lit(null).cast("long").as("n_bins"))
-    val star = hosts.agg(
-        sum(col("n_responses")).as("n_responses"),
-        sum(col("n_allowed")).as("n_allowed"),
-        sum(col("n_kept")).as("n_kept"),
-        sum(col("n_recrawl_dup")).as("n_recrawl_dup"),
-        sum(col("n_train_docs")).as("n_train_docs"),
-        sum(col("n_train_tokens")).as("n_train_tokens"))
-      .crossJoin(broadcast(binsDf))
-      .select(lit("*").as("host"), col("n_responses"), col("n_allowed"),
-        col("n_kept"), col("n_recrawl_dup"),
-        lit(null).cast("long").as("fold"),
-        col("n_train_docs"), col("n_train_tokens"), col("n_bins"))
-    hosts.unionByName(star).orderBy("host")
+    // ONE evaluation of the per-host report: collect the (tiny,
+    // host-cardinality) rows and assemble the '*' rollup driver-side —
+    // a unionByName(hosts, hosts.agg(...)) would run the recrawl/split
+    // branches twice, and caching the frame costs more than it saves
+    import spark.implicits._
+    val hostRows = hosts.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)),
+      r.getLong(6), r.getLong(7)))
+    val nBins = binsDf.collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val star = ("*", hostRows.map(_._2).sum, hostRows.map(_._3).sum,
+      hostRows.map(_._4).sum, hostRows.map(_._5).sum,
+      None: Option[Long], hostRows.map(_._7).sum, hostRows.map(_._8).sum)
+    (hostRows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8,
+        None: Option[Long])).toSeq :+
+      (star._1, star._2, star._3, star._4, star._5, star._6, star._7,
+        star._8, nBins))
+      .toDF("host", "n_responses", "n_allowed", "n_kept", "n_recrawl_dup",
+        "fold", "n_train_docs", "n_train_tokens", "n_bins")
+      .orderBy("host")
   }
 
   /** p86 oracle: the WHOLE chain re-derived in DuckDB — expectations
@@ -2939,7 +2953,8 @@ object PipelineQueries {
   val p87QuantileSketch: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+        TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("v"))
     Sketches.sampleQuantiles(docs, "source", "doc_id", "v",
         k = 16, seed = 87L, qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
       .withColumnRenamed("est", "est_tokens")
@@ -2953,8 +2968,8 @@ object PipelineQueries {
   val p87Sql: String =
     mixChainSql(
       """SELECT doc_id, source,
-        |    CAST(CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS v,
+        |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS BIGINT) AS v,
         |    xor(CAST(doc_id AS UBIGINT), CAST(87 AS UBIGINT)) AS z FROM documents""".stripMargin) + """
       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY source),
       |samp AS (

@@ -132,13 +132,21 @@ object Sketches {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q < 1.0 },
       "quantiles must lie in [0, 1)")
     // a NULL id would silently fall out of the threshold branch (NULL
-    // hash compares to nothing) while still counting toward n — fail
-    // loudly instead, the semDedup broken-upstream discipline
-    val guarded = df.withColumn("__sqid",
-      when(col(idCol).isNotNull, col(idCol).cast("long"))
-        .otherwise(raise_error(lit(
-          s"graft sampleQuantiles: NULL $idCol — broken upstream corpus?"))
-          .cast("long")))
+    // hash compares to nothing) while still counting toward n, and a
+    // NULL value would vanish from collect_list while count() still
+    // counts it — misaligning every rank index. Both fail loudly
+    // instead, the semDedup broken-upstream discipline.
+    val guarded = df
+      .withColumn("__sqid",
+        when(col(idCol).isNotNull, col(idCol).cast("long"))
+          .otherwise(raise_error(lit(
+            s"graft sampleQuantiles: NULL $idCol — broken upstream corpus?"))
+            .cast("long")))
+      .withColumn("__sqv",
+        when(col(valCol).isNotNull, col(valCol))
+          .otherwise(raise_error(lit(
+            s"graft sampleQuantiles: NULL $valCol — a quantile over NULL is meaningless"))
+            .cast(df.schema(valCol).dataType)))
     val counts = guarded.groupBy(grpCol).agg(count(lit(1)).as("__n"))
     val withN = guarded.join(broadcast(counts), Seq(grpCol))
     // the small-group branch guards the threshold arithmetic: k/n > 1
@@ -146,12 +154,14 @@ object Sketches {
     val thresh = when(col("__n") <= k, lit(0L))
       .otherwise(floor(lit(k.toDouble) / col("__n") * lit(math.pow(2, 63)))
         .cast("long"))
-    val sampled = withN.filter(col("__n") <= k ||
-      Sampling.hash63(col("__sqid"), seed) < thresh)
+    // the guarded hash is the LEFT disjunct so codegen's short-circuit
+    // cannot skip the NULL-id raise on the small-group (n <= k) branch
+    val sampled = withN.filter(
+      Sampling.hash63(col("__sqid"), seed) < thresh || col("__n") <= k)
     val agg = sampled.groupBy(grpCol).agg(
       first(col("__n")).as("n_rows"),
       count(lit(1)).as("n_sampled"),
-      sort_array(collect_list(col(valCol))).as("__vs"))
+      sort_array(collect_list(col("__sqv"))).as("__vs"))
     agg.select(col(grpCol), col("n_rows"), col("n_sampled"), col("__vs"),
         explode(typedLit(qs)).as("__qq"))
       .withColumn("quantile", col("__qq._1"))

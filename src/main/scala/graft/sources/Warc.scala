@@ -115,6 +115,12 @@ object Warc {
         return Iterator.single(WarcRow(file, 0L, ok = false,
           s"not a gzip stream: ${e.getMessage}", null, null, null, null, null))
       }
+    // a consumer may abandon the iterator mid-file (a limit/take(1)
+    // short-circuits the flatMap) — close the inflater at task end so
+    // the native Inflater state never waits on GC; direct (driver-side
+    // test) callers have no task and fall back to exhaustion-close
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => in.close()))
     new Iterator[WarcRow] {
       private var idx = 0L
       private var finished = false       // no more records after `pending`

@@ -1219,7 +1219,8 @@ object StreamingQueries {
   val st28QuantileSketch: Q = (spark, dir) => {
     val docs = boundedDocStream(spark, dir)
       .select(col("source"), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+        TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("v"))
     val out = StreamPipeline.streamSampleQuantiles(docs, "source", "doc_id",
       "v", k = 16, seed = 87L,
       qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
@@ -1233,8 +1234,8 @@ object StreamingQueries {
   val st28Sql: String =
     graft.operators.PipelineQueries.mixChainSqlPublic(
       """SELECT doc_id, source,
-        |    CAST(CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS v,
+        |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS BIGINT) AS v,
         |    xor(CAST(doc_id AS UBIGINT), CAST(87 AS UBIGINT)) AS z FROM documents""".stripMargin) + """
       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY source),
       |bk AS (SELECT source, v,

@@ -38,7 +38,11 @@ object WarcScaleProbe {
     gz.write(header); gz.write(payload); gz.write("\r\n\r\n".getBytes("UTF-8"))
     gz.close()
     val member = bos.toByteArray // members are byte-identical: compress once
-    val raw = new Array[Byte](member.length * records)
+    val rawLen = member.length.toLong * records
+    require(rawLen <= Int.MaxValue - 8,
+      s"compressed archive would be $rawLen bytes — over the JVM array " +
+        "limit; lower records or payloadKiB")
+    val raw = new Array[Byte](rawLen.toInt)
     var i = 0
     while (i < records) {
       System.arraycopy(member, 0, raw, i * member.length, member.length); i += 1

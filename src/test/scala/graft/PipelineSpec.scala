@@ -2145,6 +2145,26 @@ class PipelineSpec extends AnyFunSuite {
       m
     }
     assert(msg(e).contains("NULL id"), msg(e))
+    // ...including in a SMALL group, where the n <= k disjunct would
+    // short-circuit a lazily-placed guard
+    val smallNull = df.union(Seq(("small", 1L)).toDF("grp", "v")
+      .select(lit(null).cast("long").as("id"), col("grp"), col("v")))
+    val e2 = intercept[Exception] {
+      graft.operators.Sketches
+        .sampleQuantiles(smallNull, "grp", "id", "v", k = 64, seed = 5L, qs)
+        .collect()
+    }
+    assert(msg(e2).contains("NULL id"), msg(e2))
+    // NULL values fail loudly too — collect_list would silently drop
+    // them while count() still counts, misaligning every rank index
+    val nullV = df.union(Seq((99999L, "small")).toDF("id", "grp")
+      .select(col("id"), col("grp"), lit(null).cast("long").as("v")))
+    val e3 = intercept[Exception] {
+      graft.operators.Sketches
+        .sampleQuantiles(nullV, "grp", "id", "v", k = 64, seed = 5L, qs)
+        .collect()
+    }
+    assert(msg(e3).contains("NULL v"), msg(e3))
   }
 
   test("NFKC kernel: compatibility folds + canonical composition; already-NFKC returns the SAME buffer") {
