@@ -508,6 +508,62 @@ object Dedup {
         round(col("n_caught").cast("double") / col("n_true"), 6))
   }
 
+  /** Measured LSH precision audit — [[lshRecallAudit]]'s complement,
+    * the other half of the banding tuning report: of the candidate
+    * pairs the production MinHash bucketing EMITS inside the audit
+    * slice, how many are true (exact n-gram Jaccard ≥ `minJaccard`),
+    * cross-tabbed per ESTIMATE band. Unlike the recall side there is
+    * no quadratic stage — the exact verify runs only on emitted
+    * candidates, the production-pipeline shape — so no slice budget
+    * is needed; `auditCond` just scopes the report. A candidate pair
+    * whose docs have no n-grams verifies to 0 (no shared content),
+    * not to a dropped row — a vanished false positive would inflate
+    * precision. Returns (est_band, n_candidates, n_true, precision)
+    * plus a '*' rollup. */
+  def lshPrecisionAudit(docs: DataFrame, textCol: String, idCol: String,
+      auditCond: Column, minJaccard: Double = 0.2,
+      minEstJaccard: Double = 0.2, shingleSize: Int = 3,
+      estBandEdges: Seq[Double] = Seq(0.4, 0.6, 0.8)): DataFrame = {
+    require(estBandEdges.nonEmpty && estBandEdges == estBandEdges.sorted &&
+      estBandEdges.head > minEstJaccard && estBandEdges.last < 1.0,
+      "estBandEdges must be sorted strictly inside (minEstJaccard, 1)")
+    val slice = docs.filter(auditCond).select(col(idCol).as("__sid"))
+    val cands = minHashCandidates(docs, textCol, idCol,
+        minEstJaccard = minEstJaccard)
+      .join(slice.select(col("__sid").as("id0")), Seq("id0"), "left_semi")
+      .join(slice.select(col("__sid").as("id1")), Seq("id1"), "left_semi")
+      .select("id0", "id1", "est_jaccard")
+    val verified = ngramJaccard(docs, cands.select("id0", "id1"),
+      textCol, idCol, shingleSize, minJaccard = 0.0)
+    val edges = estBandEdges
+    val bounds = (minEstJaccard +: edges).zip(edges :+ 1.0)
+    val labels = bounds.map { case (lo, hi) =>
+      String.format(java.util.Locale.ROOT, "est_%.2f_%.2f",
+        Double.box(lo), Double.box(hi)) }
+    var bandCol: Column = lit(labels.last)
+    for (i <- edges.indices.reverse)
+      bandCol = when(col("est_jaccard") < edges(i), lit(labels(i)))
+        .otherwise(bandCol)
+    val marked = cands
+      .join(verified, Seq("id0", "id1"), "left")
+      .select(bandCol.as("band"),
+        (coalesce(col("jaccard"), lit(0.0)) >= minJaccard)
+          .cast("long").as("t"))
+    val perBand = marked.groupBy("band").agg(
+        count(lit(1)).as("n_candidates"),
+        sum(col("t")).as("n_true"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows =
+      if (perBand.isEmpty) Seq.empty[(String, Long, Long)]
+      else perBand.toSeq :+
+        (("*", perBand.map(_._2).sum, perBand.map(_._3).sum))
+    rows.toDF("band", "n_candidates", "n_true")
+      .withColumn("precision",
+        round(col("n_true").cast("double") / col("n_candidates"), 6))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token stream (row-local, native Catalyst

@@ -4937,6 +4937,7 @@ object PipelineQueries {
     "p87_quantile_sketch" -> p87QuantileSketch,
     "p88_temperature_mix" -> p88TemperatureMix,
     "p89_lsh_recall" -> p89LshRecall,
+    "p90_lsh_precision" -> p90LshPrecision,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5186,6 +5187,66 @@ object PipelineQueries {
       |SELECT band, CAST(count(*) AS BIGINT) AS n_true,
       |  CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
       |  round(sum(CASE WHEN c THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS recall
+      |FROM u GROUP BY band ORDER BY band""".stripMargin
+
+  /** p90: LSH precision audit ([[Dedup.lshPrecisionAudit]]) — p89's
+    * complement: of the candidates the production banding EMITS in the
+    * audit slice, how many are exact-Jaccard-true, per estimate band.
+    * Together the two keys are the full banding tuning report
+    * (recall S-curve × precision-per-estimate). Same planted fixture;
+    * no quadratic stage — the exact verify runs only on candidates. */
+  lazy val p90LshPrecision: Q = (spark, dir) => {
+    val aug = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), p89FixtureText.as("t"))
+    Dedup.lshPrecisionAudit(aug, "t", "doc_id",
+        pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 2500)
+      .orderBy("band")
+  }
+
+  /** p90 oracle: the p02 chain's candidate estimates restricted to the
+    * slice, LEFT-joined to the p14 gram-Jaccard truth (missing grams
+    * verify to 0, never a vanished false positive), banded by estimate
+    * and rolled up. */
+  lazy val p90Sql: String =
+    """|WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN
+      |      array_to_string(list_transform(range(0, 20), j ->
+      |        (CASE WHEN doc_id % 10 = 5
+      |              AND j >= ([10, 14, 16, 18])[CAST((doc_id // 10) % 4 AS INTEGER) + 1]
+      |         THEN 'v' ELSE 'w' END)
+      |        || CAST(doc_id // 10 AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ')
+      |    ELSE coalesce(text, '') END AS t
+      |  FROM documents),
+      |ca AS (
+      |  SELECT id0, id1, ej FROM (
+      |""".stripMargin +
+    p02ChainSql("  SELECT doc_id, lower(trim(t)) AS s FROM aug WHERE trim(t) <> ''") + """
+      |SELECT id0, id1, ej FROM est WHERE ej >= 0.2
+      |  ) cs
+      |  WHERE id0 % 5 = 0 AND id0 < 2500 AND id1 % 5 = 0 AND id1 < 2500),
+      |gd AS (SELECT doc_id, string_split_regex(trim(lower(t)), '\s+') AS gtk
+      |       FROM aug WHERE doc_id % 5 = 0 AND doc_id < 2500),
+      |gg AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(gtk) - 2, 0) + 1),
+      |           i -> gtk[i] || ' ' || gtk[i + 1] || ' ' || gtk[i + 2])) AS grams
+      |       FROM gd WHERE len(gtk) >= 3),
+      |vr AS (
+      |  SELECT c.id0, c.id1, c.ej,
+      |    coalesce(len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |      nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0), 0.0) AS j
+      |  FROM ca c
+      |  LEFT JOIN gg a ON a.doc_id = c.id0
+      |  LEFT JOIN gg b ON b.doc_id = c.id1),
+      |bd AS (SELECT CASE WHEN ej < 0.4 THEN 'est_0.20_0.40'
+      |                   WHEN ej < 0.6 THEN 'est_0.40_0.60'
+      |                   WHEN ej < 0.8 THEN 'est_0.60_0.80'
+      |                   ELSE 'est_0.80_1.00' END AS band,
+      |              CASE WHEN j >= 0.2 THEN 1 ELSE 0 END AS t FROM vr),
+      |u AS (SELECT * FROM bd UNION ALL SELECT '*' AS band, t FROM bd)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n_candidates,
+      |  CAST(sum(t) AS BIGINT) AS n_true,
+      |  round(sum(t)::DOUBLE / count(*), 6) AS precision
       |FROM u GROUP BY band ORDER BY band""".stripMargin
 
   /** The full p02 MinHash signature + banding chain over a pluggable
@@ -5555,6 +5616,7 @@ object PipelineQueries {
     "p87_quantile_sketch" -> p87Sql,
     "p88_temperature_mix" -> p88Sql,
     "p89_lsh_recall" -> p89Sql,
+    "p90_lsh_precision" -> p90Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
