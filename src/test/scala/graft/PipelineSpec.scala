@@ -2167,6 +2167,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(msg(e3).contains("NULL v"), msg(e3))
   }
 
+  test("LSH audit contracts: oversized recall slice is a named error; precision needs no budget; band edges validated") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"tok a b c d e f g $i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshRecallAudit(docs, "text", "doc_id", lit(true),
+        maxAuditDocs = 10)
+    }
+    assert(e.getMessage.contains("quadratic by design"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.lshRecallAudit(docs, "text", "doc_id", lit(true),
+        bandEdges = Seq(0.8, 0.4))
+    }
+    assert(e2.getMessage.contains("bandEdges"), e2.getMessage)
+    // the precision audit has no quadratic stage and therefore no
+    // budget: the same 40-doc slice just runs
+    val p = Dedup.lshPrecisionAudit(docs, "text", "doc_id", lit(true))
+      .collect()
+    // near-identical planted docs: candidates exist and all verify true
+    val star = p.find(_.getString(0) == "*")
+    assert(star.nonEmpty && star.get.getLong(1) > 0L)
+    assert(star.get.getLong(1) == star.get.getLong(2),
+      s"expected all candidates true on this fixture: ${p.mkString(",")}")
+  }
+
   test("NFKC kernel: compatibility folds + canonical composition; already-NFKC returns the SAME buffer") {
     import org.apache.spark.unsafe.types.UTF8String
     // ligature, superscript, squared unit, fullwidth, numero, circled
