@@ -457,7 +457,12 @@ object Dedup {
       auditCond: Column, minJaccard: Double = 0.2,
       minEstJaccard: Double = 0.2, shingleSize: Int = 3,
       bandEdges: Seq[Double] = Seq(0.4, 0.6, 0.8),
-      maxAuditDocs: Long = 4096): DataFrame = {
+      maxAuditDocs: Long = 4096,
+      // at 100 TB the dedup job has ALREADY materialized its candidate
+      // table — pass it here ((id0, id1) with id0 < id1) so the audit
+      // reads it instead of regenerating the corpus-wide LSH (the
+      // regeneration default is for self-contained fixture gates)
+      candidates: Option[DataFrame] = None): DataFrame = {
     require(bandEdges.nonEmpty && bandEdges == bandEdges.sorted &&
       bandEdges.head > minJaccard && bandEdges.last < 1.0,
       "bandEdges must be sorted strictly inside (minJaccard, 1)")
@@ -473,8 +478,9 @@ object Dedup {
       .filter(col("id0") < col("id1"))
     val truth = ngramJaccard(docs, cands, textCol, idCol,
       shingleSize, minJaccard)
-    val caught = minHashCandidates(docs, textCol, idCol,
-        minEstJaccard = minEstJaccard)
+    val caught = candidates.getOrElse(
+        minHashCandidates(docs, textCol, idCol,
+          minEstJaccard = minEstJaccard))
       .select(col("id0"), col("id1"), lit(1L).as("__c"))
     val edges = bandEdges
     val bounds = (minJaccard +: edges).zip(edges :+ 1.0)
@@ -523,13 +529,17 @@ object Dedup {
   def lshPrecisionAudit(docs: DataFrame, textCol: String, idCol: String,
       auditCond: Column, minJaccard: Double = 0.2,
       minEstJaccard: Double = 0.2, shingleSize: Int = 3,
-      estBandEdges: Seq[Double] = Seq(0.4, 0.6, 0.8)): DataFrame = {
+      estBandEdges: Seq[Double] = Seq(0.4, 0.6, 0.8),
+      // the materialized-candidate path, as in [[lshRecallAudit]]:
+      // (id0, id1, est_jaccard) from the production dedup job
+      candidates: Option[DataFrame] = None): DataFrame = {
     require(estBandEdges.nonEmpty && estBandEdges == estBandEdges.sorted &&
       estBandEdges.head > minEstJaccard && estBandEdges.last < 1.0,
       "estBandEdges must be sorted strictly inside (minEstJaccard, 1)")
     val slice = docs.filter(auditCond).select(col(idCol).as("__sid"))
-    val cands = minHashCandidates(docs, textCol, idCol,
-        minEstJaccard = minEstJaccard)
+    val cands = candidates.getOrElse(
+        minHashCandidates(docs, textCol, idCol,
+          minEstJaccard = minEstJaccard))
       .join(slice.select(col("__sid").as("id0")), Seq("id0"), "left_semi")
       .join(slice.select(col("__sid").as("id1")), Seq("id1"), "left_semi")
       .select("id0", "id1", "est_jaccard")

@@ -2190,6 +2190,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(star.nonEmpty && star.get.getLong(1) > 0L)
     assert(star.get.getLong(1) == star.get.getLong(2),
       s"expected all candidates true on this fixture: ${p.mkString(",")}")
+    // the materialized-candidates path (what a 100 TB job passes — its
+    // dedup run's candidate table) must equal the regenerate default
+    val cands = Dedup.minHashCandidates(docs, "text", "doc_id",
+      minEstJaccard = 0.2)
+    val viaTable = Dedup.lshPrecisionAudit(docs, "text", "doc_id",
+        lit(true), candidates = Some(cands))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTable ==
+      p.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      "candidate-table path diverged from the regenerate path")
+    val viaTableR = Dedup.lshRecallAudit(docs, "text", "doc_id",
+        lit(true), candidates = Some(cands))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val regenR = Dedup.lshRecallAudit(docs, "text", "doc_id", lit(true))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTableR == regenR,
+      "recall candidate-table path diverged from the regenerate path")
   }
 
   test("NFKC kernel: compatibility folds + canonical composition; already-NFKC returns the SAME buffer") {
