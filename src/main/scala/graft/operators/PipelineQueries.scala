@@ -2460,10 +2460,10 @@ object PipelineQueries {
       kept.select("doc_key", "t"),
       kept.select((col("doc_key") + snapOffset).as("doc_key"), col("t")),
       "t", "doc_key")
-    val dupPerHost = recrawl.filter(col("verdict") === "dup_of_prior")
+    val dupPerHost = p38Stage(recrawl.filter(col("verdict") === "dup_of_prior")
       .select((col("doc_key") - snapOffset).as("doc_key"))
       .join(kept.select("doc_key", "host"), Seq("doc_key"))
-      .groupBy("host").agg(count(lit(1)).as("n_recrawl_dup"))
+      .groupBy("host").agg(count(lit(1)).as("n_recrawl_dup")))
     val comp = kept.select(col("doc_key"), hostKey.as("component"))
     val folds = Dedup.groupKeyedSplit(kept, "doc_key", comp,
       seed = 86L, folds = 2)
@@ -2473,11 +2473,11 @@ object PipelineQueries {
       withFold.filter(col("fold") === 0L).select("doc_key", "n_tokens"),
       "doc_key", "n_tokens", budgetTokens = 30L, shards = 1, seed = 86L)
     val binsDf = packed.agg((max(col("bin")) + 1L).cast("long").as("n_bins"))
-    val perFold = withFold.groupBy("host").agg(
+    val perFold = p38Stage(withFold.groupBy("host").agg(
       min(col("fold")).as("fold"),
       sum(when(col("fold") === 0L, 1L).otherwise(0L)).as("n_train_docs"),
       sum(when(col("fold") === 0L, col("n_tokens")).otherwise(0L))
-        .as("n_train_tokens"))
+        .as("n_train_tokens")))
     val hosts = responses.groupBy("host").agg(count(lit(1)).as("n_responses"))
       .join(allowed.groupBy("host").agg(count(lit(1)).as("n_allowed")),
         Seq("host"), "left")
@@ -2493,27 +2493,25 @@ object PipelineQueries {
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
         coalesce(col("n_train_tokens"), lit(0L)).as("n_train_tokens"),
         lit(null).cast("long").as("n_bins"))
-    // ONE evaluation of the per-host report: collect the (tiny,
-    // host-cardinality) rows and assemble the '*' rollup driver-side —
-    // a unionByName(hosts, hosts.agg(...)) would run the recrawl/split
-    // branches twice, and caching the frame costs more than it saves
-    import spark.implicits._
-    val hostRows = hosts.collect().map(r => (r.getString(0), r.getLong(1),
-      r.getLong(2), r.getLong(3), r.getLong(4),
-      if (r.isNullAt(5)) None else Some(r.getLong(5)),
-      r.getLong(6), r.getLong(7)))
-    val nBins = binsDf.collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    val star = ("*", hostRows.map(_._2).sum, hostRows.map(_._3).sum,
-      hostRows.map(_._4).sum, hostRows.map(_._5).sum,
-      None: Option[Long], hostRows.map(_._7).sum, hostRows.map(_._8).sum)
-    (hostRows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8,
-        None: Option[Long])).toSeq :+
-      (star._1, star._2, star._3, star._4, star._5, star._6, star._7,
-        star._8, nBins))
-      .toDF("host", "n_responses", "n_allowed", "n_kept", "n_recrawl_dup",
-        "fold", "n_train_docs", "n_train_tokens", "n_bins")
-      .orderBy("host")
+    // the '*' rollup references the per-host frame a second time; the
+    // expensive branches behind it (recrawl dedup, the fold split) are
+    // stage-cached above, so the re-evaluation only re-runs cheap
+    // aggregates over cached frames — and the report STAYS distributed
+    // (a driver collect keyed by host would be unbounded on a real
+    // crawl, where hosts run to 10^7)
+    val star = hosts.agg(
+        sum(col("n_responses")).as("n_responses"),
+        sum(col("n_allowed")).as("n_allowed"),
+        sum(col("n_kept")).as("n_kept"),
+        sum(col("n_recrawl_dup")).as("n_recrawl_dup"),
+        sum(col("n_train_docs")).as("n_train_docs"),
+        sum(col("n_train_tokens")).as("n_train_tokens"))
+      .crossJoin(broadcast(binsDf))
+      .select(lit("*").as("host"), col("n_responses"), col("n_allowed"),
+        col("n_kept"), col("n_recrawl_dup"),
+        lit(null).cast("long").as("fold"),
+        col("n_train_docs"), col("n_train_tokens"), col("n_bins"))
+    hosts.unionByName(star).orderBy("host")
   }
 
   /** p86 oracle: the WHOLE chain re-derived in DuckDB — expectations
