@@ -4936,6 +4936,7 @@ object PipelineQueries {
     "p88_temperature_mix" -> p88TemperatureMix,
     "p89_lsh_recall" -> p89LshRecall,
     "p90_lsh_precision" -> p90LshPrecision,
+    "p91_kmeans_train" -> p91KmeansTrain,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5246,6 +5247,134 @@ object PipelineQueries {
       |  CAST(sum(t) AS BIGINT) AS n_true,
       |  round(sum(t)::DOUBLE / count(*), 6) AS precision
       |FROM u GROUP BY band ORDER BY band""".stripMargin
+
+  // ------------------------------------------------- p91 k-means train
+
+  private val P91K = 8
+  private val P91Iters = 4
+  private val P91Cap = 128
+  private val P91Seed = 91L
+  private val P91Dim = 64
+
+  /** p91: k-means clustering TRAINED under the gate — the domain-
+    * discovery / SemDeDup-stage-1 fit as a first-class audited model
+    * ([[SimilaritySearch.kmeansFit]]): bottom-128 hash-ordered sample,
+    * first-k init, 4 FIXED Lloyd iterations with fully-specified IEEE
+    * fold order, then the corpus assigned row-locally against the
+    * final centroids (the [[graft.functions.NearestCentroid]] codegen
+    * kernel — the same pass that routes an IVF build). One row per
+    * (cluster, dimension) carries the exact centroid coordinate plus
+    * the cluster's final sample count, sample inertia, and corpus-wide
+    * population. p40 gates assignment against SAMPLED centroids and
+    * p07's IVF fit is det_match-only (java.util.Random k-means++);
+    * this key puts the Lloyd TRAINING LOOP itself behind the DuckDB
+    * oracle — the oracle retrains the model (the p54 discipline) and
+    * every centroid double must come out bit-identical.
+    *
+    * 100-TB shape: the fit touches one TakeOrderedAndProject sample
+    * (the FAISS training protocol — a coarse model never needs the
+    * corpus) and driver-local loops; the corpus pass is row-local
+    * whole-stage codegen + one map-side-combined count. Nothing
+    * shuffles vectors. */
+  lazy val p91KmeansTrain: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fit = SimilaritySearch.kmeansFit(emb, "embedding", "vec_id",
+      k = P91K, iters = P91Iters, sampleCap = P91Cap, seed = P91Seed)
+    val corpusN = emb
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(graft.functions.NearestCentroid(col("v"),
+        fit.centroids.map(_.toSeq).toSeq).as("cluster"))
+      .filter(col("cluster").isNotNull)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("corpus_n"))
+    val centRows = for {
+      c <- 0 until P91K
+      d <- 0 until fit.centroids(c).length
+    } yield (c.toLong, d.toLong, fit.centroids(c)(d), fit.sampleN(c), fit.inertia(c))
+    centRows.toDF("cluster", "dim", "coord", "sample_n", "inertia")
+      .join(corpusN, Seq("cluster"), "left")
+      .select(col("cluster"), col("dim"), col("coord"), col("sample_n"),
+        col("inertia"), coalesce(col("corpus_n"), lit(0L)).as("corpus_n"))
+      .orderBy("cluster", "dim")
+  }
+
+  /** p91 oracle: DuckDB RETRAINS the clustering — the shared SplitMix64
+    * chain picks the same bottom-128 sample, one materialized
+    * (assign, update) CTE pair per Lloyd iteration replays the exact
+    * argmin (ORDER BY d², cluster ≡ the kernel's strict-< scan) and the
+    * exact centroid means (list_reduce over ORDER BY rn member lists —
+    * the engine's sample-order summation), and the corpus assignment is
+    * the same argmin stated over the full table. Every double (centroid
+    * coordinate, inertia) reproduces bit-for-bit because both engines
+    * add the same IEEE terms in the same order. */
+  lazy val p91Sql: String = p91ChainSql(
+    s"""|SELECT k.c AS cluster, CAST(dd.d - 1 AS BIGINT) AS dim, k.cv[dd.d] AS coord,
+        |  coalesce(f.sample_n, 0) AS sample_n, coalesce(f.inertia, 0.0) AS inertia,
+        |  coalesce(cn.corpus_n, 0) AS corpus_n
+        |FROM ct$P91Iters k
+        |CROSS JOIN unnest(range(1, ${P91Dim + 1})) AS dd(d)
+        |LEFT JOIN fin f ON f.c = k.c
+        |LEFT JOIN cn ON cn.c = k.c
+        |ORDER BY cluster, dim""".stripMargin)
+
+  /** The full p91 retrain chain (sample → init → Lloyd iterations →
+    * final sample stats `fin` → corpus assignment `ca`/`cn`) over a
+    * pluggable final SELECT — p91 reads the centroid/stat table, st29's
+    * streaming router reads the corpus assignment rollup. */
+  private[graft] def p91ChainSql(finalSelect: String): String = {
+    def dist(v: String, cv: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${P91Dim + 1}), " +
+        s"j -> ($v[j] - $cv[j]) * ($v[j] - $cv[j]))), (x, y) -> x + y)"
+    val iterCtes = (1 to P91Iters).map { t =>
+      s"""|ad$t AS (SELECT s.rn, k.c, ${dist("s.v", "k.cv")} AS d2
+          |  FROM samp s, ct${t - 1} k),
+          |a$t AS MATERIALIZED (
+          |  SELECT rn, c FROM (
+          |    SELECT rn, c, row_number() OVER (PARTITION BY rn ORDER BY d2, c) AS rk
+          |    FROM ad$t) WHERE rk = 1),
+          |u$t AS (
+          |  SELECT a.c, dd.d,
+          |    list_reduce(list_prepend(0.0, list(s.v[dd.d] ORDER BY s.rn)),
+          |      (x, y) -> x + y) / count(*) AS coord
+          |  FROM a$t a JOIN samp s USING (rn), unnest(range(1, ${P91Dim + 1})) AS dd(d)
+          |  GROUP BY a.c, dd.d),
+          |ct$t AS MATERIALIZED (
+          |  SELECT p.c, coalesce(n.cv, p.cv) AS cv
+          |  FROM ct${t - 1} p LEFT JOIN
+          |    (SELECT c, list(coord ORDER BY d) AS cv FROM u$t GROUP BY c) n USING (c))""".stripMargin
+    }.mkString(",\n")
+    mixChainSql(
+      s"""SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    xor(CAST(vec_id AS UBIGINT), CAST($P91Seed AS UBIGINT)) AS z
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0""".stripMargin) +
+    s"""|
+        |samp AS MATERIALIZED (
+        |  SELECT id, v, row_number() OVER (ORDER BY z, id) AS rn
+        |  FROM h QUALIFY rn <= $P91Cap),
+        |ct0 AS MATERIALIZED (SELECT rn - 1 AS c, v AS cv FROM samp WHERE rn <= $P91K),
+        |$iterCtes,
+        |adf AS (SELECT s.rn, k.c, ${dist("s.v", "k.cv")} AS d2
+        |  FROM samp s, ct$P91Iters k),
+        |af AS (
+        |  SELECT rn, c, d2 FROM (
+        |    SELECT rn, c, d2, row_number() OVER (PARTITION BY rn ORDER BY d2, c) AS rk
+        |    FROM adf) WHERE rk = 1),
+        |fin AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS sample_n,
+        |    list_reduce(list_prepend(0.0, list(d2 ORDER BY rn)), (x, y) -> x + y) AS inertia
+        |  FROM af GROUP BY c),
+        |cd AS (SELECT f.id, k.c, ${dist("f.v", "k.cv")} AS d2
+        |  FROM h f, ct$P91Iters k),
+        |ca AS (
+        |  SELECT id, c FROM (
+        |    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d2, c) AS rk
+        |    FROM cd) WHERE rk = 1),
+        |cn AS (SELECT c, CAST(count(*) AS BIGINT) AS corpus_n FROM ca GROUP BY c)
+        |$finalSelect""".stripMargin
+  }
 
   /** The full p02 MinHash signature + banding chain over a pluggable
     * doc body (`SELECT doc_id, <text expr> AS s …`) — p02 runs it on
@@ -5615,6 +5744,7 @@ object PipelineQueries {
     "p88_temperature_mix" -> p88Sql,
     "p89_lsh_recall" -> p89Sql,
     "p90_lsh_precision" -> p90Sql,
+    "p91_kmeans_train" -> p91Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -545,6 +545,104 @@ object SimilaritySearch {
     }
   }
 
+  /** An oracle-statable k-means fit (p91): centroids after `iters`
+    * FIXED Lloyd iterations, plus the final sample assignment counts
+    * and per-cluster inertia. Unlike [[KMeansLocal]] (java.util.Random
+    * k-means++, movement early-stop — fine for a coarse quantizer, not
+    * restatable in SQL), every step here is a pure function of
+    * (ids, seed) in fully specified IEEE order, so a SQL engine can
+    * RETRAIN the model and match it bit-for-bit (the p54 BPE-retrain
+    * discipline applied to clustering):
+    *  - fit sample = bottom-`sampleCap` rows of the (hash63(id, seed),
+    *    id) total order (the ivfIndex sample discipline — one
+    *    distributed TakeOrderedAndProject, never a corpus collect);
+    *  - init = the first k sample points in that order (deterministic;
+    *    the k-means++ seeding it forgoes matters for QUALITY on
+    *    adversarial data, not for the mechanics this gate pins);
+    *  - assignment = argmin of squared L2 with the EXACT
+    *    [[graft.functions.NearestCentroid]] kernel arithmetic
+    *    (dim-ascending `d += (x-c)*(x-c)` fold from 0.0, strict `<`, so
+    *    ties keep the lowest cluster index);
+    *  - update = per-dimension member sum in sample order / count (an
+    *    emptied cluster keeps its previous centroid);
+    *  - inertia = final-assignment d² summed in sample order.
+    * All folds are sequential in a specified order, so DuckDB's
+    * list_reduce over ORDER BY lists reproduces every double exactly. */
+  final case class KmeansFit(centroids: Array[Array[Double]],
+    sampleN: Array[Long], inertia: Array[Double])
+
+  /** Squared L2 with the [[graft.functions.NearestCentroid]] kernel's
+    * exact op order. */
+  private def sqDistOrdered(x: Array[Double], c: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < x.length) { val t = x(j) - c(j); d += t * t; j += 1 }
+    d
+  }
+
+  private def argminCluster(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = sqDistOrdered(x, cents(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def kmeansFit(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, sampleCap: Int, seed: Long): KmeansFit = {
+    val data = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val sample: Array[Array[Double]] = data
+      .orderBy(Sampling.hash63(col("id"), seed), col("id"))
+      .limit(sampleCap)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"kmeansFit: need at least k=$k sample rows, got ${sample.length}")
+    val dim = sample(0).length
+    require(sample.forall(_.length == dim), "kmeansFit: ragged vector dimensions")
+    val n = sample.length
+    val cents = Array.tabulate(k)(i => sample(i).clone())
+    val asg = new Array[Int](n)
+    var t = 0
+    while (t < iters) {
+      var i = 0
+      while (i < n) { asg(i) = argminCluster(sample(i), cents); i += 1 }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      i = 0
+      while (i < n) {
+        val c = asg(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { sums(c)(j) /= counts(c); j += 1 }
+          cents(c) = sums(c)
+        }
+        c += 1
+      }
+      t += 1
+    }
+    // Final assignment against the post-iteration centroids: counts and
+    // inertia accumulate in sample order (the order the oracle's
+    // list_reduce replays).
+    val sampleN = new Array[Long](k)
+    val inertia = new Array[Double](k)
+    var i = 0
+    while (i < n) {
+      val c = argminCluster(sample(i), cents)
+      sampleN(c) += 1
+      inertia(c) += sqDistOrdered(sample(i), cents(c))
+      i += 1
+    }
+    KmeansFit(cents, sampleN, inertia)
+  }
+
   /** The `nProbe` cells nearest the query by centroid cosine — the
     * driver-side routing step every IVF search starts with (the
     * centroid table is model state, broadcast-sized by construction). */

@@ -304,6 +304,45 @@ object StreamingQueries {
       |ORDER BY band, bucket_hash""".stripMargin
   }
 
+  /** st29: streaming k-means cluster routing — fresh embeddings routed
+    * into the clusters of a model trained BATCH-side against the static
+    * table ([[graft.operators.SimilaritySearch.kmeansFit]] — the frozen-
+    * quantizer discipline p83's `ivfAdd` established: a live stream
+    * must not move the model). Assignment is the row-local
+    * [[graft.functions.NearestCentroid]] codegen kernel per micro-batch
+    * (media/vectors never reach state); the per-cluster rollup is a
+    * STANDARD streaming aggregation whose state is ≤ k rows at any
+    * stream length. Drained counts (max per cluster = latest cumulative
+    * update; first_vec monotonically non-increasing under min) equal
+    * the batch corpus assignment — the oracle RETRAINS the whole model
+    * in DuckDB (the p91 chain) and restates the assignment rollup. */
+  val st29StreamKmeansRoute: Q = (spark, dir) => {
+    val fit = graft.operators.SimilaritySearch.kmeansFit(
+      Tables.load(spark, dir, "embeddings"), "embedding", "vec_id",
+      k = 8, iters = 4, sampleCap = 128, seed = 91L)
+    val routed = boundedVecStream(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("vec_id"),
+        graft.functions.NearestCentroid(col("v"),
+          fit.centroids.map(_.toSeq).toSeq).as("cluster"))
+      .filter(col("cluster").isNotNull)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+    drainToMemory(spark, "st29", routed.writeStream.outputMode("update"))
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(max(col("n_vecs")).as("n_vecs"), min(col("first_vec")).as("first_vec"))
+      .orderBy("cluster")
+  }
+
+  /** st29 oracle: the p91 retrain chain's corpus assignment (`ca`)
+    * rolled up per cluster. */
+  val st29Sql: String = graft.operators.PipelineQueries.p91ChainSql(
+    """|SELECT ca.c AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(min(ca.id) AS BIGINT) AS first_vec
+       |FROM ca GROUP BY ca.c ORDER BY cluster""".stripMargin)
+
   /** The events table as a bounded stream. Schema comes from the raw
     * parquet footer (micros-NTZ in current testdata generations) and ts
     * normalizes with the same UTC-pinned cast `Tables.load` applies; a
@@ -1300,7 +1339,8 @@ object StreamingQueries {
     "st02_stream_dedup" -> st02StreamDedup,
     "st03_stream_source_profile" -> st03SourceProfile,
     "st04_stream_near_dup" -> st04NearDupBuckets,
-    "st05_stream_embed_near_dup" -> st05EmbedNearDup)
+    "st05_stream_embed_near_dup" -> st05EmbedNearDup,
+    "st29_stream_kmeans_route" -> st29StreamKmeansRoute)
 
   /** st07 oracle: the salted append path restated — day FRAGMENTS
     * (session construction within (user, floor(epoch_us/86 400 000 000))
@@ -1387,5 +1427,6 @@ object StreamingQueries {
     "st02_stream_dedup" -> st02Sql,
     "st03_stream_source_profile" -> st03Sql,
     "st04_stream_near_dup" -> st04Sql,
-    "st05_stream_embed_near_dup" -> st05Sql)
+    "st05_stream_embed_near_dup" -> st05Sql,
+    "st29_stream_kmeans_route" -> st29Sql)
 }

@@ -2359,4 +2359,106 @@ class PipelineSpec extends AnyFunSuite {
     assert(!splan.contains("ArrayFilter") && !splan.toLowerCase.contains("split"),
       s"subword lookaround split must be gone:\n$splan")
   }
+
+  // ------------------------------------------ p91 oracle-statable k-means
+
+  /** Naive independent Lloyd replay of [[SimilaritySearch.kmeansFit]]'s
+    * contract (functional style — nothing shared with the while-loop
+    * implementation): bottom-cap sample by (mix-hash, id), first-k
+    * init, fixed iterations, strict-< argmin in cluster order, means in
+    * sample order, empty cluster keeps its centroid. */
+  private def naiveKmeans(rows: Seq[(Long, Array[Double])], k: Int,
+      iters: Int, cap: Int, seed: Long)
+      : (Vector[Vector[Double]], Vector[Long], Vector[Double]) = {
+    val sample = rows
+      .sortBy { case (id, _) => (graft.operators.DetRngHash.mix(id ^ seed) >>> 1, id) }
+      .take(cap).map(_._2)
+    def d2(x: Array[Double], c: Vector[Double]): Double =
+      x.indices.foldLeft(0.0)((s, j) => s + (x(j) - c(j)) * (x(j) - c(j)))
+    def nearest(x: Array[Double], cs: Vector[Vector[Double]]): Int =
+      cs.indices.minBy(c => (d2(x, cs(c)), c))
+    var cents = sample.take(k).map(_.toVector).toVector
+    for (_ <- 0 until iters) {
+      val byC = sample.groupBy(x => nearest(x, cents))
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byC.get(c) match {
+          case None => old
+          case Some(ms) =>
+            old.indices.map { j =>
+              ms.foldLeft(0.0)((s, x) => s + x(j)) / ms.size
+            }.toVector
+        }
+      }
+    }
+    val asg = sample.map(x => nearest(x, cents))
+    val n = Vector.tabulate(k)(c => asg.count(_ == c).toLong)
+    val inertia = Vector.tabulate(k) { c =>
+      sample.zip(asg).filter(_._2 == c).foldLeft(0.0)((s, xa) => s + d2(xa._1, cents(c)))
+    }
+    (cents, n, inertia)
+  }
+
+  test("kmeansFit matches an independent functional Lloyd replay bit-for-bit") {
+    import spark.implicits._
+    val rng = DetRng(9107L)
+    val rows = (0 until 90).map { i =>
+      val center = i % 3
+      (i.toLong, Array.tabulate(5)(d =>
+        center * 2.0 + rng.nextGaussian() * 0.3 + d * 0.01))
+    }
+    val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val fit = SimilaritySearch.kmeansFit(df, "embedding", "vec_id",
+      k = 3, iters = 4, sampleCap = 64, seed = 9107L)
+    val (cents, n, inertia) = naiveKmeans(rows, 3, 4, 64, 9107L)
+    assert(fit.centroids.map(_.toVector).toVector === cents)
+    assert(fit.sampleN.toVector === n)
+    assert(fit.inertia.toVector === inertia)
+    // and the sample cap genuinely bites: full-sample fit differs
+    val fitAll = SimilaritySearch.kmeansFit(df, "embedding", "vec_id",
+      k = 3, iters = 4, sampleCap = 90, seed = 9107L)
+    assert(fitAll.sampleN.sum === 90L && fit.sampleN.sum === 64L)
+  }
+
+  test("kmeansFit: an emptied cluster keeps its centroid with zero count and inertia") {
+    import spark.implicits._
+    // Two EXACT point masses, k=3: by pigeonhole two of the three init
+    // points coincide, and the strict-< tie rule routes every member to
+    // the lower-indexed twin — the duplicate centroid must survive
+    // untouched with sampleN=0, inertia=0.
+    val rows = (0 until 24).map { i =>
+      val blob = if (i < 12) 0.0 else 100.0
+      (i.toLong, Array(blob, blob))
+    }
+    val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val fit = SimilaritySearch.kmeansFit(df, "embedding", "vec_id",
+      k = 3, iters = 3, sampleCap = 24, seed = 5L)
+    val (cents, n, inertia) = naiveKmeans(rows, 3, 3, 24, 5L)
+    assert(fit.centroids.map(_.toVector).toVector === cents)
+    assert(fit.sampleN.toVector === n)
+    assert(fit.inertia.toVector === inertia)
+    val empties = fit.sampleN.indices.filter(fit.sampleN(_) == 0L)
+    assert(empties.nonEmpty, "fixture must empty at least one cluster")
+    empties.foreach { c => assert(fit.inertia(c) === 0.0) }
+  }
+
+  test("kmeansFit assignment rule is exactly the NearestCentroid kernel's") {
+    import spark.implicits._
+    val rng = DetRng(777L)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian())))
+    val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val fit = SimilaritySearch.kmeansFit(df, "embedding", "vec_id",
+      k = 4, iters = 2, sampleCap = 40, seed = 777L)
+    val viaKernel = df.select(col("vec_id"),
+        graft.functions.NearestCentroid(
+          transform(col("embedding"), _.cast("double")),
+          fit.centroids.map(_.toSeq).toSeq).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (cents, _, _) = naiveKmeans(rows, 4, 2, 40, 777L)
+    rows.foreach { case (id, v) =>
+      val expected = cents.indices.minBy(c =>
+        (v.indices.foldLeft(0.0)((s, j) => s + (v(j) - cents(c)(j)) * (v(j) - cents(c)(j))), c))
+      assert(viaKernel(id) === expected, s"vec $id routed differently")
+    }
+  }
 }
