@@ -360,6 +360,86 @@ object NearestCentroid {
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), centroids))
 }
 
+/** Random-sign (Rademacher) projection for Johnson–Lindenstrauss
+  * dimensionality reduction ([[graft.operators.SimilaritySearch
+  * .randomSignProject]]): `out[j] = Σ_d ±v[d]`, the sign matrix
+  * embedded as a plan reference object (the [[NearestCentroid]]
+  * pattern). Additions only, folded in dimension order from 0.0 — no
+  * transcendental, no multiply — so every projected double is exactly
+  * restatable as an ordered SQL fold. The conventional `1/√k` scale is
+  * deliberately omitted: downstream cosine similarity is
+  * scale-invariant, and omitting it keeps the arithmetic pure
+  * addition. NULL for empty/null vectors, null elements, or a
+  * dimension mismatch with the sign matrix. */
+case class SignedProject(child: Expression, signs: Seq[Seq[Boolean]])
+    extends UnaryExpression {
+
+  @transient private lazy val sg: Array[Array[Boolean]] =
+    signs.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _)
+        if signs.nonEmpty && signs.forall(_.length == signs.head.length) =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a non-empty rectangular sign matrix")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_signed_project"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SignedProject.kernel(v.asInstanceOf[ArrayData], sg)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sgRef = ctx.addReferenceObj("signs", sg, "boolean[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("proj")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.SignedProject.kernel($v, $sgRef);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignedProject {
+  def kernel(vec: ArrayData, sg: Array[Array[Boolean]]): ArrayData = {
+    val n = vec.numElements()
+    if (n == 0 || sg.length == 0 || sg(0).length != n) return null
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Double](sg.length)
+    var j = 0
+    while (j < sg.length) {
+      val row = sg(j)
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = vec.getDouble(d)
+        acc += (if (row(d)) x else -x)
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def apply(v: Column, signs: Seq[Seq[Boolean]]): Column =
+    ColumnBridge.column(SignedProject(ColumnBridge.expression(v), signs))
+}
+
 /** Argmax-COSINE centroid assignment for semantic dedup
   * ([[graft.operators.SimilaritySearch.semDedup]]): index of the
   * expression-embedded centroid with the largest cosine similarity to an

@@ -4937,6 +4937,8 @@ object PipelineQueries {
     "p89_lsh_recall" -> p89LshRecall,
     "p90_lsh_precision" -> p90LshPrecision,
     "p91_kmeans_train" -> p91KmeansTrain,
+    "p92_ccnet_buckets" -> p92CcnetBuckets,
+    "p93_random_projection" -> p93RandomProjection,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5247,6 +5249,191 @@ object PipelineQueries {
       |  CAST(sum(t) AS BIGINT) AS n_true,
       |  round(sum(t)::DOUBLE / count(*), 6) AS precision
       |FROM u GROUP BY band ORDER BY band""".stripMargin
+
+  // --------------------------------------------- p93 random projection
+
+  /** p93: Johnson–Lindenstrauss random-sign projection with a measured
+    * cosine-preservation audit ([[SimilaritySearch.randomSignProject]]):
+    * the 64-dim embeddings project to 16 Rademacher sums in one
+    * row-local codegen pass (sign matrix derived from the shared
+    * SplitMix64 chain — no stored weights), then every pair among a
+    * 32-vector hash-ordered sample reports exact cosine in the FULL
+    * space vs the PROJECTED space and the absolute error — the
+    * distortion a team measures before moving dedup/ANN bucketing into
+    * the sketch space. Projection is pure ordered addition and cosine
+    * is the fused dot/norm kernel's +,*,/,sqrt — all correctly-rounded
+    * IEEE on identical inputs — so every double here is bit-exact
+    * against the oracle's ordered-fold restatement (no tolerance, no
+    * rounding). */
+  lazy val p93RandomProjection: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val proj = SimilaritySearch.randomSignProject(
+      emb, "embedding", "vec_id", outDim = 16, seed = 93L)
+    val samp = proj
+      .orderBy(Sampling.hash63(col("id"), 193L), col("id"))
+      .limit(32)
+    val a = samp.select(col("id").as("id0"), col("v").as("v0"), col("proj").as("p0"))
+    val b = samp.select(col("id").as("id1"), col("v").as("v1"), col("proj").as("p1"))
+    val cf = SimilaritySearch.cosine(col("v0"), col("v1"))
+    val cp = SimilaritySearch.cosine(col("p0"), col("p1"))
+    a.crossJoin(b).filter(col("id0") < col("id1"))
+      .select(col("id0"), col("id1"), cf.as("cos_full"), cp.as("cos_proj"),
+        abs(cf - cp).as("abs_err"))
+      .orderBy("id0", "id1")
+  }
+
+  /** p93 oracle: the sign matrix re-derived cell by cell from the
+    * SplitMix64 chain over d·2²⁰+j, the projection as an ORDER BY d
+    * fold of ±v[d], the sample from the seed-193 chain, and both
+    * cosines as the kernel's exact fold order (dot and the two norms
+    * accumulated in index order, result dot/(sqrt·sqrt)) — bit-exact,
+    * including the zero-norm → NULL guard. */
+  lazy val p93Sql: String = {
+    def cosSql(x: String, y: String, n: Int): String = {
+      def fold(expr: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}), " +
+          s"i -> $expr)), (a, b) -> a + b)"
+      val dot = fold(s"$x[i] * $y[i]")
+      val na = fold(s"$x[i] * $x[i]")
+      val nb = fold(s"$y[i] * $y[i]")
+      s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN NULL " +
+        s"ELSE $dot / (sqrt($na) * sqrt($nb)) END"
+    }
+    mixChainSql(
+      """SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    xor(CAST(vec_id AS UBIGINT), CAST(193 AS UBIGINT)) AS z
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0""".stripMargin) +
+    mixChainSql(
+      """SELECT CAST(d.d AS BIGINT) AS d, CAST(j.j AS BIGINT) AS j,
+        |    xor(CAST(d.d * 1048576 + j.j AS UBIGINT), CAST(93 AS UBIGINT)) AS z
+        |  FROM range(0, 64) d(d), range(0, 16) j(j)""".stripMargin,
+      p = "sg", hName = "sgh", lead = "") +
+    s"""|
+        |signs AS (SELECT d, j, (z % 2 = 0) AS pos FROM sgh),
+        |samp AS MATERIALIZED (
+        |  SELECT id, v, row_number() OVER (ORDER BY z, id) AS rn
+        |  FROM h QUALIFY rn <= 32),
+        |pj AS (
+        |  SELECT s.id, sg.j,
+        |    list_reduce(list_prepend(0.0,
+        |      list(CASE WHEN sg.pos THEN s.v[CAST(sg.d + 1 AS INTEGER)]
+        |                ELSE -s.v[CAST(sg.d + 1 AS INTEGER)] END ORDER BY sg.d)),
+        |      (a, b) -> a + b) AS pv
+        |  FROM samp s, signs sg GROUP BY s.id, sg.j),
+        |pv AS (SELECT id, list(pv ORDER BY j) AS p FROM pj GROUP BY id),
+        |sp AS (SELECT s.id, s.v, pv.p FROM samp s JOIN pv USING (id)),
+        |pairs AS (
+        |  SELECT a.id AS id0, b.id AS id1, a.v AS v0, b.v AS v1,
+        |         a.p AS p0, b.p AS p1
+        |  FROM sp a, sp b WHERE a.id < b.id),
+        |cc AS (
+        |  SELECT id0, id1,
+        |    ${cosSql("v0", "v1", 64)} AS cos_full,
+        |    ${cosSql("p0", "p1", 16)} AS cos_proj
+        |  FROM pairs)
+        |SELECT id0, id1, cos_full, cos_proj, abs(cos_full - cos_proj) AS abs_err
+        |FROM cc ORDER BY id0, id1""".stripMargin
+  }
+
+  // ------------------------------------------------ p92 CCNet buckets
+
+  /** p92: CCNet's ACTUAL per-language bucketing protocol
+    * ([[TextAnalysis.ccnetLangBuckets]]) — head/middle/tail THIRDS by
+    * per-language rank of the reference-LM score, the data-derived cut
+    * CCNet applies (p34 applies calibrated FIXED thresholds; the
+    * per-language percentile cut is what keeps a low-resource language
+    * from being starved by an English-calibrated bar). Scores ride
+    * [[TextAnalysis.bigramLmScoreOrdered]] — the per-doc mean folds in
+    * transition order, so the ranking key is deterministic and the
+    * oracle reproduces it up to libm `ln` ulps (~1e-14; margins audited
+    * below). Same reference slice as p34 (doc_id % 5 = 0).
+    *
+    * Determinism margins (audited at both gate SFs over the 500-doc
+    * corpus, the p74 cutoff-gap discipline): the minimum score gap
+    * across each language's two cutoff ranks is ≥ 5.5e-5 and the
+    * minimum |score| distance of any scored doc to a ⌊score·32⌋
+    * bucket edge is ≥ 4.4e-7 — respectively 9 and 7 decades above the
+    * ~1e-14 cross-engine `ln` noise (summation order contributes
+    * nothing: both engines fold in transition order). */
+  lazy val p92CcnetBuckets: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    TextAnalysis.ccnetLangBuckets(docs, "text", "doc_id",
+        refCond = pmod(col("doc_id"), lit(5)) === 0, k = 1.0,
+        granularity = 32.0)
+      .select(col("doc_id"), col("pred_lang"), col("n_bigrams"),
+        col("lm_logprob"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** p92 oracle: the p10 language-ID restatement joined to the LM
+    * chain with the ordered-fold per-doc mean (list_reduce over
+    * ORDER BY pos — the engine's sort_array/aggregate fold), then the
+    * rank semantics stated DIRECTLY as a per-language window
+    * (row_number / count thirds) — the oracle pays the global window
+    * the engine's bucket decomposition avoids, and the hash-match
+    * gates that the decomposition implements exactly these ranks. */
+  lazy val p92Sql: String = {
+    val scoreCols = langScoreColsSql("n", ",\n      |         ").stripMargin
+    s"""|WITH lt AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(lower(text)), '\\s+') AS tk,
+        |         greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)::DOUBLE AS n,
+        |         regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk
+        |  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)),
+        |ls AS (
+        |  SELECT doc_id, cjk,
+        |         $scoreCols
+        |  FROM lt),
+        |lb AS (
+        |  SELECT doc_id, cjk, $langBestSql AS best, * FROM ls),
+        |lpr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN cjk THEN 'zh'
+        |         WHEN best = 0 THEN 'und'
+        |         ELSE (CASE $langTieBreakSql END)
+        |    END AS pred_lang
+        |  FROM lb),
+        |tkm AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |        FROM documents),
+        |ref AS (SELECT * FROM tkm WHERE doc_id % 5 = 0),
+        |uni AS (SELECT u AS w1, count(*) AS c1
+        |        FROM (SELECT unnest(tk) AS u FROM ref) GROUP BY u),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |rb AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c2
+        |       FROM ref, unnest(range(1, len(tk))) r(i) GROUP BY 1, 2),
+        |db AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS w1, tk[i+1] AS w2
+        |       FROM tkm, unnest(range(1, len(tk))) r(i)),
+        |s AS (SELECT db.doc_id, db.pos,
+        |        ln((coalesce(rb.c2, 0) + 1.0) /
+        |           (coalesce(uni.c1, 0) + (SELECT vocab FROM v))) AS lp
+        |      FROM db LEFT JOIN rb USING (w1, w2)
+        |              LEFT JOIN uni ON db.w1 = uni.w1),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |          list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+        |            (a, b) -> a + b) / count(*) AS lm_logprob
+        |        FROM s GROUP BY doc_id),
+        |base AS (SELECT d.doc_id, p.pred_lang,
+        |           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |           a.lm_logprob
+        |         FROM documents d
+        |         JOIN lpr p USING (doc_id)
+        |         LEFT JOIN agg a USING (doc_id)),
+        |sc AS (SELECT * FROM base WHERE lm_logprob IS NOT NULL),
+        |rn AS (SELECT doc_id, pred_lang, n_bigrams, lm_logprob,
+        |         row_number() OVER (PARTITION BY pred_lang
+        |           ORDER BY lm_logprob DESC, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY pred_lang) AS n
+        |       FROM sc)
+        |SELECT doc_id, pred_lang, n_bigrams, lm_logprob,
+        |  CASE WHEN rk <= n // 3 THEN 'head'
+        |       WHEN rk <= (2 * n) // 3 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM rn
+        |UNION ALL
+        |SELECT doc_id, pred_lang, n_bigrams, lm_logprob, 'na' AS bucket
+        |FROM base WHERE lm_logprob IS NULL
+        |ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------- p91 k-means train
 
@@ -5745,6 +5932,8 @@ object PipelineQueries {
     "p89_lsh_recall" -> p89Sql,
     "p90_lsh_precision" -> p90Sql,
     "p91_kmeans_train" -> p91Sql,
+    "p92_ccnet_buckets" -> p92Sql,
+    "p93_random_projection" -> p93Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -545,6 +545,36 @@ object SimilaritySearch {
     }
   }
 
+  /** Johnson–Lindenstrauss random-sign projection (p93): every vector
+    * maps to `outDim` Rademacher sums `out[j] = Σ_d ±v[d]`, the sign of
+    * each (d, j) cell a pure function of the seed through the shared
+    * SplitMix64 chain (positive iff `hash63(d·2²⁰ + j, seed)` is even)
+    * — so two engines derive the SAME matrix independently and the
+    * projection needs no stored-weights side channel. The classic JL
+    * guarantee (Achlioptas 2003: ±1 entries suffice) makes the output a
+    * distance-preserving sketch: the scale path for dedup/ANN when the
+    * raw dimension is large (project once row-locally, bucket/search in
+    * the small space, verify survivors on the originals).
+    *
+    * Scale shape: the sign matrix is outDim × dim booleans embedded as
+    * a plan reference object; the projection is ONE row-local
+    * whole-stage-codegen pass ([[graft.functions.SignedProject]]),
+    * zero exchanges. Returns (id, v, proj). */
+  def randomSignProject(df: DataFrame, vecCol: String, idCol: String,
+      outDim: Int, seed: Long): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    val data = df.select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val dim = data.select(size(col("v"))).head().getInt(0)
+    require(outDim <= (1 << 20), "outDim exceeds the sign-key stride")
+    val signs: Seq[Seq[Boolean]] = (0 until outDim).map { j =>
+      (0 until dim).map { d =>
+        ((DetRngHash.mix((d.toLong * (1L << 20) + j) ^ seed) >>> 1) & 1L) == 0L
+      }
+    }
+    data.withColumn("proj", graft.functions.SignedProject(col("v"), signs))
+  }
+
   /** An oracle-statable k-means fit (p91): centroids after `iters`
     * FIXED Lloyd iterations, plus the final sample assignment counts
     * and per-cluster inertia. Unlike [[KMeansLocal]] (java.util.Random

@@ -1038,6 +1038,137 @@ object TextAnalysis {
         col("lm_logprob"))
   }
 
+  /** [[bigramLmScore]]'s per-transition log-probabilities WITH the
+    * transition position (id, pos, lp) — the ordered-fold scoring
+    * variants build on this. Same model, same joins, same lp
+    * arithmetic. */
+  private def lmTransitionLogProbs(docs: DataFrame, textCol: String,
+      idCol: String, refCond: Column, k: Double): DataFrame = {
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val prs = graft.functions.BindOnce.bindArray(tk, tks =>
+      transform(sequence(lit(0), size(tks) - 2),
+        i => struct(i.cast("long").as("pos"),
+          element_at(tks, i + 1).as("w1"), element_at(tks, i + 2).as("w2"))))
+    def bigrams(d: DataFrame) = d.filter(size(tk) >= 2)
+      .select(col(idCol), explode(prs).as("pr"))
+      .select(col(idCol), col("pr.pos").as("pos"),
+        col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val ref = docs.filter(refCond)
+    val uni = ref.select(explode(tk).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("__V"))
+    val refB = bigrams(ref).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bigrams(docs)
+      .join(refB, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("pos"),
+        log((coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(k) * col("__V"))).as("lp"))
+  }
+
+  /** [[bigramLmScore]] with a DETERMINISTIC per-doc mean: the
+    * transition log-probs fold in transition order (sort_array over
+    * (pos, lp) structs, then a sequential aggregate — the p53/p58
+    * ordered-fold discipline) instead of `avg`'s partition-order
+    * reassociation. Same model, same values — but the score is now a
+    * pure function of the text, reproducible to the ulp on any cluster
+    * layout, which is what lets DATA-DERIVED rank cutoffs
+    * ([[ccnetLangBuckets]]) sit on it without the cut flipping between
+    * runs. Cross-ENGINE noise reduces to libm `ln` ulps on identical
+    * arguments (no summation-order term), ~1e-14 relative. */
+  def bigramLmScoreOrdered(docs: DataFrame, textCol: String, idCol: String,
+      refCond: Column, k: Double = 1.0): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    val perDoc = lmTransitionLogProbs(docs, textCol, idCol, refCond, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(sort_array(collect_list(struct(col("pos"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")) / count(lit(1)))
+          .as("lm_logprob"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_logprob"))
+  }
+
+  /** CCNet's ACTUAL bucketing protocol (Wenzek et al. §4.2): per
+    * LANGUAGE, rank every document by reference-LM score and cut the
+    * ranking into head / middle / tail THIRDS — the cutoffs are
+    * DATA-DERIVED per-language ranks, not the calibrated fixed
+    * thresholds p34 applies (a low-resource language's "good" scores
+    * sit far below English's, so a global threshold starves it; the
+    * per-language percentile cut is the fix and the reason CCNet
+    * bucketizes per language).
+    *
+    * Semantics: within each predicted language (the [[languageId]]
+    * kernel), rank scored docs by (lm_logprob DESC, id ASC); doc is
+    * 'head' if rank ≤ ⌊n/3⌋, 'middle' if rank ≤ ⌊2n/3⌋, else 'tail';
+    * unscored docs (< 2 tokens) are 'na'. Scores come from
+    * [[bigramLmScoreOrdered]], so the ranking key is deterministic.
+    *
+    * Scale shape (100 TB): NO corpus-wide per-language sort — a
+    * language is 40 % of a web corpus, so `Window.partitionBy(lang)`
+    * would funnel 40 TB through one task. Instead the dsirSelect
+    * bucket decomposition, per group: scores histogram into
+    * ⌊score·granularity⌋ integer buckets (ONE map-side-combined count
+    * exchange bounded by langs × score-range × granularity), each
+    * language's two cutoff (bucket, within-bucket quota) pairs resolve
+    * on the collected histogram, and only the two CUTOFF buckets' rows
+    * pay a (lang, bucket)-local rank; every other row's verdict is a
+    * row-local bucket comparison against the broadcast rules table. */
+  def ccnetLangBuckets(docs: DataFrame, textCol: String, idCol: String,
+      refCond: Column, k: Double = 1.0,
+      granularity: Double = 32.0): DataFrame = {
+    require(granularity > 0.0, "granularity must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = bigramLmScoreOrdered(docs, textCol, idCol, refCond, k)
+    val base = docs.select(col(idCol),
+        languageId(col(textCol)).as("pred_lang"))
+      .join(scored, Seq(idCol))
+      .withColumn("__bkt",
+        floor(col("lm_logprob") * granularity).cast("long"))
+    val hist = base.filter(col("__bkt").isNotNull)
+      .groupBy("pred_lang", "__bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // per language: total n, then the cutoff (bucket, quota) for ranks
+    // ⌊n/3⌋ and ⌊2n/3⌋ walking buckets from the top (dsirSelect's walk)
+    def cutoff(buckets: Seq[(Long, Long)], r: Long): (Long, Long) = {
+      if (r <= 0) return (Long.MaxValue, 0L)
+      var cumBefore = 0L
+      buckets.foreach { case (b, c) =>
+        if (cumBefore + c >= r) return (b, r - cumBefore)
+        cumBefore += c
+      }
+      (Long.MinValue, 0L) // unreachable: r ≤ n by construction
+    }
+    val rules = hist.groupBy(_._1).toSeq.map { case (lg, rows) =>
+      val buckets = rows.map(r => (r._2, r._3)).sortBy(-_._1).toSeq
+      val n = buckets.map(_._2).sum
+      val (b1, q1) = cutoff(buckets, n / 3)
+      val (b2, q2) = cutoff(buckets, 2 * n / 3)
+      (lg, b1, q1, b2, q2)
+    }.toDF("pred_lang", "b1", "q1", "b2", "q2")
+    val joined = base.join(broadcast(rules), Seq("pred_lang"), "left")
+    val isBoundary = coalesce(
+      col("__bkt") === col("b1") || col("__bkt") === col("b2"), lit(false))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("pred_lang", "__bkt")
+      .orderBy(col("lm_logprob").desc, col(idCol))
+    val boundary = joined.filter(isBoundary)
+      .withColumn("__rk", row_number().over(wB).cast("long"))
+    val rest = joined.filter(!isBoundary).withColumn("__rk", lit(0L))
+    boundary.unionByName(rest)
+      .select(col(idCol), col("pred_lang"), col("n_bigrams"), col("lm_logprob"),
+        when(col("lm_logprob").isNull, "na")
+          .when(col("__bkt") > col("b1"), "head")
+          .when(col("__bkt") === col("b1") && col("__rk") <= col("q1"), "head")
+          .when(col("__bkt") > col("b2"), "middle")
+          .when(col("__bkt") === col("b2") && col("__rk") <= col("q2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Trained hashed-feature quality classifier — the model-based filter
     * modern pretraining pipelines layer on top of rule batteries
     * (fastText/DCLM-style: label a curated reference class against the

@@ -2441,6 +2441,133 @@ class PipelineSpec extends AnyFunSuite {
     empties.foreach { c => assert(fit.inertia(c) === 0.0) }
   }
 
+  // ---------------------------------------- p93 random-sign projection
+
+  test("SignedProject kernel: hand-computed sums, mismatch and null-element guards") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Some(3.0), Some(4.0)))),
+      (2L, Some(Seq(Some(1.0), Some(2.0), Some(3.0)))), // dim mismatch -> null
+      (3L, Some(Seq(Some(5.0), None)))                  // null element -> null
+    ).toDF("id", "v")
+    val signs = Seq(Seq(true, false), Seq(false, false))
+    val got = df.select(col("id"),
+        graft.functions.SignedProject(col("v"), signs).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(got(1L) === Seq(3.0 - 4.0, -3.0 - 4.0))
+    assert(got(2L) === null)
+    assert(got(3L) === null)
+  }
+
+  test("randomSignProject: deterministic matrix, duplicate vectors stay cosine-1, no shuffle") {
+    import spark.implicits._
+    val rng = DetRng(9301L)
+    val rows = (0 until 30).map(i =>
+      (i.toLong, Array.fill(24)(rng.nextGaussian()).toSeq)) ++
+      Seq((100L, null.asInstanceOf[Seq[Double]]))
+    val df = rows.toDF("vec_id", "embedding")
+    val p1 = SimilaritySearch.randomSignProject(df, "embedding", "vec_id", 8, 93L)
+    val p2 = SimilaritySearch.randomSignProject(df.repartition(5), "embedding", "vec_id", 8, 93L)
+    val m1 = p1.collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    val m2 = p2.collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(m1 === m2, "projection must be layout-independent")
+    assert(!m1.contains(100L), "null vectors are filtered")
+    // exact duplicates stay exactly cosine-1 in the projected space
+    val dup = Seq((0L, rows.head._2), (1L, rows.head._2)).toDF("vec_id", "embedding")
+    val pd = SimilaritySearch.randomSignProject(dup, "embedding", "vec_id", 8, 93L)
+      .collect().map(_.getSeq[Double](2))
+    assert(pd(0) === pd(1))
+    // plan: the projection is a pure row-local pass — no exchange
+    val plan = p1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
+  // ------------------------------------- p92 CCNet per-language buckets
+
+  test("ccnetLangBuckets: bucket decomposition equals the naive per-language window") {
+    import spark.implicits._
+    val rng = DetRng(9201L)
+    val enWords = Vector("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "and", "runs", "far", "away")
+    val deWords = Vector("der", "schnelle", "braune", "fuchs", "springt",
+      "ueber", "den", "faulen", "hund", "und", "rennt", "weg")
+    val docs = (0 until 120).map { i =>
+      val ws = if (i % 3 == 0) deWords else enWords
+      val n = 5 + rng.nextInt(20)
+      (i.toLong, (0 until n).map(_ => ws(rng.nextInt(ws.size))).mkString(" "))
+    } ++ Seq((900L, "one"), (901L, ""))  // < 2 tokens -> 'na'
+    val df = docs.toDF("doc_id", "text")
+    val refCond = pmod(col("doc_id"), lit(5)) === 0
+    val got = graft.operators.TextAnalysis
+      .ccnetLangBuckets(df, "text", "doc_id", refCond)
+      .select("doc_id", "pred_lang", "lm_logprob", "bucket")
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), Option(if (r.isNullAt(2)) null else r.getDouble(2)), r.getString(3))))
+      .toMap
+    // naive replay: the per-language window the engine's decomposition avoids
+    val scored = graft.operators.TextAnalysis
+      .bigramLmScoreOrdered(df, "text", "doc_id", refCond)
+      .join(df.select(col("doc_id"),
+        graft.operators.TextAnalysis.languageId(col("text")).as("pl")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+    val byLang = scored.filter(_._2.isDefined).groupBy(_._3)
+    val expected: Map[Long, String] = scored.map { case (id, sc, pl) =>
+      sc match {
+        case None => id -> "na"
+        case Some(s) =>
+          val ranked = byLang(pl).sortBy(t => (-t._2.get, t._1))
+          val rk = ranked.indexWhere(_._1 == id) + 1
+          val n = ranked.length.toLong
+          id -> (if (rk <= n / 3) "head" else if (rk <= 2 * n / 3) "middle" else "tail")
+      }
+    }.toMap
+    expected.foreach { case (id, b) =>
+      assert(got(id)._3 === b, s"doc $id: got ${got(id)}, want $b")
+    }
+    assert(got(900L)._3 === "na" && got(901L)._3 === "na")
+    // thirds property per language
+    val counts = got.values.groupBy(v => (v._1, v._3)).view.mapValues(_.size).toMap
+    byLang.foreach { case (lg, rows) =>
+      val n = rows.length
+      assert(counts.getOrElse((lg, "head"), 0) === n / 3, s"$lg head")
+      assert(counts.getOrElse((lg, "middle"), 0) === 2 * n / 3 - n / 3, s"$lg middle")
+    }
+  }
+
+  test("bigramLmScoreOrdered: same model as bigramLmScore, deterministic fold") {
+    import spark.implicits._
+    val rng = DetRng(9202L)
+    val ws = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val df = (0 until 60).map { i =>
+      (i.toLong, (0 until 4 + rng.nextInt(30)).map(_ => ws(rng.nextInt(5))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val refCond = pmod(col("doc_id"), lit(4)) === 0
+    val a = graft.operators.TextAnalysis
+      .bigramLmScore(df, "text", "doc_id", refCond)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).sortBy(_._1)
+    val b = graft.operators.TextAnalysis
+      .bigramLmScoreOrdered(df, "text", "doc_id", refCond)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).sortBy(_._1)
+    assert(a.map(t => (t._1, t._2)).toSeq === b.map(t => (t._1, t._2)).toSeq)
+    a.zip(b).foreach { case ((id, _, x), (_, _, y)) =>
+      assert(x.isNaN === y.isNaN)
+      if (!x.isNaN) assert(math.abs(x - y) < 1e-12, s"doc $id: $x vs $y")
+    }
+    // the ordered fold is run-stable: two evaluations, identical bits
+    val b2 = graft.operators.TextAnalysis
+      .bigramLmScoreOrdered(df.repartition(7), "text", "doc_id", refCond)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).sortBy(_._1)
+    b.map(t => (t._1, t._3)).zip(b2).foreach { case ((id, x), (_, y)) =>
+      assert(x.isNaN === y.isNaN)
+      if (!x.isNaN) assert(x === y, s"doc $id not bit-stable across layouts")
+    }
+  }
+
   test("kmeansFit assignment rule is exactly the NearestCentroid kernel's") {
     import spark.implicits._
     val rng = DetRng(777L)
