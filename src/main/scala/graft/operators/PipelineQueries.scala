@@ -4939,6 +4939,7 @@ object PipelineQueries {
     "p91_kmeans_train" -> p91KmeansTrain,
     "p92_ccnet_buckets" -> p92CcnetBuckets,
     "p93_random_projection" -> p93RandomProjection,
+    "p94_schema_evolution" -> p94SchemaEvolution,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5249,6 +5250,60 @@ object PipelineQueries {
       |  CAST(sum(t) AS BIGINT) AS n_true,
       |  round(sum(t)::DOUBLE / count(*), 6) AS precision
       |FROM u GROUP BY band ORDER BY band""".stripMargin
+
+  // ------------------------------------------- p94 schema evolution
+
+  /** p94: schema-evolution-tolerant snapshot union
+    * ([[graft.sources.EvolvingParquet.readUnion]]) — two crawl
+    * generations of the corpus write to scratch parquet with EVOLVED
+    * schemas (generation 1: doc_id, source, text; generation 2 drops
+    * `source` and adds `fetch_depth`), and the gate reads the union
+    * back through real parquet files: by-name alignment, NULL fill in
+    * BOTH directions, per-row snapshot lineage. The oracle restates the
+    * expected union relationally from the base table (the writes are
+    * deterministic projections), so misalignment, lost rows, or a
+    * silently coerced column all hash-mismatch. The type-conflict named
+    * error is spec-pinned (EvolvingParquetSpec). */
+  lazy val p94SchemaEvolution: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_p94_" +
+      s"${ProcessHandle.current().pid()}_" +
+      java.lang.Long.toHexString(
+        graft.operators.DetRngHash.xx(dir.getBytes("UTF-8")))
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/gen1")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(7)).as("fetch_depth"))
+      .write.mode("overwrite").parquet(s"$out/gen2")
+    graft.sources.EvolvingParquet.readUnion(spark,
+        Seq("gen1" -> s"$out/gen1", "gen2" -> s"$out/gen2"))
+      .select(col("doc_id"), col("snapshot"), col("source"),
+        col("fetch_depth"),
+        TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** p94 oracle: the two generation projections and the by-name union
+    * restated over `documents` — NULLs where a generation lacks the
+    * column. */
+  val p94Sql: String =
+    """|SELECT doc_id, 'gen1' AS snapshot, source,
+      |  CAST(NULL AS BIGINT) AS fetch_depth,
+      |  CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+      |       END AS BIGINT) AS n_tokens
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, 'gen2' AS snapshot, CAST(NULL AS VARCHAR) AS source,
+      |  doc_id % 7 AS fetch_depth,
+      |  CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+      |       END AS BIGINT) AS n_tokens
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------- p93 random projection
 
@@ -5934,6 +5989,7 @@ object PipelineQueries {
     "p91_kmeans_train" -> p91Sql,
     "p92_ccnet_buckets" -> p92Sql,
     "p93_random_projection" -> p93Sql,
+    "p94_schema_evolution" -> p94Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
