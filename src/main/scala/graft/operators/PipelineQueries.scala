@@ -44,6 +44,7 @@ object PipelineQueries {
     mediaCache.values.foreach(_.unpersist())
     mediaCache.clear()
     bpeCache.clear()
+    kmeansCache.clear()
     Dedup.resetCaches() // the one-slot signature cache
     Relational.resetSkewProbeCache() // q18's memoized skew stat
     resetP38Stages()
@@ -4697,6 +4698,7 @@ object PipelineQueries {
     ivfCache.values.foreach(_.cells.unpersist(blocking = false))
     ivfCache.clear()
     bpeCache.clear()
+    kmeansCache.clear()
     Dedup.resetCaches()
     Relational.resetSkewProbeCache()
     resetP38Stages()
@@ -4940,6 +4942,7 @@ object PipelineQueries {
     "p92_ccnet_buckets" -> p92CcnetBuckets,
     "p93_random_projection" -> p93RandomProjection,
     "p94_schema_evolution" -> p94SchemaEvolution,
+    "p95_cluster_sample" -> p95ClusterSample,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5251,6 +5254,50 @@ object PipelineQueries {
       |  round(sum(t)::DOUBLE / count(*), 6) AS precision
       |FROM u GROUP BY band ORDER BY band""".stripMargin
 
+  // ------------------------------------------ p95 cluster-stratified sample
+
+  /** p95: cluster-stratified sampling — exactly `cap` documents per
+    * TRAINED k-means cluster by seeded hash order (the diversity-
+    * preserving eval/inspection draw a curation team takes after
+    * clustering: uniform-per-source p22 can't see topical skew, this
+    * samples uniformly across the LEARNED topic cells). Assignment is
+    * the row-local [[graft.functions.NearestCentroid]] pass against
+    * the shared p91 fit; selection is [[Sampling.capPerGroup]] (the
+    * skew-safe two-window form whose semantics are "first `cap` of
+    * each group in (hash63(id, seed), id) order"). The oracle retrains
+    * the model (the p91 chain), re-assigns the corpus, and restates
+    * the selection as one rank window — gating fit, assignment, and
+    * the capPerGroup cell decomposition together. */
+  lazy val p95ClusterSample: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fit = kmeansFitFor(spark, dir)
+    val assigned = emb
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("id"), graft.functions.NearestCentroid(col("v"),
+        fit.centroids.map(_.toSeq).toSeq).as("cluster"))
+      .filter(col("cluster").isNotNull)
+    Sampling.capPerGroup(assigned, "cluster", "id", cap = 10, seed = 95L)
+      .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** p95 oracle: the p91 retrain chain's corpus assignment plus a
+    * second SplitMix64 chain (seed 95) for the selection hash, ranked
+    * per cluster. */
+  lazy val p95Sql: String = p91ChainSql(
+    "," + mixChainSql(
+      "SELECT id, xor(CAST(id AS UBIGINT), CAST(95 AS UBIGINT)) AS z FROM h",
+      p = "s9", hName = "s9h", lead = "\n") +
+    """|
+       |sel AS (SELECT ca.id, ca.c, s.z FROM ca JOIN s9h s USING (id)),
+       |rk AS (SELECT id, c,
+       |         row_number() OVER (PARTITION BY c ORDER BY z, id) AS rk
+       |       FROM sel)
+       |SELECT id AS vec_id, CAST(c AS BIGINT) AS cluster
+       |FROM rk WHERE rk <= 10 ORDER BY vec_id""".stripMargin)
+
   // ------------------------------------------- p94 schema evolution
 
   /** p94: schema-evolution-tolerant snapshot union
@@ -5518,11 +5565,21 @@ object PipelineQueries {
     * corpus) and driver-local loops; the corpus pass is row-local
     * whole-stage codegen + one map-side-combined count. Nothing
     * shuffles vectors. */
+  // fitted once per scale-factor dir (driver-array model state, shared
+  // by p91/p95/st29 — the ivfCache discipline; cleared by both resets)
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[String, SimilaritySearch.KmeansFit]
+
+  private[graft] def kmeansFitFor(spark: SparkSession, dir: String): SimilaritySearch.KmeansFit =
+    kmeansCache.getOrElseUpdate(dir,
+      SimilaritySearch.kmeansFit(Tables.load(spark, dir, "embeddings"),
+        "embedding", "vec_id",
+        k = P91K, iters = P91Iters, sampleCap = P91Cap, seed = P91Seed))
+
   lazy val p91KmeansTrain: Q = (spark, dir) => {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
-    val fit = SimilaritySearch.kmeansFit(emb, "embedding", "vec_id",
-      k = P91K, iters = P91Iters, sampleCap = P91Cap, seed = P91Seed)
+    val fit = kmeansFitFor(spark, dir)
     val corpusN = emb
       .select(col("vec_id").as("id"),
         transform(col("embedding"), _.cast("double")).as("v"))
@@ -5990,6 +6047,7 @@ object PipelineQueries {
     "p92_ccnet_buckets" -> p92Sql,
     "p93_random_projection" -> p93Sql,
     "p94_schema_evolution" -> p94Sql,
+    "p95_cluster_sample" -> p95Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

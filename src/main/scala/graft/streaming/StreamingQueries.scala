@@ -317,9 +317,7 @@ object StreamingQueries {
     * the batch corpus assignment — the oracle RETRAINS the whole model
     * in DuckDB (the p91 chain) and restates the assignment rollup. */
   val st29StreamKmeansRoute: Q = (spark, dir) => {
-    val fit = graft.operators.SimilaritySearch.kmeansFit(
-      Tables.load(spark, dir, "embeddings"), "embedding", "vec_id",
-      k = 8, iters = 4, sampleCap = 128, seed = 91L)
+    val fit = graft.operators.PipelineQueries.kmeansFitFor(spark, dir)
     val routed = boundedVecStream(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
