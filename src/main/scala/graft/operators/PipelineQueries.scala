@@ -5267,10 +5267,21 @@ object PipelineQueries {
     * each group in (hash63(id, seed), id) order"). The oracle retrains
     * the model (the p91 chain), re-assigns the corpus, and restates
     * the selection as one rank window — gating fit, assignment, and
-    * the capPerGroup cell decomposition together. */
+    * the capPerGroup cell decomposition together.
+    *
+    * The fit ROUND-TRIPS through storage before use
+    * ([[SimilaritySearch.kmeansSave]]/`kmeansLoad` — the p83
+    * save→load→add→search discipline): the key models the recurring
+    * job, which runs in a NEW session against the frozen persisted
+    * model, so a lossy save/load would hash-mismatch here. */
   lazy val p95ClusterSample: Q = (spark, dir) => {
     val emb = Tables.load(spark, dir, "embeddings")
-    val fit = kmeansFitFor(spark, dir)
+    val modelDir = s"${System.getProperty("java.io.tmpdir")}/graft_p95_" +
+      s"${ProcessHandle.current().pid()}_" +
+      java.lang.Long.toHexString(
+        graft.operators.DetRngHash.xx(dir.getBytes("UTF-8")))
+    SimilaritySearch.kmeansSave(kmeansFitFor(spark, dir), spark, modelDir)
+    val fit = SimilaritySearch.kmeansLoad(spark, modelDir)
     val assigned = emb
       .select(col("vec_id").as("id"),
         transform(col("embedding"), _.cast("double")).as("v"))

@@ -673,6 +673,37 @@ object SimilaritySearch {
     KmeansFit(cents, sampleN, inertia)
   }
 
+  /** Persist a [[KmeansFit]] (centroid table + per-cluster stats) as
+    * one parquet — the ivfSave discipline applied to the trained
+    * clustering, so a recurring job (st29's stream router, p95's
+    * stratified draw) runs cross-session against the FROZEN model
+    * instead of refitting. Doubles round-trip bit-exactly through
+    * parquet. */
+  def kmeansSave(fit: KmeansFit, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    fit.centroids.indices.map { c =>
+      (c, fit.centroids(c).toSeq, fit.sampleN(c), fit.inertia(c))
+    }.toDF("cluster", "centroid", "sample_n", "inertia")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/kmeans.parquet")
+  }
+
+  /** Reload a fit saved by [[kmeansSave]] — reads only storage; the
+    * reloaded centroids are bit-identical, so routing decisions cannot
+    * drift across sessions. */
+  def kmeansLoad(spark: org.apache.spark.sql.SparkSession, dir: String): KmeansFit = {
+    val rows = spark.read.parquet(s"$dir/kmeans.parquet")
+      .select(col("cluster").cast("int"), col("centroid"),
+        col("sample_n").cast("long"), col("inertia"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"kmeansLoad: no model under $dir")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"kmeansLoad: non-contiguous cluster ids under $dir")
+    KmeansFit(rows.map(_.getSeq[Double](1).toArray),
+      rows.map(_.getLong(2)), rows.map(_.getDouble(3)))
+  }
+
   /** The `nProbe` cells nearest the query by centroid cosine — the
     * driver-side routing step every IVF search starts with (the
     * centroid table is model state, broadcast-sized by construction). */

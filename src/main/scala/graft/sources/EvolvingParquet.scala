@@ -51,6 +51,12 @@ object EvolvingParquet {
         }
       }
     }
+    // the lineage column must not silently shadow a data column
+    frames.foreach { case (name, df) =>
+      require(!df.columns.contains("snapshot"),
+        s"readUnion: snapshot '$name' already has a 'snapshot' column — " +
+          "the lineage stamp would silently overwrite it")
+    }
     frames.map { case (name, df) =>
       df.withColumn("snapshot", lit(name))
     }.reduce(_.unionByName(_, allowMissingColumns = true))

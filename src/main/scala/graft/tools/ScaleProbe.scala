@@ -165,7 +165,12 @@ object ScaleProbe {
     "p48_vocab_coverage" -> Set("documents"),
     "p49_split_leakage" -> Set("documents"),
     "p52_url_frontier" -> Set("documents"),
-    "st13_stream_token_budget" -> Set("documents")
+    "st13_stream_token_budget" -> Set("documents"),
+    "p92_ccnet_buckets" -> Set("documents"),
+    "p94_schema_evolution" -> Set("documents"),
+    "p91_kmeans_train" -> Set("embeddings"),
+    "p93_random_projection" -> Set("embeddings"),
+    "p95_cluster_sample" -> Set("embeddings")
   ).withDefaultValue(Set("documents", "embeddings"))
 
   def main(args: Array[String]): Unit = {

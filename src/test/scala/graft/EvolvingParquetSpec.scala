@@ -55,6 +55,17 @@ class EvolvingParquetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refusing to coerce"))
   }
 
+  test("a pre-existing 'snapshot' column is a named error, not a silent overwrite") {
+    import spark.implicits._
+    val dir = scratch("shadow")
+    Seq((1L, "v1")).toDF("id", "snapshot")
+      .write.mode("overwrite").parquet(s"$dir/gen1")
+    val e = intercept[IllegalArgumentException] {
+      EvolvingParquet.readUnion(spark, Seq("gen1" -> s"$dir/gen1"))
+    }
+    assert(e.getMessage.contains("'snapshot' column"))
+  }
+
   test("three generations chain; filters push through the union branches") {
     import spark.implicits._
     val dir = scratch("three")

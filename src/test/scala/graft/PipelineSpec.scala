@@ -2441,6 +2441,33 @@ class PipelineSpec extends AnyFunSuite {
     empties.foreach { c => assert(fit.inertia(c) === 0.0) }
   }
 
+  test("kmeansSave/kmeansLoad: bit-identical round-trip, identical routing") {
+    import spark.implicits._
+    val rng = DetRng(9108L)
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.fill(6)(rng.nextGaussian()).toSeq)).toDF("vec_id", "embedding")
+    val fit = SimilaritySearch.kmeansFit(df, "embedding", "vec_id",
+      k = 4, iters = 3, sampleCap = 50, seed = 11L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans_rt").toFile
+    dir.deleteOnExit()
+    SimilaritySearch.kmeansSave(fit, spark, dir.getAbsolutePath)
+    val back = SimilaritySearch.kmeansLoad(spark, dir.getAbsolutePath)
+    assert(back.centroids.map(_.toVector).toVector ===
+      fit.centroids.map(_.toVector).toVector)
+    assert(back.sampleN.toVector === fit.sampleN.toVector)
+    assert(back.inertia.toVector === fit.inertia.toVector)
+    // a fresh session's routing off the reloaded model is identical
+    val r1 = df.select(col("vec_id"), graft.functions.NearestCentroid(
+        transform(col("embedding"), _.cast("double")),
+        fit.centroids.map(_.toSeq).toSeq).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r2 = df.select(col("vec_id"), graft.functions.NearestCentroid(
+        transform(col("embedding"), _.cast("double")),
+        back.centroids.map(_.toSeq).toSeq).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1 === r2)
+  }
+
   // ---------------------------------------- p93 random-sign projection
 
   test("SignedProject kernel: hand-computed sums, mismatch and null-element guards") {
