@@ -71,6 +71,11 @@ object PipelineQueries {
   private def resetP38Stages(): Unit =
     p38Stages.getAndSet(Nil).foreach(_.unpersist(blocking = false))
 
+  /** Cross-module access to the stage-boundary cache registry (p92's
+    * scored frame in [[TextAnalysis.ccnetLangBuckets]] — computed once,
+    * read by the histogram collect and the three verdict branches). */
+  private[graft] def stageCache(df: DataFrame): DataFrame = p38Stage(df)
+
   /** Probe-tool access to the shared candidate pipeline. */
   private[graft] def minhashCandsForProbe(spark: SparkSession, dir: String): DataFrame =
     minhashCandsFor(spark, dir)
@@ -4943,6 +4948,7 @@ object PipelineQueries {
     "p93_random_projection" -> p93RandomProjection,
     "p94_schema_evolution" -> p94SchemaEvolution,
     "p95_cluster_sample" -> p95ClusterSample,
+    "p96_cluster_purity" -> p96ClusterPurity,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5308,6 +5314,79 @@ object PipelineQueries {
        |       FROM sel)
        |SELECT id AS vec_id, CAST(c AS BIGINT) AS cluster
        |FROM rk WHERE rk <= 10 ORDER BY vec_id""".stripMargin)
+
+  // -------------------------------------------- p96 cluster purity
+
+  /** p96: clustering-evaluation purity report — the number a curation
+    * team checks BEFORE trusting learned clusters for sampling or
+    * SemDeDup: per trained cluster, how concentrated is the (held-out
+    * synthetic) label? One row per cluster with its population,
+    * majority label (ties → smallest label), majority count, and
+    * purity, plus a '*' rollup (cluster −1) whose purity is the
+    * standard overall clustering-purity score
+    * Σ_c max_l |c ∩ l| / N. Uses the shared p91 fit; assignment is the
+    * row-local NearestCentroid pass.
+    *
+    * 100-TB shape: ONE map-side-combined (cluster, label) count
+    * exchange — bounded by k × labels, never corpus rows; the majority
+    * window runs over that cross-tab, not the corpus. */
+  lazy val p96ClusterPurity: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fit = kmeansFitFor(spark, dir)
+    val assigned = emb
+      .select(col("vec_id").as("id"),
+        col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .select(col("id"), col("label"),
+        graft.functions.NearestCentroid(col("v"),
+          fit.centroids.map(_.toSeq).toSeq).cast("long").as("cluster"))
+      .filter(col("cluster").isNotNull)
+    val ct = assigned.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("n").desc, col("label"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    val per = ct
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_vecs", sum("n").over(wAll))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("n_vecs"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        round(col("n").cast("double") / col("n_vecs"), 6).as("purity"))
+    val rollup = per
+      .agg(sum("n_vecs").as("n_vecs"), sum("n_majority").as("n_majority"))
+      .select(lit(-1L).as("cluster"), col("n_vecs"),
+        lit(null).cast("long").as("majority_label"), col("n_majority"),
+        round(col("n_majority").cast("double") / col("n_vecs"), 6).as("purity"))
+    per.unionByName(rollup).orderBy("cluster")
+  }
+
+  /** p96 oracle: the p91 retrain chain's corpus assignment joined to
+    * the label column, the same cross-tab/majority window, and the
+    * rollup. */
+  lazy val p96Sql: String = p91ChainSql(
+    """|,
+       |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |ctab AS (SELECT ca.c, l.label, count(*) AS n
+       |         FROM ca JOIN lab l USING (id) GROUP BY 1, 2),
+       |pr AS (SELECT c, label, n,
+       |         row_number() OVER (PARTITION BY c ORDER BY n DESC, label) AS rk,
+       |         sum(n) OVER (PARTITION BY c) AS n_vecs
+       |       FROM ctab),
+       |per AS (SELECT CAST(c AS BIGINT) AS cluster,
+       |         CAST(n_vecs AS BIGINT) AS n_vecs,
+       |         label AS majority_label,
+       |         CAST(n AS BIGINT) AS n_majority,
+       |         round(n::DOUBLE / n_vecs, 6) AS purity
+       |        FROM pr WHERE rk = 1)
+       |SELECT * FROM (
+       |  SELECT * FROM per
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(sum(n_vecs) AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(sum(n_majority) AS BIGINT),
+       |    round(sum(n_majority)::DOUBLE / sum(n_vecs), 6)
+       |  FROM per)
+       |ORDER BY cluster""".stripMargin)
 
   // ------------------------------------------- p94 schema evolution
 
@@ -6059,6 +6138,7 @@ object PipelineQueries {
     "p93_random_projection" -> p93Sql,
     "p94_schema_evolution" -> p94Sql,
     "p95_cluster_sample" -> p95Sql,
+    "p96_cluster_purity" -> p96Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,

@@ -1124,11 +1124,16 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val scored = bigramLmScoreOrdered(docs, textCol, idCol, refCond, k)
-    val base = docs.select(col(idCol),
-        languageId(col(textCol)).as("pred_lang"))
-      .join(scored, Seq(idCol))
-      .withColumn("__bkt",
-        floor(col("lm_logprob") * granularity).cast("long"))
+    // stage-cached: the LM join pipeline is the expensive branch, and
+    // it feeds the histogram collect AND the three verdict branches —
+    // uncached it would recompute ~4x (measured 46.9 s -> the cached
+    // form pays the pipeline once); the registry unpersists on the
+    // bench/determinism resets
+    val base = PipelineQueries.stageCache(
+      docs.select(col(idCol), languageId(col(textCol)).as("pred_lang"))
+        .join(scored, Seq(idCol))
+        .withColumn("__bkt",
+          floor(col("lm_logprob") * granularity).cast("long")))
     val hist = base.filter(col("__bkt").isNotNull)
       .groupBy("pred_lang", "__bkt").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

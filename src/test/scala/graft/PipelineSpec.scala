@@ -2441,6 +2441,36 @@ class PipelineSpec extends AnyFunSuite {
     empties.foreach { c => assert(fit.inertia(c) === 0.0) }
   }
 
+  test("kmeansFit fuzz battery: 60 random corpora pin the fit against the functional replay") {
+    import spark.implicits._
+    val rng = DetRng(91999L)
+    (0 until 60).foreach { trial =>
+      val n = 5 + rng.nextInt(60)
+      val dim = 1 + rng.nextInt(6)
+      val k = 1 + rng.nextInt(math.min(n, 5))
+      val iters = 1 + rng.nextInt(4)
+      val cap = k + rng.nextInt(n)
+      val seed = rng.nextLong()
+      // cluster-ish data with exact duplicates sprinkled in (the
+      // degenerate regimes: coincident init points, emptied clusters)
+      val rows = (0 until n).map { i =>
+        val c = i % math.max(1, k)
+        val v =
+          if (rng.nextInt(4) == 0) Array.fill(dim)(c.toDouble) // exact dup mass
+          else Array.tabulate(dim)(d => c * 3.0 + rng.nextGaussian() + d * 0.1)
+        (i.toLong, v)
+      }
+      val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      val fit = SimilaritySearch.kmeansFit(df, "embedding", "vec_id",
+        k = k, iters = iters, sampleCap = cap, seed = seed)
+      val (cents, cnts, inertia) = naiveKmeans(rows, k, iters, cap, seed)
+      assert(fit.centroids.map(_.toVector).toVector === cents,
+        s"trial $trial (n=$n dim=$dim k=$k iters=$iters cap=$cap seed=$seed): centroids diverged")
+      assert(fit.sampleN.toVector === cnts, s"trial $trial: counts diverged")
+      assert(fit.inertia.toVector === inertia, s"trial $trial: inertia diverged")
+    }
+  }
+
   test("kmeansSave/kmeansLoad: bit-identical round-trip, identical routing") {
     import spark.implicits._
     val rng = DetRng(9108L)
