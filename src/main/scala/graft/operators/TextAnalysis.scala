@@ -1092,6 +1092,38 @@ object TextAnalysis {
         col("lm_logprob"))
   }
 
+  /** Collect the reference-slice bigram LM into a shippable
+    * [[graft.functions.LmModel]] (st30's streaming scorer): exact
+    * unigram/bigram counts off the SAME expressions the batch join
+    * pipeline aggregates, under an explicit entry budget with a named
+    * error — the CCNet deployment shape (the model trains once on the
+    * bounded reference slice and ships to executors; vocabulary² is
+    * bounded by the reference slice, not the corpus). */
+  def lmModelFor(docs: DataFrame, textCol: String, refCond: Column,
+      k: Double = 1.0, maxEntries: Int = 1 << 22): graft.functions.LmModel = {
+    require(k > 0, "smoothing k must be positive")
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val prs = graft.functions.BindOnce.bindArray(tk, tks =>
+      transform(sequence(lit(0), size(tks) - 2),
+        i => struct(element_at(tks, i + 1).as("w1"), element_at(tks, i + 2).as("w2"))))
+    val ref = docs.filter(refCond)
+    val uniRows = ref.select(explode(tk).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(uniRows.size <= maxEntries,
+      s"lmModelFor: reference vocabulary ${uniRows.size} exceeds the " +
+        s"$maxEntries-entry model budget")
+    val biRows = ref.filter(size(tk) >= 2)
+      .select(explode(prs).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    require(biRows.size <= maxEntries,
+      s"lmModelFor: reference bigram table ${biRows.size} exceeds the " +
+        s"$maxEntries-entry model budget")
+    graft.functions.LmModel(biRows, uniRows, k)
+  }
+
   /** CCNet's ACTUAL bucketing protocol (Wenzek et al. §4.2): per
     * LANGUAGE, rank every document by reference-LM score and cut the
     * ranking into head / middle / tail THIRDS — the cutoffs are

@@ -341,6 +341,56 @@ object StreamingQueries {
        |  CAST(min(ca.id) AS BIGINT) AS first_vec
        |FROM ca GROUP BY ca.c ORDER BY cluster""".stripMargin)
 
+  /** st30: streaming CCNet quality gate — the DEPLOYMENT shape of the
+    * per-language percentile filter: the bigram LM trains once on the
+    * static reference slice and SHIPS to executors as a scoring model
+    * ([[graft.operators.TextAnalysis.lmModelFor]] /
+    * [[graft.functions.LmDocScore]] — one row-local codegen pass per
+    * document, no stream-static join per token), the per-language
+    * cutoff TUPLES (score, id at ranks ⌊n/3⌋ and ⌊2n/3⌋) freeze from
+    * the batch fit and broadcast, and each arriving document buckets
+    * by tuple comparison — head iff (score, id) sorts at-or-before the
+    * rank-⌊n/3⌋ cutoff in (score DESC, id ASC) order, which for
+    * replayed documents reproduces the batch rank semantics EXACTLY,
+    * and for genuinely new documents is the production frozen-cutoff
+    * gate. Stateless append projection + stream-static broadcast join:
+    * zero state rows. The kernel's tokenization, lp arithmetic, and
+    * fold are bit-parity with the batch join pipeline (spec-pinned),
+    * so the oracle IS p92's. */
+  val st30StreamCcnetGate: Q = (spark, dir) => {
+    val docs = Tables.load(spark, dir, "documents")
+    val refCond = pmod(col("doc_id"), lit(5)) === 0
+    val model = TextAnalysis.lmModelFor(docs, "text", refCond)
+    val buckets = TextAnalysis.ccnetLangBuckets(docs, "text", "doc_id", refCond)
+    def negTuple = struct((-col("lm_logprob")).as("ns"), col("doc_id").as("cid"))
+    val c1 = buckets.filter(col("bucket") === "head")
+      .groupBy("pred_lang").agg(max(negTuple).as("c1"))
+    val c2 = buckets.filter(col("bucket").isin("head", "middle"))
+      .groupBy("pred_lang").agg(max(negTuple).as("c2"))
+    val rules = c1.join(c2, Seq("pred_lang"), "full")
+    val scored = boundedDocStream(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("pred_lang"),
+        graft.functions.LmDocScore(col("text"), model).as("__s"))
+      .select(col("doc_id"), col("pred_lang"),
+        coalesce(element_at(col("__s"), 1).cast("long"), lit(0L)).as("n_bigrams"),
+        element_at(col("__s"), 2).as("lm_logprob"))
+    val my = struct((-col("lm_logprob")).as("ns"), col("doc_id").as("cid"))
+    val out = scored.join(broadcast(rules), Seq("pred_lang"), "left")
+      .select(col("doc_id"), col("pred_lang"), col("n_bigrams"),
+        col("lm_logprob"),
+        when(col("lm_logprob").isNull, "na")
+          .when(my <= col("c1"), "head")
+          .when(my <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+    drainToMemory(spark, "st30", out.writeStream.outputMode("append"))
+      .orderBy("doc_id")
+  }
+
+  /** st30 oracle: p92's — the streaming gate must reproduce the batch
+    * per-language thirds document for document. */
+  def st30Sql: String = graft.operators.PipelineQueries.p92Sql
+
   /** The events table as a bounded stream. Schema comes from the raw
     * parquet footer (micros-NTZ in current testdata generations) and ts
     * normalizes with the same UTC-pinned cast `Tables.load` applies; a
@@ -1338,7 +1388,8 @@ object StreamingQueries {
     "st03_stream_source_profile" -> st03SourceProfile,
     "st04_stream_near_dup" -> st04NearDupBuckets,
     "st05_stream_embed_near_dup" -> st05EmbedNearDup,
-    "st29_stream_kmeans_route" -> st29StreamKmeansRoute)
+    "st29_stream_kmeans_route" -> st29StreamKmeansRoute,
+    "st30_stream_ccnet_gate" -> st30StreamCcnetGate)
 
   /** st07 oracle: the salted append path restated — day FRAGMENTS
     * (session construction within (user, floor(epoch_us/86 400 000 000))
@@ -1426,5 +1477,6 @@ object StreamingQueries {
     "st03_stream_source_profile" -> st03Sql,
     "st04_stream_near_dup" -> st04Sql,
     "st05_stream_embed_near_dup" -> st05Sql,
-    "st29_stream_kmeans_route" -> st29Sql)
+    "st29_stream_kmeans_route" -> st29Sql,
+    "st30_stream_ccnet_gate" -> st30Sql)
 }

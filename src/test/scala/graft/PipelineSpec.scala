@@ -2593,6 +2593,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LmDocScore kernel is bit-parity with the batch ordered-fold join pipeline") {
+    import spark.implicits._
+    val rng = DetRng(9301L)
+    val ws = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val random = (0 until 50).map { i =>
+      (i.toLong, (0 until 2 + rng.nextInt(25)).map(_ => ws(rng.nextInt(6))).mkString(" "))
+    }
+    val nasty = Seq(
+      (100L, "\tleading tab beta"), (101L, "trailing space alpha "),
+      (102L, "multi   spacevt\ngamma"), (103L, "UPPER Case MiXeD beta"),
+      (104L, "naïve café 中文 beta"), (105L, ""), (106L, "one"),
+      (107L, null.asInstanceOf[String]), (108L, "beta beta beta beta"),
+      (109L, "  nbsp is not java ws beta"))
+    val df = (random ++ nasty).toDF("doc_id", "text")
+    val refCond = pmod(col("doc_id"), lit(3)) === 0
+    val model = graft.operators.TextAnalysis.lmModelFor(df, "text", refCond)
+    val batch = graft.operators.TextAnalysis
+      .bigramLmScoreOrdered(df, "text", "doc_id", refCond)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val kernel = df.select(col("doc_id"),
+        graft.functions.LmDocScore(col("text"), model).as("s"))
+      .collect().map { r =>
+        val arr = if (r.isNullAt(1)) None else Some(r.getSeq[Double](1))
+        r.getLong(0) -> (arr.map(_.head.toLong).getOrElse(0L), arr.map(_(1)))
+      }.toMap
+    assert(batch.keySet === kernel.keySet)
+    batch.foreach { case (id, (n, s)) =>
+      assert(kernel(id)._1 === n, s"doc $id: n_bigrams ${kernel(id)._1} vs $n")
+      (s, kernel(id)._2) match {
+        case (None, None) => ()
+        case (Some(a), Some(b)) =>
+          assert(a === b, s"doc $id: score not bit-equal: $a vs $b")
+        case other => fail(s"doc $id: null mismatch $other")
+      }
+    }
+  }
+
   test("bigramLmScoreOrdered: same model as bigramLmScore, deterministic fold") {
     import spark.implicits._
     val rng = DetRng(9202L)
