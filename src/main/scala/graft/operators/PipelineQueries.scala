@@ -4949,6 +4949,7 @@ object PipelineQueries {
     "p94_schema_evolution" -> p94SchemaEvolution,
     "p95_cluster_sample" -> p95ClusterSample,
     "p96_cluster_purity" -> p96ClusterPurity,
+    "p97_ivf_recall" -> p97IvfRecall,
     "p30_curation" -> p30Curation,
     "p12_multimodal_features" -> p12MultimodalFeatures,
     "p13_multimodal_frames" -> p13MultimodalFrames,
@@ -5315,6 +5316,114 @@ object PipelineQueries {
        |SELECT id AS vec_id, CAST(c AS BIGINT) AS cluster
        |FROM rk WHERE rk <= 10 ORDER BY vec_id""".stripMargin)
 
+  // ---------------------------------------------- p97 IVF recall audit
+
+  /** p97: measured IVF recall curve — recall@10 vs nProbe, the number
+    * an ANN deployment tunes its probe budget against (the p89/p90
+    * measured-audit discipline applied to the similarity-search rung).
+    * Possible to put fully BEHIND the oracle because the coarse
+    * quantizer here is the ORACLE-STATABLE p91 k-means fit (p07's IVF
+    * uses the java.util.Random fit and stays det_match-gated): for
+    * each of 4 hash-sampled queries, cells rank by exact
+    * centroid-cosine (the CosineSimilarity kernel's fold order, ties →
+    * lower cell id), the top-`nProbe` cells' members rank by exact
+    * cosine, and recall@10 counts overlap with the exhaustive
+    * brute-force top-10. nProbe = 8 = all cells is the recall-1.0
+    * sanity row. Scale shape: each probed search is the ivfTopK scan
+    * shape (cell-pruned, ∝ nProbe/k of the corpus); the audit itself
+    * is bounded — 4 queries × 4 probe settings, every collected set
+    * ≤ 10 ids. */
+  lazy val p97IvfRecall: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fit = kmeansFitFor(spark, dir)
+    val cents = fit.centroids
+    val data = emb.select(col("vec_id").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val cells = data.withColumn("cell",
+        graft.functions.NearestCentroid(col("v"), cents.map(_.toSeq).toSeq))
+      .filter(col("cell").isNotNull)
+    val queries = data.orderBy(Sampling.hash63(col("id"), 97L), col("id"))
+      .limit(4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cosK(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 10
+    val out = queries.toSeq.flatMap { case (qid, qv) =>
+      val scored = cells.select(col("id"), col("cell"),
+          SimilaritySearch.cosine(col("v"), typedLit(qv.toSeq)).as("cs"))
+        .filter(col("cs").isNotNull)
+      val brute = scored.orderBy(col("cs").desc, col("id")).limit(k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val ranked = cents.indices
+        .map(c => (c, cosK(qv, cents(c))))
+        .sortBy { case (c, cc) => (-cc, c) }
+        .map(_._1)
+      Seq(1, 2, 4, 8).map { p =>
+        val probe = ranked.take(p)
+        val got = scored.filter(col("cell").isin(probe: _*))
+          .orderBy(col("cs").desc, col("id")).limit(k)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val hits = got.count(brute.contains).toLong
+        (qid, p.toLong, hits, hits.toDouble / k)
+      }
+    }
+    out.toDF("query_id", "n_probe", "n_hits", "recall")
+      .orderBy("query_id", "n_probe")
+  }
+
+  /** p97 oracle: the p91 retrain chain supplies centroids (`ct4`) and
+    * the corpus assignment (`ca`); a second chain picks the seed-97
+    * query sample; cell ranking, per-candidate cosine, the brute-force
+    * top-10, and each nProbe's pruned top-10 are all stated with the
+    * kernel's exact fold order; recall is the overlap count / 10. */
+  lazy val p97Sql: String = p91ChainSql(
+    "," + mixChainSql(
+      "SELECT id, v, xor(CAST(id AS UBIGINT), CAST(97 AS UBIGINT)) AS z FROM h",
+      p = "q9", hName = "q9h", lead = "\n") +
+    s"""|
+        |qs AS MATERIALIZED (
+        |  SELECT id AS qid, v AS qv, row_number() OVER (ORDER BY z, id) AS qrn
+        |  FROM q9h QUALIFY qrn <= 4),
+        |cellcos AS (
+        |  SELECT q.qid, k.c,
+        |    coalesce(${cosSql("q.qv", "k.cv", P91Dim)}, -2.0) AS cc
+        |  FROM qs q, ct$P91Iters k),
+        |cellrank AS (
+        |  SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY cc DESC, c) AS crk
+        |  FROM cellcos),
+        |qcos AS MATERIALIZED (
+        |  SELECT q.qid, f.id, ca.c AS cell,
+        |    ${cosSql("q.qv", "f.v", P91Dim)} AS cs
+        |  FROM qs q, h f JOIN ca ON ca.id = f.id),
+        |qc AS (SELECT * FROM qcos WHERE cs IS NOT NULL),
+        |brute AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS rk
+        |    FROM qc) WHERE rk <= 10),
+        |np AS (SELECT CAST(p.p AS BIGINT) AS p FROM unnest([1, 2, 4, 8]) AS p(p)),
+        |ivf AS (
+        |  SELECT qid, p, id FROM (
+        |    SELECT t.qid, t.p, t.id,
+        |      row_number() OVER (PARTITION BY t.qid, t.p ORDER BY t.cs DESC, t.id) AS rk
+        |    FROM (
+        |      SELECT qc.qid, np.p, qc.id, qc.cs
+        |      FROM qc
+        |      JOIN cellrank cr ON cr.qid = qc.qid AND cr.c = qc.cell
+        |      CROSS JOIN np
+        |      WHERE cr.crk <= np.p) t) WHERE rk <= 10)
+        |SELECT i.qid AS query_id, i.p AS n_probe,
+        |  CAST(count(b.id) AS BIGINT) AS n_hits,
+        |  count(b.id)::DOUBLE / 10 AS recall
+        |FROM ivf i LEFT JOIN brute b ON b.qid = i.qid AND b.id = i.id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   // -------------------------------------------- p96 cluster purity
 
   /** p96: clustering-evaluation purity report — the number a curation
@@ -5480,17 +5589,22 @@ object PipelineQueries {
     * cosines as the kernel's exact fold order (dot and the two norms
     * accumulated in index order, result dot/(sqrt·sqrt)) — bit-exact,
     * including the zero-norm → NULL guard. */
+  /** The [[graft.functions.CosineSimilarity]] kernel restated as exact
+    * ordered folds (dot and both norms accumulated in index order from
+    * 0.0, result dot/(sqrt·sqrt), zero-norm → NULL) — shared by the
+    * p93 and p97 oracles. */
+  private def cosSql(x: String, y: String, n: Int): String = {
+    def fold(expr: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}), " +
+        s"i -> $expr)), (a, b) -> a + b)"
+    val dot = fold(s"$x[i] * $y[i]")
+    val na = fold(s"$x[i] * $x[i]")
+    val nb = fold(s"$y[i] * $y[i]")
+    s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN NULL " +
+      s"ELSE $dot / (sqrt($na) * sqrt($nb)) END"
+  }
+
   lazy val p93Sql: String = {
-    def cosSql(x: String, y: String, n: Int): String = {
-      def fold(expr: String): String =
-        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}), " +
-          s"i -> $expr)), (a, b) -> a + b)"
-      val dot = fold(s"$x[i] * $y[i]")
-      val na = fold(s"$x[i] * $x[i]")
-      val nb = fold(s"$y[i] * $y[i]")
-      s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN NULL " +
-        s"ELSE $dot / (sqrt($na) * sqrt($nb)) END"
-    }
     mixChainSql(
       """SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |    xor(CAST(vec_id AS UBIGINT), CAST(193 AS UBIGINT)) AS z
@@ -6139,6 +6253,7 @@ object PipelineQueries {
     "p94_schema_evolution" -> p94Sql,
     "p95_cluster_sample" -> p95Sql,
     "p96_cluster_purity" -> p96Sql,
+    "p97_ivf_recall" -> p97Sql,
     "p30_curation" -> p30Sql,
     "p01_dedup_exact" -> p01Sql,
     "p06_ann_topk" -> p06Sql,
