@@ -32,7 +32,7 @@ object Dedup {
     * the plan stays a DataFrame and AQE still coalesces downstream. A
     * many-file input (the 100 TB case) or a derived/cached frame passes
     * through untouched, no extra shuffle. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     val files = df.inputFiles.length
     if (files > 0 && files < want) df.repartition(want) else df

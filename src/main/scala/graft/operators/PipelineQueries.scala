@@ -716,7 +716,7 @@ object PipelineQueries {
     * scale shape: row-local gram construction, one map-side-combined
     * shuffle, TakeOrderedAndProject top-k). */
   val p32TopNgrams: Q = (spark, dir) =>
-    TextAnalysis.topNgrams(Tables.load(spark, dir, "documents"),
+    TextAnalysis.topNgrams(Dedup.spread(Tables.load(spark, dir, "documents")),
       "text", n = 2, k = 50)
 
   /** The passage-carrying fixture for p33: the corpus texts are unique,
@@ -746,7 +746,7 @@ object PipelineQueries {
     * the three-exchange scale shape). Completes the dedup ladder:
     * document (p01) → near (p02/p05) → line (p26) → span. */
   val p33SpanDup: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
     val aug = docs.select(col("doc_id"), p33FixtureText.as("t"))
     Dedup.spanDupStats(aug, "t", "doc_id", width = P33Width)
       .orderBy("doc_id")
@@ -804,7 +804,7 @@ object PipelineQueries {
   private val P34MidMin = -3.55
   val p34LmQuality: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
-    TextAnalysis.bigramLmScore(docs, "text", "doc_id",
+    TextAnalysis.bigramLmScoreKernel(docs, "text", "doc_id",
         refCond = pmod(col("doc_id"), lit(5)) === 0, k = 1.0)
       .withColumn("bucket",
         when(col("lm_logprob").isNull, lit("na"))
@@ -967,7 +967,7 @@ object PipelineQueries {
     * three-exchange scale shape and the sklearn idf convention). */
   val p37Tfidf: Q = (spark, dir) =>
     TextAnalysis.tfidfTopTerms(
-        Tables.load(spark, dir, "documents"), "text", "doc_id", k = 3)
+        Dedup.spread(Tables.load(spark, dir, "documents")), "text", "doc_id", k = 3)
       .orderBy("doc_id", "rank")
 
   /** p37 oracle: same tokens, counts, smoothed idf and the identical
@@ -1160,7 +1160,7 @@ object PipelineQueries {
     * that turns filtered documents into model-sized pieces; row-local
     * explode, no shuffle). */
   val p42DocChunks: Q = (spark, dir) =>
-    TextAnalysis.chunkTokens(Tables.load(spark, dir, "documents"),
+    TextAnalysis.chunkTokens(Dedup.spread(Tables.load(spark, dir, "documents")),
         "text", "doc_id", chunk = P42Chunk, stride = P42Stride)
       .orderBy("doc_id", "chunk_idx")
 
@@ -2484,20 +2484,45 @@ object PipelineQueries {
       sum(when(col("fold") === 0L, 1L).otherwise(0L)).as("n_train_docs"),
       sum(when(col("fold") === 0L, col("n_tokens")).otherwise(0L))
         .as("n_train_tokens")))
-    val hosts = responses.groupBy("host").agg(count(lit(1)).as("n_responses"))
-      .join(allowed.groupBy("host").agg(count(lit(1)).as("n_allowed")),
-        Seq("host"), "left")
-      .join(kept.groupBy("host").agg(count(lit(1)).as("n_kept")),
-        Seq("host"), "left")
-      .join(dupPerHost, Seq("host"), "left")
-      .join(perFold, Seq("host"), "left")
-      .select(col("host"), col("n_responses"),
-        coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_recrawl_dup"), lit(0L)).as("n_recrawl_dup"),
-        col("fold"),
-        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
-        coalesce(col("n_train_tokens"), lit(0L)).as("n_train_tokens"),
+    // r18 optimization (§2.4 share one exchange): the per-host report
+    // was 3 count-aggregates LEFT-joined 4-ways host-keyed — 3 agg
+    // exchanges + 4 joins. All five sources union into ONE tagged frame
+    // and roll up in ONE map-side-combined aggregate; every host comes
+    // from `responses` (allowed/kept/dup/fold are subsets), so the
+    // grouped union reproduces the left-join host set exactly. min
+    // ignores NULLs, so the fold column survives only from the perFold
+    // contribution, and a host absent from a source sums its zeros —
+    // the old coalesce(…, 0) semantics.
+    val zeroL = lit(0L)
+    val nullL = lit(null).cast("long")
+    def contrib(df: DataFrame, r: org.apache.spark.sql.Column,
+        a: org.apache.spark.sql.Column, kv: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
+        td: org.apache.spark.sql.Column, tt: org.apache.spark.sql.Column) =
+      df.select(col("host"), r.as("r"), a.as("a"), kv.as("kv"), d.as("d"),
+        f.as("f"), td.as("td"), tt.as("tt"))
+    val tagged = contrib(responses.select("host"),
+        lit(1L), zeroL, zeroL, zeroL, nullL, zeroL, zeroL)
+      .unionByName(contrib(allowed.select("host"),
+        zeroL, lit(1L), zeroL, zeroL, nullL, zeroL, zeroL))
+      .unionByName(contrib(kept.select("host"),
+        zeroL, zeroL, lit(1L), zeroL, nullL, zeroL, zeroL))
+      .unionByName(contrib(dupPerHost,
+        zeroL, zeroL, zeroL, col("n_recrawl_dup"), nullL, zeroL, zeroL))
+      .unionByName(contrib(perFold,
+        zeroL, zeroL, zeroL, zeroL, col("fold"),
+        col("n_train_docs"), col("n_train_tokens")))
+    val hosts = tagged.groupBy("host").agg(
+        sum(col("r")).as("n_responses"),
+        sum(col("a")).as("n_allowed"),
+        sum(col("kv")).as("n_kept"),
+        sum(col("d")).as("n_recrawl_dup"),
+        min(col("f")).as("fold"),
+        sum(col("td")).as("n_train_docs"),
+        sum(col("tt")).as("n_train_tokens"))
+      .select(col("host"), col("n_responses"), col("n_allowed"),
+        col("n_kept"), col("n_recrawl_dup"), col("fold"),
+        col("n_train_docs"), col("n_train_tokens"),
         lit(null).cast("long").as("n_bins"))
     // the '*' rollup references the per-host frame a second time; the
     // expensive branches behind it (recrawl dedup, the fold split) are
@@ -2719,7 +2744,7 @@ object PipelineQueries {
     * pinned in PipelineSpec. */
   private val P74Seed = 74L
   val p74DsirSelect: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), p41FixtureText.as("t"))
     val clean = pmod(col("doc_id"), lit(13)) =!= 0 &&
       pmod(col("doc_id"), lit(17)) =!= 0 && pmod(col("doc_id"), lit(19)) =!= 0
@@ -3414,7 +3439,7 @@ object PipelineQueries {
       .select(col("doc_id"), (col("verdict") === "keep").as("kr"))
     // the CCNet-style LM rung (p34's model, thresholds, and reference
     // slice) over the SAME shared text: keep = head-or-middle bucket
-    val lm = TextAnalysis.bigramLmScore(raw, "t", "doc_id",
+    val lm = TextAnalysis.bigramLmScoreKernel(raw, "t", "doc_id",
         refCond = pmod(col("doc_id"), lit(5)) === 0, k = 1.0)
       .select(col("doc_id"),
         (col("lm_logprob").isNotNull &&
@@ -3534,7 +3559,7 @@ object PipelineQueries {
     * 5-group aggregate: exchanges carry per-doc stat rows and the
     * language groups, never text. */
   val p59LangFertility: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
     val perDoc = TextAnalysis.bpeTokenizeCorpusWith(docs, "text", "doc_id",
       bpeModelFor(spark, dir))
     val langs = docs.select(col("doc_id"),
@@ -3795,7 +3820,7 @@ object PipelineQueries {
     * noise; equal scores (identical tf/len) tie-break on doc_id
     * identically on both engines. */
   val p44Bm25: Q = (spark, dir) =>
-    TextAnalysis.bm25TopK(Tables.load(spark, dir, "documents"),
+    TextAnalysis.bm25TopK(Dedup.spread(Tables.load(spark, dir, "documents")),
       "text", "doc_id", P44Terms, k = 10)
 
   /** p44 oracle: same postings, idf, length normalization, and the
@@ -3830,7 +3855,7 @@ object PipelineQueries {
     * side stays constant and the audit scales linearly in the corpus,
     * exactly as production does. */
   val p45PairContamination: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
     val aug = docs.select(col("doc_id"), p33FixtureText.as("t"))
     val refs = aug.filter(pmod(col("doc_id"), lit(91)) === 0 &&
         col("doc_id") < 100000L)
@@ -3876,7 +3901,7 @@ object PipelineQueries {
     * excise every token covered by a corpus-duplicated window; see its
     * scaladoc for the row-local interval-merge reconstruction). */
   val p46SpanRemoval: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
     val aug = docs.select(col("doc_id"), p33FixtureText.as("t"))
     Dedup.removeDupSpans(aug, "t", "doc_id", width = P33Width)
       .orderBy("doc_id")
@@ -4031,7 +4056,7 @@ object PipelineQueries {
     * shuffle + a bounded-histogram rank/cumsum window — see its
     * scaladoc). */
   val p48VocabCoverage: Q = (spark, dir) =>
-    TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"),
+    TextAnalysis.vocabCoverage(Dedup.spread(Tables.load(spark, dir, "documents")),
         "text", k = 20)
       .orderBy("rank")
 
@@ -4127,13 +4152,16 @@ object PipelineQueries {
     // the intermediate parquet checkpoint a cluster-scale ingest writes
     // between curation stages; Bench/determinism resets drop it so
     // every measured pass is cold.
-    val ex = p38Stage(docs.select(col("doc_id"),
+    // spread: the single-row-group test file gives the scan one task,
+    // which would serialize the htmlToText extraction on one core; at
+    // cluster scale the scan splits naturally and spread is a no-op
+    val ex = p38Stage(Dedup.spread(docs).select(col("doc_id"),
       TextAnalysis.htmlToText(p35FixtureHtml).as("extracted")))
     val gate = TextAnalysis.lengthQuantileFilter(ex, "extracted", "doc_id", 10, 90)
     val surv = p38Stage(ex.join(
       gate.filter(col("kept")).select(col("doc_id"), col("n_tokens")),
       Seq("doc_id")))
-    val lm = TextAnalysis.bigramLmScore(surv, "extracted", "doc_id",
+    val lm = TextAnalysis.bigramLmScoreKernel(surv, "extracted", "doc_id",
         refCond = pmod(col("doc_id"), lit(5)) === 0, k = 1.0)
       .withColumn("bucket",
         when(col("lm_logprob").isNull, lit("na"))
@@ -4287,7 +4315,7 @@ object PipelineQueries {
     * Scale: filters and kernels row-local; the only wide stages are the
     * dedup hash-group and the doc_id semi-join — p01's own shapes. */
   val p30Curation: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
     val scored = TextAnalysis.qualityMetrics(docs, "text")
       .withColumn("pred_lang", TextAnalysis.languageId(col("text")))
     val filtered = scored
@@ -4509,7 +4537,7 @@ object PipelineQueries {
     * p01's document-level exact dedup cannot see a line repeated inside
     * otherwise-unique documents. */
   val p26LineDedup: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
     val aug = docs.select(col("doc_id"), lineFixtureText.as("t"))
     Dedup.lineDedup(aug, "t", "doc_id", maxDf = 50L)
       .orderBy("doc_id")
@@ -5145,6 +5173,22 @@ object PipelineQueries {
     * b × r against — theory says 1−(1−s⁴)³² ≈ 0.19/0.87/0.996/1.0 at
     * the four planted similarities; the audit MEASURES it behind an
     * exact oracle. */
+  /** The audit-fixture candidate table p89 AND p90 both read — the two
+    * halves of the banding tuning report share one production candidate
+    * run (both audits accept a materialized-candidate input for exactly
+    * this reason; regenerating the corpus-wide LSH per half doubled the
+    * suite's audit cost). Memoized like [[minhashCandsFor]]; the bench/
+    * determinism resets drop it. */
+  private def p89CandsFor(spark: SparkSession, dir: String): DataFrame =
+    candsCache.getOrElseUpdate(dir + "#p89", {
+      val aug = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), p89FixtureText.as("t"))
+      val c = Dedup.minHashCandidates(aug, "t", "doc_id", minEstJaccard = 0.2)
+        .cache()
+      c.count()
+      c
+    })
+
   // lazy: defined after the queries map in object-init order
   lazy val p89LshRecall: Q = (spark, dir) => {
     val aug = Tables.load(spark, dir, "documents")
@@ -5152,7 +5196,8 @@ object PipelineQueries {
     // the slice bound keeps the deliberate quadratic truth stage a
     // SAMPLE at every SF (500 docs -> 125k exact pairs at sf0.1)
     Dedup.lshRecallAudit(aug, "t", "doc_id",
-        pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 2500)
+        pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 2500,
+        candidates = Some(p89CandsFor(spark, dir)))
       .orderBy("band")
   }
 
@@ -5211,7 +5256,8 @@ object PipelineQueries {
     val aug = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), p89FixtureText.as("t"))
     Dedup.lshPrecisionAudit(aug, "t", "doc_id",
-        pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 2500)
+        pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 2500,
+        candidates = Some(p89CandsFor(spark, dir)))
       .orderBy("band")
   }
 
@@ -5341,9 +5387,13 @@ object PipelineQueries {
     val data = emb.select(col("vec_id").as("id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
-    val cells = data.withColumn("cell",
+    // stage-cached: the assignment frame feeds 4 queries × (1 brute +
+    // 4 probe) top-k jobs — uncached, every one of those 20 jobs
+    // re-evaluated NearestCentroid over the corpus; the bench/
+    // determinism resets drop the cache
+    val cells = stageCache(data.withColumn("cell",
         graft.functions.NearestCentroid(col("v"), cents.map(_.toSeq).toSeq))
-      .filter(col("cell").isNotNull)
+      .filter(col("cell").isNotNull))
     val queries = data.orderBy(Sampling.hash63(col("id"), 97L), col("id"))
       .limit(4).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -5356,9 +5406,11 @@ object PipelineQueries {
     }
     val k = 10
     val out = queries.toSeq.flatMap { case (qid, qv) =>
-      val scored = cells.select(col("id"), col("cell"),
+      // per-query cosine computed once, read by the brute + 4 probe
+      // top-k jobs (same registry/reset lifecycle as `cells`)
+      val scored = stageCache(cells.select(col("id"), col("cell"),
           SimilaritySearch.cosine(col("v"), typedLit(qv.toSeq)).as("cs"))
-        .filter(col("cs").isNotNull)
+        .filter(col("cs").isNotNull))
       val brute = scored.orderBy(col("cs").desc, col("id")).limit(k)
         .select("id").collect().map(_.getLong(0)).toSet
       val ranked = cents.indices

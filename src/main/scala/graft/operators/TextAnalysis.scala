@@ -1092,6 +1092,27 @@ object TextAnalysis {
         col("lm_logprob"))
   }
 
+  /** [[bigramLmScore]]'s (id, n_bigrams, lm_logprob) surface computed
+    * the CCNet-deployment way: collect the reference-slice model once
+    * ([[lmModelFor]], entry-budgeted) and score every document with the
+    * row-local [[graft.functions.LmDocScore]] codegen kernel — a single
+    * stateless projection — instead of exploding every corpus bigram
+    * through two hash joins (guide §3.1/§2.4: the model IS the small
+    * side; broadcasting it removes the corpus-token exchanges
+    * entirely). Scores are the kernel's document-order fold —
+    * bit-parity with [[bigramLmScoreOrdered]] (spec-pinned), within
+    * ulps of [[bigramLmScore]]'s `avg` (summation order only). */
+  def bigramLmScoreKernel(docs: DataFrame, textCol: String, idCol: String,
+      refCond: Column, k: Double = 1.0,
+      model: Option[graft.functions.LmModel] = None): DataFrame = {
+    val m = model.getOrElse(lmModelFor(docs, textCol, refCond, k))
+    Dedup.spread(docs).select(col(idCol),
+        graft.functions.LmDocScore(col(textCol), m).as("__s"))
+      .select(col(idCol),
+        coalesce(element_at(col("__s"), 1).cast("long"), lit(0L)).as("n_bigrams"),
+        element_at(col("__s"), 2).as("lm_logprob"))
+  }
+
   /** Collect the reference-slice bigram LM into a shippable
     * [[graft.functions.LmModel]] (st30's streaming scorer): exact
     * unigram/bigram counts off the SAME expressions the batch join
@@ -1103,21 +1124,37 @@ object TextAnalysis {
       k: Double = 1.0, maxEntries: Int = 1 << 22): graft.functions.LmModel = {
     require(k > 0, "smoothing k must be positive")
     val tk = split(trim(lower(col(textCol))), "\\s+")
+    // ONE tokenize+explode pass fits both tables: each token emits
+    // (w1 = token, w2 = following token or NULL for the last), so the
+    // (w1, w2) rollup carries the bigram counts in its non-NULL-w2 rows
+    // and the unigram counts as the per-w1 sums (every token appears
+    // exactly once as w1) — halving the fit's jobs/scans vs the
+    // two-aggregation form (§2.3 aggregate-before-shuffle, one exchange)
     val prs = graft.functions.BindOnce.bindArray(tk, tks =>
-      transform(sequence(lit(0), size(tks) - 2),
-        i => struct(element_at(tks, i + 1).as("w1"), element_at(tks, i + 2).as("w2"))))
-    val ref = docs.filter(refCond)
-    val uniRows = ref.select(explode(tk).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      transform(sequence(lit(0), size(tks) - 1),
+        i => struct(element_at(tks, i + 1).as("w1"),
+          when(i + 2 <= size(tks), element_at(tks, i + 2)).as("w2"))))
+    // spread: the single-row-group local test files give the scan ONE
+    // task, serializing the tokenize+explode map side on one core; at
+    // cluster scale the scan has many splits and this is a no-op
+    // (guide §2.5, unsplittable-input repartition)
+    val ref = Dedup.spread(docs.filter(refCond))
+    val rows = ref.select(explode(prs).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .collect().map { r =>
+        (r.getString(0), if (r.isNullAt(1)) None else Some(r.getString(1)),
+          r.getLong(2))
+      }
+    val uniAgg = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { case (w1, _, c) =>
+      uniAgg.update(w1, uniAgg.getOrElse(w1, 0L) + c)
+    }
+    val uniRows = uniAgg.toSeq
     require(uniRows.size <= maxEntries,
       s"lmModelFor: reference vocabulary ${uniRows.size} exceeds the " +
         s"$maxEntries-entry model budget")
-    val biRows = ref.filter(size(tk) >= 2)
-      .select(explode(prs).as("pr"))
-      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    val biRows = rows.collect { case (w1, Some(w2), c) => ((w1, w2), c) }.toSeq
     require(biRows.size <= maxEntries,
       s"lmModelFor: reference bigram table ${biRows.size} exceeds the " +
         s"$maxEntries-entry model budget")
@@ -1151,19 +1188,29 @@ object TextAnalysis {
     * row-local bucket comparison against the broadcast rules table. */
   def ccnetLangBuckets(docs: DataFrame, textCol: String, idCol: String,
       refCond: Column, k: Double = 1.0,
-      granularity: Double = 32.0): DataFrame = {
+      granularity: Double = 32.0,
+      model: Option[graft.functions.LmModel] = None): DataFrame = {
     require(granularity > 0.0, "granularity must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val scored = bigramLmScoreOrdered(docs, textCol, idCol, refCond, k)
-    // stage-cached: the LM join pipeline is the expensive branch, and
-    // it feeds the histogram collect AND the three verdict branches —
-    // uncached it would recompute ~4x (measured 46.9 s -> the cached
-    // form pays the pipeline once); the registry unpersists on the
-    // bench/determinism resets
+    // r18 optimization: scores come from the broadcast-model LmDocScore
+    // kernel (bit-parity with the bigramLmScoreOrdered join pipeline —
+    // spec-pinned), fused with the languageId projection into ONE
+    // row-local pass over the corpus — the bigram explode, its two hash
+    // joins, the sort_array fold AND the id-rejoin all disappear from
+    // the plan (guide §2.4/§3.1). Callers that already fit the model
+    // (st30) pass it in so it trains once.
+    val m = model.getOrElse(lmModelFor(docs, textCol, refCond, k))
+    // stage-cached: the scored frame feeds the histogram collect AND
+    // the three verdict branches — uncached it would recompute ~4x;
+    // the registry unpersists on the bench/determinism resets
     val base = PipelineQueries.stageCache(
-      docs.select(col(idCol), languageId(col(textCol)).as("pred_lang"))
-        .join(scored, Seq(idCol))
+      Dedup.spread(docs)
+        .select(col(idCol), languageId(col(textCol)).as("pred_lang"),
+          graft.functions.LmDocScore(col(textCol), m).as("__s"))
+        .select(col(idCol), col("pred_lang"),
+          coalesce(element_at(col("__s"), 1).cast("long"), lit(0L)).as("n_bigrams"),
+          element_at(col("__s"), 2).as("lm_logprob"))
         .withColumn("__bkt",
           floor(col("lm_logprob") * granularity).cast("long")))
     val hist = base.filter(col("__bkt").isNotNull)

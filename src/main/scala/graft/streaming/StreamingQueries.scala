@@ -34,15 +34,29 @@ object StreamingQueries {
   // mod 600) seconds — ~10 one-minute windows over any scale factor
   private val EpochBase = 1767225600L
 
+  /** The streaming analogue of [[graft.operators.Dedup.spread]] for the
+    * bounded replay sources: a single-file landing dir gives every
+    * micro-batch ONE input partition, which serializes the heavy
+    * row-local kernels (MinHash signatures, image decode, LM scoring,
+    * PII scan) on one core BEFORE the stateful shuffle — the map side
+    * of each batch was running at 1/cores utilization. Round-robin to
+    * defaultParallelism so per-row kernels use the machine; a
+    * production landing zone arrives pre-split (many files / source
+    * partitions) and pays the same exchange only when its source
+    * parallelism is below the cluster's (guide §2.5,
+    * unsplittable-input repartition). */
+  private def spreadStream(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** The documents table as a bounded file stream with the synthetic
     * event-time column. The streaming file source needs a DIRECTORY base
     * path; the testdata table is a single file, so glob-filter it from
     * its parent. */
   private def boundedDocStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.load(spark, dir, "documents").schema
-    spark.readStream.schema(schema)
+    spreadStream(spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+      .parquet(dir))
       .withColumn("ts",
         timestamp_seconds(lit(EpochBase) + (col("doc_id") * 37) % 600))
   }
@@ -260,9 +274,9 @@ object StreamingQueries {
     * synthetic event-time treatment as [[boundedDocStream]]. */
   private def boundedVecStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables.load(spark, dir, "embeddings").schema
-    spark.readStream.schema(schema)
+    spreadStream(spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+      .parquet(dir))
       .withColumn("ts",
         timestamp_seconds(lit(EpochBase) + (col("vec_id") * 37) % 600))
   }
@@ -361,7 +375,8 @@ object StreamingQueries {
     val docs = Tables.load(spark, dir, "documents")
     val refCond = pmod(col("doc_id"), lit(5)) === 0
     val model = TextAnalysis.lmModelFor(docs, "text", refCond)
-    val buckets = TextAnalysis.ccnetLangBuckets(docs, "text", "doc_id", refCond)
+    val buckets = TextAnalysis.ccnetLangBuckets(docs, "text", "doc_id", refCond,
+      model = Some(model))
     def negTuple = struct((-col("lm_logprob")).as("ns"), col("doc_id").as("cid"))
     val c1 = buckets.filter(col("bucket") === "head")
       .groupBy("pred_lang").agg(max(negTuple).as("c1"))
@@ -548,7 +563,8 @@ object StreamingQueries {
     * the st08 oracle. */
   val st08StreamContamination: Q = (spark, dir) => {
     import graft.operators.TextAnalysis
-    val docsStatic = Tables.load(spark, dir, "documents")
+    val docsStatic = graft.operators.Dedup.spread(
+      Tables.load(spark, dir, "documents"))
     val fp = TextAnalysis.fingerprintSet()
     val refPrints = docsStatic.filter(col("doc_id") % 10 === 0)
       .select(explode(fp(col("text"))).as("print")).distinct()
@@ -781,7 +797,8 @@ object StreamingQueries {
     * rather than pretending complete-mode emission. */
   val st12StreamSpanAudit: Q = (spark, dir) => {
     val passage = " shared passage tokens alpha beta gamma delta epsilon zeta eta theta iota"
-    val hist = graft.Tables.load(spark, dir, "documents")
+    val hist = graft.operators.Dedup.spread(
+        graft.Tables.load(spark, dir, "documents"))
       .filter(col("doc_id") % 10 === 0)
       .withColumn("t", when(col("doc_id") % 50 === 0,
         concat(col("text"), lit(passage))).otherwise(col("text")))
