@@ -1273,12 +1273,19 @@ object PipelineQueries {
     * shuffles. Returns every doc with its verdict (kept = is the
     * keeper), so the drop set is auditable, not silent. */
   val p52UrlFrontier: Q = (spark, dir) => {
-    val docs = Tables.load(spark, dir, "documents")
+    // r18 optimization (§2.4): keeper = min(doc_id) per canonical was a
+    // groupBy + rejoin — two canonical-keyed exchanges (keepers is
+    // corpus-sized at scale, so the rejoin is a co-partitioned SMJ, not
+    // a broadcast). An unbounded min window needs ONE exchange and no
+    // join, and the canonicalization chain now evaluates once per row
+    // (the join plan re-derived it on both sides). spread: the regex
+    // chain is the heavy map stage on the single-file local scan.
+    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
     val withCanon = docs.select(col("doc_id"), p43FixtureUrl.as("url"))
       .withColumn("canonical", TextAnalysis.canonicalUrl(col("url")))
-    val keepers = withCanon.groupBy("canonical")
-      .agg(min(col("doc_id")).as("keeper_id"))
-    withCanon.join(keepers, Seq("canonical"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical")
+    withCanon
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("canonical"), col("keeper_id"),
         (col("doc_id") === col("keeper_id")).as("kept"))
       .orderBy("doc_id")
@@ -2484,45 +2491,28 @@ object PipelineQueries {
       sum(when(col("fold") === 0L, 1L).otherwise(0L)).as("n_train_docs"),
       sum(when(col("fold") === 0L, col("n_tokens")).otherwise(0L))
         .as("n_train_tokens")))
-    // r18 optimization (§2.4 share one exchange): the per-host report
-    // was 3 count-aggregates LEFT-joined 4-ways host-keyed — 3 agg
-    // exchanges + 4 joins. All five sources union into ONE tagged frame
-    // and roll up in ONE map-side-combined aggregate; every host comes
-    // from `responses` (allowed/kept/dup/fold are subsets), so the
-    // grouped union reproduces the left-join host set exactly. min
-    // ignores NULLs, so the fold column survives only from the perFold
-    // contribution, and a host absent from a source sums its zeros —
-    // the old coalesce(…, 0) semantics.
-    val zeroL = lit(0L)
-    val nullL = lit(null).cast("long")
-    def contrib(df: DataFrame, r: org.apache.spark.sql.Column,
-        a: org.apache.spark.sql.Column, kv: org.apache.spark.sql.Column,
-        d: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
-        td: org.apache.spark.sql.Column, tt: org.apache.spark.sql.Column) =
-      df.select(col("host"), r.as("r"), a.as("a"), kv.as("kv"), d.as("d"),
-        f.as("f"), td.as("td"), tt.as("tt"))
-    val tagged = contrib(responses.select("host"),
-        lit(1L), zeroL, zeroL, zeroL, nullL, zeroL, zeroL)
-      .unionByName(contrib(allowed.select("host"),
-        zeroL, lit(1L), zeroL, zeroL, nullL, zeroL, zeroL))
-      .unionByName(contrib(kept.select("host"),
-        zeroL, zeroL, lit(1L), zeroL, nullL, zeroL, zeroL))
-      .unionByName(contrib(dupPerHost,
-        zeroL, zeroL, zeroL, col("n_recrawl_dup"), nullL, zeroL, zeroL))
-      .unionByName(contrib(perFold,
-        zeroL, zeroL, zeroL, zeroL, col("fold"),
-        col("n_train_docs"), col("n_train_tokens")))
-    val hosts = tagged.groupBy("host").agg(
-        sum(col("r")).as("n_responses"),
-        sum(col("a")).as("n_allowed"),
-        sum(col("kv")).as("n_kept"),
-        sum(col("d")).as("n_recrawl_dup"),
-        min(col("f")).as("fold"),
-        sum(col("td")).as("n_train_docs"),
-        sum(col("tt")).as("n_train_tokens"))
-      .select(col("host"), col("n_responses"), col("n_allowed"),
-        col("n_kept"), col("n_recrawl_dup"), col("fold"),
-        col("n_train_docs"), col("n_train_tokens"),
+    // r18 optimization note: a single tagged-union rollup (one
+    // map-side-combined exchange instead of 3 aggs + 4 host joins) was
+    // built and MEASURED here — matched-condition probes were neutral
+    // and the full-suite bench read +0.3 s, because locally the three
+    // aggregates run as CONCURRENT broadcast-future jobs while the
+    // union evaluates its branches inside one stage; the host-keyed
+    // joins below are broadcast at any realistic per-host report size.
+    // Kept the concurrent form; see OPTIMIZATION_r18.md.
+    val hosts = responses.groupBy("host").agg(count(lit(1)).as("n_responses"))
+      .join(allowed.groupBy("host").agg(count(lit(1)).as("n_allowed")),
+        Seq("host"), "left")
+      .join(kept.groupBy("host").agg(count(lit(1)).as("n_kept")),
+        Seq("host"), "left")
+      .join(dupPerHost, Seq("host"), "left")
+      .join(perFold, Seq("host"), "left")
+      .select(col("host"), col("n_responses"),
+        coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_recrawl_dup"), lit(0L)).as("n_recrawl_dup"),
+        col("fold"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_train_tokens"), lit(0L)).as("n_train_tokens"),
         lit(null).cast("long").as("n_bins"))
     // the '*' rollup references the per-host frame a second time; the
     // expensive branches behind it (recrawl dedup, the fold split) are

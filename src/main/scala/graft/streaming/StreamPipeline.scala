@@ -133,7 +133,7 @@ object StreamPipeline {
   def nearDupBuckets(stream: DataFrame, textCol: String, idCol: String,
       tsCol: String, suppressionHorizon: String = "30 minutes",
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, minEmit: Long = 1L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val horizonMs = parseHorizonMs(suppressionHorizon)
@@ -150,7 +150,7 @@ object StreamPipeline {
       .select(col("id"), col("ts"), col("band"),
         graft.functions.BandBucketHash(col("band"), col("bslice")).as("bh"))
       .as[(Long, java.sql.Timestamp, Int, Long)]
-    bucketStateFold(keyed, horizonMs)
+    bucketStateFold(keyed, horizonMs, minEmit)
   }
 
   /** Streaming near-duplicate collision buckets for an EMBEDDING stream:
@@ -162,11 +162,11 @@ object StreamPipeline {
     * so no extra hashing is needed. */
   def embedNearDupBuckets(stream: DataFrame, vecCol: String, idCol: String,
       tsCol: String, suppressionHorizon: String = "30 minutes",
-      chunks: Int = 4, seed: Long = 42L): DataFrame = {
+      chunks: Int = 4, seed: Long = 42L, minEmit: Long = 1L): DataFrame = {
     require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     sigNearDupBuckets(stream,
       graft.functions.HyperplaneSignature64(col(vecCol), seed),
-      idCol, tsCol, suppressionHorizon, chunks)
+      idCol, tsCol, suppressionHorizon, chunks, minEmit)
   }
 
   /** The shared signature near-dup kernel the embedding/image/audio
@@ -178,7 +178,7 @@ object StreamPipeline {
     * differs between modalities. */
   private def sigNearDupBuckets(stream: DataFrame, sig: Column,
       idCol: String, tsCol: String, suppressionHorizon: String,
-      chunks: Int): DataFrame = {
+      chunks: Int, minEmit: Long = 1L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val horizonMs = parseHorizonMs(suppressionHorizon)
@@ -192,7 +192,7 @@ object StreamPipeline {
           graft.operators.Dedup.sigChunkValues(col("sig"), chunks): _*))
           .as(Seq("band", "bh")))
       .as[(Long, java.sql.Timestamp, Int, Long)]
-    bucketStateFold(keyed, horizonMs)
+    bucketStateFold(keyed, horizonMs, minEmit)
   }
 
   /** Streaming IMAGE near-duplicate collision buckets: dHash of each
@@ -205,14 +205,14 @@ object StreamPipeline {
     * payloads have no hash and flow past the near-dup state untouched. */
   def imageNearDupBuckets(stream: DataFrame, binCol: String, idCol: String,
       tsCol: String, suppressionHorizon: String = "30 minutes",
-      maxHamming: Int = 2): DataFrame = {
+      maxHamming: Int = 2, minEmit: Long = 1L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
     val dh = udf((b: Array[Byte]) =>
       if (b == null) None else graft.operators.Multimodal.dHash64(b))
     sigNearDupBuckets(stream, dh(col(binCol)), idCol, tsCol,
-      suppressionHorizon, maxHamming + 1)
+      suppressionHorizon, maxHamming + 1, minEmit)
   }
 
   /** Streaming AUDIO near-dup collision buckets — the audio rung of
@@ -225,7 +225,7 @@ object StreamPipeline {
     * (band, chunk) keys and the 16-byte keeper/count fold do. */
   def audioNearDupBuckets(stream: DataFrame, binCol: String, idCol: String,
       tsCol: String, suppressionHorizon: String = "30 minutes",
-      maxHamming: Int = 1): DataFrame = {
+      maxHamming: Int = 1, minEmit: Long = 1L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
@@ -235,7 +235,7 @@ object StreamPipeline {
     val a = graft.functions.AudioSpectralHash(
       coalesce(col(binCol), lit(Array.emptyByteArray)))
     sigNearDupBuckets(stream, when(a.getField("defined"), a.getField("fp")),
-      idCol, tsCol, suppressionHorizon, maxHamming + 1)
+      idCol, tsCol, suppressionHorizon, maxHamming + 1, minEmit)
   }
 
   /** Parse with the same interval grammar withWatermark uses, so every
@@ -260,7 +260,7 @@ object StreamPipeline {
     * + horizon — see the scale-design notes on [[nearDupBuckets]]. */
   private def bucketStateFold(
       keyed: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Int, Long)],
-      horizonMs: Long): DataFrame = {
+      horizonMs: Long, minEmit: Long = 1L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = keyed.sparkSession
     import spark.implicits._
@@ -285,7 +285,17 @@ object StreamPipeline {
             // plus the horizon (must stay strictly above the watermark)
             state.setTimeoutTimestamp(
               math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.single(BucketUpdate(band, bh, st.minId, st.n))
+            // minEmit > 1 suppresses sub-threshold updates: state still
+            // folds and times out identically, but singleton buckets
+            // (the vast majority of a near-dup stream) never reach the
+            // sink — the update volume drops to the collision set. n is
+            // monotone and the keeper non-increasing, so the LAST
+            // emission per bucket carries the final (keeper, n) and any
+            // >= minEmit rollup over the emitted stream equals the
+            // unsuppressed one.
+            if (st.n >= minEmit)
+              Iterator.single(BucketUpdate(band, bh, st.minId, st.n))
+            else Iterator.empty
           }
       }.toDF()
   }

@@ -224,8 +224,12 @@ object StreamingQueries {
     * suppression horizon exceeds the 10-minute synthetic event span, so
     * no bucket is evicted mid-replay). */
   val st04NearDupBuckets: Q = (spark, dir) => {
+    // minEmit = 2: the drained rollup filters n_docs >= 2, so the
+    // singleton-bucket updates (the bulk of the stream) never need to
+    // reach the sink — results are identical, the update volume is the
+    // collision set
     val nd = StreamPipeline.nearDupBuckets(
-      boundedDocStream(spark, dir), "text", "doc_id", "ts")
+      boundedDocStream(spark, dir), "text", "doc_id", "ts", minEmit = 2L)
     drainToMemory(spark, "st04", nd.writeStream.outputMode("update"))
       .groupBy(col("band"), col("bucket_hash"))
       .agg(min(col("keeper_id")).as("keeper_id"),
@@ -289,7 +293,7 @@ object StreamingQueries {
     * batch GROUP BY over the chunk expansion. */
   val st05EmbedNearDup: Q = (spark, dir) => {
     val nd = StreamPipeline.embedNearDupBuckets(
-      boundedVecStream(spark, dir), "embedding", "vec_id", "ts")
+      boundedVecStream(spark, dir), "embedding", "vec_id", "ts", minEmit = 2L)
     drainToMemory(spark, "st05", nd.writeStream.outputMode("update"))
       .groupBy(col("band"), col("bucket_hash"))
       .agg(min(col("keeper_id")).as("keeper_id"),
@@ -874,7 +878,8 @@ object StreamingQueries {
     * over the fixture's STORED pattern-derived hashes. */
   val st14ImageNearDup: Q = (spark, dir) => {
     val nd = StreamPipeline.imageNearDupBuckets(
-      boundedMediaStream(spark), "media", "doc_id", "ts", maxHamming = 2)
+      boundedMediaStream(spark), "media", "doc_id", "ts", maxHamming = 2,
+      minEmit = 2L)
     drainToMemory(spark, "st14", nd.writeStream.outputMode("update"))
       .groupBy(col("band"), col("bucket_hash"))
       .agg(min(col("keeper_id")).as("keeper_id"),
@@ -934,7 +939,8 @@ object StreamingQueries {
     * fixture's STORED analytic fingerprints. */
   val st16AudioNearDup: Q = (spark, dir) => {
     val nd = StreamPipeline.audioNearDupBuckets(
-      boundedAudioStream(spark), "media", "doc_id", "ts", maxHamming = 1)
+      boundedAudioStream(spark), "media", "doc_id", "ts", maxHamming = 1,
+      minEmit = 2L)
     drainToMemory(spark, "st16", nd.writeStream.outputMode("update"))
       .groupBy(col("band"), col("bucket_hash"))
       .agg(min(col("keeper_id")).as("keeper_id"),

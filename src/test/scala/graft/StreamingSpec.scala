@@ -107,6 +107,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dup buckets minEmit=2 suppresses singletons, identical >=2 rollup") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val nd = StreamPipeline.nearDupBuckets(
+      input.toDF.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+      minEmit = 2L)
+    val q = nd.writeStream.format("memory").queryName("neardup_minemit_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: two singletons — with minEmit=2 NOTHING may emit yet
+      input.addData((ts(0), 5L, goodText), (ts(0), 9L, junkText + " junk words here"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_minemit_out").isEmpty,
+        "singleton buckets must not reach the sink under minEmit=2")
+      // batch 2: the duplicate arrives in a later batch — the state
+      // still folded the suppressed singleton, so the emitted update
+      // carries the cumulative (keeper=min id, n=2)
+      input.addData((ts(1), 2L, goodText))
+      q.processAllAvailable()
+      val shared = spark.table("neardup_minemit_out")
+        .groupBy("band", "bucket_hash")
+        .agg(min("keeper_id").as("keeper"), max("n_docs").as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+        .filter(_._3 >= 2)
+      // same 32-bucket / keeper=2 rollup the unsuppressed fold yields
+      assert(shared.length == 32, s"expected 32 shared buckets, got ${shared.length}")
+      assert(shared.forall(_._2 == 2L), s"keeper must be the min doc id: ${shared.take(3).toSeq}")
+      assert(shared.map(_._1).sorted.toSeq == (0 until 32))
+    } finally q.stop()
+  }
+
   test("streaming near-dup buckets fold (keeper, count) across batches") {
     val spark2 = spark
     import spark2.implicits._
