@@ -499,7 +499,8 @@ object StreamingQueries {
   val st07SessionizeAppend: Q = (spark, dir) => {
     val sessions = saltedAppendSessions(boundedEventStream(spark, dir))
     mergeTouchingSessions(
-      drainToMemory(spark, "st07", sessions.writeStream.outputMode("append")))
+      drainToMemory(spark, "st07", sessions.writeStream.outputMode("append")),
+      dedupFragments = false)
       .orderBy("user_id", "session_start")
   }
 
@@ -510,15 +511,25 @@ object StreamingQueries {
     * (≤ ~day/gap per entity-day), so the user_id window here cannot
     * recreate the event-level skew the salt removed. In production this
     * runs as the batch compaction over the append-mode sink. */
-  private[graft] def mergeTouchingSessions(fragments: DataFrame): DataFrame = {
+  private[graft] def mergeTouchingSessions(fragments: DataFrame,
+      dedupFragments: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("session_start")
     val prevEnd = max(col("session_end"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    fragments
-      .groupBy("user_id", "session_start")
-      .agg(max("session_end").as("session_end"),
-        max("n_events").as("n_events"))
+    // dedupFragments = false skips the re-emission rollup (one whole
+    // exchange of the fragment set): APPEND-mode sinks (st07) emit each
+    // fragment exactly once — distinct (user, day) windows cannot share
+    // a session_start — so the rollup is an identity there; only
+    // complete-mode drains (st06), which re-emit every batch, need it
+    val deduped =
+      if (dedupFragments) fragments
+        .groupBy("user_id", "session_start")
+        .agg(max("session_end").as("session_end"),
+          max("n_events").as("n_events"))
+      else fragments
+        .select("user_id", "session_start", "session_end", "n_events")
+    deduped
       .withColumn("new_grp",
         when(prevEnd.isNull || col("session_start") > prevEnd, 1L).otherwise(0L))
       .withColumn("grp",

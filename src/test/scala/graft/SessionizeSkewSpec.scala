@@ -200,5 +200,14 @@ class SessionizeSkewSpec extends AnyFunSuite {
       (2L, 1000L * 1000, 3000L * 1000, 10L),
       (3L, 1000L * 1000, 1500L * 1000, 2L),
       (3L, 1501L * 1000, 2000L * 1000, 7L)))
+    // dedupFragments = false (st07's append-mode shortcut: each
+    // fragment emitted exactly once, so the re-emission rollup is an
+    // identity) must yield the same merge on unique-fragment input
+    val mergedNoDedup = graft.streaming.StreamingQueries
+      .mergeTouchingSessions(frags, dedupFragments = false)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    assert(mergedNoDedup.toSeq == merged.toSeq)
   }
 }
