@@ -25,18 +25,87 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Ensure per-row heavy stages have cluster-width parallelism: a
+  /** Ensure per-row heavy stages have enough parallelism: a
     * single-file parquet scan is ONE partition, which would serialize
     * the signature/fingerprint UDF on one core. The width probe reads
-    * file-source metadata only (`inputFiles`) — no `.rdd` conversion, so
-    * the plan stays a DataFrame and AQE still coalesces downstream. A
-    * many-file input (the 100 TB case) or a derived/cached frame passes
-    * through untouched, no extra shuffle. */
-  private[graft] def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    val files = df.inputFiles.length
-    if (files > 0 && files < want) df.repartition(want) else df
+    * file-source metadata only (`inputFiles` + driver-side file stats) —
+    * no `.rdd` conversion, so the plan stays a DataFrame and AQE still
+    * coalesces downstream. A many-file input (the 100 TB case), a frame
+    * whose lineage crosses a cached stage (already as wide as the
+    * exchange that built it), or an in-memory spec frame passes through
+    * untouched, no extra shuffle.
+    *
+    * The width is SIZE-DERIVED, not the core count (guide §2: derive
+    * partitioning from input size, don't tune a constant to one
+    * machine shape): one partition per [[spreadTargetBytes]] of source
+    * input, capped at defaultParallelism. r18 shipped
+    * `repartition(defaultParallelism)` unconditionally and the driver's
+    * 32-core record showed the full-text round-robin exchange costing
+    * more than 32-way parallelism buys on KB–MB inputs (p26/p44/p74/p48
+    * ran SLOWER at 32 cores than at 8); a byte-proportional width keeps
+    * the r18 local[8] wins and stops scaling the exchange with idle
+    * cores. */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    spreadAt(df, spreadLightBytes)
+
+  /** [[spread]] for kernels measured CPU-heavy per input byte (HTML
+    * extraction, n-gram pair explosion): a much smaller per-task byte
+    * budget, because one task-worth of work amortizes at far fewer
+    * input bytes. Only call sites with a MEASURED win at this width
+    * use it (guide §1.2: per-task work knowledge feeds partitioning). */
+  private[graft] def spreadHeavy(df: DataFrame): DataFrame =
+    spreadAt(df, spreadHeavyBytes)
+
+  private def spreadAt(df: DataFrame, perTaskBytes: Long): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val want = sc.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= want) return df
+    // a lineage that crosses a cached stage is already partitioned by
+    // whatever exchange built the cache — re-spreading it would add a
+    // full round-robin exchange on top of the cache read
+    val throughCache = df.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case _ => false
+    }
+    if (throughCache) return df
+    val conf = sc.hadoopConfiguration
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: Throwable => 0L }
+    }.sum
+    val width = spreadWidthFor(files.length, bytes, want, perTaskBytes)
+    if (files.length >= width) df else df.repartition(width)
   }
+
+  /** The one width rule behind [[spread]]/[[spreadHeavy]] and the
+    * streaming source spread: one partition per `perTaskBytes` of
+    * source input, never wider than the cluster. A source already
+    * split at least this wide must gain NO exchange (spec-pinned). */
+  private[graft] def spreadWidthFor(nFiles: Int, bytes: Long, want: Int,
+      perTaskBytes: Long): Int =
+    math.max(1L, math.min(want.toLong,
+      (bytes + perTaskBytes - 1) / perTaskBytes)).toInt
+
+  /** Per-task byte budget for HEAVY kernels (single-digit MB/s/core
+    * over compressed input: HTML extraction, n-gram pair explosion) —
+    * 64 KB of parquet ≈ 0.1–0.5 s of work, enough to amortize a task,
+    * small enough that a 1 GB unsplittable file still fans out to
+    * every core. Env-tunable for other storage/kernel ratios. */
+  private[graft] def spreadHeavyBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_TARGET_BYTES").map(_.trim.toLong)
+      .filter(_ > 0L).getOrElse(64L * 1024)
+
+  /** Per-task byte budget for LIGHT kernels (tokenizers, hashes,
+    * per-line splits — tens of MB/s/core): below ~4 MB of source the
+    * round-robin exchange of the payload costs more than the
+    * parallelism returns (measured at 32 cores: every light key ran
+    * faster with the sf0.1 594 KB table UNSPREAD), while a multi-GB
+    * unsplittable file still reaches full width. */
+  private[graft] def spreadLightBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_LIGHT_BYTES").map(_.trim.toLong)
+      .filter(_ > 0L).getOrElse(4L * 1024 * 1024)
 
   /** Distributed in-bucket pair emission: rows carrying `("id" +: carry)`
     * grouped into buckets by `keys`, emitting every unordered in-bucket

@@ -47,6 +47,7 @@ object PipelineQueries {
     kmeansCache.clear()
     Dedup.resetCaches() // the one-slot signature cache
     Relational.resetSkewProbeCache() // q18's memoized skew stat
+    TextAnalysis.resetLmModelCache() // the fitted bigram-LM memo
     resetP38Stages()
   }
 
@@ -3845,7 +3846,10 @@ object PipelineQueries {
     * side stays constant and the audit scales linearly in the corpus,
     * exactly as production does. */
   val p45PairContamination: Q = (spark, dir) => {
-    val docs = Dedup.spread(Tables.load(spark, dir, "documents"))
+    // spreadHeavy: the 5-gram set build + containment join is one of the
+    // two measured CPU-heavy-per-byte kernels (A/B at 32 cores: 1.24 s
+    // spread vs 1.40 s unspread; light keys showed the reverse)
+    val docs = Dedup.spreadHeavy(Tables.load(spark, dir, "documents"))
     val aug = docs.select(col("doc_id"), p33FixtureText.as("t"))
     val refs = aug.filter(pmod(col("doc_id"), lit(91)) === 0 &&
         col("doc_id") < 100000L)
@@ -4142,10 +4146,12 @@ object PipelineQueries {
     // the intermediate parquet checkpoint a cluster-scale ingest writes
     // between curation stages; Bench/determinism resets drop it so
     // every measured pass is cold.
-    // spread: the single-row-group test file gives the scan one task,
-    // which would serialize the htmlToText extraction on one core; at
-    // cluster scale the scan splits naturally and spread is a no-op
-    val ex = p38Stage(Dedup.spread(docs).select(col("doc_id"),
+    // spreadHeavy: the single-row-group test file gives the scan one
+    // task, which would serialize the htmlToText extraction on one core;
+    // at cluster scale the scan splits naturally and spread is a no-op.
+    // Heavy class — extraction is ~2.4 s of single-core work per 600 KB
+    // (A/B at 32 cores: 2.15 s spread vs 2.37 s unspread).
+    val ex = p38Stage(Dedup.spreadHeavy(docs).select(col("doc_id"),
       TextAnalysis.htmlToText(p35FixtureHtml).as("extracted")))
     val gate = TextAnalysis.lengthQuantileFilter(ex, "extracted", "doc_id", 10, 90)
     val surv = p38Stage(ex.join(
@@ -4724,6 +4730,7 @@ object PipelineQueries {
     kmeansCache.clear()
     Dedup.resetCaches()
     Relational.resetSkewProbeCache()
+    TextAnalysis.resetLmModelCache()
     resetP38Stages()
   }
 

@@ -1123,6 +1123,36 @@ object TextAnalysis {
   def lmModelFor(docs: DataFrame, textCol: String, refCond: Column,
       k: Double = 1.0, maxEntries: Int = 1 << 22): graft.functions.LmModel = {
     require(k > 0, "smoothing k must be positive")
+    // memoized per (reference-slice plan, k): p34/p92/st30 fit the SAME
+    // model (same corpus, same refCond); r18 refit it eagerly in every
+    // key — two extra collect jobs per pass at the driver's 32-core
+    // config. The key is the ANALYZED plan of the slice the fit reads
+    // (sameResult — the CacheManager's own equivalence), so a different
+    // corpus, text column, or refCond fits fresh; the registry drops on
+    // the bench/determinism resets so every measured pass is cold.
+    val keyPlan = docs.filter(refCond).select(col(textCol))
+      .queryExecution.analyzed
+    lmModelCache.get().collectFirst {
+      case ((p, kk, me), m) if kk == k && me == maxEntries &&
+        p.sameResult(keyPlan) => m
+    } match {
+      case Some(m) => m
+      case None =>
+        val fitted = lmModelFit(docs, textCol, refCond, k, maxEntries)
+        lmModelCache.updateAndGet(((keyPlan, k, maxEntries), fitted) :: _)
+        fitted
+    }
+  }
+
+  private val lmModelCache = new java.util.concurrent.atomic.AtomicReference[
+    List[((org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double, Int),
+      graft.functions.LmModel)]](Nil)
+
+  /** Drop the fitted-model memo (bench pass / determinism resets). */
+  private[graft] def resetLmModelCache(): Unit = lmModelCache.set(Nil)
+
+  private def lmModelFit(docs: DataFrame, textCol: String, refCond: Column,
+      k: Double, maxEntries: Int): graft.functions.LmModel = {
     val tk = split(trim(lower(col(textCol))), "\\s+")
     // ONE tokenize+explode pass fits both tables: each token emits
     // (w1 = token, w2 = following token or NULL for the last), so the

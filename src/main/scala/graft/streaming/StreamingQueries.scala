@@ -39,14 +39,43 @@ object StreamingQueries {
     * micro-batch ONE input partition, which serializes the heavy
     * row-local kernels (MinHash signatures, image decode, LM scoring,
     * PII scan) on one core BEFORE the stateful shuffle — the map side
-    * of each batch was running at 1/cores utilization. Round-robin to
-    * defaultParallelism so per-row kernels use the machine; a
-    * production landing zone arrives pre-split (many files / source
-    * partitions) and pays the same exchange only when its source
-    * parallelism is below the cluster's (guide §2.5,
-    * unsplittable-input repartition). */
-  private def spreadStream(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * of each batch was running at 1/cores utilization.
+    *
+    * GUARDED (r19; r18 shipped an unconditional
+    * `repartition(defaultParallelism)`, which inserts a round-robin
+    * exchange of the raw payload into EVERY micro-batch no matter how
+    * the source arrives — a permanent per-batch corpus shuffle at
+    * scale, and measurably slower than no exchange at the driver's 32
+    * cores on KB-scale batches). The guard lists the landing dir ONCE
+    * at plan-build time: a pre-split source (file count ≥ the
+    * size-derived width) gains no exchange at all, and when the
+    * exchange is needed its width is one partition per
+    * [[streamSpreadBytes]] of input, capped at defaultParallelism —
+    * the same byte-proportional rule as batch spread (guide §2.5,
+    * unsplittable-input repartition; §2 scale-adaptive partitioning). */
+  private[graft] def spreadStream(df: DataFrame, dir: String, glob: String,
+      perTaskBytes: Long = streamSpreadBytes): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val want = sc.defaultParallelism
+    val (nFiles, bytes) =
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir, glob)
+        val st = Option(p.getFileSystem(sc.hadoopConfiguration).globStatus(p))
+          .map(_.toSeq).getOrElse(Seq.empty)
+        (st.length, st.map(_.getLen).sum)
+      } catch { case _: Throwable => (0, 0L) }
+    if (nFiles == 0 || nFiles >= want) return df
+    val width = graft.operators.Dedup.spreadWidthFor(nFiles, bytes, want,
+      perTaskBytes)
+    if (nFiles >= width) df else df.repartition(width)
+  }
+
+  /** Per-task byte budget for the stream-source spread — the per-batch
+    * map kernels these sources feed (MinHash signatures, LM scoring,
+    * PII regex scan) sit between the batch light/heavy classes. */
+  private def streamSpreadBytes: Long =
+    sys.env.get("SPARK_GRAFT_STREAM_SPREAD_BYTES").map(_.trim.toLong)
+      .filter(_ > 0L).getOrElse(64L * 1024)
 
   /** The documents table as a bounded file stream with the synthetic
     * event-time column. The streaming file source needs a DIRECTORY base
@@ -56,7 +85,7 @@ object StreamingQueries {
     val schema = Tables.load(spark, dir, "documents").schema
     spreadStream(spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir))
+      .parquet(dir), dir, "documents.parquet")
       .withColumn("ts",
         timestamp_seconds(lit(EpochBase) + (col("doc_id") * 37) % 600))
   }
@@ -280,7 +309,7 @@ object StreamingQueries {
     val schema = graft.Tables.load(spark, dir, "embeddings").schema
     spreadStream(spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir))
+      .parquet(dir), dir, "embeddings.parquet")
       .withColumn("ts",
         timestamp_seconds(lit(EpochBase) + (col("vec_id") * 37) % 600))
   }
