@@ -419,6 +419,11 @@ object Dedup {
     if (prevK != null) prevK.unpersist(blocking = false)
   }
 
+  /** Cross-module access to the one-slot signature cache
+    * ([[graft.operators.SimilaritySearch]]'s hyperplane table). */
+  private[operators] def cacheSignedShared(df: DataFrame): DataFrame =
+    cacheSigned(df)
+
   /** Profiling hook: the signature stage alone (cached), for stage-level
     * attribution in `graft.Profile`. */
   private[graft] def minHashSignedForProfile(

@@ -49,6 +49,7 @@ object PipelineQueries {
     Relational.resetSkewProbeCache() // q18's memoized skew stat
     TextAnalysis.resetLmModelCache() // the fitted bigram-LM memo
     resetP38Stages()
+    resetCheckpoints()
   }
 
   /** Stage-boundary caches (p38's curation chain, p86's crawl chain —
@@ -71,6 +72,17 @@ object PipelineQueries {
   }
   private def resetP38Stages(): Unit =
     p38Stages.getAndSet(Nil).foreach(_.unpersist(blocking = false))
+
+  /** Lineage-truncation registry (crawlChain's lazy localCheckpoints):
+    * the resets drop the references so the ContextCleaner reclaims the
+    * checkpointed blocks — nothing persists into the next bench pass,
+    * and the next pass re-materializes cold. */
+  private val checkpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def trackCheckpoint(df: DataFrame): DataFrame = {
+    checkpoints.add(df); df
+  }
+  private def resetCheckpoints(): Unit = checkpoints.clear()
 
   /** Cross-module access to the stage-boundary cache registry (p92's
     * scored frame in [[TextAnalysis.ccnetLangBuckets]] — computed once,
@@ -2429,12 +2441,29 @@ object PipelineQueries {
     * uses the fixture's literal five-name map; the 100× probe hashes
     * arbitrary replicated names). */
   private[graft] def crawlChain(spark: SparkSession, warcDir: String,
-      fileKey: org.apache.spark.sql.Column): DataFrame = {
+      fileKey: org.apache.spark.sql.Column,
+      truncateLineage: Boolean = true): DataFrame = {
     // stage-boundary caches (the p38 registry): the parsed-response and
     // post-filter frames feed several report branches each — without a
     // cache the lineage recomputes the WARC parse + filter kernels once
-    // per branch (6x the head at 100x)
-    val responses = p38Stage(graft.sources.Warc
+    // per branch (6x the head at 100x).
+    //
+    // r19 (guide §3.3/§5, VERDICT #4): the boundaries additionally
+    // TRUNCATE LINEAGE (lazy localCheckpoint) — the composed chain's
+    // ~37 actions (broadcast builds, dedup/split cardinality gates, the
+    // report) each re-analyzed the full WARC-parse lineage, leaving
+    // p86's warm wall ~2.0 s with only 0.6 s inside jobs; against a
+    // LogicalRDD leaf the per-action planning collapses. Same
+    // materialize-once semantics as the cache; rows are unchanged. The
+    // 100×-probe path passes truncateLineage=false — at corpus scale an
+    // in-memory checkpoint is the wrong trade (a real ingest writes
+    // intermediate parquet between stages, which is what the cache
+    // stands in for locally), and the probe must exercise the full
+    // lineage the cluster plan would carry.
+    def stage(df: DataFrame): DataFrame =
+      if (truncateLineage) trackCheckpoint(df.localCheckpoint(false))
+      else p38Stage(df)
+    val responses = stage(graft.sources.Warc
       .readAudited(spark, warcDir, "*.warc.gz")
       .filter(col("ok") && col("warc_type") === "response" &&
         col("target_uri").isNotNull)
@@ -2463,7 +2492,7 @@ object PipelineQueries {
       .select(col("doc_key"), (col("verdict") === "keep").as("kc"))
     val kr = TextAnalysis.gopherRepetition(planted, "t", "doc_key")
       .select(col("doc_key"), (col("verdict") === "keep").as("kr"))
-    val kept = p38Stage(planted.join(kc, Seq("doc_key")).join(kr, Seq("doc_key"))
+    val kept = stage(planted.join(kc, Seq("doc_key")).join(kr, Seq("doc_key"))
       .filter(col("kc") && col("kr"))
       .select("doc_key", "host", "t"))
     // recrawl: the same pages fetched again under fresh record keys —
@@ -2474,20 +2503,23 @@ object PipelineQueries {
       kept.select("doc_key", "t"),
       kept.select((col("doc_key") + snapOffset).as("doc_key"), col("t")),
       "t", "doc_key")
-    val dupPerHost = p38Stage(recrawl.filter(col("verdict") === "dup_of_prior")
+    val dupPerHost = stage(recrawl.filter(col("verdict") === "dup_of_prior")
       .select((col("doc_key") - snapOffset).as("doc_key"))
       .join(kept.select("doc_key", "host"), Seq("doc_key"))
       .groupBy("host").agg(count(lit(1)).as("n_recrawl_dup")))
     val comp = kept.select(col("doc_key"), hostKey.as("component"))
     val folds = Dedup.groupKeyedSplit(kept, "doc_key", comp,
       seed = 86L, folds = 2)
+    // NOT checkpointed (measured): withFold is cheap to recompute from
+    // the `kept` checkpoint and an extra materialization costs more
+    // than the planning it saves (warm 1.39 s without vs 1.7–2.1 with)
     val withFold = kept.join(folds.select("doc_key", "fold"), Seq("doc_key"))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("t")).cast("long"))
     val packed = Sampling.packBins(
       withFold.filter(col("fold") === 0L).select("doc_key", "n_tokens"),
       "doc_key", "n_tokens", budgetTokens = 30L, shards = 1, seed = 86L)
     val binsDf = packed.agg((max(col("bin")) + 1L).cast("long").as("n_bins"))
-    val perFold = p38Stage(withFold.groupBy("host").agg(
+    val perFold = stage(withFold.groupBy("host").agg(
       min(col("fold")).as("fold"),
       sum(when(col("fold") === 0L, 1L).otherwise(0L)).as("n_train_docs"),
       sum(when(col("fold") === 0L, col("n_tokens")).otherwise(0L))
@@ -4732,6 +4764,7 @@ object PipelineQueries {
     Relational.resetSkewProbeCache()
     TextAnalysis.resetLmModelCache()
     resetP38Stages()
+    resetCheckpoints()
   }
 
   /** p12: multimodal decode/features — REAL PNG decode via javax.imageio

@@ -153,10 +153,14 @@ object SimilaritySearch {
     require(probeHamming == 0 || probeHamming == 1,
       "probeHamming supports 0 (exact) or 1 (single-bit multi-probe)")
     val nLimbs = bits / 64
-    val signed = Dedup.spread(df)
+    // one cached signature table (r19, §2.4): the bucket pass reads it
+    // once and each vector rejoin re-evaluates its sig-isNotNull filter —
+    // uncached, the HyperplaneSignatures kernel ran 3× per corpus pass
+    // (the Dedup one-slot lifecycle; bench/determinism resets drop it)
+    val signed = Dedup.cacheSignedShared(Dedup.spread(df)
       .select(col(idCol).as("id"), asDoubles(col(vecCol)).as("v"),
         graft.functions.HyperplaneSignatures(col(vecCol), seed, bits).as("sig"))
-      .filter(col("sig").isNotNull)
+      .filter(col("sig").isNotNull))
     val chunked = hyperplaneBuckets(signed, chunks, chunkBits, probeHamming)
     // signature-Hamming prefilter AS THE PAIRS STREAM out of the bucket
     // self-join, before the dedup shuffle and the vector rejoin: E[d] =

@@ -740,6 +740,11 @@ object StreamingQueries {
     * emits in append mode as soon as both rows have arrived, so results
     * stream out continuously rather than at window close. */
   val st11StreamStreamJoin: Q = (spark, dir) => {
+    // Measured and NOT adopted (r19): deriving both sides from ONE
+    // boundedEventStream instance (a streaming self-join) did not share
+    // the batch scan (numInputRows stayed 2×) and the self-join
+    // de-ambiguation made the key consistently SLOWER (warm 4.3–4.6 s
+    // vs 3.7 s) — the two-source form stands.
     val purchases = boundedEventStream(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

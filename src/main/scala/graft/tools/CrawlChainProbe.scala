@@ -34,8 +34,13 @@ object CrawlChainProbe {
     // 2^60 recrawl snapshot offset
     val fileKey = shiftrightunsigned(xxhash64(col("file")), 21).cast("long")
     val t0 = System.nanoTime()
+    // truncateLineage=false: the probe must exercise the full lineage a
+    // cluster-scale plan carries; an in-memory checkpoint of a 100×
+    // corpus is the wrong trade (a real ingest writes parquet between
+    // stages)
     val report = graft.operators.PipelineQueries
-      .crawlChain(spark, dst.getAbsolutePath, fileKey)
+      .crawlChain(spark, dst.getAbsolutePath, fileKey,
+        truncateLineage = false)
       .filter(col("host") === "*").collect()
     val dt = (System.nanoTime() - t0) / 1e9
     val r = report.head
