@@ -502,6 +502,15 @@ object Planner {
     private val attaches = scala.collection.mutable.Buffer.empty[DataFrame => DataFrame]
     private val hidden = scala.collection.mutable.Buffer.empty[String]
     private val subCache = scala.collection.mutable.Map[Exp, Exp]()
+    // same-correlation theta-scalar merge registry (r19, VERDICT #6):
+    // scalar subqueries sharing (FROM, WHERE, key tuple) — b26's
+    // count/max pair — fold into ONE theta join + ONE multi-column
+    // aggregate + ONE rejoin instead of N copies of the subtree. Keyed
+    // by the body minus its select list plus the normalized key-ref
+    // tuple; the value appends another aggregate item to the shared
+    // attach (built lazily at apply-time, so late members still land).
+    private[Planner] val thetaMerge = scala.collection.mutable.Map
+      .empty[(Query, Seq[(Option[String], String)]), Exp => Exp]
 
     /** Hidden IN-LHS columns added to the outer frame (scope additions). */
     def hiddenNames: Seq[String] = hidden.toSeq
@@ -631,7 +640,7 @@ object Planner {
             case Left(()) => ExpLit(LitNull) // provably yields no row
             case Right(q2) =>
               decorrelateAggScalar(ctx0, q2)
-                .orElse(decorrelateThetaAggScalar(ctx0, q2))
+                .orElse(decorrelateThetaAggScalar(ctx0, q2, Some(thetaMerge)))
                 .orElse(decorrelateGroupedScalar(ctx0, q2))
                 .orElse(decorrelateThetaGroupedScalar(ctx0, q2)) match {
                 case Some((attach, repl)) => attaches += attach; repl
@@ -1417,7 +1426,10 @@ object Planner {
     * With no plain theta conjunct (correlation rides entirely inside
     * nested bodies) the key-inner join is a cross product — the honest
     * relational form of the reference's per-row nested loop, set-based. */
-  private def decorrelateThetaAggScalar(ctx: Ctx, q: Query): Option[(DataFrame => DataFrame, Exp)] = q match {
+  private def decorrelateThetaAggScalar(ctx: Ctx, q: Query,
+      merge: Option[scala.collection.mutable.Map[
+        (Query, Seq[(Option[String], String)]), Exp => Exp]] = None)
+      : Option[(DataFrame => DataFrame, Exp)] = q match {
     case s: Select
         if ctx.scope.isDefined && s.tables.nonEmpty && s.grouping.isEmpty &&
           s.order.isEmpty && s.limit.isEmpty && s.quantifier == SelQuantAll &&
@@ -1439,7 +1451,15 @@ object Planner {
           chainFreeRefs(ctx, c, Seq(inner), outer)
         val refs = (cs.flatMap(outerRefsOf) ++ outerRefsOf(aggExp))
           .distinctBy(r => (r.table.map(Names.casefold), normRef(r.column)))
+        // merge signature: the body minus its select list + the key
+        // tuple — two scalars that agree here decorrelate through ONE
+        // theta join + ONE grouped aggregate (b26's count/max pair)
+        val mergeSig = (s.copy(columns = Nil),
+          refs.map(r => (r.table.map(Names.casefold), normRef(r.column))))
+        val merged = merge.flatMap(_.get(mergeSig))
+          .map(addAgg => ((df: DataFrame) => df, addAgg(aggExp)))
         if (refs.isEmpty) None
+        else if (merged.isDefined) merged
         else try {
           // three-way conjunct split: plain theta conditions join; self-
           // contained conjuncts (nested or not) filter the inner frame;
@@ -1576,6 +1596,25 @@ object Planner {
                 ExpOp(Op.BoolAnd, Seq(markerNotNull,
                   ExpCol(None, s"__nc_$tag")))
             }
+            // the aggregate-item buffer: later same-signature scalars
+            // (the merge registry below) append their item and reuse
+            // this member's theta join + grouped aggregate + rejoin —
+            // the attach reads the buffer at apply-time, after every
+            // member has registered
+            val aggItems = scala.collection.mutable.Buffer[
+              (String, org.apache.spark.sql.Column)]()
+            def addAggItem(e: Exp): Exp = {
+              val v = s"__tv_${subqueryTag.getAndIncrement()}"
+              aggItems += ((v, compile(shield(subst(e, Seq(inner)), matchExp),
+                jctx.withAgg(true)).as(v)))
+              ExpCol(None, v)
+            }
+            val repl = addAggItem(aggExp)
+            // register for same-signature merging only in the plain
+            // theta shape (no nested-correlated mask column, whose
+            // deepPre rewrites are per-member)
+            if (nestedCorr.isEmpty)
+              merge.foreach(_.getOrElseUpdate(mergeSig, addAggItem _))
             val attach: DataFrame => DataFrame = { df =>
               val keyed = df.select(refs.zipWithIndex.map { case (r, i) =>
                 compile(r, ctx).as(keyName(i)) }: _*).distinct()
@@ -1593,15 +1632,14 @@ object Planner {
               }
               val grouped = joinedF
                 .groupBy(keyName.map(col): _*)
-                .agg(compile(shield(subst(aggExp, Seq(inner)), matchExp),
-                  jctx.withAgg(true)).as(vName))
+                .agg(aggItems.head._2, aggItems.tail.map(_._2).toSeq: _*)
               df.join(grouped,
                 refs.zipWithIndex.map { case (r, i) =>
                   compile(r, ctx) <=> col(keyName(i)) }.reduce(_ && _),
                 "left_outer")
                 .drop(keyName: _*)
             }
-            Some((attach, ExpCol(None, vName)))
+            Some((attach, repl))
           }
         } catch {
           // an unthreadable shape discovered while building (e.g. a deep
