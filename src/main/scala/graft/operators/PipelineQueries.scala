@@ -4169,26 +4169,32 @@ object PipelineQueries {
     * id-keyed hash joins (co-partitioned at scale). */
   val p38CrawlCuration: Q = (spark, dir) => {
     val docs = Tables.load(spark, dir, "documents")
-    // Stage boundaries are cached: without them the composition
-    // re-derives every upstream stage once per downstream branch — the
-    // extraction chain alone appears ~60× in the uncached DAG (gate
-    // scans ex 3×, bigramLmScore scans surv 4×, spanDupStats scans fin
-    // 2×, and the counts MULTIPLY through the stage joins), turning a
-    // ~1 s sum-of-stages into ~11 s. The cache is the local analogue of
-    // the intermediate parquet checkpoint a cluster-scale ingest writes
-    // between curation stages; Bench/determinism resets drop it so
-    // every measured pass is cold.
+    // Stage boundaries are materialized AND lineage-truncated (r19,
+    // lazy localCheckpoint — the p86 §3.3/§5 treatment): without a
+    // boundary the composition re-derives every upstream stage once per
+    // downstream branch — the extraction chain alone appears ~60× in
+    // the unbounded DAG (gate scans ex 3×, bigramLmScore scans surv 4×,
+    // spanDupStats scans fin 2×, and the counts MULTIPLY through the
+    // stage joins), turning a ~1 s sum-of-stages into ~11 s; and with a
+    // plain cache() every one of the key's ~20 actions still re-ANALYZED
+    // the full chain (warm JobProfile: 2.19 s wall, 1.10 s in jobs).
+    // localCheckpoint has the same MEMORY_AND_DISK footprint as the
+    // cache it replaces, so the 100× probe regime is unchanged; the
+    // boundary is the local analogue of the intermediate parquet
+    // checkpoint a cluster-scale ingest writes between curation stages;
+    // Bench/determinism resets drop the refs so every pass is cold.
     // spreadHeavy: the single-row-group test file gives the scan one
     // task, which would serialize the htmlToText extraction on one core;
     // at cluster scale the scan splits naturally and spread is a no-op.
     // Heavy class — extraction is ~2.4 s of single-core work per 600 KB
     // (A/B at 32 cores: 2.15 s spread vs 2.37 s unspread).
-    val ex = p38Stage(Dedup.spreadHeavy(docs).select(col("doc_id"),
-      TextAnalysis.htmlToText(p35FixtureHtml).as("extracted")))
+    val ex = trackCheckpoint(Dedup.spreadHeavy(docs).select(col("doc_id"),
+      TextAnalysis.htmlToText(p35FixtureHtml).as("extracted"))
+      .localCheckpoint(false))
     val gate = TextAnalysis.lengthQuantileFilter(ex, "extracted", "doc_id", 10, 90)
-    val surv = p38Stage(ex.join(
+    val surv = trackCheckpoint(ex.join(
       gate.filter(col("kept")).select(col("doc_id"), col("n_tokens")),
-      Seq("doc_id")))
+      Seq("doc_id")).localCheckpoint(false))
     val lm = TextAnalysis.bigramLmScoreKernel(surv, "extracted", "doc_id",
         refCond = pmod(col("doc_id"), lit(5)) === 0, k = 1.0)
       .withColumn("bucket",
@@ -4196,10 +4202,10 @@ object PipelineQueries {
           .when(col("lm_logprob") >= -3.55, lit("head"))
           .when(col("lm_logprob") >= -3.85, lit("middle"))
           .otherwise(lit("tail")))
-    val fin = p38Stage(surv.join(
+    val fin = trackCheckpoint(surv.join(
       lm.filter(col("bucket").isin("head", "middle"))
         .select(col("doc_id"), col("lm_logprob"), col("bucket")),
-      Seq("doc_id")))
+      Seq("doc_id")).localCheckpoint(false))
     val span = Dedup.spanDupStats(fin, "extracted", "doc_id", width = 8)
     fin.select(col("doc_id"), col("n_tokens"), col("lm_logprob"), col("bucket"))
       .join(span, Seq("doc_id"))
