@@ -118,11 +118,33 @@ object StreamingQueries {
         s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, got '$raw'"))
     require(stateParts > 0,
       s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, got '$raw'")
+    // stream-stream join state format v3 (r19): ONE RocksDB store per
+    // partition holding virtual column families instead of FOUR stores
+    // (2 sides × keyToNumValues/keyWithIndexToValue) — st11 profiled
+    // its per-batch cost as 16 store instances' snapshot/fsync commits;
+    // v3 quarters the instance count at ANY scale. RocksDB-only by
+    // Spark's own contract, so it is set exactly when the session runs
+    // the documented RocksDB production pairing (the in-memory spec
+    // provider keeps the default format). Env-overridable; the conf is
+    // read at query start, so the scope-and-restore stays per-drain.
+    val joinV3 = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB"))
+    val joinFmtKey = "spark.sql.streaming.join.stateFormatVersion"
+    val prevJoinFmt = spark.conf.getOption(joinFmtKey)
     val q =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+        if (joinV3) spark.conf.set(joinFmtKey,
+          sys.env.getOrElse("SPARK_GRAFT_JOIN_STATE_FORMAT", "3"))
         w.format("memory").queryName(sink).start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        prevJoinFmt match {
+          case Some(v) => spark.conf.set(joinFmtKey, v)
+          case None => spark.conf.unset(joinFmtKey)
+        }
+      }
     try q.processAllAvailable() finally {
       (Option(q.lastProgress).toSeq ++ q.recentProgress.reverseIterator)
         .find(p => p != null && p.stateOperators.nonEmpty)
