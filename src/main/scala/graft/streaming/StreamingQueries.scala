@@ -137,6 +137,11 @@ object StreamingQueries {
         spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
         if (joinV3) spark.conf.set(joinFmtKey,
           sys.env.getOrElse("SPARK_GRAFT_JOIN_STATE_FORMAT", "3"))
+        // sessionWindow.merge.sessions.in.local.partition measured and
+        // NOT adopted (r19 A/B at 32 cpus: st06 2.7→3.9 s, st07
+        // 2.9→3.3 s warm) — these streams' sessions are mostly
+        // single-event, so the pre-shuffle local sort+merge is pure
+        // overhead; it pays only when many batch rows share a session
         w.format("memory").queryName(sink).start()
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prev)
